@@ -1,0 +1,16 @@
+"""Declared query set (SURVEY.md §2) + DuckDB oracle SQL.
+
+Importing this package populates the registry; ``__spark_entry__.py``
+re-exports ``queries()`` / ``oracle_sql()`` from here.
+"""
+
+from __future__ import annotations
+
+from . import (  # noqa: F401  (import for registration side effects)
+    config_plane,
+    flagship,
+    northstar,
+    relational,
+    timeseries,
+)
+from .registry import oracles, queries  # noqa: F401

@@ -1,0 +1,606 @@
+"""Batch relational surface — SURVEY.md §2 Part B rows B1–B17.
+
+Every query here is pure DataFrame API (JVM-side, whole-stage codegen;
+zero Python UDFs) with an ANSI-SQL oracle twin for DuckDB.
+
+Determinism: measures go through DECIMAL casts (order-independent exact
+sums); emitted doubles are rounded one digit past their exact decimal
+precision; every ranking carries a unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# B1 — parquet scan + projection + filter (pushdown)
+# --------------------------------------------------------------------------
+@register(
+    "b1_scan_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    tags=("B1",),
+)
+def b1(spark, sf_dir):
+    # Filter + projection land in the parquet scan (PushedFilters /
+    # ReadSchema) — verified in tests/test_plans_physical.py.
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# B2 — time-range filter (InfluxQL `WHERE time > …` core)
+# --------------------------------------------------------------------------
+@register(
+    "b2_time_range",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+    """,
+    tags=("B2",),
+)
+def b2(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# B4 — hash aggregate (TPC-H Q1 shape; partial+final agg from Catalyst)
+# --------------------------------------------------------------------------
+@register(
+    "b4_hash_aggregate",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2)))
+               * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+      COUNT(*) AS count_order,
+      COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("B4",),
+)
+def b4(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(ep * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(ep * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
+        F.round(F.sum(disc).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — distinct counting: exact (oracle-checked) + approx (rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "b5_distinct_exact",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("B5",),
+)
+def b5_exact(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+
+
+@register("b5_approx_distinct", oracle=None, tags=("B5",))
+def b5_approx(spark, sf_dir):
+    # HyperLogLog++ sketch — the 100 TB path where exact COUNT(DISTINCT)
+    # would shuffle every key. rsd 1% ≈ few KB of sketch per group.
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 — rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+@register(
+    "b6_rollup",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, o_orderpriority)
+    """,
+    tags=("B6",),
+)
+def b6(spark, sf_dir):
+    joined = (
+        t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return joined.rollup("n_name", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "b6_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("B6",),
+)
+def b6_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B7 — star-schema broadcast join (customer ⋈ nation ⋈ region)
+# --------------------------------------------------------------------------
+@register(
+    "b7_broadcast_star_join",
+    oracle="""
+    SELECT r_name, n_name,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("B7",),
+)
+def b7(spark, sf_dir):
+    # Dims are broadcast — no shuffle on the fact side; at 100 TB this is
+    # the only sane plan for a star join (nation/region are KBs).
+    return (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — fact ⋈ fact shuffle join (orders ⋈ lineitem)
+# --------------------------------------------------------------------------
+@register(
+    "b8_shuffle_join",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    """,
+    tags=("B8",),
+)
+def b8(spark, sf_dir):
+    # Both sides large → sort-merge/shuffle-hash on the join key; the
+    # groupBy reuses the same hash partitioning (one shuffle, not two).
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B9 — outer / semi / anti joins
+# --------------------------------------------------------------------------
+@register(
+    "b9_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("B9", "A22"),
+)
+def b9_anti(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "b9_semi_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("B9",),
+)
+def b9_semi(spark, sf_dir):
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t(spark, sf_dir, "customer")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "b9_outer_join",
+    oracle="""
+    SELECT c_custkey,
+      COUNT(o_orderkey) AS n_orders,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("B9",),
+)
+def b9_outer(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .join(t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — range / interval theta join (point-in-interval)
+# --------------------------------------------------------------------------
+_WINDOWS = [
+    ("w_jan_wk1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    ("w_jan_wk2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    ("w_mid_48h", "2024-01-14 12:00:00", "2024-01-16 12:00:00"),
+    ("w_jan_d20", "2024-01-20 00:00:00", "2024-01-21 00:00:00"),
+    ("w_jan_gap", "2024-01-22 06:30:00", "2024-01-23 18:45:00"),
+    ("w_last_wk", "2024-01-24 00:00:00", "2024-01-31 00:00:00"),
+]
+
+_B10_VALUES = ", ".join(
+    f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _WINDOWS
+)
+
+
+@register(
+    "b10_range_join",
+    oracle=f"""
+    WITH win(win_name, win_start, win_end) AS (VALUES {_B10_VALUES})
+    SELECT win_name, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM win JOIN events ON ts >= win_start AND ts < win_end
+    GROUP BY win_name
+    """,
+    tags=("B10",),
+)
+def b10(spark, sf_dir):
+    # Tiny interval dim broadcast against the big fact → the non-equi
+    # predicate evaluates inside a BroadcastNestedLoopJoin, which is the
+    # scalable plan (no shuffle of the fact table).
+    win = spark.createDataFrame(
+        [(n, s, e) for n, s, e in _WINDOWS],
+        "win_name string, win_start string, win_end string",
+    ).select(
+        "win_name",
+        F.col("win_start").cast("timestamp").alias("win_start"),
+        F.col("win_end").cast("timestamp").alias("win_end"),
+    )
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(win),
+            (F.col("ts") >= F.col("win_start")) & (F.col("ts") < F.col("win_end")),
+        )
+        .groupBy("win_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — sort / limit / top-K per group
+# --------------------------------------------------------------------------
+@register(
+    "b13_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("B13",),
+)
+def b13(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "b13_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    tags=("B13",),
+)
+def b13_global(spark, sf_dir):
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-100 then a tiny driver-side merge; no full sort at scale.
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — set operations
+# --------------------------------------------------------------------------
+@register(
+    "b14_set_ops",
+    oracle="""
+    WITH economy AS (SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'),
+         big AS (SELECT DISTINCT p_brand FROM part WHERE p_size > 25)
+    SELECT 'both' AS which, p_brand FROM (SELECT p_brand FROM economy INTERSECT SELECT p_brand FROM big)
+    UNION ALL
+    SELECT 'only_economy' AS which, p_brand FROM (SELECT p_brand FROM economy EXCEPT SELECT p_brand FROM big)
+    """,
+    tags=("B14",),
+)
+def b14(spark, sf_dir):
+    part = t(spark, sf_dir, "part")
+    economy = part.filter(F.col("p_type") == "ECONOMY").select("p_brand").distinct()
+    big = part.filter(F.col("p_size") > 25).select("p_brand").distinct()
+    both = economy.intersect(big).select(F.lit("both").alias("which"), "p_brand")
+    only = economy.exceptAll(big).select(F.lit("only_economy").alias("which"), "p_brand")
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# B16 — scalar function library
+# --------------------------------------------------------------------------
+@register(
+    "b16_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+      UPPER(p_name) AS name_upper,
+      SUBSTRING(p_name, 1, 5) AS name_first5,
+      LENGTH(p_name) AS name_len,
+      CAST(REGEXP_EXTRACT(p_brand, '[0-9]+') AS INT) AS brand_num,
+      STR_SPLIT(p_name, ' ') AS name_words,
+      CONCAT(p_brand, ':', p_type) AS brand_type,
+      (p_name LIKE 'small%') AS is_small
+    FROM part
+    """,
+    tags=("B16", "A6"),
+)
+def b16_string(spark, sf_dir):
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_first5"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.split("p_name", " ").alias("name_words"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("small%").alias("is_small"),
+    )
+
+
+@register(
+    "b16_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+      YEAR(o_orderdate) AS y,
+      MONTH(o_orderdate) AS m,
+      QUARTER(o_orderdate) AS q,
+      CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+    tags=("B16",),
+)
+def b16_datetime(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "b16_math_conditional_funcs",
+    oracle="""
+    SELECT p_partkey,
+      ROUND(p_retailprice, 1) AS price_r1,
+      ABS(p_size - 25) AS size_dist,
+      ROUND(LN(p_retailprice), 6) AS ln_price,
+      ROUND(SQRT(p_size), 6) AS sqrt_size,
+      POW(p_size, 2) AS size_sq,
+      p_partkey % 7 AS key_mod,
+      CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid' ELSE 'large' END AS size_class,
+      COALESCE(NULLIF(p_type, 'ECONOMY'), 'STANDARD') AS type_or_std
+    FROM part
+    """,
+    tags=("B16",),
+)
+def b16_math(spark, sf_dir):
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("ln_price"),
+        F.round(F.sqrt(F.col("p_size")), 6).alias("sqrt_size"),
+        F.pow(F.col("p_size"), 2).alias("size_sq"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "mid")
+        .otherwise("large")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("ECONOMY")), F.lit("STANDARD")).alias(
+            "type_or_std"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# B17 — array / map / JSON functions
+# --------------------------------------------------------------------------
+@register(
+    "b17_json_funcs",
+    oracle="""
+    SELECT event_id,
+      CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k,
+      CAST(JSON_KEYS(props) AS VARCHAR[]) AS prop_keys
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("B17",),
+)
+def b17_json(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.json_object_keys("props").alias("prop_keys"),
+        )
+    )
+
+
+@register(
+    "b17_array_funcs",
+    oracle="""
+    SELECT vec_id, pos,
+      ROUND(CAST(embedding[pos] AS DOUBLE), 6) AS component,
+      LEN(embedding) AS dim
+    FROM embeddings, (VALUES (1), (2), (3)) p(pos)
+    WHERE vec_id < 100
+    """,
+    tags=("B17", "B22"),
+)
+def b17_array(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.posexplode(F.slice("embedding", 1, 3)).alias("pos0", "component_raw"),
+            F.size("embedding").alias("dim"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("component_raw").cast("double"), 6).alias("component"),
+            "dim",
+        )
+    )

@@ -1,0 +1,351 @@
+"""Time-series query surface — SURVEY.md §2 B3, B11, B12, B15, B18,
+B23–B25: the InfluxQL/Grafana capabilities the reference delegates
+(README.md:3 — downsampling, anomaly detection, forecasting, retention).
+
+All exact-arithmetic: anomaly/forecast avoid cross-engine float-sum
+nondeterminism by working in integer cents with DECIMAL(38,0) products
+(z-score and regression-slope tests hold under exact integer algebra,
+no sqrt / no float accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# B3 — tumbling-window downsample (InfluxQL GROUP BY time(5m))
+# --------------------------------------------------------------------------
+@register(
+    "b3_downsample",
+    oracle="""
+    SELECT event_type,
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT)) AS bucket_start,
+      COUNT(*) AS n,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value,
+      MAX_BY(value, ts) AS last_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    GROUP BY event_type, bucket_start
+    """,
+    tags=("B3",),
+)
+def b3(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    )
+    vdec = F.col("value").cast("decimal(12,2)")
+    return (
+        ev.groupBy("event_type", F.window("ts", "5 minutes").start.alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(vdec).cast("double").alias("sum_value"),
+            F.round(F.sum(vdec).cast("double") / F.count("*"), 4).alias("avg_value"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — as-of join: last 'error' value at or before each 'click', per user
+# (InfluxQL last()/fill(previous); reference's current-value cache A10)
+# --------------------------------------------------------------------------
+@register(
+    "b11_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN event_type = 'error' THEN value END AS err_value,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_probe
+      FROM events
+      WHERE event_type IN ('error', 'click')
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, is_probe,
+        LAST_VALUE(err_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, is_probe, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS last_error_value
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, last_error_value
+    FROM filled WHERE is_probe = 1
+    """,
+    tags=("B11", "A10"),
+)
+def b11(spark, sf_dir):
+    # Union-and-fill formulation: one shuffle on user_id, one ordered
+    # window pass — scales linearly, unlike a per-probe correlated
+    # lookup. Ties (error and click at the same ts) resolve error-first,
+    # i.e. "as of <= t" semantics, matching the oracle's ORDER BY.
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("error", "click"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.col("value")).alias("err_value"),
+        (F.col("event_type") == "click").cast("int").alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_error_value", F.last("err_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", "ts", "last_error_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — window functions: ranking, analytic, frames
+# --------------------------------------------------------------------------
+@register(
+    "b12_window_funcs",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      ROW_NUMBER() OVER w_ts AS rn,
+      LAG(value) OVER w_ts AS prev_value,
+      LEAD(value) OVER w_ts AS next_value,
+      RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
+      NTILE(4) OVER w_ts AS quartile,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+          w_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / COUNT(*) OVER (w_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+        AS moving_avg5
+    FROM events
+    WHERE user_id < 30
+    WINDOW w_ts AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("B12",),
+)
+def b12(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_ts.rowsBetween(-4, 0)
+    w_val = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    vdec = F.col("value").cast("decimal(12,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w_ts).alias("rn"),
+        F.lag("value").over(w_ts).alias("prev_value"),
+        F.lead("value").over(w_ts).alias("next_value"),
+        F.rank().over(w_val).alias("value_rank"),
+        F.ntile(4).over(w_ts).alias("quartile"),
+        F.round(
+            F.sum(vdec).over(w_frame).cast("double") / F.count("*").over(w_frame), 4
+        ).alias("moving_avg5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — pivot narrow→wide (Grafana-style one column per series)
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_B15_COLS = ",\n      ".join(
+    f"ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = '{et}') AS DOUBLE)"
+    f" / COUNT(*) FILTER (WHERE event_type = '{et}'), 4) AS {et}"
+    for et in _EVENT_TYPES
+)
+
+
+@register(
+    "b15_pivot",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      {_B15_COLS}
+    FROM events
+    GROUP BY day
+    """,
+    tags=("B15",),
+)
+def b15(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(12,2)")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum(vdec).cast("double") / F.count(F.lit(1)), 4))
+    )
+
+
+# --------------------------------------------------------------------------
+# B18 — exact dedup (deterministic keep-first via min event_id)
+# --------------------------------------------------------------------------
+@register(
+    "b18_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type,
+      MIN(event_id) AS first_event_id,
+      COUNT(*) AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    tags=("B18",),
+)
+def b18(spark, sf_dir):
+    # Deterministic twin of dropDuplicates([...]): keep the lowest
+    # event_id per key and report group size. Map-side partial agg
+    # shrinks the shuffle — same plan shape as exact dedup at 100 TB.
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B23 — anomaly detection: |value − mean| > 3σ per event_type,
+# in exact integer-cents algebra: (n·v − s)² > 9·n·(n·s2 − s²)
+# --------------------------------------------------------------------------
+@register(
+    "b23_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, event_type, value,
+        CAST(cents AS DECIMAL(38,0)) AS v,
+        CAST(COUNT(*) OVER w AS DECIMAL(38,0)) AS n,
+        CAST(SUM(cents) OVER w AS DECIMAL(38,0)) AS s,
+        CAST(SUM(cents * cents) OVER w AS DECIMAL(38,0)) AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type, value
+    FROM stats
+    WHERE (n * v - s) * (n * v - s) > 9 * n * (n * s2 - s * s)
+    """,
+    tags=("B23",),
+)
+def b23(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    w = Window.partitionBy("event_type")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        d(F.col("cents")).alias("v"),
+        d(F.count("*").over(w)).alias("n"),
+        d(F.sum("cents").over(w)).alias("s"),
+        d(F.sum(F.col("cents") * F.col("cents")).over(w)).alias("s2"),
+    )
+    lhs = (F.col("n") * F.col("v") - F.col("s")) * (F.col("n") * F.col("v") - F.col("s"))
+    rhs = F.lit(9) * F.col("n") * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    return stats.filter(lhs > rhs).select("event_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# B24 — forecasting: per-type linear trend (least squares in exact
+# integer algebra; division happens once, on identical operands)
+# --------------------------------------------------------------------------
+@register(
+    "b24_forecast_trend",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+        CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) - epoch(TIMESTAMP '2024-01-01') AS DECIMAL(9,0)) AS x,
+        CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(9,0)) AS y
+      FROM events
+    ),
+    agg AS (
+      -- sums are cast back to bounded precisions so every later product
+      -- stays within DECIMAL(38) exactly (no silent promotion to DOUBLE)
+      SELECT event_type,
+        CAST(COUNT(*) AS DECIMAL(9,0)) AS n,
+        CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+        CAST(SUM(y) AS DECIMAL(19,0)) AS sy,
+        CAST(SUM(x * y) AS DECIMAL(28,0)) AS sxy,
+        CAST(SUM(x * x) AS DECIMAL(28,0)) AS sxx
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+      ROUND(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_us,
+      ROUND((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) / 100, 4) AS intercept_value
+    FROM agg
+    """,
+    tags=("B24",),
+)
+def b24(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    x = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+    ).cast("decimal(9,0)")
+    y = F.round(F.col("value") * 100).cast("bigint").cast("decimal(9,0)")
+    agg = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("decimal(9,0)").alias("n"),
+            F.sum("x").cast("decimal(19,0)").alias("sx"),
+            F.sum("y").cast("decimal(19,0)").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("decimal(28,0)").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(28,0)").alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / 100
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.lit(1e6) * slope, 6).alias("slope_cents_per_us"),
+        F.round(intercept, 4).alias("intercept_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B25 — retention policy: age-off as anti-filter (partition-drop at scale)
+# --------------------------------------------------------------------------
+@register(
+    "b25_retention_ageoff",
+    oracle="""
+    SELECT event_id, ts, event_type FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15'
+    """,
+    tags=("B25",),
+)
+def b25(spark, sf_dir):
+    # On a date-partitioned table this predicate is pure partition
+    # pruning — the aged-off data is never read, which is the whole
+    # point of retention at 100 TB.
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        .select("event_id", "ts", "event_type")
+    )
