@@ -1,0 +1,89 @@
+"""Text-analysis column functions (north-star B19/B21).
+
+All native Catalyst expressions (split/explode/higher-order functions,
+md5) — no Python UDFs — so every operator here has an exact SQL twin
+for the DuckDB oracle and stays inside whole-stage codegen at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny English function-word list used by the language/quality
+# heuristics (public knowledge; any list works, it just must match the
+# oracle literal-for-literal).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → ARRAY<STRING>."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: position i → join(words[i:i+n]).
+
+    Positions run 1..max(len-n+1, 1) so docs shorter than n yield one
+    (short) shingle instead of none.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+def minhash_cols(shingle_col: Column, k: int = 8) -> list[Column]:
+    """k salted-md5 min-hash aggregate expressions over a shingle column.
+
+    MinHash permutation j is emulated by the keyed hash
+    ``md5(concat(j, '|', shingle))``; the signature element is the
+    lexicographic MIN of the hex digest — identical in any engine with
+    md5, which is what makes the whole sketch oracle-checkable.
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), shingle_col))).alias(f"h{j}")
+        for j in range(k)
+    ]
+
+
+def nibble(hexchar: Column) -> Column:
+    """Hex character → 0..15 (portable: strpos over the hex alphabet)."""
+    return F.instr(F.lit("0123456789abcdef"), hexchar) - 1
+
+
+def token_hash16(token: Column) -> Column:
+    """16-bit hash of a token from the first 4 hex chars of md5."""
+    h = F.md5(token)
+    return (
+        nibble(F.substring(h, 1, 1)) * 4096
+        + nibble(F.substring(h, 2, 1)) * 256
+        + nibble(F.substring(h, 3, 1)) * 16
+        + nibble(F.substring(h, 4, 1))
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """16-bit SimHash per document from distinct tokens.
+
+    Per bit b: sum over tokens of ±1 by bit b of the token hash; the
+    SimHash bit is 1 iff the sum ≥ 0. Emits one row per id with
+    ``bit_0..bit_15`` and the packed ``simhash`` value.
+    """
+    hashed = df.select(id_col, token_hash16(F.col(token_col)).alias("h16"))
+    bit_sums = [
+        F.sum(
+            (F.floor(F.col("h16") / F.lit(2**b)) % 2) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
+    bits = [(F.col(f"s{b}") >= 0).cast("int").alias(f"bit_{b}") for b in range(16)]
+    out = sums.select(id_col, *bits)
+    packed = sum((F.col(f"bit_{b}") * F.lit(2**b) for b in range(16)), F.lit(0))
+    return out.withColumn("simhash", packed)
+
+
+def stopword_hits(words: Column) -> Column:
+    """Number of tokens that are function words (language-ID signal)."""
+    return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))

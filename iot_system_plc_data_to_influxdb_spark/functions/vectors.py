@@ -1,0 +1,75 @@
+"""Vector math over ARRAY<FLOAT> embedding columns (north-star B20).
+
+Dot products run in exact DECIMAL arithmetic (components rounded to 7
+decimals — lossless for float32 in [-4, 4] at the precision that
+matters) so sums are order-independent and bit-identical across
+engines; the single sqrt/divide happens once on identical operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(9,7)"
+_ACC = "decimal(30,14)"
+
+
+def _dec(x: Column) -> Column:
+    return F.round(x.cast("double"), 7).cast(_DEC)
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product of two equal-length float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: _dec(x) * _dec(y))
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + x).cast(_ACC),
+    )
+
+
+def norm2_exact(a: Column) -> Column:
+    return dot_exact(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity as DOUBLE (deterministic cross-engine)."""
+    return dot_exact(a, b).cast("double") / F.sqrt(
+        norm2_exact(a).cast("double") * norm2_exact(b).cast("double")
+    )
+
+
+def hyperplane_sign_bits(vec: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n−1) for a float vector.
+
+    Plane j's component i is ±1 derived from md5(j, '_', i) — fully
+    deterministic, no RNG state, reproducible on any engine/executor.
+    """
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        # ±1 pseudo-random component per position via md5 parity.
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    (
+                        F.instr(
+                            F.lit("0123456789abcdef"),
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{j}_"), i.cast("string"))), 1, 1
+                            ),
+                        )
+                        % 2
+                    ).cast("double")
+                    * 2
+                    - 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + (proj >= 0).cast("int") * F.lit(2**j)
+    return bucket

@@ -1,0 +1,80 @@
+"""Similarity search over embedding columns (north-star B20).
+
+Two strategies:
+
+- ``knn_bruteforce``: broadcast probe ⋈ corpus, exact-decimal cosine,
+  distributed top-k (TakeOrderedAndProject). O(N·d) but embarrassingly
+  parallel — the correctness baseline.
+- ``knn_lsh``: random-hyperplane LSH. Every vector gets a bucket id
+  from deterministic md5-derived ±1 hyperplanes; the probe scans only
+  buckets within Hamming distance ``probe_radius`` of its own. At
+  100 TB the corpus would be written bucket-partitioned so this is
+  partition pruning, not a full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, hyperplane_sign_bits
+
+
+def knn_bruteforce(emb: DataFrame, probe_vec_id: int, k: int = 10) -> DataFrame:
+    probe = emb.filter(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("pe")
+    )
+    corpus = emb.filter(F.col("vec_id") != probe_vec_id)
+    return (
+        corpus.crossJoin(F.broadcast(probe))
+        .select("vec_id", cosine(F.col("embedding"), F.col("pe")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def _hamming_neighbors(bucket: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance `radius` (radius ≤ 2)."""
+    out = {bucket}
+    if radius >= 1:
+        for i in range(n_planes):
+            out.add(bucket ^ (1 << i))
+    if radius >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                out.add(bucket ^ (1 << i) ^ (1 << j))
+    return sorted(out)
+
+
+def knn_lsh(
+    emb: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_radius: int = 1,
+) -> DataFrame:
+    bucketed = emb.withColumn(
+        "bucket", hyperplane_sign_bits(F.col("embedding"), n_planes)
+    )
+    probe_row = (
+        bucketed.filter(F.col("vec_id") == probe_vec_id)
+        .select("bucket", F.col("embedding").alias("pe"))
+        .first()
+    )
+    candidates = _hamming_neighbors(probe_row["bucket"], n_planes, probe_radius)
+    probe = emb.sparkSession.createDataFrame(
+        [(probe_row["pe"],)], "pe array<float>"
+    )
+    return (
+        bucketed.filter(
+            (F.col("vec_id") != probe_vec_id) & F.col("bucket").isin(candidates)
+        )
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("embedding"), F.col("pe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )

@@ -1,5 +1,572 @@
-"""North-star extensions — SURVEY.md §2 B19–B22: dedup, similarity
-search, text analysis, multimodal columns. Filled in incrementally.
+"""North-star extensions — SURVEY.md §2 B19–B22 + BASELINE.json:
+the LLM-training-data pipeline operators (dedup, similarity search,
+text analysis, multimodal columns) over documents/embeddings.
+
+Everything hash-based rides on md5 (identical hex in Spark and DuckDB),
+which makes even MinHash-LSH and SimHash oracle-checkable. Vector math
+uses exact-decimal dot products (functions/vectors.py).
+
+Scale notes are inline per operator: the LSH/banded variants are the
+100 TB paths; the exact pairwise variants are correctness baselines.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from ..functions.text import (
+    STOPWORDS,
+    minhash_cols,
+    shingles,
+    simhash16,
+    stopword_hits,
+    tokens,
+)
+from ..functions.vectors import cosine
+from .registry import register
+
+# Shared DuckDB CTE: tokenized + shingled documents (mirrors
+# functions.text.tokens/shingles exactly).
+_DOCS_CTE = r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+        unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      FROM d
+    ),
+    sh0 AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS s FROM pos
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0)
+"""
+
+
+def _doc_shingles(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(shingles(F.col("w"))).alias("s"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# B19a — MinHash + LSH near-duplicate detection (the 100 TB dedup path:
+# k salted-md5 min-hashes → bands → bucket join → verify candidates only)
+# --------------------------------------------------------------------------
+_B19_MINHASH_ORACLE = (
+    _DOCS_CTE
+    + """
+    , mh AS (
+      SELECT doc_id,
+    """
+    + ",\n        ".join(
+        f"min(md5(concat('{j}|', s))) AS h{j}" for j in range(8)
+    )
+    + """
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bk FROM mh
+      UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM mh
+      UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM mh
+      UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.d1, c.d2, count(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.d1
+      JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+      GROUP BY c.d1, c.d2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT d1, d2, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+    """
+)
+
+
+@register("b19_minhash_lsh_neardup", oracle=_B19_MINHASH_ORACLE, tags=("B19",))
+def b19_minhash(spark, sf_dir):
+    sh = _doc_shingles(spark, sf_dir).cache()
+    mh = sh.groupBy("doc_id").agg(*minhash_cols(F.col("s"), k=8))
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("s1.doc_id") == F.col("d1"))
+        .join(s2, (F.col("s2.doc_id") == F.col("d2")) & (F.col("s2.s") == F.col("s1.s")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+        .filter(jac >= 0.7)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B19b — exact n-gram Jaccard (correctness baseline; candidate pairs via
+# inverted shingle index — quadratic in the worst case, which is exactly
+# why the LSH variant above exists for scale)
+# --------------------------------------------------------------------------
+_B19_JACCARD_ORACLE = (
+    _DOCS_CTE
+    + """
+    , inter AS (
+      SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS i
+      FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT d1, d2, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+    """
+)
+
+
+@register("b19_ngram_jaccard_neardup", oracle=_B19_JACCARD_ORACLE, tags=("B19",))
+def b19_jaccard(spark, sf_dir):
+    sh = _doc_shingles(spark, sf_dir).cache()
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.s") == F.col("s2.s")) & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(F.col("s1.doc_id").alias("d1"), F.col("s2.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+        .filter(jac >= 0.6)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B19c — SimHash near-dup: 16-bit signature, Hamming ≤ 3 pairs
+# --------------------------------------------------------------------------
+_SIMHASH_SUMS = ",\n        ".join(
+    f"SUM((CAST(FLOOR(h16 / {2**b}) AS BIGINT) % 2) * 2 - 1) AS s{b}"
+    for b in range(16)
+)
+_SIMHASH_BITS = ",\n        ".join(f"CAST(s{b} >= 0 AS INT) AS bit_{b}" for b in range(16))
+_SIMHASH_PACK = " + ".join(f"bit_{b} * {2**b}" for b in range(16))
+_SIMHASH_HAMMING = " + ".join(f"ABS(a.bit_{b} - b.bit_{b})" for b in range(16))
+
+_B19_SIMHASH_ORACLE = (
+    _DOCS_CTE
+    + f"""
+    , tk AS (SELECT DISTINCT doc_id, unnest(w) AS t FROM d),
+    hashed AS (
+      SELECT doc_id,
+        (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS h16
+      FROM tk
+    ),
+    sums AS (
+      SELECT doc_id,
+        {_SIMHASH_SUMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT doc_id,
+        {_SIMHASH_BITS}
+      FROM sums
+    ),
+    sigs AS (SELECT *, {_SIMHASH_PACK} AS simhash FROM bits)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+      a.simhash AS simhash1, b.simhash AS simhash2,
+      {_SIMHASH_HAMMING} AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE {_SIMHASH_HAMMING} <= 3
+    """
+)
+
+
+@register("b19_simhash_neardup", oracle=_B19_SIMHASH_ORACLE, tags=("B19",))
+def b19_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tk = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .distinct()
+    )
+    sigs = simhash16(tk, "doc_id", "t")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = sum(
+        (F.abs(F.col(f"a.bit_{i}") - F.col(f"b.bit_{i}")) for i in range(16)),
+        F.lit(0),
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("simhash1"),
+            F.col("b.simhash").alias("simhash2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# B19d — embedding-cosine near-dup pairs (exact self-join baseline;
+# the bucketed-LSH variant is b20_knn_lsh's machinery)
+# --------------------------------------------------------------------------
+_B19_COSINE_ORACLE = """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    terms AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+        CAST(ROUND(CAST(a.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(b.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      CROSS JOIN pos
+    ),
+    agg AS (
+      SELECT v1, v2, SUM(da * db) AS dot, SUM(da * da) AS na, SUM(db * db) AS nb
+      FROM terms GROUP BY v1, v2
+    )
+    SELECT v1, v2,
+      ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        AS cos_sim
+    FROM agg
+    WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4
+"""
+
+
+@register("b19_embedding_cosine_neardup", oracle=_B19_COSINE_ORACLE, tags=("B19", "B20"))
+def b19_cosine(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("v1", "v2", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B20 — similarity search: brute-force cosine top-k (baseline)
+# --------------------------------------------------------------------------
+_B20_ORACLE = """
+    WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+    pos AS (SELECT unnest(range(1, 65)) AS i),
+    terms AS (
+      SELECT e.vec_id,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(p.pe[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM embeddings e CROSS JOIN probe p CROSS JOIN pos
+      WHERE e.vec_id <> 0
+    ),
+    agg AS (
+      SELECT vec_id, SUM(da * db) AS dot, SUM(da * da) AS na, SUM(db * db) AS nb
+      FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id,
+      ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        AS cos_sim
+    FROM agg
+    ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC,
+             vec_id
+    LIMIT 10
+"""
+
+
+@register("b20_knn_bruteforce", oracle=_B20_ORACLE, tags=("B20",))
+def b20_brute(spark, sf_dir):
+    # Probe vector broadcast against the corpus; per-row exact-decimal
+    # cosine; TakeOrderedAndProject gives distributed top-k (per-
+    # partition heads + tiny driver merge) — the right plan at any scale.
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cos = cosine(F.col("embedding"), F.col("pe"))
+    return (
+        corpus.crossJoin(F.broadcast(probe))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+@register("b20_knn_lsh", oracle=None, tags=("B20",))
+def b20_lsh(spark, sf_dir):
+    # Scale path: random-hyperplane LSH bucket per vector; probe only
+    # scans its own bucket (+ the corpus is pre-bucketed, so at 100 TB
+    # this is a bucket-pruned scan, not a full pass). Recall vs the
+    # brute-force baseline is asserted in tests/test_northstar.py.
+    from ..operators.similarity import knn_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, probe_vec_id=0, k=10)
+
+
+# --------------------------------------------------------------------------
+# B21 — text analysis: token counts, TF-IDF, language-ID, quality,
+# fingerprinting
+# --------------------------------------------------------------------------
+@register(
+    "b21_token_counts",
+    oracle=r"""
+    SELECT t AS token, COUNT(*) AS n
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    )
+    GROUP BY t ORDER BY n DESC, t LIMIT 20
+    """,
+    tags=("B21",),
+)
+def b21_tokens(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+_B21_TFIDF_ORACLE = (
+    _DOCS_CTE
+    + """
+    , tk AS (SELECT doc_id, unnest(w) AS t FROM d),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+    idf AS (SELECT t, count(DISTINCT doc_id) AS df FROM tk GROUP BY t),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, t AS token,
+        ROUND(tf * LN(n_docs * 1.0 / df), 6) AS score
+      FROM tf JOIN idf USING (t) CROSS JOIN nd
+      WHERE doc_id < 50
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, score, rn FROM r WHERE rn <= 3
+    """
+)
+
+
+@register("b21_tfidf_top_terms", oracle=_B21_TFIDF_ORACLE, tags=("B21",))
+def b21_tfidf(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tf = tk.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    idf = tk.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(idf), "t")
+        .select(
+            "doc_id",
+            F.col("t").alias("token"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_B21_QUALITY_ORACLE = (
+    _DOCS_CTE
+    + f"""
+    , m AS (
+      SELECT doc_id,
+        len(w) AS n_tokens,
+        len(list_distinct(w)) AS n_distinct,
+        list_aggregate(list_transform(w, x -> length(x)), 'sum') AS total_len,
+        len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS stop_hits
+      FROM d
+    )
+    SELECT doc_id, n_tokens, n_distinct, stop_hits,
+      ROUND(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
+      ROUND(total_len * 1.0 / n_tokens, 4) AS avg_token_len,
+      ROUND(stop_hits * 1.0 / n_tokens, 4) AS stopword_ratio,
+      ROUND(0.4 * (n_distinct * 1.0 / n_tokens)
+            + 0.3 * (1 - stop_hits * 1.0 / n_tokens)
+            + 0.3 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality
+    FROM m
+    """
+)
+
+
+@register("b21_quality_score", oracle=_B21_QUALITY_ORACLE, tags=("B21",))
+def b21_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
+        ).alias("total_len"),
+        stopword_hits(w).alias("stop_hits"),
+    )
+    nt = F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "stop_hits",
+        F.round(F.col("n_distinct") / nt, 4).alias("distinct_ratio"),
+        F.round(F.col("total_len") / nt, 4).alias("avg_token_len"),
+        F.round(F.col("stop_hits") / nt, 4).alias("stopword_ratio"),
+        F.round(
+            0.4 * (F.col("n_distinct") / nt)
+            + 0.3 * (1 - F.col("stop_hits") / nt)
+            + 0.3 * F.least(nt / 100.0, F.lit(1.0)),
+            4,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "b21_langid_heuristic",
+    oracle=_DOCS_CTE
+    + f"""
+    SELECT doc_id, lang,
+      len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS stop_hits,
+      len(w) AS n_tokens,
+      CASE WHEN len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0 / len(w) >= 0.05
+           THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM d
+    """,
+    tags=("B21",),
+)
+def b21_langid(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        stopword_hits(w).alias("stop_hits"),
+        F.size(w).alias("n_tokens"),
+        F.when(
+            stopword_hits(w) / F.size(w) >= 0.05, F.lit("en")
+        )
+        .otherwise(F.lit("other"))
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "b21_fingerprint",
+    oracle=_DOCS_CTE
+    + """
+    SELECT doc_id,
+      md5(lower(trim(text))) AS fp,
+      md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp
+    FROM d JOIN documents USING (doc_id)
+    """,
+    tags=("B21",),
+)
+def b21_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(w)), " ")).alias("bag_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B22 — multimodal/binary columns
+# --------------------------------------------------------------------------
+@register(
+    "b22_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+      octet_length(encode(text)) AS n_bytes,
+      md5(text) AS content_md5,
+      lower(substr(hex(encode(text)), 1, 16)) AS prefix_hex
+    FROM documents
+    """,
+    tags=("B22",),
+)
+def b22_binary(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.lower(F.substring(F.hex(bin_col), 1, 16)).alias("prefix_hex"),
+    )
+
+
+@register("b22_multimodal_pipeline", oracle=None, tags=("B22",))
+def b22_pipeline(spark, sf_dir):
+    # Binary payload + typed metadata + Arrow-batched feature extraction
+    # (mapInPandas). The real image/audio decode is stubbed (libs absent
+    # in this container) but the Spark plumbing — schema, batching, UDF
+    # signature — is the production shape. See operators/multimodal.py.
+    from ..operators.multimodal import extract_features, with_binary_payload
+
+    docs = t(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs))
