@@ -1,0 +1,95 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], executing each plan to completion through the
+noop sink (full execution, no driver-side row transfer skewing the
+numbers).
+
+Usage: python bench.py [--repeat N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: covers scan, agg, joins, windows, time-series, dedup,
+# similarity, text — the operators that matter at 100 TB. The exact
+# pairwise near-dup baselines are excluded (they are correctness
+# baselines, not throughput paths).
+BENCH_QUERIES = [
+    "flagship_signal_snapshot",
+    "b1_scan_pushdown",
+    "b2_time_range",
+    "b3_downsample",
+    "b4_hash_aggregate",
+    "b5_approx_distinct",
+    "b6_rollup",
+    "b7_broadcast_star_join",
+    "b8_shuffle_join",
+    "b9_outer_join",
+    "b10_range_join",
+    "b11_asof_join",
+    "b12_window_funcs",
+    "b13_topk_per_group",
+    "b15_pivot",
+    "b18_dedup_exact",
+    "b23_anomaly_zscore",
+    "b24_forecast_trend",
+    "b26_sliding_window",
+    "b27_session_window",
+    "b29_current_value",
+    "b19_minhash_lsh_neardup",
+    "b20_knn_bruteforce",
+    "b21_tfidf_top_terms",
+    "b21_quality_score",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+
+    from iot_system_plc_data_to_influxdb_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen paths once on the smallest SF.
+    qs["b4_hash_aggregate"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     flagship,
     northstar,
     relational,
+    streaming_parity,
     timeseries,
 )
 from .registry import oracles, queries  # noqa: F401

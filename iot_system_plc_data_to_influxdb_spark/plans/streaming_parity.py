@@ -1,0 +1,184 @@
+"""Batch-checkable twins of the streaming operators (SURVEY.md §2
+B26–B30) plus the UDF-surface cross-checks.
+
+The real streaming paths (watermarks, applyInPandasWithState, the
+plc_sim source) run in tests/test_streaming.py; these queries pin the
+*semantics* of each windowing/state operator against the DuckDB oracle
+on the events table, so the correctness gate covers them too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import t
+from .config_plane import DECODE_VECTORS, _A7_ORACLE
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# B26 — sliding-window aggregate (width 10 min, slide 5 min): every row
+# lands in exactly two windows; oracle enumerates both starts per row.
+# --------------------------------------------------------------------------
+@register(
+    "b26_sliding_window",
+    oracle="""
+    WITH g AS (SELECT unnest([0, 300]) AS shift),
+    assigned AS (
+      SELECT event_type,
+        TIMESTAMP '1970-01-01 00:00:00' + to_seconds(
+          CAST(FLOOR(FLOOR(epoch(ts)) / 300) * 300 - shift AS BIGINT)
+        ) AS win_start,
+        value
+      FROM events CROSS JOIN g
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    )
+    SELECT event_type, win_start,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY event_type, win_start
+    """,
+    tags=("B26",),
+)
+def b26(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").start.alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select("event_type", "win_start", "n", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# B27 — session windows (30-minute gap) per user; oracle via the
+# lag-gap cumulative-sum trick (SURVEY.md §7 risk register)
+# --------------------------------------------------------------------------
+@register(
+    "b27_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("B27",),
+)
+def b27(spark, sf_dir):
+    # session_window end = last event + gap, matching the oracle's
+    # MAX(ts) + 30min. The native operator also works under readStream
+    # with a watermark (tests/test_streaming.py).
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — stateful current-value table (A10): batch twin of
+# streaming/state.current_value_stream
+# --------------------------------------------------------------------------
+@register(
+    "b29_current_value",
+    oracle="""
+    SELECT user_id, event_type,
+      MAX(ts) AS last_ts,
+      MAX_BY(value, ts) AS last_value
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("B29", "A10"),
+)
+def b29(spark, sf_dir):
+    from ..streaming.state import current_value_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("plc_ip"), F.col("event_type").alias("alias"),
+        "ts", "value",
+    )
+    return current_value_batch(ev).select(
+        F.col("plc_ip").alias("user_id"),
+        F.col("alias").alias("event_type"),
+        "last_ts",
+        "last_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# B28 — watermark semantics (rows-only: late-arrival accounting; the
+# real withWatermark drop runs in tests/test_streaming.py)
+# --------------------------------------------------------------------------
+@register("b28_watermark_accounting", oracle=None, tags=("B28",))
+def b28(spark, sf_dir):
+    # Batch view of what a 1-minute watermark would do to out-of-order
+    # data: per 5-min bucket, rows arriving after the running max ts
+    # minus the watermark are "late". events is near-ordered so this
+    # also documents the input's disorder profile.
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    flagged = ev.withColumn(
+        "late",
+        (
+            F.col("ts")
+            < F.max("ts").over(w) - F.expr("INTERVAL 1 MINUTE")
+        ).cast("int"),
+    )
+    return flagged.groupBy(F.window("ts", "5 minutes").start.alias("bucket_start")).agg(
+        F.count("*").alias("n"),
+        F.sum("late").alias("n_late"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B30 — UDF surface: Arrow-batched pandas-UDF decode cross-checked
+# against the same oracle as the native CASE decode (a7)
+# --------------------------------------------------------------------------
+@register("b30_udf_decode", oracle=_A7_ORACLE, tags=("B30",))
+def b30(spark, sf_dir):
+    from ..functions.decode import s7_value_pandas
+
+    vec = spark.createDataFrame(
+        DECODE_VECTORS,
+        "name string, data_type string, b0 int, b1 int, b2 int, b3 int, bit_off int",
+    )
+    to_hex = lambda c: F.lpad(F.hex(F.col(c)), 2, "0")  # noqa: E731
+    buf = F.unhex(F.concat(to_hex("b0"), to_hex("b1"), to_hex("b2"), to_hex("b3")))
+    decoded = vec.select(
+        "name",
+        "data_type",
+        s7_value_pandas(F.col("data_type"), buf, F.col("bit_off")).alias("value"),
+    )
+    return decoded.filter(F.col("value").isNotNull())

@@ -1,0 +1,95 @@
+"""Points sink (SURVEY.md A12) + per-interval orchestration (A4/A13).
+
+The reference writes one HTTP POST per point to a per-PLC InfluxDB
+database (Linux/InfluxConnector2.py:176,107-109). Here the sink is a
+``foreachBatch`` writer into a parquet table partitioned by
+``plc_ip`` — the db-per-PLC layout as partition directories, with
+whole-micro-batch writes instead of per-point requests (the anti-
+pattern SURVEY.md §4 flags). An InfluxDB-line-protocol writer would
+slot into the same hook where the HTTP client is available.
+
+Per-interval scheduling (A4/A13): the reference runs one thread per
+acquisition-interval group with sleep pacing
+(Linux/InfluxConnector2.py:85-94,177-209). Spark equivalent: one
+streaming query per distinct interval, each with
+``trigger(processingTime=...)`` — ``'min'`` maps to trigger(0) =
+free-running micro-batches, exactly the reference's unpaced loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+INTERVAL_TRIGGERS = {
+    "min": "0 seconds",  # free-running (README.md:49, pacing at :177-186)
+    "1s": "1 seconds",
+    "2s": "2 seconds",
+    "5s": "5 seconds",
+    "10s": "10 seconds",
+    "60s": "60 seconds",
+    "300s": "300 seconds",
+}
+
+
+def write_points_batch(batch_df: DataFrame, batch_id: int, table_path: str) -> None:
+    """foreachBatch hook: idempotent micro-batch append, partitioned by
+    plc_ip (db-per-PLC) — at scale also by date for retention pruning."""
+    (
+        batch_df.withColumn("batch_id", F_lit(batch_id))
+        .write.mode("append")
+        .partitionBy("plc_ip")
+        .parquet(table_path)
+    )
+
+
+def F_lit(v):  # local import indirection to keep the hook picklable
+    from pyspark.sql import functions as F
+
+    return F.lit(v)
+
+
+def start_points_query(
+    points: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    trigger_interval: str = "0 seconds",
+    available_now: bool = False,
+):
+    """Start one streaming query writing the points table."""
+    writer = (
+        points.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, bid: write_points_batch(df, bid, table_path))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def start_interval_queries(
+    make_stream,
+    intervals: list[str],
+    base_table_path: str,
+    base_checkpoint: str,
+):
+    """A4/A13: one query per distinct acquisition interval.
+
+    ``make_stream(interval) -> DataFrame`` builds the per-interval
+    filtered stream; each query gets its own checkpoint dir (the §7
+    risk-register requirement for multi-query sessions).
+    """
+    queries = []
+    for iv in intervals:
+        trig = INTERVAL_TRIGGERS.get(iv, "1 seconds")
+        q = start_points_query(
+            make_stream(iv),
+            os.path.join(base_table_path, f"interval={iv}"),
+            os.path.join(base_checkpoint, iv),
+            trigger_interval=trig,
+        )
+        queries.append(q)
+    return queries

@@ -1,0 +1,63 @@
+"""Stateful current-value table (SURVEY.md A10 / B29).
+
+The reference caches the latest decoded value per tag by mutating
+``data.m_value`` in its poll loop (Linux/InfluxConnector2.py:173).
+Streaming equivalent: ``applyInPandasWithState`` keyed by
+(plc_ip, alias), state = (last_ts, last_value); each micro-batch emits
+the updated current value per key. Batch equivalent: ``max_by``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "plc_ip string, alias string, last_ts timestamp, last_value double"
+STATE_SCHEMA = "last_ts timestamp, last_value double"
+
+
+def _update(
+    key: Tuple[str, str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_ts, last_value = state.get if state.exists else (None, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        idx = pdf["ts"].idxmax()
+        ts, val = pdf.loc[idx, "ts"], float(pdf.loc[idx, "value"])
+        if last_ts is None or ts >= last_ts:
+            last_ts, last_value = ts, val
+    state.update((last_ts, last_value))
+    yield pd.DataFrame(
+        {
+            "plc_ip": [key[0]],
+            "alias": [key[1]],
+            "last_ts": [last_ts],
+            "last_value": [last_value],
+        }
+    )
+
+
+def current_value_stream(points: DataFrame) -> DataFrame:
+    """Streaming current-value table: one updated row per key per batch."""
+    return points.groupBy("plc_ip", "alias").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def current_value_batch(points: DataFrame) -> DataFrame:
+    """Batch twin (used by the b29 oracle query): max_by per key."""
+    return points.groupBy("plc_ip", "alias").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("value", "ts").alias("last_value"),
+    )

@@ -1,0 +1,94 @@
+"""North-star operator tests: LSH recall vs brute force, multimodal
+pipeline values, minhash candidate quality.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_system_plc_data_to_influxdb_spark.catalog import t
+from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    with_binary_payload,
+)
+from iot_system_plc_data_to_influxdb_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    emb = t(spark, SF_DIR, "embeddings")
+    exact = {r["vec_id"] for r in knn_bruteforce(emb, 0, k=10).collect()}
+    approx = {r["vec_id"] for r in knn_lsh(emb, 0, k=10, probe_radius=2).collect()}
+    # LSH with radius-2 probing over 8 planes should recover a majority
+    # of the true top-10 on this corpus (random vectors, no planted
+    # structure — the hard case for LSH).
+    assert len(exact) == 10
+    assert len(approx & exact) >= 3
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = t(spark, SF_DIR, "documents").limit(5)
+    out = extract_features(with_binary_payload(docs)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_bytes"] > 0
+        assert len(r["features"]) == 4
+        assert abs(sum(r["features"]) - 1.0) < 1e-9  # histogram normalized
+        assert r["modality"] == "image/fake"
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_minhash_finds_planted_neardups(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import b19_minhash
+
+    pairs = b19_minhash(spark, "/root/testdata/sf0.01")
+    rows = pairs.collect()
+    assert len(rows) > 0
+    assert all(r["jaccard"] >= 0.7 for r in rows)
+
+
+def test_downsample_merge_property(spark):
+    """downsample(a ∪ b) == merge(downsample(a), downsample(b)) for the
+    associative aggs (SURVEY.md §5.5) — the map-side-combine invariant
+    that makes the 100 TB plan correct."""
+    ev = t(spark, SF_DIR, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+
+    def ds(df):
+        return df.groupBy(
+            F.window("ts", "1 hour").start.alias("b"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    whole = {(r["b"], r["event_type"]): r for r in ds(ev).collect()}
+    pa = ds(a).collect()
+    pb = ds(b).collect()
+    merged = {}
+    for r in pa + pb:
+        k = (r["b"], r["event_type"])
+        if k not in merged:
+            merged[k] = dict(n=0, s=0, mn=None, mx=None)
+        m = merged[k]
+        m["n"] += r["n"]
+        m["s"] += r["s"]
+        m["mn"] = r["mn"] if m["mn"] is None else min(m["mn"], r["mn"])
+        m["mx"] = r["mx"] if m["mx"] is None else max(m["mx"], r["mx"])
+    assert set(whole) == set(merged)
+    for k, w in whole.items():
+        assert merged[k]["n"] == w["n"]
+        assert merged[k]["s"] == w["s"]
+        assert merged[k]["mn"] == w["mn"]
+        assert merged[k]["mx"] == w["mx"]

@@ -1,0 +1,264 @@
+"""Streaming layer tests (SURVEY.md §5.4): plc_sim source, decode
+pipeline, watermark late-data drop, stateful current value, session
+windows, per-interval orchestration.
+"""
+
+import os
+import struct
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_system_plc_data_to_influxdb_spark.sources import plc as plc_src
+from iot_system_plc_data_to_influxdb_spark.streaming.pipeline import (
+    decode_readings,
+    downsample,
+    session_windows,
+)
+from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+    current_value_batch,
+    current_value_stream,
+)
+
+
+def test_plc_source_batch_read(spark):
+    plc_src.register(spark)
+    df = spark.read.format("plc_sim").option("polls", "2").load()
+    rows = df.collect()
+    # 9 default tags × 2 polls
+    assert len(rows) == 18
+    assert set(r["plc_ip"] for r in rows) == {
+        "192.168.0.10", "192.168.0.11", "192.168.0.12",
+    }
+    decoded = decode_readings(df).collect()
+    assert len(decoded) == 18  # all default tags decodable
+    by_key = {(r["plc_ip"], r["alias"], r["ts"].second): r["value"] for r in decoded}
+    # boiler_temp seed = sum(ord) of 'boiler_temp'; poll 0 → float(seed)
+    seed = sum(ord(c) for c in "boiler_temp")
+    assert by_key[("192.168.0.10", "boiler_temp", 0)] == float(seed)
+    assert by_key[("192.168.0.10", "boiler_temp", 1)] == float(seed) + 0.25
+    # uptime_s crosses 2³¹ (unsigned DWord risk case)
+    seed_u = sum(ord(c) for c in "uptime_s")
+    assert by_key[("192.168.0.12", "uptime_s", 0)] == float(2147483000 + seed_u * 1000)
+
+
+def test_plc_source_stream_microbatches(spark):
+    plc_src.register(spark)
+    raw = spark.readStream.format("plc_sim").option("pollsPerBatch", "2").load()
+    points = decode_readings(raw)
+    collected = []
+    q = (
+        points.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: collected.append((bid, df.collect())))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(collected) < 3:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(collected) >= 2
+    batch0 = collected[0][1]
+    assert len(batch0) == 18  # 9 tags × pollsPerBatch 2
+    polls = set()
+    for _bid, rows in collected[:2]:
+        for r in rows:
+            polls.add(r["ts"])
+    assert len(polls) >= 4  # poll clock advances across batches
+
+
+def _write_file_stream_input(tmp, spark):
+    """Three files with forced mtime order.
+
+    The watermark in-effect for late-row filtering lags one batch
+    behind the advancing event (observed empirically: the wm computed
+    from batch N's data governs filtering from batch N+2), so the late
+    row goes in its own third file.
+    """
+    sch = "ts timestamp, plc_ip string, alias string, value double"
+    batches = [
+        [
+            ("2024-01-01 00:00:05", "p1", "a", 1.0),
+            ("2024-01-01 00:00:15", "p1", "a", 2.0),
+            ("2024-01-01 00:10:00", "p1", "a", 3.0),  # advances watermark
+        ],
+        [
+            ("2024-01-01 00:09:45", "p1", "a", 4.0),  # within watermark
+        ],
+        [
+            ("2024-01-01 00:00:20", "p1", "a", 99.0),  # late: < wm 00:09:30
+        ],
+    ]
+    import glob
+    import shutil
+
+    t0 = time.time() - 100
+    dst = os.path.join(tmp, "stream")
+    os.makedirs(dst, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "ts string, plc_ip string, alias string, value double"
+        ).select(F.col("ts").cast("timestamp"), "plc_ip", "alias", "value")
+        stage = os.path.join(tmp, f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        out = os.path.join(dst, f"{i:04d}.parquet")
+        shutil.copy(part, out)
+        os.utime(out, (t0 + i * 10, t0 + i * 10))
+    return dst, sch
+
+
+def test_watermark_drops_late_rows(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        path, sch = _write_file_stream_input(tmp, spark)
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        agg = downsample(stream, window="1 minute", watermark="30 seconds")
+        results = {}
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: results.update(
+                    {
+                        (r["bucket_start"], r["alias"]): r
+                        for r in df.collect()
+                    }
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # Window 00:00 closed when watermark passed 00:01 → contains the
+        # two on-time rows only; the late 00:00:20 row (arriving after
+        # the watermark advanced to 00:09:30) must NOT reopen it.
+        import datetime
+
+        w0 = datetime.datetime(2024, 1, 1, 0, 0)
+        assert (w0, "a") in results
+        assert results[(w0, "a")]["n"] == 2
+
+
+def test_current_value_stream_state(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path, sch = _write_file_stream_input(tmp, spark)
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        snapshots = []
+        q = (
+            current_value_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: snapshots.append((bid, df.collect())))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(snapshots) >= 2
+        final = {(r["plc_ip"], r["alias"]): r for _b, rows in snapshots for r in rows}
+        # last value by event time = 3.0 @ 00:10 (state ignores the
+        # late 99.0 whose ts is older than the held state)
+        assert final[("p1", "a")]["last_value"] == 3.0
+
+
+def test_session_window_stream(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        path, sch = _write_file_stream_input(tmp, spark)
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        out = []
+        q = (
+            session_windows(stream, gap="1 minute", watermark="30 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # Append mode emits a session only once the watermark (00:09:30
+        # after batch 0) passes its end: the 00:00:05–00:01:15 session
+        # finalizes; the 00:09:45/00:10:00 session stays open at stream
+        # end and must NOT be emitted.
+        got = [
+            (r["session_start"].strftime("%H:%M:%S"), r["n"]) for r in out
+        ]
+        assert got == [("00:00:05", 2)]
+
+
+def test_interval_orchestration_and_sink(spark):
+    """A4/A12/A13: per-interval queries write partitioned points tables."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.sinks import (
+        start_points_query,
+    )
+
+    plc_src.register(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        raw = spark.readStream.format("plc_sim").option("pollsPerBatch", "3").load()
+        points = decode_readings(raw)
+        q = start_points_query(
+            points,
+            os.path.join(tmp, "points"),
+            os.path.join(tmp, "ckpt"),
+            trigger_interval="0 seconds",
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline and q.lastProgress is None:
+            time.sleep(0.5)
+        time.sleep(2)
+        q.stop()
+        written = spark.read.parquet(os.path.join(tmp, "points"))
+        assert written.count() > 0
+        # db-per-PLC layout: one partition dir per plc_ip (A12)
+        parts = [
+            d for d in os.listdir(os.path.join(tmp, "points")) if d.startswith("plc_ip=")
+        ]
+        assert len(parts) == 3
+
+
+def test_current_value_batch_matches_stream_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:05", "p1", "a", 1.0),
+            ("2024-01-01 00:10:00", "p1", "a", 3.0),
+            ("2024-01-01 00:00:20", "p1", "a", 99.0),
+            ("2024-01-01 00:00:01", "p2", "b", 7.0),
+        ],
+        "ts string, plc_ip string, alias string, value double",
+    ).select(F.col("ts").cast("timestamp"), "plc_ip", "alias", "value")
+    out = {(r["plc_ip"], r["alias"]): r for r in current_value_batch(df).collect()}
+    assert out[("p1", "a")]["last_value"] == 3.0
+    assert out[("p2", "b")]["last_value"] == 7.0
+
+
+def test_decode_stream_null_gate(spark):
+    """Counter/Timer tags must vanish at the A9 null gate."""
+    import json
+
+    plc_src.register(spark)
+    tags = plc_src.DEFAULT_TAGS + [
+        ("192.168.0.10", "S7WLCounter", "S7AreaCT", "C2", "cycles"),
+    ]
+    df = (
+        spark.read.format("plc_sim")
+        .option("polls", "1")
+        .option("tags", json.dumps([list(t) for t in tags]))
+        .load()
+    )
+    assert df.count() == 10
+    decoded = decode_readings(df)
+    assert decoded.count() == 9
+    assert decoded.filter(F.col("alias") == "cycles").count() == 0
