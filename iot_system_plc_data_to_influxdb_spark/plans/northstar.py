@@ -102,8 +102,26 @@ _B19_MINHASH_ORACLE = (
 
 @register("b19_minhash_lsh_neardup", oracle=_B19_MINHASH_ORACLE, tags=("B19",))
 def b19_minhash(spark, sf_dir):
-    sh = _doc_shingles(spark, sf_dir).cache()
-    mh = sh.groupBy("doc_id").agg(*minhash_cols(F.col("s"), k=8))
+    # Signatures come from higher-order array functions on the un-
+    # exploded shingle array — zero shuffles until the (tiny) candidate
+    # stage. At 100 TB the per-doc signature stage is a narrow map-only
+    # pass; only candidates pay the exploded-shingle join.
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")))).alias("arr"),
+    )
+    sig = docs.select(
+        "doc_id",
+        "arr",
+        *[
+            F.array_min(
+                F.transform(F.col("arr"), lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)))
+            ).alias(f"h{j}")
+            for j in range(8)
+        ],
+    ).cache()
+    mh = sig
+    sh = sig.select("doc_id", F.explode("arr").alias("s"))
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -136,7 +154,7 @@ def b19_minhash(spark, sf_dir):
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("i"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = sig.select("doc_id", F.size("arr").alias("n"))
     jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     return (
         inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))

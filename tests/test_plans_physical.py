@@ -1,0 +1,81 @@
+"""Physical-plan guards: the properties that make these queries viable
+at 100 TB must hold in the compiled plan, not just in intent.
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- dimension joins broadcast; fact⋈fact does not degrade to NL join
+- global top-k compiles to TakeOrderedAndProject (no full sort)
+- aggregates are partial+final (map-side combine)
+"""
+
+import contextlib
+import io
+
+import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name, mode="formatted"):
+    df = plans.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_b1_scan_pushdown(spark):
+    p = _plan(spark, "b1_scan_pushdown")
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    # column pruning: only the 6 needed columns in ReadSchema
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_b2_time_range_pushdown(spark):
+    p = _plan(spark, "b2_time_range")
+    assert "PushedFilters" in p
+
+
+def test_b7_star_join_broadcasts(spark):
+    p = _plan(spark, "b7_broadcast_star_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims must not shuffle the fact side
+
+
+def test_b8_fact_join_not_nested_loop(spark):
+    p = _plan(spark, "b8_shuffle_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p  # AQE may broadcast at tiny SF
+    )
+
+
+def test_b10_interval_join_broadcasts_small_side(spark):
+    p = _plan(spark, "b10_range_join")
+    assert "BroadcastNestedLoopJoin" in p  # 6-row dim broadcast, fact streams
+
+
+def test_b13_global_topk_is_take_ordered(spark):
+    p = _plan(spark, "b13_global_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_b4_partial_final_aggregate(spark):
+    p = _plan(spark, "b4_hash_aggregate")
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_b20_knn_plan(spark):
+    p = _plan(spark, "b20_knn_bruteforce")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_whole_stage_codegen_on_decode(spark):
+    """The native decode path (a7) must stay inside codegen — no
+    Python boundary (BatchEvalPython/ArrowEvalPython) in the plan."""
+    p = _plan(spark, "a7_decode_dispatch")
+    assert "EvalPython" not in p
+    p2 = _plan(spark, "flagship_signal_snapshot")
+    assert "EvalPython" not in p2
