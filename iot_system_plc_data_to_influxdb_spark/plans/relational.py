@@ -175,6 +175,29 @@ def b6(spark, sf_dir):
 
 
 @register(
+    "b6_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("B6",),
+)
+def b6_gsets(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("b6_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM b6_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
     "b6_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -163,6 +163,44 @@ def b28(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B30 — UDTF surface: Python table function via LATERAL, oracle-checked
+# against a pure-SQL tokenizer
+# --------------------------------------------------------------------------
+@register(
+    "b30_udtf_tokenize",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id < 20
+    ),
+    p AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d
+    )
+    SELECT doc_id, w[i] AS token, i - 1 AS pos FROM p
+    """,
+    tags=("B30",),
+)
+def b30_udtf(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split()):
+                yield tok, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("b30_documents")
+    return spark.sql(
+        """
+        SELECT doc_id, tk.token, tk.pos
+        FROM b30_documents, LATERAL tokenize_udtf(text) tk
+        WHERE doc_id < 20
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # B30 — UDF surface: Arrow-batched pandas-UDF decode cross-checked
 # against the same oracle as the native CASE decode (a7)
 # --------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""InfluxDB wire-format parity (SURVEY.md A11/A12).
+
+The reference posts point JSON bodies through the influxdb 5.2.3 client
+(`create_my_json`, Linux/InfluxConnector2.py:222-240; `write_points`
+:176) — measurement = plc_ip, empty tags, one field per point,
+server-assigned timestamp. InfluxDB's actual wire format is line
+protocol; this module renders both representations natively (pure
+column expressions) so the foreachBatch sink can target a real
+InfluxDB endpoint by POSTing the rendered lines — batched per
+micro-batch, not the reference's one-request-per-point anti-pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _escape_measurement(c: Column) -> Column:
+    # line-protocol: escape commas and spaces in measurements
+    return F.regexp_replace(F.regexp_replace(c, ",", r"\\,"), " ", r"\\ ")
+
+
+def _escape_key(c: Column) -> Column:
+    # field keys additionally escape '='
+    return F.regexp_replace(_escape_measurement(c), "=", r"\\=")
+
+
+def to_line_protocol(points: DataFrame) -> DataFrame:
+    """points(ts, plc_ip, alias, value) → one line-protocol string per
+    point: ``<measurement> <field>=<value> <ns_timestamp>``.
+
+    Tags are empty exactly like the reference's points (:232-234).
+    """
+    line = F.concat(
+        _escape_measurement(F.col("plc_ip")),
+        F.lit(" "),
+        _escape_key(F.col("alias")),
+        F.lit("="),
+        F.col("value").cast("string"),
+        F.lit(" "),
+        (F.unix_micros(F.col("ts")) * 1000).cast("string"),
+    )
+    return points.select(line.alias("line"))
+
+
+def to_point_json(points: DataFrame) -> DataFrame:
+    """The reference's JSON body shape (create_my_json) as a JSON
+    string column: {"measurement": ip, "tags": {}, "fields": {alias: v}}."""
+    body = F.to_json(
+        F.struct(
+            F.col("plc_ip").alias("measurement"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+            F.create_map(F.col("alias"), F.col("value")).alias("fields"),
+        )
+    )
+    return points.select(body.alias("json"))
+
+
+def write_batch_to_influx(
+    batch_df: DataFrame, batch_id: int, url: str, db: str | None = None
+) -> None:  # pragma: no cover - needs a live InfluxDB
+    """foreachBatch hook for a real endpoint: one POST per partition
+    per micro-batch (db-per-PLC routed via the measurement name).
+
+    Collected per partition executor-side so the driver never
+    materializes the batch; requires the `requests` lib + a reachable
+    InfluxDB, so it is exercised only against recorded expectations in
+    tests (test_influx_format.py).
+    """
+    lines = to_line_protocol(batch_df)
+
+    def post_partition(it):
+        import urllib.request
+
+        payload = "\n".join(r["line"] for r in it).encode()
+        if payload:
+            req = urllib.request.Request(
+                f"{url}/write" + (f"?db={db}" if db else ""), data=payload
+            )
+            urllib.request.urlopen(req, timeout=10)
+        return iter(())
+
+    lines.rdd.mapPartitions(post_partition).count()
