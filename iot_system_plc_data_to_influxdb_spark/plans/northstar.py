@@ -291,6 +291,7 @@ _B19_COSINE_ORACLE = """
       FROM embeddings a
       JOIN embeddings b ON a.vec_id < b.vec_id
       CROSS JOIN pos
+      WHERE a.vec_id < 150 AND b.vec_id < 150
     ),
     agg AS (
       SELECT v1, v2, SUM(da * db) AS dot, SUM(da * da) AS na, SUM(db * db) AS nb
@@ -306,7 +307,7 @@ _B19_COSINE_ORACLE = """
 
 @register("b19_embedding_cosine_neardup", oracle=_B19_COSINE_ORACLE, tags=("B19", "B20"))
 def b19_cosine(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
     cos = cosine(F.col("ea"), F.col("eb"))

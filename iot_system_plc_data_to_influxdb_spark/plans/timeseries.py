@@ -349,3 +349,163 @@ def b25(spark, sf_dir):
         .filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
         .select("event_id", "ts", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# B11b — gap-fill / fill(previous): last known value per event_type at
+# each point of a regular 1-hour grid (InfluxQL GROUP BY time fill(previous))
+# --------------------------------------------------------------------------
+@register(
+    "b11_gapfill_previous",
+    oracle="""
+    WITH grid AS (
+      SELECT et.event_type,
+        TIMESTAMP '2024-01-01 00:00:00' + to_seconds(3600 * g.i) AS grid_ts
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT unnest(range(0, 48)) AS i) g
+    ),
+    unioned AS (
+      SELECT event_type, grid_ts AS ts, 1 AS is_grid,
+        CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS event_id
+      FROM grid
+      UNION ALL
+      SELECT event_type, ts, 0, value, event_id
+      FROM events WHERE ts < TIMESTAMP '2024-01-03'
+    ),
+    filled AS (
+      SELECT event_type, ts, is_grid,
+        LAST_VALUE(value IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY ts, is_grid, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS filled_value
+      FROM unioned
+    )
+    SELECT event_type, ts AS grid_ts, filled_value
+    FROM filled WHERE is_grid = 1
+    """,
+    tags=("B11", "B3"),
+)
+def b11_gapfill(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(48).select(
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_dt_interval(hours=F.col("id"))
+            ).alias("grid_ts")
+        )
+    )
+    unioned = grid.select(
+        "event_type",
+        F.col("grid_ts").alias("ts"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    ).unionByName(
+        ev.select(
+            "event_type", "ts", F.lit(0).alias("is_grid"), "value", "event_id"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("filled_value", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select("event_type", F.col("ts").alias("grid_ts"), "filled_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# B12b — InfluxQL series transforms: difference(), derivative(),
+# cumulative_sum() per series
+# --------------------------------------------------------------------------
+@register(
+    "b12_influxql_transforms",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      ROUND(value - LAG(value) OVER w, 4) AS difference,
+      ROUND((value - LAG(value) OVER w)
+            / (CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)), 6) AS derivative_per_s,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS cumulative_sum
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("B12", "B16"),
+)
+def b12_transforms(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diff = F.col("value") - F.lag("value").over(w)
+    dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(diff, 4).alias("difference"),
+        F.round(diff / dt, 6).alias("derivative_per_s"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(wf)
+        .cast("double")
+        .alias("cumulative_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B23b — exact discrete percentiles (InfluxQL percentile()) via the
+# rank-at-ceil(q·n) formulation — deterministic across engines, no
+# interpolation-convention drift
+# --------------------------------------------------------------------------
+@register(
+    "b23_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, MAX(n) AS n,
+      MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN value END) AS p50,
+      MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
+      MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("B23", "B13"),
+)
+def b23_percentiles(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def pick(q):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(0.50).alias("p50"),
+        pick(0.95).alias("p95"),
+        pick(0.99).alias("p99"),
+    )
