@@ -1,0 +1,60 @@
+"""Retention policy as physical partition management (SURVEY.md B25).
+
+The reference gets retention from InfluxDB ("It also has retention
+policy", README.md:3). On a date-partitioned parquet points table the
+same policy is partition arithmetic:
+
+- query-time age-off: a partition-pruned filter (b25 query) — old data
+  is never read;
+- storage age-off: drop partition directories older than the cutoff —
+  O(#partitions) metadata work, no data scan, which is the only
+  retention that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_points_partitioned(points: DataFrame, path: str) -> None:
+    """points(ts, plc_ip, alias, value) → parquet partitioned by
+    (plc_ip, date) — the db-per-PLC layout plus retention axis."""
+    (
+        points.withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("append")
+        .partitionBy("plc_ip", "date")
+        .parquet(path)
+    )
+
+
+def expired_partitions(path: str, cutoff: _dt.date) -> list[str]:
+    out = []
+    for plc_dir in sorted(os.listdir(path)):
+        if not plc_dir.startswith("plc_ip="):
+            continue
+        full = os.path.join(path, plc_dir)
+        for date_dir in sorted(os.listdir(full)):
+            if not date_dir.startswith("date="):
+                continue
+            d = _dt.date.fromisoformat(date_dir.split("=", 1)[1])
+            if d < cutoff:
+                out.append(os.path.join(full, date_dir))
+    return out
+
+
+def drop_expired(path: str, cutoff: _dt.date) -> int:
+    """Remove partitions strictly older than cutoff; returns the count.
+
+    Local-FS implementation; on object storage this is the same listing
+    plus bulk delete (or `ALTER TABLE DROP PARTITION` with a metastore
+    / `DELETE WHERE` on Delta — still metadata-only).
+    """
+    dropped = expired_partitions(path, cutoff)
+    for p in dropped:
+        shutil.rmtree(p)
+    return len(dropped)
