@@ -63,8 +63,9 @@ def test_retention_partition_drop(spark):
         assert n > 0
         kept = spark.read.parquet(path)
         assert kept.count() < before
-        assert kept.select(F.min("date")).first()[0] >= "2024-01-03"
+        # partition values are inferred as DateType
+        assert kept.select(F.min("date")).first()[0] >= datetime.date(2024, 1, 3)
         # age-off is partition pruning: no pre-cutoff dates remain
         assert (
-            kept.filter(F.col("date") < "2024-01-03").count() == 0
+            kept.filter(F.col("date") < F.lit("2024-01-03").cast("date")).count() == 0
         )
