@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "b20_knn_bruteforce",
     "b21_tfidf_top_terms",
     "b21_quality_score",
+    "b11_gapfill_previous",
+    "b12_influxql_transforms",
+    "b23_percentiles",
+    "b23_histogram",
+    "b12_ewma",
 ]
 
 

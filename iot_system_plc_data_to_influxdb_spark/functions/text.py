@@ -24,12 +24,13 @@ def tokens(text: Column) -> Column:
 def shingles(words: Column, n: int = 3) -> Column:
     """Word n-gram shingles: position i → join(words[i:i+n]).
 
-    Positions run 1..max(len-n+1, 1) so docs shorter than n yield one
-    (short) shingle instead of none.
+    Docs shorter than n yield one (short) shingle instead of none.
+    Built from O(1) element gets (concat_ws skips the NULLs past the
+    end) rather than per-position slice+join — cheaper per shingle.
     """
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.get(words, i + k) for k in range(n)]),
     )
 
 

@@ -238,7 +238,7 @@ def b18(spark, sf_dir):
     )
     SELECT event_id, event_type, value
     FROM stats
-    WHERE (n * v - s) * (n * v - s) > 9 * n * (n * s2 - s * s)
+    WHERE (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s)
     """,
     tags=("B23",),
 )
@@ -257,8 +257,10 @@ def b23(spark, sf_dir):
         d(F.sum("cents").over(w)).alias("s"),
         d(F.sum(F.col("cents") * F.col("cents")).over(w)).alias("s2"),
     )
+    # (value−mean)² > (3σ)²  ⇔  ((n·v−s)/n)² > 9·(n·s2−s²)/n²
+    #                         ⇔  (n·v−s)² > 9·(n·s2−s²)
     lhs = (F.col("n") * F.col("v") - F.col("s")) * (F.col("n") * F.col("v") - F.col("s"))
-    rhs = F.lit(9) * F.col("n") * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    rhs = F.lit(9) * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
     return stats.filter(lhs > rhs).select("event_id", "event_type", "value")
 
 
@@ -508,4 +510,63 @@ def b23_percentiles(spark, sf_dir):
         pick(0.50).alias("p50"),
         pick(0.95).alias("p95"),
         pick(0.99).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B23c — value histogram (Grafana histogram panel): fixed-width bins
+# --------------------------------------------------------------------------
+@register(
+    "b23_histogram",
+    oracle="""
+    SELECT event_type,
+      CAST(FLOOR(value / 50) * 50 AS BIGINT) AS bin_start,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, bin_start
+    """,
+    tags=("B23", "B15"),
+)
+def b23_histogram(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.floor(F.col("value") / 50) * 50).cast("bigint").alias("bin_start"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B12c — EWMA per series (InfluxQL exponential_moving_average): a
+# sequential fold, so it runs as grouped-map applyInPandas (the B30
+# grouped-map surface). Rows-only; exactness vs a pure-Python fold is
+# asserted in tests/test_operators.py.
+# --------------------------------------------------------------------------
+@register("b12_ewma", oracle=None, tags=("B12", "B30"))
+def b12_ewma(spark, sf_dir):
+    import pandas as pd
+
+    alpha = 0.3
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = []
+        acc = None
+        for v in pdf["value"]:
+            acc = v if acc is None else alpha * v + (1 - alpha) * acc
+            out.append(acc)
+        pdf["ewma"] = out
+        return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
+
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            ewma,
+            "user_id bigint, event_id bigint, ts timestamp, value double, ewma double",
+        )
     )

@@ -69,3 +69,18 @@ def test_retention_partition_drop(spark):
         assert (
             kept.filter(F.col("date") < F.lit("2024-01-03").cast("date")).count() == 0
         )
+
+
+def test_ewma_matches_sequential_fold(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.timeseries import b12_ewma
+
+    rows = b12_ewma(spark, SF_DIR).collect()
+    assert rows
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, seq in by_user.items():
+        acc = None
+        for r in seq:
+            acc = r["value"] if acc is None else 0.3 * r["value"] + 0.7 * acc
+            assert abs(r["ewma"] - acc) < 1e-9, (user, r["event_id"])
