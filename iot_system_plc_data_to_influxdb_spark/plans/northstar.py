@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from ..catalog import t
 from ..functions.text import (
     STOPWORDS,
-    minhash_cols,
     shingles,
     simhash16,
     stopword_hits,

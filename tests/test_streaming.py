@@ -4,11 +4,9 @@ windows, per-interval orchestration.
 """
 
 import os
-import struct
 import tempfile
 import time
 
-import pytest
 from pyspark.sql import functions as F
 
 from iot_system_plc_data_to_influxdb_spark.sources import plc as plc_src
