@@ -78,3 +78,70 @@ def knn_lsh(
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def knn_ivf(
+    emb: DataFrame,
+    probe_vec_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer + inverted lists.
+
+    Deterministic centroids (the first ``n_cells`` vectors by id — at
+    production scale, k-means centroids computed offline); every vector
+    is assigned to its nearest centroid, the probe searches only its
+    ``n_probe_cells`` nearest cells. At 100 TB the corpus is written
+    partitioned by cell id, so a probe reads ~n_probe/n_cells of the
+    data — partition pruning, same as the LSH variant.
+    """
+    spark = emb.sparkSession
+    cents = [
+        (int(r["vec_id"]), r["embedding"])
+        for r in emb.filter(F.col("vec_id") < n_cells).collect()
+    ]
+    cent_df = F.broadcast(
+        spark.createDataFrame(cents, "cell int, cvec array<float>")
+    )
+    # assign: argmax over cells of cosine(embedding, centroid)
+    scored = (
+        emb.crossJoin(cent_df)
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    probe_cells = [
+        int(r["cell"])
+        for r in scored.filter(F.col("vec_id") == probe_vec_id)
+        .orderBy(F.col("sim").desc(), "cell")
+        .limit(n_probe_cells)
+        .collect()
+    ]
+    probe = emb.filter(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("pe")
+    )
+    return (
+        assigned.filter(
+            (F.col("vec_id") != probe_vec_id) & F.col("cell").isin(probe_cells)
+        )
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("embedding"), F.col("pe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )

@@ -370,3 +370,34 @@ def a23(spark, sf_dir):
         F.when(key, F.lit(False)).otherwise(F.col("active")).alias("active"),
         F.when(key, F.lit("60s")).otherwise(F.col("poll_interval")).alias("poll_interval"),
     )
+
+
+# --------------------------------------------------------------------------
+# A7 strict-reference mode: reproduces the reference's Byte-via-get_int
+# quirk (Linux/InfluxConnector2.py:152-153 decodes a 1-byte value with
+# the 2-byte signed getter) so migrated pipelines can bit-match history.
+# --------------------------------------------------------------------------
+_A7_STRICT_ORACLE = f"""
+WITH vec(name, data_type, b0, b1, b2, b3, bit_off) AS (VALUES {_VEC_VALUES})
+SELECT name, data_type,
+  CAST(CASE WHEN b0 * 256 + b1 >= 32768 THEN b0 * 256 + b1 - 65536
+            ELSE b0 * 256 + b1 END AS DOUBLE) AS value
+FROM vec WHERE data_type = 'S7WLByte'
+"""
+
+
+@register("a7_decode_strict_reference", oracle=_A7_STRICT_ORACLE, tags=("A7",))
+def a7_strict(spark, sf_dir):
+    vec = spark.createDataFrame(
+        DECODE_VECTORS,
+        "name string, data_type string, b0 int, b1 int, b2 int, b3 int, bit_off int",
+    ).filter(F.col("data_type") == "S7WLByte")
+    to_hex = lambda c: F.lpad(F.hex(F.col(c)), 2, "0")  # noqa: E731
+    buf = F.unhex(F.concat(to_hex("b0"), to_hex("b1"), to_hex("b2"), to_hex("b3")))
+    return vec.select(
+        "name",
+        "data_type",
+        s7_value(
+            F.col("data_type"), buf, F.col("bit_off"), strict_reference=True
+        ).alias("value"),
+    )

@@ -588,3 +588,13 @@ def b22_pipeline(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs))
+
+
+@register("b20_knn_ivf", oracle=None, tags=("B20",))
+def b20_ivf(spark, sf_dir):
+    # IVF-flat variant (deterministic coarse quantizer): the second
+    # scale path next to LSH. Recall vs brute force asserted in
+    # tests/test_northstar.py.
+    from ..operators.similarity import knn_ivf
+
+    return knn_ivf(t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10)

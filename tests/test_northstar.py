@@ -92,3 +92,16 @@ def test_downsample_merge_property(spark):
         assert merged[k]["s"] == w["s"]
         assert merged[k]["mn"] == w["mn"]
         assert merged[k]["mx"] == w["mx"]
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    from iot_system_plc_data_to_influxdb_spark.operators.similarity import knn_ivf
+
+    emb = t(spark, SF_DIR, "embeddings")
+    exact = {r["vec_id"] for r in knn_bruteforce(emb, 0, k=10).collect()}
+    approx_rows = knn_ivf(emb, 0, k=10, n_probe_cells=3).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert len(approx_rows) == 10
+    # random corpus = hard case; 3/8 cells probed should still catch a
+    # meaningful share of the true neighbors
+    assert len(approx & exact) >= 3

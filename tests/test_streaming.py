@@ -260,3 +260,34 @@ def test_decode_stream_null_gate(spark):
     decoded = decode_readings(df)
     assert decoded.count() == 9
     assert decoded.filter(F.col("alias") == "cycles").count() == 0
+
+
+def test_sliding_window_stream(spark):
+    """B26: sliding windows assign each row to two overlapping windows
+    under readStream, mirroring the b26 batch-parity query."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        path, sch = _write_file_stream_input(tmp, spark)
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        agg = downsample(
+            stream, window="1 minute", slide="30 seconds", watermark="30 seconds"
+        )
+        results = []
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: results.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # rows at 00:00:05 and 00:00:15 fall in windows starting
+        # 23:59:30, 00:00:00 (both rows) — finalized once wm passes
+        got = {
+            (r["bucket_start"].strftime("%H:%M:%S"), r["n"]) for r in results
+        }
+        assert ("00:00:00", 2) in got
+        assert ("23:59:30", 2) in got
