@@ -1,0 +1,134 @@
+"""User-facing facade: the reference system's workflow end-to-end.
+
+A reference user's lifecycle is: edit XML config → run the daemon
+(poll/decode/write) → query InfluxDB/Grafana (current values,
+downsampled series, anomalies, retention). ``IoTEngine`` is that
+lifecycle on Spark:
+
+    engine = IoTEngine(spark, config_path="plc.xml")
+    q = engine.start_acquisition("/data/points", "/ckpt")   # daemon
+    engine.points("/data/points")                           # the table
+    engine.current_values(points)                           # A10
+    engine.downsample(points, "5 minutes")                  # GROUP BY time()
+    engine.anomalies(points, z=3.0)                         # README.md:3
+    engine.age_off("/data/points", cutoff_date)             # retention
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.decode import s7_value
+from .sources import plc as plc_source
+from .sources.config import read_config
+from .streaming.pipeline import decode_readings, downsample as _downsample
+from .streaming.sinks import start_points_query
+from .streaming.state import current_value_batch
+
+
+class IoTEngine:
+    def __init__(self, spark: SparkSession, config_path: str | None = None):
+        self.spark = spark
+        plc_source.register(spark)
+        self.config = read_config(spark, config_path) if config_path else None
+
+    # -- acquisition (the daemon) -------------------------------------
+    def readings_stream(self, polls_per_batch: int = 1) -> DataFrame:
+        """Raw reading stream from the PLC source (simulator backend in
+        CI; snap7 in production), restricted to active config tags."""
+        reader = (
+            self.spark.readStream.format("plc_sim")
+            .option("pollsPerBatch", str(polls_per_batch))
+        )
+        if self.config is not None:
+            tags = [
+                [r["plc_ip"], r["data_type"], r["data_area"], r["address"], r["alias"]]
+                for r in self.config.filter(F.col("active")).collect()
+            ]
+            reader = reader.option("tags", json.dumps(tags))
+        return reader.load()
+
+    def start_acquisition(
+        self, table_path: str, checkpoint: str, trigger: str = "0 seconds"
+    ):
+        """Poll → decode → partitioned points table (the whole daemon)."""
+        points = decode_readings(self.readings_stream())
+        return start_points_query(points, table_path, checkpoint, trigger)
+
+    # -- the stored table ---------------------------------------------
+    def points(self, table_path: str) -> DataFrame:
+        return self.spark.read.parquet(table_path).select(
+            "ts", "plc_ip", "alias", "value"
+        )
+
+    # -- query surface (what InfluxDB/Grafana provided) ---------------
+    def current_values(self, points: DataFrame) -> DataFrame:
+        return current_value_batch(points)
+
+    def downsample(self, points: DataFrame, every: str = "5 minutes") -> DataFrame:
+        return (
+            points.groupBy(
+                F.window("ts", every).start.alias("bucket_start"), "plc_ip", "alias"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+                F.avg("value").alias("avg_value"),
+                F.max_by("value", "ts").alias("last_value"),
+            )
+        )
+
+    def downsample_stream(self, points: DataFrame, every: str = "5 minutes"):
+        return _downsample(points, window=every)
+
+    def anomalies(self, points: DataFrame, z: float = 3.0) -> DataFrame:
+        """|value − mean| > z·σ per (plc, alias)."""
+        w = Window.partitionBy("plc_ip", "alias")
+        stats = points.select(
+            "ts",
+            "plc_ip",
+            "alias",
+            "value",
+            F.avg("value").over(w).alias("m"),
+            F.stddev_pop("value").over(w).alias("sd"),
+        )
+        return stats.filter(
+            (F.col("sd") > 0) & (F.abs(F.col("value") - F.col("m")) > z * F.col("sd"))
+        ).select("ts", "plc_ip", "alias", "value")
+
+    def fill_previous(self, points: DataFrame, every: str = "1 hour") -> DataFrame:
+        """Downsampled series with gaps carried forward (fill(previous))."""
+        ds = self.downsample(points, every)
+        w = (
+            Window.partitionBy("plc_ip", "alias")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return ds.withColumn(
+            "last_value_filled", F.last("last_value", ignorenulls=True).over(w)
+        )
+
+    def decode_batch(self, raw: DataFrame, *, strict_reference: bool = False):
+        """One-shot decode of raw readings (A7), e.g. from a batch read
+        of the plc source: spark.read.format('plc_sim')."""
+        return raw.select(
+            "ts",
+            "plc_ip",
+            "alias",
+            s7_value(
+                F.col("data_type"),
+                F.col("buf"),
+                F.col("bit_off"),
+                strict_reference=strict_reference,
+            ).alias("value"),
+        ).filter(F.col("value").isNotNull())
+
+    def age_off(self, table_path: str, cutoff: _dt.date) -> int:
+        from .operators.retention import drop_expired
+
+        return drop_expired(table_path, cutoff)
