@@ -47,7 +47,9 @@ _DOCS_CTE = r"""
 
 
 def _doc_shingles(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    # documents arrives as one small file = one input partition; fan out
+    # before the (CPU-heavy) shingle/hash work so it parallelizes.
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("w"))
         .select("doc_id", F.explode(shingles(F.col("w"))).alias("s"))
@@ -104,10 +106,14 @@ def b19_minhash(spark, sf_dir):
     # Signatures come from higher-order array functions on the un-
     # exploded shingle array — zero shuffles until the (tiny) candidate
     # stage. At 100 TB the per-doc signature stage is a narrow map-only
-    # pass; only candidates pay the exploded-shingle join.
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")))).alias("arr"),
+    # pass; only candidate pairs pay the array_intersect verify.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")  # single-file input → fan out the CPU work
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(tokens(F.col("text")))).alias("arr"),
+        )
     )
     sig = docs.select(
         "doc_id",
@@ -120,7 +126,6 @@ def b19_minhash(spark, sf_dir):
         ],
     ).cache()
     mh = sig
-    sh = sig.select("doc_id", F.explode("arr").alias("s"))
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -146,19 +151,25 @@ def b19_minhash(spark, sf_dir):
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    s1, s2 = sh.alias("s1"), sh.alias("s2")
-    inter = (
-        cand.join(s1, F.col("s1.doc_id") == F.col("d1"))
-        .join(s2, (F.col("s2.doc_id") == F.col("d2")) & (F.col("s2.s") == F.col("s1.s")))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("i"))
+    # Verify candidates with array_intersect on the per-doc shingle
+    # arrays (broadcast the tiny candidate list; no exploded self-join,
+    # no extra shuffle).
+    arrs = sig.select("doc_id", "arr")
+    pairs = (
+        F.broadcast(cand)
+        .join(arrs.alias("pa"), F.col("pa.doc_id") == F.col("d1"))
+        .join(arrs.alias("pb"), F.col("pb.doc_id") == F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect(F.col("pa.arr"), F.col("pb.arr"))).alias("i"),
+            F.size(F.col("pa.arr")).alias("na"),
+            F.size(F.col("pb.arr")).alias("nb"),
+        )
     )
-    sizes = sig.select("doc_id", F.size("arr").alias("n"))
-    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
-        .filter(jac >= 0.7)
+        pairs.filter(jac >= 0.7)
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -253,7 +264,7 @@ _B19_SIMHASH_ORACLE = (
 
 @register("b19_simhash_neardup", oracle=_B19_SIMHASH_ORACLE, tags=("B19",))
 def b19_simhash(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
     tk = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .distinct()
