@@ -24,7 +24,8 @@ def knn_bruteforce(emb: DataFrame, probe_vec_id: int, k: int = 10) -> DataFrame:
     probe = emb.filter(F.col("vec_id") == probe_vec_id).select(
         F.col("embedding").alias("pe")
     )
-    corpus = emb.filter(F.col("vec_id") != probe_vec_id)
+    # fan out CPU-bound cosine work when the corpus arrives as one file
+    corpus = emb.filter(F.col("vec_id") != probe_vec_id).repartition(32)
     return (
         corpus.crossJoin(F.broadcast(probe))
         .select("vec_id", cosine(F.col("embedding"), F.col("pe")).alias("cos_sim"))
@@ -53,7 +54,7 @@ def knn_lsh(
     n_planes: int = 8,
     probe_radius: int = 1,
 ) -> DataFrame:
-    bucketed = emb.withColumn(
+    bucketed = emb.repartition(32).withColumn(
         "bucket", hyperplane_sign_bits(F.col("embedding"), n_planes)
     )
     probe_row = (

@@ -363,7 +363,9 @@ def b20_brute(spark, sf_dir):
     # partition heads + tiny driver merge) — the right plan at any scale.
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
-    corpus = emb.filter(F.col("vec_id") != 0)
+    # single-file input: fan out the per-row O(d) dot products (at scale
+    # the corpus arrives pre-partitioned and this repartition disappears)
+    corpus = emb.filter(F.col("vec_id") != 0).repartition(32)
     cos = cosine(F.col("embedding"), F.col("pe"))
     return (
         corpus.crossJoin(F.broadcast(probe))
