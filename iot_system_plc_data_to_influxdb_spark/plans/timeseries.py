@@ -570,3 +570,95 @@ def b12_ewma(spark, sf_dir):
             "user_id bigint, event_id bigint, ts timestamp, value double, ewma double",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B3b — remaining InfluxQL aggregates: spread(), mode(), integral()
+# (trapezoidal, per hour) per event_type
+# --------------------------------------------------------------------------
+@register(
+    "b3_influx_aggregates",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts, value,
+        LAG(value) OVER w AS pv,
+        LAG(ts) OVER w AS pt
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    trap AS (
+      SELECT event_type,
+        SUM(CAST(ROUND((value + pv) * 50) AS BIGINT)
+            * (CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(pt)) AS BIGINT)))
+          AS integral_scaled
+      FROM seq WHERE pv IS NOT NULL
+      GROUP BY event_type
+    ),
+    freq AS (
+      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS vbin, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    mode_pick AS (
+      SELECT event_type, vbin AS mode_bin,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC, vbin) AS rn
+      FROM freq
+    ),
+    base AS (
+      SELECT event_type,
+        ROUND(MAX(value) - MIN(value), 4) AS spread
+      FROM events GROUP BY event_type
+    )
+    SELECT b.event_type, b.spread, m.mode_bin,
+      ROUND(t.integral_scaled / 100.0 / 3600.0, 4) AS integral_per_hour
+    FROM base b
+    JOIN mode_pick m ON m.event_type = b.event_type AND m.rn = 1
+    JOIN trap t ON t.event_type = b.event_type
+    """,
+    tags=("B3", "B23"),
+)
+def b3_influx_aggs(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("pv"),
+        F.lag("ts").over(w).alias("pt"),
+    )
+    # trapezoid areas in exact scaled-integer units: (v+pv)·50 is an
+    # integer (values have 2 decimals), Δt in whole seconds
+    trap = (
+        seq.filter(F.col("pv").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.round((F.col("value") + F.col("pv")) * 50).cast("bigint")
+                * (F.unix_timestamp("ts") - F.unix_timestamp("pt"))
+            ).alias("integral_scaled")
+        )
+    )
+    freq = ev.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("vbin")
+    ).agg(F.count("*").alias("c"))
+    wm = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "vbin")
+    mode_pick = (
+        freq.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("vbin").alias("mode_bin"))
+    )
+    base = ev.groupBy("event_type").agg(
+        F.round(F.max("value") - F.min("value"), 4).alias("spread")
+    )
+    return (
+        base.join(mode_pick, "event_type")
+        .join(trap, "event_type")
+        .select(
+            "event_type",
+            "spread",
+            "mode_bin",
+            F.round(F.col("integral_scaled") / 100.0 / 3600.0, 4).alias(
+                "integral_per_hour"
+            ),
+        )
+    )
