@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "b23_percentiles",
     "b23_histogram",
     "b12_ewma",
+    "b3_influx_aggregates",
+    "b12_influxql_transforms2",
+    "b24_holt_forecast",
+    "b19_neardup_clusters",
 ]
 
 

@@ -61,15 +61,23 @@ def _doc_shingles(spark, sf_dir):
 # B19a — MinHash + LSH near-duplicate detection (the 100 TB dedup path:
 # k salted-md5 min-hashes → bands → bucket join → verify candidates only)
 # --------------------------------------------------------------------------
+# 8 minhash components from 2 md5 digests per shingle: component j is
+# the min over shingles of a disjoint 8-hex-char (32-bit) slice of
+# md5('a|'+s) (j<4) or md5('b|'+s) (j>=4). Fixed-width lowercase hex
+# makes lexicographic MIN equal numeric MIN — identical in both engines
+# at a quarter of the hashing cost of 8 independent md5s.
+_MINHASH_COMPONENTS = ",\n        ".join(
+    f"min(substr(md5(concat('{'a' if j < 4 else 'b'}|', s)), {1 + 8 * (j % 4)}, 8)) AS h{j}"
+    for j in range(8)
+)
+
 _B19_MINHASH_ORACLE = (
     _DOCS_CTE
     + """
     , mh AS (
       SELECT doc_id,
     """
-    + ",\n        ".join(
-        f"min(md5(concat('{j}|', s))) AS h{j}" for j in range(8)
-    )
+    + _MINHASH_COMPONENTS
     + """
       FROM sh GROUP BY doc_id
     ),
@@ -115,12 +123,29 @@ def b19_minhash(spark, sf_dir):
             F.array_distinct(shingles(tokens(F.col("text")))).alias("arr"),
         )
     )
-    sig = docs.select(
+    # hash each shingle ONCE (two md5s, concatenated to 64 hex chars),
+    # then take 8 array_min passes over cheap fixed-width slices — 4×
+    # less hashing than 8 independent salted md5s per shingle
+    hashed = docs.withColumn(
+        "hs",
+        F.transform(
+            F.col("arr"),
+            lambda s: F.concat(
+                F.md5(F.concat(F.lit("a|"), s)), F.md5(F.concat(F.lit("b|"), s))
+            ),
+        ),
+    )
+    def _slice(start):
+        # single-arg lambda: a 2-arg callable would receive (element,
+        # index) from F.transform
+        return lambda h: F.substring(h, start, 8)
+
+    sig = hashed.select(
         "doc_id",
         "arr",
         *[
             F.array_min(
-                F.transform(F.col("arr"), lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)))
+                F.transform(F.col("hs"), _slice(1 + 8 * (j % 4) + 32 * (j // 4)))
             ).alias(f"h{j}")
             for j in range(8)
         ],
@@ -611,3 +636,132 @@ def b20_ivf(spark, sf_dir):
     from ..operators.similarity import knn_ivf
 
     return knn_ivf(t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10)
+
+
+# --------------------------------------------------------------------------
+# B19e — near-duplicate CLUSTERS: connected components over the
+# MinHash-LSH pair graph, yielding the artifact a dedup pipeline
+# actually consumes — a cluster id per document plus a canonical
+# (keep-one) flag. Pairs alone aren't actionable at 100 TB; the
+# transitive closure is.
+#
+# Algorithm: iterative min-label propagation (each superstep: every
+# node adopts the minimum label among itself and its neighbors) — the
+# standard Pregel-style connected components. Each superstep is one
+# shuffle join; convergence is O(component diameter), and near-dup
+# components are tiny (pairs/triples from transitively similar docs),
+# so it terminates in 2-4 supersteps. For adversarial long-chain
+# graphs the alternating large-star/small-star variant (Kiveris et
+# al., "Connected Components in MapReduce and Beyond") drops rounds to
+# O(log n); the superstep loop below is the same skeleton. The driver
+# loop only inspects a per-iteration scalar (sum of labels, strictly
+# decreasing until fixpoint) — no data is collected.
+#
+# Oracle: DuckDB recursive CTE computing reachability → MIN(label).
+# --------------------------------------------------------------------------
+_B19_CLUSTERS_ORACLE = (
+    _DOCS_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , mh AS (
+      SELECT doc_id,
+    """
+    + _MINHASH_COMPONENTS
+    + """
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bk FROM mh
+      UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM mh
+      UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM mh
+      UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.d1, c.d2, count(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.d1
+      JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+      GROUP BY c.d1, c.d2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT d1, d2
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM nodes
+      UNION
+      SELECT e.src AS doc_id, r.r
+      FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    cc AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+      COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM cc
+    """
+)
+
+
+@register("b19_neardup_clusters", oracle=_B19_CLUSTERS_ORACLE, tags=("B19",))
+def b19_clusters(spark, sf_dir):
+    # cache the (tiny) pair list so the expensive LSH derivation runs
+    # once, not once per edge direction / superstep
+    pairs = b19_minhash(spark, sf_dir).select("d1", "d2").cache()
+    pairs.count()  # materialize before the 2-way union scans it twice
+    edges = (
+        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .cache()
+    )
+    prev_sum = object()  # sentinel: first superstep always runs
+    for _ in range(20):  # safety bound; tiny diameters converge in 2-4
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .cache()
+        )
+        # labels only ever decrease, so the sum is a fixpoint detector
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    wc = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(wc).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

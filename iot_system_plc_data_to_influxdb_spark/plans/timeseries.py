@@ -662,3 +662,155 @@ def b3_influx_aggs(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B12d — remaining InfluxQL series transforms: elapsed(),
+# non_negative_derivative(), non_negative_difference(), moving_average(5).
+# Moving average uses an exact DECIMAL window sum divided by the window
+# row count so both engines compute the identical double.
+# --------------------------------------------------------------------------
+@register(
+    "b12_influxql_transforms2",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      CAST(FLOOR(epoch(ts)) AS BIGINT)
+        - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) AS elapsed_s,
+      CASE WHEN value - LAG(value) OVER w >= 0
+           THEN ROUND(value - LAG(value) OVER w, 4) END
+        AS nn_difference,
+      CASE WHEN value - LAG(value) OVER w >= 0
+           THEN ROUND((value - LAG(value) OVER w)
+                      / (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)), 6) END
+        AS nn_derivative_per_s,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+              w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / COUNT(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+        AS moving_avg_5
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("B12", "B16"),
+)
+def b12_transforms2(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-4, Window.currentRow)
+    diff = F.col("value") - F.lag("value").over(w)
+    dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    nn = F.when(diff >= 0, diff)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        dt.alias("elapsed_s"),
+        F.round(nn, 4).alias("nn_difference"),
+        F.round(nn / dt, 6).alias("nn_derivative_per_s"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,2)")).over(wf).cast("double")
+            / F.count("*").over(wf),
+            4,
+        ).alias("moving_avg_5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B24b — Holt double-exponential smoothing (InfluxQL holt_winters()
+# without the seasonal term): level/trend recursion over the hourly
+# downsampled series per event_type, plus 1/2/3-bucket-ahead forecasts.
+#
+# The recursion is a sequential fold per series, so it runs as grouped-
+# map applyInPandas — parallel ACROSS series (at 100 TB there are
+# millions of (plc, alias) series; per-series length is bounded by the
+# downsample grid, so each task is tiny and the stage is embarrassingly
+# parallel). The hourly mean is an exact DECIMAL sum / count so both
+# engines start the recursion from identical doubles; the fold itself
+# applies the same IEEE-754 expression tree in both engines, making
+# even this iterative operator hash-checkable against a DuckDB
+# recursive CTE.
+# --------------------------------------------------------------------------
+_HOLT_ALPHA = 0.2
+_HOLT_BETA = 0.1
+
+_B24_HOLT_ORACLE = """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+        CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, y,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ),
+    rec AS (
+      SELECT event_type, rn, n, y AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM series WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.n,
+        0.2 * s.y + 0.8 * (r.l + r.b),
+        0.1 * (0.2 * s.y + 0.8 * (r.l + r.b) - r.l) + 0.9 * r.b
+      FROM series s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, n AS n_buckets,
+      ROUND(l, 4) AS level,
+      ROUND(b, 4) AS trend,
+      ROUND(l + b, 4) AS forecast_1,
+      ROUND(l + 2 * b, 4) AS forecast_2,
+      ROUND(l + 3 * b, 4) AS forecast_3
+    FROM rec WHERE rn = n
+"""
+
+
+@register("b24_holt_forecast", oracle=_B24_HOLT_ORACLE, tags=("B24", "B30"))
+def b24_holt_forecast(spark, sf_dir):
+    import pandas as pd
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count("*")
+            ).alias("y")
+        )
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        ys = pdf["y"].tolist()
+        lvl, trd = ys[0], 0.0
+        for y in ys[1:]:
+            # identical expression tree to the oracle's recursive CTE —
+            # IEEE-754 ops are exactly rounded, so same tree ⇒ same bits
+            l_new = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (lvl + trd)
+            trd = _HOLT_BETA * (l_new - lvl) + (1 - _HOLT_BETA) * trd
+            lvl = l_new
+        # rounding happens Spark-side (F.round) — Python round() is
+        # banker's rounding, Spark/DuckDB round half-up
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"][0]],
+                "n_buckets": [len(ys)],
+                "l": [lvl],
+                "b": [trd],
+            }
+        )
+
+    fitted = hourly.groupBy("event_type").applyInPandas(
+        holt, "event_type string, n_buckets bigint, l double, b double"
+    )
+    return fitted.select(
+        "event_type",
+        "n_buckets",
+        F.round("l", 4).alias("level"),
+        F.round("b", 4).alias("trend"),
+        F.round(F.col("l") + F.col("b"), 4).alias("forecast_1"),
+        F.round(F.col("l") + 2 * F.col("b"), 4).alias("forecast_2"),
+        F.round(F.col("l") + 3 * F.col("b"), 4).alias("forecast_3"),
+    )
