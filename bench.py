@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "b12_influxql_transforms2",
     "b24_holt_forecast",
     "b19_neardup_clusters",
+    "b8_local_supplier_volume",
 ]
 
 

@@ -627,3 +627,67 @@ def b17_array(spark, sf_dir):
             "dim",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B7/B8 capstone — TPC-H Q5-shaped "local supplier volume": the classic
+# mixed-strategy join tree. lineitem⋈orders and lineitem⋈supplier are
+# fact-side shuffle joins; customer arrives pre-filtered through
+# broadcast nation/region dims; the customer-nation = supplier-nation
+# equality closes the star. Exercises the `supplier` table and join
+# reordering under AQE. At 100 TB: dims broadcast (KBs), the two fact
+# shuffles hash on l_orderkey / l_suppkey, and the final agg is 5 rows.
+# --------------------------------------------------------------------------
+@register(
+    "b8_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("B7", "B8"),
+)
+def b8_q5(spark, sf_dir):
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t(spark, sf_dir, "supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -61,3 +61,68 @@ def current_value_batch(points: DataFrame) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.max_by("value", "ts").alias("last_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark-4 native variant: transformWithStateInPandas with a
+# StatefulProcessor. Same semantics as current_value_stream, but on the
+# new arbitrary-state API — typed ValueState survives across
+# micro-batches and supports timers/TTL where the legacy
+# applyInPandasWithState offers only GroupState. This is the forward
+# path for the A10 current-value table.
+# --------------------------------------------------------------------------
+try:  # pragma: no cover - import guard mirrors session capabilities
+    # the state-server protocol needs a working protobuf runtime; probe
+    # it here so HAS_TRANSFORM_WITH_STATE is an honest capability flag
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CurrentValueProcessor(StatefulProcessor):
+        """Holds (last_ts, last_value) per (plc_ip, alias) key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("cur", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                last_ts, last_value = self._state.get()
+            else:
+                last_ts, last_value = None, None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                idx = pdf["ts"].idxmax()
+                ts, val = pdf.loc[idx, "ts"], float(pdf.loc[idx, "value"])
+                if last_ts is None or ts >= last_ts:
+                    last_ts, last_value = ts, val
+            self._state.update((last_ts, last_value))
+            yield pd.DataFrame(
+                {
+                    "plc_ip": [key[0]],
+                    "alias": [key[1]],
+                    "last_ts": [last_ts],
+                    "last_value": [last_value],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def current_value_stream_tws(points: DataFrame) -> DataFrame:
+    """Streaming current-value table on the Spark-4 StatefulProcessor API."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise NotImplementedError("transformWithStateInPandas needs Spark >= 4.0")
+    return points.groupBy("plc_ip", "alias").transformWithStateInPandas(
+        CurrentValueProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="None",
+    )

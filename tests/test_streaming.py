@@ -291,3 +291,39 @@ def test_sliding_window_stream(spark):
         }
         assert ("00:00:00", 2) in got
         assert ("23:59:30", 2) in got
+
+
+def test_current_value_stream_transform_with_state(spark):
+    """Spark-4 StatefulProcessor variant must match the legacy
+    applyInPandasWithState semantics: latest value by event time per
+    key, state held across micro-batches. Skipped where the protobuf
+    runtime backing the transformWithState state server is absent."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        HAS_TRANSFORM_WITH_STATE,
+        current_value_stream_tws,
+    )
+
+    import pytest
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip("transformWithStateInPandas runtime unavailable")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path, sch = _write_file_stream_input(tmp, spark)
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        snapshots = []
+        q = (
+            current_value_stream_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: snapshots.append((bid, df.collect())))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(snapshots) >= 2
+        final = {(r["plc_ip"], r["alias"]): r for _b, rows in snapshots for r in rows}
+        assert final[("p1", "a")]["last_value"] == 3.0
