@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "b24_holt_forecast",
     "b19_neardup_clusters",
     "b8_local_supplier_volume",
+    "b21_bpe_token_counts",
+    "b18_hash_sample_mix",
 ]
 
 

@@ -765,3 +765,95 @@ def b19_clusters(spark, sf_dir):
         F.count("*").over(wc).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# B21e — BPE-ish token counting (the token-budget estimator a training
+# pipeline runs before spending tokenizer CPU): GPT-2-style
+# pre-tokenizer regex — runs of letters / digits / other-symbols, each
+# optionally preceded by one space — counted per document alongside the
+# whitespace token count. Pure regexp_extract_all, identical ASCII
+# semantics in Java regex and RE2.
+# --------------------------------------------------------------------------
+_BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+@register(
+    "b21_bpe_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+      len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+      len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens,
+      length(text) AS n_chars
+    FROM documents
+    """,
+    tags=("B21",),
+)
+def b21_bpe_tokens(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+        ).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint").alias(
+            "n_ws_tokens"
+        ),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B18b — deterministic hash sampling + weighted dataset mixing: the
+# reproducible-subsample primitive of every large training-data
+# pipeline. Membership = md5(doc_id) below a per-source hex threshold,
+# so the sample is stable across runs, engines, and partitionings (no
+# RNG, no seed drift) — and fully pushdown-able. Sources get different
+# rates (weighted mixing); output is the audit view: kept/total per
+# source.
+# --------------------------------------------------------------------------
+@register(
+    "b18_hash_sample_mix",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, lang,
+        CASE WHEN lang = 'en' THEN '19999999'   -- keep ~10%
+             WHEN lang = 'de' THEN '7fffffff'   -- keep ~50%
+             ELSE 'ffffffff' END AS threshold,  -- keep all
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+      FROM documents
+    )
+    SELECT lang,
+      COUNT(*) AS n_total,
+      SUM(CASE WHEN hk <= threshold THEN 1 ELSE 0 END) AS n_kept
+    FROM rated GROUP BY lang
+    """,
+    tags=("B18", "B21"),
+)
+def b18_hash_sample_mix(spark, sf_dir):
+    rated = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "en", "19999999")
+        .when(F.col("lang") == "de", "7fffffff")
+        .otherwise("ffffffff")
+        .alias("threshold"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("hk"),
+    )
+    return rated.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("hk") <= F.col("threshold")).cast("bigint")).alias("n_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B20d — k-means embedding clustering (operators/clustering.py): the
+# curation-side counterpart of similarity search. Iterative float
+# algorithm → rows-only check here; recovery of synthetically planted
+# clusters + determinism are asserted in tests/test_northstar.py.
+# --------------------------------------------------------------------------
+@register("b20_kmeans_embeddings", oracle=None, tags=("B20", "B22"))
+def b20_kmeans(spark, sf_dir):
+    from ..operators.clustering import kmeans_assign, kmeans_summary
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_summary(kmeans_assign(emb, k=10, max_iter=8)).orderBy("cluster")

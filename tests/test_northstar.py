@@ -105,3 +105,52 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     # random corpus = hard case; 3/8 cells probed should still catch a
     # meaningful share of the true neighbors
     assert len(approx & exact) >= 3
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """The testdata embeddings are isotropic (labels are not geometric),
+    so plant 10 well-separated gaussian clusters here and assert
+    Lloyd's recovers them perfectly and deterministically."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_summary,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 16)) * 10.0
+    rows = []
+    for i in range(400):
+        lab = i % 10
+        v = centers[lab] + rng.normal(size=16)
+        rows.append((i, [float(x) for x in v], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+    assigned = kmeans_assign(emb, k=10, max_iter=10)
+    joined = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    purity_rows = (
+        joined.groupBy("cluster", "label")
+        .count()
+        .groupBy("cluster")
+        .agg(F.max("count").alias("maj"), F.sum("count").alias("tot"))
+        .collect()
+    )
+    maj = sum(r["maj"] for r in purity_rows)
+    tot = sum(r["tot"] for r in purity_rows)
+    assert tot == 400
+    assert maj / tot > 0.95, f"purity {maj/tot:.3f}"
+    # summary view covers every vector exactly once
+    summ = kmeans_summary(assigned).collect()
+    assert sum(r["n_vectors"] for r in summ) == 400
+    # determinism: same input -> same assignment
+    again = kmeans_assign(emb, k=10, max_iter=10)
+    diff = (
+        assigned.alias("a")
+        .join(again.alias("b"), "vec_id")
+        .filter(F.col("a.cluster") != F.col("b.cluster"))
+        .count()
+    )
+    assert diff == 0
