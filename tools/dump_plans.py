@@ -23,6 +23,7 @@ HEADLINE = [
     "b13_global_topk",
     "b19_minhash_lsh_neardup",
     "b20_knn_bruteforce",
+    "b8_local_supplier_volume",
 ]
 
 
