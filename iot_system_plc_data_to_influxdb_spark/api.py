@@ -132,3 +132,36 @@ class IoTEngine:
         from .operators.retention import drop_expired
 
         return drop_expired(table_path, cutoff)
+
+    # -- continuous queries (InfluxDB CQ / RESAMPLE parity) ------------
+    def start_continuous_query(
+        self,
+        points_stream: DataFrame,
+        rollup_path: str,
+        checkpoint: str,
+        every: str = "5 minutes",
+        watermark: str = "10 minutes",
+    ):
+        """CQ: keep a downsampled rollup table current from the stream."""
+        from .streaming.rollup import start_continuous_downsample
+
+        return start_continuous_downsample(
+            points_stream, rollup_path, checkpoint, every=every, watermark=watermark
+        )
+
+    def backfill_rollup(
+        self, points: DataFrame, rollup_path: str, every: str = "5 minutes"
+    ) -> int:
+        """Seed/patch the rollup from historical points (idempotent)."""
+        from .streaming.rollup import backfill_downsample
+
+        return backfill_downsample(self.spark, points, rollup_path, every=every)
+
+    def resample_rollup(
+        self, points: DataFrame, rollup_path: str, every: str = "5 minutes"
+    ) -> int:
+        """Repair buckets staled by watermark-dropped late data
+        (InfluxQL RESAMPLE), rewriting only affected date partitions."""
+        from .streaming.rollup import resample_downsample
+
+        return resample_downsample(self.spark, points, rollup_path, every=every)

@@ -1,0 +1,196 @@
+"""Continuous-query rollups — InfluxDB CQ parity.
+
+InfluxDB 1.7 pairs retention policies with *continuous queries*:
+``SELECT mean(value) INTO rollup FROM points GROUP BY time(5m)`` runs
+forever, keeping a downsampled table current (the reference leans on
+this server-side feature for its Grafana dashboards; README.md:3
+"retention policy", the rollup half of the same machinery).
+
+Spark-native shape:
+
+- **continuous**: the B26 windowed aggregate (`pipeline.downsample`)
+  in append output mode — each window row is emitted exactly once,
+  when the watermark closes it — written through ``foreachBatch`` into
+  a date-partitioned parquet rollup table.
+- **backfill**: the identical aggregation run as a batch over
+  historical points, anti-joined against the buckets already present
+  so re-runs are idempotent (0 rows the second time). This is how the
+  rollup is seeded from history and how watermark-stranded tails are
+  repaired.
+
+Both paths produce the same schema, so the rollup table is the union
+of "kept current by the stream" and "filled by batch" — exactly the
+lambda-architecture join InfluxDB's CQ engine hides. At 100 TB the
+rollup is ~window-ratio smaller than points (300× for 5-min buckets
+at 1 s acquisition), the anti-join touches only the rollup (small)
+side, and date partitioning keeps both writers append-only per
+partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import downsample
+
+ROLLUP_COLS = [
+    "bucket_start",
+    "plc_ip",
+    "alias",
+    "n",
+    "min_value",
+    "max_value",
+    "avg_value",
+]
+
+
+def _write_rollup_batch(batch_df: DataFrame, _bid: int, table_path: str) -> None:
+    (
+        batch_df.withColumn("date", F.to_date("bucket_start"))
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(table_path)
+    )
+
+
+def start_continuous_downsample(
+    points: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    every: str = "5 minutes",
+    watermark: str = "10 minutes",
+    available_now: bool = False,
+    trigger_interval: str = "0 seconds",
+):
+    """The CQ itself: closed windows append into the rollup table."""
+    agg = downsample(points, window=every, watermark=watermark)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, bid: _write_rollup_batch(df, bid, table_path))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def batch_downsample(points: DataFrame, every: str = "5 minutes") -> DataFrame:
+    """Batch twin of the CQ aggregation (same output schema)."""
+    return (
+        points.groupBy(F.window("ts", every).alias("w"), "plc_ip", "alias")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "plc_ip",
+            "alias",
+            "n",
+            "min_value",
+            "max_value",
+            "avg_value",
+        )
+    )
+
+
+def backfill_downsample(
+    spark: SparkSession,
+    points: DataFrame,
+    table_path: str,
+    every: str = "5 minutes",
+) -> int:
+    """Fill rollup buckets missing from ``table_path``; idempotent.
+
+    Anti-join on the bucket key (bucket_start, plc_ip, alias): only
+    buckets absent from the rollup are computed into it, so running
+    the same backfill twice writes nothing the second time. Returns
+    the number of rows written.
+    """
+    fresh = batch_downsample(points, every=every)
+    if os.path.isdir(table_path) and any(
+        not e.startswith(("_", ".")) for e in os.listdir(table_path)
+    ):
+        existing = spark.read.parquet(table_path).select(
+            "bucket_start", "plc_ip", "alias"
+        )
+        fresh = fresh.join(
+            existing, ["bucket_start", "plc_ip", "alias"], "left_anti"
+        )
+    fresh = fresh.cache()
+    n = fresh.count()
+    if n:
+        _write_rollup_batch(fresh, -1, table_path)
+    fresh.unpersist()
+    return n
+
+
+def read_rollup(spark: SparkSession, table_path: str) -> DataFrame:
+    return spark.read.parquet(table_path).select(*ROLLUP_COLS)
+
+
+def resample_downsample(
+    spark: SparkSession,
+    points: DataFrame,
+    table_path: str,
+    every: str = "5 minutes",
+) -> int:
+    """InfluxQL ``RESAMPLE`` parity: recompute buckets that drifted.
+
+    Late rows the stream's watermark dropped leave closed buckets
+    stale; this repairs them (and fills missing ones) by rewriting
+    only the affected *date partitions* with the fresh batch
+    aggregate, via dynamic partition overwrite — partition-granular,
+    idempotent (second run touches nothing). Returns rows rewritten.
+    """
+    fresh = batch_downsample(points, every=every).cache()
+    try:
+        if os.path.isdir(table_path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(table_path)
+        ):
+            existing = spark.read.parquet(table_path).select(
+                "bucket_start", "plc_ip", "alias", F.col("n").alias("old_n")
+            )
+            drift = (
+                fresh.join(
+                    existing, ["bucket_start", "plc_ip", "alias"], "left"
+                )
+                .filter(
+                    F.col("old_n").isNull() | (F.col("old_n") != F.col("n"))
+                )
+                .select(F.to_date("bucket_start").alias("date"))
+                .distinct()
+            )
+            dates = [r["date"] for r in drift.collect()]
+            if not dates:
+                return 0
+            to_write = fresh.withColumn(
+                "date", F.to_date("bucket_start")
+            ).filter(F.col("date").isin(dates))
+        else:
+            to_write = fresh.withColumn("date", F.to_date("bucket_start"))
+        to_write = to_write.cache()
+        n = to_write.count()
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                to_write.write.mode("overwrite")
+                .partitionBy("date")
+                .parquet(table_path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        to_write.unpersist()
+        return n
+    finally:
+        fresh.unpersist()

@@ -327,3 +327,67 @@ def test_current_value_stream_transform_with_state(spark):
         assert len(snapshots) >= 2
         final = {(r["plc_ip"], r["alias"]): r for _b, rows in snapshots for r in rows}
         assert final[("p1", "a")]["last_value"] == 3.0
+
+
+def test_continuous_downsample_with_backfill(spark):
+    """InfluxDB-CQ parity: the streaming rollup emits closed windows,
+    batch backfill repairs the watermark-stranded tail idempotently,
+    and stream+backfill together equal the pure batch downsample."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        backfill_downsample,
+        batch_downsample,
+        read_rollup,
+        resample_downsample,
+        start_continuous_downsample,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        path, sch = _write_file_stream_input(tmp, spark)
+        table = os.path.join(tmp, "rollup")
+        ckpt = os.path.join(tmp, "ckpt")
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        q = start_continuous_downsample(
+            stream,
+            table,
+            ckpt,
+            every="1 minute",
+            watermark="30 seconds",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+        batch_points = spark.read.schema(sch).parquet(path)
+        expected = {
+            (r["bucket_start"], r["plc_ip"], r["alias"]): r
+            for r in batch_downsample(batch_points, every="1 minute").collect()
+        }
+
+        streamed = read_rollup(spark, table).collect()
+        assert 0 < len(streamed) < len(expected)  # tail still open
+
+        n1 = backfill_downsample(spark, batch_points, table, every="1 minute")
+        assert n1 == len(expected) - len(streamed)
+        n2 = backfill_downsample(spark, batch_points, table, every="1 minute")
+        assert n2 == 0  # idempotent
+
+        # the watermark dropped one late row -> one closed bucket is
+        # stale; RESAMPLE-style repair rewrites its date partition
+        n3 = resample_downsample(spark, batch_points, table, every="1 minute")
+        assert n3 > 0
+        n4 = resample_downsample(spark, batch_points, table, every="1 minute")
+        assert n4 == 0  # idempotent once repaired
+
+        final = {
+            (r["bucket_start"], r["plc_ip"], r["alias"]): r
+            for r in read_rollup(spark, table).collect()
+        }
+        assert set(final) == set(expected)
+        for k, r in final.items():
+            assert r["n"] == expected[k]["n"]
+            assert r["min_value"] == expected[k]["min_value"]
+            assert r["max_value"] == expected[k]["max_value"]
