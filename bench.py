@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "b8_local_supplier_volume",
     "b21_bpe_token_counts",
     "b18_hash_sample_mix",
+    "b3_influxql_compiled",
 ]
 
 

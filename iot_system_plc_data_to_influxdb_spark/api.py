@@ -133,6 +133,14 @@ class IoTEngine:
 
         return drop_expired(table_path, cutoff)
 
+    # -- InfluxQL front door (what Grafana speaks) ---------------------
+    def influxql(self, query: str, table: DataFrame) -> DataFrame:
+        """Compile an InfluxQL statement (the reference users' query
+        language) against a measurement DataFrame."""
+        from .functions.influxql import compile_influxql
+
+        return compile_influxql(query, table)
+
     # -- continuous queries (InfluxDB CQ / RESAMPLE parity) ------------
     def start_continuous_query(
         self,

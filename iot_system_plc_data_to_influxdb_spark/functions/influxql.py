@@ -1,0 +1,227 @@
+"""InfluxQL → DataFrame compiler (reference-user query parity).
+
+The reference's analytical surface IS InfluxQL — its users point
+Grafana at InfluxDB 1.7 and issue ``SELECT mean(value) FROM <measure>
+WHERE time >= … GROUP BY time(5m) fill(previous)`` (README.md:3,
+98-100). To let such a user switch engines without rewriting their
+dashboards' queries, this module compiles the InfluxQL subset the
+reference deployment exercises into the engine's DataFrame operators:
+
+    SELECT <agg>(field) [AS alias][, ...] | <field|*>
+    FROM <identifier>                      -- resolved by the caller
+    [WHERE time >= 'ts' [AND time <(=) 'ts'] [AND <tag> = 'v' ...]]
+    [GROUP BY time(<N><u>)[, <tag> ...]]   [fill(previous|none|<num>)]
+    [ORDER BY time DESC|ASC]
+    [LIMIT n]
+
+Aggregates: count, sum, mean, min, max, first, last, spread, median,
+stddev. Supported units: s/m/h/d/w. A parse failure raises
+``InfluxQLError`` with the offending clause — no silent fallback.
+
+The compiler is deliberately a ~tiny recursive regex grammar, not a
+full parser: InfluxQL's reference-relevant subset is flat (single
+measurement, conjunctive WHERE, one GROUP BY time) — matching the
+queries the reference's Grafana dashboards actually emit.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class InfluxQLError(ValueError):
+    pass
+
+
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+_AGGS = {
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c),
+    "mean": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "first": lambda c: F.min_by(c, "ts"),
+    "last": lambda c: F.max_by(c, "ts"),
+    "spread": lambda c: F.max(c) - F.min(c),
+    "median": lambda c: F.median(c),
+    "stddev": lambda c: F.stddev_samp(c),
+}
+
+_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>[\w.\"]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+time\s+(?P<order>ASC|DESC))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_ITEM_RE = re.compile(
+    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+_TIME_COND_RE = re.compile(
+    r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE
+)
+_TAG_COND_RE = re.compile(
+    r"^(?P<key>[\w\"]+)\s*=\s*'(?P<val>[^']*)'$"
+)
+_GB_TIME_RE = re.compile(
+    r"^time\s*\(\s*(?P<n>\d+)(?P<u>[smhdw])\s*\)$", re.IGNORECASE
+)
+_FILL_RE = re.compile(
+    r"\s+fill\s*\(\s*(?P<mode>previous|none|null|[-\d.]+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1] if len(s) >= 2 and s[0] == '"' and s[-1] == '"' else s
+
+
+@dataclass
+class _Query:
+    select: list  # (fn|None, column, alias)
+    measurement: str
+    time_lo: tuple | None = None  # (op, ts)
+    time_hi: tuple | None = None
+    tag_eq: list = field(default_factory=list)
+    group_time_s: int | None = None
+    group_tags: list = field(default_factory=list)
+    fill: str | None = None
+    order_desc: bool = False
+    limit: int | None = None
+
+
+def parse(q: str) -> _Query:
+    m = _SELECT_RE.match(q.strip().rstrip(";"))
+    if not m:
+        raise InfluxQLError(f"unparseable InfluxQL: {q!r}")
+    gd = m.groupdict()
+
+    groupby, fill = gd["groupby"], None
+    if groupby:
+        fm = _FILL_RE.search(groupby)
+        if fm:
+            fill = fm.group("mode").lower()
+            groupby = groupby[: fm.start()]
+
+    sel = []
+    for item in (s.strip() for s in gd["select"].split(",")):
+        am = _AGG_ITEM_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            if fn not in _AGGS:
+                raise InfluxQLError(f"unsupported aggregate {fn!r}")
+            sel.append(
+                (fn, _unquote(am.group("arg")), am.group("alias") or fn)
+            )
+        elif re.match(r"^[\w\"*]+$", item):
+            sel.append((None, _unquote(item), _unquote(item)))
+        else:
+            raise InfluxQLError(f"unsupported select item {item!r}")
+
+    out = _Query(select=sel, measurement=_unquote(gd["from"]))
+
+    if gd["where"]:
+        for cond in re.split(r"\s+AND\s+", gd["where"], flags=re.IGNORECASE):
+            cond = cond.strip()
+            tm = _TIME_COND_RE.match(cond)
+            if tm:
+                op = tm.group("op")
+                if op in (">", ">="):
+                    out.time_lo = (op, tm.group("ts"))
+                else:
+                    out.time_hi = (op, tm.group("ts"))
+                continue
+            gm = _TAG_COND_RE.match(cond)
+            if gm:
+                out.tag_eq.append((_unquote(gm.group("key")), gm.group("val")))
+                continue
+            raise InfluxQLError(f"unsupported WHERE condition {cond!r}")
+
+    if groupby:
+        for g in (s.strip() for s in groupby.split(",")):
+            gt = _GB_TIME_RE.match(g)
+            if gt:
+                out.group_time_s = int(gt.group("n")) * _UNIT_SECONDS[
+                    gt.group("u").lower()
+                ]
+            elif re.match(r"^[\w\"]+$", g):
+                out.group_tags.append(_unquote(g))
+            else:
+                raise InfluxQLError(f"unsupported GROUP BY term {g!r}")
+
+    out.fill = fill
+    out.order_desc = (gd["order"] or "").upper() == "DESC"
+    out.limit = int(gd["limit"]) if gd["limit"] else None
+
+    if fill and out.group_time_s is None:
+        raise InfluxQLError("fill() requires GROUP BY time()")
+    aggs = [s for s in out.select if s[0]]
+    if out.group_time_s is not None and not aggs:
+        raise InfluxQLError("GROUP BY time() requires aggregate select")
+    if aggs and len(aggs) != len(out.select):
+        raise InfluxQLError("cannot mix aggregated and raw select items")
+    return out
+
+
+def compile_influxql(query: str, table: DataFrame) -> DataFrame:
+    """Compile one InfluxQL statement against ``table`` (the
+    measurement the FROM clause names; resolution is the caller's —
+    e.g. ``IoTEngine.points(path)`` or any DataFrame with a ``ts``
+    column). Returns the equivalent DataFrame plan."""
+    q = parse(query)
+    df = table
+
+    for op, ts in (c for c in (q.time_lo, q.time_hi) if c):
+        lit = F.lit(ts).cast("timestamp")
+        col = F.col("ts")
+        df = df.filter(
+            col >= lit if op == ">=" else
+            col > lit if op == ">" else
+            col <= lit if op == "<=" else
+            col < lit
+        )
+    for key, val in q.tag_eq:
+        df = df.filter(F.col(key) == F.lit(val))
+
+    if q.group_time_s is not None:
+        bucket = F.window("ts", f"{q.group_time_s} seconds").start
+        keys = [bucket.alias("time"), *[F.col(t) for t in q.group_tags]]
+        aggs = [_AGGS[fn](F.col(colname)).alias(alias) for fn, colname, alias in q.select]
+        df = df.groupBy(*keys).agg(*aggs)
+        if q.fill == "previous":
+            w = (
+                Window.partitionBy(*q.group_tags)
+                .orderBy("time")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            for _fn, _col, alias in q.select:
+                df = df.withColumn(
+                    alias, F.last(alias, ignorenulls=True).over(w)
+                )
+        elif q.fill not in (None, "none", "null"):
+            for _fn, _col, alias in q.select:
+                df = df.withColumn(
+                    alias, F.coalesce(F.col(alias), F.lit(float(q.fill)))
+                )
+        order_cols = [F.col("time").desc() if q.order_desc else F.col("time")]
+        df = df.orderBy(*order_cols, *q.group_tags)
+    elif q.select and q.select[0][0]:
+        keys = [F.col(t) for t in q.group_tags]
+        aggs = [_AGGS[fn](F.col(c)).alias(a) for fn, c, a in q.select]
+        df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    else:
+        cols = [s[1] for s in q.select]
+        if cols != ["*"]:
+            df = df.select("ts", *[c for c in cols if c != "ts"])
+        df = df.orderBy(F.col("ts").desc() if q.order_desc else F.col("ts"))
+
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df

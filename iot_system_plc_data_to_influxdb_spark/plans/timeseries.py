@@ -814,3 +814,40 @@ def b24_holt_forecast(spark, sf_dir):
         F.round(F.col("l") + 2 * F.col("b"), 4).alias("forecast_2"),
         F.round(F.col("l") + 3 * F.col("b"), 4).alias("forecast_3"),
     )
+
+
+# --------------------------------------------------------------------------
+# B3c — the InfluxQL front door end-to-end: a Grafana-style statement
+# compiled by functions/influxql.py, oracle-checked like any other
+# query. This is the "switch engines without rewriting dashboards"
+# proof.
+# --------------------------------------------------------------------------
+@register(
+    "b3_influxql_compiled",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT)) AS time,
+      event_type,
+      COUNT(value) AS n,
+      MIN(value) AS lo,
+      MAX(value) AS hi,
+      MAX(value) - MIN(value) AS spread
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 06:00:00'
+      AND ts <  TIMESTAMP '2024-01-01 18:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("B3", "B16"),
+)
+def b3_influxql_compiled(spark, sf_dir):
+    from ..functions.influxql import compile_influxql
+
+    ev = t(spark, sf_dir, "events")
+    return compile_influxql(
+        "SELECT count(value) AS n, min(value) AS lo, max(value) AS hi, "
+        "spread(value) AS spread FROM events "
+        "WHERE time >= '2024-01-01 06:00:00' AND time < '2024-01-01 18:00:00' "
+        "GROUP BY time(5m), event_type",
+        ev,
+    )

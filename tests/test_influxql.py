@@ -1,0 +1,147 @@
+"""InfluxQL mini-dialect compiler (functions/influxql.py): the queries
+a reference user's Grafana dashboards emit must compile to plans whose
+results match hand-built DataFrame equivalents."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+    InfluxQLError,
+    compile_influxql,
+    parse,
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(600):
+        rows.append(
+            (
+                t0 + dt.timedelta(seconds=10 * i),
+                "192.168.0.1" if i % 2 == 0 else "192.168.0.2",
+                "temp" if i % 3 else "pressure",
+                float((i * 7) % 100) / 2.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "ts timestamp, plc_ip string, alias string, value double"
+    ).cache()
+
+
+def test_downsample_group_by_time(points):
+    out = compile_influxql(
+        "SELECT mean(value) AS m, count(value) AS n FROM points "
+        "WHERE time >= '2024-01-01 00:10:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m), plc_ip",
+        points,
+    ).collect()
+    exp = (
+        points.filter(
+            (F.col("ts") >= "2024-01-01 00:10:00")
+            & (F.col("ts") < "2024-01-01 01:00:00")
+        )
+        .groupBy(F.window("ts", "300 seconds").start.alias("time"), "plc_ip")
+        .agg(F.avg("value").alias("m"), F.count("value").alias("n"))
+        .collect()
+    )
+    assert {(r["time"], r["plc_ip"]): (r["m"], r["n"]) for r in out} == {
+        (r["time"], r["plc_ip"]): (r["m"], r["n"]) for r in exp
+    }
+    assert len(out) == len(exp) > 0
+
+
+def test_tag_filter_and_selectors(points):
+    out = compile_influxql(
+        "SELECT first(value) AS f, last(value) AS l, spread(value) AS s "
+        "FROM points WHERE alias = 'pressure' AND plc_ip = '192.168.0.1'",
+        points,
+    ).collect()
+    sub = points.filter((F.col("alias") == "pressure") & (F.col("plc_ip") == "192.168.0.1"))
+    exp = sub.agg(
+        F.min_by("value", "ts").alias("f"),
+        F.max_by("value", "ts").alias("l"),
+        (F.max("value") - F.min("value")).alias("s"),
+    ).first()
+    assert out[0]["f"] == exp["f"]
+    assert out[0]["l"] == exp["l"]
+    assert out[0]["s"] == exp["s"]
+
+
+def test_fill_previous(points, spark):
+    # carve a gap so fill(previous) has something to do
+    gappy = points.filter(
+        ~F.col("ts").between("2024-01-01 00:20:00", "2024-01-01 00:29:59")
+    )
+    out = compile_influxql(
+        "SELECT last(value) AS lv FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m), alias fill(previous)",
+        gappy,
+    ).collect()
+    # no null lv anywhere after the first bucket per alias
+    by_alias = {}
+    for r in sorted(out, key=lambda r: (r["alias"], r["time"])):
+        by_alias.setdefault(r["alias"], []).append(r["lv"])
+    for vals in by_alias.values():
+        assert all(v is not None for v in vals[1:])
+
+
+def test_raw_select_order_limit(points):
+    out = compile_influxql(
+        "SELECT value FROM points WHERE alias = 'temp' "
+        "ORDER BY time DESC LIMIT 5",
+        points,
+    ).collect()
+    exp = (
+        points.filter(F.col("alias") == "temp")
+        .select("ts", "value")
+        .orderBy(F.col("ts").desc())
+        .limit(5)
+        .collect()
+    )
+    assert [r["value"] for r in out] == [r["value"] for r in exp]
+
+
+def test_numeric_fill(points):
+    out = compile_influxql(
+        "SELECT mean(value) AS m FROM points "
+        "WHERE alias = 'pressure' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY time(1m) fill(0)",
+        points.filter(F.col("value") > 1000),  # empty → still parses/runs
+    )
+    assert out.count() == 0
+
+
+def test_parse_errors():
+    with pytest.raises(InfluxQLError):
+        parse("SELECT percentile_weird(value) FROM p")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT mean(value) FROM p GROUP BY time(5m) fill(previous) HAVING x")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT value FROM p GROUP BY time(5m)")  # raw + time bucket
+    with pytest.raises(InfluxQLError):
+        parse("SELECT mean(value), value FROM p")  # mixed agg/raw
+    with pytest.raises(InfluxQLError):
+        parse("DELETE FROM p")
+
+
+def test_parse_shape():
+    q = parse(
+        'SELECT mean("value") AS m FROM "points" WHERE time >= \'2024-01-01\' '
+        "AND plc_ip = '10.0.0.1' GROUP BY time(10s), alias fill(none) "
+        "ORDER BY time DESC LIMIT 100;"
+    )
+    assert q.measurement == "points"
+    assert q.select == [("mean", "value", "m")]
+    assert q.time_lo == (">=", "2024-01-01")
+    assert q.tag_eq == [("plc_ip", "10.0.0.1")]
+    assert q.group_time_s == 10
+    assert q.group_tags == ["alias"]
+    assert q.fill == "none"
+    assert q.order_desc and q.limit == 100
