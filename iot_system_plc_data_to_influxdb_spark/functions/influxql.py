@@ -225,3 +225,67 @@ def compile_influxql(query: str, table: DataFrame) -> DataFrame:
     if q.limit is not None:
         df = df.limit(q.limit)
     return df
+
+
+# --------------------------------------------------------------------------
+# Meta queries (Grafana autocomplete): SHOW MEASUREMENTS / FIELD KEYS /
+# TAG KEYS / TAG VALUES, answered from the points table under the
+# reference's data model — measurement = plc_ip, one field per alias,
+# tags always empty (Linux/InfluxConnector2.py:175,231-238).
+# --------------------------------------------------------------------------
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+(?P<what>MEASUREMENTS|FIELD\s+KEYS|TAG\s+KEYS|TAG\s+VALUES)"
+    r"(?:\s+FROM\s+(?P<from>[\w.\"]+))?"
+    r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>[\w\"]+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def compile_show(query: str, points: DataFrame) -> DataFrame:
+    """Compile a SHOW meta statement against the points table
+    (ts, plc_ip, alias, value[, tags])."""
+    m = _SHOW_RE.match(query.strip().rstrip(";"))
+    if not m:
+        raise InfluxQLError(f"unparseable SHOW statement: {query!r}")
+    what = re.sub(r"\s+", " ", m.group("what").upper())
+    frm = m.group("from")
+    df = points
+    if frm:
+        df = df.filter(F.col("plc_ip") == F.lit(_unquote(frm)))
+
+    if what == "MEASUREMENTS":
+        return df.select(F.col("plc_ip").alias("name")).distinct().orderBy("name")
+    if what == "FIELD KEYS":
+        return (
+            df.select(
+                F.col("alias").alias("fieldKey"),
+                F.lit("float").alias("fieldType"),
+            )
+            .distinct()
+            .orderBy("fieldKey")
+        )
+    if what == "TAG KEYS":
+        if "tags" in df.columns:
+            return (
+                df.select(F.explode(F.map_keys("tags")).alias("tagKey"))
+                .distinct()
+                .orderBy("tagKey")
+            )
+        return df.select(F.col("plc_ip").alias("tagKey")).filter(F.lit(False))
+    # TAG VALUES
+    key = m.group("key")
+    if not key:
+        raise InfluxQLError("SHOW TAG VALUES requires WITH KEY = <key>")
+    if "tags" in df.columns:
+        return (
+            df.select(
+                F.lit(_unquote(key)).alias("key"),
+                F.element_at("tags", _unquote(key)).alias("value"),
+            )
+            .filter(F.col("value").isNotNull())
+            .distinct()
+            .orderBy("value")
+        )
+    return df.select(
+        F.lit(_unquote(key)).alias("key"), F.col("plc_ip").alias("value")
+    ).filter(F.lit(False))

@@ -82,3 +82,78 @@ def write_batch_to_influx(
         return iter(())
 
     lines.rdd.mapPartitions(post_partition).count()
+
+
+# --------------------------------------------------------------------------
+# Read side: line-protocol → rows. Lets the engine ingest what other
+# InfluxDB writers produce (migration path), and closes the round-trip
+# with to_line_protocol. Pure native expressions — regex segmentation
+# on unescaped delimiters, higher-order functions for tag/field maps;
+# no Python UDF in the path.
+#
+# Scope: `measurement[,tag=v...] field=v[,field=v...] [ns_timestamp]`
+# with the \,  \=  '\ ' escape set; integer (``42i``), float, and
+# boolean field values (strings-with-spaces are out of scope, as the
+# reference never writes them).
+# --------------------------------------------------------------------------
+_SEG_RE = r"^((?:\\.|[^ ])+) ((?:\\.|[^ ])+)(?: (\d+))?$"
+
+
+def _unescape(c: Column) -> Column:
+    return F.regexp_replace(c, r"\\(.)", "$1")
+
+
+def _kv_entries(seg: Column) -> Column:
+    """array of (key, raw_value) structs from 'k=v,k=v' with escapes."""
+    return F.transform(
+        F.split(seg, r"(?<!\\),"),
+        lambda kv: F.struct(
+            _unescape(F.regexp_extract(kv, r"^((?:\\.|[^=])+)=", 1)).alias("k"),
+            _unescape(F.regexp_extract(kv, r"^(?:\\.|[^=])+=(.*)$", 1)).alias("v"),
+        ),
+    )
+
+
+def parse_line_protocol(lines: DataFrame, column: str = "line") -> DataFrame:
+    """One row per field per line: (measurement, tags, field, value_raw,
+    value, ts). ``value`` is the numeric reading (ints/bools coerced),
+    ``value_raw`` preserves the wire text. Lines that do not match the
+    grammar yield a null measurement — filter or quarantine upstream
+    (the A9 null gate applied to ingest)."""
+    c = F.col(column)
+    seg1 = F.regexp_extract(c, _SEG_RE, 1)
+    seg2 = F.regexp_extract(c, _SEG_RE, 2)
+    seg3 = F.regexp_extract(c, _SEG_RE, 3)
+    mtags = F.split(seg1, r"(?<!\\),")
+    parsed = lines.select(
+        F.when(seg1 != "", _unescape(F.element_at(mtags, 1))).alias("measurement"),
+        F.map_from_entries(
+            F.transform(
+                F.slice(mtags, 2, F.greatest(F.size(mtags) - 1, F.lit(0))),
+                lambda kv: F.struct(
+                    _unescape(F.regexp_extract(kv, r"^((?:\\.|[^=])+)=", 1)),
+                    _unescape(F.regexp_extract(kv, r"^(?:\\.|[^=])+=(.*)$", 1)),
+                ),
+            )
+        ).alias("tags"),
+        F.explode(_kv_entries(seg2)).alias("f"),
+        F.when(
+            seg3 != "",
+            F.timestamp_micros((seg3.try_cast("decimal(38,0)") / 1000).try_cast("long")),
+        ).alias("ts"),
+    )
+    raw = F.col("f.v")
+    value = (
+        F.when(raw.rlike(r"^-?\d+i$"), F.expr("substring(f.v, 1, length(f.v)-1)").try_cast("double"))
+        .when(F.lower(raw).isin("t", "true"), F.lit(1.0))
+        .when(F.lower(raw).isin("f", "false"), F.lit(0.0))
+        .otherwise(raw.try_cast("double"))
+    )
+    return parsed.select(
+        "measurement",
+        "tags",
+        F.col("f.k").alias("field"),
+        raw.alias("value_raw"),
+        value.alias("value"),
+        "ts",
+    )

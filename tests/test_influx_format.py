@@ -37,3 +37,58 @@ def test_point_json_matches_reference_shape(spark):
         assert body.get("tags", {}) == {}
         assert len(body["fields"]) == 1
     assert {"boiler_temp": 21.5} in [b["fields"] for b in out]
+
+
+def test_line_protocol_round_trip(spark):
+    """to_line_protocol → parse_line_protocol reproduces the points."""
+    import datetime as dt
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        parse_line_protocol,
+        to_line_protocol,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0, 123456), "192.168.0.7", "temp one", 21.5),
+        (dt.datetime(2024, 1, 1, 0, 0, 1), "plc,weird name", "pres=sure", -3.25),
+        (dt.datetime(2024, 1, 1, 0, 0, 2), "10.0.0.2", "flow", 0.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "ts timestamp, plc_ip string, alias string, value double"
+    )
+    back = parse_line_protocol(to_line_protocol(pts)).collect()
+    got = {(r["measurement"], r["field"]): r for r in back}
+    assert set(got) == {(ip, al) for _t, ip, al, _v in rows}
+    for ts, ip, al, v in rows:
+        r = got[(ip, al)]
+        assert r["value"] == v
+        assert r["ts"] == ts
+        assert r["tags"] == {}
+
+
+def test_line_protocol_foreign_lines(spark):
+    """Lines from other InfluxDB writers: tags, multiple fields,
+    int/bool values, missing timestamp, and garbage."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        parse_line_protocol,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ("weather,city=NYC,unit=c temp=21.5,humid=40i 1704067200000000000",),
+            ("m1 ok=true",),
+            ("not a line protocol entry at all",),
+        ],
+        "line string",
+    )
+    out = parse_line_protocol(lines).collect()
+    weather = {r["field"]: r for r in out if r["measurement"] == "weather"}
+    assert weather["temp"]["tags"] == {"city": "NYC", "unit": "c"}
+    assert weather["temp"]["value"] == 21.5
+    assert weather["humid"]["value"] == 40.0
+    assert weather["humid"]["value_raw"] == "40i"
+    assert weather["temp"]["ts"].year == 2024
+    m1 = [r for r in out if r["measurement"] == "m1"]
+    assert m1[0]["value"] == 1.0 and m1[0]["ts"] is None
+    bad = [r for r in out if r["measurement"] is None]
+    assert bad  # null-gated, not crashed

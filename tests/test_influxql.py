@@ -145,3 +145,25 @@ def test_parse_shape():
     assert q.group_tags == ["alias"]
     assert q.fill == "none"
     assert q.order_desc and q.limit == 100
+
+
+def test_show_meta_queries(points):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_show,
+    )
+
+    ms = [r["name"] for r in compile_show("SHOW MEASUREMENTS", points).collect()]
+    assert ms == ["192.168.0.1", "192.168.0.2"]
+    fk = compile_show(
+        'SHOW FIELD KEYS FROM "192.168.0.1"', points
+    ).collect()
+    assert [r["fieldKey"] for r in fk] == ["pressure", "temp"]
+    assert all(r["fieldType"] == "float" for r in fk)
+    assert compile_show("SHOW TAG KEYS", points).count() == 0  # tags empty
+    assert (
+        compile_show('SHOW TAG VALUES WITH KEY = "host"', points).count() == 0
+    )
+    with pytest.raises(InfluxQLError):
+        compile_show("SHOW TAG VALUES", points)
+    with pytest.raises(InfluxQLError):
+        compile_show("SHOW SERIES CARDINALITY", points)
