@@ -165,6 +165,21 @@ class IoTEngine:
 
         return backfill_downsample(self.spark, points, rollup_path, every=every)
 
+    def downsample_routed(
+        self,
+        points: DataFrame,
+        rollup_path: str | None,
+        rollup_every_s: int,
+        query_every_s: int,
+    ) -> DataFrame:
+        """Materialized-view routing: serve GROUP BY time() from the CQ
+        rollup when the bucket is a multiple of the rollup bucket."""
+        from .streaming.rollup import route_downsample
+
+        return route_downsample(
+            self.spark, points, rollup_path, rollup_every_s, query_every_s
+        )
+
     def resample_rollup(
         self, points: DataFrame, rollup_path: str, every: str = "5 minutes"
     ) -> int:

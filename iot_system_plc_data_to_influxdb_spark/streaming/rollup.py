@@ -34,7 +34,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import downsample
 
 ROLLUP_COLS = [
     "bucket_start",
@@ -43,8 +42,34 @@ ROLLUP_COLS = [
     "n",
     "min_value",
     "max_value",
+    "sum_value",
     "avg_value",
 ]
+
+# every rollup agg is mergeable: n/min/max/sum re-aggregate exactly to
+# any coarser bucket; sum is DECIMAL so partial sums merge
+# order-independently (the map-side-combine invariant, SURVEY.md §5.5)
+_MERGEABLE = {
+    "n": F.sum("n"),
+    "min_value": F.min("min_value"),
+    "max_value": F.max("max_value"),
+    "sum_value": F.sum("sum_value"),
+}
+
+
+def _agg_exprs():
+    return [
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
+    ]
+
+
+def _with_avg(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "avg_value", (F.col("sum_value") / F.col("n")).cast("double")
+    )
 
 
 def _write_rollup_batch(batch_df: DataFrame, _bid: int, table_path: str) -> None:
@@ -66,7 +91,20 @@ def start_continuous_downsample(
     trigger_interval: str = "0 seconds",
 ):
     """The CQ itself: closed windows append into the rollup table."""
-    agg = downsample(points, window=every, watermark=watermark)
+    agg = _with_avg(
+        points.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", every).alias("w"), "plc_ip", "alias")
+        .agg(*_agg_exprs())
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "plc_ip",
+            "alias",
+            "n",
+            "min_value",
+            "max_value",
+            "sum_value",
+        )
+    )
     writer = (
         agg.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -81,14 +119,9 @@ def start_continuous_downsample(
 
 def batch_downsample(points: DataFrame, every: str = "5 minutes") -> DataFrame:
     """Batch twin of the CQ aggregation (same output schema)."""
-    return (
+    return _with_avg(
         points.groupBy(F.window("ts", every).alias("w"), "plc_ip", "alias")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            F.avg("value").alias("avg_value"),
-        )
+        .agg(*_agg_exprs())
         .select(
             F.col("w.start").alias("bucket_start"),
             "plc_ip",
@@ -96,7 +129,7 @@ def batch_downsample(points: DataFrame, every: str = "5 minutes") -> DataFrame:
             "n",
             "min_value",
             "max_value",
-            "avg_value",
+            "sum_value",
         )
     )
 
@@ -194,3 +227,40 @@ def resample_downsample(
         return n
     finally:
         fresh.unpersist()
+
+
+def reaggregate_rollup(rollup: DataFrame, coarse: str) -> DataFrame:
+    """Merge fine rollup buckets into coarser ones — exact, because
+    every stored aggregate is mergeable (n/min/max/decimal-sum)."""
+    return _with_avg(
+        rollup.groupBy(
+            F.window("bucket_start", coarse).start.alias("bucket_start"),
+            "plc_ip",
+            "alias",
+        ).agg(*[e.alias(k) for k, e in _MERGEABLE.items()])
+    ).select(*ROLLUP_COLS)
+
+
+def route_downsample(
+    spark: SparkSession,
+    points: DataFrame,
+    rollup_path: str | None,
+    rollup_every_s: int,
+    query_every_s: int,
+) -> DataFrame:
+    """Materialized-view routing: answer a GROUP BY time(query_every)
+    from the rollup table when the requested bucket is a multiple of
+    the rollup bucket, else from raw points. At 100 TB the rollup is
+    ~(rollup ratio)× smaller than points, so dashboard-style queries
+    never touch the raw table. Results are identical on either path —
+    the mergeable-aggregate invariant, asserted in tests."""
+    if (
+        rollup_path
+        and query_every_s % rollup_every_s == 0
+        and os.path.isdir(rollup_path)
+        and any(not e.startswith(("_", ".")) for e in os.listdir(rollup_path))
+    ):
+        return reaggregate_rollup(
+            spark.read.parquet(rollup_path), f"{query_every_s} seconds"
+        )
+    return batch_downsample(points, f"{query_every_s} seconds")

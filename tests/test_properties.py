@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.5.
+
+One Spark job per example is slow, so examples are few but each is a
+structured random batch; shrinking still isolates minimal failures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# names must avoid the line-protocol escape-ambiguous characters
+# (backslash, newline); everything else printable is fair game
+_NAME = st.text(
+    alphabet=st.characters(
+        codec="ascii",
+        min_codepoint=0x21,
+        max_codepoint=0x7E,
+        exclude_characters="\\\"'",
+    ),
+    min_size=1,
+    max_size=12,
+)
+_ROW = st.tuples(
+    st.integers(min_value=0, max_value=2**40).map(
+        lambda us: dt.datetime(2020, 1, 1) + dt.timedelta(microseconds=us)
+    ),
+    _NAME,
+    _NAME,
+    st.floats(
+        allow_nan=False,
+        allow_infinity=False,
+        min_value=-1e12,
+        max_value=1e12,
+    ),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_ROW, min_size=1, max_size=20))
+def test_line_protocol_round_trip_property(spark, rows):
+    """parse(render(points)) == points for arbitrary names/values."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        parse_line_protocol,
+        to_line_protocol,
+    )
+
+    # dedup (ip, alias) keys so the comparison below is well-defined
+    uniq = {(ip, al): (ts, ip, al, v) for ts, ip, al, v in rows}
+    pts = spark.createDataFrame(
+        list(uniq.values()),
+        "ts timestamp, plc_ip string, alias string, value double",
+    )
+    back = parse_line_protocol(to_line_protocol(pts)).collect()
+    got = {(r["measurement"], r["field"]): r for r in back}
+    assert set(got) == set(uniq)
+    for (ip, al), (ts, _ip, _al, v) in uniq.items():
+        r = got[(ip, al)]
+        assert r["ts"] == ts
+        assert r["value"] == v
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_ROW, min_size=2, max_size=40),
+    st.integers(min_value=2, max_value=5),
+)
+def test_rollup_merge_property(spark, rows, factor):
+    """reaggregate(rollup(fine)) == rollup(coarse) for any coarsening
+    factor — the mergeable-aggregate invariant that makes MV routing
+    and map-side combine correct at any scale."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        batch_downsample,
+        reaggregate_rollup,
+    )
+
+    pts = spark.createDataFrame(
+        rows, "ts timestamp, plc_ip string, alias string, value double"
+    )
+    fine = batch_downsample(pts, "60 seconds")
+    merged = reaggregate_rollup(fine, f"{60 * factor} seconds")
+    direct = batch_downsample(pts, f"{60 * factor} seconds")
+    key = lambda r: (r["bucket_start"], r["plc_ip"], r["alias"])  # noqa: E731
+    md = {key(r): r for r in merged.collect()}
+    dd = {key(r): r for r in direct.collect()}
+    assert set(md) == set(dd)
+    for k in md:
+        for c in ("n", "min_value", "max_value", "sum_value", "avg_value"):
+            assert md[k][c] == dd[k][c], (k, c)

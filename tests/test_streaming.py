@@ -391,3 +391,39 @@ def test_continuous_downsample_with_backfill(spark):
             assert r["n"] == expected[k]["n"]
             assert r["min_value"] == expected[k]["min_value"]
             assert r["max_value"] == expected[k]["max_value"]
+
+
+def test_rollup_routing_exact(spark):
+    """Materialized-view routing: re-aggregating the 1-minute rollup to
+    5-minute buckets equals computing 5-minute buckets from raw points
+    — exactly, including the mean (decimal sums merge
+    order-independently)."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        backfill_downsample,
+        batch_downsample,
+        route_downsample,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        path, sch = _write_file_stream_input(tmp, spark)
+        pts = spark.read.schema(sch).parquet(path)
+        rollup_path = os.path.join(tmp, "rollup1m")
+        n = backfill_downsample(spark, pts, rollup_path, every="1 minute")
+        assert n > 0
+
+        routed = route_downsample(spark, pts, rollup_path, 60, 300)
+        direct = batch_downsample(pts, "300 seconds")
+        key = lambda r: (r["bucket_start"], r["plc_ip"], r["alias"])  # noqa: E731
+        rd = {key(r): r for r in routed.collect()}
+        dd = {key(r): r for r in direct.collect()}
+        assert set(rd) == set(dd) and rd
+        for k in rd:
+            for c in ("n", "min_value", "max_value", "sum_value", "avg_value"):
+                assert rd[k][c] == dd[k][c], (k, c)
+
+        # non-multiple bucket (90 s) must fall back to raw points
+        fallback = route_downsample(spark, pts, rollup_path, 60, 90)
+        fd = {key(r): r for r in fallback.collect()}
+        direct90 = {key(r): r for r in batch_downsample(pts, "90 seconds").collect()}
+        assert set(fd) == set(direct90)
