@@ -134,12 +134,20 @@ class IoTEngine:
         return drop_expired(table_path, cutoff)
 
     # -- InfluxQL front door (what Grafana speaks) ---------------------
-    def influxql(self, query: str, table: DataFrame) -> DataFrame:
+    def influxql(
+        self,
+        query: str,
+        table: DataFrame,
+        rollup: DataFrame | None = None,
+        rollup_every_s: int | None = None,
+    ) -> DataFrame:
         """Compile an InfluxQL statement (the reference users' query
-        language) against a measurement DataFrame."""
+        language) against a measurement DataFrame; GROUP BY time()
+        statements that merge exactly from a CQ rollup are routed to
+        it automatically."""
         from .functions.influxql import compile_influxql
 
-        return compile_influxql(query, table)
+        return compile_influxql(query, table, rollup, rollup_every_s)
 
     # -- continuous queries (InfluxDB CQ / RESAMPLE parity) ------------
     def start_continuous_query(

@@ -170,12 +170,106 @@ def parse(q: str) -> _Query:
     return out
 
 
-def compile_influxql(query: str, table: DataFrame) -> DataFrame:
+# InfluxQL aggregates answerable from the mergeable rollup columns
+# (streaming/rollup.py): count→Σn, sum→Σsum, mean→Σsum/Σn, min/max→
+# min/max of the per-bucket extrema.
+_ROLLUP_AGGS = {
+    "count": lambda: F.sum("n"),
+    "sum": lambda: F.sum("sum_value").cast("double"),
+    "mean": lambda: F.sum("sum_value").cast("double") / F.sum("n"),
+    "min": lambda: F.min("min_value"),
+    "max": lambda: F.max("max_value"),
+}
+
+
+def _aligned(cond, every_s: int, allowed_ops: tuple) -> bool:
+    """A time bound is rollup-servable iff its op keeps bucket and row
+    semantics identical and the literal lands on a bucket boundary."""
+    if cond is None:
+        return True
+    op, ts = cond
+    if op not in allowed_ops:
+        return False
+    import datetime as _dt
+
+    try:
+        t = _dt.datetime.fromisoformat(ts)
+    except ValueError:
+        return False
+    epoch = int(t.replace(tzinfo=_dt.timezone.utc).timestamp())
+    return epoch % every_s == 0
+
+
+def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
+    """fill() / ORDER BY time / LIMIT on a GROUP BY time() result —
+    shared by the raw-table and rollup-routed paths."""
+    if q.fill == "previous":
+        w = (
+            Window.partitionBy(*q.group_tags)
+            .orderBy("time")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for _fn, _col, alias in q.select:
+            df = df.withColumn(alias, F.last(alias, ignorenulls=True).over(w))
+    elif q.fill not in (None, "none", "null"):
+        for _fn, _col, alias in q.select:
+            df = df.withColumn(
+                alias, F.coalesce(F.col(alias), F.lit(float(q.fill)))
+            )
+    order_cols = [F.col("time").desc() if q.order_desc else F.col("time")]
+    df = df.orderBy(*order_cols, *q.group_tags)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def _rollup_servable(q: _Query, rollup_every_s: int | None) -> bool:
+    return (
+        rollup_every_s is not None
+        and q.group_time_s is not None
+        and q.group_time_s % rollup_every_s == 0
+        and all(fn in _ROLLUP_AGGS and c == "value" for fn, c, _a in q.select)
+        and set(q.group_tags) <= {"plc_ip", "alias"}
+        and all(k in ("plc_ip", "alias") for k, _v in q.tag_eq)
+        and _aligned(q.time_lo, rollup_every_s, (">=",))
+        and _aligned(q.time_hi, rollup_every_s, ("<",))
+    )
+
+
+def compile_influxql(
+    query: str,
+    table: DataFrame,
+    rollup: DataFrame | None = None,
+    rollup_every_s: int | None = None,
+) -> DataFrame:
     """Compile one InfluxQL statement against ``table`` (the
     measurement the FROM clause names; resolution is the caller's —
     e.g. ``IoTEngine.points(path)`` or any DataFrame with a ``ts``
-    column). Returns the equivalent DataFrame plan."""
+    column). Returns the equivalent DataFrame plan.
+
+    When a CQ ``rollup`` table (streaming/rollup.py) and its bucket
+    width are supplied, GROUP BY time() queries whose aggregates,
+    bounds, and bucket all merge exactly from the rollup are routed to
+    it instead of the raw table — identical results off a
+    window-ratio-smaller scan; everything else silently takes the raw
+    path."""
     q = parse(query)
+
+    if rollup is not None and _rollup_servable(q, rollup_every_s):
+        df = rollup
+        for op, ts in (c for c in (q.time_lo, q.time_hi) if c):
+            lit = F.lit(ts).cast("timestamp")
+            col = F.col("bucket_start")
+            df = df.filter(col >= lit if op == ">=" else col < lit)
+        for key, val in q.tag_eq:
+            df = df.filter(F.col(key) == F.lit(val))
+        bucket = F.window("bucket_start", f"{q.group_time_s} seconds").start
+        keys = [bucket.alias("time"), *[F.col(t) for t in q.group_tags]]
+        df = df.groupBy(*keys).agg(
+            *[_ROLLUP_AGGS[fn]().alias(alias) for fn, _c, alias in q.select]
+        )
+        return _finish_grouped(df, q)
+
     df = table
 
     for op, ts in (c for c in (q.time_lo, q.time_hi) if c):
@@ -194,24 +288,7 @@ def compile_influxql(query: str, table: DataFrame) -> DataFrame:
         bucket = F.window("ts", f"{q.group_time_s} seconds").start
         keys = [bucket.alias("time"), *[F.col(t) for t in q.group_tags]]
         aggs = [_AGGS[fn](F.col(colname)).alias(alias) for fn, colname, alias in q.select]
-        df = df.groupBy(*keys).agg(*aggs)
-        if q.fill == "previous":
-            w = (
-                Window.partitionBy(*q.group_tags)
-                .orderBy("time")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            for _fn, _col, alias in q.select:
-                df = df.withColumn(
-                    alias, F.last(alias, ignorenulls=True).over(w)
-                )
-        elif q.fill not in (None, "none", "null"):
-            for _fn, _col, alias in q.select:
-                df = df.withColumn(
-                    alias, F.coalesce(F.col(alias), F.lit(float(q.fill)))
-                )
-        order_cols = [F.col("time").desc() if q.order_desc else F.col("time")]
-        df = df.orderBy(*order_cols, *q.group_tags)
+        return _finish_grouped(df.groupBy(*keys).agg(*aggs), q)
     elif q.select and q.select[0][0]:
         keys = [F.col(t) for t in q.group_tags]
         aggs = [_AGGS[fn](F.col(c)).alias(a) for fn, c, a in q.select]

@@ -498,13 +498,21 @@ _B21_QUALITY_ORACLE = (
         len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS stop_hits
       FROM d
     )
+    -- every ratio rounds half-up in EXACT integer space:
+    -- round(a/b * 1e4) = (2*a*1e4 + b) // (2*b); the /10000.0 at the
+    -- end maps identical integers to identical doubles in any engine.
+    -- (Float ROUND formulations differ between engines on ties —
+    -- caught by the sf0.1 sweep.)
     SELECT doc_id, n_tokens, n_distinct, stop_hits,
-      ROUND(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
-      ROUND(total_len * 1.0 / n_tokens, 4) AS avg_token_len,
-      ROUND(stop_hits * 1.0 / n_tokens, 4) AS stopword_ratio,
-      ROUND(0.4 * (n_distinct * 1.0 / n_tokens)
-            + 0.3 * (1 - stop_hits * 1.0 / n_tokens)
-            + 0.3 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality
+      ((2 * n_distinct * 10000 + n_tokens) // (2 * n_tokens)) / 10000.0
+        AS distinct_ratio,
+      ((2 * total_len * 10000 + n_tokens) // (2 * n_tokens)) / 10000.0
+        AS avg_token_len,
+      ((2 * stop_hits * 10000 + n_tokens) // (2 * n_tokens)) / 10000.0
+        AS stopword_ratio,
+      ((2 * ((4 * n_distinct + 3 * (n_tokens - stop_hits)) * 100
+             + 3 * LEAST(n_tokens, 100) * n_tokens) * 10
+        + n_tokens) // (2 * n_tokens)) / 10000.0 AS quality
     FROM m
     """
 )
@@ -524,20 +532,28 @@ def b21_quality(spark, sf_dir):
         stopword_hits(w).alias("stop_hits"),
     )
     nt = F.col("n_tokens")
+
+    def ratio4(a, b):
+        # round-half-up(a/b · 1e4) in exact integer space, then one
+        # division to double — engine-independent, no ROUND-on-double
+        # tie drift (caught by the sf0.1 sweep)
+        return (F.floor((2 * a * 10000 + b) / (2 * b)) / 10000.0).alias
+
+    quality_num = (
+        (4 * F.col("n_distinct") + 3 * (nt - F.col("stop_hits"))) * 100
+        + 3 * F.least(nt, F.lit(100)) * nt
+    )
     return m.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
         "stop_hits",
-        F.round(F.col("n_distinct") / nt, 4).alias("distinct_ratio"),
-        F.round(F.col("total_len") / nt, 4).alias("avg_token_len"),
-        F.round(F.col("stop_hits") / nt, 4).alias("stopword_ratio"),
-        F.round(
-            0.4 * (F.col("n_distinct") / nt)
-            + 0.3 * (1 - F.col("stop_hits") / nt)
-            + 0.3 * F.least(nt / 100.0, F.lit(1.0)),
-            4,
-        ).alias("quality"),
+        ratio4(F.col("n_distinct"), nt)("distinct_ratio"),
+        ratio4(F.col("total_len"), nt)("avg_token_len"),
+        ratio4(F.col("stop_hits"), nt)("stopword_ratio"),
+        # quality = 0.4·distinct_ratio + 0.3·(1−stopword_ratio)
+        # + 0.3·min(n_tokens/100, 1) as one exact-integer numerator
+        ratio4(quality_num, 1000 * nt)("quality"),
     )
 
 

@@ -167,3 +167,50 @@ def test_show_meta_queries(points):
         compile_show("SHOW TAG VALUES", points)
     with pytest.raises(InfluxQLError):
         compile_show("SHOW SERIES CARDINALITY", points)
+
+
+def test_rollup_routing_in_compiler(points, spark, tmp_path):
+    """An eligible GROUP BY time() statement routes to the CQ rollup
+    (verified via input files) and returns exactly the raw-path
+    result; a non-mergeable aggregate falls back to raw points."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        backfill_downsample,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rollup_path = str(tmp_path / "rollup1m")
+    assert backfill_downsample(spark, points, rollup_path, every="1 minute") > 0
+    rollup = spark.read.parquet(rollup_path)
+
+    q = (
+        "SELECT mean(value) AS m, count(value) AS n, max(value) AS mx "
+        "FROM points WHERE time >= '2024-01-01 00:10:00' "
+        "AND time < '2024-01-01 01:00:00' GROUP BY time(5m), plc_ip"
+    )
+    routed = compile_influxql(q, points, rollup, 60)
+    raw = compile_influxql(q, points)
+    assert any("rollup1m" in f for f in routed.inputFiles())
+    key = lambda r: (r["time"], r["plc_ip"])  # noqa: E731
+    rd = {key(r): r for r in routed.collect()}
+    dd = {key(r): r for r in raw.collect()}
+    assert set(rd) == set(dd) and rd
+    for k in rd:
+        assert rd[k]["n"] == dd[k]["n"]
+        assert rd[k]["mx"] == dd[k]["mx"]
+        assert abs(rd[k]["m"] - dd[k]["m"]) < 1e-9
+
+    # median is not mergeable -> must fall back to the raw table
+    q2 = (
+        "SELECT median(value) AS md FROM points "
+        "WHERE time >= '2024-01-01 00:10:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m)"
+    )
+    fallback = compile_influxql(q2, points, rollup, 60)
+    assert not any("rollup1m" in f for f in fallback.inputFiles())
+
+    # unaligned lower bound -> fallback too
+    q3 = q.replace("00:10:00", "00:10:30")
+    assert not any(
+        "rollup1m" in f
+        for f in compile_influxql(q3, points, rollup, 60).inputFiles()
+    )
