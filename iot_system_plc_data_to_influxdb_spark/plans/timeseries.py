@@ -541,10 +541,32 @@ def b23_histogram(spark, sf_dir):
 # --------------------------------------------------------------------------
 # B12c — EWMA per series (InfluxQL exponential_moving_average): a
 # sequential fold, so it runs as grouped-map applyInPandas (the B30
-# grouped-map surface). Rows-only; exactness vs a pure-Python fold is
-# asserted in tests/test_operators.py.
+# grouped-map surface). Exactness vs a pure-Python fold is asserted in
+# tests/test_operators.py — AND the fold is hash-checked against a
+# DuckDB recursive CTE applying the identical IEEE-754 expression tree
+# (`0.3*v + (1-0.3)*acc`: the (1-0.3) must be written as a
+# subtraction in both engines, because the literal 0.7 is a DIFFERENT
+# double than 1-0.3).
 # --------------------------------------------------------------------------
-@register("b12_ewma", oracle=None, tags=("B12", "B30"))
+_B12_EWMA_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 10
+    ),
+    rec AS (
+      SELECT user_id, event_id, ts, value, rn, value AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+        0.3 * s.value + (1 - 0.3) * r.ewma
+      FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ewma FROM rec
+"""
+
+
+@register("b12_ewma", oracle=_B12_EWMA_ORACLE, tags=("B12", "B30"))
 def b12_ewma(spark, sf_dir):
     import pandas as pd
 
