@@ -146,3 +146,44 @@ def knn_ivf(
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(k)
     )
+
+
+def knn_multi_probe(
+    emb: DataFrame, n_probes: int = 8, k: int = 5
+) -> DataFrame:
+    """Batch kNN: top-k neighbors for each of a SET of probe vectors
+    in one corpus pass — the realistic retrieval workload (N queries
+    at once), not N sequential scans.
+
+    The probe set broadcasts (KBs); the corpus streams through one
+    narrow stage computing all probe similarities per row; per-probe
+    top-k is a window rank over (probe_id) — shuffle size is
+    n_probes·corpus, pruned to n_probes·k rows immediately. At 100 TB
+    the corpus pass is embarrassingly parallel and probe count scales
+    to thousands before the broadcast matters.
+    """
+    from pyspark.sql import Window
+
+    probes = emb.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    corpus = emb.repartition(32)
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("pe")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cs").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("cs", 6).alias("cos_sim"),
+            "rk",
+        )
+    )

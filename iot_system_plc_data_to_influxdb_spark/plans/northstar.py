@@ -873,3 +873,47 @@ def b20_kmeans(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans_summary(kmeans_assign(emb, k=10, max_iter=8)).orderBy("cluster")
+
+
+# --------------------------------------------------------------------------
+# B20e — batch multi-probe kNN (operators/similarity.py): top-k for a
+# probe SET in one corpus pass; per-probe ranking via window.
+# --------------------------------------------------------------------------
+_B20_MULTI_ORACLE = """
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pe
+      FROM embeddings WHERE vec_id < 8
+    ),
+    pos AS (SELECT unnest(range(1, 65)) AS i),
+    terms AS (
+      SELECT p.probe_id, e.vec_id,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(p.pe[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM embeddings e CROSS JOIN probes p CROSS JOIN pos
+      WHERE e.vec_id <> p.probe_id
+    ),
+    agg AS (
+      SELECT probe_id, vec_id,
+        SUM(da * db) AS dot, SUM(da * da) AS na, SUM(db * db) AS nb
+      FROM terms GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT probe_id, vec_id,
+        CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cs
+      FROM agg
+    ),
+    r AS (
+      SELECT probe_id, vec_id, cs,
+        ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, vec_id, ROUND(cs, 6) AS cos_sim, rk
+    FROM r WHERE rk <= 5
+"""
+
+
+@register("b20_knn_multiprobe", oracle=_B20_MULTI_ORACLE, tags=("B20",))
+def b20_knn_multiprobe(spark, sf_dir):
+    from ..operators.similarity import knn_multi_probe
+
+    return knn_multi_probe(t(spark, sf_dir, "embeddings"), n_probes=8, k=5)

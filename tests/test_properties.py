@@ -9,7 +9,6 @@ from __future__ import annotations
 import datetime as dt
 
 from hypothesis import given, settings, strategies as st
-from pyspark.sql import functions as F
 
 # names must avoid the line-protocol escape-ambiguous characters
 # (backslash, newline); everything else printable is fair game
