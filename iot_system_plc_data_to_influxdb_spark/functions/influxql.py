@@ -261,6 +261,14 @@ def compile_influxql(
             lit = F.lit(ts).cast("timestamp")
             col = F.col("bucket_start")
             df = df.filter(col >= lit if op == ">=" else col < lit)
+            if "date" in df.columns:
+                # redundant with the bucket_start predicate, but hits
+                # the table's date PARTITION column → partition pruning
+                # (bucket_start alone prunes nothing at the file level)
+                dlit = F.to_date(lit)
+                df = df.filter(
+                    F.col("date") >= dlit if op == ">=" else F.col("date") <= dlit
+                )
         for key, val in q.tag_eq:
             df = df.filter(F.col(key) == F.lit(val))
         bucket = F.window("bucket_start", f"{q.group_time_s} seconds").start
@@ -366,3 +374,53 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
     return df.select(
         F.lit(_unquote(key)).alias("key"), F.col("plc_ip").alias("value")
     ).filter(F.lit(False))
+
+
+# --------------------------------------------------------------------------
+# DELETE / DROP MEASUREMENT — InfluxDB's ad-hoc retention statements.
+# Spark storage is immutable parquet, so deletion compiles to the
+# COMPLEMENT: the rows that survive. The caller overwrites the table
+# with the result (exactly how b25 age-off works); on Delta the same
+# predicate would drive a real DELETE.
+# --------------------------------------------------------------------------
+_DELETE_RE = re.compile(
+    r"^\s*(?:DELETE\s+FROM\s+(?P<from>[\w.\"]+)(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"|DROP\s+MEASUREMENT\s+(?P<drop>[\w.\"]+))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def compile_delete(query: str, points: DataFrame) -> DataFrame:
+    """Compile DELETE FROM m [WHERE time/tag conds] or DROP MEASUREMENT
+    m against the points table; returns the surviving rows."""
+    m = _DELETE_RE.match(query.strip().rstrip(";"))
+    if not m:
+        raise InfluxQLError(f"unparseable DELETE/DROP statement: {query!r}")
+    if m.group("drop"):
+        return points.filter(F.col("plc_ip") != F.lit(_unquote(m.group("drop"))))
+
+    victim = points.filter(F.col("plc_ip") == F.lit(_unquote(m.group("from"))))
+    cond = F.lit(True)
+    if m.group("where"):
+        for c in re.split(r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE):
+            c = c.strip()
+            tm = _TIME_COND_RE.match(c)
+            if tm:
+                lit = F.lit(tm.group("ts")).cast("timestamp")
+                op = tm.group("op")
+                cond = cond & (
+                    F.col("ts") >= lit if op == ">=" else
+                    F.col("ts") > lit if op == ">" else
+                    F.col("ts") <= lit if op == "<=" else
+                    F.col("ts") < lit
+                )
+                continue
+            gm = _TAG_COND_RE.match(c)
+            if gm:
+                cond = cond & (
+                    F.col(_unquote(gm.group("key"))) == F.lit(gm.group("val"))
+                )
+                continue
+            raise InfluxQLError(f"unsupported DELETE condition {c!r}")
+    doomed = victim.filter(cond).select(points.columns)
+    return points.exceptAll(doomed)

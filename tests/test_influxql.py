@@ -214,3 +214,85 @@ def test_rollup_routing_in_compiler(points, spark, tmp_path):
         "rollup1m" in f
         for f in compile_influxql(q3, points, rollup, 60).inputFiles()
     )
+
+
+def test_rollup_routing_prunes_date_partitions(spark, tmp_path):
+    """The routed plan must carry the derived date predicate down to
+    the rollup scan's partition filters — at scale, time-bounded
+    dashboard queries read only the covered date partitions."""
+    import datetime as dt2
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        backfill_downsample,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (
+            dt2.datetime(2024, 1, 1 + d, h, 0, 0),
+            "p1",
+            "a",
+            float(d * 24 + h),
+        )
+        for d in range(5)
+        for h in range(24)
+    ]
+    pts = spark.createDataFrame(
+        rows, "ts timestamp, plc_ip string, alias string, value double"
+    )
+    rollup_path = str(tmp_path / "rollup_days")
+    assert backfill_downsample(spark, pts, rollup_path, every="1 hour") > 0
+    rollup = spark.read.parquet(rollup_path)
+
+    routed = compile_influxql(
+        "SELECT mean(value) AS m FROM points "
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' "
+        "GROUP BY time(2h), plc_ip",
+        pts,
+        rollup,
+        3600,
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    # both derived date bounds must reach the partition filter
+    assert "date" in seg and ">=" in seg and "<=" in seg
+    # and the result matches the raw path
+    raw = compile_influxql(
+        "SELECT mean(value) AS m FROM points "
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' "
+        "GROUP BY time(2h), plc_ip",
+        pts,
+    )
+    key = lambda r: (r["time"], r["plc_ip"])  # noqa: E731
+    rd = {key(r): r["m"] for r in routed.collect()}
+    dd = {key(r): r["m"] for r in raw.collect()}
+    assert rd == dd and len(rd) == 24
+
+
+def test_delete_and_drop_measurement(points):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_delete,
+    )
+
+    total = points.count()
+    n1 = points.filter(F.col("plc_ip") == "192.168.0.1").count()
+
+    dropped = compile_delete('DROP MEASUREMENT "192.168.0.1"', points)
+    assert dropped.count() == total - n1
+
+    doomed = points.filter(
+        (F.col("plc_ip") == "192.168.0.2")
+        & (F.col("ts") < F.lit("2024-01-01 00:30:00").cast("timestamp"))
+        & (F.col("alias") == "temp")
+    ).count()
+    kept = compile_delete(
+        "DELETE FROM \"192.168.0.2\" WHERE time < '2024-01-01 00:30:00' "
+        "AND alias = 'temp'",
+        points,
+    )
+    assert doomed > 0
+    assert kept.count() == total - doomed
+
+    with pytest.raises(InfluxQLError):
+        compile_delete("DELETE FROM m WHERE value > 3", points)
