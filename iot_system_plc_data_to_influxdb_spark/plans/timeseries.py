@@ -873,3 +873,101 @@ def b3_influxql_compiled(spark, sf_dir):
         "GROUP BY time(5m), event_type",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B12e — InfluxQL technical-analysis transforms:
+# chande_momentum_oscillator(14) and kaufmans_efficiency_ratio(14) per
+# user series. All window math runs on exact integer cents (values
+# carry 2 decimals), so the only float op is the final division —
+# rounded half-up in integer space on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "b12_technical_analysis",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        ROW_NUMBER() OVER w AS rn,
+        CAST(ROUND(value * 100) AS BIGINT)
+          - LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS diff,
+        LAG(CAST(ROUND(value * 100) AS BIGINT), 14) OVER w AS cents_14
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    wsum AS (
+      SELECT user_id, event_id, ts, rn, cents, cents_14,
+        SUM(GREATEST(diff, 0)) OVER f AS s_up,
+        SUM(GREATEST(-diff, 0)) OVER f AS s_down,
+        SUM(ABS(diff)) OVER f AS s_abs
+      FROM seq
+      WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts,
+      -- sign-magnitude: rounding a negative quotient differs between
+      -- DuckDB's truncating // and a flooring formulation, so round
+      -- the (positive) magnitude and reapply the sign
+      CASE WHEN rn > 14 AND s_up + s_down > 0 THEN
+        (CASE WHEN s_up >= s_down THEN 1 ELSE -1 END)
+        * (((2 * 100 * ABS(s_up - s_down) * 10000 + (s_up + s_down))
+            // (2 * (s_up + s_down))) / 10000.0) END AS cmo14,
+      CASE WHEN rn > 14 AND s_abs > 0 THEN
+        ((2 * 100 * ABS(cents - cents_14) * 10000 + s_abs)
+         // (2 * s_abs)) / 10000.0 END AS ker14
+    FROM wsum
+    """,
+    tags=("B12", "B23"),
+)
+def b12_technical(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        (cents - F.lag(cents).over(w)).alias("diff"),
+        F.lag(cents, 14).over(w).alias("cents_14"),
+    )
+    f = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-13, 0)
+    wsum = seq.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "rn",
+        "cents",
+        "cents_14",
+        F.sum(F.greatest("diff", F.lit(0))).over(f).alias("s_up"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(f).alias("s_down"),
+        F.sum(F.abs("diff")).over(f).alias("s_abs"),
+    )
+
+    def ratio4(a, b):
+        # integer-space half-up rounding for NON-NEGATIVE a (see b21
+        # quality). Exact floor division via (n - pmod(n, d)) / d —
+        # double `/` + floor alone can cross an integer boundary on
+        # near-integer quotients. Signed quantities go through
+        # sign-magnitude (see cmo14) because negative integer division
+        # conventions differ across engines.
+        n = 2 * a * 10000 + b
+        d = 2 * b
+        return ((n - F.pmod(n, d)) / d).cast("bigint") / 10000.0
+
+    tot = F.col("s_up") + F.col("s_down")
+    return wsum.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.col("rn") > 14) & (tot > 0),
+            F.when(F.col("s_up") >= F.col("s_down"), 1).otherwise(-1)
+            * ratio4(100 * F.abs(F.col("s_up") - F.col("s_down")), tot),
+        ).alias("cmo14"),
+        F.when(
+            (F.col("rn") > 14) & (F.col("s_abs") > 0),
+            ratio4(100 * F.abs(F.col("cents") - F.col("cents_14")), F.col("s_abs")),
+        ).alias("ker14"),
+    )
