@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "b21_bpe_token_counts",
     "b18_hash_sample_mix",
     "b3_influxql_compiled",
+    "b12_technical_analysis",
+    "b12_rsi_wilder",
+    "b20_knn_multiprobe",
 ]
 
 

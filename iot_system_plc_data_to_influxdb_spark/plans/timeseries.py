@@ -971,3 +971,96 @@ def b12_technical(spark, sf_dir):
             ratio4(100 * F.abs(F.col("cents") - F.col("cents_14")), F.col("s_abs")),
         ).alias("ker14"),
     )
+
+
+# --------------------------------------------------------------------------
+# B12f — relative_strength_index(14) with Wilder smoothing: seed = SMA
+# of the first 14 gains/losses (exact integer cents / one division),
+# then the standard recursion. The fold runs as grouped-map
+# applyInPandas; the oracle replays the identical IEEE-754 expression
+# tree in a recursive CTE. No rounding anywhere — identical doubles
+# hash identically, and ROUND-on-double is exactly where engines
+# disagree (see b21/b12e).
+# --------------------------------------------------------------------------
+_B12_RSI_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts,
+        ROW_NUMBER() OVER w AS rn,
+        GREATEST(CAST(ROUND(value * 100) AS BIGINT)
+                 - LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w, 0) AS cg,
+        GREATEST(LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                 - CAST(ROUND(value * 100) AS BIGINT), 0) AS cl
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seeded AS (
+      SELECT user_id, event_id, ts, rn, cg, cl,
+        SUM(cg) OVER f AS sum_g, SUM(cl) OVER f AS sum_l
+      FROM seq
+      WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    rec AS (
+      SELECT user_id, event_id, ts, rn,
+        sum_g / 1400.0 AS ag, sum_l / 1400.0 AS al
+      FROM seeded WHERE rn = 15
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.ts, s.rn,
+        (r.ag * 13 + s.cg / 100.0) / 14,
+        (r.al * 13 + s.cl / 100.0) / 14
+      FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts,
+      CASE WHEN al = 0 THEN 100.0
+           ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi14
+    FROM rec
+"""
+
+
+@register("b12_rsi_wilder", oracle=_B12_RSI_ORACLE, tags=("B12", "B30"))
+def b12_rsi(spark, sf_dir):
+    import pandas as pd
+
+    def rsi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = (pdf["value"] * 100).round().astype("int64").tolist()
+        out_rows = []
+        ag = al = None
+        sum_g = sum_l = 0
+        for i in range(1, len(cents)):
+            d = cents[i] - cents[i - 1]
+            cg, cl = max(d, 0), max(-d, 0)
+            if i < 14:
+                sum_g += cg
+                sum_l += cl
+                continue
+            if i == 14:
+                sum_g += cg
+                sum_l += cl
+                ag, al = sum_g / 1400.0, sum_l / 1400.0
+            else:
+                # identical tree to the oracle's recursive arm
+                ag = (ag * 13 + cg / 100.0) / 14
+                al = (al * 13 + cl / 100.0) / 14
+            rsi_v = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+            out_rows.append(
+                (
+                    int(pdf["user_id"][i]),
+                    int(pdf["event_id"][i]),
+                    pdf["ts"][i],
+                    rsi_v,
+                )
+            )
+        return pd.DataFrame(
+            out_rows, columns=["user_id", "event_id", "ts", "rsi14"]
+        )
+
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            rsi, "user_id bigint, event_id bigint, ts timestamp, rsi14 double"
+        )
+    )
