@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import t
+from ._exact import round_ratio
 from .registry import register
 
 _ORACLE = """
@@ -42,8 +43,8 @@ bucketed AS (
     COUNT(*) AS n,
     MIN(signal) AS min_signal,
     MAX(signal) AS max_signal,
-    ROUND(CAST(SUM(CAST(signal AS DECIMAL(18, 2))) AS DOUBLE) / COUNT(*), 4)
-      AS avg_signal,
+    ((2 * SUM(CAST(ROUND(signal * 100) AS BIGINT)) * 100 + COUNT(*))
+     // (2 * COUNT(*))) / 10000.0 AS avg_signal,
     MAX_BY(signal, ts) AS last_signal
   FROM sig
   GROUP BY event_type, bucket_start
@@ -89,9 +90,11 @@ def signal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("signal").alias("min_signal"),
         F.max("signal").alias("max_signal"),
-        F.round(
-            F.sum(F.col("signal").cast("decimal(18,2)")).cast("double")
-            / F.count("*"),
+        # exact integer-cent rounding (plans/_exact.py): avg =
+        # cents/(100·n); scaled·1e4 = cents·100/n
+        round_ratio(
+            F.sum(F.round(F.col("signal") * 100).cast("bigint")),
+            100 * F.count("*"),
             4,
         ).alias("avg_signal"),
         F.max_by("signal", "ts").alias("last_signal"),

@@ -24,6 +24,7 @@ from ..functions.text import (
     tokens,
 )
 from ..functions.vectors import cosine
+from ._exact import round_ratio
 from .registry import register
 
 # Shared DuckDB CTE: tokenized + shingled documents (mirrors
@@ -100,7 +101,9 @@ _B19_MINHASH_ORACLE = (
       GROUP BY c.d1, c.d2
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-    SELECT d1, d2, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    SELECT d1, d2,
+      ((2 * i * 10000 + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i)))
+        / 10000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = d1
     JOIN sizes sb ON sb.doc_id = d2
@@ -192,10 +195,11 @@ def b19_minhash(spark, sf_dir):
             F.size(F.col("pb.arr")).alias("nb"),
         )
     )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    u = F.col("na") + F.col("nb") - F.col("i")
+    jac = F.col("i") / u
     return (
         pairs.filter(jac >= 0.7)
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .select("d1", "d2", round_ratio(F.col("i"), u, 4).alias("jaccard"))
     )
 
 
@@ -213,7 +217,9 @@ _B19_JACCARD_ORACLE = (
       GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-    SELECT d1, d2, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    SELECT d1, d2,
+      ((2 * i * 10000 + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i)))
+        / 10000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = d1
     JOIN sizes sb ON sb.doc_id = d2
@@ -235,12 +241,13 @@ def b19_jaccard(spark, sf_dir):
         .agg(F.count("*").alias("i"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    u = F.col("sa.n") + F.col("sb.n") - F.col("i")
+    jac = F.col("i") / u
     return (
         inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1"))
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
         .filter(jac >= 0.6)
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .select("d1", "d2", round_ratio(F.col("i"), u, 4).alias("jaccard"))
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import t
+from ._exact import round_ratio
 from .registry import register
 
 
@@ -80,8 +81,10 @@ def b2(spark, sf_dir):
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                * (1 - CAST(l_discount AS DECIMAL(3,2)))
                * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+      ((2 * SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100 + COUNT(*))
+       // (2 * COUNT(*))) / 10000.0 AS avg_qty,
+      ((2 * SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) * 100 + COUNT(*))
+       // (2 * COUNT(*))) / 10000.0 AS avg_disc,
       COUNT(*) AS count_order,
       COUNT(DISTINCT l_partkey) AS distinct_parts
     FROM lineitem
@@ -103,8 +106,16 @@ def b4(spark, sf_dir):
         F.sum(ep).cast("double").alias("sum_base_price"),
         F.sum(ep * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
         F.sum(ep * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
-        F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
-        F.round(F.sum(disc).cast("double") / F.count("*"), 4).alias("avg_disc"),
+        round_ratio(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")),
+            100 * F.count("*"),
+            4,
+        ).alias("avg_qty"),
+        round_ratio(
+            F.sum(F.round(F.col("l_discount") * 100).cast("bigint")),
+            100 * F.count("*"),
+            4,
+        ).alias("avg_disc"),
         F.count("*").alias("count_order"),
         F.countDistinct("l_partkey").alias("distinct_parts"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import t
+from ._exact import round_ratio, round_ratio_signed
 from .registry import register
 
 
@@ -30,7 +31,8 @@ from .registry import register
       MIN(value) AS min_value,
       MAX(value) AS max_value,
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_value,
+      ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100 + COUNT(*))
+       // (2 * COUNT(*))) / 10000.0 AS avg_value,
       MAX_BY(value, ts) AS last_value
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
@@ -51,7 +53,11 @@ def b3(spark, sf_dir):
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.sum(vdec).cast("double").alias("sum_value"),
-            F.round(F.sum(vdec).cast("double") / F.count("*"), 4).alias("avg_value"),
+            round_ratio(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")),
+                100 * F.count("*"),
+                4,
+            ).alias("avg_value"),
             F.max_by("value", "ts").alias("last_value"),
         )
     )
@@ -123,10 +129,11 @@ def b11(spark, sf_dir):
       LEAD(value) OVER w_ts AS next_value,
       RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
       NTILE(4) OVER w_ts AS quartile,
-      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
-          w_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        / COUNT(*) OVER (w_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
-        AS moving_avg5
+      ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+          w_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 100
+        + COUNT(*) OVER (w_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       // (2 * COUNT(*) OVER (w_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
+       / 10000.0 AS moving_avg5
     FROM events
     WHERE user_id < 30
     WINDOW w_ts AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -149,8 +156,10 @@ def b12(spark, sf_dir):
         F.lead("value").over(w_ts).alias("next_value"),
         F.rank().over(w_val).alias("value_rank"),
         F.ntile(4).over(w_ts).alias("quartile"),
-        F.round(
-            F.sum(vdec).over(w_frame).cast("double") / F.count("*").over(w_frame), 4
+        round_ratio(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w_frame),
+            100 * F.count("*").over(w_frame),
+            4,
         ).alias("moving_avg5"),
     )
 
@@ -160,9 +169,17 @@ def b12(spark, sf_dir):
 # --------------------------------------------------------------------------
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
+# avg per cell rounds half-up in exact integer-cent space (values are
+# non-negative): round(cents/(100·n)·1e4) = (2·cents·100 + n)//(2·n) —
+# ROUND on a tie-adjacent double differs across engines (seen at
+# sf0.001)
 _B15_COLS = ",\n      ".join(
-    f"ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = '{et}') AS DOUBLE)"
-    f" / COUNT(*) FILTER (WHERE event_type = '{et}'), 4) AS {et}"
+    f"CASE WHEN COUNT(*) FILTER (WHERE event_type = '{et}') > 0 THEN"
+    f" ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT))"
+    f"      FILTER (WHERE event_type = '{et}') * 100"
+    f"   + COUNT(*) FILTER (WHERE event_type = '{et}'))"
+    f"  // (2 * COUNT(*) FILTER (WHERE event_type = '{et}'))) / 10000.0"
+    f" END AS {et}"
     for et in _EVENT_TYPES
 )
 
@@ -179,11 +196,17 @@ _B15_COLS = ",\n      ".join(
 )
 def b15(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    vdec = F.col("value").cast("decimal(12,2)")
+    cents = F.sum(F.round(F.col("value") * 100).cast("bigint"))
+    n = F.count(F.lit(1))
+    num = 2 * cents * 100 + n
+    den = 2 * n
+    cell = F.when(
+        n > 0, ((num - F.pmod(num, den)) / den).cast("bigint") / 10000.0
+    )
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.sum(vdec).cast("double") / F.count(F.lit(1)), 4))
+        .agg(cell)
     )
 
 
@@ -432,9 +455,24 @@ def b11_gapfill(spark, sf_dir):
     oracle="""
     SELECT event_id, user_id, ts, value,
       ROUND(value - LAG(value) OVER w, 4) AS difference,
-      ROUND((value - LAG(value) OVER w)
-            / (CAST(FLOOR(epoch(ts)) AS BIGINT)
-               - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)), 6) AS derivative_per_s,
+      (CASE WHEN CAST(ROUND(value * 100) AS BIGINT)
+                 - CAST(ROUND(LAG(value) OVER w * 100) AS BIGINT) >= 0 THEN
+        ((2 * (CAST(ROUND(value * 100) AS BIGINT)
+               - CAST(ROUND(LAG(value) OVER w * 100) AS BIGINT)) * 1000000
+          + 100 * (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)))
+         // (2 * 100 * (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT))))
+        / 1000000.0
+       ELSE
+        -(((2 * (CAST(ROUND(LAG(value) OVER w * 100) AS BIGINT)
+                 - CAST(ROUND(value * 100) AS BIGINT)) * 1000000
+            + 100 * (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)))
+           // (2 * 100 * (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT))))
+          / 1000000.0)
+       END) AS derivative_per_s,
       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
         w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         AS cumulative_sum
@@ -448,7 +486,9 @@ def b12_transforms(spark, sf_dir):
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("value") * 100).cast("bigint")
     diff = F.col("value") - F.lag("value").over(w)
+    cdiff = cents - F.lag(cents).over(w)
     dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     return ev.select(
         "event_id",
@@ -456,7 +496,8 @@ def b12_transforms(spark, sf_dir):
         "ts",
         "value",
         F.round(diff, 4).alias("difference"),
-        F.round(diff / dt, 6).alias("derivative_per_s"),
+        # derivative = cdiff/(100·dt); signed → sign-magnitude exact
+        round_ratio_signed(cdiff, 100 * dt, 6).alias("derivative_per_s"),
         F.sum(F.col("value").cast("decimal(12,2)"))
         .over(wf)
         .cast("double")
@@ -631,7 +672,8 @@ def b12_ewma(spark, sf_dir):
       FROM events GROUP BY event_type
     )
     SELECT b.event_type, b.spread, m.mode_bin,
-      ROUND(t.integral_scaled / 100.0 / 3600.0, 4) AS integral_per_hour
+      ((2 * t.integral_scaled * 10000 + 360000)
+       // (2 * 360000)) / 10000.0 AS integral_per_hour
     FROM base b
     JOIN mode_pick m ON m.event_type = b.event_type AND m.rn = 1
     JOIN trap t ON t.event_type = b.event_type
@@ -679,7 +721,7 @@ def b3_influx_aggs(spark, sf_dir):
             "event_type",
             "spread",
             "mode_bin",
-            F.round(F.col("integral_scaled") / 100.0 / 3600.0, 4).alias(
+            round_ratio(F.col("integral_scaled"), F.lit(360000), 4).alias(
                 "integral_per_hour"
             ),
         )
@@ -701,15 +743,20 @@ def b3_influx_aggs(spark, sf_dir):
       CASE WHEN value - LAG(value) OVER w >= 0
            THEN ROUND(value - LAG(value) OVER w, 4) END
         AS nn_difference,
-      CASE WHEN value - LAG(value) OVER w >= 0
-           THEN ROUND((value - LAG(value) OVER w)
-                      / (CAST(FLOOR(epoch(ts)) AS BIGINT)
-                         - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)), 6) END
-        AS nn_derivative_per_s,
-      ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
-              w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
-            / COUNT(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
-        AS moving_avg_5
+      CASE WHEN CAST(ROUND(value * 100) AS BIGINT)
+                - CAST(ROUND(LAG(value) OVER w * 100) AS BIGINT) >= 0 THEN
+        ((2 * (CAST(ROUND(value * 100) AS BIGINT)
+               - CAST(ROUND(LAG(value) OVER w * 100) AS BIGINT)) * 1000000
+          + 100 * (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)))
+         // (2 * 100 * (CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT))))
+        / 1000000.0 END AS nn_derivative_per_s,
+      ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+          w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 100
+        + COUNT(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       // (2 * COUNT(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
+       / 10000.0 AS moving_avg_5
     FROM events
     WHERE user_id < 10
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -720,21 +767,22 @@ def b12_transforms2(spark, sf_dir):
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(-4, Window.currentRow)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cdiff = cents - F.lag(cents).over(w)
     diff = F.col("value") - F.lag("value").over(w)
     dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    nn = F.when(diff >= 0, diff)
     return ev.select(
         "event_id",
         "user_id",
         "ts",
         "value",
         dt.alias("elapsed_s"),
-        F.round(nn, 4).alias("nn_difference"),
-        F.round(nn / dt, 6).alias("nn_derivative_per_s"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(14,2)")).over(wf).cast("double")
-            / F.count("*").over(wf),
-            4,
+        F.round(F.when(diff >= 0, diff), 4).alias("nn_difference"),
+        F.when(cdiff >= 0, round_ratio(cdiff, 100 * dt, 6)).alias(
+            "nn_derivative_per_s"
+        ),
+        round_ratio(
+            F.sum(cents).over(wf), 100 * F.count("*").over(wf), 4
         ).alias("moving_avg_5"),
     )
 
@@ -1063,4 +1111,48 @@ def b12_rsi(spark, sf_dir):
         .applyInPandas(
             rsi, "user_id bigint, event_id bigint, ts timestamp, rsi14 double"
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B4b — skew-salted aggregation (operators/skew.py) proven against the
+# plain GROUP BY oracle: the two-stage (key, salt) partial + merge must
+# be indistinguishable from the direct aggregate for any algebraic
+# aggregate — the invariant that makes hot-key salting safe at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "b4_skew_salted_aggregate",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("B4",),
+)
+def b4_skew_salted(spark, sf_dir):
+    from ..operators.skew import salted_aggregate
+
+    ev = t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(12,2)")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "sum_value": (F.sum(vdec), F.sum("sum_value")),
+            "min_value": (F.min("value"), F.min("min_value")),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double"),
+        "min_value",
+        "max_value",
     )
