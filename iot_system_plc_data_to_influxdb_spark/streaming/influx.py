@@ -157,3 +157,19 @@ def parse_line_protocol(lines: DataFrame, column: str = "line") -> DataFrame:
         value.alias("value"),
         "ts",
     )
+
+
+def read_line_protocol_stream(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming ingest of line-protocol files (the format `influxd
+    backup`/telegraf/file-export pipelines emit): watch ``path`` for
+    text files, parse each line, null-gate malformed rows. Composes
+    spark.readStream.text with parse_line_protocol — the migration
+    path for replaying an existing InfluxDB deployment's data through
+    this engine."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    lines = reader.text(path).withColumnRenamed("value", "line")
+    return parse_line_protocol(lines).filter(F.col("measurement").isNotNull())

@@ -92,3 +92,36 @@ def test_line_protocol_foreign_lines(spark):
     assert m1[0]["value"] == 1.0 and m1[0]["ts"] is None
     bad = [r for r in out if r["measurement"] is None]
     assert bad  # null-gated, not crashed
+
+
+def test_line_protocol_file_stream(spark, tmp_path):
+    """Streamed line-protocol files land as parsed points; malformed
+    lines are null-gated out."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        read_line_protocol_stream,
+    )
+
+    src = tmp_path / "lp"
+    src.mkdir()
+    (src / "a.lp").write_text(
+        "plc1 temp=21.5 1704067200000000000\n"
+        "plc1,unit=c pres=9i 1704067201000000000\n"
+        "garbage line that is not protocol\n"
+    )
+    (src / "b.lp").write_text("plc2 flow=3.25 1704067202000000000\n")
+
+    rows = []
+    q = (
+        read_line_protocol_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["measurement"], r["field"]): r for r in rows}
+    assert set(got) == {("plc1", "temp"), ("plc1", "pres"), ("plc2", "flow")}
+    assert got[("plc1", "pres")]["tags"] == {"unit": "c"}
+    assert got[("plc1", "pres")]["value"] == 9.0
+    assert got[("plc2", "flow")]["value"] == 3.25
+    assert got[("plc1", "temp")]["ts"].year == 2024
