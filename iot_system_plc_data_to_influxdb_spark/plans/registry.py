@@ -10,8 +10,14 @@ hashing values.
 Determinism rules every registered query follows:
 - money/measure aggregates go through DECIMAL casts so sums are exact
   and order-independent (float sums are neither);
-- any emitted double is ``round()``-ed one digit past the value's exact
-  decimal precision so both engines land on the same printed value;
+- a rounded RATIO of exact integers never touches ROUND-on-double —
+  it rounds half-up in integer space via plans/_exact.py (engines
+  disagree on tie-adjacent doubles; quotients of integers can land
+  exactly on ties);
+- iterative folds (EWMA, Holt, RSI) apply the identical IEEE-754
+  expression tree as their recursive-CTE oracles and emit raw doubles
+  (identical doubles hash identically — rounding them would only
+  reintroduce tie risk);
 - rankings always carry a unique tie-break column.
 """
 
