@@ -1156,3 +1156,71 @@ def b4_skew_salted(spark, sf_dir):
         "min_value",
         "max_value",
     )
+
+
+# --------------------------------------------------------------------------
+# B12g — double/triple exponential moving average (InfluxQL
+# double_/triple_exponential_moving_average): three chained EMA folds
+# carried together through one grouped-map pass, oracle = one
+# recursive CTE advancing (e1, e2, e3) per row with the identical
+# IEEE-754 expression trees. Raw doubles out — no rounding.
+# --------------------------------------------------------------------------
+_B12_DEMA_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 10
+    ),
+    rec AS (
+      SELECT user_id, event_id, ts, rn,
+        value AS e1, value AS e2, value AS e3
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.ts, s.rn,
+        0.3 * s.value + (1 - 0.3) * r.e1,
+        0.3 * (0.3 * s.value + (1 - 0.3) * r.e1) + (1 - 0.3) * r.e2,
+        0.3 * (0.3 * (0.3 * s.value + (1 - 0.3) * r.e1) + (1 - 0.3) * r.e2)
+          + (1 - 0.3) * r.e3
+      FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts,
+      2 * e1 - e2 AS dema,
+      3 * e1 - 3 * e2 + e3 AS tema
+    FROM rec
+"""
+
+
+@register("b12_dema_tema", oracle=_B12_DEMA_ORACLE, tags=("B12", "B30"))
+def b12_dema_tema(spark, sf_dir):
+    import pandas as pd
+
+    a = 0.3
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        e1 = e2 = e3 = None
+        dema, tema = [], []
+        for v in pdf["value"]:
+            if e1 is None:
+                e1 = e2 = e3 = v
+            else:
+                # identical trees to the oracle's recursive arm
+                e1 = a * v + (1 - a) * e1
+                e2 = a * e1 + (1 - a) * e2
+                e3 = a * e2 + (1 - a) * e3
+            dema.append(2 * e1 - e2)
+            tema.append(3 * e1 - 3 * e2 + e3)
+        pdf["dema"] = dema
+        pdf["tema"] = tema
+        return pdf[["user_id", "event_id", "ts", "dema", "tema"]]
+
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "user_id bigint, event_id bigint, ts timestamp, dema double, tema double",
+        )
+    )
