@@ -57,7 +57,7 @@ _SELECT_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?"
     r"(?:\s+ORDER\s+BY\s+time\s+(?P<order>ASC|DESC))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?(?:\s+OFFSET\s+(?P<offset>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
@@ -95,6 +95,7 @@ class _Query:
     fill: str | None = None
     order_desc: bool = False
     limit: int | None = None
+    offset: int = 0
 
 
 def parse(q: str) -> _Query:
@@ -159,6 +160,7 @@ def parse(q: str) -> _Query:
     out.fill = fill
     out.order_desc = (gd["order"] or "").upper() == "DESC"
     out.limit = int(gd["limit"]) if gd["limit"] else None
+    out.offset = int(gd["offset"]) if gd.get("offset") else 0
 
     if fill and out.group_time_s is None:
         raise InfluxQLError("fill() requires GROUP BY time()")
@@ -218,6 +220,8 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
             )
     order_cols = [F.col("time").desc() if q.order_desc else F.col("time")]
     df = df.orderBy(*order_cols, *q.group_tags)
+    if q.offset:
+        df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
     return df
@@ -307,6 +311,8 @@ def compile_influxql(
             df = df.select("ts", *[c for c in cols if c != "ts"])
         df = df.orderBy(F.col("ts").desc() if q.order_desc else F.col("ts"))
 
+    if q.offset:
+        df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
     return df

@@ -296,3 +296,16 @@ def test_delete_and_drop_measurement(points):
 
     with pytest.raises(InfluxQLError):
         compile_delete("DELETE FROM m WHERE value > 3", points)
+
+
+def test_limit_offset(points):
+    full = compile_influxql(
+        "SELECT value FROM points WHERE alias = 'temp' ORDER BY time DESC LIMIT 10",
+        points,
+    ).collect()
+    page2 = compile_influxql(
+        "SELECT value FROM points WHERE alias = 'temp' "
+        "ORDER BY time DESC LIMIT 5 OFFSET 5",
+        points,
+    ).collect()
+    assert [r["value"] for r in page2] == [r["value"] for r in full[5:]]
