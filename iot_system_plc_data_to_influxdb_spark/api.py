@@ -145,9 +145,11 @@ class IoTEngine:
         language) against a measurement DataFrame; GROUP BY time()
         statements that merge exactly from a CQ rollup are routed to
         it automatically."""
-        from .functions.influxql import compile_influxql
+        from .functions.influxql import compile_statement
 
-        return compile_influxql(query, table, rollup, rollup_every_s)
+        return compile_statement(
+            query, table, rollup=rollup, rollup_every_s=rollup_every_s
+        )
 
     # -- continuous queries (InfluxDB CQ / RESAMPLE parity) ------------
     def start_continuous_query(

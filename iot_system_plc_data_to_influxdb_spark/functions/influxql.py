@@ -430,3 +430,49 @@ def compile_delete(query: str, points: DataFrame) -> DataFrame:
             raise InfluxQLError(f"unsupported DELETE condition {c!r}")
     doomed = victim.filter(cond).select(points.columns)
     return points.exceptAll(doomed)
+
+
+# --------------------------------------------------------------------------
+# Subqueries: SELECT ... FROM (SELECT ...) — Grafana's idiom for
+# "aggregate of an aggregate" (e.g. max of the 5-minute means). The
+# inner statement compiles first; its `time` column becomes the outer
+# statement's `ts`, and the outer statement is compiled against the
+# inner result. One level of nesting per InfluxDB 1.x semantics
+# (inner may itself nest — recursion handles it).
+# --------------------------------------------------------------------------
+def _split_subquery(q: str):
+    """Return (outer_template, inner_text) for SELECT ... FROM ( ... )
+    statements, else None. Balanced-paren scan — the inner text
+    contains parens (time(5m), fill(...))."""
+    m = re.search(r"\bFROM\s*\(", q, re.IGNORECASE)
+    if not m:
+        return None
+    start = q.index("(", m.start())
+    depth, i = 0, start
+    while i < len(q):
+        if q[i] == "(":
+            depth += 1
+        elif q[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if depth != 0:
+        raise InfluxQLError(f"unbalanced parentheses in {q!r}")
+    inner = q[start + 1 : i]
+    outer = q[: m.end() - 1].rstrip().removesuffix("FROM").rstrip()
+    outer = f"{outer} FROM __sub__ {q[i + 1:].strip()}".strip()
+    return outer, inner
+
+
+def compile_statement(query: str, table: DataFrame, **kw) -> DataFrame:
+    """compile_influxql with subquery support."""
+    sub = _split_subquery(query)
+    if sub is None:
+        return compile_influxql(query, table, **kw)
+    outer_q, inner_q = sub
+    inner_df = compile_statement(inner_q, table, **kw)
+    if "time" in inner_df.columns:
+        inner_df = inner_df.withColumnRenamed("time", "ts")
+    # rollup routing only applies to the innermost raw-table scan
+    return compile_influxql(outer_q, inner_df)

@@ -309,3 +309,47 @@ def test_limit_offset(points):
         points,
     ).collect()
     assert [r["value"] for r in page2] == [r["value"] for r in full[5:]]
+
+
+def test_subquery_aggregate_of_aggregate(points):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_statement,
+    )
+
+    out = compile_statement(
+        "SELECT max(m) AS peak, min(m) AS trough FROM "
+        "(SELECT mean(value) AS m FROM points "
+        " WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        " GROUP BY time(5m), plc_ip) "
+        "GROUP BY plc_ip",
+        points,
+    ).collect()
+    inner = (
+        points.filter(
+            (F.col("ts") >= "2024-01-01 00:00:00")
+            & (F.col("ts") < "2024-01-01 01:00:00")
+        )
+        .groupBy(F.window("ts", "300 seconds").start.alias("time"), "plc_ip")
+        .agg(F.avg("value").alias("m"))
+    )
+    exp = {
+        r["plc_ip"]: r
+        for r in inner.groupBy("plc_ip")
+        .agg(F.max("m").alias("peak"), F.min("m").alias("trough"))
+        .collect()
+    }
+    assert len(out) == 2
+    for r in out:
+        assert r["peak"] == exp[r["plc_ip"]]["peak"]
+        assert r["trough"] == exp[r["plc_ip"]]["trough"]
+
+
+def test_subquery_plain_statement_passthrough(points):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_statement,
+    )
+
+    n = compile_statement(
+        "SELECT count(value) AS n FROM points", points
+    ).first()["n"]
+    assert n == points.count()
