@@ -57,7 +57,8 @@ _SELECT_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?"
     r"(?:\s+ORDER\s+BY\s+time\s+(?P<order>ASC|DESC))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?(?:\s+OFFSET\s+(?P<offset>\d+))?\s*$",
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?(?:\s+OFFSET\s+(?P<offset>\d+))?"
+    r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
@@ -96,6 +97,7 @@ class _Query:
     order_desc: bool = False
     limit: int | None = None
     offset: int = 0
+    slimit: int | None = None
 
 
 def parse(q: str) -> _Query:
@@ -161,6 +163,9 @@ def parse(q: str) -> _Query:
     out.order_desc = (gd["order"] or "").upper() == "DESC"
     out.limit = int(gd["limit"]) if gd["limit"] else None
     out.offset = int(gd["offset"]) if gd.get("offset") else 0
+    out.slimit = int(gd["slimit"]) if gd.get("slimit") else None
+    if out.slimit is not None and not out.group_tags:
+        raise InfluxQLError("SLIMIT requires GROUP BY <tag>")
 
     if fill and out.group_time_s is None:
         raise InfluxQLError("fill() requires GROUP BY time()")
@@ -203,8 +208,16 @@ def _aligned(cond, every_s: int, allowed_ops: tuple) -> bool:
 
 
 def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
-    """fill() / ORDER BY time / LIMIT on a GROUP BY time() result —
-    shared by the raw-table and rollup-routed paths."""
+    """fill() / ORDER BY time / LIMIT / SLIMIT on a GROUP BY time()
+    result — shared by the raw-table and rollup-routed paths."""
+    if q.slimit is not None:
+        # series limit: keep the first SLIMIT series in tag order
+        rank = F.dense_rank().over(
+            Window.orderBy(*[F.col(t) for t in q.group_tags])
+        )
+        df = df.withColumn("_srank", rank).filter(
+            F.col("_srank") <= q.slimit
+        ).drop("_srank")
     if q.fill == "previous":
         w = (
             Window.partitionBy(*q.group_tags)

@@ -353,3 +353,13 @@ def test_subquery_plain_statement_passthrough(points):
         "SELECT count(value) AS n FROM points", points
     ).first()["n"]
     assert n == points.count()
+
+
+def test_slimit_series_limit(points):
+    out = compile_influxql(
+        "SELECT mean(value) AS m FROM points GROUP BY time(10m), plc_ip SLIMIT 1",
+        points,
+    ).collect()
+    assert {r["plc_ip"] for r in out} == {"192.168.0.1"}  # first series only
+    with pytest.raises(InfluxQLError):
+        parse("SELECT mean(value) FROM p GROUP BY time(5m) SLIMIT 2")
