@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -40,14 +41,52 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects. Read nanos as long and floor-divide to micros —
         # the same truncation DuckDB applies to TIMESTAMP_NS.
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
+
+
+def _nanos_bound(bound: str):
+    """Epoch-nanos literal for a timestamp bound string, evaluated via
+    CAST(bound AS TIMESTAMP) so session-timezone semantics are byte-
+    identical to filtering the converted column. Every node is foldable,
+    so Catalyst's ConstantFolding collapses it to one int64 literal that
+    the parquet scan can take as a pushed filter."""
+    return F.unix_micros(F.lit(bound).cast("timestamp")) * F.lit(1000).cast("bigint")
+
+
+def events_between(
+    spark: SparkSession, sf_dir: str, lo: str | None = None, hi: str | None = None
+) -> DataFrame:
+    """events scan with `lo <= ts < hi` applied on the RAW int64 nanos
+    column, BEFORE the timestamp conversion, so the bounds reach the
+    parquet reader as PushedFilters and row-group statistics prune.
+
+    Filtering after the `timestamp_micros(ts div 1000)` rewrite compares
+    an expression, which no reader can push — at 100 TB that turns a
+    "last hour" query into a full scan. Equivalence of the raw-nanos
+    filter: micros truncation is a floor, so for whole-microsecond
+    bounds `floor(ts/1000) >= lo_us  ⇔  ts >= lo_us*1000` (and the same
+    for the strict upper bound).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw = dict(df.dtypes).get("ts") == "bigint"
+    if raw:
+        if lo is not None:
+            df = df.filter(F.col("ts") >= _nanos_bound(lo))
+        if hi is not None:
+            df = df.filter(F.col("ts") < _nanos_bound(hi))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            df = df.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

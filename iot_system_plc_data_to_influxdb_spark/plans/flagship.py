@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import t
+from ..catalog import events_between
 from ._exact import round_ratio
 from .registry import register
 
@@ -76,11 +76,11 @@ def _signal(col_type, col_value):
 
 
 def signal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    sig = ev.filter(
-        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
-    ).select(
+    # range filter on the raw int64 nanos column (catalog.events_between)
+    # so the bounds reach the parquet scan as PushedFilters — the
+    # reference's "current window" query must prune, not full-scan.
+    ev = events_between(spark, sf_dir, "2024-01-01", "2024-02-01")
+    sig = ev.select(
         "event_type",
         F.window("ts", "1 minute").start.alias("bucket_start"),
         "ts",

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..catalog import t
+from ..catalog import events_between, t
 from .config_plane import DECODE_VECTORS, _A7_ORACLE
 from .registry import register
 
@@ -42,10 +42,8 @@ from .registry import register
     tags=("B26",),
 )
 def b26(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").filter(
-        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
-    )
+    # raw-nanos range filter → parquet PushedFilters (catalog.events_between)
+    ev = events_between(spark, sf_dir, "2024-01-01", "2024-01-03")
     return (
         ev.groupBy(
             F.window("ts", "10 minutes", "5 minutes").start.alias("win_start"),

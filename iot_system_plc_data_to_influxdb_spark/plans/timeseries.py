@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import t
+from ..catalog import events_between, t
 from ._exact import round_ratio, round_ratio_signed
 from .registry import register
 
@@ -41,10 +41,8 @@ from .registry import register
     tags=("B3",),
 )
 def b3(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").filter(
-        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
-    )
+    # raw-nanos range filter → parquet PushedFilters (catalog.events_between)
+    ev = events_between(spark, sf_dir, "2024-01-01", "2024-01-08")
     vdec = F.col("value").cast("decimal(12,2)")
     return (
         ev.groupBy("event_type", F.window("ts", "5 minutes").start.alias("bucket_start"))
@@ -368,11 +366,10 @@ def b24(spark, sf_dir):
 def b25(spark, sf_dir):
     # On a date-partitioned table this predicate is pure partition
     # pruning — the aged-off data is never read, which is the whole
-    # point of retention at 100 TB.
-    return (
-        t(spark, sf_dir, "events")
-        .filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
-        .select("event_id", "ts", "event_type")
+    # point of retention at 100 TB. Here the cutoff is pushed to the
+    # parquet reader on the raw nanos column (row-group pruning).
+    return events_between(spark, sf_dir, lo="2024-01-15").select(
+        "event_id", "ts", "event_type"
     )
 
 
@@ -411,9 +408,7 @@ def b25(spark, sf_dir):
     tags=("B11", "B3"),
 )
 def b11_gapfill(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").filter(
-        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
-    )
+    ev = events_between(spark, sf_dir, hi="2024-01-03")
     types = ev.select("event_type").distinct()
     grid = types.crossJoin(
         spark.range(48).select(
@@ -913,7 +908,13 @@ def b24_holt_forecast(spark, sf_dir):
 def b3_influxql_compiled(spark, sf_dir):
     from ..functions.influxql import compile_influxql
 
-    ev = t(spark, sf_dir, "events")
+    # Pre-trim the scan with the same bounds the statement carries so
+    # the range reaches parquet as raw-nanos PushedFilters; the
+    # compiler's own (identical) ts filters stay on top — redundant but
+    # free, and the compiler's semantics are untouched.
+    ev = events_between(
+        spark, sf_dir, "2024-01-01 06:00:00", "2024-01-01 18:00:00"
+    )
     return compile_influxql(
         "SELECT count(value) AS n, min(value) AS lo, max(value) AS hi, "
         "spread(value) AS spread FROM events "

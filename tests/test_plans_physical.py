@@ -33,8 +33,27 @@ def test_b1_scan_pushdown(spark):
 
 
 def test_b2_time_range_pushdown(spark):
+    # Both bounds must reach the parquet reader as raw int64-nanos
+    # comparisons (catalog.events_between) — an expression-wrapped ts
+    # would push only IsNotNull and full-scan at 100 TB.
     p = _plan(spark, "b2_time_range")
-    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed
+    assert "LessThan(ts" in pushed
+
+
+def test_flagship_time_range_pushdown(spark):
+    p = _plan(spark, "flagship_signal_snapshot")
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed
+    assert "LessThan(ts" in pushed
+
+
+def test_b3_downsample_pushdown(spark):
+    p = _plan(spark, "b3_downsample")
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed
+    assert "LessThan(ts" in pushed
 
 
 def test_b7_star_join_broadcasts(spark):
