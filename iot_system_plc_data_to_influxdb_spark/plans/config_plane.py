@@ -68,8 +68,8 @@ def config_df(spark):
     + """
     SELECT plc_ip, slot, data_type, data_area, address, alias, active,
       poll_interval,
-      list_transform(regexp_extract_all(address, '[0-9]+'),
-                     x -> CAST(x AS INT)) AS addr_nums,
+      array_to_string(regexp_extract_all(address, '[0-9]+'), '|')
+        AS addr_nums,
       CASE WHEN data_area = 'S7AreaDB'
            THEN list_transform(regexp_extract_all(address, '[0-9]+'),
                                x -> CAST(x AS INT))[1] END AS db_number,
@@ -92,7 +92,13 @@ def a1(spark, sf_dir):
     parsed = parse_address(F.col("data_area"), F.col("address"))
     return cfg.select(
         "*",
-        address_numbers(F.col("address")).alias("addr_nums"),
+        # '|'-joined string, not ARRAY<INT>: the driver's oracle
+        # canonicalizer hashes scalar cells only (CORRECTNESS_r01
+        # err: unhashable type 'list'), so array outputs serialize
+        # to a canonical string on both engine and oracle sides.
+        F.array_join(
+            address_numbers(F.col("address")).cast("array<string>"), "|"
+        ).alias("addr_nums"),
         parsed.db_number.alias("db_number"),
         parsed.byte_offset.alias("byte_offset"),
         parsed.bit_offset.alias("bit_offset"),
@@ -121,7 +127,7 @@ def a2(spark, sf_dir):
     + """
     SELECT plc_ip, COUNT(*) AS n_tags,
       COUNT(*) FILTER (WHERE active) AS n_active,
-      list_sort(list(alias)) AS aliases
+      array_to_string(list_sort(list(alias)), '|') AS aliases
     FROM config GROUP BY plc_ip
     """,
     tags=("A3",),
@@ -133,7 +139,10 @@ def a3(spark, sf_dir):
         .agg(
             F.count("*").alias("n_tags"),
             F.count_if(F.col("active")).alias("n_active"),
-            F.sort_array(F.collect_list("alias")).alias("aliases"),
+            # canonical string, not ARRAY (driver canonicalizer — see a1)
+            F.array_join(F.sort_array(F.collect_list("alias")), "|").alias(
+                "aliases"
+            ),
         )
     )
 
@@ -143,7 +152,7 @@ def a3(spark, sf_dir):
     oracle=_CFG_CTE
     + """
     SELECT plc_ip, poll_interval, COUNT(*) AS n_tags,
-      list_sort(list(alias)) AS aliases
+      array_to_string(list_sort(list(alias)), '|') AS aliases
     FROM config WHERE active GROUP BY plc_ip, poll_interval
     """,
     tags=("A4",),
@@ -155,7 +164,9 @@ def a4(spark, sf_dir):
         .groupBy("plc_ip", "poll_interval")
         .agg(
             F.count("*").alias("n_tags"),
-            F.sort_array(F.collect_list("alias")).alias("aliases"),
+            F.array_join(F.sort_array(F.collect_list("alias")), "|").alias(
+                "aliases"
+            ),
         )
     )
 

@@ -847,7 +847,10 @@ def b21_bpe_tokens(spark, sf_dir):
     )
     SELECT lang,
       COUNT(*) AS n_total,
-      SUM(CASE WHEN hk <= threshold THEN 1 ELSE 0 END) AS n_kept
+      -- CAST: DuckDB SUM over integers widens to HUGEINT (int128),
+      -- which the driver canonicalizes differently from Spark's BIGINT
+      -- (CORRECTNESS_r01 hash mismatch)
+      CAST(SUM(CASE WHEN hk <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM rated GROUP BY lang
     """,
     tags=("B18", "B21"),

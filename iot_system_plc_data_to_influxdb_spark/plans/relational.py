@@ -502,7 +502,7 @@ def b14(spark, sf_dir):
       SUBSTRING(p_name, 1, 5) AS name_first5,
       LENGTH(p_name) AS name_len,
       CAST(REGEXP_EXTRACT(p_brand, '[0-9]+') AS INT) AS brand_num,
-      STR_SPLIT(p_name, ' ') AS name_words,
+      ARRAY_TO_STRING(STR_SPLIT(p_name, ' '), '|') AS name_words,
       CONCAT(p_brand, ':', p_type) AS brand_type,
       (p_name LIKE 'small%') AS is_small
     FROM part
@@ -516,7 +516,9 @@ def b16_string(spark, sf_dir):
         F.substring("p_name", 1, 5).alias("name_first5"),
         F.length("p_name").alias("name_len"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
-        F.split("p_name", " ").alias("name_words"),
+        # canonical '|'-joined string, not ARRAY — the driver's oracle
+        # canonicalizer hashes scalar cells only (CORRECTNESS_r01)
+        F.array_join(F.split("p_name", " "), "|").alias("name_words"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.col("p_name").like("small%").alias("is_small"),
     )
@@ -591,7 +593,7 @@ def b16_math(spark, sf_dir):
     oracle="""
     SELECT event_id,
       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k,
-      CAST(JSON_KEYS(props) AS VARCHAR[]) AS prop_keys
+      ARRAY_TO_STRING(CAST(JSON_KEYS(props) AS VARCHAR[]), '|') AS prop_keys
     FROM events
     WHERE event_id < 2000
     """,
@@ -604,7 +606,8 @@ def b17_json(spark, sf_dir):
         .select(
             "event_id",
             F.get_json_object("props", "$.k").cast("int").alias("k"),
-            F.json_object_keys("props").alias("prop_keys"),
+            # see b16_string_funcs: arrays serialize to canonical strings
+            F.array_join(F.json_object_keys("props"), "|").alias("prop_keys"),
         )
     )
 
