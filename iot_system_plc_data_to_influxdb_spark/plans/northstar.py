@@ -472,19 +472,25 @@ _B21_TFIDF_ORACLE = (
 
 @register("b21_tfidf_top_terms", oracle=_B21_TFIDF_ORACLE, tags=("B21",))
 def b21_tfidf(spark, sf_dir):
+    # Scale shape (VERDICT r01 #4): the vocabulary (idf) grows with the
+    # corpus — GBs at 100 TB — so it must NOT be the broadcast side.
+    # The probe slice (50 docs' tf rows) is the bounded-small side:
+    # broadcast it and let the full token→df table stay shuffled in
+    # place. n_docs likewise joins in as a broadcast 1-row aggregate
+    # instead of a driver-side .count() action.
     docs = t(spark, sf_dir, "documents")
     tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tf = tk.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     idf = tk.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    nd = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
-        tf.filter(F.col("doc_id") < 50)
-        .join(F.broadcast(idf), "t")
+        idf.join(F.broadcast(tf.filter(F.col("doc_id") < 50)), "t")
+        .join(F.broadcast(nd))
         .select(
             "doc_id",
             F.col("t").alias("token"),
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("score"),
         )
     )

@@ -91,6 +91,17 @@ def test_b20_knn_plan(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_b21_tfidf_broadcasts_probe_not_vocab(spark):
+    """The idf (vocabulary) side grows with the corpus — it must be the
+    streamed side. The bounded 50-doc tf slice is the broadcast side."""
+    p = _plan(spark, "b21_tfidf_top_terms", mode="simple")
+    hash_bc = p.split("BroadcastExchange HashedRelation")
+    assert len(hash_bc) == 2  # exactly one hashed broadcast (the tf probe)
+    assert "LessThan(doc_id,50)" in hash_bc[1][:2500]  # probe slice inside it
+    assert "count(distinct" not in hash_bc[1][:2500]  # vocab NOT inside it
+    assert "count(distinct" in hash_bc[0]  # vocab on the streamed side
+
+
 def test_whole_stage_codegen_on_decode(spark):
     """The native decode path (a7) must stay inside codegen — no
     Python boundary (BatchEvalPython/ArrowEvalPython) in the plan."""
