@@ -36,3 +36,58 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(
         *[merge.alias(name) for name, (_, merge) in aggs.items()]
     )
+
+
+def salted_self_join_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    n_salts: int = 8,
+    hot_threshold: int = 4096,
+) -> DataFrame:
+    """Within-bucket pair generation (``a.id < b.id``) with hot-bucket
+    salting — the LSH band-join hardening.
+
+    A self-join on bucket keys puts a bucket of m rows into ONE reducer
+    producing m² pairs; one viral LSH bucket stalls the stage at 100 TB.
+    Buckets above ``hot_threshold`` rows are detected with one count
+    aggregate (hot keys are few by definition, so their key list
+    broadcasts); their probe side is salted by ``hash(id) % n_salts``
+    and their build side replicated n_salts times, spreading each hot
+    bucket's pairs over n_salts reducers. Cold buckets take the plain
+    join. Output is the exact same pair multiset either way — asserted
+    against the unsalted join in tests/test_operators.py.
+
+    Returns (d1, d2) with possible duplicates when a pair shares
+    several buckets — callers dedupe exactly as with the plain join.
+    """
+    eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+
+    def _pairs(a, b, extra=None):
+        cond = eq[0]
+        for e in eq[1:]:
+            cond = cond & e
+        cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        if extra is not None:
+            cond = cond & extra
+        return a.alias("a").join(b.alias("b"), cond).select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+
+    sizes = df.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
+    hot_keys = sizes.filter(F.col("_bn") > hot_threshold).select(*bucket_cols)
+    flagged = df.join(
+        F.broadcast(hot_keys.withColumn("_hot", F.lit(True))),
+        bucket_cols,
+        "left",
+    )
+    cold = flagged.filter(F.col("_hot").isNull()).drop("_hot")
+    hot = flagged.filter(F.col("_hot") == F.lit(True)).drop("_hot")
+
+    cold_pairs = _pairs(cold, cold)
+    hot_a = hot.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)))
+    hot_b = hot.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    hot_pairs = _pairs(hot_a, hot_b, F.col("a._salt") == F.col("b._rep"))
+    return cold_pairs.unionByName(hot_pairs)

@@ -168,17 +168,15 @@ def b19_minhash(spark, sf_dir):
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bk")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    # Band self-join with hot-bucket salting (operators/skew.py): a
+    # viral LSH bucket of m docs otherwise lands m² candidate pairs on
+    # one reducer — the residual skew risk VERDICT r01 flagged. Cold
+    # buckets join plain; hot ones spread over n_salts reducers.
+    from ..operators.skew import salted_self_join_pairs
+
+    cand = salted_self_join_pairs(
+        bands, ["band", "bk"], id_col="doc_id", n_salts=8, hot_threshold=4096
+    ).distinct()
     # Verify candidates with array_intersect on the per-doc shingle
     # arrays (broadcast the tiny candidate list; no exploded self-join,
     # no extra shuffle).

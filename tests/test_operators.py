@@ -12,7 +12,10 @@ from iot_system_plc_data_to_influxdb_spark.operators.retention import (
     drop_expired,
     write_points_partitioned,
 )
-from iot_system_plc_data_to_influxdb_spark.operators.skew import salted_aggregate
+from iot_system_plc_data_to_influxdb_spark.operators.skew import (
+    salted_aggregate,
+    salted_self_join_pairs,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,6 +43,48 @@ def test_salted_aggregate_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_salted_self_join_pairs_hot_bucket(spark):
+    """Planted hot bucket: one LSH bucket with 200 members among many
+    small ones. The salted pair join must (a) produce the exact same
+    pair set as the naive self-join, and (b) spread the hot bucket's
+    pairs over ~n_salts reducer keys instead of one."""
+    n_salts = 8
+    rows = [(i, 0, "HOT") for i in range(200)]  # hot: 200 choose 2 pairs
+    rows += [(1000 + i, 1 + i % 50, f"c{i % 50}") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, band int, bk string")
+
+    naive = {
+        (r["d1"], r["d2"])
+        for r in df.alias("a")
+        .join(
+            df.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .collect()
+    }
+    salted = salted_self_join_pairs(
+        df, ["band", "bk"], id_col="doc_id", n_salts=n_salts, hot_threshold=100
+    )
+    assert {(r["d1"], r["d2"]) for r in salted.collect()} == naive
+    assert salted.count() == len(naive)  # no duplicated pairs either
+
+    # partition-spread: each hot pair lands on reducer key
+    # (band, bk, hash(d1) % n_salts) — max key load must be ~1/n_salts
+    # of the bucket's pairs, not all of them
+    hot_pairs = salted.filter(F.col("d1") < 1000)
+    per_key = (
+        hot_pairs.groupBy(F.pmod(F.hash("d1"), F.lit(n_salts)).alias("k"))
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in per_key)
+    assert len(per_key) == n_salts
+    assert max(r["count"] for r in per_key) < 0.35 * total
 
 
 def test_retention_partition_drop(spark):
