@@ -406,7 +406,65 @@ def b20_brute(spark, sf_dir):
     )
 
 
-@register("b20_knn_lsh", oracle=None, tags=("B20",))
+# DuckDB replay of operators/similarity.knn_lsh: the hyperplanes are
+# deterministic (sign = parity of the first hex char of md5("j_i")),
+# so the whole bucket assignment + Hamming-1 probe + exact-decimal
+# cosine re-derives in SQL. The proj sign test tolerates SUM-order
+# float drift (|proj| ≫ 1e-13 always).
+_B20_LSH_ORACLE = """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    planes AS (SELECT unnest(range(0, 8)) AS j),
+    signs AS (
+      SELECT j, i,
+        CASE WHEN strpos('0123456789abcdef',
+               substr(md5(j::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 1)) % 2 = 1
+             THEN 1.0 ELSE -1.0 END AS sgn
+      FROM planes CROSS JOIN pos
+    ),
+    proj AS (
+      SELECT e.vec_id, s.j,
+        SUM(CAST(e.embedding[s.i] AS DOUBLE) * s.sgn) AS p
+      FROM embeddings e CROSS JOIN signs s
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN p >= 0 THEN 1 << j ELSE 0 END) AS INT) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    probe AS (SELECT bucket AS pb FROM buckets WHERE vec_id = 0),
+    cand_buckets AS (
+      SELECT pb AS cb FROM probe
+      UNION
+      SELECT xor(pb, 1 << j) FROM probe CROSS JOIN planes
+    ),
+    cand AS (
+      SELECT b.vec_id, b.bucket FROM buckets b
+      WHERE b.vec_id <> 0 AND b.bucket IN (SELECT cb FROM cand_buckets)
+    ),
+    pe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    terms AS (
+      SELECT c.vec_id, c.bucket,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(p.pv[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      CROSS JOIN pe p CROSS JOIN pos
+    ),
+    agg AS (
+      SELECT vec_id, bucket,
+        SUM(da * db) AS dot, SUM(da * da) AS na, SUM(db * db) AS nb
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT vec_id, bucket,
+      ROUND(CAST(dot AS DOUBLE)
+            / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cos_sim
+    FROM agg
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("b20_knn_lsh", oracle=_B20_LSH_ORACLE, tags=("B20",))
 def b20_lsh(spark, sf_dir):
     # Scale path: random-hyperplane LSH bucket per vector; probe only
     # scans its own bucket (+ the corpus is pre-bucketed, so at 100 TB
@@ -655,7 +713,66 @@ def b22_pipeline(spark, sf_dir):
     return extract_features(with_binary_payload(docs))
 
 
-@register("b20_knn_ivf", oracle=None, tags=("B20",))
+# DuckDB replay of operators/similarity.knn_ivf: centroids are the
+# first 8 vectors, assignment = argmax of the exact-decimal cosine
+# (identical doubles both engines → identical argmax), probe searches
+# its 2 nearest cells.
+_B20_IVF_ORACLE = """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    cents AS (
+      SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    aterms AS (
+      SELECT e.vec_id, c.cell,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(c.cvec[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM embeddings e CROSS JOIN cents c CROSS JOIN pos
+    ),
+    asim AS (
+      SELECT vec_id, cell,
+        CAST(SUM(da * db) AS DOUBLE)
+          / SQRT(CAST(SUM(da * da) AS DOUBLE)
+                 * CAST(SUM(db * db) AS DOUBLE)) AS sim
+      FROM aterms GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell) AS rk
+        FROM asim) WHERE rk = 1
+    ),
+    probe_cells AS (
+      SELECT cell FROM asim WHERE vec_id = 0 ORDER BY sim DESC, cell LIMIT 2
+    ),
+    pe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT a.vec_id, a.cell FROM assigned a
+      WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe_cells)
+    ),
+    terms AS (
+      SELECT c.vec_id, c.cell,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(p.pv[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      CROSS JOIN pe p CROSS JOIN pos
+    ),
+    agg AS (
+      SELECT vec_id, cell,
+        SUM(da * db) AS dot, SUM(da * da) AS na, SUM(db * db) AS nb
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT vec_id, cell,
+      ROUND(CAST(dot AS DOUBLE)
+            / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cos_sim
+    FROM agg
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("b20_knn_ivf", oracle=_B20_IVF_ORACLE, tags=("B20",))
 def b20_ivf(spark, sf_dir):
     # IVF-flat variant (deterministic coarse quantizer): the second
     # scale path next to LSH. Recall vs brute force asserted in
