@@ -81,6 +81,55 @@ def knn_lsh(
     )
 
 
+def write_lsh_bucketed(emb: DataFrame, path: str, n_planes: int = 8) -> None:
+    """Materialize the corpus partitioned by LSH bucket id — the
+    storage layout behind the "probe reads ~(1+n)/2^b of the data"
+    claim. At 100 TB each bucket directory is its own file set, so a
+    probe's bucket IN (...) predicate becomes partition pruning: files
+    outside the probed buckets are never opened."""
+    (
+        emb.withColumn("bucket", hyperplane_sign_bits(F.col("embedding"), n_planes))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def knn_lsh_bucketed(
+    spark,
+    path: str,
+    probe_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """knn_lsh against a write_lsh_bucketed corpus: identical results,
+    but the candidate filter hits the PARTITION column, so the scan
+    prunes to the probed bucket directories (asserted on the physical
+    plan in tests/test_bucketing.py)."""
+    bucketed = spark.read.parquet(path)
+    probe_row = (
+        bucketed.filter(F.col("vec_id") == probe_vec_id)
+        .select("bucket", F.col("embedding").alias("pe"))
+        .first()
+    )
+    candidates = _hamming_neighbors(int(probe_row["bucket"]), n_planes, probe_radius)
+    probe = spark.createDataFrame([(probe_row["pe"],)], "pe array<float>")
+    return (
+        bucketed.filter(
+            (F.col("vec_id") != probe_vec_id) & F.col("bucket").isin(candidates)
+        )
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(cosine(F.col("embedding"), F.col("pe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def knn_ivf(
     emb: DataFrame,
     probe_vec_id: int,
