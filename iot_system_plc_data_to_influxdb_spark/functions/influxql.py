@@ -207,17 +207,59 @@ def _aligned(cond, every_s: int, allowed_ops: tuple) -> bool:
     return epoch % every_s == 0
 
 
+def _epoch_utc(ts: str) -> int:
+    import datetime as _dt
+
+    return int(
+        _dt.datetime.fromisoformat(ts)
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+    )
+
+
 def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
     """fill() / ORDER BY time / LIMIT / SLIMIT on a GROUP BY time()
     result — shared by the raw-table and rollup-routed paths."""
     if q.slimit is not None:
-        # series limit: keep the first SLIMIT series in tag order
-        rank = F.dense_rank().over(
-            Window.orderBy(*[F.col(t) for t in q.group_tags])
+        # series limit: rank series on the tiny DISTINCT-tags set and
+        # semi-join back — a global window over the full result would
+        # funnel every row through one partition at scale
+        w = Window.orderBy(*[F.col(t) for t in q.group_tags])
+        keep = (
+            df.select(*q.group_tags)
+            .distinct()
+            .withColumn("_srank", F.row_number().over(w))
+            .filter(F.col("_srank") <= q.slimit)
+            .drop("_srank")
         )
-        df = df.withColumn("_srank", rank).filter(
-            F.col("_srank") <= q.slimit
-        ).drop("_srank")
+        df = df.join(F.broadcast(keep), q.group_tags, "semi")
+    if (
+        q.fill not in (None, "none")
+        and q.group_time_s
+        and q.time_lo is not None
+        and q.time_hi is not None
+    ):
+        # InfluxDB emits one row per interval across the queried range,
+        # including EMPTY buckets (fill(previous) carries values across
+        # gaps; fill(<num>)/fill(null) emit the fill value). Build the
+        # bucket grid per series and left-join the aggregates onto it.
+        # The grid is bounded (range/every rows — tiny, broadcast); the
+        # series side is data-sized and stays distributed.
+        every = q.group_time_s
+        lo_s, hi_s = _epoch_utc(q.time_lo[1]), _epoch_utc(q.time_hi[1])
+        start = lo_s // every * every
+        if q.time_hi[0] == "<=":
+            end = hi_s // every * every + every
+        else:  # '<': buckets strictly before hi
+            end = -(-hi_s // every) * every
+        spark = df.sparkSession
+        grid = spark.range(start, end, every).select(
+            F.timestamp_seconds("id").alias("time")
+        )
+        if q.group_tags:
+            series = df.select(*q.group_tags).distinct()
+            grid = series.crossJoin(F.broadcast(grid))
+        df = grid.join(df, ["time", *q.group_tags], "left")
     if q.fill == "previous":
         w = (
             Window.partitionBy(*q.group_tags)
@@ -232,6 +274,18 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
                 alias, F.coalesce(F.col(alias), F.lit(float(q.fill)))
             )
     order_cols = [F.col("time").desc() if q.order_desc else F.col("time")]
+    if q.group_tags and (q.offset or q.limit is not None):
+        # InfluxQL LIMIT/OFFSET page points PER SERIES when the query
+        # groups by tags — and a partitioned row_number also avoids the
+        # single-partition global sort+limit at scale
+        wp = Window.partitionBy(*q.group_tags).orderBy(*order_cols)
+        df = df.withColumn("_rn", F.row_number().over(wp))
+        if q.offset:
+            df = df.filter(F.col("_rn") > q.offset)
+        if q.limit is not None:
+            df = df.filter(F.col("_rn") <= q.offset + (q.limit or 0))
+        df = df.drop("_rn")
+        return df.orderBy(*order_cols, *q.group_tags)
     df = df.orderBy(*order_cols, *q.group_tags)
     if q.offset:
         df = df.offset(q.offset)

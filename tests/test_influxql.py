@@ -363,3 +363,54 @@ def test_slimit_series_limit(points):
     assert {r["plc_ip"] for r in out} == {"192.168.0.1"}  # first series only
     with pytest.raises(InfluxQLError):
         parse("SELECT mean(value) FROM p GROUP BY time(5m) SLIMIT 2")
+
+
+def test_fill_previous_emits_empty_buckets(points, spark):
+    """InfluxDB emits one row per interval across the queried range;
+    gap buckets must appear (not vanish) and carry the previous value."""
+    gappy = points.filter(
+        ~F.col("ts").between("2024-01-01 00:20:00", "2024-01-01 00:29:59")
+    )
+    out = compile_influxql(
+        "SELECT last(value) AS lv FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m), alias fill(previous)",
+        gappy,
+    ).collect()
+    per_alias = {}
+    for r in out:
+        per_alias.setdefault(r["alias"], set()).add(r["time"].minute)
+    for mins in per_alias.values():
+        # all 12 five-minute buckets present, including the carved gap
+        assert mins == {0, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50, 55}
+    gap_rows = [r for r in out if r["time"].minute in (20, 25)]
+    assert gap_rows and all(r["lv"] is not None for r in gap_rows)
+
+
+def test_fill_zero_emits_empty_buckets(points):
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:30:00' "
+        "AND alias = 'temp' GROUP BY time(10m) fill(0)",
+        points.filter(F.col("ts") < "2024-01-01 00:10:00"),
+    ).collect()
+    # grid: 00:00, 00:10, 00:20, 00:30 (<= includes the bound's bucket)
+    assert [r["time"].minute for r in out] == [0, 10, 20, 30]
+    assert [r["n"] == 0 for r in out] == [False, True, True, True]
+
+
+def test_limit_pages_per_series(points):
+    out = compile_influxql(
+        "SELECT mean(value) AS m FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(10m), alias LIMIT 2 OFFSET 1",
+        points,
+    ).collect()
+    per_series = {}
+    for r in out:
+        per_series.setdefault(r["alias"], []).append(r["time"].minute)
+    # every series contributes exactly 2 buckets, starting after the
+    # first (offset 1) — InfluxQL pages points per series
+    assert len(per_series) > 1
+    for mins in per_series.values():
+        assert mins == [10, 20]
