@@ -144,9 +144,23 @@ class IoTEngine:
         """Compile an InfluxQL statement (the reference users' query
         language) against a measurement DataFrame; GROUP BY time()
         statements that merge exactly from a CQ rollup are routed to
-        it automatically."""
-        from .functions.influxql import compile_statement
+        it automatically. SHOW meta statements (Grafana autocomplete)
+        and DELETE/DROP MEASUREMENT retention statements go through
+        the same door, as they do on a real InfluxDB endpoint."""
+        import re as _re
 
+        from .functions.influxql import (
+            compile_delete,
+            compile_show,
+            compile_statement,
+        )
+
+        head = _re.match(r"\s*(\w+)", query)
+        verb = head.group(1).upper() if head else ""
+        if verb == "SHOW":
+            return compile_show(query, table)
+        if verb in ("DELETE", "DROP"):
+            return compile_delete(query, table)
         return compile_statement(
             query, table, rollup=rollup, rollup_every_s=rollup_every_s
         )

@@ -53,3 +53,75 @@ def test_full_workflow(spark):
         raw = spark.read.format("plc_sim").option("polls", "2").load()
         decoded = engine.decode_batch(raw)
         assert decoded.count() == 18
+
+
+def test_line_protocol_ingest_to_influxql_e2e(spark, tmp_path):
+    """The reference user's full loop on this engine: an existing
+    InfluxDB deployment's line-protocol export streams in, lands as
+    the partitioned points table, and the Grafana-style InfluxQL
+    statement answers from it (README.md:3 workflow)."""
+    import datetime as dt
+
+    from iot_system_plc_data_to_influxdb_spark.api import IoTEngine
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        read_line_protocol_stream,
+    )
+
+    # an hour of two PLCs' readings as another writer's .lp export
+    src = tmp_path / "lp"
+    src.mkdir()
+    base_ns = 1704067200_000_000_000  # 2024-01-01T00:00:00Z
+    lines = []
+    for i in range(120):  # every 30 s
+        ns = base_ns + i * 30_000_000_000
+        lines.append(f"192.168.0.1 temp={20 + (i % 7)}.5 {ns}")
+        lines.append(f"192.168.0.2 flow={i % 11}.25 {ns}")
+    (src / "export.lp").write_text("\n".join(lines) + "\n")
+
+    table = str(tmp_path / "points")
+    ckpt = str(tmp_path / "ckpt")
+    parsed = read_line_protocol_stream(spark, str(src))
+    points_stream = parsed.select(
+        "ts",
+        F.col("measurement").alias("plc_ip"),
+        F.col("field").alias("alias"),
+        "value",
+    )
+    q = (
+        points_stream.writeStream.format("parquet")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    engine = IoTEngine(spark)
+    pts = engine.points(table)
+    assert pts.count() == 240
+
+    out = engine.influxql(
+        "SELECT mean(value) AS m, count(value) AS n FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(10m), plc_ip",
+        pts,
+    ).collect()
+    got = {(r["plc_ip"], r["time"].minute): (r["m"], r["n"]) for r in out}
+    exp = {
+        (r["plc_ip"], r["w"].minute): (r["m"], r["n"])
+        for r in pts.groupBy(
+            F.window("ts", "10 minutes").start.alias("w"), "plc_ip"
+        )
+        .agg(F.avg("value").alias("m"), F.count("value").alias("n"))
+        .collect()
+    }
+    assert got == exp
+    assert len({ip for ip, _m in got}) == 2 and len(got) == 12
+
+    # meta + retention statements go through the same front door
+    names = [
+        r["name"] for r in engine.influxql("SHOW MEASUREMENTS", pts).collect()
+    ]
+    assert names == ["192.168.0.1", "192.168.0.2"]
+    surviving = engine.influxql('DROP MEASUREMENT "192.168.0.2"', pts)
+    assert surviving.select("plc_ip").distinct().count() == 1
