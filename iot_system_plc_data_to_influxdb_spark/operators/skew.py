@@ -74,15 +74,15 @@ def salted_self_join_pairs(
             F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
         )
 
-    sizes = df.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
-    hot_keys = sizes.filter(F.col("_bn") > hot_threshold).select(*bucket_cols)
-    flagged = df.join(
-        F.broadcast(hot_keys.withColumn("_hot", F.lit(True))),
-        bucket_cols,
-        "left",
-    )
-    cold = flagged.filter(F.col("_hot").isNull()).drop("_hot")
-    hot = flagged.filter(F.col("_hot") == F.lit(True)).drop("_hot")
+    # hot detection via ONE windowed count (not a groupBy + join back):
+    # every branch below shares the same shuffle subplan, which Spark's
+    # ReuseExchange collapses to a single physical exchange
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy(*bucket_cols)
+    flagged = df.withColumn("_bn", F.count("*").over(wb))
+    cold = flagged.filter(F.col("_bn") <= hot_threshold).drop("_bn")
+    hot = flagged.filter(F.col("_bn") > hot_threshold).drop("_bn")
 
     cold_pairs = _pairs(cold, cold)
     hot_a = hot.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)))
