@@ -52,6 +52,25 @@ _AGGS = {
     "stddev": lambda c: F.stddev_samp(c),
 }
 
+
+def _percentile_nearest_rank(c, p: float):
+    """InfluxDB percentile(): the nearest-rank sample — an actually-
+    observed value, no interpolation (deterministic cross-engine,
+    unlike Spark's interpolating percentile)."""
+    arr = F.array_sort(F.collect_list(c))
+    idx = F.greatest(
+        F.ceil(F.lit(p / 100.0) * F.size(arr)).cast("int"), F.lit(1)
+    )
+    return F.get(arr, idx - 1)
+
+
+def _agg_expr(fn: str, colname: str, arg: float | None):
+    if fn == "percentile":
+        if arg is None:
+            raise InfluxQLError("percentile() requires a second argument")
+        return _percentile_nearest_rank(F.col(colname), arg)
+    return _AGGS[fn](F.col(colname))
+
 _SELECT_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>[\w.\"]+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
@@ -62,7 +81,8 @@ _SELECT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?$",
+    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*"
+    r"(?:,\s*(?P<n>[\d.]+)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
 _TIME_COND_RE = re.compile(
@@ -86,7 +106,7 @@ def _unquote(s: str) -> str:
 
 @dataclass
 class _Query:
-    select: list  # (fn|None, column, alias)
+    select: list  # (fn|None, column, alias, numeric_arg|None)
     measurement: str
     time_lo: tuple | None = None  # (op, ts)
     time_hi: tuple | None = None
@@ -114,17 +134,19 @@ def parse(q: str) -> _Query:
             groupby = groupby[: fm.start()]
 
     sel = []
-    for item in (s.strip() for s in gd["select"].split(",")):
+    # split on commas OUTSIDE parens so "percentile(v, 95), max(v)" works
+    for item in (s.strip() for s in re.split(r",(?![^(]*\))", gd["select"])):
         am = _AGG_ITEM_RE.match(item)
         if am:
             fn = am.group("fn").lower()
-            if fn not in _AGGS:
+            if fn not in _AGGS and fn not in ("percentile", "top", "bottom"):
                 raise InfluxQLError(f"unsupported aggregate {fn!r}")
+            n = float(am.group("n")) if am.group("n") else None
             sel.append(
-                (fn, _unquote(am.group("arg")), am.group("alias") or fn)
+                (fn, _unquote(am.group("arg")), am.group("alias") or fn, n)
             )
         elif re.match(r"^[\w\"*]+$", item):
-            sel.append((None, _unquote(item), _unquote(item)))
+            sel.append((None, _unquote(item), _unquote(item), None))
         else:
             raise InfluxQLError(f"unsupported select item {item!r}")
 
@@ -266,10 +288,10 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
             .orderBy("time")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        for _fn, _col, alias in q.select:
+        for _fn, _col, alias, _n in q.select:
             df = df.withColumn(alias, F.last(alias, ignorenulls=True).over(w))
     elif q.fill not in (None, "none", "null"):
-        for _fn, _col, alias in q.select:
+        for _fn, _col, alias, _n in q.select:
             df = df.withColumn(
                 alias, F.coalesce(F.col(alias), F.lit(float(q.fill)))
             )
@@ -299,7 +321,7 @@ def _rollup_servable(q: _Query, rollup_every_s: int | None) -> bool:
         rollup_every_s is not None
         and q.group_time_s is not None
         and q.group_time_s % rollup_every_s == 0
-        and all(fn in _ROLLUP_AGGS and c == "value" for fn, c, _a in q.select)
+        and all(fn in _ROLLUP_AGGS and c == "value" for fn, c, _a, _n in q.select)
         and set(q.group_tags) <= {"plc_ip", "alias"}
         and all(k in ("plc_ip", "alias") for k, _v in q.tag_eq)
         and _aligned(q.time_lo, rollup_every_s, (">=",))
@@ -345,7 +367,7 @@ def compile_influxql(
         bucket = F.window("bucket_start", f"{q.group_time_s} seconds").start
         keys = [bucket.alias("time"), *[F.col(t) for t in q.group_tags]]
         df = df.groupBy(*keys).agg(
-            *[_ROLLUP_AGGS[fn]().alias(alias) for fn, _c, alias in q.select]
+            *[_ROLLUP_AGGS[fn]().alias(alias) for fn, _c, alias, _n in q.select]
         )
         return _finish_grouped(df, q)
 
@@ -363,14 +385,52 @@ def compile_influxql(
     for key, val in q.tag_eq:
         df = df.filter(F.col(key) == F.lit(val))
 
-    if q.group_time_s is not None:
+    selectors = [s for s in q.select if s[0] in ("top", "bottom")]
+    if selectors:
+        # top(v, N)/bottom(v, N): InfluxDB "selectors" return N POINTS
+        # per series (time preserved), not one aggregate row — a
+        # tag-partitioned rank, not a groupBy
+        if len(q.select) != 1 or q.group_time_s is not None:
+            raise InfluxQLError(
+                "top()/bottom() must be the only select item and cannot "
+                "combine with GROUP BY time()"
+            )
+        fn, colname, alias, n = q.select[0]
+        if n is None:
+            raise InfluxQLError(f"{fn}() requires a second argument")
+        order = (
+            [F.col(colname).desc(), F.col("ts")]
+            if fn == "top"
+            else [F.col(colname), F.col("ts")]
+        )
+        w = (
+            Window.partitionBy(*q.group_tags).orderBy(*order)
+            if q.group_tags
+            else Window.orderBy(*order)
+        )
+        df = (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(n))
+            .select(
+                F.col("ts").alias("time"),
+                *q.group_tags,
+                F.col(colname).alias(alias),
+            )
+            .orderBy("time", *q.group_tags)
+        )
+    elif q.group_time_s is not None:
         bucket = F.window("ts", f"{q.group_time_s} seconds").start
         keys = [bucket.alias("time"), *[F.col(t) for t in q.group_tags]]
-        aggs = [_AGGS[fn](F.col(colname)).alias(alias) for fn, colname, alias in q.select]
+        aggs = [
+            _agg_expr(fn, colname, n).alias(alias)
+            for fn, colname, alias, n in q.select
+        ]
         return _finish_grouped(df.groupBy(*keys).agg(*aggs), q)
     elif q.select and q.select[0][0]:
         keys = [F.col(t) for t in q.group_tags]
-        aggs = [_AGGS[fn](F.col(c)).alias(a) for fn, c, a in q.select]
+        aggs = [
+            _agg_expr(fn, c, n).alias(a) for fn, c, a, n in q.select
+        ]
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     else:
         cols = [s[1] for s in q.select]

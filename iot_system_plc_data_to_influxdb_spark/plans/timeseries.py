@@ -924,6 +924,48 @@ def b3_influxql_compiled(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B3d/B23 — InfluxQL percentile() through the compiled front door:
+# nearest-rank (an observed sample, no interpolation), exactly what
+# InfluxDB 1.x returns to Grafana. Oracle replays the rank pick.
+# --------------------------------------------------------------------------
+@register(
+    "b3_influxql_percentile",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+        TIMESTAMP '1970-01-01 00:00:00'
+          + to_seconds(CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)) AS time,
+        value,
+        ROW_NUMBER() OVER (PARTITION BY event_type,
+          CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) ORDER BY value) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type,
+          CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)) AS n
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-04'
+    )
+    SELECT time, event_type,
+      MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+               THEN value END) AS p95,
+      MAX(value) AS peak,
+      CAST(MAX(n) AS BIGINT) AS n
+    FROM ranked GROUP BY time, event_type
+    """,
+    tags=("B3", "B23", "B16"),
+)
+def b3_influxql_percentile(spark, sf_dir):
+    from ..functions.influxql import compile_influxql
+
+    ev = events_between(spark, sf_dir, "2024-01-02", "2024-01-04")
+    return compile_influxql(
+        "SELECT percentile(value, 95) AS p95, max(value) AS peak, "
+        "count(value) AS n FROM events "
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-04 00:00:00' "
+        "GROUP BY time(1h), event_type",
+        ev,
+    )
+
+
+# --------------------------------------------------------------------------
 # B12e — InfluxQL technical-analysis transforms:
 # chande_momentum_oscillator(14) and kaufmans_efficiency_ratio(14) per
 # user series. All window math runs on exact integer cents (values

@@ -138,7 +138,7 @@ def test_parse_shape():
         "ORDER BY time DESC LIMIT 100;"
     )
     assert q.measurement == "points"
-    assert q.select == [("mean", "value", "m")]
+    assert q.select == [("mean", "value", "m", None)]
     assert q.time_lo == (">=", "2024-01-01")
     assert q.tag_eq == [("plc_ip", "10.0.0.1")]
     assert q.group_time_s == 10
@@ -414,3 +414,54 @@ def test_limit_pages_per_series(points):
     assert len(per_series) > 1
     for mins in per_series.values():
         assert mins == [10, 20]
+
+
+def test_percentile_nearest_rank(points):
+    out = compile_influxql(
+        "SELECT percentile(value, 90) AS p90, count(value) AS n FROM points "
+        "WHERE alias = 'temp' GROUP BY plc_ip",
+        points,
+    ).collect()
+    assert out
+    for r in out:
+        vals = sorted(
+            x["value"]
+            for x in points.filter(
+                (F.col("alias") == "temp") & (F.col("plc_ip") == r["plc_ip"])
+            ).collect()
+        )
+        import math
+
+        expect = vals[max(math.ceil(0.9 * len(vals)), 1) - 1]
+        assert r["p90"] == expect  # an observed sample, nearest rank
+        assert r["n"] == len(vals)
+
+
+def test_top_bottom_selectors(points):
+    top = compile_influxql(
+        "SELECT top(value, 3) AS t FROM points GROUP BY alias", points
+    ).collect()
+    per = {}
+    for r in top:
+        per.setdefault(r["alias"], []).append(r["t"])
+    for alias, got in per.items():
+        vals = sorted(
+            (x["value"] for x in points.filter(F.col("alias") == alias).collect()),
+            reverse=True,
+        )
+        assert sorted(got, reverse=True) == vals[:3]
+    bottom = compile_influxql(
+        "SELECT bottom(value, 2) AS b FROM points GROUP BY alias", points
+    ).collect()
+    per_b = {}
+    for r in bottom:
+        per_b.setdefault(r["alias"], []).append(r["b"])
+    for alias, got in per_b.items():
+        vals = sorted(
+            x["value"] for x in points.filter(F.col("alias") == alias).collect()
+        )
+        assert sorted(got) == vals[:2]
+    with pytest.raises(InfluxQLError):
+        parse_and_raise = compile_influxql(
+            "SELECT top(value, 2), mean(value) FROM points", points
+        )
