@@ -218,3 +218,43 @@ def b30(spark, sf_dir):
         s7_value_pandas(F.col("data_type"), buf, F.col("bit_off")).alias("value"),
     )
     return decoded.filter(F.col("value").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# B26b — stream-stream interval join (streaming/joins.py), batch twin:
+# each click joined to the same user's errors in the preceding 10
+# minutes. The streaming path (watermarked, state bounded by the
+# lookback) runs the SAME plan in tests/test_streaming_joins.py; here
+# the batch compilation is hash-checked against the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "b26_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+      c.event_id AS click_id, c.ts AS click_ts,
+      e.event_id AS error_id, e.ts AS error_ts, e.value AS error_value
+    FROM events c JOIN events e
+      ON e.user_id = c.user_id
+     AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+    tags=("B26", "B10"),
+)
+def b26_stream_stream_join(spark, sf_dir):
+    from ..streaming.joins import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return interval_join(clicks, errors, "user_id", lookback="10 minutes").select(
+        "user_id",
+        F.col("p_event_id").alias("click_id"),
+        F.col("p_ts").alias("click_ts"),
+        F.col("r_event_id").alias("error_id"),
+        F.col("r_ts").alias("error_ts"),
+        F.col("r_value").alias("error_value"),
+    )

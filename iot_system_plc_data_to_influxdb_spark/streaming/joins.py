@@ -1,0 +1,58 @@
+"""Stream–stream joins (SURVEY.md §2 B26-family hardening).
+
+The reference correlates nothing across streams — every tag is an
+independent poll loop — but its users' dashboards do ("show readings
+around each alarm"). Structured Streaming expresses that as a
+watermarked stream–stream interval join: both sides declare how late
+they can be, the join condition bounds the time range, and Spark keeps
+only the watermark-bounded state window per key instead of the whole
+history — the property that makes the join runnable forever at 100 TB
+(state size is O(keys × lookback), not O(stream length)).
+
+The same plan compiles for batch DataFrames (watermarks are a no-op),
+so the batch twin is hash-checked against a DuckDB oracle while the
+streaming path is exercised end-to-end in tests/test_streaming_joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    key: str,
+    lookback: str = "10 minutes",
+    watermark: str = "1 minute",
+    probe_prefix: str = "p_",
+    ref_prefix: str = "r_",
+) -> DataFrame:
+    """Join each probe-side row to the ref-side rows of the same ``key``
+    whose ``ts`` falls in ``[probe.ts − lookback, probe.ts]``.
+
+    Both inputs need (key, ts, ...) columns. Output columns are the two
+    inputs' columns prefixed with ``probe_prefix``/``ref_prefix``
+    (``key`` kept once, unprefixed). Watermarks are applied only when
+    the input is actually streaming.
+    """
+    p = probe.select(
+        F.col(key),
+        *[F.col(c).alias(f"{probe_prefix}{c}") for c in probe.columns if c != key],
+    )
+    r = ref.select(
+        F.col(key).alias("_rkey"),
+        *[F.col(c).alias(f"{ref_prefix}{c}") for c in ref.columns if c != key],
+    )
+    if probe.isStreaming:
+        p = p.withWatermark(f"{probe_prefix}ts", watermark)
+    if ref.isStreaming:
+        r = r.withWatermark(f"{ref_prefix}ts", watermark)
+    pts, rts = F.col(f"{probe_prefix}ts"), F.col(f"{ref_prefix}ts")
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (rts >= pts - F.expr(f"INTERVAL {lookback}"))
+        & (rts <= pts)
+    )
+    return p.join(r, cond, "inner").drop("_rkey")
