@@ -862,47 +862,19 @@ _B19_CLUSTERS_ORACLE = (
 @register("b19_neardup_clusters", oracle=_B19_CLUSTERS_ORACLE, tags=("B19",))
 def b19_clusters(spark, sf_dir):
     # cache the (tiny) pair list so the expensive LSH derivation runs
-    # once, not once per edge direction / superstep
+    # once, not once per star round
     pairs = b19_minhash(spark, sf_dir).select("d1", "d2").cache()
-    pairs.count()  # materialize before the 2-way union scans it twice
-    edges = (
-        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
-        .toDF("src", "dst")
-        .cache()
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .cache()
-    )
-    prev_sum = object()  # sentinel: first superstep always runs
-    for _ in range(20):  # safety bound; tiny diameters converge in 2-4
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                labels.doc_id,
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .cache()
-        )
-        # labels only ever decrease, so the sum is a fixpoint detector
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    pairs.count()
+    # alternating large-star/small-star CC (operators/graph.py):
+    # O(log n) rounds even on adversarial chains, vs O(diameter) for
+    # naive min-label propagation; per-round driver traffic is one
+    # scalar checksum
+    from ..operators.graph import connected_components
+
+    labels, _rounds = connected_components(pairs)
     wc = Window.partitionBy("cluster_id")
     return labels.select(
-        "doc_id", F.col("label").alias("cluster_id")
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).select(
         "doc_id",
         "cluster_id",

@@ -154,3 +154,56 @@ def test_kmeans_recovers_planted_clusters(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_connected_components_star_chain(spark):
+    """Adversarial 200-node path graph: min-label propagation needs
+    O(diameter)=199 supersteps; large-star/small-star must converge in
+    O(log n) rounds with every node labeled 0."""
+    from iot_system_plc_data_to_influxdb_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "d1 long, d2 long"
+    )
+    labels, rounds = connected_components(chain)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(200)}
+    assert rounds <= 12  # log-ish, not diameter-ish
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    from iot_system_plc_data_to_influxdb_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    pairs = sorted({
+        tuple(sorted(rng.sample(range(300), 2))) for _ in range(220)
+    })
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want = {}
+    nodes_in_pairs = {n for p in pairs for n in p}
+    roots = {}
+    for n in sorted(nodes_in_pairs):
+        r = find(n)
+        roots.setdefault(r, n)  # min node per component
+        want[n] = roots[r]
+
+    labels, _ = connected_components(
+        spark.createDataFrame(pairs, "d1 long, d2 long")
+    )
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == want
