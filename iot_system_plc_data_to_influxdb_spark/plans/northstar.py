@@ -710,7 +710,10 @@ def b22_pipeline(spark, sf_dir):
     from ..operators.multimodal import extract_features, with_binary_payload
 
     docs = t(spark, sf_dir, "documents")
-    return extract_features(with_binary_payload(docs))
+    out = extract_features(with_binary_payload(docs))
+    # Serialize the feature vector for the driver's canonicalizer, which
+    # cannot hash ARRAY cells (round-1 a1/a3/a4/b16/b17 failure mode).
+    return out.withColumn("features", F.to_json(F.col("features")))
 
 
 # DuckDB replay of operators/similarity.knn_ivf: centroids are the
