@@ -8,15 +8,23 @@ dashboards' queries, this module compiles the InfluxQL subset the
 reference deployment exercises into the engine's DataFrame operators:
 
     SELECT <agg>(field) [AS alias][, ...] | <field|*>
+         | <xform>(<agg>(field)[, arg])    -- Grafana's nested transforms
+         | <xform>(field[, arg])           -- raw-series transforms
     FROM <identifier>                      -- resolved by the caller
-    [WHERE time >= 'ts' [AND time <(=) 'ts'] [AND <tag> = 'v' ...]]
+    [WHERE time >= 'ts' [AND time <(=) 'ts']
+           [AND <tag> =|!= 'v' | <tag> =~|!~ /re/ | <field> <op> <num> ...]]
     [GROUP BY time(<N><u>)[, <tag> ...]]   [fill(previous|none|<num>)]
     [ORDER BY time DESC|ASC]
     [LIMIT n]
 
 Aggregates: count, sum, mean, min, max, first, last, spread, median,
-stddev. Supported units: s/m/h/d/w. A parse failure raises
-``InfluxQLError`` with the offending clause — no silent fallback.
+stddev, mode, integral(unit), distinct, count(distinct(f)),
+percentile(f, p). Transforms (InfluxDB "transformations", applied per
+series AFTER the inner aggregation when nested): derivative,
+non_negative_derivative, difference, non_negative_difference,
+moving_average, cumulative_sum, elapsed. Supported units: s/m/h/d/w.
+A parse failure raises ``InfluxQLError`` with the offending clause —
+no silent fallback.
 
 The compiler is deliberately a ~tiny recursive regex grammar, not a
 full parser: InfluxQL's reference-relevant subset is flat (single
@@ -50,7 +58,35 @@ _AGGS = {
     "spread": lambda c: F.max(c) - F.min(c),
     "median": lambda c: F.median(c),
     "stddev": lambda c: F.stddev_samp(c),
+    # InfluxDB MODE() returns the most frequent value, lowest on ties —
+    # Spark's deterministic mode has exactly that tie-break.
+    "mode": lambda c: F.mode(c, True),
+    "count_distinct": lambda c: F.count_distinct(c),
 }
+
+# Transformations (InfluxDB terminology): consume an ordered series —
+# either the raw points or the GROUP BY time() aggregate buckets — and
+# emit a derived series. Window math per series; lag-based ones emit
+# n-1 rows like InfluxDB.
+_TRANSFORMS = (
+    "derivative",
+    "non_negative_derivative",
+    "difference",
+    "non_negative_difference",
+    "moving_average",
+    "cumulative_sum",
+    "elapsed",
+)
+
+
+def _duration_s(arg: str | None, default: float = 1.0) -> float:
+    """'10s'/'1m'/'2h' → seconds; bare number → seconds."""
+    if arg is None:
+        return default
+    m = re.match(r"^([\d.]+)([smhdw]?)$", arg)
+    if not m:
+        raise InfluxQLError(f"bad duration {arg!r}")
+    return float(m.group(1)) * _UNIT_SECONDS.get(m.group(2), 1)
 
 
 def _percentile_nearest_rank(c, p: float):
@@ -82,7 +118,13 @@ _SELECT_RE = re.compile(
 )
 _AGG_ITEM_RE = re.compile(
     r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*"
-    r"(?:,\s*(?P<n>[\d.]+)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
+    r"(?:,\s*(?P<n>[\d.]+[smhdw]?)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+_NESTED_ITEM_RE = re.compile(
+    r"^(?P<ofn>\w+)\s*\(\s*(?P<ifn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*"
+    r"(?:,\s*(?P<iarg>[\d.]+)\s*)?\)\s*"
+    r"(?:,\s*(?P<oarg>[\d.]+[smhdw]?)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
 _TIME_COND_RE = re.compile(
@@ -90,6 +132,15 @@ _TIME_COND_RE = re.compile(
 )
 _TAG_COND_RE = re.compile(
     r"^(?P<key>[\w\"]+)\s*=\s*'(?P<val>[^']*)'$"
+)
+_TAG_NEQ_RE = re.compile(
+    r"^(?P<key>[\w\"]+)\s*!=\s*'(?P<val>[^']*)'$"
+)
+_TAG_REGEX_RE = re.compile(
+    r"^(?P<key>[\w\"]+)\s*(?P<op>=~|!~)\s*/(?P<val>[^/]*)/$"
+)
+_FIELD_COND_RE = re.compile(
+    r"^(?P<key>[\w\"]+)\s*(?P<op>>=|<=|>|<|!=|=)\s*(?P<num>-?[\d.]+)$"
 )
 _GB_TIME_RE = re.compile(
     r"^time\s*\(\s*(?P<n>\d+)(?P<u>[smhdw])\s*\)$", re.IGNORECASE
@@ -111,6 +162,9 @@ class _Query:
     time_lo: tuple | None = None  # (op, ts)
     time_hi: tuple | None = None
     tag_eq: list = field(default_factory=list)
+    tag_neq: list = field(default_factory=list)
+    tag_regex: list = field(default_factory=list)  # (key, op, pattern)
+    field_cond: list = field(default_factory=list)  # (key, op, number)
     group_time_s: int | None = None
     group_tags: list = field(default_factory=list)
     fill: str | None = None
@@ -118,6 +172,8 @@ class _Query:
     limit: int | None = None
     offset: int = 0
     slimit: int | None = None
+    # select-index → (transform_fn, raw_arg) applied after aggregation
+    transforms: dict = field(default_factory=dict)
 
 
 def parse(q: str) -> _Query:
@@ -134,14 +190,60 @@ def parse(q: str) -> _Query:
             groupby = groupby[: fm.start()]
 
     sel = []
-    # split on commas OUTSIDE parens so "percentile(v, 95), max(v)" works
-    for item in (s.strip() for s in re.split(r",(?![^(]*\))", gd["select"])):
+    transforms: dict = {}
+    # split on commas at paren depth 0 so nested "derivative(mean(v), 1s)"
+    # and "percentile(v, 95), max(v)" both split correctly
+    items, depth, cur = [], 0, []
+    for ch in gd["select"]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur).strip())
+    for item in items:
+        nm = _NESTED_ITEM_RE.match(item)
         am = _AGG_ITEM_RE.match(item)
-        if am:
+        if nm:
+            ofn, ifn = nm.group("ofn").lower(), nm.group("ifn").lower()
+            col = _unquote(nm.group("arg"))
+            alias = nm.group("alias")
+            if ofn == "count" and ifn == "distinct":
+                sel.append(("count_distinct", col, alias or "count", None))
+            elif ofn in _TRANSFORMS and (
+                ifn in _AGGS or ifn == "percentile"
+            ):
+                if ofn == "elapsed":
+                    raise InfluxQLError("elapsed() takes a field, not an aggregate")
+                iarg = float(nm.group("iarg")) if nm.group("iarg") else None
+                transforms[len(sel)] = (ofn, nm.group("oarg"))
+                sel.append((ifn, col, alias or ofn, iarg))
+            else:
+                raise InfluxQLError(f"unsupported select item {item!r}")
+        elif am:
             fn = am.group("fn").lower()
-            if fn not in _AGGS and fn not in ("percentile", "top", "bottom"):
+            raw_n = am.group("n")
+            if fn in _TRANSFORMS:
+                # transform over the raw series: derivative(value, 1s)
+                transforms[len(sel)] = (fn, raw_n)
+                sel.append(
+                    (None, _unquote(am.group("arg")), am.group("alias") or fn, None)
+                )
+                continue
+            if fn not in _AGGS and fn not in (
+                "percentile", "top", "bottom", "distinct", "integral"
+            ):
                 raise InfluxQLError(f"unsupported aggregate {fn!r}")
-            n = float(am.group("n")) if am.group("n") else None
+            if raw_n is not None and re.search(r"[smhdw]$", raw_n):
+                if fn != "integral":
+                    raise InfluxQLError(f"duration argument invalid for {fn}()")
+                n: float | None = _duration_s(raw_n)
+            else:
+                n = float(raw_n) if raw_n else None
             sel.append(
                 (fn, _unquote(am.group("arg")), am.group("alias") or fn, n)
             )
@@ -150,7 +252,7 @@ def parse(q: str) -> _Query:
         else:
             raise InfluxQLError(f"unsupported select item {item!r}")
 
-    out = _Query(select=sel, measurement=_unquote(gd["from"]))
+    out = _Query(select=sel, measurement=_unquote(gd["from"]), transforms=transforms)
 
     if gd["where"]:
         for cond in re.split(r"\s+AND\s+", gd["where"], flags=re.IGNORECASE):
@@ -166,6 +268,23 @@ def parse(q: str) -> _Query:
             gm = _TAG_COND_RE.match(cond)
             if gm:
                 out.tag_eq.append((_unquote(gm.group("key")), gm.group("val")))
+                continue
+            nq = _TAG_NEQ_RE.match(cond)
+            if nq:
+                out.tag_neq.append((_unquote(nq.group("key")), nq.group("val")))
+                continue
+            rx = _TAG_REGEX_RE.match(cond)
+            if rx:
+                out.tag_regex.append(
+                    (_unquote(rx.group("key")), rx.group("op"), rx.group("val"))
+                )
+                continue
+            fc = _FIELD_COND_RE.match(cond)
+            if fc:
+                out.field_cond.append(
+                    (_unquote(fc.group("key")), fc.group("op"),
+                     float(fc.group("num")))
+                )
                 continue
             raise InfluxQLError(f"unsupported WHERE condition {cond!r}")
 
@@ -196,6 +315,18 @@ def parse(q: str) -> _Query:
         raise InfluxQLError("GROUP BY time() requires aggregate select")
     if aggs and len(aggs) != len(out.select):
         raise InfluxQLError("cannot mix aggregated and raw select items")
+    nested = [i for i in out.transforms if out.select[i][0]]
+    if nested and out.group_time_s is None:
+        raise InfluxQLError(
+            "transform of an aggregate requires GROUP BY time()"
+        )
+    for fn, _c, _a, _n in out.select:
+        if fn == "distinct" and (len(out.select) != 1 or out.group_time_s):
+            raise InfluxQLError(
+                "distinct() must be the only select item without GROUP BY time()"
+            )
+        if fn == "integral" and out.group_time_s is not None:
+            raise InfluxQLError("integral() with GROUP BY time() is unsupported")
     return out
 
 
@@ -237,6 +368,68 @@ def _epoch_utc(ts: str) -> int:
         .replace(tzinfo=_dt.timezone.utc)
         .timestamp()
     )
+
+
+def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataFrame:
+    """InfluxDB transformations over an ordered series — the GROUP BY
+    time() buckets (nested form) or the raw points (flat form). All of
+    them are per-series window math: partitioned by the GROUP BY tags,
+    ordered by time. Lag-based transforms emit one fewer row per series
+    (InfluxDB drops the seedless first point); moving_average emits
+    from the Nth point.
+
+    With no GROUP BY tag the window is a single partition — inherent to
+    differencing one global series, and bounded: the input here is
+    already aggregated buckets (range/interval rows), not raw points.
+    """
+    if not q.transforms:
+        return df
+    w = Window.partitionBy(*q.group_tags).orderBy(time_col)
+    tcol = F.col(time_col)
+    warm = []  # columns whose warm-up rows InfluxDB does not emit
+    for idx, (ofn, oarg) in q.transforms.items():
+        alias = q.select[idx][2]
+        c = F.col(alias)
+        if ofn in ("difference", "non_negative_difference"):
+            res = c - F.lag(c).over(w)
+            warm.append(alias)
+        elif ofn in ("derivative", "non_negative_derivative"):
+            # grouped queries default the unit to the bucket width,
+            # raw queries to 1s — InfluxDB 1.x behavior. Time deltas in
+            # exact integer micros (unix_timestamp would floor seconds
+            # and zero out sub-second gaps).
+            unit = _duration_s(oarg, float(q.group_time_s or 1))
+            dt = F.unix_micros(tcol) - F.unix_micros(F.lag(tcol).over(w))
+            res = (c - F.lag(c).over(w)) / (dt / F.lit(unit * 1_000_000.0))
+            warm.append(alias)
+        elif ofn == "moving_average":
+            if oarg is None:
+                raise InfluxQLError("moving_average() requires a window size")
+            n = int(float(oarg))
+            frame = w.rowsBetween(-(n - 1), 0)
+            res = F.when(F.count(c).over(frame) == n, F.avg(c).over(frame))
+            warm.append(alias)
+        elif ofn == "cumulative_sum":
+            res = F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        elif ofn == "elapsed":
+            unit = _duration_s(oarg, 1.0)
+            dt = F.unix_micros(tcol) - F.unix_micros(F.lag(tcol).over(w))
+            res = F.floor(dt / F.lit(unit * 1_000_000.0)).cast("bigint")
+            warm.append(alias)
+        else:
+            raise InfluxQLError(f"unsupported transform {ofn!r}")
+        df = df.withColumn(alias, res)
+        if ofn.startswith("non_negative"):
+            df = df.filter(F.col(alias) >= 0)
+    if warm:
+        # keep a row if any transformed column produced a value there
+        # (InfluxDB pads shorter-warm-up columns with null, drops rows
+        # where nothing is defined)
+        cond = F.lit(False)
+        for idx in q.transforms:
+            cond = cond | F.col(q.select[idx][2]).isNotNull()
+        df = df.filter(cond)
+    return df
 
 
 def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
@@ -295,6 +488,7 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
             df = df.withColumn(
                 alias, F.coalesce(F.col(alias), F.lit(float(q.fill)))
             )
+    df = _apply_transforms(df, q)
     order_cols = [F.col("time").desc() if q.order_desc else F.col("time")]
     if q.group_tags and (q.offset or q.limit is not None):
         # InfluxQL LIMIT/OFFSET page points PER SERIES when the query
@@ -316,11 +510,33 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
     return df
 
 
+def _where_filters(df: DataFrame, q: _Query) -> DataFrame:
+    """Tag equality/inequality/regex and numeric field predicates —
+    plain conjunctive filters, all pushdown-eligible except rlike."""
+    for key, val in q.tag_eq:
+        df = df.filter(F.col(key) == F.lit(val))
+    for key, val in q.tag_neq:
+        df = df.filter(F.col(key) != F.lit(val))
+    for key, op, pat in q.tag_regex:
+        c = F.col(key).rlike(pat)
+        df = df.filter(c if op == "=~" else ~c)
+    for key, op, num in q.field_cond:
+        c = F.col(key)
+        df = df.filter(
+            c >= num if op == ">=" else c <= num if op == "<=" else
+            c > num if op == ">" else c < num if op == "<" else
+            c != num if op == "!=" else c == num
+        )
+    return df
+
+
 def _rollup_servable(q: _Query, rollup_every_s: int | None) -> bool:
     return (
         rollup_every_s is not None
         and q.group_time_s is not None
         and q.group_time_s % rollup_every_s == 0
+        # per-point predicates and non-mergeable shapes need raw points
+        and not q.tag_neq and not q.tag_regex and not q.field_cond
         and all(fn in _ROLLUP_AGGS and c == "value" for fn, c, _a, _n in q.select)
         and set(q.group_tags) <= {"plc_ip", "alias"}
         and all(k in ("plc_ip", "alias") for k, _v in q.tag_eq)
@@ -382,8 +598,7 @@ def compile_influxql(
             col <= lit if op == "<=" else
             col < lit
         )
-    for key, val in q.tag_eq:
-        df = df.filter(F.col(key) == F.lit(val))
+    df = _where_filters(df, q)
 
     selectors = [s for s in q.select if s[0] in ("top", "bottom")]
     if selectors:
@@ -426,12 +641,48 @@ def compile_influxql(
             for fn, colname, alias, n in q.select
         ]
         return _finish_grouped(df.groupBy(*keys).agg(*aggs), q)
+    elif q.select and q.select[0][0] == "distinct":
+        _fn, colname, alias, _n = q.select[0]
+        df = (
+            df.select(*q.group_tags, F.col(colname).alias(alias))
+            .distinct()
+            .orderBy(*q.group_tags, alias)
+        )
     elif q.select and q.select[0][0]:
+        integrals = [s for s in q.select if s[0] == "integral"]
+        if integrals:
+            # trapezoid needs each point's predecessor within its series
+            wl = Window.partitionBy(*q.group_tags).orderBy("ts")
+            df = df.withColumn("_pt", F.lag("ts").over(wl))
+            for _fn, colname, _a, _n in integrals:
+                df = df.withColumn(f"_pv_{colname}", F.lag(colname).over(wl))
         keys = [F.col(t) for t in q.group_tags]
-        aggs = [
-            _agg_expr(fn, c, n).alias(a) for fn, c, a, n in q.select
-        ]
+        aggs = []
+        for fn, c, a, n in q.select:
+            if fn == "integral":
+                unit = n or 1.0
+                area = (
+                    (F.col(c) + F.col(f"_pv_{c}")) / F.lit(2.0)
+                    * (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_pt")))
+                    / F.lit(unit * 1_000_000.0)
+                )
+                aggs.append(F.sum(area).alias(a))
+            else:
+                aggs.append(_agg_expr(fn, c, n).alias(a))
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    elif q.transforms:
+        # transform over the raw point series: derivative(value, 1s),
+        # elapsed(value, 1ms), cumulative_sum(value), ... per tag series
+        src = list(dict.fromkeys(s[1] for s in q.select))
+        df = df.select("ts", *q.group_tags, *[c for c in src if c != "ts"])
+        for _fn, colname, alias, _n in q.select:
+            if alias != colname:
+                df = df.withColumn(alias, F.col(colname))
+        df = _apply_transforms(df, q, time_col="ts")
+        df = df.select("ts", *q.group_tags, *[s[2] for s in q.select])
+        df = df.orderBy(
+            F.col("ts").desc() if q.order_desc else F.col("ts"), *q.group_tags
+        )
     else:
         cols = [s[1] for s in q.select]
         if cols != ["*"]:

@@ -1265,3 +1265,181 @@ def b12_dema_tema(spark, sf_dir):
             "user_id bigint, event_id bigint, ts timestamp, dema double, tema double",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B3e/B12f — round-2 InfluxQL front door: Grafana's nested transforms
+# (derivative of a GROUP BY time() aggregate), compiled by
+# functions/influxql.py. Oracle replays bucket means + the per-series
+# lag quotient in exact integer-micros time deltas.
+# --------------------------------------------------------------------------
+@register(
+    "b3_influxql_derivative",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+        TIMESTAMP '1970-01-01 00:00:00'
+          + to_seconds(CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT)) AS time,
+        AVG(value) AS m
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+      GROUP BY 1, 2
+    )
+    SELECT time, event_type,
+      (m - LAG(m) OVER w)
+        / ((epoch_us(time) - epoch_us(LAG(time) OVER w)) / 60000000.0) AS rate
+    FROM b WINDOW w AS (PARTITION BY event_type ORDER BY time)
+    QUALIFY LAG(m) OVER w IS NOT NULL
+    """,
+    tags=("B3", "B12"),
+)
+def b3_influxql_derivative(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-05", "2024-01-12")
+    return compile_statement(
+        "SELECT derivative(mean(value), 1m) AS rate FROM events "
+        "WHERE time >= '2024-01-05 00:00:00' AND time < '2024-01-12 00:00:00' "
+        "GROUP BY time(6h), event_type",
+        ev,
+    )
+
+
+@register(
+    "b3_influxql_moving_average",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+        TIMESTAMP '1970-01-01 00:00:00'
+          + to_seconds(CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT)) AS time,
+        AVG(value) AS m,
+        COUNT(value) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'
+      GROUP BY 1, 2
+    )
+    SELECT time, event_type,
+      CASE WHEN COUNT(m) OVER f = 4 THEN AVG(m) OVER f END AS ma,
+      CAST(SUM(c) OVER r AS BIGINT) AS events_so_far
+    FROM b
+    WINDOW f AS (PARTITION BY event_type ORDER BY time
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           r AS (PARTITION BY event_type ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("B3", "B12"),
+)
+def b3_influxql_moving_average(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-01", "2024-01-29")
+    return compile_statement(
+        "SELECT moving_average(mean(value), 4) AS ma, "
+        "cumulative_sum(count(value)) AS events_so_far FROM events "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+        "GROUP BY time(1d), event_type",
+        ev,
+    )
+
+
+@register(
+    "b12_influxql_elapsed",
+    oracle="""
+    SELECT ts, el FROM (
+      SELECT ts,
+        CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0)
+             AS BIGINT) AS el
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (ORDER BY ts)
+    ) WHERE el IS NOT NULL
+    """,
+    tags=("B12",),
+)
+def b12_influxql_elapsed(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = t(spark, sf_dir, "events")
+    return compile_statement(
+        "SELECT elapsed(value, 1s) AS el FROM events "
+        "WHERE event_type = 'purchase'",
+        ev,
+    )
+
+
+@register(
+    "b16_influxql_where_regex",
+    oracle="""
+    WITH flt AS (
+      SELECT event_type, value FROM events
+      WHERE regexp_matches(event_type, '^(click|error)$')
+        AND event_type != 'view' AND value > 50
+    ),
+    f AS (
+      SELECT event_type, value, COUNT(*) AS c FROM flt GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type, value AS md,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC, value) AS rn
+      FROM f
+    ),
+    n AS (
+      SELECT event_type, COUNT(value) AS n, COUNT(DISTINCT value) AS cd
+      FROM flt GROUP BY 1
+    )
+    SELECT n.event_type, n.n, n.cd, p.md
+    FROM n JOIN p ON p.event_type = n.event_type AND p.rn = 1
+    """,
+    tags=("B16",),
+)
+def b16_influxql_where_regex(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = t(spark, sf_dir, "events")
+    return compile_statement(
+        "SELECT count(value) AS n, count(distinct(value)) AS cd, "
+        "mode(value) AS md FROM events "
+        "WHERE event_type =~ /^(click|error)$/ AND event_type != 'view' "
+        "AND value > 50 GROUP BY event_type",
+        ev,
+    )
+
+
+@register(
+    "b3_influxql_integral",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS ts,
+        MAX_BY(value, ts) AS value
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, value, ts,
+        LAG(value) OVER w AS pv, LAG(ts) OVER w AS pt
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    )
+    SELECT event_type,
+      SUM((value + pv) / 2.0 * (epoch_us(ts) - epoch_us(pt)) / 3600000000.0)
+        AS itg
+    FROM seq WHERE pv IS NOT NULL GROUP BY event_type
+    """,
+    tags=("B3", "B23"),
+)
+def b3_influxql_integral(spark, sf_dir):
+    """integral(value, 1h) through the compiled front door, over the
+    per-day last-value series (the usual "downsample, then integrate"
+    dashboard shape). Whole-day gaps keep every trapezoid term exactly
+    representable — (v+pv)/2 * 24h is cent-granular — so the float sum
+    is identical on both engines regardless of accumulation order."""
+    from ..functions.influxql import compile_statement
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.max_by("value", "ts").alias("value"))
+        .select("event_type", F.col("day").alias("ts"), "value")
+    )
+    return compile_statement(
+        "SELECT integral(value, 1h) AS itg FROM events GROUP BY event_type",
+        daily,
+    )

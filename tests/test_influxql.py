@@ -465,3 +465,175 @@ def test_top_bottom_selectors(points):
         parse_and_raise = compile_influxql(
             "SELECT top(value, 2), mean(value) FROM points", points
         )
+
+# ---------------------------------------------------------------------------
+# Transformations (derivative / difference / moving_average /
+# cumulative_sum / elapsed) and round-2 aggregates (mode, integral,
+# distinct, count(distinct)) — InfluxDB 1.x semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_nested_derivative_of_mean(points):
+    out = compile_influxql(
+        "SELECT derivative(mean(value), 1m) AS dv FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m), plc_ip",
+        points,
+    ).collect()
+    base = (
+        points.filter(
+            (F.col("ts") >= "2024-01-01 00:00:00")
+            & (F.col("ts") < "2024-01-01 01:00:00")
+        )
+        .groupBy(F.window("ts", "300 seconds").start.alias("time"), "plc_ip")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    )
+    series = {}
+    for r in sorted(base, key=lambda r: r["time"]):
+        series.setdefault(r["plc_ip"], []).append((r["time"], r["m"]))
+    exp = {}
+    for ip, pts in series.items():
+        for (t0, v0), (t1, v1) in zip(pts, pts[1:]):
+            exp[(t1, ip)] = (v1 - v0) / ((t1 - t0).total_seconds() / 60.0)
+    got = {(r["time"], r["plc_ip"]): r["dv"] for r in out}
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9
+    # one fewer bucket per series than the plain aggregate
+    assert len(out) == len(base) - len(series)
+
+
+def test_default_derivative_unit_is_bucket_width(points):
+    # derivative(mean(v)) with GROUP BY time(5m) defaults unit to 5m →
+    # plain bucket-over-bucket delta
+    dv = compile_influxql(
+        "SELECT derivative(mean(value)) AS dv FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m), plc_ip",
+        points,
+    ).collect()
+    diff = compile_influxql(
+        "SELECT difference(mean(value)) AS dv FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m), plc_ip",
+        points,
+    ).collect()
+    a = {(r["time"], r["plc_ip"]): r["dv"] for r in dv}
+    b = {(r["time"], r["plc_ip"]): r["dv"] for r in diff}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_moving_average_warmup(points):
+    out = compile_influxql(
+        "SELECT moving_average(mean(value), 4) AS ma FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m), plc_ip",
+        points,
+    ).collect()
+    # 12 buckets per series, warm-up of 3 → 9 rows per series
+    per_ip = {}
+    for r in out:
+        per_ip.setdefault(r["plc_ip"], []).append(r)
+    assert all(len(v) == 9 for v in per_ip.values())
+    assert all(r["ma"] is not None for r in out)
+
+
+def test_cumulative_sum_and_mixed_warmup(points):
+    out = compile_influxql(
+        "SELECT cumulative_sum(sum(value)) AS cs, difference(sum(value)) AS d "
+        "FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY time(10m)",
+        points,
+    ).collect()
+    rows = sorted(out, key=lambda r: r["time"])
+    # cumulative_sum emits from the first bucket; difference pads it null
+    assert len(rows) == 3
+    assert rows[0]["d"] is None and rows[0]["cs"] is not None
+    assert abs(rows[-1]["cs"] - sum(
+        r["cs"] - (rows[i - 1]["cs"] if i else 0) for i, r in enumerate(rows)
+    )) < 1e-9
+
+
+def test_non_negative_difference_drops_negatives(points):
+    out = compile_influxql(
+        "SELECT non_negative_difference(max(value)) AS d FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m), alias",
+        points,
+    ).collect()
+    assert all(r["d"] >= 0 for r in out)
+
+
+def test_elapsed_raw_series(points):
+    out = compile_influxql(
+        "SELECT elapsed(value, 1s) AS el FROM points WHERE alias = 'pressure' "
+        "AND plc_ip = '192.168.0.1'",
+        points,
+    ).collect()
+    # pressure points on one PLC sit 60 s apart (i % 3 == 0, even i)
+    assert len(out) > 0
+    assert all(r["el"] == 60 for r in out)
+
+
+def test_mode_and_integral_and_count_distinct(points):
+    out = compile_influxql(
+        "SELECT mode(value) AS md, integral(value, 1m) AS itg, "
+        "count(distinct(value)) AS cd FROM points WHERE alias = 'temp'",
+        points,
+    ).first()
+    sub = [
+        (r["ts"], r["value"])
+        for r in points.filter(F.col("alias") == "temp")
+        .orderBy("ts")
+        .collect()
+    ]
+    vals = [v for _, v in sub]
+    freq = {}
+    for v in vals:
+        freq[v] = freq.get(v, 0) + 1
+    best = max(freq.values())
+    assert out["md"] == min(v for v, c in freq.items() if c == best)
+    assert out["cd"] == len(set(vals))
+    trap = sum(
+        (v1 + v0) / 2.0 * (t1 - t0).total_seconds() / 60.0
+        for (t0, v0), (t1, v1) in zip(sub, sub[1:])
+    )
+    assert abs(out["itg"] - trap) < 1e-6
+
+
+def test_distinct_selector(points):
+    out = compile_influxql(
+        "SELECT distinct(plc_ip) AS ip FROM points", points
+    ).collect()
+    assert sorted(r["ip"] for r in out) == ["192.168.0.1", "192.168.0.2"]
+
+
+def test_where_neq_regex_and_field_predicates(points):
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM points "
+        "WHERE alias != 'temp' AND plc_ip =~ /0\\.1$/ AND value >= 10",
+        points,
+    ).first()
+    exp = points.filter(
+        (F.col("alias") != "temp")
+        & F.col("plc_ip").rlike("0\\.1$")
+        & (F.col("value") >= 10)
+    ).count()
+    assert out["n"] == exp > 0
+
+
+def test_transform_parse_errors(points):
+    with pytest.raises(InfluxQLError):
+        parse("SELECT derivative(mean(value), 1s) FROM m")  # no GROUP BY time
+    with pytest.raises(InfluxQLError):
+        parse("SELECT moving_average(value) FROM m GROUP BY time(1m)")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT elapsed(mean(value)) FROM m GROUP BY time(1m)")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT distinct(value), max(value) FROM m")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT integral(value) FROM m GROUP BY time(1m)")
