@@ -24,7 +24,7 @@ from ..functions.text import (
     tokens,
 )
 from ..functions.vectors import cosine
-from ._exact import round_ratio
+from ._exact import round_ratio, sql_round_ratio
 from .registry import register
 
 # Shared DuckDB CTE: tokenized + shingled documents (mirrors
@@ -1023,3 +1023,200 @@ def b20_knn_multiprobe(spark, sf_dir):
     from ..operators.similarity import knn_multi_probe
 
     return knn_multi_probe(t(spark, sf_dir, "embeddings"), n_probes=8, k=5)
+
+
+# --------------------------------------------------------------------------
+# B21g — benchmark decontamination: flag training documents sharing any
+# word 5-gram with a held-out eval set (doc_id % 50 == 0). The standard
+# "did the test set leak into training data" pipeline pass.
+#
+# Scale shape: eval sets are small by construction (a benchmark is KBs,
+# the corpus is TBs), so the eval-gram set broadcasts and the train side
+# stays a map-only probe — no shuffle of the corpus. The corpus-side
+# gram explode is the same map-only pass MinHash already does.
+# --------------------------------------------------------------------------
+@register(
+    "b21_decontaminate",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+        unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+      FROM d
+    ),
+    g0 AS (
+      SELECT doc_id,
+        concat_ws(' ', w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4]) AS g
+      FROM pos
+    ),
+    g AS (SELECT DISTINCT doc_id, g FROM g0),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_overlap
+      FROM g JOIN ev USING (g)
+      WHERE g.doc_id % 50 != 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+      COALESCE(h.n_overlap, 0) AS n_overlap,
+      COALESCE(h.n_overlap, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 50 != 0
+    """,
+    tags=("B21",),
+)
+def b21_decontaminate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    grams = (
+        docs.select(
+            "doc_id", F.explode(shingles(tokens(F.col("text")), 5)).alias("g")
+        )
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+                "n_overlap"
+            ),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B21h — repetition signals (Gopher-style quality filters): fraction of
+# word 2-grams occupied by the single most frequent one, and the
+# duplicate-2-gram fraction. Map-only per document; ratios rounded in
+# exact integer space (plans/_exact.py) to dodge cross-engine ROUND ties.
+# --------------------------------------------------------------------------
+@register(
+    "b21_repetition_signals",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+        unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS g FROM pos
+    ),
+    freq AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_grams,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(MAX(c) AS BIGINT) AS top_count
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_distinct, top_count,
+      {{top_frac}} AS top_gram_frac,
+      {{dup_frac}} AS dup_gram_frac
+    FROM stats
+    """.format(
+        top_frac=sql_round_ratio("top_count", "n_grams", 4),
+        dup_frac=sql_round_ratio("n_grams - n_distinct", "n_grams", 4),
+    ),
+    tags=("B21",),
+)
+def b21_repetition_signals(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("g")
+    )
+    freq = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    stats = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        round_ratio(F.col("top_count"), F.col("n_grams"), 4).alias(
+            "top_gram_frac"
+        ),
+        round_ratio(
+            F.col("n_grams") - F.col("n_distinct"), F.col("n_grams"), 4
+        ).alias("dup_gram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B21i — PII redaction: scrub emails/phones with RE2-compatible regexes
+# and count what was removed. The corpus text is synthetic word soup, so
+# the query plants deterministic contact strings derived from doc_id in
+# BOTH engines — the redaction plumbing (pattern, global replace, counts,
+# post-hash) is the production shape. Map-only → embarrassingly parallel.
+# --------------------------------------------------------------------------
+@register(
+    "b21_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+        concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+               '@example.com or +1-555-',
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT)
+        AS n_emails,
+      CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT)
+        AS n_phones,
+      md5(regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+',
+            '<EMAIL>', 'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g'))
+        AS redacted_md5
+    FROM aug
+    """,
+    tags=("B21",),
+)
+def b21_pii_redaction(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    email, phone = r"[a-z0-9._]+@[a-z0-9.-]+", r"\+1-555-[0-9]{4}"
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(phone)).cast("bigint").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), email, "<EMAIL>"),
+                phone,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    )

@@ -207,3 +207,46 @@ def test_connected_components_random_vs_union_find(spark):
     )
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == want
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b21_decontaminate,
+    )
+
+    out = {r["doc_id"]: r for r in b21_decontaminate(spark, SF_DIR).collect()}
+    # eval docs (doc_id % 50 == 0) are excluded from the output
+    assert all(d % 50 != 0 for d in out)
+    # flag agrees with the overlap count everywhere
+    assert all((r["n_overlap"] > 0) == r["contaminated"] for r in out.values())
+    # the synthetic corpus reuses a tiny vocabulary, so some 5-gram
+    # collisions with the eval slice must exist
+    assert any(r["contaminated"] for r in out.values())
+
+
+def test_repetition_signals_bounds(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b21_repetition_signals,
+    )
+
+    rows = b21_repetition_signals(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_distinct"] <= r["n_grams"]
+        assert 0 < r["top_gram_frac"] <= 1.0
+        assert 0 <= r["dup_gram_frac"] < 1.0
+        # dup fraction is exactly 1 - distinct/grams, rounded half-up
+        exact = (r["n_grams"] - r["n_distinct"]) / r["n_grams"]
+        assert abs(r["dup_gram_frac"] - exact) <= 0.00005 + 1e-12
+
+
+def test_pii_redaction_scrubs_planted_contacts(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b21_pii_redaction,
+    )
+
+    rows = b21_pii_redaction(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    # every doc got exactly one planted email and one planted phone
+    assert all(r["n_emails"] == 1 and r["n_phones"] == 1 for r in rows)
+    assert all(len(r["redacted_md5"]) == 32 for r in rows)
