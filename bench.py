@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "b12_technical_analysis",
     "b12_rsi_wilder",
     "b20_knn_multiprobe",
+    "b3_influxql_derivative",
+    "b21_decontaminate",
+    "b21_repetition_signals",
+    "b21_pii_redaction",
 ]
 
 

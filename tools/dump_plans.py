@@ -24,6 +24,10 @@ HEADLINE = [
     "b19_minhash_lsh_neardup",
     "b20_knn_bruteforce",
     "b8_local_supplier_volume",
+    "b2_time_range",
+    "b3_influxql_derivative",
+    "b21_decontaminate",
+    "b21_pii_redaction",
 ]
 
 
