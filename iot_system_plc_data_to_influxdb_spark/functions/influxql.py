@@ -146,7 +146,7 @@ _GB_TIME_RE = re.compile(
     r"^time\s*\(\s*(?P<n>\d+)(?P<u>[smhdw])\s*\)$", re.IGNORECASE
 )
 _FILL_RE = re.compile(
-    r"\s+fill\s*\(\s*(?P<mode>previous|none|null|[-\d.]+)\s*\)\s*$",
+    r"\s+fill\s*\(\s*(?P<mode>previous|linear|none|null|[-\d.]+)\s*\)\s*$",
     re.IGNORECASE,
 )
 
@@ -483,6 +483,37 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
         )
         for _fn, _col, alias, _n in q.select:
             df = df.withColumn(alias, F.last(alias, ignorenulls=True).over(w))
+    elif q.fill == "linear":
+        # interpolate empty buckets between the surrounding data points
+        # per series; leading/trailing gaps stay null (InfluxDB behavior)
+        wb = (
+            Window.partitionBy(*q.group_tags)
+            .orderBy("time")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*q.group_tags)
+            .orderBy("time")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for _fn, _col, alias, _n in q.select:
+            pt = F.when(
+                F.col(alias).isNotNull(), F.struct(F.col("time"), F.col(alias))
+            )
+            prev = F.last(pt, ignorenulls=True).over(wb)
+            nxt = F.first(pt, ignorenulls=True).over(wf)
+            frac = (
+                F.unix_micros(F.col("time")) - F.unix_micros(prev["time"])
+            ) / (
+                F.unix_micros(nxt["time"]) - F.unix_micros(prev["time"])
+            )
+            df = df.withColumn(
+                alias,
+                F.coalesce(
+                    F.col(alias),
+                    prev[alias] + (nxt[alias] - prev[alias]) * frac,
+                ),
+            )
     elif q.fill not in (None, "none", "null"):
         for _fn, _col, alias, _n in q.select:
             df = df.withColumn(

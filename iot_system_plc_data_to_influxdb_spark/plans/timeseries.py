@@ -1443,3 +1443,69 @@ def b3_influxql_integral(spark, sf_dir):
         "SELECT integral(value, 1h) AS itg FROM events GROUP BY event_type",
         daily,
     )
+
+
+# --------------------------------------------------------------------------
+# B11c — fill(linear) through the InfluxQL front door: empty GROUP BY
+# time() buckets interpolate between the surrounding data points per
+# series (leading/trailing gaps stay null). Oracle replays the grid +
+# IGNORE NULLS window interpolation with the identical double tree.
+# --------------------------------------------------------------------------
+@register(
+    "b11_gapfill_linear",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+        TIMESTAMP '1970-01-01 00:00:00'
+          + to_seconds(CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT)) AS time,
+        AVG(value) AS m
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.event_type, g.time
+      FROM (SELECT DISTINCT event_type FROM pts) s
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-10',
+          TIMESTAMP '2024-01-13' - INTERVAL 1 SECOND, INTERVAL 15 MINUTE))
+          AS time
+      ) g
+    ),
+    j AS (
+      SELECT g.event_type, g.time, p.m
+      FROM grid g LEFT JOIN pts p
+        ON p.event_type = g.event_type AND p.time = g.time
+    ),
+    f AS (
+      SELECT event_type, time, m,
+        LAST_VALUE(m IGNORE NULLS) OVER wb AS pv,
+        LAST_VALUE(CASE WHEN m IS NOT NULL THEN time END IGNORE NULLS)
+          OVER wb AS pt,
+        FIRST_VALUE(m IGNORE NULLS) OVER wf AS nv,
+        FIRST_VALUE(CASE WHEN m IS NOT NULL THEN time END IGNORE NULLS)
+          OVER wf AS nt
+      FROM j
+      WINDOW wb AS (PARTITION BY event_type ORDER BY time
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY time
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, time,
+      COALESCE(m, pv + (nv - pv)
+        * ((epoch_us(time) - epoch_us(pt)) / (epoch_us(nt) - epoch_us(pt))))
+        AS m
+    FROM f
+    """,
+    tags=("B11", "B3"),
+)
+def b11_gapfill_linear(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-10", "2024-01-13")
+    return compile_statement(
+        "SELECT mean(value) AS m FROM events "
+        "WHERE time >= '2024-01-10 00:00:00' AND time < '2024-01-13 00:00:00' "
+        "GROUP BY time(15m), event_type fill(linear)",
+        ev,
+    )

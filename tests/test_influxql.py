@@ -637,3 +637,23 @@ def test_transform_parse_errors(points):
         parse("SELECT distinct(value), max(value) FROM m")
     with pytest.raises(InfluxQLError):
         parse("SELECT integral(value) FROM m GROUP BY time(1m)")
+
+
+def test_fill_linear_interpolates_gap(points):
+    gappy = points.filter(
+        ~F.col("ts").between("2024-01-01 00:20:00", "2024-01-01 00:29:59")
+    )
+    out = compile_influxql(
+        "SELECT mean(value) AS m FROM points "
+        "WHERE plc_ip = '192.168.0.1' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m) fill(linear)",
+        gappy,
+    ).collect()
+    rows = {r["time"].minute + 60 * r["time"].hour: r["m"] for r in out}
+    # all 12 buckets present, none null (gap is interior)
+    assert len(rows) == 12 and all(v is not None for v in rows.values())
+    # the two emptied buckets sit on the line between their neighbors
+    t15, t20, t25, t30 = rows[15], rows[20], rows[25], rows[30]
+    assert abs(t20 - (t15 + (t30 - t15) / 3.0)) < 1e-9
+    assert abs(t25 - (t15 + 2 * (t30 - t15) / 3.0)) < 1e-9
