@@ -427,3 +427,65 @@ def test_rollup_routing_exact(spark):
         fd = {key(r): r for r in fallback.collect()}
         direct90 = {key(r): r for r in batch_downsample(pts, "90 seconds").collect()}
         assert set(fd) == set(direct90)
+
+
+def test_dedup_within_watermark_stream(spark):
+    """B29 variant: dropDuplicatesWithinWatermark removes repeats of the
+    same (plc_ip, alias, ts) arriving within the watermark bound but
+    keeps distinct timestamps; state for keys older than the watermark
+    is evicted (bounded state at scale)."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.pipeline import (
+        dedup_within_watermark,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ts timestamp, plc_ip string, alias string, value double"
+        batches = [
+            [
+                ("2024-01-01 00:00:05", "p1", "a", 1.0),
+                ("2024-01-01 00:00:05", "p1", "a", 1.0),  # in-batch dup
+                ("2024-01-01 00:00:15", "p1", "a", 2.0),
+            ],
+            [
+                ("2024-01-01 00:00:05", "p1", "a", 1.0),  # cross-batch dup
+                ("2024-01-01 00:00:25", "p1", "a", 3.0),
+            ],
+            [
+                ("2024-01-01 00:00:25", "p1", "a", 3.0),  # cross-batch dup
+                ("2024-01-01 00:00:35", "p1", "b", 4.0),
+            ],
+        ]
+        import glob
+        import shutil
+
+        t0 = time.time() - 100
+        dst = os.path.join(tmp, "stream")
+        os.makedirs(dst, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "ts string, plc_ip string, alias string, value double"
+            ).select(F.col("ts").cast("timestamp"), "plc_ip", "alias", "value")
+            stage = os.path.join(tmp, f"stage{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        seen = []
+        q = (
+            dedup_within_watermark(stream, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: seen.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        keys = [(r["plc_ip"], r["alias"], r["ts"]) for r in seen]
+        assert len(keys) == len(set(keys)) == 4  # 4 distinct points survive
