@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "b21_decontaminate",
     "b21_repetition_signals",
     "b21_pii_redaction",
+    "b20_embedding_quantization",
 ]
 
 

