@@ -108,7 +108,7 @@ def _agg_expr(fn: str, colname: str, arg: float | None):
     return _AGGS[fn](F.col(colname))
 
 _SELECT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>[\w.\"]+)"
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>[\w.\"]+|/[^/]*/)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?"
     r"(?:\s+ORDER\s+BY\s+time\s+(?P<order>ASC|DESC))?"
@@ -541,6 +541,29 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
     return df
 
 
+def _is_regex_measurement(m: str) -> bool:
+    return len(m) >= 2 and m.startswith("/") and m.endswith("/")
+
+
+def _apply_regex_measurement(df: DataFrame, q: _Query) -> DataFrame:
+    """FROM /re/: query every measurement whose name matches, emitting
+    one series per measurement (InfluxDB splits the result set the same
+    way — modeled here as an implicit GROUP BY on the measurement
+    column; the reference data model names it plc_ip)."""
+    if not _is_regex_measurement(q.measurement):
+        return df
+    mcol = next(
+        (c for c in ("measurement", "plc_ip") if c in df.columns), None
+    )
+    if mcol is None:
+        raise InfluxQLError(
+            "FROM /regex/ needs a 'measurement' or 'plc_ip' column"
+        )
+    if mcol not in q.group_tags:
+        q.group_tags.append(mcol)
+    return df.filter(F.col(mcol).rlike(q.measurement[1:-1]))
+
+
 def _where_filters(df: DataFrame, q: _Query) -> DataFrame:
     """Tag equality/inequality/regex and numeric field predicates —
     plain conjunctive filters, all pushdown-eligible except rlike."""
@@ -564,6 +587,7 @@ def _where_filters(df: DataFrame, q: _Query) -> DataFrame:
 def _rollup_servable(q: _Query, rollup_every_s: int | None) -> bool:
     return (
         rollup_every_s is not None
+        and not _is_regex_measurement(q.measurement)
         and q.group_time_s is not None
         and q.group_time_s % rollup_every_s == 0
         # per-point predicates and non-mergeable shapes need raw points
@@ -594,6 +618,7 @@ def compile_influxql(
     window-ratio-smaller scan; everything else silently takes the raw
     path."""
     q = parse(query)
+    table = _apply_regex_measurement(table, q)
 
     if rollup is not None and _rollup_servable(q, rollup_every_s):
         df = rollup

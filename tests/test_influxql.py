@@ -657,3 +657,22 @@ def test_fill_linear_interpolates_gap(points):
     t15, t20, t25, t30 = rows[15], rows[20], rows[25], rows[30]
     assert abs(t20 - (t15 + (t30 - t15) / 3.0)) < 1e-9
     assert abs(t25 - (t15 + 2 * (t30 - t15) / 3.0)) < 1e-9
+
+
+def test_from_regex_measurement(points):
+    out = compile_influxql(
+        "SELECT mean(value) AS m, count(value) AS n FROM /^192\\.168\\./ "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY time(10m)",
+        points,
+    ).collect()
+    # implicit series split per matching measurement (plc_ip)
+    ips = {r["plc_ip"] for r in out}
+    assert ips == {"192.168.0.1", "192.168.0.2"}
+    assert len(out) == 6  # 3 buckets x 2 measurements
+    narrow = compile_influxql(
+        "SELECT count(value) AS n FROM /0\\.2$/ "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00'",
+        points,
+    ).collect()
+    assert len(narrow) == 1 and narrow[0]["plc_ip"] == "192.168.0.2"
