@@ -129,3 +129,57 @@ def test_ewma_matches_sequential_fold(spark):
         for r in seq:
             acc = r["value"] if acc is None else 0.3 * r["value"] + 0.7 * acc
             assert abs(r["ewma"] - acc) < 1e-9, (user, r["event_id"])
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling for JOINS is delegated to AQE (operators/
+    skew.py covers groupBy and the LSH band self-join; this pins the
+    join half of the claim): one hot key dominating a shuffle join gets
+    its partition split at runtime — the executed plan must carry the
+    skew=true marker instead of funneling the key through one reducer."""
+    import pyspark.sql.functions as SF
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # force a shuffle join: skew-join rewriting only applies there
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(0, 200_000).select(
+            SF.when(SF.col("id") % 10 == 0, SF.lit(0))
+            .otherwise(SF.col("id"))
+            .alias("k"),
+            SF.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            SF.col("id").alias("k"), (SF.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        # execute THIS plan (count() would plan a different query and
+        # leave joined's adaptive plan unfinalized)
+        n = len(joined.collect())
+        assert n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
