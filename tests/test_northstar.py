@@ -267,3 +267,47 @@ def test_embedding_quantization_reconstruction(spark):
         # units (err < rng ≤ 255 * rng / 255)
         assert r["max_err_scaled"] >= 0
         assert r["sum_err_scaled"] >= r["max_err_scaled"]
+
+
+def test_kmeans_parallel_init_beats_pathological_seeding(spark):
+    """Order the data so the k lowest vec_ids all sit in ONE planted
+    cluster (the worst case for first-k seeding); kmeans|| must still
+    recover the 10 planted clusters, deterministically."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(10, 16)) * 12.0
+    rows = []
+    for i in range(400):
+        # first 40 ids → cluster 0, the rest round-robin
+        lab = 0 if i < 40 else i % 10
+        v = centers[lab] + rng.normal(size=16)
+        rows.append((i, [float(x) for x in v], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+    assigned = kmeans_assign(emb, k=10, max_iter=15, init="kmeans||")
+    joined = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    purity_rows = (
+        joined.groupBy("cluster", "label")
+        .count()
+        .groupBy("cluster")
+        .agg(F.max("count").alias("maj"), F.sum("count").alias("tot"))
+        .collect()
+    )
+    maj = sum(r["maj"] for r in purity_rows)
+    assert maj / 400 > 0.95, f"purity {maj/400:.3f}"
+    # deterministic: the sketch uses md5 draws, not an RNG
+    again = kmeans_assign(emb, k=10, max_iter=15, init="kmeans||")
+    diff = (
+        assigned.alias("a")
+        .join(again.alias("b"), "vec_id")
+        .filter(F.col("a.cluster") != F.col("b.cluster"))
+        .count()
+    )
+    assert diff == 0
