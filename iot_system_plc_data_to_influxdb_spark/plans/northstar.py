@@ -1334,3 +1334,70 @@ def b20_embedding_quantization(spark, sf_dir):
         folded["mx"].alias("max_err_scaled"),
         folded["sm"].alias("sum_err_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# B21j — sequence packing: concatenate documents (in deterministic
+# doc_id order, per language shard) into fixed-capacity context
+# windows, opening a new bin whenever the next document would overflow.
+# The standard "pack short docs into 2k-token training sequences" step.
+#
+# The greedy fill is inherently sequential PER SHARD (same shape as the
+# EWMA/Holt folds): a grouped-map fold over integer state, exact on
+# both engines — the oracle replays it as a recursive CTE. Parallelism
+# at 100 TB comes from sharding (real pipelines pack per (lang, shard),
+# thousands of independent groups), not from within a shard.
+# --------------------------------------------------------------------------
+_PACK_CAPACITY = 512
+
+@register(
+    "b21_sequence_pack",
+    oracle=rf"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang,
+        CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+          AS n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT doc_id, lang, n_tokens, rn,
+        CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+             THEN p.bin_id + 1 ELSE p.bin_id END,
+        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+             THEN d.n_tokens ELSE p.fill + d.n_tokens END
+      FROM d JOIN pack p ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, bin_id FROM pack
+    """,
+    tags=("B21",),
+)
+def b21_sequence_pack(spark, sf_dir):
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill and fill + n > _PACK_CAPACITY:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf[["doc_id", "lang", "n_tokens", "bin_id"]]
+
+    return docs.repartition("lang").groupBy("lang").applyInPandas(
+        pack, "doc_id bigint, lang string, n_tokens bigint, bin_id bigint"
+    )

@@ -311,3 +311,25 @@ def test_kmeans_parallel_init_beats_pathological_seeding(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_sequence_pack_invariants(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _PACK_CAPACITY,
+        b21_sequence_pack,
+    )
+
+    rows = b21_sequence_pack(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["lang"], r["bin_id"]), []).append(r)
+    for (_lang, _b), docs in by_bin.items():
+        fill = sum(r["n_tokens"] for r in docs)
+        # a bin only overflows when a single doc exceeds capacity
+        assert fill <= _PACK_CAPACITY or len(docs) == 1
+    # bins are dense per lang starting at 0
+    langs = {r["lang"] for r in rows}
+    for lang in langs:
+        bins = sorted({b for (l2, b) in by_bin if l2 == lang})
+        assert bins == list(range(len(bins)))
