@@ -121,6 +121,11 @@ _AGG_ITEM_RE = re.compile(
     r"(?:,\s*(?P<n>[\d.]+[smhdw]?)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
+_MATH_ITEM_RE = re.compile(
+    r"^(?P<base>.+\)|[\w\"]+)\s*(?P<op>[*/+-])\s*(?P<num>-?\d+(?:\.\d+)?)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
 _NESTED_ITEM_RE = re.compile(
     r"^(?P<ofn>\w+)\s*\(\s*(?P<ifn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*"
     r"(?:,\s*(?P<iarg>[\d.]+)\s*)?\)\s*"
@@ -174,6 +179,8 @@ class _Query:
     slimit: int | None = None
     # select-index → (transform_fn, raw_arg) applied after aggregation
     transforms: dict = field(default_factory=dict)
+    # select-index → (op, literal) scalar arithmetic suffix
+    scalar_math: dict = field(default_factory=dict)
 
 
 def parse(q: str) -> _Query:
@@ -205,13 +212,13 @@ def parse(q: str) -> _Query:
         else:
             cur.append(ch)
     items.append("".join(cur).strip())
-    for item in items:
+    def parse_item(item, alias_override=None):
         nm = _NESTED_ITEM_RE.match(item)
         am = _AGG_ITEM_RE.match(item)
         if nm:
             ofn, ifn = nm.group("ofn").lower(), nm.group("ifn").lower()
             col = _unquote(nm.group("arg"))
-            alias = nm.group("alias")
+            alias = alias_override or nm.group("alias")
             if ofn == "count" and ifn == "distinct":
                 sel.append(("count_distinct", col, alias or "count", None))
             elif ofn in _TRANSFORMS and (
@@ -227,13 +234,12 @@ def parse(q: str) -> _Query:
         elif am:
             fn = am.group("fn").lower()
             raw_n = am.group("n")
+            alias = alias_override or am.group("alias")
             if fn in _TRANSFORMS:
                 # transform over the raw series: derivative(value, 1s)
                 transforms[len(sel)] = (fn, raw_n)
-                sel.append(
-                    (None, _unquote(am.group("arg")), am.group("alias") or fn, None)
-                )
-                continue
+                sel.append((None, _unquote(am.group("arg")), alias or fn, None))
+                return
             if fn not in _AGGS and fn not in (
                 "percentile", "top", "bottom", "distinct", "integral"
             ):
@@ -244,15 +250,38 @@ def parse(q: str) -> _Query:
                 n: float | None = _duration_s(raw_n)
             else:
                 n = float(raw_n) if raw_n else None
-            sel.append(
-                (fn, _unquote(am.group("arg")), am.group("alias") or fn, n)
-            )
+            sel.append((fn, _unquote(am.group("arg")), alias or fn, n))
         elif re.match(r"^[\w\"*]+$", item):
-            sel.append((None, _unquote(item), _unquote(item), None))
+            sel.append(
+                (None, _unquote(item), alias_override or _unquote(item), None)
+            )
         else:
             raise InfluxQLError(f"unsupported select item {item!r}")
 
-    out = _Query(select=sel, measurement=_unquote(gd["from"]), transforms=transforms)
+    scalar_math: dict = {}
+    for item in items:
+        mm = _MATH_ITEM_RE.match(item)
+        if mm:
+            # scalar arithmetic suffix: mean(value) * 100 [AS pct] —
+            # Grafana's unit-conversion idiom. Parse the base item, then
+            # record the (op, literal) to apply after aggregation (and
+            # after the transform, for transformed items).
+            parse_item(
+                mm.group("base").strip(),
+                alias_override=mm.group("alias"),
+            )
+            num_txt = mm.group("num")
+            num = float(num_txt) if "." in num_txt else int(num_txt)
+            scalar_math[len(sel) - 1] = (mm.group("op"), num)
+        else:
+            parse_item(item)
+
+    out = _Query(
+        select=sel,
+        measurement=_unquote(gd["from"]),
+        transforms=transforms,
+        scalar_math=scalar_math,
+    )
 
     if gd["where"]:
         for cond in re.split(r"\s+AND\s+", gd["where"], flags=re.IGNORECASE):
@@ -368,6 +397,28 @@ def _epoch_utc(ts: str) -> int:
         .replace(tzinfo=_dt.timezone.utc)
         .timestamp()
     )
+
+
+def _apply_scalar_math(
+    df: DataFrame, q: _Query, transformed: bool
+) -> DataFrame:
+    """Apply the `<item> op literal` suffixes. Non-transform items get
+    their math right after aggregation (before fill — InfluxDB fills
+    the DISPLAYED value, so fill literals are not rescaled); transform
+    items get it after the transform runs."""
+    for idx, (op, num) in q.scalar_math.items():
+        if (idx in q.transforms) != transformed:
+            continue
+        alias = q.select[idx][2]
+        c = F.col(alias)
+        df = df.withColumn(
+            alias,
+            c * num if op == "*" else
+            c / num if op == "/" else
+            c + num if op == "+" else
+            c - num,
+        )
+    return df
 
 
 def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataFrame:
@@ -520,6 +571,7 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
                 alias, F.coalesce(F.col(alias), F.lit(float(q.fill)))
             )
     df = _apply_transforms(df, q)
+    df = _apply_scalar_math(df, q, transformed=True)
     order_cols = [F.col("time").desc() if q.order_desc else F.col("time")]
     if q.group_tags and (q.offset or q.limit is not None):
         # InfluxQL LIMIT/OFFSET page points PER SERIES when the query
@@ -641,7 +693,7 @@ def compile_influxql(
         df = df.groupBy(*keys).agg(
             *[_ROLLUP_AGGS[fn]().alias(alias) for fn, _c, alias, _n in q.select]
         )
-        return _finish_grouped(df, q)
+        return _finish_grouped(_apply_scalar_math(df, q, transformed=False), q)
 
     df = table
 
@@ -696,7 +748,10 @@ def compile_influxql(
             _agg_expr(fn, colname, n).alias(alias)
             for fn, colname, alias, n in q.select
         ]
-        return _finish_grouped(df.groupBy(*keys).agg(*aggs), q)
+        return _finish_grouped(
+            _apply_scalar_math(df.groupBy(*keys).agg(*aggs), q, transformed=False),
+            q,
+        )
     elif q.select and q.select[0][0] == "distinct":
         _fn, colname, alias, _n = q.select[0]
         df = (
@@ -726,6 +781,7 @@ def compile_influxql(
             else:
                 aggs.append(_agg_expr(fn, c, n).alias(a))
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        df = _apply_scalar_math(df, q, transformed=False)
     elif q.transforms:
         # transform over the raw point series: derivative(value, 1s),
         # elapsed(value, 1ms), cumulative_sum(value), ... per tag series
@@ -735,6 +791,7 @@ def compile_influxql(
             if alias != colname:
                 df = df.withColumn(alias, F.col(colname))
         df = _apply_transforms(df, q, time_col="ts")
+        df = _apply_scalar_math(df, q, transformed=True)
         df = df.select("ts", *q.group_tags, *[s[2] for s in q.select])
         df = df.orderBy(
             F.col("ts").desc() if q.order_desc else F.col("ts"), *q.group_tags
@@ -742,7 +799,18 @@ def compile_influxql(
     else:
         cols = [s[1] for s in q.select]
         if cols != ["*"]:
-            df = df.select("ts", *[c for c in cols if c != "ts"])
+            if q.scalar_math:
+                df = df.select(
+                    "ts",
+                    *[
+                        F.col(c).alias(a)
+                        for _fn, c, a, _n in q.select
+                        if c != "ts"
+                    ],
+                )
+                df = _apply_scalar_math(df, q, transformed=False)
+            else:
+                df = df.select("ts", *[c for c in cols if c != "ts"])
         df = df.orderBy(F.col("ts").desc() if q.order_desc else F.col("ts"))
 
     if q.offset:

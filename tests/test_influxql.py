@@ -676,3 +676,62 @@ def test_from_regex_measurement(points):
         points,
     ).collect()
     assert len(narrow) == 1 and narrow[0]["plc_ip"] == "192.168.0.2"
+
+
+def test_select_scalar_math(points):
+    out = compile_influxql(
+        "SELECT mean(value) * 100 AS pct, count(value) - 1 AS nm1 FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY time(10m)",
+        points,
+    ).collect()
+    base = compile_influxql(
+        "SELECT mean(value) AS m, count(value) AS n FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY time(10m)",
+        points,
+    ).collect()
+    got = {r["time"]: (r["pct"], r["nm1"]) for r in out}
+    want = {r["time"]: (r["m"] * 100, r["n"] - 1) for r in base}
+    assert got == want and len(got) == 3
+
+
+def test_scalar_math_on_raw_and_transform(points):
+    raw = compile_influxql(
+        "SELECT value / 2 AS half FROM points WHERE alias = 'pressure' "
+        "ORDER BY time ASC LIMIT 4",
+        points,
+    ).collect()
+    src = compile_influxql(
+        "SELECT value FROM points WHERE alias = 'pressure' "
+        "ORDER BY time ASC LIMIT 4",
+        points,
+    ).collect()
+    assert [r["half"] for r in raw] == [r["value"] / 2 for r in src]
+
+    xf = compile_influxql(
+        "SELECT difference(max(value)) * 10 AS d10 FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY time(10m)",
+        points,
+    ).collect()
+    plain = compile_influxql(
+        "SELECT difference(max(value)) AS d FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY time(10m)",
+        points,
+    ).collect()
+    assert [r["d10"] for r in xf] == [r["d"] * 10 for r in plain]
+
+
+def test_math_does_not_rescale_fill_literal(points):
+    out = compile_influxql(
+        "SELECT mean(value) * 100 AS pct FROM points "
+        "WHERE alias = 'nope' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY time(10m) fill(7)",
+        points,
+    ).collect()
+    # no data → the grid-less grouped query yields no buckets... but with
+    # both bounds the grid emits every interval; fill literal must stay 7
+    assert len(out) == 3 and all(r["pct"] == 7.0 for r in out)
