@@ -1509,3 +1509,35 @@ def b11_gapfill_linear(spark, sf_dir):
         "GROUP BY time(15m), event_type fill(linear)",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B3f — scalar arithmetic through the InfluxQL front door (Grafana's
+# unit-conversion idiom): mean*100, spread/2 per hour and event type.
+# --------------------------------------------------------------------------
+@register(
+    "b3_influxql_math",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)) AS time,
+      event_type,
+      AVG(value) * 100 AS pct,
+      (MAX(value) - MIN(value)) / 2 AS half_range
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05'
+    GROUP BY 1, 2
+    """,
+    tags=("B3", "B16"),
+)
+def b3_influxql_math(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-03", "2024-01-05")
+    return compile_statement(
+        "SELECT mean(value) * 100 AS pct, spread(value) / 2 AS half_range "
+        "FROM events "
+        "WHERE time >= '2024-01-03 00:00:00' AND time < '2024-01-05 00:00:00' "
+        "GROUP BY time(1h), event_type",
+        ev,
+    )
