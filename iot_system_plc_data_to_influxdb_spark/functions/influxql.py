@@ -148,8 +148,11 @@ _FIELD_COND_RE = re.compile(
     r"^(?P<key>[\w\"]+)\s*(?P<op>>=|<=|>|<|!=|=)\s*(?P<num>-?[\d.]+)$"
 )
 _GB_TIME_RE = re.compile(
-    r"^time\s*\(\s*(?P<n>\d+)(?P<u>[smhdw])\s*\)$", re.IGNORECASE
+    r"^time\s*\(\s*(?P<n>\d+)(?P<u>[smhdw])\s*"
+    r"(?:,\s*(?P<on>\d+)(?P<ou>[smhdw])\s*)?\)$",
+    re.IGNORECASE,
 )
+_TZ_RE = re.compile(r"\s+tz\s*\(\s*'(?P<tz>[^']+)'\s*\)\s*$", re.IGNORECASE)
 _FILL_RE = re.compile(
     r"\s+fill\s*\(\s*(?P<mode>previous|linear|none|null|[-\d.]+)\s*\)\s*$",
     re.IGNORECASE,
@@ -171,6 +174,8 @@ class _Query:
     tag_regex: list = field(default_factory=list)  # (key, op, pattern)
     field_cond: list = field(default_factory=list)  # (key, op, number)
     group_time_s: int | None = None
+    group_time_offset_s: int = 0
+    tz: str | None = None
     group_tags: list = field(default_factory=list)
     fill: str | None = None
     order_desc: bool = False
@@ -184,7 +189,13 @@ class _Query:
 
 
 def parse(q: str) -> _Query:
-    m = _SELECT_RE.match(q.strip().rstrip(";"))
+    q = q.strip().rstrip(";")
+    tz = None
+    tzm = _TZ_RE.search(q)
+    if tzm:
+        tz = tzm.group("tz")
+        q = q[: tzm.start()]
+    m = _SELECT_RE.match(q)
     if not m:
         raise InfluxQLError(f"unparseable InfluxQL: {q!r}")
     gd = m.groupdict()
@@ -317,13 +328,20 @@ def parse(q: str) -> _Query:
                 continue
             raise InfluxQLError(f"unsupported WHERE condition {cond!r}")
 
+    out.tz = tz
     if groupby:
-        for g in (s.strip() for s in groupby.split(",")):
+        # time(1h, 30m): the offset is a second argument INSIDE the
+        # time() parens, so split only on commas at paren depth 0
+        for g in (s.strip() for s in re.split(r",(?![^(]*\))", groupby)):
             gt = _GB_TIME_RE.match(g)
             if gt:
                 out.group_time_s = int(gt.group("n")) * _UNIT_SECONDS[
                     gt.group("u").lower()
                 ]
+                if gt.group("on"):
+                    out.group_time_offset_s = int(gt.group("on")) * _UNIT_SECONDS[
+                        gt.group("ou").lower()
+                    ]
             elif re.match(r"^[\w\"]+$", g):
                 out.group_tags.append(_unquote(g))
             else:
@@ -339,6 +357,9 @@ def parse(q: str) -> _Query:
 
     if fill and out.group_time_s is None:
         raise InfluxQLError("fill() requires GROUP BY time()")
+    if tz and fill not in (None, "none"):
+        # bucket grids are not uniform in UTC across DST transitions
+        raise InfluxQLError("fill() combined with tz() is unsupported")
     aggs = [s for s in out.select if s[0]]
     if out.group_time_s is not None and not aggs:
         raise InfluxQLError("GROUP BY time() requires aggregate select")
@@ -397,6 +418,32 @@ def _epoch_utc(ts: str) -> int:
         .replace(tzinfo=_dt.timezone.utc)
         .timestamp()
     )
+
+
+def _bucket_expr(q: _Query, colname: str):
+    """GROUP BY time(N[, offset]) [tz('Zone')] bucket start for a
+    timestamp column. With tz() the bucketing happens on the wall-clock
+    in that zone (from_utc → window → to_utc), which is how InfluxDB
+    aligns day buckets to local midnight."""
+    src = F.col(colname)
+    if q.tz:
+        src = F.from_utc_timestamp(src, q.tz)
+    w = F.window(
+        src,
+        f"{q.group_time_s} seconds",
+        startTime=f"{q.group_time_offset_s} seconds",
+    )
+    b = w.start
+    if q.tz:
+        b = F.to_utc_timestamp(b, q.tz)
+    return b
+
+
+def _time_lit(q: _Query, ts: str):
+    """WHERE time literal: interpreted in the tz() zone when present
+    (InfluxDB semantics), else as UTC."""
+    lit = F.lit(ts).cast("timestamp")
+    return F.to_utc_timestamp(lit, q.tz) if q.tz else lit
 
 
 def _apply_scalar_math(
@@ -512,12 +559,13 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
         # The grid is bounded (range/every rows — tiny, broadcast); the
         # series side is data-sized and stays distributed.
         every = q.group_time_s
+        off = q.group_time_offset_s
         lo_s, hi_s = _epoch_utc(q.time_lo[1]), _epoch_utc(q.time_hi[1])
-        start = lo_s // every * every
+        start = (lo_s - off) // every * every + off
         if q.time_hi[0] == "<=":
-            end = hi_s // every * every + every
+            end = (hi_s - off) // every * every + every + off
         else:  # '<': buckets strictly before hi
-            end = -(-hi_s // every) * every
+            end = -(-(hi_s - off) // every) * every + off
         spark = df.sparkSession
         grid = spark.range(start, end, every).select(
             F.timestamp_seconds("id").alias("time")
@@ -644,6 +692,8 @@ def _rollup_servable(q: _Query, rollup_every_s: int | None) -> bool:
         and q.group_time_s % rollup_every_s == 0
         # per-point predicates and non-mergeable shapes need raw points
         and not q.tag_neq and not q.tag_regex and not q.field_cond
+        and q.tz is None
+        and q.group_time_offset_s % rollup_every_s == 0
         and all(fn in _ROLLUP_AGGS and c == "value" for fn, c, _a, _n in q.select)
         and set(q.group_tags) <= {"plc_ip", "alias"}
         and all(k in ("plc_ip", "alias") for k, _v in q.tag_eq)
@@ -688,7 +738,7 @@ def compile_influxql(
                 )
         for key, val in q.tag_eq:
             df = df.filter(F.col(key) == F.lit(val))
-        bucket = F.window("bucket_start", f"{q.group_time_s} seconds").start
+        bucket = _bucket_expr(q, "bucket_start")
         keys = [bucket.alias("time"), *[F.col(t) for t in q.group_tags]]
         df = df.groupBy(*keys).agg(
             *[_ROLLUP_AGGS[fn]().alias(alias) for fn, _c, alias, _n in q.select]
@@ -698,7 +748,7 @@ def compile_influxql(
     df = table
 
     for op, ts in (c for c in (q.time_lo, q.time_hi) if c):
-        lit = F.lit(ts).cast("timestamp")
+        lit = _time_lit(q, ts)
         col = F.col("ts")
         df = df.filter(
             col >= lit if op == ">=" else
@@ -742,7 +792,7 @@ def compile_influxql(
             .orderBy("time", *q.group_tags)
         )
     elif q.group_time_s is not None:
-        bucket = F.window("ts", f"{q.group_time_s} seconds").start
+        bucket = _bucket_expr(q, "ts")
         keys = [bucket.alias("time"), *[F.col(t) for t in q.group_tags]]
         aggs = [
             _agg_expr(fn, colname, n).alias(alias)

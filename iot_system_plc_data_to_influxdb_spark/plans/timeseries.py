@@ -1541,3 +1541,74 @@ def b3_influxql_math(spark, sf_dir):
         "GROUP BY time(1h), event_type",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B3g — offset buckets and tz() through the InfluxQL front door.
+# time(1h, 30m) shifts the bucket grid to half-hours; tz('America/
+# New_York') aligns day buckets to local midnight and interprets the
+# WHERE literals in that zone (EST in January — no DST transition in
+# range, which the oracle mirrors with ICU AT TIME ZONE conversions).
+# --------------------------------------------------------------------------
+@register(
+    "b3_influxql_offset_buckets",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR((epoch(ts) - 1800) / 3600) * 3600 + 1800
+                          AS BIGINT)) AS time,
+      event_type,
+      COUNT(value) AS n,
+      MAX(value) AS peak
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-04 00:30:00'
+      AND ts <  TIMESTAMP '2024-01-06 00:30:00'
+    GROUP BY 1, 2
+    """,
+    tags=("B3",),
+)
+def b3_influxql_offset_buckets(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-04 00:30:00", "2024-01-06 00:30:00")
+    return compile_statement(
+        "SELECT count(value) AS n, max(value) AS peak FROM events "
+        "WHERE time >= '2024-01-04 00:30:00' AND time < '2024-01-06 00:30:00' "
+        "GROUP BY time(1h, 30m), event_type",
+        ev,
+    )
+
+
+@register(
+    "b3_influxql_tz",
+    oracle="""
+    WITH loc AS (
+      SELECT event_type, value,
+        (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS lts
+      FROM events
+      WHERE ts >= (TIMESTAMP '2024-01-02 00:00:00'
+                   AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC'
+        AND ts < (TIMESTAMP '2024-01-05 00:00:00'
+                  AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC'
+    )
+    SELECT
+      (date_trunc('day', lts) AT TIME ZONE 'America/New_York')
+        AT TIME ZONE 'UTC' AS time,
+      event_type,
+      COUNT(value) AS n,
+      AVG(value) AS m
+    FROM loc GROUP BY 1, 2
+    """,
+    tags=("B3", "B16"),
+)
+def b3_influxql_tz(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    # pre-push the (already-UTC-converted) bounds onto the raw scan
+    ev = events_between(spark, sf_dir, "2024-01-02 05:00:00", "2024-01-05 05:00:00")
+    return compile_statement(
+        "SELECT count(value) AS n, mean(value) AS m FROM events "
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-05 00:00:00' "
+        "GROUP BY time(1d), event_type tz('America/New_York')",
+        ev,
+    )

@@ -735,3 +735,62 @@ def test_math_does_not_rescale_fill_literal(points):
     # no data → the grid-less grouped query yields no buckets... but with
     # both bounds the grid emits every interval; fill literal must stay 7
     assert len(out) == 3 and all(r["pct"] == 7.0 for r in out)
+
+
+def test_group_by_time_offset(points):
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(10m, 3m)",
+        points,
+    ).collect()
+    # buckets align to :03, :13, :23... and rows partition among them
+    assert all(r["time"].minute % 10 == 3 for r in out)
+    assert sum(r["n"] for r in out) == points.filter(
+        (F.col("ts") >= "2024-01-01 00:00:00")
+        & (F.col("ts") < "2024-01-01 01:00:00")
+    ).count()
+
+
+def test_offset_fill_grid_alignment(points):
+    gappy = points.filter(
+        ~F.col("ts").between("2024-01-01 00:25:00", "2024-01-01 00:34:59")
+    )
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM points "
+        "WHERE time >= '2024-01-01 00:05:00' AND time < '2024-01-01 00:55:00' "
+        "GROUP BY time(10m, 5m) fill(0)",
+        gappy,
+    ).collect()
+    times = sorted(r["time"].minute for r in out)
+    assert times == [5, 15, 25, 35, 45]
+    filled = {r["time"].minute: r["n"] for r in out}
+    assert filled[25] == 0  # emptied bucket exists with the fill value
+
+
+def test_tz_day_buckets(points, spark):
+    # day buckets in America/New_York (UTC-5 in January): local midnight
+    # is 05:00 UTC, and the WHERE literals are interpreted in that zone
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM points "
+        "WHERE time >= '2023-12-31 19:00:00' AND time < '2024-01-01 19:00:00' "
+        "GROUP BY time(1d) tz('America/New_York')",
+        points,
+    ).collect()
+    # 2023-12-31 19:00 NY == 2024-01-01 00:00 UTC == the whole dataset
+    assert len(out) == 1
+    (row,) = out
+    assert row["n"] == points.count()
+    # the bucket start is NY-midnight expressed in UTC
+    assert (row["time"].hour, row["time"].minute) == (0, 0) or row[
+        "time"
+    ].hour == 5
+
+
+def test_tz_with_fill_rejected(points):
+    with pytest.raises(InfluxQLError):
+        parse(
+            "SELECT mean(value) FROM m WHERE time >= '2024-01-01 00:00:00' "
+            "AND time < '2024-01-02 00:00:00' GROUP BY time(1h) fill(previous) "
+            "tz('America/New_York')"
+        )
