@@ -109,3 +109,37 @@ def test_whole_stage_codegen_on_decode(spark):
     assert "EvalPython" not in p
     p2 = _plan(spark, "flagship_signal_snapshot")
     assert "EvalPython" not in p2
+
+def test_b21_decontaminate_broadcasts_eval_grams(spark):
+    # the eval-gram set must broadcast (benchmarks are small; the corpus
+    # probe stays map-only) and the corpus gram explode must not pay a
+    # corpus-wide DISTINCT shuffle (dedup happens inside the array)
+    p = _plan(spark, "b21_decontaminate")
+    assert "BroadcastExchange" in p
+    joins = p.count("SortMergeJoin")
+    assert joins == 0, f"eval probe degraded to SMJ:\n{p[:1500]}"
+
+
+def test_b21_pii_redaction_is_map_only(spark):
+    # pure per-row regex work: nothing but the fan-out repartition may
+    # shuffle, and there is no join or aggregate anywhere
+    p = _plan(spark, "b21_pii_redaction")
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert p.count("Exchange") <= 2  # the explicit repartition only
+
+
+def test_b20_quantization_corpus_stays_unshuffled(spark):
+    # the only aggregation shuffles 64 dim-stat rows; the corpus side
+    # joins them via BroadcastNestedLoopJoin (1-row stats cross join)
+    p = _plan(spark, "b20_embedding_quantization")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_influxql_transform_reuses_bucket_partitioning(spark):
+    # derivative-of-mean: the window over buckets must partition by the
+    # GROUP BY tag (no single-partition global window on the data path)
+    p = _plan(spark, "b3_influxql_derivative", mode="simple")
+    assert "Window" in p
+    assert "windowspecdefinition(event_type" in p
