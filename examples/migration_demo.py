@@ -74,6 +74,12 @@ def main() -> int:
             pts,
         ).show(truncate=False)
 
+        print("Grafana transform panel (point-over-point delta per PLC):")
+        engine.influxql(
+            "SELECT difference(value) * 10 AS dv10 FROM /^192/ LIMIT 6",
+            pts,
+        ).show(truncate=False)
+
         print("current values (the reference's m_value cache):")
         engine.current_values(pts).show(truncate=False)
 
