@@ -877,11 +877,16 @@ def compile_influxql(
 # tags always empty (Linux/InfluxConnector2.py:175,231-238).
 # --------------------------------------------------------------------------
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(?P<what>MEASUREMENTS|FIELD\s+KEYS|TAG\s+KEYS|TAG\s+VALUES)"
+    r"^\s*SHOW\s+(?P<what>MEASUREMENTS|FIELD\s+KEYS|TAG\s+KEYS|TAG\s+VALUES"
+    r"|DATABASES|RETENTION\s+POLICIES)"
+    r"(?:\s+ON\s+[\w.\"]+)?"
     r"(?:\s+FROM\s+(?P<from>[\w.\"]+))?"
     r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>[\w\"]+))?\s*$",
     re.IGNORECASE,
 )
+
+#: database name reported to Grafana's datasource health check
+SHOW_DATABASE_NAME = "iot"
 
 
 def compile_show(query: str, points: DataFrame) -> DataFrame:
@@ -896,6 +901,19 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
     if frm:
         df = df.filter(F.col("plc_ip") == F.lit(_unquote(frm)))
 
+    if what == "DATABASES":
+        # Grafana's datasource test issues this before anything else
+        spark = points.sparkSession
+        return spark.createDataFrame([(SHOW_DATABASE_NAME,)], "name string")
+    if what == "RETENTION POLICIES":
+        # the InfluxDB 1.x default policy row (duration 0s = infinite);
+        # actual age-off in this engine is the partition-drop operator
+        spark = points.sparkSession
+        return spark.createDataFrame(
+            [("autogen", "0s", "0s", 1, True)],
+            "name string, duration string, shardGroupDuration string, "
+            "replicaN int, `default` boolean",
+        )
     if what == "MEASUREMENTS":
         return df.select(F.col("plc_ip").alias("name")).distinct().orderBy("name")
     if what == "FIELD KEYS":

@@ -794,3 +794,43 @@ def test_tz_with_fill_rejected(points):
             "AND time < '2024-01-02 00:00:00' GROUP BY time(1h) fill(previous) "
             "tz('America/New_York')"
         )
+
+
+def test_show_databases_and_retention_policies(points):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_show,
+    )
+
+    dbs = compile_show("SHOW DATABASES", points).collect()
+    assert [r["name"] for r in dbs] == ["iot"]
+    rp = compile_show("SHOW RETENTION POLICIES ON iot", points).collect()
+    assert len(rp) == 1
+    assert rp[0]["name"] == "autogen" and rp[0]["default"] is True
+
+
+def test_transform_inverse_property(points):
+    """cumulative_sum(difference(x)) telescopes back to x - x0 per
+    series — a dialect-level invariant across the two transforms."""
+    base = compile_influxql(
+        "SELECT sum(value) AS s FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(10m), plc_ip",
+        points,
+    ).collect()
+    diff = compile_influxql(
+        "SELECT difference(sum(value)) AS d FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(10m), plc_ip",
+        points,
+    ).collect()
+    per_ip: dict = {}
+    for r in sorted(base, key=lambda r: r["time"]):
+        per_ip.setdefault(r["plc_ip"], []).append(r["s"])
+    for ip, series in per_ip.items():
+        deltas = [r["d"] for r in sorted(
+            (x for x in diff if x["plc_ip"] == ip), key=lambda r: r["time"]
+        )]
+        run = 0.0
+        for i, d in enumerate(deltas):
+            run += d
+            assert abs(run - (series[i + 1] - series[0])) < 1e-9
