@@ -165,6 +165,22 @@ class IoTEngine:
             query, table, rollup=rollup, rollup_every_s=rollup_every_s
         )
 
+    def influxql_into(
+        self, query: str, table: DataFrame, out_dir: str
+    ) -> tuple[str, int]:
+        """SELECT ... INTO <target>: run the statement and persist the
+        result as ``<out_dir>/<target>`` parquet (the one-shot CQ
+        backfill idiom). Returns (target, row count). The scheduled CQ
+        path is ``start_continuous_query``; this is its ad-hoc twin."""
+        import os as _os
+
+        from .functions.influxql import compile_into
+
+        target, df = compile_into(query, table)
+        path = _os.path.join(out_dir, target)
+        df.write.mode("overwrite").parquet(path)
+        return target, self.spark.read.parquet(path).count()
+
     # -- continuous queries (InfluxDB CQ / RESAMPLE parity) ------------
     def start_continuous_query(
         self,

@@ -1046,3 +1046,35 @@ def compile_statement(query: str, table: DataFrame, **kw) -> DataFrame:
         inner_df = inner_df.withColumnRenamed("time", "ts")
     # rollup routing only applies to the innermost raw-table scan
     return compile_influxql(outer_q, inner_df)
+
+
+# --------------------------------------------------------------------------
+# SELECT ... INTO <target> — the statement InfluxDB continuous queries
+# are written in (and the one-shot backfill idiom `SELECT ... INTO ...
+# WHERE time < now() GROUP BY time(1h)`). The compiled plan is the
+# SELECT without the INTO clause; the caller owns the write (the engine
+# pairs this with streaming/rollup.py for the scheduled CQ path).
+# --------------------------------------------------------------------------
+_INTO_RE = re.compile(
+    r"^(?P<head>\s*SELECT\s+.+?)\s+INTO\s+(?P<target>[\w.\"]+)\s+"
+    r"(?P<tail>FROM\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def split_into(query: str) -> tuple[str | None, str]:
+    """Return (target_measurement | None, query-without-INTO)."""
+    m = _INTO_RE.match(query.strip().rstrip(";"))
+    if not m:
+        return None, query
+    return _unquote(m.group("target")), f"{m.group('head')} {m.group('tail')}"
+
+
+def compile_into(
+    query: str, table: DataFrame, **kw
+) -> tuple[str, DataFrame]:
+    """Compile a SELECT ... INTO statement → (target name, result plan)."""
+    target, rest = split_into(query)
+    if target is None:
+        raise InfluxQLError(f"statement has no INTO clause: {query!r}")
+    return target, compile_statement(rest, table, **kw)

@@ -834,3 +834,43 @@ def test_transform_inverse_property(points):
         for i, d in enumerate(deltas):
             run += d
             assert abs(run - (series[i + 1] - series[0])) < 1e-9
+
+
+def test_select_into_backfill(points, spark, tmp_path):
+    from iot_system_plc_data_to_influxdb_spark.api import IoTEngine
+
+    engine = IoTEngine(spark)
+    target, n = engine.influxql_into(
+        'SELECT mean(value) AS m, count(value) AS n INTO "hourly_means" '
+        "FROM points WHERE time >= '2024-01-01 00:00:00' "
+        "AND time < '2024-01-01 01:00:00' GROUP BY time(30m), plc_ip",
+        points,
+        str(tmp_path),
+    )
+    assert target == "hourly_means"
+    assert n == 4  # 2 buckets x 2 PLCs
+    back = spark.read.parquet(str(tmp_path / "hourly_means"))
+    direct = compile_influxql(
+        "SELECT mean(value) AS m, count(value) AS n FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(30m), plc_ip",
+        points,
+    )
+    key = lambda r: (r["time"], r["plc_ip"])  # noqa: E731
+    assert {key(r): (r["m"], r["n"]) for r in back.collect()} == {
+        key(r): (r["m"], r["n"]) for r in direct.collect()
+    }
+
+
+def test_into_parse_roundtrip():
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        split_into,
+    )
+
+    t, rest = split_into(
+        "SELECT mean(value) INTO rollup FROM points GROUP BY time(1h)"
+    )
+    assert t == "rollup"
+    assert "INTO" not in rest and parse(rest).group_time_s == 3600
+    t2, same = split_into("SELECT mean(value) FROM points")
+    assert t2 is None and same == "SELECT mean(value) FROM points"
