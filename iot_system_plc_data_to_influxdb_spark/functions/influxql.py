@@ -135,6 +135,11 @@ _NESTED_ITEM_RE = re.compile(
 _TIME_COND_RE = re.compile(
     r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE
 )
+_TIME_NOW_RE = re.compile(
+    r"^time\s*(?P<op>>=|<=|>|<)\s*now\s*\(\s*\)"
+    r"(?:\s*-\s*(?P<n>\d+)(?P<u>[smhdw]))?$",
+    re.IGNORECASE,
+)
 _TAG_COND_RE = re.compile(
     r"^(?P<key>[\w\"]+)\s*=\s*'(?P<val>[^']*)'$"
 )
@@ -305,6 +310,23 @@ def parse(q: str) -> _Query:
                 else:
                     out.time_hi = (op, tm.group("ts"))
                 continue
+            nw = _TIME_NOW_RE.match(cond)
+            if nw:
+                # now()-relative bound (what Grafana's time picker
+                # emits); resolved to a literal at compile time so the
+                # range still reaches the scan as a pushed filter
+                op = nw.group("op")
+                back = (
+                    int(nw.group("n")) * _UNIT_SECONDS[nw.group("u").lower()]
+                    if nw.group("n")
+                    else 0
+                )
+                bound = ("now", back)
+                if op in (">", ">="):
+                    out.time_lo = (op, bound)
+                else:
+                    out.time_hi = (op, bound)
+                continue
             gm = _TAG_COND_RE.match(cond)
             if gm:
                 out.tag_eq.append((_unquote(gm.group("key")), gm.group("val")))
@@ -418,6 +440,33 @@ def _epoch_utc(ts: str) -> int:
         .replace(tzinfo=_dt.timezone.utc)
         .timestamp()
     )
+
+
+def _resolve_now(q: _Query, now) -> None:
+    """Turn ('now', back_s) bounds into concrete literals once, at
+    compile time — downstream (pushdown, fill grid, rollup alignment)
+    then sees plain timestamp strings. ``now`` may be a datetime or
+    'YYYY-mm-dd HH:MM:SS' string; defaults to the current UTC time."""
+    import datetime as _dt
+
+    base = None
+    for attr in ("time_lo", "time_hi"):
+        b = getattr(q, attr)
+        if b and isinstance(b[1], tuple):
+            if base is None:
+                if now is None:
+                    base = _dt.datetime.now(_dt.timezone.utc).replace(
+                        tzinfo=None, microsecond=0
+                    )
+                elif isinstance(now, str):
+                    base = _dt.datetime.fromisoformat(now)
+                else:
+                    base = now
+            _kind, back = b[1]
+            ts = (base - _dt.timedelta(seconds=back)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            setattr(q, attr, (b[0], ts))
 
 
 def _bucket_expr(q: _Query, colname: str):
@@ -707,6 +756,7 @@ def compile_influxql(
     table: DataFrame,
     rollup: DataFrame | None = None,
     rollup_every_s: int | None = None,
+    now=None,
 ) -> DataFrame:
     """Compile one InfluxQL statement against ``table`` (the
     measurement the FROM clause names; resolution is the caller's —
@@ -720,6 +770,7 @@ def compile_influxql(
     window-ratio-smaller scan; everything else silently takes the raw
     path."""
     q = parse(query)
+    _resolve_now(q, now)
     table = _apply_regex_measurement(table, q)
 
     if rollup is not None and _rollup_servable(q, rollup_every_s):

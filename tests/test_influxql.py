@@ -874,3 +874,30 @@ def test_into_parse_roundtrip():
     assert "INTO" not in rest and parse(rest).group_time_s == 3600
     t2, same = split_into("SELECT mean(value) FROM points")
     assert t2 is None and same == "SELECT mean(value) FROM points"
+
+
+def test_now_relative_bounds(points):
+    # Grafana's time picker: WHERE time > now() - 30m (now injected for
+    # the test; production resolves to the current UTC time)
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM points WHERE time > now() - 30m "
+        "AND time <= now()",
+        points,
+        now="2024-01-01 01:00:00",
+    ).first()
+    exp = points.filter(
+        (F.col("ts") > "2024-01-01 00:30:00")
+        & (F.col("ts") <= "2024-01-01 01:00:00")
+    ).count()
+    assert out["n"] == exp > 0
+
+
+def test_now_bounds_feed_fill_grid(points):
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM points "
+        "WHERE time >= now() - 1h AND time < now() "
+        "GROUP BY time(15m) fill(0)",
+        points.filter(F.col("value") < -1),  # empty source
+        now="2024-01-01 02:00:00",
+    ).collect()
+    assert len(out) == 4 and all(r["n"] == 0.0 for r in out)
