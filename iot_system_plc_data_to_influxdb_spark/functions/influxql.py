@@ -113,7 +113,7 @@ _SELECT_RE = re.compile(
     r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?"
     r"(?:\s+ORDER\s+BY\s+time\s+(?P<order>ASC|DESC))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?(?:\s+OFFSET\s+(?P<offset>\d+))?"
-    r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?\s*$",
+    r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?(?:\s+SOFFSET\s+(?P<soffset>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
@@ -187,6 +187,7 @@ class _Query:
     limit: int | None = None
     offset: int = 0
     slimit: int | None = None
+    soffset: int = 0
     # select-index → (transform_fn, raw_arg) applied after aggregation
     transforms: dict = field(default_factory=dict)
     # select-index → (op, literal) scalar arithmetic suffix
@@ -374,8 +375,9 @@ def parse(q: str) -> _Query:
     out.limit = int(gd["limit"]) if gd["limit"] else None
     out.offset = int(gd["offset"]) if gd.get("offset") else 0
     out.slimit = int(gd["slimit"]) if gd.get("slimit") else None
-    if out.slimit is not None and not out.group_tags:
-        raise InfluxQLError("SLIMIT requires GROUP BY <tag>")
+    out.soffset = int(gd["soffset"]) if gd.get("soffset") else 0
+    if (out.slimit is not None or out.soffset) and not out.group_tags:
+        raise InfluxQLError("SLIMIT/SOFFSET requires GROUP BY <tag>")
 
     if fill and out.group_time_s is None:
         raise InfluxQLError("fill() requires GROUP BY time()")
@@ -582,8 +584,8 @@ def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataF
 def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
     """fill() / ORDER BY time / LIMIT / SLIMIT on a GROUP BY time()
     result — shared by the raw-table and rollup-routed paths."""
-    if q.slimit is not None:
-        # series limit: rank series on the tiny DISTINCT-tags set and
+    if q.slimit is not None or q.soffset:
+        # series paging: rank series on the tiny DISTINCT-tags set and
         # semi-join back — a global window over the full result would
         # funnel every row through one partition at scale
         w = Window.orderBy(*[F.col(t) for t in q.group_tags])
@@ -591,10 +593,12 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
             df.select(*q.group_tags)
             .distinct()
             .withColumn("_srank", F.row_number().over(w))
-            .filter(F.col("_srank") <= q.slimit)
-            .drop("_srank")
         )
-        df = df.join(F.broadcast(keep), q.group_tags, "semi")
+        if q.soffset:
+            keep = keep.filter(F.col("_srank") > q.soffset)
+        if q.slimit is not None:
+            keep = keep.filter(F.col("_srank") <= q.soffset + q.slimit)
+        df = df.join(F.broadcast(keep.drop("_srank")), q.group_tags, "semi")
     if (
         q.fill not in (None, "none")
         and q.group_time_s

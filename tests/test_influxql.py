@@ -901,3 +901,20 @@ def test_now_bounds_feed_fill_grid(points):
         now="2024-01-01 02:00:00",
     ).collect()
     assert len(out) == 4 and all(r["n"] == 0.0 for r in out)
+
+
+def test_soffset_series_paging(points):
+    def series(q):
+        return {
+            r["plc_ip"]
+            for r in compile_influxql(q, points).collect()
+        }
+
+    base = (
+        "SELECT mean(value) AS m FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(30m), plc_ip"
+    )
+    assert series(base + " SLIMIT 1") == {"192.168.0.1"}
+    assert series(base + " SLIMIT 1 SOFFSET 1") == {"192.168.0.2"}
+    assert series(base + " SLIMIT 2 SOFFSET 2") == set()
