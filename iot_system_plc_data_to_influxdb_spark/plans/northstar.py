@@ -1401,3 +1401,18 @@ def b21_sequence_pack(spark, sf_dir):
     return docs.repartition("lang").groupBy("lang").applyInPandas(
         pack, "doc_id bigint, lang string, n_tokens bigint, bin_id bigint"
     )
+
+
+@register("b20_pq_knn", oracle=None, tags=("B20",))
+def b20_pq_knn(spark, sf_dir):
+    # Product-quantized ANN (operators/pq.py): train 4×16 codebooks on
+    # the corpus, encode to 4-byte codes (64× compression), answer the
+    # probe via asymmetric distance. rows-only: subspace k-means means
+    # are float sums, not cross-engine exact — recall/determinism are
+    # pytest-checked (test_northstar.test_product_quantization_roundtrip).
+    from ..operators.pq import pq_encode, pq_knn, pq_train
+
+    emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id").cache()
+    books = pq_train(emb, m=4, k=16, max_iter=3)
+    codes = pq_encode(emb, books)
+    return pq_knn(emb, codes, books, probe_vec_id=0, k=10)

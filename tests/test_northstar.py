@@ -333,3 +333,51 @@ def test_sequence_pack_invariants(spark):
     for lang in langs:
         bins = sorted({b for (l2, b) in by_bin if l2 == lang})
         assert bins == list(range(len(bins)))
+
+
+def test_product_quantization_roundtrip(spark):
+    """PQ on planted clustered vectors: codes stay in range, encoding is
+    deterministic, and ADC top-k recovers a solid share of the true
+    neighbors (clustered data — the case PQ is built for)."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.pq import (
+        pq_encode,
+        pq_knn,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 32)) * 8.0
+    rows = []
+    for i in range(320):
+        v = centers[i % 8] + rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    books = pq_train(emb, m=4, k=8, max_iter=4)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+
+    codes = pq_encode(emb, books).cache()
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert len(got) == 320
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in got.values())
+    # deterministic encode
+    again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert got == again
+
+    # ADC recall vs exact brute force on the same probe
+    probe = 0
+    pv = dict(rows)[probe]
+    exact = sorted(
+        ((sum((a - b) ** 2 for a, b in zip(pv, v)), i) for i, v in rows if i != probe)
+    )[:10]
+    exact_ids = {i for _, i in exact}
+    approx_ids = {r["vec_id"] for r in pq_knn(emb, codes, books, probe, k=10).collect()}
+    assert len(approx_ids) == 10
+    # 4 coarse codes can't rank WITHIN a cluster, but every retrieved
+    # vector must come from the probe's planted cluster, with real
+    # overlap against the exact top-10
+    assert all(i % 8 == probe % 8 for i in approx_ids), approx_ids
+    assert len(approx_ids & exact_ids) >= 3, (approx_ids, exact_ids)
