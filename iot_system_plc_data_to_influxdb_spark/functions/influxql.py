@@ -140,6 +140,10 @@ _TIME_NOW_RE = re.compile(
     r"(?:\s*-\s*(?P<n>\d+)(?P<u>[smhdw]))?$",
     re.IGNORECASE,
 )
+_TIME_EPOCH_RE = re.compile(
+    r"^time\s*(?P<op>>=|<=|>|<)\s*(?P<n>\d+)(?P<u>ns|u|µ|ms|s)?$",
+    re.IGNORECASE,
+)
 _TAG_COND_RE = re.compile(
     r"^(?P<key>[\w\"]+)\s*=\s*'(?P<val>[^']*)'$"
 )
@@ -327,6 +331,29 @@ def parse(q: str) -> _Query:
                     out.time_lo = (op, bound)
                 else:
                     out.time_hi = (op, bound)
+                continue
+            em = _TIME_EPOCH_RE.match(cond)
+            if em:
+                # epoch-numeric literal (Grafana raw mode); bare numbers
+                # are nanoseconds per InfluxQL
+                import datetime as _dt
+
+                unit = (em.group("u") or "ns").lower()
+                n = int(em.group("n"))
+                us = (
+                    n // 1000 if unit == "ns"
+                    else n if unit in ("u", "µ")
+                    else n * 1000 if unit == "ms"
+                    else n * 1_000_000
+                )
+                ts = (
+                    _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+                ).strftime("%Y-%m-%d %H:%M:%S.%f")
+                op = em.group("op")
+                if op in (">", ">="):
+                    out.time_lo = (op, ts)
+                else:
+                    out.time_hi = (op, ts)
                 continue
             gm = _TAG_COND_RE.match(cond)
             if gm:

@@ -918,3 +918,22 @@ def test_soffset_series_paging(points):
     assert series(base + " SLIMIT 1") == {"192.168.0.1"}
     assert series(base + " SLIMIT 1 SOFFSET 1") == {"192.168.0.2"}
     assert series(base + " SLIMIT 2 SOFFSET 2") == set()
+
+
+def test_epoch_numeric_time_literals(points):
+    import datetime as dtm
+
+    lo = dtm.datetime(2024, 1, 1, 0, 10)
+    hi = dtm.datetime(2024, 1, 1, 0, 40)
+    lo_ms = int((lo - dtm.datetime(1970, 1, 1)).total_seconds() * 1000)
+    hi_ns = int((hi - dtm.datetime(1970, 1, 1)).total_seconds() * 1_000_000_000)
+    out = compile_influxql(
+        f"SELECT count(value) AS n FROM points "
+        f"WHERE time >= {lo_ms}ms AND time < {hi_ns}",
+        points,
+    ).first()
+    exp = points.filter(
+        (F.col("ts") >= "2024-01-01 00:10:00")
+        & (F.col("ts") < "2024-01-01 00:40:00")
+    ).count()
+    assert out["n"] == exp > 0
