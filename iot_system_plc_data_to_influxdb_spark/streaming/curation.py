@@ -1,0 +1,72 @@
+"""Streaming document curation (north-star B21 × B26).
+
+The batch text-analysis operators (plans/northstar.py) as a continuous
+ingest pipeline: documents arrive as a stream, get content-hashed,
+deduplicated within a watermark (exact dedup state stays bounded),
+scored, language-tagged, and filtered — the shape of a training-data
+ingest service that curates as data lands rather than in nightly
+batches.
+
+Everything is native Catalyst expressions (no Python in the hot path),
+so the same columns the batch queries compute stream with whole-stage
+codegen; dedup is Spark's watermark-bounded state store. At fleet scale
+the stream partitions by content hash automatically (the dedup state
+shuffle) and every other stage is map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens
+
+
+def curate_stream(
+    docs: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    min_quality: float = 0.3,
+    lang: str | None = None,
+) -> DataFrame:
+    """doc stream (ingest_ts, doc_id, text, ...) → curated stream.
+
+    Stages: content md5 → dropDuplicatesWithinWatermark on the hash
+    (exact streaming dedup, state bounded by the watermark) → token
+    stats → quality score (same exact-integer formula as
+    b21_quality_score) → language heuristic → threshold filters.
+    """
+    w = tokens(F.col("text"))
+    deduped = docs.withColumn(
+        "content_md5", F.md5(F.col("text"))
+    ).withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_md5"]
+    )
+    nt = F.col("n_tokens")
+
+    def ratio4(a, b):
+        return F.floor((2 * a * 10000 + b) / (2 * b)) / 10000.0
+
+    stats = deduped.withColumns(
+        {
+            "n_tokens": F.size(w),
+            "n_distinct": F.size(F.array_distinct(w)),
+            "stop_hits": F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))),
+        }
+    )
+    quality_num = (
+        (4 * F.col("n_distinct") + 3 * (nt - F.col("stop_hits"))) * 100
+        + 3 * F.least(nt, F.lit(100)) * nt
+    )
+    scored = stats.withColumns(
+        {
+            "quality": ratio4(quality_num, 1000 * nt),
+            "predicted_lang": F.when(
+                F.col("stop_hits") / nt >= 0.05, F.lit("en")
+            ).otherwise(F.lit("other")),
+        }
+    )
+    out = scored.filter(F.col("quality") >= min_quality)
+    if lang is not None:
+        out = out.filter(F.col("predicted_lang") == lang)
+    return out

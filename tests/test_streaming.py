@@ -489,3 +489,71 @@ def test_dedup_within_watermark_stream(spark):
         q.awaitTermination(120)
         keys = [(r["plc_ip"], r["alias"], r["ts"]) for r in seen]
         assert len(keys) == len(set(keys)) == 4  # 4 distinct points survive
+
+
+def test_streaming_document_curation(spark):
+    """B21 x B26: content-hash dedup within the watermark + quality/
+    langid scoring as a continuous pipeline over a document stream."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        curate_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    good = (
+        "the quick brown fox jumps over a lazy dog and the day is long "
+        "in the valley of the wind and a river runs to the sea"
+    )
+    junk = "spam spam spam spam spam spam spam spam"
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ingest_ts timestamp, doc_id bigint, text string"
+        batches = [
+            [
+                ("2024-01-01 00:00:01", 1, good),
+                ("2024-01-01 00:00:02", 2, junk),
+            ],
+            [
+                ("2024-01-01 00:00:03", 3, good),  # exact dup of 1
+                ("2024-01-01 00:00:04", 4, good + " extra tail words"),
+            ],
+        ]
+        import glob
+        import shutil
+
+        t0 = time.time() - 100
+        dst = os.path.join(tmp, "docs")
+        os.makedirs(dst, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "ingest_ts string, doc_id bigint, text string"
+            ).select(
+                F.col("ingest_ts").cast("timestamp"), "doc_id", "text"
+            )
+            stage = os.path.join(tmp, f"dstage{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        got = []
+        q = (
+            curate_stream(stream, min_quality=0.45)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = sorted(r["doc_id"] for r in got)
+        # doc 3 (exact duplicate of 1) dropped by streaming dedup;
+        # doc 2 (repetitive junk, zero stopwords beyond threshold but
+        # low distinct ratio) dropped by the quality filter
+        assert ids == [1, 4], ids
+        by_id = {r["doc_id"]: r for r in got}
+        assert by_id[1]["predicted_lang"] == "en"
+        assert all(r["quality"] >= 0.45 for r in got)
