@@ -10,21 +10,27 @@ reference deployment exercises into the engine's DataFrame operators:
     SELECT <agg>(field) [AS alias][, ...] | <field|*>
          | <xform>(<agg>(field)[, arg])    -- Grafana's nested transforms
          | <xform>(field[, arg])           -- raw-series transforms
-    FROM <identifier>                      -- resolved by the caller
-    [WHERE time >= 'ts' [AND time <(=) 'ts']
+         | <item> *|/|+|- <number>         -- unit-conversion math
+    [INTO <target>]                        -- compile_into / CQ backfill
+    FROM <identifier> | /regex/ | (SELECT ...)
+    [WHERE time <op> 'ts' | now()[-dur] | <epoch>[ns|u|ms|s]
            [AND <tag> =|!= 'v' | <tag> =~|!~ /re/ | <field> <op> <num> ...]]
-    [GROUP BY time(<N><u>)[, <tag> ...]]   [fill(previous|none|<num>)]
+    [GROUP BY time(<N><u>[, offset])[, <tag> ...]]
+        [fill(previous|linear|none|null|<num>)]
     [ORDER BY time DESC|ASC]
-    [LIMIT n]
+    [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n] [tz('Zone')]
 
 Aggregates: count, sum, mean, min, max, first, last, spread, median,
 stddev, mode, integral(unit), distinct, count(distinct(f)),
-percentile(f, p). Transforms (InfluxDB "transformations", applied per
-series AFTER the inner aggregation when nested): derivative,
-non_negative_derivative, difference, non_negative_difference,
-moving_average, cumulative_sum, elapsed. Supported units: s/m/h/d/w.
-A parse failure raises ``InfluxQLError`` with the offending clause —
-no silent fallback.
+percentile(f, p), top(f, n), bottom(f, n). Transforms (InfluxDB
+"transformations", applied per series AFTER the inner aggregation when
+nested): derivative, non_negative_derivative, difference,
+non_negative_difference, moving_average, cumulative_sum, elapsed.
+Meta statements (compile_show): SHOW MEASUREMENTS / FIELD KEYS / TAG
+KEYS / TAG VALUES / DATABASES / RETENTION POLICIES; retention
+(compile_delete): DELETE FROM / DROP MEASUREMENT. Supported units:
+s/m/h/d/w. A parse failure raises ``InfluxQLError`` with the offending
+clause — no silent fallback.
 
 The compiler is deliberately a ~tiny recursive regex grammar, not a
 full parser: InfluxQL's reference-relevant subset is flat (single
