@@ -877,6 +877,9 @@ def compile_influxql(
                 *q.group_tags,
                 F.col(colname).alias(alias),
             )
+        )
+        df = (
+            _apply_scalar_math(df, q, transformed=False)
             .orderBy("time", *q.group_tags)
         )
     elif q.group_time_s is not None:

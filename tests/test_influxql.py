@@ -937,3 +937,18 @@ def test_epoch_numeric_time_literals(points):
         & (F.col("ts") < "2024-01-01 00:40:00")
     ).count()
     assert out["n"] == exp > 0
+
+
+def test_selector_with_scalar_math(points):
+    out = compile_influxql(
+        "SELECT top(value, 3) * 2 AS double_top FROM points "
+        "WHERE alias = 'temp'",
+        points,
+    ).collect()
+    plain = compile_influxql(
+        "SELECT top(value, 3) AS t FROM points WHERE alias = 'temp'",
+        points,
+    ).collect()
+    assert sorted(r["double_top"] for r in out) == sorted(
+        r["t"] * 2 for r in plain
+    )
