@@ -952,3 +952,48 @@ def test_selector_with_scalar_math(points):
     assert sorted(r["double_top"] for r in out) == sorted(
         r["t"] * 2 for r in plain
     )
+
+
+def test_tz_buckets_across_dst_transition(spark):
+    # US spring-forward 2024-03-10: local midnight is 05:00 UTC before
+    # and 04:00 UTC after; day buckets must follow the wall clock
+    import datetime as dtm
+
+    rows = []
+    t = dtm.datetime(2024, 3, 9, 5, 0)  # 2024-03-09 00:00 NY
+    while t < dtm.datetime(2024, 3, 12, 4, 0):  # through 03-11 NY
+        rows.append((t, "p", 1.0))
+        t += dtm.timedelta(hours=1)
+    df = spark.createDataFrame(rows, "ts timestamp, plc_ip string, value double")
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM m "
+        "WHERE time >= '2024-03-09 00:00:00' AND time < '2024-03-12 00:00:00' "
+        "GROUP BY time(1d) tz('America/New_York')",
+        df,
+        now=None,
+    ).collect()
+    got = {r["time"]: r["n"] for r in out}
+    # three local days: 24h, 23h (spring forward), 24h
+    assert sorted(got.values()) == [23, 24, 24]
+    starts = sorted(got)
+    # bucket starts sit at NY midnight: 05:00 UTC, 05:00 UTC, 04:00 UTC
+    assert [s.hour for s in starts] == [5, 5, 4]
+
+
+def test_transform_of_percentile(points):
+    out = compile_influxql(
+        "SELECT moving_average(percentile(value, 90), 2) AS mp FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(15m)",
+        points,
+    ).collect()
+    base = compile_influxql(
+        "SELECT percentile(value, 90) AS p FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(15m)",
+        points,
+    ).collect()
+    ps = [r["p"] for r in sorted(base, key=lambda r: r["time"])]
+    want = [(a + b) / 2 for a, b in zip(ps, ps[1:])]
+    got = [r["mp"] for r in sorted(out, key=lambda r: r["time"])]
+    assert got == want and len(got) == 3
