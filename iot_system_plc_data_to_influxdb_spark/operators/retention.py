@@ -58,3 +58,25 @@ def drop_expired(path: str, cutoff: _dt.date) -> int:
     for p in dropped:
         shutil.rmtree(p)
     return len(dropped)
+
+
+def write_training_shards(
+    docs: "DataFrame", packed: "DataFrame", path: str
+) -> None:
+    """Materialize sequence-packed documents as training shards laid
+    out ``lang=<l>/bin_id=<b>/`` (plans/northstar.b21_sequence_pack
+    produces ``packed``). A trainer pulling one shard reads ONE
+    partition directory — partition pruning, no corpus scan — and a
+    whole-lang epoch reads only that lang's subtree. Same layout idea
+    as the (plc_ip, date) points archive above."""
+    from pyspark.sql import functions as F
+
+    (
+        docs.select("doc_id", "text")
+        .join(packed.select("doc_id", "lang", "bin_id"), "doc_id")
+        .repartition("lang", "bin_id")
+        .sortWithinPartitions("bin_id", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("lang", "bin_id")
+        .parquet(path)
+    )

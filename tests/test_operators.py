@@ -183,3 +183,51 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_training_shards_partition_pruning(spark, tmp_path):
+    from iot_system_plc_data_to_influxdb_spark.catalog import t
+    from iot_system_plc_data_to_influxdb_spark.operators.retention import (
+        write_training_shards,
+    )
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b21_sequence_pack,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents")
+    packed = b21_sequence_pack(spark, sf)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, packed, out)
+
+    whole = spark.read.parquet(out)
+    one = whole.filter((F.col("lang") == "en") & (F.col("bin_id") == 0))
+    # partition pruning proof: the shard predicate lands in
+    # PartitionFilters, and the executed scan opens exactly one
+    # lang=/bin_id= directory (inputFiles() ignores pruning)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain(True)
+    part_filters = buf.getvalue().split("PartitionFilters: [")[1].split("]")[0]
+    assert "lang" in part_filters and "bin_id" in part_filters
+    scanned_dirs = {
+        r["f"].rsplit("/", 1)[0]
+        for r in one.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(scanned_dirs) == 1
+    n_dirs = (
+        whole.select("lang", "bin_id").distinct().count()
+    )
+    assert n_dirs > 1
+    # shard content matches the packing assignment exactly
+    want = {
+        r["doc_id"]
+        for r in packed.filter(
+            (F.col("lang") == "en") & (F.col("bin_id") == 0)
+        ).collect()
+    }
+    got = {r["doc_id"] for r in one.collect()}
+    assert got == want and got
