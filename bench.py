@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "b21_repetition_signals",
     "b21_pii_redaction",
     "b20_embedding_quantization",
+    "b18_train_val_test_split",
+    "b19_incremental_dedup",
+    "b21_boilerplate_ngrams",
 ]
 
 

@@ -1419,3 +1419,313 @@ def b20_pq_knn(spark, sf_dir):
     books = pq_train(emb, m=4, k=16, max_iter=2)
     codes = pq_encode(emb, books)
     return pq_knn(emb, codes, books, probe_vec_id=0, k=10)
+
+
+# --------------------------------------------------------------------------
+# B18c — deterministic train/val/test split: hash-bucket every document
+# into a split by md5(doc_id) threshold (train ~90%, val ~5%, test ~5%).
+# No RNG and no seed: membership is a pure function of the key, so the
+# split is stable across runs, engines, repartitioning, and incremental
+# re-ingestion (a re-crawled doc lands in the same split — no train/test
+# leakage as the corpus grows). The predicate is a plain string compare
+# on a projected column: pushdown-able, map-only, zero shuffle until the
+# audit aggregate. Output is the audit view: docs + chars per
+# (split, lang) stratum.
+# --------------------------------------------------------------------------
+@register(
+    "b18_train_val_test_split",
+    oracle="""
+    WITH s AS (
+      SELECT lang, n_chars,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+               THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333'
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM s GROUP BY split, lang
+    """,
+    tags=("B18", "B21"),
+)
+def b18_train_val_test_split(spark, sf_dir):
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(hk < "e6666666", "train")  # 0xe6666666/2^32 ≈ 0.90
+        .when(hk < "f3333333", "val")     # next ≈ 0.05
+        .otherwise("test")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B21k — cross-document boilerplate n-grams (C4-style filter signal):
+# a 5-gram occurring in >= 3 distinct documents is "boilerplate"
+# (headers, footers, license blurbs, navigation chrome); per document,
+# report how much of it is made of such grams. Two shuffles: the
+# gram->document-frequency aggregate and the per-doc rollup — both with
+# map-side partial aggregation. At 100 TB the df table is the heavy
+# shuffle; the standard tricks apply unchanged: hash grams to int64
+# (xxhash64) to shrink shuffle width, and pre-filter with a frequency
+# sketch so singleton grams (the vast majority) never shuffle at all.
+# Kept as exact strings here for bit-exact oracle parity.
+# --------------------------------------------------------------------------
+@register(
+    "b21_boilerplate_ngrams",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+        unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+      FROM d
+    ),
+    g0 AS (
+      SELECT doc_id,
+        concat_ws(' ', w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4]) AS g
+      FROM pos
+    ),
+    g AS (SELECT DISTINCT doc_id, g FROM g0),
+    df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+    per AS (
+      SELECT g.doc_id,
+        COUNT(*) AS n_grams,
+        CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_boiler
+      FROM g JOIN df USING (g) GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_boiler,
+      {sql_round_ratio('n_boiler', 'n_grams', 4)} AS boiler_frac
+    FROM per
+    """,
+    tags=("B21",),
+)
+def b21_boilerplate_ngrams(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 5))).alias("g"),
+    )
+    df = grams.groupBy("g").agg(F.count("*").alias("df"))
+    per = (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") >= 3).cast("bigint")).alias("n_boiler"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        round_ratio(F.col("n_boiler"), F.col("n_grams"), 4).alias("boiler_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B19f — incremental (cross-snapshot) dedup: dedup a NEW ingestion delta
+# against an EXISTING base corpus without re-deduping the base. This is
+# the shape every growing 100 TB corpus actually needs — the all-pairs
+# passes (b19_*) build the initial index once; every later crawl only
+# pays cost proportional to the delta:
+#   1. exact:  anti-join the delta's content hash against the base's
+#      (at scale: the base hash set is a stored, bucketed table — or a
+#      bloom filter for a first cheap pass);
+#   2. near:   compute MinHash band keys for delta docs only and join
+#      them against the base's PRECOMPUTED band-key index (stored
+#      partitioned by (band, bk), so the probe prunes partitions);
+#      verify surviving candidates by exact shingle Jaccard >= 0.7.
+# Base here = sources src0..src9, delta = src10..src19. Output: every
+# delta doc with verdict exact_dup | near_dup | kept.
+# --------------------------------------------------------------------------
+_B19_INCR_ORACLE = (
+    _DOCS_CTE
+    + """
+    , mh AS (
+      SELECT doc_id,
+    """
+    + _MINHASH_COMPONENTS
+    + """
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bk FROM mh
+      UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM mh
+      UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM mh
+      UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM mh
+    ),
+    meta AS (
+      SELECT doc_id, source,
+        CAST(substr(source, 4) AS INTEGER) < 10 AS is_base
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS dd, b.doc_id AS bd
+      FROM bands a
+      JOIN meta ma ON ma.doc_id = a.doc_id AND NOT ma.is_base
+      JOIN bands b ON b.band = a.band AND b.bk = a.bk
+      JOIN meta mb ON mb.doc_id = b.doc_id AND mb.is_base
+    ),
+    inter AS (
+      SELECT c.dd, c.bd, count(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.dd
+      JOIN sh s2 ON s2.doc_id = c.bd AND s2.s = s1.s
+      GROUP BY c.dd, c.bd
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    near AS (
+      SELECT DISTINCT dd AS doc_id
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = dd
+      JOIN sizes sb ON sb.doc_id = bd
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+    ),
+    exact AS (
+      SELECT DISTINCT d.doc_id
+      FROM documents d
+      JOIN documents b
+        ON md5(b.text) = md5(d.text)
+        AND CAST(substr(b.source, 4) AS INTEGER) < 10
+      WHERE CAST(substr(d.source, 4) AS INTEGER) >= 10
+    )
+    SELECT m.doc_id, m.source,
+      CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+           WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+           ELSE 'kept' END AS verdict
+    FROM meta m
+    LEFT JOIN exact e ON e.doc_id = m.doc_id
+    LEFT JOIN near n ON n.doc_id = m.doc_id
+    WHERE NOT m.is_base
+    """
+)
+
+
+@register("b19_incremental_dedup", oracle=_B19_INCR_ORACLE, tags=("B19", "B18"))
+def b19_incremental_dedup(spark, sf_dir):
+    is_base = F.substring("source", 4, 10).cast("int") < 10
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            is_base.alias("is_base"),
+            F.array_distinct(shingles(tokens(F.col("text")))).alias("arr"),
+            F.md5("text").alias("content_hash"),
+        )
+    )
+    # MinHash signatures (same recipe as b19_minhash_lsh_neardup: two
+    # md5s per shingle, 8 fixed-width 32-bit hex slices, array_min) —
+    # map-only, no shuffle.
+    hashed = docs.withColumn(
+        "hs",
+        F.transform(
+            F.col("arr"),
+            lambda s: F.concat(
+                F.md5(F.concat(F.lit("a|"), s)), F.md5(F.concat(F.lit("b|"), s))
+            ),
+        ),
+    )
+
+    def _slice(start):
+        return lambda h: F.substring(h, start, 8)
+
+    sig = hashed.select(
+        "doc_id",
+        "source",
+        "is_base",
+        "arr",
+        "content_hash",
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), _slice(1 + 8 * (j % 4) + 32 * (j // 4)))
+            ).alias(f"h{j}")
+            for j in range(8)
+        ],
+    ).cache()
+    bands = sig.select(
+        "doc_id",
+        "is_base",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))
+                        ).alias("bk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "is_base", "e.band", "e.bk")
+    # Delta band keys probe the base band index. At 100 TB the base side
+    # is a stored table partitioned by (band, bk) and this join prunes;
+    # here both sides derive from the cached signature pass.
+    cand = (
+        bands.filter(~F.col("is_base"))
+        .select("band", "bk", F.col("doc_id").alias("dd"))
+        .join(
+            bands.filter(F.col("is_base")).select(
+                "band", "bk", F.col("doc_id").alias("bd")
+            ),
+            ["band", "bk"],
+        )
+        .select("dd", "bd")
+        .distinct()
+    )
+    arrs = sig.select("doc_id", "arr")
+    verified = (
+        F.broadcast(cand)
+        .join(arrs.alias("pa"), F.col("pa.doc_id") == F.col("dd"))
+        .join(arrs.alias("pb"), F.col("pb.doc_id") == F.col("bd"))
+        .select(
+            "dd",
+            F.size(F.array_intersect(F.col("pa.arr"), F.col("pb.arr"))).alias("i"),
+            F.size(F.col("pa.arr")).alias("na"),
+            F.size(F.col("pb.arr")).alias("nb"),
+        )
+    )
+    near = (
+        verified.filter(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.7
+        )
+        .select(F.col("dd").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    base_hashes = (
+        sig.filter("is_base").select("content_hash").distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    return (
+        sig.filter(~F.col("is_base"))
+        .select("doc_id", "source", "content_hash")
+        .join(F.broadcast(base_hashes), "content_hash", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )

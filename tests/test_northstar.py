@@ -381,3 +381,71 @@ def test_product_quantization_roundtrip(spark):
     # overlap against the exact top-10
     assert all(i % 8 == probe % 8 for i in approx_ids), approx_ids
     assert len(approx_ids & exact_ids) >= 3, (approx_ids, exact_ids)
+
+
+def test_train_val_test_split_deterministic_and_exhaustive(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b18_train_val_test_split,
+    )
+
+    rows = b18_train_val_test_split(spark, SF_DIR).collect()
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    n_docs = t(spark, SF_DIR, "documents").count()
+    # every doc lands in exactly one split; train dominates
+    assert total == n_docs
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] > 0.7 * total
+    # pure hash of the key → identical assignment on a second run
+    again = {
+        (r["split"], r["lang"]): r["n_docs"]
+        for r in b18_train_val_test_split(spark, SF_DIR).collect()
+    }
+    assert again == {(r["split"], r["lang"]): r["n_docs"] for r in rows}
+
+
+def test_incremental_dedup_verdicts_consistent(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b19_incremental_dedup,
+    )
+
+    rows = b19_incremental_dedup(spark, SF_DIR).collect()
+    docs = t(spark, SF_DIR, "documents")
+    n_delta = docs.filter(
+        F.substring("source", 4, 10).cast("int") >= 10
+    ).count()
+    # one verdict per delta doc, delta only
+    assert len(rows) == n_delta
+    assert {r["verdict"] for r in rows} <= {"exact_dup", "near_dup", "kept"}
+    assert all(int(r["source"][3:]) >= 10 for r in rows)
+    # every exact_dup really has a byte-identical base twin
+    exact_ids = [r["doc_id"] for r in rows if r["verdict"] == "exact_dup"]
+    if exact_ids:
+        base_hashes = {
+            r[0]
+            for r in docs.filter(F.substring("source", 4, 10).cast("int") < 10)
+            .select(F.md5("text"))
+            .collect()
+        }
+        dup_hashes = {
+            r[0]
+            for r in docs.filter(F.col("doc_id").isin(exact_ids))
+            .select(F.md5("text"))
+            .collect()
+        }
+        assert dup_hashes <= base_hashes
+
+
+def test_boilerplate_ngrams_bounds(spark):
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b21_boilerplate_ngrams,
+    )
+
+    rows = b21_boilerplate_ngrams(spark, SF_DIR).collect()
+    assert len(rows) == t(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert 0 < r["n_grams"]
+        assert 0 <= r["n_boiler"] <= r["n_grams"]
+        assert 0.0 <= r["boiler_frac"] <= 1.0
