@@ -38,13 +38,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long and floor-divide to micros —
-        # the same truncation DuckDB applies to TIMESTAMP_NS.
+        # events.parquet has shipped with two ts encodings across driver
+        # testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+        # reader rejects — read nanos as long, floor-divide to micros, the
+        # same truncation DuckDB applies to TIMESTAMP_NS) and
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads natively as
+        # TIMESTAMP_NTZ). Either way the column is normalized to a session-
+        # timezone TIMESTAMP; the session tz is pinned to UTC
+        # (session.py/registry.py) so the NTZ→TZ cast is a micros-identity.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
@@ -74,13 +82,23 @@ def events_between(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    raw = dict(df.dtypes).get("ts") == "bigint"
-    if raw:
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         if lo is not None:
             df = df.filter(F.col("ts") >= _nanos_bound(lo))
         if hi is not None:
             df = df.filter(F.col("ts") < _nanos_bound(hi))
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        # Compare the bare NTZ column against NTZ literals so the bounds
+        # reach the reader as PushedFilters (a cast-wrapped column would
+        # push only IsNotNull); then normalize to session-tz TIMESTAMP —
+        # an exact micros-identity under the pinned UTC session tz.
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        if hi is not None:
+            df = df.filter(F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         if lo is not None:
             df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
