@@ -26,6 +26,9 @@ percentile(f, p), top(f, n), bottom(f, n). Transforms (InfluxDB
 "transformations", applied per series AFTER the inner aggregation when
 nested): derivative, non_negative_derivative, difference,
 non_negative_difference, moving_average, cumulative_sum, elapsed.
+Math transformations (one-argument, per output value, raw field or
+aggregate): abs, ceil, floor, round, sqrt, exp, ln, log2, log10, sin,
+cos, tan, asin, acos, atan — `abs(value)`, `sqrt(mean(value))`.
 Meta statements (compile_show): SHOW MEASUREMENTS / FIELD KEYS / TAG
 KEYS / TAG VALUES / DATABASES / RETENTION POLICIES; retention
 (compile_delete): DELETE FROM / DROP MEASUREMENT. Supported units:
@@ -83,6 +86,30 @@ _TRANSFORMS = (
     "cumulative_sum",
     "elapsed",
 )
+
+# InfluxDB 1.8 one-argument math transformations — applied to each
+# output value, either a raw field (`abs(value)`) or an aggregate
+# (`sqrt(mean(value))`). ceil/floor return BIGINT in Spark but FLOAT in
+# InfluxDB (and DOUBLE in DuckDB) — cast back to double. Two-argument
+# pow()/atan2()/log(b,x) are not in the reference dashboards' surface
+# and raise InfluxQLError like any other unsupported item.
+_MATH_FNS = {
+    "abs": F.abs,
+    "ceil": lambda c: F.ceil(c).cast("double"),
+    "floor": lambda c: F.floor(c).cast("double"),
+    "round": F.round,
+    "sqrt": F.sqrt,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+}
 
 
 def _duration_s(arg: str | None, default: float = 1.0) -> float:
@@ -202,6 +229,8 @@ class _Query:
     transforms: dict = field(default_factory=dict)
     # select-index → (op, literal) scalar arithmetic suffix
     scalar_math: dict = field(default_factory=dict)
+    # select-index → math fn name applied to the item's output value
+    math_fns: dict = field(default_factory=dict)
 
 
 def parse(q: str) -> _Query:
@@ -225,6 +254,7 @@ def parse(q: str) -> _Query:
 
     sel = []
     transforms: dict = {}
+    math_fns: dict = {}
     # split on commas at paren depth 0 so nested "derivative(mean(v), 1s)"
     # and "percentile(v, 95), max(v)" both split correctly
     items, depth, cur = [], 0, []
@@ -256,6 +286,13 @@ def parse(q: str) -> _Query:
                 iarg = float(nm.group("iarg")) if nm.group("iarg") else None
                 transforms[len(sel)] = (ofn, nm.group("oarg"))
                 sel.append((ifn, col, alias or ofn, iarg))
+            elif ofn in _MATH_FNS and (
+                ifn in _AGGS or ifn == "percentile"
+            ):
+                # math of an aggregate: sqrt(mean(value))
+                iarg = float(nm.group("iarg")) if nm.group("iarg") else None
+                math_fns[len(sel)] = ofn
+                sel.append((ifn, col, alias or ofn, iarg))
             else:
                 raise InfluxQLError(f"unsupported select item {item!r}")
         elif am:
@@ -265,6 +302,13 @@ def parse(q: str) -> _Query:
             if fn in _TRANSFORMS:
                 # transform over the raw series: derivative(value, 1s)
                 transforms[len(sel)] = (fn, raw_n)
+                sel.append((None, _unquote(am.group("arg")), alias or fn, None))
+                return
+            if fn in _MATH_FNS:
+                # math over a raw field: abs(value)
+                if raw_n is not None:
+                    raise InfluxQLError(f"{fn}() takes exactly one argument")
+                math_fns[len(sel)] = fn
                 sel.append((None, _unquote(am.group("arg")), alias or fn, None))
                 return
             if fn not in _AGGS and fn not in (
@@ -308,6 +352,7 @@ def parse(q: str) -> _Query:
         measurement=_unquote(gd["from"]),
         transforms=transforms,
         scalar_math=scalar_math,
+        math_fns=math_fns,
     )
 
     if gd["where"]:
@@ -549,6 +594,17 @@ def _apply_scalar_math(
             c + num if op == "+" else
             c - num,
         )
+    return df
+
+
+def _apply_math_fns(df: DataFrame, q: _Query) -> DataFrame:
+    """Apply one-argument math transformations to their select items'
+    output values — right after aggregation (so fill literals are NOT
+    re-mapped, same display-value rule as the scalar-arithmetic
+    suffixes) or on the raw projection for un-aggregated fields."""
+    for idx, fn in q.math_fns.items():
+        alias = q.select[idx][2]
+        df = df.withColumn(alias, _MATH_FNS[fn](F.col(alias)))
     return df
 
 
@@ -831,7 +887,8 @@ def compile_influxql(
         df = df.groupBy(*keys).agg(
             *[_ROLLUP_AGGS[fn]().alias(alias) for fn, _c, alias, _n in q.select]
         )
-        return _finish_grouped(_apply_scalar_math(df, q, transformed=False), q)
+        df = _apply_scalar_math(_apply_math_fns(df, q), q, transformed=False)
+        return _finish_grouped(df, q)
 
     df = table
 
@@ -890,7 +947,11 @@ def compile_influxql(
             for fn, colname, alias, n in q.select
         ]
         return _finish_grouped(
-            _apply_scalar_math(df.groupBy(*keys).agg(*aggs), q, transformed=False),
+            _apply_scalar_math(
+                _apply_math_fns(df.groupBy(*keys).agg(*aggs), q),
+                q,
+                transformed=False,
+            ),
             q,
         )
     elif q.select and q.select[0][0] == "distinct":
@@ -922,7 +983,7 @@ def compile_influxql(
             else:
                 aggs.append(_agg_expr(fn, c, n).alias(a))
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        df = _apply_scalar_math(df, q, transformed=False)
+        df = _apply_scalar_math(_apply_math_fns(df, q), q, transformed=False)
     elif q.transforms:
         # transform over the raw point series: derivative(value, 1s),
         # elapsed(value, 1ms), cumulative_sum(value), ... per tag series
@@ -932,6 +993,7 @@ def compile_influxql(
             if alias != colname:
                 df = df.withColumn(alias, F.col(colname))
         df = _apply_transforms(df, q, time_col="ts")
+        df = _apply_math_fns(df, q)
         df = _apply_scalar_math(df, q, transformed=True)
         df = df.select("ts", *q.group_tags, *[s[2] for s in q.select])
         df = df.orderBy(
@@ -940,7 +1002,7 @@ def compile_influxql(
     else:
         cols = [s[1] for s in q.select]
         if cols != ["*"]:
-            if q.scalar_math:
+            if q.scalar_math or q.math_fns:
                 df = df.select(
                     "ts",
                     *[
@@ -949,6 +1011,7 @@ def compile_influxql(
                         if c != "ts"
                     ],
                 )
+                df = _apply_math_fns(df, q)
                 df = _apply_scalar_math(df, q, transformed=False)
             else:
                 df = df.select("ts", *[c for c in cols if c != "ts"])

@@ -1612,3 +1612,42 @@ def b3_influxql_tz(spark, sf_dir):
         "GROUP BY time(1d), event_type tz('America/New_York')",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B16e — InfluxQL math transformations (abs/sqrt/ceil/round of fields
+# and aggregates — the other half of Grafana's unit-conversion idiom
+# next to the `* 100` scalar suffixes). Oracle restricted to the
+# correctly-rounded IEEE-754 functions (sqrt, abs, ceil, round) so the
+# hash comparison is exact cross-engine; ln/exp/trig are pytest-checked
+# instead (libm vs JVM may differ in the last ulp).
+# --------------------------------------------------------------------------
+@register(
+    "b16_influxql_math_fns",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT)) AS time,
+      event_type,
+      sqrt(COUNT(value)) AS sqrt_n,
+      abs(MIN(value)) AS abs_min,
+      CAST(ceil(MAX(value)) AS DOUBLE) AS ceil_max,
+      round(SUM(value)) AS round_sum
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-06' AND ts < TIMESTAMP '2024-01-10'
+    GROUP BY 1, 2
+    """,
+    tags=("B16", "B3"),
+)
+def b16_influxql_math_fns(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-06", "2024-01-10")
+    return compile_statement(
+        "SELECT sqrt(count(value)) AS sqrt_n, abs(min(value)) AS abs_min, "
+        "ceil(max(value)) AS ceil_max, round(sum(value)) AS round_sum "
+        "FROM events "
+        "WHERE time >= '2024-01-06 00:00:00' AND time < '2024-01-10 00:00:00' "
+        "GROUP BY time(1d), event_type",
+        ev,
+    )

@@ -997,3 +997,60 @@ def test_transform_of_percentile(points):
     want = [(a + b) / 2 for a, b in zip(ps, ps[1:])]
     got = [r["mp"] for r in sorted(out, key=lambda r: r["time"])]
     assert got == want and len(got) == 3
+
+
+def test_math_fn_of_aggregate(points):
+    out = compile_influxql(
+        "SELECT sqrt(mean(value)) AS s, ln(max(value)) AS l FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(30m), plc_ip",
+        points,
+    ).collect()
+    exp = {
+        (r["time"], r["plc_ip"]): (r["s"], r["l"])
+        for r in points.filter(
+            (F.col("ts") >= "2024-01-01 00:00:00")
+            & (F.col("ts") < "2024-01-01 01:00:00")
+        )
+        .groupBy(F.window("ts", "1800 seconds").start.alias("time"), "plc_ip")
+        .agg(
+            F.sqrt(F.avg("value")).alias("s"),
+            F.log(F.max("value")).alias("l"),
+        )
+        .collect()
+    }
+    assert {(r["time"], r["plc_ip"]): (r["s"], r["l"]) for r in out} == exp
+    assert len(out) == 4
+
+
+def test_math_fn_raw_field(points):
+    import math
+
+    out = compile_influxql(
+        "SELECT abs(value) AS a, floor(value) AS f, value FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:05:00'",
+        points,
+    ).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["a"] == abs(r["value"])
+        assert r["f"] == math.floor(r["value"])
+
+
+def test_math_fn_with_scalar_suffix(points):
+    # sqrt(mean(value)) * 10 — function first, then the scalar suffix
+    out = compile_influxql(
+        "SELECT sqrt(mean(value)) * 10 AS s FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00'",
+        points,
+    ).collect()
+    exp = points.filter(
+        (F.col("ts") >= "2024-01-01 00:00:00")
+        & (F.col("ts") < "2024-01-01 00:30:00")
+    ).agg((F.sqrt(F.avg("value")) * 10).alias("s")).collect()
+    assert out[0]["s"] == exp[0]["s"]
+
+
+def test_math_fn_rejects_second_argument(points):
+    with pytest.raises(InfluxQLError):
+        parse("SELECT round(value, 2) FROM points")
