@@ -29,6 +29,10 @@ non_negative_difference, moving_average, cumulative_sum, elapsed.
 Math transformations (one-argument, per output value, raw field or
 aggregate): abs, ceil, floor, round, sqrt, exp, ln, log2, log10, sin,
 cos, tan, asin, acos, atan — `abs(value)`, `sqrt(mean(value))`.
+Predictor: holt_winters(agg(field), N, S) — N forecast buckets past
+the last GROUP BY time() bucket per series, additive-seasonal
+Holt-Winters with pinned α/β/γ (InfluxDB's Nelder-Mead fit replaced by
+deterministic constants — documented deviation).
 Meta statements (compile_show): SHOW MEASUREMENTS / FIELD KEYS / TAG
 KEYS / TAG VALUES / DATABASES / RETENTION POLICIES; retention
 (compile_delete): DELETE FROM / DROP MEASUREMENT. Supported units:
@@ -162,7 +166,8 @@ _MATH_ITEM_RE = re.compile(
 _NESTED_ITEM_RE = re.compile(
     r"^(?P<ofn>\w+)\s*\(\s*(?P<ifn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*"
     r"(?:,\s*(?P<iarg>[\d.]+)\s*)?\)\s*"
-    r"(?:,\s*(?P<oarg>[\d.]+[smhdw]?)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
+    r"(?:,\s*(?P<oarg>[\d.]+[smhdw]?)\s*)?"
+    r"(?:,\s*(?P<oarg2>\d+)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
 _TIME_COND_RE = re.compile(
@@ -231,6 +236,8 @@ class _Query:
     scalar_math: dict = field(default_factory=dict)
     # select-index → math fn name applied to the item's output value
     math_fns: dict = field(default_factory=dict)
+    # (n_predict, season_len, select_idx) for holt_winters()
+    predictor: tuple | None = None
 
 
 def parse(q: str) -> _Query:
@@ -255,6 +262,7 @@ def parse(q: str) -> _Query:
     sel = []
     transforms: dict = {}
     math_fns: dict = {}
+    predictor: list = []
     # split on commas at paren depth 0 so nested "derivative(mean(v), 1s)"
     # and "percentile(v, 95), max(v)" both split correctly
     items, depth, cur = [], 0, []
@@ -293,6 +301,18 @@ def parse(q: str) -> _Query:
                 iarg = float(nm.group("iarg")) if nm.group("iarg") else None
                 math_fns[len(sel)] = ofn
                 sel.append((ifn, col, alias or ofn, iarg))
+            elif ofn == "holt_winters" and ifn in _AGGS:
+                # holt_winters(mean(value), N, S): predict N buckets
+                # ahead with season length S (0 = no seasonality)
+                if nm.group("oarg") is None or nm.group("oarg2") is None:
+                    raise InfluxQLError(
+                        "holt_winters() requires (agg(field), N, S)"
+                    )
+                predictor.append(
+                    (int(float(nm.group("oarg"))), int(nm.group("oarg2")),
+                     len(sel))
+                )
+                sel.append((ifn, col, alias or "holt_winters", None))
             else:
                 raise InfluxQLError(f"unsupported select item {item!r}")
         elif am:
@@ -347,12 +367,15 @@ def parse(q: str) -> _Query:
         else:
             parse_item(item)
 
+    if len(predictor) > 1:
+        raise InfluxQLError("only one holt_winters() item is supported")
     out = _Query(
         select=sel,
         measurement=_unquote(gd["from"]),
         transforms=transforms,
         scalar_math=scalar_math,
         math_fns=math_fns,
+        predictor=predictor[0] if predictor else None,
     )
 
     if gd["where"]:
@@ -479,6 +502,17 @@ def parse(q: str) -> _Query:
             )
         if fn == "integral" and out.group_time_s is not None:
             raise InfluxQLError("integral() with GROUP BY time() is unsupported")
+    if out.predictor:
+        if len(out.select) != 1:
+            raise InfluxQLError("holt_winters() must be the only select item")
+        if out.group_time_s is None:
+            raise InfluxQLError("holt_winters() requires GROUP BY time()")
+        if out.fill not in (None, "none") or out.tz:
+            raise InfluxQLError("holt_winters() with fill()/tz() is unsupported")
+        if out.transforms or out.math_fns or out.scalar_math:
+            raise InfluxQLError(
+                "holt_winters() cannot combine with transforms or math"
+            )
     return out
 
 
@@ -606,6 +640,94 @@ def _apply_math_fns(df: DataFrame, q: _Query) -> DataFrame:
         alias = q.select[idx][2]
         df = df.withColumn(alias, _MATH_FNS[fn](F.col(alias)))
     return df
+
+
+# Fixed Holt-Winters smoothing parameters. InfluxDB fits α/β/γ per
+# query with a Nelder-Mead optimizer — an iterative, tolerance-driven
+# search no second engine can replay bit-for-bit. We instead pin
+# deterministic constants (documented deviation), which keeps the
+# predictor oracle-checkable: the additive-seasonal fold below uses the
+# exact same IEEE-754 expression tree as the recursive-CTE oracle.
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.5, 0.1, 0.1
+
+
+def _apply_predictor(df: DataFrame, q: _Query) -> DataFrame:
+    """holt_winters(agg(field), N, S): consume the GROUP BY time()
+    bucket series per tag-series and emit N forecast rows at bucket
+    stride past the last bucket. Additive seasonal Holt-Winters with
+    classic two-season initialization (level = first-season mean,
+    trend = season-mean difference / S, seasonals = first-season
+    residuals); S = 0 falls back to double-exponential Holt seeded
+    level = y₁, trend = 0. Series shorter than 2S (or 2) emit nothing,
+    like InfluxDB on insufficient data.
+
+    The buckets per series are GROUP BY time() output — bounded by
+    range/every — so the grouped-map fold is small-state per series and
+    the heavy lifting (the bucket aggregation) stays native."""
+    import pandas as pd
+
+    n_pred, season, idx = q.predictor
+    alias = q.select[idx][2]
+    every = q.group_time_s
+    tags = list(q.group_tags)
+    a, b_, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time").reset_index(drop=True)
+        ys = [v for v in pdf[alias].tolist() if v is not None]
+        times, vals = [], []
+        s = season
+        if s >= 2:
+            if len(ys) >= 2 * s:
+                acc = 0.0
+                for v in ys[:s]:
+                    acc += v
+                lvl = acc / float(s)
+                acc2 = 0.0
+                for v in ys[s : 2 * s]:
+                    acc2 += v
+                trd = (acc2 / float(s) - lvl) / float(s)
+                seas = [ys[i] - lvl for i in range(s)]
+                for t in range(s, len(ys)):
+                    si = t % s
+                    l_new = a * (ys[t] - seas[si]) + (1 - a) * (lvl + trd)
+                    trd = b_ * (l_new - lvl) + (1 - b_) * trd
+                    lvl = l_new
+                    seas[si] = g * (ys[t] - l_new) + (1 - g) * seas[si]
+                for h in range(1, n_pred + 1):
+                    vals.append(lvl + h * trd + seas[(len(ys) + h - 1) % s])
+        elif len(ys) >= 2:
+            lvl, trd = ys[0], 0.0
+            for y in ys[1:]:
+                l_new = a * y + (1 - a) * (lvl + trd)
+                trd = b_ * (l_new - lvl) + (1 - b_) * trd
+                lvl = l_new
+            for h in range(1, n_pred + 1):
+                vals.append(lvl + h * trd)
+        if vals:
+            last = pdf["time"].iloc[-1]
+            times = [
+                last + pd.Timedelta(seconds=every * h)
+                for h in range(1, n_pred + 1)
+            ]
+        data = {"time": times}
+        for tcol in tags:
+            data[tcol] = [pdf[tcol].iloc[0]] * len(times)
+        data[alias] = vals
+        out = pd.DataFrame(data)
+        # an empty python list defaults to float64 — pin the dtype so
+        # Arrow sees a timestamp column even for too-short series
+        out["time"] = pd.to_datetime(out["time"])
+        return out
+
+    schema = ", ".join(
+        ["time timestamp"]
+        + [f"{c} string" for c in tags]
+        + [f"{alias} double"]
+    )
+    grouped = df.groupBy(*tags) if tags else df.groupBy()
+    out = grouped.applyInPandas(fold, schema)
+    return out.orderBy("time", *tags)
 
 
 def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataFrame:
@@ -887,6 +1009,8 @@ def compile_influxql(
         df = df.groupBy(*keys).agg(
             *[_ROLLUP_AGGS[fn]().alias(alias) for fn, _c, alias, _n in q.select]
         )
+        if q.predictor:
+            return _apply_predictor(df, q)
         df = _apply_scalar_math(_apply_math_fns(df, q), q, transformed=False)
         return _finish_grouped(df, q)
 
@@ -946,12 +1070,11 @@ def compile_influxql(
             _agg_expr(fn, colname, n).alias(alias)
             for fn, colname, alias, n in q.select
         ]
+        agg_df = df.groupBy(*keys).agg(*aggs)
+        if q.predictor:
+            return _apply_predictor(agg_df, q)
         return _finish_grouped(
-            _apply_scalar_math(
-                _apply_math_fns(df.groupBy(*keys).agg(*aggs), q),
-                q,
-                transformed=False,
-            ),
+            _apply_scalar_math(_apply_math_fns(agg_df, q), q, transformed=False),
             q,
         )
     elif q.select and q.select[0][0] == "distinct":

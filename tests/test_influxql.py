@@ -1054,3 +1054,65 @@ def test_math_fn_with_scalar_suffix(points):
 def test_math_fn_rejects_second_argument(points):
     with pytest.raises(InfluxQLError):
         parse("SELECT round(value, 2) FROM points")
+
+
+def test_holt_winters_no_season_matches_holt_fold(points):
+    # S=0 → plain double-exponential Holt; replay the fold in python
+    out = compile_influxql(
+        "SELECT holt_winters(mean(value), 2, 0) AS hw FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(10m), plc_ip",
+        points,
+    ).collect()
+    buckets = (
+        points.filter(
+            (F.col("ts") >= "2024-01-01 00:00:00")
+            & (F.col("ts") < "2024-01-01 01:00:00")
+        )
+        .groupBy(F.window("ts", "600 seconds").start.alias("time"), "plc_ip")
+        .agg(F.avg("value").alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in sorted(buckets, key=lambda r: r["time"]):
+        series.setdefault(r["plc_ip"], []).append((r["time"], r["y"]))
+    exp = {}
+    import datetime as dtm
+
+    for ip, rows in series.items():
+        ys = [y for _t, y in rows]
+        lvl, trd = ys[0], 0.0
+        for y in ys[1:]:
+            l_new = 0.5 * y + (1 - 0.5) * (lvl + trd)
+            trd = 0.1 * (l_new - lvl) + (1 - 0.1) * trd
+            lvl = l_new
+        last = rows[-1][0]
+        for h in (1, 2):
+            exp[(last + dtm.timedelta(seconds=600 * h), ip)] = lvl + h * trd
+    assert {(r["time"], r["plc_ip"]): r["hw"] for r in out} == exp
+    assert len(out) == 4
+
+
+def test_holt_winters_insufficient_series_emits_nothing(spark):
+    import datetime as dtm
+
+    rows = [
+        (dtm.datetime(2024, 1, 1, 0, m), "a", float(m)) for m in range(5)
+    ]  # 5 buckets < 2*4
+    df = spark.createDataFrame(rows, "ts timestamp, tag string, value double")
+    out = compile_influxql(
+        "SELECT holt_winters(mean(value), 2, 4) AS hw FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(1m), tag",
+        df,
+    ).collect()
+    assert out == []
+
+
+def test_holt_winters_validation(points):
+    with pytest.raises(InfluxQLError):
+        parse("SELECT holt_winters(mean(value), 3, 4), max(value) FROM m GROUP BY time(1h)")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT holt_winters(mean(value), 3, 4) FROM m")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT holt_winters(mean(value)) FROM m GROUP BY time(1h)")
