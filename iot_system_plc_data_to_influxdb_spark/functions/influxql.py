@@ -22,7 +22,7 @@ reference deployment exercises into the engine's DataFrame operators:
 
 Aggregates: count, sum, mean, min, max, first, last, spread, median,
 stddev, mode, integral(unit), distinct, count(distinct(f)),
-percentile(f, p), top(f, n), bottom(f, n). Transforms (InfluxDB
+percentile(f, p), top(f, n), bottom(f, n), sample(f, n). Transforms (InfluxDB
 "transformations", applied per series AFTER the inner aggregation when
 nested): derivative, non_negative_derivative, difference,
 non_negative_difference, moving_average, cumulative_sum, elapsed.
@@ -332,7 +332,7 @@ def parse(q: str) -> _Query:
                 sel.append((None, _unquote(am.group("arg")), alias or fn, None))
                 return
             if fn not in _AGGS and fn not in (
-                "percentile", "top", "bottom", "distinct", "integral"
+                "percentile", "top", "bottom", "sample", "distinct", "integral"
             ):
                 raise InfluxQLError(f"unsupported aggregate {fn!r}")
             if raw_n is not None and re.search(r"[smhdw]$", raw_n):
@@ -1027,15 +1027,19 @@ def compile_influxql(
         )
     df = _where_filters(df, q)
 
-    selectors = [s for s in q.select if s[0] in ("top", "bottom")]
+    selectors = [s for s in q.select if s[0] in ("top", "bottom", "sample")]
     if selectors:
-        # top(v, N)/bottom(v, N): InfluxDB "selectors" return N POINTS
-        # per series (time preserved), not one aggregate row — a
-        # tag-partitioned rank, not a groupBy
+        # top(v, N)/bottom(v, N)/sample(v, N): InfluxDB "selectors"
+        # return N POINTS per series (time preserved), not one
+        # aggregate row — a tag-partitioned rank, not a groupBy.
+        # sample() ranks by md5 of the point's epoch-micros instead of
+        # InfluxDB's reservoir RNG — deterministic and cross-engine
+        # replayable (documented deviation); still a uniform,
+        # value-independent pick.
         if len(q.select) != 1 or q.group_time_s is not None:
             raise InfluxQLError(
-                "top()/bottom() must be the only select item and cannot "
-                "combine with GROUP BY time()"
+                "top()/bottom()/sample() must be the only select item and "
+                "cannot combine with GROUP BY time()"
             )
         fn, colname, alias, n = q.select[0]
         if n is None:
@@ -1044,6 +1048,8 @@ def compile_influxql(
             [F.col(colname).desc(), F.col("ts")]
             if fn == "top"
             else [F.col(colname), F.col("ts")]
+            if fn == "bottom"
+            else [F.md5(F.unix_micros(F.col("ts")).cast("string")), F.col("ts")]
         )
         w = (
             Window.partitionBy(*q.group_tags).orderBy(*order)

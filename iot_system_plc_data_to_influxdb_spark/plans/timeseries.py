@@ -1747,3 +1747,38 @@ def b24_influxql_holt_winters(spark, sf_dir):
         "GROUP BY time(6h), event_type",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B13c — InfluxQL SAMPLE(field, N) selector: N points per series, time
+# preserved. InfluxDB draws with a reservoir RNG; we rank by
+# md5(epoch-micros) — uniform, value-independent, and deterministic,
+# so unlike InfluxDB's the pick is replayable by a second engine
+# (documented deviation, functions/influxql.py selector branch).
+# --------------------------------------------------------------------------
+@register(
+    "b13_influxql_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT ts AS time, event_type, value,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type
+          ORDER BY md5(CAST(epoch_us(ts) AS VARCHAR)), ts
+        ) AS rk
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-06'
+    )
+    SELECT time, event_type, value AS v FROM ranked WHERE rk <= 4
+    """,
+    tags=("B13", "B18"),
+)
+def b13_influxql_sample(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-02", "2024-01-06")
+    return compile_statement(
+        "SELECT sample(value, 4) AS v FROM events "
+        "WHERE time >= '2024-01-02 00:00:00' AND time < '2024-01-06 00:00:00' "
+        "GROUP BY event_type",
+        ev,
+    )

@@ -1116,3 +1116,25 @@ def test_holt_winters_validation(points):
         parse("SELECT holt_winters(mean(value), 3, 4) FROM m")
     with pytest.raises(InfluxQLError):
         parse("SELECT holt_winters(mean(value)) FROM m GROUP BY time(1h)")
+
+
+def test_sample_selector_deterministic(points):
+    q = (
+        "SELECT sample(value, 3) AS v FROM points "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:30:00' "
+        "GROUP BY plc_ip"
+    )
+    a = compile_influxql(q, points).collect()
+    b = compile_influxql(q, points).collect()
+    assert a == b
+    assert len(a) == 6  # 3 per plc_ip
+    # sampled rows are genuine points
+    src = {
+        (r["ts"], r["plc_ip"], r["value"])
+        for r in points.filter(
+            (F.col("ts") >= "2024-01-01 00:00:00")
+            & (F.col("ts") < "2024-01-01 00:30:00")
+        ).collect()
+    }
+    for r in a:
+        assert (r["time"], r["plc_ip"], r["v"]) in src
