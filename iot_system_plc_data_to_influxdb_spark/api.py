@@ -35,6 +35,8 @@ class IoTEngine:
         self.spark = spark
         plc_source.register(spark)
         self.config = read_config(spark, config_path) if config_path else None
+        # name → CQSpec, registered via CREATE CONTINUOUS QUERY
+        self.continuous_queries: dict = {}
 
     # -- acquisition (the daemon) -------------------------------------
     def readings_stream(self, polls_per_batch: int = 1) -> DataFrame:
@@ -158,8 +160,37 @@ class IoTEngine:
         head = _re.match(r"\s*(\w+)", query)
         verb = head.group(1).upper() if head else ""
         if verb == "SHOW":
+            if _re.match(
+                r"\s*SHOW\s+CONTINUOUS\s+QUERIES", query, _re.IGNORECASE
+            ):
+                return self.spark.createDataFrame(
+                    [(s.name, s.db, s.select, s.target) for s in
+                     self.continuous_queries.values()]
+                    or self.spark.sparkContext.emptyRDD(),
+                    "name string, db string, query string, target string",
+                )
             return compile_show(query, table)
+        if verb == "CREATE":
+            from .functions.influxql import compile_create_cq
+
+            spec = compile_create_cq(query)
+            self.continuous_queries[spec.name] = spec
+            return self.spark.createDataFrame(
+                [(spec.name, spec.db, spec.target)],
+                "name string, db string, target string",
+            )
         if verb in ("DELETE", "DROP"):
+            if _re.match(
+                r"\s*DROP\s+CONTINUOUS\s+QUERY", query, _re.IGNORECASE
+            ):
+                from .functions.influxql import parse_drop_cq
+
+                name, db = parse_drop_cq(query)
+                dropped = self.continuous_queries.pop(name, None)
+                return self.spark.createDataFrame(
+                    [(name, db, dropped is not None)],
+                    "name string, db string, dropped boolean",
+                )
             return compile_delete(query, table)
         return compile_statement(
             query, table, rollup=rollup, rollup_every_s=rollup_every_s
@@ -180,6 +211,23 @@ class IoTEngine:
         path = _os.path.join(out_dir, target)
         df.write.mode("overwrite").parquet(path)
         return target, self.spark.read.parquet(path).count()
+
+    def run_cq(self, name: str, table: DataFrame, out_dir: str) -> tuple[str, int]:
+        """Execute a registered continuous query once as a batch
+        backfill: compile its inner SELECT and persist the result as
+        ``<out_dir>/<target>`` parquet. Returns (target, rows). The
+        streaming keep-current path is ``start_continuous_query`` on
+        the same bucket width; InfluxDB runs the same statement on a
+        timer server-side."""
+        import os as _os
+
+        from .functions.influxql import compile_statement
+
+        spec = self.continuous_queries[name]
+        df = compile_statement(spec.select, table)
+        path = _os.path.join(out_dir, spec.target)
+        df.write.mode("overwrite").parquet(path)
+        return spec.target, self.spark.read.parquet(path).count()
 
     # -- continuous queries (InfluxDB CQ / RESAMPLE parity) ------------
     def start_continuous_query(

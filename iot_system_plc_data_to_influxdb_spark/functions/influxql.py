@@ -1361,3 +1361,76 @@ def compile_into(
     if target is None:
         raise InfluxQLError(f"statement has no INTO clause: {query!r}")
     return target, compile_statement(rest, table, **kw)
+
+
+# --------------------------------------------------------------------------
+# CREATE CONTINUOUS QUERY — the statement InfluxDB 1.x users schedule
+# rollups with (the CQ half of the reference's retention+rollup
+# machinery, README.md:3). Parsed to a spec the engine executes with
+# the existing CQ primitives: start_continuous_query (streaming keep-
+# current), backfill_rollup (seed from history), resample_rollup
+# (RESAMPLE EVERY/FOR late-data repair).
+# --------------------------------------------------------------------------
+_CREATE_CQ_RE = re.compile(
+    r"^\s*CREATE\s+CONTINUOUS\s+QUERY\s+(?P<name>[\w\"]+)\s+ON\s+"
+    r"(?P<db>[\w.\"]+)"
+    r"(?:\s+RESAMPLE(?:\s+EVERY\s+(?P<every>\d+[smhdw]))?"
+    r"(?:\s+FOR\s+(?P<for>\d+[smhdw]))?)?"
+    r"\s+BEGIN\s+(?P<body>.+?)\s+END\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CQ_RE = re.compile(
+    r"^\s*DROP\s+CONTINUOUS\s+QUERY\s+(?P<name>[\w\"]+)\s+ON\s+"
+    r"(?P<db>[\w.\"]+)\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class CQSpec:
+    """A parsed CREATE CONTINUOUS QUERY statement."""
+
+    name: str
+    db: str
+    target: str  # INTO measurement — the rollup table name
+    select: str  # inner SELECT without the INTO clause
+    group_time_s: int  # the rollup bucket width
+    resample_every_s: int | None = None
+    resample_for_s: int | None = None
+
+
+def compile_create_cq(statement: str) -> CQSpec:
+    """Parse CREATE CONTINUOUS QUERY into a CQSpec. The body must be a
+    SELECT ... INTO ... GROUP BY time(N) statement (validated by the
+    same parser that executes it — a spec that parses here is
+    guaranteed runnable by compile_into)."""
+    m = _CREATE_CQ_RE.match(statement.strip().rstrip(";"))
+    if not m:
+        raise InfluxQLError(f"unparseable CREATE CONTINUOUS QUERY: {statement!r}")
+    target, rest = split_into(m.group("body"))
+    if target is None:
+        raise InfluxQLError("continuous query body requires an INTO clause")
+    q = parse(rest)
+    if q.group_time_s is None:
+        raise InfluxQLError("continuous query body requires GROUP BY time()")
+    return CQSpec(
+        name=_unquote(m.group("name")),
+        db=_unquote(m.group("db")),
+        target=target,
+        select=rest,
+        group_time_s=q.group_time_s,
+        resample_every_s=(
+            int(_duration_s(m.group("every"))) if m.group("every") else None
+        ),
+        resample_for_s=(
+            int(_duration_s(m.group("for"))) if m.group("for") else None
+        ),
+    )
+
+
+def parse_drop_cq(statement: str) -> tuple[str, str]:
+    """DROP CONTINUOUS QUERY <name> ON <db> → (name, db)."""
+    m = _DROP_CQ_RE.match(statement.strip().rstrip(";"))
+    if not m:
+        raise InfluxQLError(f"unparseable DROP CONTINUOUS QUERY: {statement!r}")
+    return _unquote(m.group("name")), _unquote(m.group("db"))

@@ -1138,3 +1138,34 @@ def test_sample_selector_deterministic(points):
     }
     for r in a:
         assert (r["time"], r["plc_ip"], r["v"]) in src
+
+
+def test_create_continuous_query_lifecycle(spark, points, tmp_path):
+    from iot_system_plc_data_to_influxdb_spark.api import IoTEngine
+
+    eng = IoTEngine(spark)
+    st = eng.influxql(
+        "CREATE CONTINUOUS QUERY cq_10m ON iot RESAMPLE EVERY 10m FOR 30m "
+        "BEGIN SELECT mean(value) AS m, count(value) AS n INTO rollup_10m "
+        "FROM points GROUP BY time(10m), plc_ip END",
+        points,
+    ).collect()
+    assert st[0]["name"] == "cq_10m" and st[0]["target"] == "rollup_10m"
+    listed = eng.influxql("SHOW CONTINUOUS QUERIES", points).collect()
+    assert [r["name"] for r in listed] == ["cq_10m"]
+    assert eng.continuous_queries["cq_10m"].resample_every_s == 600
+
+    target, rows = eng.run_cq("cq_10m", points, str(tmp_path))
+    assert target == "rollup_10m" and rows > 0
+    rolled = spark.read.parquet(str(tmp_path / "rollup_10m"))
+    exp = (
+        points.groupBy(F.window("ts", "600 seconds").start.alias("time"), "plc_ip")
+        .agg(F.avg("value").alias("m"), F.count("value").alias("n"))
+        .collect()
+    )
+    got = {(r["time"], r["plc_ip"]): (r["m"], r["n"]) for r in rolled.collect()}
+    assert got == {(r["time"], r["plc_ip"]): (r["m"], r["n"]) for r in exp}
+
+    dropped = eng.influxql("DROP CONTINUOUS QUERY cq_10m ON iot", points).collect()
+    assert dropped[0]["dropped"] is True
+    assert eng.influxql("SHOW CONTINUOUS QUERIES", points).collect() == []
