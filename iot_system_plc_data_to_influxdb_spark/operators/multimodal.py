@@ -83,3 +83,51 @@ def extract_features(df: DataFrame, n_bins: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 128,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Deterministic frame sampling over binary payloads — the video
+    path's 1→N row expansion (decode N frames per clip), shaped for
+    scale: Arrow-batched ``mapInPandas``, no exploding intermediate
+    array, each output row carries only its own frame bytes.
+
+    Frames are fixed-offset byte slices (``frame_idx * stride``,
+    ``frame_bytes`` long, up to ``max_frames`` per payload) — the
+    production version replaces the slice with a real container/codec
+    frame extraction at the same (payload, meta) → rows contract. The
+    final frame may be short (payload tail), never empty.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx in range(max_frames):
+                    off = idx * stride
+                    if off >= len(b):
+                        break
+                    chunk = b[off : off + frame_bytes]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "offset": off,
+                            "frame_len": len(chunk),
+                            "frame": chunk,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "offset", "frame_len", "frame"],
+            )
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, offset int, frame_len int, frame binary",
+    )

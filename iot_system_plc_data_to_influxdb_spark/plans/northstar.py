@@ -1729,3 +1729,90 @@ def b19_incremental_dedup(spark, sf_dir):
             .alias("verdict"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B18d — per-source document caps (domain balancing): crawl corpora are
+# dominated by a few giant domains, so curation caps documents per
+# source at K, keeping a deterministic uniform subset — rank by
+# md5(doc_id) within each source and keep the K smallest (same stable-
+# hash family as the split/sampling ops: re-runs, engines, and
+# re-ingestion all agree on the kept set; no RNG, no seed drift).
+# One shuffle (rank window partitioned by source). At 100 TB a
+# pathological mega-domain skews its rank partition; the fix is the
+# same two-stage trick as operators/skew.py — pre-filter with an
+# approximate per-source count and hash-threshold (kept-fraction ≈
+# K/count) before the exact rank — noted, not needed at test scale.
+# --------------------------------------------------------------------------
+@register(
+    "b18_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk,
+        COUNT(*) OVER (PARTITION BY source) AS n_total
+      FROM documents
+    )
+    SELECT source,
+      CAST(MAX(n_total) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE rk <= 10) AS BIGINT) AS n_kept,
+      CAST(SUM(n_chars) FILTER (WHERE rk <= 10) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+    tags=("B18", "B21"),
+)
+def b18_source_cap(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "source", "n_chars").withColumn(
+        "rk", F.row_number().over(w)
+    ).withColumn("n_total", F.count("*").over(Window.partitionBy("source")))
+    return ranked.groupBy("source").agg(
+        F.max("n_total").alias("n_docs"),
+        F.count(F.when(F.col("rk") <= 10, 1)).alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("n_chars"))).alias("kept_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B22c — frame sampling (the video-modality 1→N expansion) made
+# hash-verifiable: payloads here are UTF-8 text bytes (ASCII corpus,
+# byte offset == char offset), so each sampled frame decodes back to a
+# substring the oracle replays with substr(). The production decode
+# swaps the byte slice for a codec frame grab behind the same
+# mapInPandas contract (operators/multimodal.py:sample_frames).
+# --------------------------------------------------------------------------
+@register(
+    "b22_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars, text,
+        unnest(generate_series(0, 3)) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(frame_idx AS INT) AS frame_idx,
+      CAST(frame_idx * 128 AS INT) AS "offset",
+      CAST(LEAST(64, n_chars - frame_idx * 128) AS INT) AS frame_len,
+      substr(text, frame_idx * 128 + 1, 64) AS frame_text
+    FROM f WHERE frame_idx * 128 < n_chars
+    """,
+    tags=("B22",),
+)
+def b22_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import sample_frames, with_binary_payload
+
+    docs = t(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "offset",
+        "frame_len",
+        F.decode(F.col("frame"), "UTF-8").alias("frame_text"),
+    )

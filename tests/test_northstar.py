@@ -449,3 +449,28 @@ def test_boilerplate_ngrams_bounds(spark):
         assert 0 < r["n_grams"]
         assert 0 <= r["n_boiler"] <= r["n_grams"]
         assert 0.0 <= r["boiler_frac"] <= 1.0
+
+
+def test_sample_frames_shapes(spark):
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    rows = [
+        (1, b"x" * 300),   # frames at 0,128,256 -> lens 64,64,44
+        (2, b"y" * 64),    # one frame, exactly frame_bytes
+        (3, b"z" * 10),    # one short frame
+        (4, b""),          # empty payload -> no frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {
+        (r["doc_id"], r["frame_idx"]): (r["offset"], r["frame_len"], bytes(r["frame"]))
+        for r in sample_frames(df).collect()
+    }
+    assert out == {
+        (1, 0): (0, 64, b"x" * 64),
+        (1, 1): (128, 64, b"x" * 64),
+        (1, 2): (256, 44, b"x" * 44),
+        (2, 0): (0, 64, b"y" * 64),
+        (3, 0): (0, 10, b"z" * 10),
+    }
