@@ -14,8 +14,9 @@ reference deployment exercises into the engine's DataFrame operators:
     [INTO <target>]                        -- compile_into / CQ backfill
     FROM <identifier> | /regex/ | (SELECT ...)
     [WHERE time <op> 'ts' | now()[-dur] | <epoch>[ns|u|ms|s]
-           [AND <tag> =|!= 'v' | <tag> =~|!~ /re/ | <field> <op> <num> ...]]
-    [GROUP BY time(<N><u>[, offset])[, <tag> ...]]
+           [AND <tag> =|!= 'v' | <tag> =~|!~ /re/ | <field> <op> <num>
+            | (<cond> OR <cond> ...) ...]]   -- Grafana multi-value vars
+    [GROUP BY time(<N><u>[, offset])[, <tag> ... | *]]
         [fill(previous|linear|none|null|<num>)]
     [ORDER BY time DESC|ASC]
     [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n] [tz('Zone')]
@@ -33,8 +34,10 @@ Predictor: holt_winters(agg(field), N, S) — N forecast buckets past
 the last GROUP BY time() bucket per series, additive-seasonal
 Holt-Winters with pinned α/β/γ (InfluxDB's Nelder-Mead fit replaced by
 deterministic constants — documented deviation).
+Wildcard aggregates: ``mean(*)`` expands to one output column per
+numeric field, named ``<alias>_<field>`` as InfluxDB does.
 Meta statements (compile_show): SHOW MEASUREMENTS / FIELD KEYS / TAG
-KEYS / TAG VALUES / DATABASES / RETENTION POLICIES; retention
+KEYS / TAG VALUES / SERIES / DATABASES / RETENTION POLICIES; retention
 (compile_delete): DELETE FROM / DROP MEASUREMENT. Supported units:
 s/m/h/d/w. A parse failure raises ``InfluxQLError`` with the offending
 clause — no silent fallback.
@@ -154,7 +157,7 @@ _SELECT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*"
+    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"*]+)\s*"
     r"(?:,\s*(?P<n>[\d.]+[smhdw]?)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
@@ -182,6 +185,59 @@ _TIME_EPOCH_RE = re.compile(
     r"^time\s*(?P<op>>=|<=|>|<)\s*(?P<n>\d+)(?P<u>ns|u|µ|ms|s)?$",
     re.IGNORECASE,
 )
+def _split_top(s: str, kw: str) -> list[str]:
+    """Split ``s`` on keyword ``kw`` at paren depth 0, outside single
+    quotes (case-insensitive, whitespace-delimited). The WHERE clause
+    grammar needs this because Grafana's multi-value template variables
+    emit parenthesized OR groups: ``("host" = 'a' OR "host" = 'b')``."""
+    out, depth, i, start, n = [], 0, 0, 0, len(s)
+    kwl, L = kw.lower(), len(kw)
+    in_quote = False
+    while i < n:
+        ch = s[i]
+        if in_quote:
+            if ch == "'":
+                in_quote = False
+        elif ch == "'":
+            in_quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + L].lower() == kwl
+            and i > 0
+            and s[i - 1].isspace()
+            and i + L < n
+            and s[i + L].isspace()
+        ):
+            out.append(s[start:i])
+            i += L
+            start = i
+            continue
+        i += 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def _strip_outer_parens(cond: str) -> str:
+    """Remove balanced outer parens: ``("host" = 'a')`` → ``"host" = 'a'``
+    (Grafana wraps every builder-generated condition in parens)."""
+    cond = cond.strip()
+    while cond.startswith("(") and cond.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(cond):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(cond) - 1:
+                    return cond  # parens don't span the whole string
+        cond = cond[1:-1].strip()
+    return cond
+
+
 _TAG_COND_RE = re.compile(
     r"^(?P<key>[\w\"]+)\s*=\s*'(?P<val>[^']*)'$"
 )
@@ -210,6 +266,46 @@ def _unquote(s: str) -> str:
     return s[1:-1] if len(s) >= 2 and s[0] == '"' and s[-1] == '"' else s
 
 
+def _simple_term(cond: str):
+    """Parse one non-time WHERE term into a tagged tuple, or None.
+    Shared by the conjunctive path and OR-group disjuncts."""
+    gm = _TAG_COND_RE.match(cond)
+    if gm:
+        return ("eq", _unquote(gm.group("key")), gm.group("val"))
+    nq = _TAG_NEQ_RE.match(cond)
+    if nq:
+        return ("neq", _unquote(nq.group("key")), nq.group("val"))
+    rx = _TAG_REGEX_RE.match(cond)
+    if rx:
+        return ("re", _unquote(rx.group("key")), rx.group("op"), rx.group("val"))
+    fc = _FIELD_COND_RE.match(cond)
+    if fc:
+        return (
+            "num", _unquote(fc.group("key")), fc.group("op"),
+            float(fc.group("num")),
+        )
+    return None
+
+
+def _term_col(term):
+    """Spark Column for one parsed _simple_term tuple."""
+    kind = term[0]
+    if kind == "eq":
+        return F.col(term[1]) == F.lit(term[2])
+    if kind == "neq":
+        return F.col(term[1]) != F.lit(term[2])
+    if kind == "re":
+        c = F.col(term[1]).rlike(term[3])
+        return c if term[2] == "=~" else ~c
+    _kind, key, op, num = term
+    c = F.col(key)
+    return (
+        c >= num if op == ">=" else c <= num if op == "<=" else
+        c > num if op == ">" else c < num if op == "<" else
+        c != num if op == "!=" else c == num
+    )
+
+
 @dataclass
 class _Query:
     select: list  # (fn|None, column, alias, numeric_arg|None)
@@ -220,6 +316,10 @@ class _Query:
     tag_neq: list = field(default_factory=list)
     tag_regex: list = field(default_factory=list)  # (key, op, pattern)
     field_cond: list = field(default_factory=list)  # (key, op, number)
+    # disjunction groups — one entry per parenthesized OR chain, each a
+    # list of _simple_term tuples (Grafana multi-value variables)
+    or_groups: list = field(default_factory=list)
+    group_star: bool = False  # GROUP BY * — expand to all tag columns
     group_time_s: int | None = None
     group_time_offset_s: int = 0
     tz: str | None = None
@@ -341,7 +441,13 @@ def parse(q: str) -> _Query:
                 n: float | None = _duration_s(raw_n)
             else:
                 n = float(raw_n) if raw_n else None
-            sel.append((fn, _unquote(am.group("arg")), alias or fn, n))
+            arg = _unquote(am.group("arg"))
+            if arg == "*" and fn not in _AGGS:
+                # mean(*) / count(*) … expand to every field column at
+                # compile time; selectors and parameterized aggregates
+                # have no wildcard form in InfluxQL either
+                raise InfluxQLError(f"{fn}(*) is unsupported")
+            sel.append((fn, arg, alias or fn, n))
         elif re.match(r"^[\w\"*]+$", item):
             sel.append(
                 (None, _unquote(item), alias_override or _unquote(item), None)
@@ -379,8 +485,23 @@ def parse(q: str) -> _Query:
     )
 
     if gd["where"]:
-        for cond in re.split(r"\s+AND\s+", gd["where"], flags=re.IGNORECASE):
-            cond = cond.strip()
+        for cond in _split_top(gd["where"], "AND"):
+            cond = _strip_outer_parens(cond)
+            disjuncts = _split_top(cond, "OR")
+            if len(disjuncts) > 1:
+                # ("host" = 'a' OR "host" = 'b') — Grafana multi-value
+                # template variables; compiled as one disjunctive filter
+                terms = []
+                for d in disjuncts:
+                    term = _simple_term(_strip_outer_parens(d))
+                    if term is None:
+                        raise InfluxQLError(
+                            f"unsupported OR condition {d!r} "
+                            "(time bounds cannot be OR'd)"
+                        )
+                    terms.append(term)
+                out.or_groups.append(terms)
+                continue
             tm = _TIME_COND_RE.match(cond)
             if tm:
                 op = tm.group("op")
@@ -429,28 +550,17 @@ def parse(q: str) -> _Query:
                 else:
                     out.time_hi = (op, ts)
                 continue
-            gm = _TAG_COND_RE.match(cond)
-            if gm:
-                out.tag_eq.append((_unquote(gm.group("key")), gm.group("val")))
-                continue
-            nq = _TAG_NEQ_RE.match(cond)
-            if nq:
-                out.tag_neq.append((_unquote(nq.group("key")), nq.group("val")))
-                continue
-            rx = _TAG_REGEX_RE.match(cond)
-            if rx:
-                out.tag_regex.append(
-                    (_unquote(rx.group("key")), rx.group("op"), rx.group("val"))
-                )
-                continue
-            fc = _FIELD_COND_RE.match(cond)
-            if fc:
-                out.field_cond.append(
-                    (_unquote(fc.group("key")), fc.group("op"),
-                     float(fc.group("num")))
-                )
-                continue
-            raise InfluxQLError(f"unsupported WHERE condition {cond!r}")
+            term = _simple_term(cond)
+            if term is None:
+                raise InfluxQLError(f"unsupported WHERE condition {cond!r}")
+            if term[0] == "eq":
+                out.tag_eq.append(term[1:])
+            elif term[0] == "neq":
+                out.tag_neq.append(term[1:])
+            elif term[0] == "re":
+                out.tag_regex.append(term[1:])
+            else:
+                out.field_cond.append(term[1:])
 
     out.tz = tz
     if groupby:
@@ -466,6 +576,11 @@ def parse(q: str) -> _Query:
                     out.group_time_offset_s = int(gt.group("on")) * _UNIT_SECONDS[
                         gt.group("ou").lower()
                     ]
+            elif g == "*":
+                # GROUP BY * — every tag column; the tag universe is a
+                # property of the table, so expansion happens at compile
+                # time (compile_influxql) where the DataFrame is known
+                out.group_star = True
             elif re.match(r"^[\w\"]+$", g):
                 out.group_tags.append(_unquote(g))
             else:
@@ -945,6 +1060,11 @@ def _where_filters(df: DataFrame, q: _Query) -> DataFrame:
             c > num if op == ">" else c < num if op == "<" else
             c != num if op == "!=" else c == num
         )
+    for grp in q.or_groups:
+        cond = _term_col(grp[0])
+        for term in grp[1:]:
+            cond = cond | _term_col(term)
+        df = df.filter(cond)
     return df
 
 
@@ -956,6 +1076,8 @@ def _rollup_servable(q: _Query, rollup_every_s: int | None) -> bool:
         and q.group_time_s % rollup_every_s == 0
         # per-point predicates and non-mergeable shapes need raw points
         and not q.tag_neq and not q.tag_regex and not q.field_cond
+        and not q.or_groups and not q.group_star
+        and not any(c == "*" for _fn, c, _a, _n in q.select)
         and q.tz is None
         and q.group_time_offset_s % rollup_every_s == 0
         and all(fn in _ROLLUP_AGGS and c == "value" for fn, c, _a, _n in q.select)
@@ -987,6 +1109,44 @@ def compile_influxql(
     q = parse(query)
     _resolve_now(q, now)
     table = _apply_regex_measurement(table, q)
+
+    if q.group_star:
+        # GROUP BY * — every tag column. Tags in this engine's points
+        # model are the string columns that aren't selected fields
+        # (plc_ip/alias in the reference layout); expansion needs the
+        # DataFrame, hence here and not in parse().
+        used = {c for _fn, c, _a, _n in q.select} | {"ts", "time"}
+        q.group_tags.extend(
+            c for c, dt_ in table.dtypes
+            if dt_ == "string" and c not in used and c not in q.group_tags
+        )
+        q.group_star = False
+
+    if any(fn and c == "*" for fn, c, _a, _n in q.select):
+        # agg(*) — one output column per numeric field column, named
+        # <alias>_<field> exactly as InfluxDB names mean(*) results
+        if q.transforms or q.math_fns or q.scalar_math or q.predictor:
+            raise InfluxQLError(
+                "agg(*) cannot combine with transforms, math, or predictors"
+            )
+        fields = [
+            c for c, dt_ in table.dtypes
+            if c not in ("ts",) and c not in q.group_tags
+            and (
+                dt_ in ("double", "float", "bigint", "int", "smallint",
+                        "tinyint")
+                or dt_.startswith("decimal")
+            )
+        ]
+        if not fields:
+            raise InfluxQLError("agg(*) found no numeric field columns")
+        expanded = []
+        for fn, c, a, n in q.select:
+            if fn and c == "*":
+                expanded.extend((fn, fc, f"{a}_{fc}", n) for fc in fields)
+            else:
+                expanded.append((fn, c, a, n))
+        q.select = expanded
 
     if rollup is not None and _rollup_servable(q, rollup_every_s):
         df = rollup
@@ -1161,7 +1321,7 @@ def compile_influxql(
 # --------------------------------------------------------------------------
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+(?P<what>MEASUREMENTS|FIELD\s+KEYS|TAG\s+KEYS|TAG\s+VALUES"
-    r"|DATABASES|RETENTION\s+POLICIES)"
+    r"|SERIES|DATABASES|RETENTION\s+POLICIES)"
     r"(?:\s+ON\s+[\w.\"]+)?"
     r"(?:\s+FROM\s+(?P<from>[\w.\"]+))?"
     r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>[\w\"]+))?\s*$",
@@ -1199,6 +1359,24 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
         )
     if what == "MEASUREMENTS":
         return df.select(F.col("plc_ip").alias("name")).distinct().orderBy("name")
+    if what == "SERIES":
+        # one row per distinct series key: measurement[,tag=val…] with
+        # tags in sorted key order, InfluxDB's canonical formatting
+        if "tags" in df.columns:
+            tagpart = F.array_join(
+                F.transform(
+                    F.array_sort(F.map_entries("tags")),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                ),
+                ",",
+            )
+            key = F.when(
+                F.length(tagpart) > 0,
+                F.concat_ws(",", F.col("plc_ip"), tagpart),
+            ).otherwise(F.col("plc_ip"))
+        else:
+            key = F.col("plc_ip")
+        return df.select(key.alias("key")).distinct().orderBy("key")
     if what == "FIELD KEYS":
         return (
             df.select(

@@ -1782,3 +1782,73 @@ def b13_influxql_sample(spark, sf_dir):
         "GROUP BY event_type",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B16f — parenthesized OR groups through the compiled front door: the
+# exact WHERE shape Grafana emits for multi-value template variables
+# (`("event_type" = 'click' OR "event_type" = 'error' OR value >= 99.5)`).
+# Compiled as one disjunctive filter ANDed with the time range — the
+# range still reaches parquet as raw-nanos PushedFilters; the OR group
+# is a per-row predicate Catalyst can also push (eq/lt are all
+# pushdown-eligible, rlike terms are not).
+# --------------------------------------------------------------------------
+@register(
+    "b16_influxql_or_groups",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT)) AS time,
+      event_type,
+      COUNT(value) AS n, MIN(value) AS lo, MAX(value) AS hi
+    FROM events
+    WHERE (event_type = 'click' OR event_type = 'error' OR value >= 99.5)
+      AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY 1, 2
+    """,
+    tags=("B16",),
+)
+def b16_influxql_or_groups(spark, sf_dir):
+    from ..functions.influxql import compile_influxql
+
+    ev = events_between(spark, sf_dir, "2024-01-05", "2024-01-20")
+    return compile_influxql(
+        "SELECT count(value) AS n, min(value) AS lo, max(value) AS hi "
+        "FROM events "
+        "WHERE (\"event_type\" = 'click' OR \"event_type\" = 'error' "
+        "OR value >= 99.5) "
+        "AND time >= '2024-01-05' AND time < '2024-01-20' "
+        "GROUP BY time(1d), event_type",
+        ev,
+    )
+
+
+# --------------------------------------------------------------------------
+# B16g — wildcard select and grouping: `max(*)` expands to one output
+# column per numeric field (max_event_id, max_user_id, max_value — the
+# InfluxDB naming), `GROUP BY *` to every tag column (event_type, props
+# under the events layout). Map-side-combinable hash aggregate; the
+# wildcard expansion is purely a compile-time rewrite, so the plan is
+# identical to spelling the columns out.
+# --------------------------------------------------------------------------
+@register(
+    "b16_influxql_wildcards",
+    oracle="""
+    SELECT event_type, props,
+      MAX(event_id) AS max_event_id,
+      MAX(user_id) AS max_user_id,
+      MAX(value) AS max_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY 1, 2
+    """,
+    tags=("B16",),
+)
+def b16_influxql_wildcards(spark, sf_dir):
+    from ..functions.influxql import compile_influxql
+
+    ev = events_between(spark, sf_dir, hi="2024-01-08")
+    return compile_influxql(
+        "SELECT max(*) FROM events WHERE time < '2024-01-08' GROUP BY *",
+        ev,
+    )

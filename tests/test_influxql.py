@@ -1169,3 +1169,99 @@ def test_create_continuous_query_lifecycle(spark, points, tmp_path):
     dropped = eng.influxql("DROP CONTINUOUS QUERY cq_10m ON iot", points).collect()
     assert dropped[0]["dropped"] is True
     assert eng.influxql("SHOW CONTINUOUS QUERIES", points).collect() == []
+
+
+def test_or_group_multivalue_variable(points):
+    """Grafana multi-value template variables emit parenthesized OR
+    chains — ("host" = 'a' OR "host" = 'b') — ANDed with the rest."""
+    out = compile_influxql(
+        "SELECT mean(value) AS m FROM sensors "
+        "WHERE (\"plc_ip\" = '192.168.0.1' OR \"plc_ip\" = '10.9.9.9') "
+        "AND \"alias\" = 'temp' GROUP BY time(1h), plc_ip",
+        points,
+    ).collect()
+    exp = (
+        points.filter(
+            (F.col("plc_ip") == "192.168.0.1") & (F.col("alias") == "temp")
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("time"), "plc_ip")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    )
+    assert sorted((r["time"], r["plc_ip"], r["m"]) for r in out) == sorted(
+        (r["time"], r["plc_ip"], r["m"]) for r in exp
+    )
+
+
+def test_or_group_mixed_terms(points):
+    """OR groups may mix tag and field predicates; time bounds may not."""
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM m "
+        "WHERE (\"alias\" = 'pressure' OR value >= 49.5)",
+        points,
+    ).collect()
+    exp = points.filter(
+        (F.col("alias") == "pressure") | (F.col("value") >= 49.5)
+    ).count()
+    assert out[0]["n"] == exp
+    with pytest.raises(InfluxQLError, match="OR"):
+        parse("SELECT mean(value) FROM m WHERE (time > now() - 1h OR \"a\" = 'b')")
+
+
+def test_parenthesized_single_condition(points):
+    """Grafana wraps builder conditions in parens even when single."""
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM m WHERE (\"alias\" = 'temp')", points
+    ).collect()
+    assert out[0]["n"] == 400
+
+
+def test_group_by_star(points):
+    """GROUP BY * groups by every tag column (plc_ip, alias here)."""
+    out = compile_influxql(
+        "SELECT last(value) AS l FROM m GROUP BY *", points
+    )
+    assert sorted(out.columns) == ["alias", "l", "plc_ip"]
+    got = {(r["plc_ip"], r["alias"]): r["l"] for r in out.collect()}
+    exp = {
+        (r["plc_ip"], r["alias"]): r["l"]
+        for r in points.groupBy("plc_ip", "alias")
+        .agg(F.max_by("value", "ts").alias("l"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_group_by_time_and_star_with_fill(points):
+    out = compile_influxql(
+        "SELECT mean(value) AS m FROM m GROUP BY time(1h), * fill(null)",
+        points,
+    )
+    assert set(out.columns) == {"time", "plc_ip", "alias", "m"}
+    # 600 points * 10s = 100 min span → 2 hourly buckets per series
+    assert out.count() == 2 * 4
+
+
+def test_agg_star_expands_numeric_fields(points):
+    out = compile_influxql("SELECT mean(*) FROM m GROUP BY time(1h)", points)
+    assert out.columns == ["time", "mean_value"]
+    out2 = compile_influxql(
+        "SELECT max(*) AS peak FROM m GROUP BY plc_ip", points
+    )
+    assert sorted(out2.columns) == ["peak_value", "plc_ip"]
+    with pytest.raises(InfluxQLError):
+        parse("SELECT top(*, 3) FROM m")
+
+
+def test_show_series(points, spark):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_show,
+    )
+
+    keys = [r["key"] for r in compile_show("SHOW SERIES", points).collect()]
+    assert keys == ["192.168.0.1", "192.168.0.2"]
+    tagged = points.withColumn(
+        "tags", F.create_map(F.lit("unit"), F.lit("c"))
+    )
+    keys2 = [r["key"] for r in compile_show("SHOW SERIES", tagged).collect()]
+    assert keys2 == ["192.168.0.1,unit=c", "192.168.0.2,unit=c"]
