@@ -121,9 +121,13 @@ def b19_minhash(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
         .repartition(32, "doc_id")  # single-file input → fan out the CPU work
+        # materialize the token array before shingling: each shingle
+        # position reads n elements, and an un-aliased tokens() would be
+        # inlined (and codegen'd) once per element access
+        .select("doc_id", tokens(F.col("text")).alias("w"))
         .select(
             "doc_id",
-            F.array_distinct(shingles(tokens(F.col("text")))).alias("arr"),
+            F.array_distinct(shingles(F.col("w"))).alias("arr"),
         )
     )
     # hash each shingle ONCE (two md5s, concatenated to 64 hex chars),
@@ -590,7 +594,10 @@ _B21_QUALITY_ORACLE = (
 @register("b21_quality_score", oracle=_B21_QUALITY_ORACLE, tags=("B21",))
 def b21_quality(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    w = tokens(F.col("text"))
+    # alias the token array once — four consumers below would otherwise
+    # each inline (and re-evaluate) the split expression
+    docs = docs.select("doc_id", tokens(F.col("text")).alias("_w"))
+    w = F.col("_w")
     m = docs.select(
         "doc_id",
         F.size(w).alias("n_tokens"),
@@ -641,17 +648,20 @@ def b21_quality(spark, sf_dir):
 )
 def b21_langid(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    w = tokens(F.col("text"))
-    return docs.select(
-        "doc_id",
-        "lang",
-        stopword_hits(w).alias("stop_hits"),
-        F.size(w).alias("n_tokens"),
-        F.when(
-            stopword_hits(w) / F.size(w) >= 0.05, F.lit("en")
+    w = F.col("_w")
+    return (
+        docs.select("doc_id", "lang", tokens(F.col("text")).alias("_w"))
+        .select(
+            "doc_id",
+            "lang",
+            stopword_hits(w).alias("stop_hits"),
+            F.size(w).alias("n_tokens"),
+            F.when(
+                stopword_hits(w) / F.size(w) >= 0.05, F.lit("en")
+            )
+            .otherwise(F.lit("other"))
+            .alias("predicted_lang"),
         )
-        .otherwise(F.lit("other"))
-        .alias("predicted_lang"),
     )
 
 
@@ -1072,10 +1082,12 @@ def b20_knn_multiprobe(spark, sf_dir):
 def b21_decontaminate(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
     # per-doc dedup inside the array (array_distinct) instead of a
-    # corpus-wide DISTINCT — same rows, zero shuffle on the gram explode
-    grams = docs.select(
+    # corpus-wide DISTINCT — same rows, zero shuffle on the gram explode.
+    # tokens() is aliased first so the 5 element reads per shingle don't
+    # each inline (and codegen) the whole split expression.
+    grams = docs.select("doc_id", tokens(F.col("text")).alias("w")).select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 5))).alias("g"),
+        F.explode(F.array_distinct(shingles(F.col("w"), 5))).alias("g"),
     )
     is_eval = F.col("doc_id") % 50 == 0
     eval_grams = grams.filter(is_eval).select("g").distinct()
@@ -1143,8 +1155,8 @@ def b21_decontaminate(spark, sf_dir):
 )
 def b21_repetition_signals(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    grams = docs.select(
-        "doc_id", F.explode(shingles(tokens(F.col("text")), 2)).alias("g")
+    grams = docs.select("doc_id", tokens(F.col("text")).alias("w")).select(
+        "doc_id", F.explode(shingles(F.col("w"), 2)).alias("g")
     )
     freq = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     stats = freq.groupBy("doc_id").agg(
@@ -1516,9 +1528,9 @@ def b18_train_val_test_split(spark, sf_dir):
 )
 def b21_boilerplate_ngrams(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    grams = docs.select(
+    grams = docs.select("doc_id", tokens(F.col("text")).alias("w")).select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 5))).alias("g"),
+        F.explode(F.array_distinct(shingles(F.col("w"), 5))).alias("g"),
     )
     df = grams.groupBy("g").agg(F.count("*").alias("df"))
     per = (
@@ -1626,8 +1638,15 @@ def b19_incremental_dedup(spark, sf_dir):
             "doc_id",
             "source",
             is_base.alias("is_base"),
-            F.array_distinct(shingles(tokens(F.col("text")))).alias("arr"),
+            tokens(F.col("text")).alias("w"),
             F.md5("text").alias("content_hash"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_base",
+            F.array_distinct(shingles(F.col("w"))).alias("arr"),
+            "content_hash",
         )
     )
     # MinHash signatures (same recipe as b19_minhash_lsh_neardup: two
@@ -1815,4 +1834,140 @@ def b22_frame_sample(spark, sf_dir):
         "offset",
         "frame_len",
         F.decode(F.col("frame"), "UTF-8").alias("frame_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B20h — exact-replay k-means: the oracle-checkable twin of
+# b20_kmeans_embeddings (which stays rows-only because float Lloyd's is
+# accumulation-order-sensitive). Two fixed Lloyd iterations over
+# 1e-7-integer-quantized vectors; centroids are carried as exact
+# (per-dim integer sum, member count) pairs and never divided, so the
+# assignment argmin over |x − s_j/n_j|² is computed as the exact
+# integer numerator Σ_d (n_j·x_d − s_jd)² divided by n_j² in IEEE
+# doubles — identical on any engine given identical integers. Same
+# dataflow as operators/clustering.py (broadcast centroids, map-only
+# assign, one agg for the update); the quantization is the same 1e-7
+# scaling b20_knn_bruteforce/b20_embedding_quantization already use.
+# --------------------------------------------------------------------------
+_B20_KMEANS_EXACT_ORACLE = """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    qv AS (
+      SELECT e.vec_id,
+        list_transform(e.embedding, v ->
+          CAST(CAST(ROUND(CAST(v AS DOUBLE), 7) AS DECIMAL(9,7))
+               * 10000000 AS BIGINT)) AS x
+      FROM embeddings e
+    ),
+    seeds AS (
+      SELECT vec_id AS cluster, x AS sx, CAST(1 AS BIGINT) AS n
+      FROM qv WHERE vec_id < 8
+    ),
+    s1 AS (
+      SELECT v.vec_id, c.cluster,
+        CAST(SUM(CAST(c.n * v.x[pos.i] - c.sx[pos.i] AS HUGEINT)
+                 * (c.n * v.x[pos.i] - c.sx[pos.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM qv v CROSS JOIN seeds c CROSS JOIN pos
+      GROUP BY v.vec_id, c.cluster, c.n
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY r, cluster) AS rk
+        FROM s1) WHERE rk = 1
+    ),
+    c1d AS (
+      SELECT a1.cluster, pos.i, SUM(v.x[pos.i]) AS s, COUNT(*) AS cn
+      FROM a1 JOIN qv v USING (vec_id) CROSS JOIN pos
+      GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT cluster, list(s ORDER BY i) AS sx, MAX(cn) AS n
+      FROM c1d GROUP BY cluster
+    ),
+    s2 AS (
+      SELECT v.vec_id, c.cluster,
+        CAST(SUM(CAST(c.n * v.x[pos.i] - c.sx[pos.i] AS HUGEINT)
+                 * (c.n * v.x[pos.i] - c.sx[pos.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM qv v CROSS JOIN c1 c CROSS JOIN pos
+      GROUP BY v.vec_id, c.cluster, c.n
+    ),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY r, cluster) AS rk
+        FROM s2) WHERE rk = 1
+    )
+    SELECT a2.cluster,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(SUM(v.x[1]) AS BIGINT) AS s_dim1,
+      MIN(a2.vec_id) AS rep_vec
+    FROM a2 JOIN qv v USING (vec_id)
+    GROUP BY a2.cluster
+"""
+
+
+@register("b20_kmeans_exact_replay", oracle=_B20_KMEANS_EXACT_ORACLE, tags=("B20",))
+def b20_kmeans_exact_replay(spark, sf_dir):
+    K = 8
+    emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    qx = F.transform(
+        "embedding",
+        lambda e: (
+            F.round(e.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
+        ).cast("bigint"),
+    )
+    v = emb.select("vec_id", qx.alias("x"))
+
+    seeds = v.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("x").alias("sx"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+
+    def assign(cent):
+        # map-only: centroid stats broadcast, exact-integer numerator
+        # folded over the un-exploded array, double ratio for the argmin
+        num = F.aggregate(
+            F.zip_with(
+                F.col("x"),
+                F.col("sx"),
+                lambda a, b: (F.col("n") * a - b).cast("decimal(19,0)")
+                * (F.col("n") * a - b).cast("decimal(19,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, term: acc + term,
+        )
+        ratio = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+        return (
+            v.crossJoin(F.broadcast(cent))
+            .select("vec_id", "x", "cluster", ratio.alias("r"))
+            .groupBy("vec_id", "x")
+            .agg(F.min_by("cluster", F.struct("r", "cluster")).alias("cluster"))
+        )
+
+    a1 = assign(seeds)
+    cent1 = (
+        a1.select("cluster", F.posexplode("x").alias("dim", "xv"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("xv").alias("s"), F.count("*").alias("cn"))
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"),
+            F.max("cn").alias("n"),
+        )
+        .select("cluster", F.col("ds.s").alias("sx"), "n")
+    )
+    a2 = assign(cent1)
+    return (
+        a2.join(v.select("vec_id", F.element_at("x", 1).alias("x1")), "vec_id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("x1").alias("s_dim1"),
+            F.min("vec_id").alias("rep_vec"),
+        )
+        .orderBy("cluster")
     )
