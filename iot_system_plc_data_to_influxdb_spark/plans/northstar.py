@@ -1971,3 +1971,189 @@ def b20_kmeans_exact_replay(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# B20i — exact-replay product quantization: the oracle-checkable twin
+# of b20_pq_knn (rows-only, because operators/pq.py trains float
+# subspace k-means). Same shape as b20_kmeans_exact_replay but per
+# subspace: 64 dims split 4×16, each subspace runs two Lloyd
+# iterations over 1e-7-integer-quantized subvectors with centroids
+# carried as exact (sum, count) pairs; codes are the iteration-2
+# argmins. The probe's ADC lookup table holds the exact-integer
+# numerator ratios, and the final asymmetric distance adds the four
+# subspace terms in one fixed association order — ((t0+t1)+t2)+t3 —
+# so the IEEE double is identical on both engines.
+# --------------------------------------------------------------------------
+_B20_PQ_EXACT_ORACLE = """
+    WITH pos AS (SELECT unnest(range(1, 17)) AS i),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    qv AS (
+      SELECT e.vec_id, s.sub,
+        list_transform(list_slice(e.embedding, s.sub*16 + 1, s.sub*16 + 16),
+          v -> CAST(CAST(ROUND(CAST(v AS DOUBLE), 7) AS DECIMAL(9,7))
+                    * 10000000 AS BIGINT)) AS x
+      FROM embeddings e CROSS JOIN subs s
+    ),
+    seeds AS (
+      SELECT sub, vec_id AS cluster, x AS sx, CAST(1 AS BIGINT) AS n
+      FROM qv WHERE vec_id < 16
+    ),
+    s1 AS (
+      SELECT v.vec_id, v.sub, c.cluster,
+        CAST(SUM(CAST(c.n * v.x[pos.i] - c.sx[pos.i] AS HUGEINT)
+                 * (c.n * v.x[pos.i] - c.sx[pos.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM qv v JOIN seeds c ON c.sub = v.sub CROSS JOIN pos
+      GROUP BY v.vec_id, v.sub, c.cluster, c.n
+    ),
+    a1 AS (
+      SELECT vec_id, sub, cluster FROM (
+        SELECT vec_id, sub, cluster,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY r, cluster) AS rk
+        FROM s1) WHERE rk = 1
+    ),
+    c1d AS (
+      SELECT a1.sub, a1.cluster, pos.i, SUM(v.x[pos.i]) AS s, COUNT(*) AS cn
+      FROM a1 JOIN qv v ON v.vec_id = a1.vec_id AND v.sub = a1.sub
+      CROSS JOIN pos
+      GROUP BY 1, 2, 3
+    ),
+    c1 AS (
+      SELECT sub, cluster, list(s ORDER BY i) AS sx, MAX(cn) AS n
+      FROM c1d GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT v.vec_id, v.sub, c.cluster,
+        CAST(SUM(CAST(c.n * v.x[pos.i] - c.sx[pos.i] AS HUGEINT)
+                 * (c.n * v.x[pos.i] - c.sx[pos.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM qv v JOIN c1 c ON c.sub = v.sub CROSS JOIN pos
+      GROUP BY v.vec_id, v.sub, c.cluster, c.n
+    ),
+    codes AS (
+      SELECT vec_id, sub, cluster FROM (
+        SELECT vec_id, sub, cluster,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY r, cluster) AS rk
+        FROM s2) WHERE rk = 1
+    ),
+    probe AS (SELECT sub, x AS px FROM qv WHERE vec_id = 0),
+    lut AS (
+      SELECT c.sub, c.cluster,
+        CAST(SUM(CAST(c.n * p.px[pos.i] - c.sx[pos.i] AS HUGEINT)
+                 * (c.n * p.px[pos.i] - c.sx[pos.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM c1 c JOIN probe p ON p.sub = c.sub CROSS JOIN pos
+      GROUP BY c.sub, c.cluster, c.n
+    ),
+    terms AS (
+      SELECT cd.vec_id,
+        MAX(CASE WHEN cd.sub = 0 THEN l.r END) AS t0,
+        MAX(CASE WHEN cd.sub = 1 THEN l.r END) AS t1,
+        MAX(CASE WHEN cd.sub = 2 THEN l.r END) AS t2,
+        MAX(CASE WHEN cd.sub = 3 THEN l.r END) AS t3
+      FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cluster = cd.cluster
+      WHERE cd.vec_id != 0
+      GROUP BY cd.vec_id
+    )
+    SELECT vec_id, ((t0 + t1) + t2) + t3 AS adc_dist
+    FROM terms ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+@register("b20_pq_exact_replay", oracle=_B20_PQ_EXACT_ORACLE, tags=("B20",))
+def b20_pq_exact_replay(spark, sf_dir):
+    M, SUBD, K = 4, 16, 16
+    emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    qsub = lambda j: F.transform(  # noqa: E731
+        F.slice("embedding", j * SUBD + 1, SUBD),
+        lambda e: (
+            F.round(e.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
+        ).cast("bigint"),
+    )
+    v = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("sub"), qsub(j).alias("x"))
+                    for j in range(M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.sub", "e.x")
+
+    seeds = v.filter(F.col("vec_id") < K).select(
+        "sub",
+        F.col("vec_id").alias("cluster"),
+        F.col("x").alias("sx"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+
+    def ratio_expr():
+        num = F.aggregate(
+            F.zip_with(
+                F.col("x"),
+                F.col("sx"),
+                lambda a, b: (F.col("n") * a - b).cast("decimal(19,0)")
+                * (F.col("n") * a - b).cast("decimal(19,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, term: acc + term,
+        )
+        return num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+
+    def assign(cent):
+        return (
+            v.join(F.broadcast(cent), "sub")
+            .select("vec_id", "sub", "cluster", ratio_expr().alias("r"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min_by("cluster", F.struct("r", "cluster")).alias("cluster"))
+        )
+
+    a1 = assign(seeds)
+    cent1 = (
+        a1.join(v, ["vec_id", "sub"])
+        .select("sub", "cluster", F.posexplode("x").alias("dim", "xv"))
+        .groupBy("sub", "cluster", "dim")
+        .agg(F.sum("xv").alias("s"), F.count("*").alias("cn"))
+        .groupBy("sub", "cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"),
+            F.max("cn").alias("n"),
+        )
+        .select("sub", "cluster", F.col("ds.s").alias("sx"), "n")
+    )
+    codes = assign(cent1)
+
+    probe = v.filter(F.col("vec_id") == 0).select(
+        "sub", F.col("x").alias("px")
+    )
+    lut = (
+        cent1.join(F.broadcast(probe), "sub")
+        .select(
+            "sub",
+            "cluster",
+            F.col("px").alias("x"),  # reuse the exact-numerator fold
+            "sx",
+            "n",
+        )
+        .select("sub", "cluster", ratio_expr().alias("r"))
+    )
+    terms = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "cluster"])
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == j, F.col("r"))).alias(f"t{j}")
+                for j in range(M)
+            ]
+        )
+    )
+    dist = ((F.col("t0") + F.col("t1")) + F.col("t2")) + F.col("t3")
+    return (
+        terms.select("vec_id", dist.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
