@@ -11,6 +11,7 @@ reference deployment exercises into the engine's DataFrame operators:
          | <xform>(<agg>(field)[, arg])    -- Grafana's nested transforms
          | <xform>(field[, arg])           -- raw-series transforms
          | <item> *|/|+|- <number>         -- unit-conversion math
+         | <agg>(f1) *|/|+|- <agg>(f2) | f1 *|/|+|- f2   -- field arithmetic
     [INTO <target>]                        -- compile_into / CQ backfill
     FROM <identifier> | /regex/ | (SELECT ...)
     [WHERE time <op> 'ts' | now()[-dur] | <epoch>[ns|u|ms|s]
@@ -163,6 +164,19 @@ _AGG_ITEM_RE = re.compile(
 )
 _MATH_ITEM_RE = re.compile(
     r"^(?P<base>.+\)|[\w\"]+)\s*(?P<op>[*/+-])\s*(?P<num>-?\d+(?:\.\d+)?)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+# field-vs-field arithmetic (Grafana efficiency/ratio panels):
+# mean(a) + mean(b), value / other
+_BINOP_AGG_RE = re.compile(
+    r"^(?P<lfn>\w+)\s*\(\s*(?P<larg>[\w\"]+)\s*\)\s*(?P<op>[*/+-])\s*"
+    r"(?P<rfn>\w+)\s*\(\s*(?P<rarg>[\w\"]+)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+_BINOP_RAW_RE = re.compile(
+    r"^(?P<l>[\w\"]+)\s*(?P<op>[*/+-])\s*(?P<r>[\w\"]+)"
     r"(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
@@ -320,6 +334,10 @@ class _Query:
     # list of _simple_term tuples (Grafana multi-value variables)
     or_groups: list = field(default_factory=list)
     group_star: bool = False  # GROUP BY * — expand to all tag columns
+    # field-vs-field arithmetic: (left_sel_idx, right_sel_idx, op, alias);
+    # the operand select entries carry hidden "_bo<i>" aliases and are
+    # dropped once the derived column is projected
+    binops: list = field(default_factory=list)
     group_time_s: int | None = None
     group_time_offset_s: int = 0
     tz: str | None = None
@@ -456,8 +474,44 @@ def parse(q: str) -> _Query:
             raise InfluxQLError(f"unsupported select item {item!r}")
 
     scalar_math: dict = {}
+    binops: list = []
+
+    def parse_binop(bm, agg: bool):
+        if agg:
+            lfn, rfn = bm.group("lfn").lower(), bm.group("rfn").lower()
+            if lfn not in _AGGS or rfn not in _AGGS:
+                raise InfluxQLError(
+                    f"unsupported aggregate in arithmetic: {lfn}/{rfn}"
+                )
+            largs = (lfn, _unquote(bm.group("larg")))
+            rargs = (rfn, _unquote(bm.group("rarg")))
+            default = f"{lfn}_{rfn}"
+        else:
+            l, r = _unquote(bm.group("l")), _unquote(bm.group("r"))
+            largs, rargs = (None, l), (None, r)
+            default = f"{l}_{r}"
+        li = len(sel)
+        sel.append((largs[0], largs[1], f"_bo{li}", None))
+        ri = len(sel)
+        sel.append((rargs[0], rargs[1], f"_bo{ri}", None))
+        binops.append(
+            (li, ri, bm.group("op"), bm.group("alias") or default)
+        )
+
     for item in items:
         mm = _MATH_ITEM_RE.match(item)
+        if not mm:
+            bam = _BINOP_AGG_RE.match(item)
+            if bam:
+                parse_binop(bam, agg=True)
+                continue
+            brm = _BINOP_RAW_RE.match(item)
+            if brm and not any(
+                re.fullmatch(r"-?\d+(?:\.\d+)?", brm.group(g))
+                for g in ("l", "r")
+            ):
+                parse_binop(brm, agg=False)
+                continue
         if mm:
             # scalar arithmetic suffix: mean(value) * 100 [AS pct] —
             # Grafana's unit-conversion idiom. Parse the base item, then
@@ -482,6 +536,7 @@ def parse(q: str) -> _Query:
         scalar_math=scalar_math,
         math_fns=math_fns,
         predictor=predictor[0] if predictor else None,
+        binops=binops,
     )
 
     if gd["where"]:
@@ -617,6 +672,13 @@ def parse(q: str) -> _Query:
             )
         if fn == "integral" and out.group_time_s is not None:
             raise InfluxQLError("integral() with GROUP BY time() is unsupported")
+    if out.binops and (
+        out.transforms or out.math_fns or out.scalar_math or out.predictor
+    ):
+        raise InfluxQLError(
+            "field arithmetic cannot combine with transforms, math, or "
+            "predictors"
+        )
     if out.predictor:
         if len(out.select) != 1:
             raise InfluxQLError("holt_winters() must be the only select item")
@@ -907,6 +969,30 @@ def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataF
     return df
 
 
+def _apply_binops(df: DataFrame, q: _Query) -> DataFrame:
+    """Project field-arithmetic results, drop the hidden operand
+    columns, and rewrite ``q.select`` so downstream consumers
+    (fill/ordering in _finish_grouped) see only real output columns."""
+    if not q.binops:
+        return df
+    hidden: set[str] = set()
+    for li, ri, op, alias in q.binops:
+        left, right = F.col(q.select[li][2]), F.col(q.select[ri][2])
+        expr = (
+            left * right if op == "*" else left / right if op == "/" else
+            left + right if op == "+" else left - right
+        )
+        df = df.withColumn(alias, expr)
+        hidden.add(q.select[li][2])
+        hidden.add(q.select[ri][2])
+    df = df.drop(*hidden)
+    q.select = [s for s in q.select if s[2] not in hidden] + [
+        (None, alias, alias, None) for _li, _ri, _op, alias in q.binops
+    ]
+    q.binops = []
+    return df
+
+
 def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
     """fill() / ORDER BY time / LIMIT / SLIMIT on a GROUP BY time()
     result — shared by the raw-table and rollup-routed paths."""
@@ -1076,7 +1162,7 @@ def _rollup_servable(q: _Query, rollup_every_s: int | None) -> bool:
         and q.group_time_s % rollup_every_s == 0
         # per-point predicates and non-mergeable shapes need raw points
         and not q.tag_neq and not q.tag_regex and not q.field_cond
-        and not q.or_groups and not q.group_star
+        and not q.or_groups and not q.group_star and not q.binops
         and not any(c == "*" for _fn, c, _a, _n in q.select)
         and q.tz is None
         and q.group_time_offset_s % rollup_every_s == 0
@@ -1239,6 +1325,7 @@ def compile_influxql(
         agg_df = df.groupBy(*keys).agg(*aggs)
         if q.predictor:
             return _apply_predictor(agg_df, q)
+        agg_df = _apply_binops(agg_df, q)
         return _finish_grouped(
             _apply_scalar_math(_apply_math_fns(agg_df, q), q, transformed=False),
             q,
@@ -1272,6 +1359,7 @@ def compile_influxql(
             else:
                 aggs.append(_agg_expr(fn, c, n).alias(a))
         df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        df = _apply_binops(df, q)
         df = _apply_scalar_math(_apply_math_fns(df, q), q, transformed=False)
     elif q.transforms:
         # transform over the raw point series: derivative(value, 1s),
@@ -1288,6 +1376,14 @@ def compile_influxql(
         df = df.orderBy(
             F.col("ts").desc() if q.order_desc else F.col("ts"), *q.group_tags
         )
+    elif q.binops:
+        # raw field arithmetic: value / other — per-row, map-only
+        df = df.select(
+            "ts", *[F.col(c).alias(a) for _fn, c, a, _n in q.select]
+        )
+        df = _apply_binops(df, q)
+        df = df.select("ts", *[s[2] for s in q.select])
+        df = df.orderBy(F.col("ts").desc() if q.order_desc else F.col("ts"))
     else:
         cols = [s[1] for s in q.select]
         if cols != ["*"]:

@@ -1852,3 +1852,40 @@ def b16_influxql_wildcards(spark, sf_dir):
         "SELECT max(*) FROM events WHERE time < '2024-01-08' GROUP BY *",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B16h — field-vs-field arithmetic through the compiled front door
+# (`mean(a)/mean(b)`, `max(v)-min(v)` — Grafana's efficiency/ratio
+# panels). Compiled as hidden operand aggregates + one derived
+# projection, so the plan is a single partial+final hash aggregate —
+# no extra pass per operand. Hash-safe operand choices: max/min are
+# exact value picks and count ratios are exact-integer divisions, so
+# the derived doubles are engine-identical.
+# --------------------------------------------------------------------------
+@register(
+    "b16_influxql_field_math",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT)) AS time,
+      event_type,
+      MAX(value) - MIN(value) AS rng,
+      COUNT(value) / COUNT(user_id) AS cr
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-12'
+    GROUP BY 1, 2
+    """,
+    tags=("B16",),
+)
+def b16_influxql_field_math(spark, sf_dir):
+    from ..functions.influxql import compile_influxql
+
+    ev = events_between(spark, sf_dir, "2024-01-03", "2024-01-12")
+    return compile_influxql(
+        "SELECT max(value) - min(value) AS rng, "
+        "count(value) / count(user_id) AS cr FROM events "
+        "WHERE time >= '2024-01-03' AND time < '2024-01-12' "
+        "GROUP BY time(1d), event_type",
+        ev,
+    )

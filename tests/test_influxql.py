@@ -1265,3 +1265,35 @@ def test_show_series(points, spark):
     )
     keys2 = [r["key"] for r in compile_show("SHOW SERIES", tagged).collect()]
     assert keys2 == ["192.168.0.1,unit=c", "192.168.0.2,unit=c"]
+
+
+def test_field_arithmetic_aggregate(points):
+    """mean(a) / mean(b) — the Grafana efficiency-panel idiom."""
+    pts = points.withColumn("other", F.col("value") + 1.0)
+    out = compile_influxql(
+        "SELECT mean(value) / mean(other) AS eff FROM m "
+        "GROUP BY time(1h), plc_ip",
+        pts,
+    ).collect()
+    exp = (
+        pts.groupBy(F.date_trunc("hour", "ts").alias("time"), "plc_ip")
+        .agg((F.avg("value") / F.avg("other")).alias("eff"))
+        .collect()
+    )
+    assert {(r["time"], r["plc_ip"]): r["eff"] for r in out} == {
+        (r["time"], r["plc_ip"]): r["eff"] for r in exp
+    }
+
+
+def test_field_arithmetic_raw_and_default_alias(points):
+    pts = points.withColumn("other", F.col("value") * 2 + 1.0)
+    out = compile_influxql("SELECT value / other FROM m LIMIT 3", pts)
+    assert out.columns == ["ts", "value_other"]
+    assert out.count() == 3
+    out2 = compile_influxql(
+        "SELECT max(value) - min(value) FROM m GROUP BY plc_ip", pts
+    )
+    assert sorted(out2.columns) == ["max_min", "plc_ip"]
+    with pytest.raises(InfluxQLError):
+        parse("SELECT derivative(mean(value), 1s) + mean(other) "
+              "FROM m GROUP BY time(1h)")

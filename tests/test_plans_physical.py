@@ -143,3 +143,21 @@ def test_influxql_transform_reuses_bucket_partitioning(spark):
     p = _plan(spark, "b3_influxql_derivative", mode="simple")
     assert "Window" in p
     assert "windowspecdefinition(event_type" in p
+
+
+def test_shingle_queries_materialize_token_array(spark):
+    # the token split() must be aliased into a column BEFORE shingling:
+    # an un-aliased tokens() is textually inlined once per element
+    # access inside the shingle transform (5 per position), which blows
+    # the Generate expression up ~10x and costs >10s of Janino compile
+    # on first run. Guard: the explode expression references the split
+    # at most twice (probe + eval branches), not per-element.
+    for name in ("b21_decontaminate", "b21_boilerplate_ngrams",
+                 "b19_minhash_lsh_neardup"):
+        p = _plan(spark, name, mode="extended")
+        gen = [ln for ln in p.splitlines() if "Generate explode" in ln]
+        assert gen, f"{name}: no explode in plan"
+        worst = max(ln.count("split(") for ln in gen)
+        assert worst <= 1, (
+            f"{name}: split() inlined {worst}x inside the shingle explode"
+        )
