@@ -13,7 +13,7 @@ reference deployment exercises into the engine's DataFrame operators:
          | <item> *|/|+|- <number>         -- unit-conversion math
          | <agg>(f1) *|/|+|- <agg>(f2) | f1 *|/|+|- f2   -- field arithmetic
     [INTO <target>]                        -- compile_into / CQ backfill
-    FROM <identifier> | /regex/ | (SELECT ...)
+    FROM <identifier>[, <identifier> ...] | /regex/ | (SELECT ...)
     [WHERE time <op> 'ts' | now()[-dur] | <epoch>[ns|u|ms|s]
            [AND <tag> =|!= 'v' | <tag> =~|!~ /re/ | <field> <op> <num>
             | (<cond> OR <cond> ...) ...]]   -- Grafana multi-value vars
@@ -149,7 +149,8 @@ def _agg_expr(fn: str, colname: str, arg: float | None):
     return _AGGS[fn](F.col(colname))
 
 _SELECT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<from>[\w.\"]+|/[^/]*/)"
+    r"^\s*SELECT\s+(?P<select>.+?)"
+    r"\s+FROM\s+(?P<from>[\w.\"]+(?:\s*,\s*[\w.\"]+)*|/[^/]*/)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?"
     r"(?:\s+ORDER\s+BY\s+time\s+(?P<order>ASC|DESC))?"
@@ -531,7 +532,11 @@ def parse(q: str) -> _Query:
         raise InfluxQLError("only one holt_winters() item is supported")
     out = _Query(
         select=sel,
-        measurement=_unquote(gd["from"]),
+        # a comma list (FROM m1, m2) must not be outer-unquoted as one
+        # token — each name unquotes in _apply_multi_measurement
+        measurement=(
+            gd["from"] if "," in gd["from"] else _unquote(gd["from"])
+        ),
         transforms=transforms,
         scalar_math=scalar_math,
         math_fns=math_fns,
@@ -1129,6 +1134,26 @@ def _apply_regex_measurement(df: DataFrame, q: _Query) -> DataFrame:
     return df.filter(F.col(mcol).rlike(q.measurement[1:-1]))
 
 
+def _apply_multi_measurement(df: DataFrame, q: _Query) -> DataFrame:
+    """FROM m1, m2: query several measurements at once, one series per
+    measurement (InfluxDB splits the result set per measurement —
+    modeled as a filter + implicit GROUP BY on the measurement column,
+    exactly like the FROM /regex/ path)."""
+    if "," not in q.measurement:
+        return df
+    names = [_unquote(s.strip()) for s in q.measurement.split(",")]
+    mcol = next(
+        (c for c in ("measurement", "plc_ip") if c in df.columns), None
+    )
+    if mcol is None:
+        raise InfluxQLError(
+            "FROM m1, m2 needs a 'measurement' or 'plc_ip' column"
+        )
+    if mcol not in q.group_tags:
+        q.group_tags.append(mcol)
+    return df.filter(F.col(mcol).isin(names))
+
+
 def _where_filters(df: DataFrame, q: _Query) -> DataFrame:
     """Tag equality/inequality/regex and numeric field predicates —
     plain conjunctive filters, all pushdown-eligible except rlike."""
@@ -1158,6 +1183,7 @@ def _rollup_servable(q: _Query, rollup_every_s: int | None) -> bool:
     return (
         rollup_every_s is not None
         and not _is_regex_measurement(q.measurement)
+        and "," not in q.measurement
         and q.group_time_s is not None
         and q.group_time_s % rollup_every_s == 0
         # per-point predicates and non-mergeable shapes need raw points
@@ -1195,6 +1221,7 @@ def compile_influxql(
     q = parse(query)
     _resolve_now(q, now)
     table = _apply_regex_measurement(table, q)
+    table = _apply_multi_measurement(table, q)
 
     if q.group_star:
         # GROUP BY * — every tag column. Tags in this engine's points

@@ -1297,3 +1297,28 @@ def test_field_arithmetic_raw_and_default_alias(points):
     with pytest.raises(InfluxQLError):
         parse("SELECT derivative(mean(value), 1s) + mean(other) "
               "FROM m GROUP BY time(1h)")
+
+
+def test_from_multiple_measurements(points):
+    """FROM m1, m2 — one series per measurement, like FROM /regex/."""
+    out = compile_influxql(
+        'SELECT count(value) AS n FROM "192.168.0.1", "192.168.0.2" '
+        "GROUP BY time(1h)",
+        points,
+    )
+    assert "plc_ip" in out.columns
+    got = {(r["time"], r["plc_ip"]): r["n"] for r in out.collect()}
+    exp = {
+        (r["time"], r["plc_ip"]): r["n"]
+        for r in points.groupBy(
+            F.date_trunc("hour", "ts").alias("time"), "plc_ip"
+        )
+        .agg(F.count("value").alias("n"))
+        .collect()
+    }
+    assert got == exp
+    only = compile_influxql(
+        'SELECT count(value) AS n FROM "192.168.0.1"', points
+    ).collect()
+    # single-measurement FROM is untouched: no implicit filter/grouping
+    assert only[0]["n"] == 600
