@@ -131,3 +131,53 @@ def sample_frames(
         batches,
         "doc_id bigint, frame_idx int, offset int, frame_len int, frame binary",
     )
+
+
+def window_stats(
+    df: DataFrame,
+    window_bytes: int = 256,
+    max_windows: int = 4,
+) -> DataFrame:
+    """Deterministic windowed waveform stats over binary payloads — the
+    audio path's decode→window→aggregate shape (RMS/peak per fixed
+    window), Arrow-batched like the other media ops.
+
+    Each payload yields up to ``max_windows`` non-overlapping
+    ``window_bytes`` windows; per window: byte count, exact integer
+    amplitude sum, integer sum of squares (the RMS numerator), and the
+    peak byte. The production version swaps the byte array for decoded
+    PCM samples at the same (payload) → rows contract; numpy does the
+    vector math per Arrow batch, not per row.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for idx in range(max_windows):
+                    off = idx * window_bytes
+                    if off >= len(b):
+                        break
+                    w = b[off : off + window_bytes].astype(np.int64)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "win_idx": idx,
+                            "n": int(w.size),
+                            "sum_amp": int(w.sum()),
+                            "sum_sq": int((w * w).sum()),
+                            "peak": int(w.max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "win_idx", "n", "sum_amp", "sum_sq", "peak"],
+            )
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, win_idx int, n int, sum_amp bigint, sum_sq bigint, "
+        "peak int",
+    )

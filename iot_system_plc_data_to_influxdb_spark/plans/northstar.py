@@ -2157,3 +2157,48 @@ def b20_pq_exact_replay(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# B22d — audio-path windowed waveform stats (operators/multimodal.py
+# window_stats): up to 4 non-overlapping 256-byte windows per payload,
+# each reduced to exact integer amplitude/RMS-numerator/peak stats in
+# one Arrow-batched numpy pass. Oracle replays the byte math per
+# character (the synthetic payload is the UTF-8 text, ASCII in the
+# testdata, so ord(char) == byte — same replay trick as
+# b22_frame_sample's substr).
+# --------------------------------------------------------------------------
+@register(
+    "b22_audio_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars, text,
+        unnest(generate_series(0, 3)) AS win_idx
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, win_idx,
+        substr(text, win_idx * 256 + 1, 256) AS s
+      FROM w WHERE win_idx * 256 < n_chars
+    ),
+    u AS (
+      SELECT doc_id, win_idx, s,
+        unnest(range(1, length(s) + 1)) AS i
+      FROM seg
+    )
+    SELECT doc_id,
+      CAST(win_idx AS INT) AS win_idx,
+      CAST(COUNT(*) AS INT) AS n,
+      CAST(SUM(ord(substr(s, i, 1))) AS BIGINT) AS sum_amp,
+      CAST(SUM(ord(substr(s, i, 1)) * ord(substr(s, i, 1))) AS BIGINT)
+        AS sum_sq,
+      CAST(MAX(ord(substr(s, i, 1))) AS INT) AS peak
+    FROM u GROUP BY doc_id, win_idx
+    """,
+    tags=("B22",),
+)
+def b22_audio_windows(spark, sf_dir):
+    from ..operators.multimodal import window_stats, with_binary_payload
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return window_stats(with_binary_payload(docs))

@@ -474,3 +474,31 @@ def test_sample_frames_shapes(spark):
         (2, 0): (0, 64, b"y" * 64),
         (3, 0): (0, 10, b"z" * 10),
     }
+
+
+def test_window_stats_shapes(spark):
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        window_stats,
+    )
+
+    rows = [
+        (1, bytes(range(10)) * 60),  # 600 bytes -> windows 256,256,88
+        (2, b"\x05" * 256),          # exactly one full window
+        (3, b"\xff" * 10),           # one short window
+        (4, b""),                    # empty payload -> no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {
+        (r["doc_id"], r["win_idx"]): (r["n"], r["sum_amp"], r["sum_sq"], r["peak"])
+        for r in window_stats(df).collect()
+    }
+    pat = bytes(range(10)) * 60
+    def stats(b):
+        return (len(b), sum(b), sum(x * x for x in b), max(b))
+    assert out == {
+        (1, 0): stats(pat[0:256]),
+        (1, 1): stats(pat[256:512]),
+        (1, 2): stats(pat[512:600]),
+        (2, 0): (256, 5 * 256, 25 * 256, 5),
+        (3, 0): (10, 255 * 10, 255 * 255 * 10, 255),
+    }
