@@ -88,3 +88,94 @@ def test_rollup_merge_property(spark, rows, factor):
     for k in md:
         for c in ("n", "min_value", "max_value", "sum_value", "avg_value"):
             assert md[k][c] == dd[k][c], (k, c)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**20).map(
+                lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+            ),
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e6, max_value=1e6),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=3,
+             unique=True),
+)
+def test_or_group_equals_union_property(spark, rows, picked):
+    """A compiled OR group selects exactly the union of the per-value
+    single-equality queries — the multi-value-variable contract."""
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_influxql,
+    )
+
+    pts = spark.createDataFrame(
+        rows, "ts timestamp, plc_ip string, value double"
+    )
+    disj = " OR ".join(f"\"plc_ip\" = '{v}'" for v in picked)
+    got = compile_influxql(
+        f"SELECT count(value) AS n FROM m WHERE ({disj})", pts
+    ).collect()[0]["n"]
+    per = sum(
+        compile_influxql(
+            f"SELECT count(value) AS n FROM m WHERE \"plc_ip\" = '{v}'", pts
+        ).collect()[0]["n"]
+        for v in picked
+    )
+    assert got == per
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**20).map(
+                lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+            ),
+            st.sampled_from(["x", "y"]),
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=1.0, max_value=1e6),
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=1.0, max_value=1e6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_field_arithmetic_equals_separate_queries(spark, rows):
+    """mean(a)/mean(b) compiled as one statement equals the quotient of
+    the two separately-compiled aggregates, bitwise, per series."""
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_influxql,
+    )
+
+    pts = spark.createDataFrame(
+        rows, "ts timestamp, plc_ip string, value double, other double"
+    )
+    ratio = {
+        r["plc_ip"]: r["r"]
+        for r in compile_influxql(
+            "SELECT mean(value) / mean(other) AS r FROM m GROUP BY plc_ip",
+            pts,
+        ).collect()
+    }
+    num = {
+        r["plc_ip"]: r["m"]
+        for r in compile_influxql(
+            "SELECT mean(value) AS m FROM m GROUP BY plc_ip", pts
+        ).collect()
+    }
+    den = {
+        r["plc_ip"]: r["m"]
+        for r in compile_influxql(
+            "SELECT mean(other) AS m FROM m GROUP BY plc_ip", pts
+        ).collect()
+    }
+    assert set(ratio) == set(num) == set(den)
+    for k in ratio:
+        assert ratio[k] == num[k] / den[k]
