@@ -80,6 +80,17 @@ def main() -> int:
             pts,
         ).show(truncate=False)
 
+        print("Grafana multi-value variable (OR group) + field math:")
+        engine.influxql(
+            "SELECT max(value) - min(value) AS spread FROM points "
+            "WHERE (\"plc_ip\" = '192.168.0.10' OR \"plc_ip\" = '192.168.0.11') "
+            "GROUP BY time(10s), * ORDER BY time DESC LIMIT 4",
+            pts,
+        ).show(truncate=False)
+
+        print("SHOW SERIES (dashboard templating):")
+        compile_show("SHOW SERIES", pts).show(truncate=False)
+
         print("current values (the reference's m_value cache):")
         engine.current_values(pts).show(truncate=False)
 

@@ -1322,3 +1322,54 @@ def test_from_multiple_measurements(points):
     ).collect()
     # single-measurement FROM is untouched: no implicit filter/grouping
     assert only[0]["n"] == 600
+
+
+def test_rollup_bypassed_for_new_where_shapes(points, spark, tmp_path):
+    """OR groups, binops, wildcards, and multi-measurement FROM are not
+    mergeable from the rollup — each must fall back to raw points and
+    still produce the raw-path result."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        backfill_downsample,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rollup_path = str(tmp_path / "rollup1m")
+    assert backfill_downsample(spark, points, rollup_path, every="1 minute") > 0
+    rollup = spark.read.parquet(rollup_path)
+
+    stmts = [
+        "SELECT mean(value) AS m FROM points "
+        "WHERE time >= '2024-01-01 00:10:00' AND time < '2024-01-01 01:00:00' "
+        "AND (\"plc_ip\" = '192.168.0.1' OR \"plc_ip\" = '192.168.0.2') "
+        "GROUP BY time(5m), plc_ip",
+        "SELECT max(value) - min(value) AS rng FROM points "
+        "WHERE time >= '2024-01-01 00:10:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m)",
+        'SELECT count(value) AS n FROM "192.168.0.1", "192.168.0.2" '
+        "WHERE time >= '2024-01-01 00:10:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m)",
+    ]
+    for q in stmts:
+        routed = compile_influxql(q, points, rollup, 60)
+        assert not any("rollup1m" in f for f in routed.inputFiles()), q
+        raw = compile_influxql(q, points)
+        assert sorted(map(str, routed.collect())) == sorted(
+            map(str, raw.collect())
+        ), q
+
+    # mean(*) expands to mean(value) BEFORE routing eligibility — a
+    # pure rewrite, so it MAY serve from the rollup and must still
+    # equal the raw-path result
+    qstar = (
+        "SELECT mean(*) FROM points "
+        "WHERE time >= '2024-01-01 00:10:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(5m)"
+    )
+    routed = compile_influxql(qstar, points, rollup, 60)
+    assert any("rollup1m" in f for f in routed.inputFiles())
+    raw = compile_influxql(qstar, points).collect()
+    got = {r["time"]: r["mean_value"] for r in routed.collect()}
+    exp = {r["time"]: r["mean_value"] for r in raw}
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
