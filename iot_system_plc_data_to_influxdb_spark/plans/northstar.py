@@ -2202,3 +2202,70 @@ def b22_audio_windows(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
     return window_stats(with_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# B22e — exact-integer feature histogram: the oracle-checkable twin of
+# b22_multimodal_pipeline (whose fraction-valued features stay
+# rows-only because JSON float formatting is not cross-engine-stable).
+# Same Arrow-batched mapInPandas contract as extract_features, but the
+# 4-bin byte histogram is emitted as raw integer counts pivoted to
+# columns — exact, order-free, hash-checkable via ord()/64 replay.
+# --------------------------------------------------------------------------
+@register(
+    "b22_feature_histogram",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, text,
+        unnest(range(1, n_chars + 1)) AS i
+      FROM documents WHERE n_chars > 0
+    ),
+    b AS (
+      SELECT doc_id, ord(substr(text, i, 1)) // 64 AS bin FROM u
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS INT) AS n_bytes,
+      CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS INT) AS bin0,
+      CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS INT) AS bin1,
+      CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS INT) AS bin2,
+      CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS INT) AS bin3
+    FROM b GROUP BY doc_id
+    """,
+    tags=("B22",),
+)
+def b22_feature_histogram(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    from ..operators.multimodal import with_binary_payload
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if b.size == 0:
+                    continue
+                hist = np.bincount(b >> 6, minlength=4)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": int(b.size),
+                        "bin0": int(hist[0]),
+                        "bin1": int(hist[1]),
+                        "bin2": int(hist[2]),
+                        "bin3": int(hist[3]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "bin0", "bin1", "bin2", "bin3"],
+            )
+
+    return with_binary_payload(docs).mapInPandas(
+        batches,
+        "doc_id bigint, n_bytes int, bin0 int, bin1 int, bin2 int, bin3 int",
+    )
