@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "b18_train_val_test_split",
     "b19_incremental_dedup",
     "b21_boilerplate_ngrams",
+    "b22_audio_windows",
 ]
 
 
