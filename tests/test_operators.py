@@ -231,3 +231,24 @@ def test_training_shards_partition_pruning(spark, tmp_path):
     }
     got = {r["doc_id"] for r in one.collect()}
     assert got == want and got
+
+
+def test_approx_distinct_error_bound(spark):
+    """b5_approx_distinct's HLL++ estimate stays within a conservative
+    multiple of its declared 1% rsd of the exact twin — the contract
+    that makes the sketch substitutable for COUNT(DISTINCT) at scale."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in plans.queries()["b5_distinct_exact"](spark, sf).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in plans.queries()["b5_approx_distinct"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        assert rel < 0.05, (k, exact[k], approx[k], rel)
