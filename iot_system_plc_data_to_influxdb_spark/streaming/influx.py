@@ -57,6 +57,46 @@ def to_point_json(points: DataFrame) -> DataFrame:
     return points.select(body.alias("json"))
 
 
+def post_lines_with_retry(
+    url: str,
+    payload: bytes,
+    attempts: int = 3,
+    backoff_s: float = 0.2,
+) -> int:
+    """POST one line-protocol payload with bounded retry + exponential
+    backoff — the reference's reconnect-on-write-failure behavior
+    (Linux/InfluxConnector2.py's influx client re-posts after
+    connection errors). Transient network errors and 5xx responses
+    retry; 4xx (malformed payload) raises immediately — retrying a bad
+    request can never succeed. Returns the HTTP status.
+
+    Idempotency note: InfluxDB line-protocol writes are upserts keyed
+    by (measurement, tags, timestamp), so a retried/replayed batch —
+    whether from this loop or from Spark re-running a failed
+    micro-batch off the checkpoint — lands identically; at-least-once
+    delivery composes to exactly-once state.
+    """
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    last: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            req = urllib.request.Request(url, data=payload)
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            if e.code < 500:
+                raise
+            last = e
+        except urllib.error.URLError as e:
+            last = e
+        if attempt < attempts - 1:
+            _time.sleep(backoff_s * (2 ** attempt))
+    raise last  # type: ignore[misc]
+
+
 def write_batch_to_influx(
     batch_df: DataFrame, batch_id: int, url: str, db: str | None = None
 ) -> None:  # pragma: no cover - needs a live InfluxDB
@@ -64,21 +104,18 @@ def write_batch_to_influx(
     per micro-batch (db-per-PLC routed via the measurement name).
 
     Collected per partition executor-side so the driver never
-    materializes the batch; requires the `requests` lib + a reachable
-    InfluxDB, so it is exercised only against recorded expectations in
+    materializes the batch; requires a reachable InfluxDB, so the POST
+    path is exercised against a local flaky-server stand-in in
     tests (test_influx_format.py).
     """
     lines = to_line_protocol(batch_df)
 
     def post_partition(it):
-        import urllib.request
-
         payload = "\n".join(r["line"] for r in it).encode()
         if payload:
-            req = urllib.request.Request(
-                f"{url}/write" + (f"?db={db}" if db else ""), data=payload
+            post_lines_with_retry(
+                f"{url}/write" + (f"?db={db}" if db else ""), payload
             )
-            urllib.request.urlopen(req, timeout=10)
         return iter(())
 
     lines.rdd.mapPartitions(post_partition).count()

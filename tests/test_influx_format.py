@@ -125,3 +125,66 @@ def test_line_protocol_file_stream(spark, tmp_path):
     assert got[("plc1", "pres")]["value"] == 9.0
     assert got[("plc2", "flow")]["value"] == 3.25
     assert got[("plc1", "temp")]["ts"].year == 2024
+
+
+def test_post_retry_against_flaky_endpoint():
+    """post_lines_with_retry survives transient 500s/refused sockets
+    and delivers the payload; a 400 fails fast (retrying malformed
+    line protocol can never succeed)."""
+    import http.server
+    import threading
+    import urllib.error
+
+    import pytest as _pytest
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        post_lines_with_retry,
+    )
+
+    received = []
+    fail_first = [2]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            if self.path.startswith("/bad"):
+                self.send_response(400)
+                self.end_headers()
+                return
+            if fail_first[0] > 0:
+                fail_first[0] -= 1
+                self.send_response(500)
+                self.end_headers()
+                return
+            received.append(body)
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):  # noqa: D102 - silence test output
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        status = post_lines_with_retry(
+            f"{url}/write", b"m v=1 1\nm v=2 2", backoff_s=0.01
+        )
+        assert status == 204
+        assert received == [b"m v=1 1\nm v=2 2"]
+        assert fail_first[0] == 0  # both transient failures were consumed
+
+        with _pytest.raises(urllib.error.HTTPError):
+            post_lines_with_retry(f"{url}/bad", b"garbage", backoff_s=0.01)
+
+        # dead socket: all attempts exhausted -> the last URLError raises
+        srv.shutdown()
+        with _pytest.raises(urllib.error.URLError):
+            post_lines_with_retry(
+                f"http://127.0.0.1:1/write", b"x v=1", attempts=2,
+                backoff_s=0.01,
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
