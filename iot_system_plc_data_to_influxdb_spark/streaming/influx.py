@@ -196,6 +196,17 @@ def parse_line_protocol(lines: DataFrame, column: str = "line") -> DataFrame:
     )
 
 
+def read_line_protocol(spark, path: str) -> DataFrame:
+    """Batch ingest of line-protocol files — the one-shot migration
+    path (`influxd backup` export → this engine). Composes the native
+    text scan with parse_line_protocol, so the whole parse stays
+    JVM-side (a custom Python DataSource here would move every byte
+    through Python for no semantic gain). Malformed lines are
+    null-gated exactly like the streaming twin."""
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    return parse_line_protocol(lines).filter(F.col("measurement").isNotNull())
+
+
 def read_line_protocol_stream(
     spark, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

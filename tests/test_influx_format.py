@@ -188,3 +188,25 @@ def test_post_retry_against_flaky_endpoint():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_read_line_protocol_batch(spark, tmp_path):
+    """Batch twin of the streaming reader: same rows, same null gate."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        read_line_protocol,
+    )
+
+    src = tmp_path / "lp"
+    src.mkdir()
+    (src / "a.lp").write_text(
+        "plc1 temp=21.5 1704067200000000000\n"
+        "plc1,unit=c pres=9i 1704067201000000000\n"
+        "not line protocol at all\n"
+    )
+    got = {
+        (r["measurement"], r["field"]): r
+        for r in read_line_protocol(spark, str(src)).collect()
+    }
+    assert set(got) == {("plc1", "temp"), ("plc1", "pres")}
+    assert got[("plc1", "pres")]["tags"] == {"unit": "c"}
+    assert got[("plc1", "temp")]["value"] == 21.5
