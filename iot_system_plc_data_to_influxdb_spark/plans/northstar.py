@@ -2269,3 +2269,78 @@ def b22_feature_histogram(spark, sf_dir):
         batches,
         "doc_id bigint, n_bytes int, bin0 int, bin1 int, bin2 int, bin3 int",
     )
+
+
+# --------------------------------------------------------------------------
+# B21m — context-window chunking: split each document into fixed-size
+# token windows with overlap (stride < size), the standard prep step
+# between curation and tokenization — long docs become training
+# examples, the overlap preserves cross-boundary context. Map-only:
+# tokenize once (aliased column), generate chunk starts with
+# sequence(), explode, slice the token array per chunk. No shuffle; at
+# 100 TB this runs at scan speed and the 1→N row expansion stays
+# inside the partition.
+#
+# Chunk grid: starts at 0, stride 40, window 50; every token is
+# covered, the final chunk may be short, and a doc shorter than one
+# window yields exactly one chunk. Output carries exact-integer chunk
+# geometry + md5 of the rejoined chunk text (hash-checkable without
+# hauling the text through the driver).
+# --------------------------------------------------------------------------
+@register(
+    "b21_chunk_windows",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w,
+        unnest(range(0, greatest((len(w) - 11) // 40, 0) + 1)) AS chunk_id
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, chunk_id,
+        w[chunk_id * 40 + 1 : least(chunk_id * 40 + 50, len(w))] AS cw
+      FROM g
+    )
+    SELECT doc_id,
+      CAST(chunk_id AS INT) AS chunk_id,
+      CAST(chunk_id * 40 AS INT) AS start_tok,
+      CAST(len(cw) AS INT) AS n_tok,
+      md5(array_to_string(cw, ' ')) AS chunk_md5
+    FROM c
+    """,
+    tags=("B21",),
+)
+def b21_chunk_windows(spark, sf_dir, size: int = 50, stride: int = 40):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    w = F.col("w")
+    # chunk starts: 0, stride, 2·stride, …; the last start is the
+    # greatest multiple of stride with more than (size - stride) tokens
+    # remaining — i.e. chunks the grid's overlap hasn't already covered
+    n_chunks = F.greatest(
+        F.floor((F.size(w) - (size - stride) - 1) / stride), F.lit(0)
+    ).cast("int")
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.slice(w, F.col("chunk_id") * stride + 1, size).alias("cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.size("cw").alias("n_tok"),
+            F.md5(F.array_join("cw", " ")).alias("chunk_md5"),
+        )
+    )

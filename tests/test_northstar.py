@@ -502,3 +502,32 @@ def test_window_stats_shapes(spark):
         (2, 0): (256, 5 * 256, 25 * 256, 5),
         (3, 0): (10, 255 * 10, 255 * 255 * 10, 255),
     }
+
+
+def test_chunk_windows_geometry(spark, monkeypatch, tmp_path):
+    """Chunk grid edges: short doc -> one chunk; exactly one window ->
+    one chunk; window+1 tokens -> two overlapping chunks covering all."""
+    import iot_system_plc_data_to_influxdb_spark.plans.northstar as ns
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(5))),    # 5 tokens
+        (2, " ".join(f"t{i}" for i in range(50))),   # exactly one window
+        (3, " ".join(f"t{i}" for i in range(51))),   # spills into chunk 1
+        (4, " ".join(f"t{i}" for i in range(130))),  # 0,40,80 -> 3 chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    monkeypatch.setattr(ns, "t", lambda _s, _d, _n: df)
+    out = ns.b21_chunk_windows(spark, "ignored")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_tok"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (0, 5),
+        (2, 0): (0, 50),
+        (3, 0): (0, 50),
+        (3, 1): (40, 11),
+        (4, 0): (0, 50),
+        (4, 1): (40, 50),
+        (4, 2): (80, 50),
+    }
