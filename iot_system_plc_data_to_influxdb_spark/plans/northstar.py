@@ -2344,3 +2344,116 @@ def b21_chunk_windows(spark, sf_dir, size: int = 50, stride: int = 40):
             F.md5(F.array_join("cw", " ")).alias("chunk_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B21n — the composed nightly curation pipeline, one oracle-backed
+# query: exact content dedup (keep lowest doc_id per md5) → integer
+# quality gate (≥10 tokens, stopword ratio ≥ 1/20 in exact integers)
+# → context-window chunking (50/40 grid, as b21_chunk_windows). The
+# point is composition: each stage is an operator the suite already
+# verifies in isolation; chained, they form the artifact a training
+# run actually consumes, and the hash check covers the stage BOUNDARIES
+# (dedup feeding the tokenizer feeding the chunker) that per-op tests
+# can't see.
+#
+# Scale shape: one shuffle for the dedup window (content-hash
+# partitioning), then map-only to the end — the chunk explode never
+# re-shuffles. At 100 TB the dedup window is the same single shuffle
+# dropDuplicates pays; everything downstream streams.
+# --------------------------------------------------------------------------
+_B21_CURATION_ORACLE = rf"""
+    WITH d0 AS (
+      SELECT doc_id, md5(text) AS h,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, w,
+        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM d0
+    ),
+    m AS (
+      SELECT doc_id, w, len(w) AS n_tokens,
+        len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS stop_hits
+      FROM k WHERE rn = 1
+    ),
+    q AS (
+      SELECT * FROM m
+      WHERE n_tokens >= 10 AND stop_hits * 20 >= n_tokens
+    ),
+    g AS (
+      SELECT doc_id, w, n_tokens, stop_hits,
+        unnest(range(0, greatest((len(w) - 11) // 40, 0) + 1)) AS chunk_id
+      FROM q
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, stop_hits, chunk_id,
+        w[chunk_id * 40 + 1 : least(chunk_id * 40 + 50, len(w))] AS cw
+      FROM g
+    )
+    SELECT doc_id,
+      CAST(chunk_id AS INT) AS chunk_id,
+      CAST(chunk_id * 40 AS INT) AS start_tok,
+      CAST(len(cw) AS INT) AS n_tok,
+      md5(array_to_string(cw, ' ')) AS chunk_md5,
+      CAST(n_tokens AS INT) AS doc_tokens,
+      CAST(stop_hits AS INT) AS doc_stop_hits
+    FROM c
+"""
+
+
+@register("b21_curation_pipeline", oracle=_B21_CURATION_ORACLE, tags=("B21",))
+def b21_curation_pipeline(spark, sf_dir, size: int = 50, stride: int = 40):
+    from ..functions.text import stopword_hits
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    wd = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        docs.select("doc_id", "text", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+    )
+    w = F.col("w")
+    gated = (
+        deduped.select("doc_id", tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.size(w).alias("doc_tokens"),
+            stopword_hits(w).alias("doc_stop_hits"),
+        )
+        .filter(
+            (F.col("doc_tokens") >= 10)
+            & (F.col("doc_stop_hits") * 20 >= F.col("doc_tokens"))
+        )
+    )
+    n_chunks = F.greatest(
+        F.floor((F.size(w) - (size - stride) - 1) / stride), F.lit(0)
+    ).cast("int")
+    return (
+        gated.select(
+            "doc_id",
+            "w",
+            "doc_tokens",
+            "doc_stop_hits",
+            F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.slice(w, F.col("chunk_id") * stride + 1, size).alias("cw"),
+            "doc_tokens",
+            "doc_stop_hits",
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.size("cw").alias("n_tok"),
+            F.md5(F.array_join("cw", " ")).alias("chunk_md5"),
+            "doc_tokens",
+            "doc_stop_hits",
+        )
+    )
