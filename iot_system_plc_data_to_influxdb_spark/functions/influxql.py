@@ -38,7 +38,8 @@ deterministic constants — documented deviation).
 Wildcard aggregates: ``mean(*)`` expands to one output column per
 numeric field, named ``<alias>_<field>`` as InfluxDB does.
 Meta statements (compile_show): SHOW MEASUREMENTS / FIELD KEYS / TAG
-KEYS / TAG VALUES / SERIES / DATABASES / RETENTION POLICIES; retention
+KEYS / TAG VALUES / SERIES / DATABASES / RETENTION POLICIES, each with
+[EXACT] CARDINALITY and LIMIT variants; retention
 (compile_delete): DELETE FROM / DROP MEASUREMENT. Supported units:
 s/m/h/d/w. A parse failure raises ``InfluxQLError`` with the offending
 clause — no silent fallback.
@@ -1443,11 +1444,13 @@ def compile_influxql(
 # tags always empty (Linux/InfluxConnector2.py:175,231-238).
 # --------------------------------------------------------------------------
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(?P<what>MEASUREMENTS|FIELD\s+KEYS|TAG\s+KEYS|TAG\s+VALUES"
-    r"|SERIES|DATABASES|RETENTION\s+POLICIES)"
+    r"^\s*SHOW\s+(?P<what>MEASUREMENTS?|FIELD\s+KEYS?|TAG\s+KEYS?"
+    r"|TAG\s+VALUES|SERIES|DATABASES|RETENTION\s+POLICIES)"
+    r"(?:\s+(?P<card>EXACT\s+CARDINALITY|CARDINALITY))?"
     r"(?:\s+ON\s+[\w.\"]+)?"
     r"(?:\s+FROM\s+(?P<from>[\w.\"]+))?"
-    r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>[\w\"]+))?\s*$",
+    r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>[\w\"]+))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE,
 )
 
@@ -1455,18 +1458,40 @@ _SHOW_RE = re.compile(
 SHOW_DATABASE_NAME = "iot"
 
 
+#: singular forms InfluxQL uses in the CARDINALITY statements
+_SHOW_SINGULAR = {
+    "MEASUREMENT": "MEASUREMENTS",
+    "FIELD KEY": "FIELD KEYS",
+    "TAG KEY": "TAG KEYS",
+}
+
+
 def compile_show(query: str, points: DataFrame) -> DataFrame:
     """Compile a SHOW meta statement against the points table
-    (ts, plc_ip, alias, value[, tags])."""
+    (ts, plc_ip, alias, value[, tags]). CARDINALITY variants reduce
+    the listing to its count (EXACT and estimated coincide — the
+    engine computes the true distinct count either way); LIMIT pages
+    Grafana templating queries."""
     m = _SHOW_RE.match(query.strip().rstrip(";"))
     if not m:
         raise InfluxQLError(f"unparseable SHOW statement: {query!r}")
     what = re.sub(r"\s+", " ", m.group("what").upper())
+    what = _SHOW_SINGULAR.get(what, what)
     frm = m.group("from")
     df = points
     if frm:
         df = df.filter(F.col("plc_ip") == F.lit(_unquote(frm)))
+    out = _show_base(what, m.group("key"), df, points)
+    if m.group("card"):
+        out = out.agg(F.count(F.lit(1)).alias("count"))
+    if m.group("limit"):
+        out = out.limit(int(m.group("limit")))
+    return out
 
+
+def _show_base(
+    what: str, key, df: DataFrame, points: DataFrame
+) -> DataFrame:
     if what == "DATABASES":
         # Grafana's datasource test issues this before anything else
         spark = points.sparkSession
@@ -1518,7 +1543,6 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
             )
         return df.select(F.col("plc_ip").alias("tagKey")).filter(F.lit(False))
     # TAG VALUES
-    key = m.group("key")
     if not key:
         raise InfluxQLError("SHOW TAG VALUES requires WITH KEY = <key>")
     if "tags" in df.columns:

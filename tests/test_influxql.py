@@ -166,7 +166,7 @@ def test_show_meta_queries(points):
     with pytest.raises(InfluxQLError):
         compile_show("SHOW TAG VALUES", points)
     with pytest.raises(InfluxQLError):
-        compile_show("SHOW SERIES CARDINALITY", points)
+        compile_show("SHOW GRANTS FOR admin", points)
 
 
 def test_rollup_routing_in_compiler(points, spark, tmp_path):
@@ -1373,3 +1373,23 @@ def test_rollup_bypassed_for_new_where_shapes(points, spark, tmp_path):
     assert set(got) == set(exp)
     for k in got:
         assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_show_cardinality_and_limit(points, spark):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_show,
+    )
+
+    n = compile_show("SHOW SERIES CARDINALITY", points).collect()
+    assert n[0]["count"] == 2
+    n2 = compile_show("SHOW MEASUREMENT EXACT CARDINALITY", points).collect()
+    assert n2[0]["count"] == 2
+    n3 = compile_show("SHOW FIELD KEY CARDINALITY", points).collect()
+    assert n3[0]["count"] == 2  # temp, pressure
+    lim = compile_show("SHOW MEASUREMENTS LIMIT 1", points).collect()
+    assert [r["name"] for r in lim] == ["192.168.0.1"]
+    tv = compile_show(
+        'SHOW TAG VALUES CARDINALITY WITH KEY = "unit"',
+        points.withColumn("tags", F.create_map(F.lit("unit"), F.lit("c"))),
+    ).collect()
+    assert tv[0]["count"] == 1
