@@ -161,3 +161,24 @@ def test_shingle_queries_materialize_token_array(spark):
         assert worst <= 1, (
             f"{name}: split() inlined {worst}x inside the shingle explode"
         )
+
+
+def test_chunk_windows_is_map_only(spark):
+    # tokenize -> sequence -> explode -> slice: nothing but the explicit
+    # fan-out repartition may shuffle, and there is no join anywhere
+    p = _plan(spark, "b21_chunk_windows")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # repartition + AQE read, no more
+
+
+def test_curation_pipeline_single_logical_shuffle(spark):
+    # dedup window partitions by content hash — that plus the explicit
+    # repartition are the only exchanges; the quality gate and the
+    # chunk explode stream map-side, and no join ever appears
+    p = _plan(spark, "b21_curation_pipeline")
+    assert "Join" not in p
+    assert "SortMergeJoin" not in p
+    exchanges = [
+        ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) <= 2, p[:1200]

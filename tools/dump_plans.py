@@ -28,6 +28,8 @@ HEADLINE = [
     "b3_influxql_derivative",
     "b21_decontaminate",
     "b21_pii_redaction",
+    "b21_curation_pipeline",
+    "b16_influxql_or_groups",
 ]
 
 
