@@ -70,3 +70,41 @@ def curate_stream(
     if lang is not None:
         out = out.filter(F.col("predicted_lang") == lang)
     return out
+
+
+def chunk_stream(
+    curated: DataFrame, size: int = 50, stride: int = 40
+) -> DataFrame:
+    """Curated doc stream → training-chunk stream: the same 50/40
+    context-window grid as plans/northstar.b21_chunk_windows, applied
+    to streaming rows. Map-only (sequence → explode → slice), so it
+    composes with any upstream watermark/dedup state without adding
+    state of its own — chunking streams at ingest speed.
+    """
+    w = F.col("_cw")
+    n_chunks = F.greatest(
+        F.floor((F.size(w) - (size - stride) - 1) / stride), F.lit(0)
+    ).cast("int")
+    return (
+        curated.withColumn("_cw", tokens(F.col("text")))
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks)))
+        .select(
+            "ingest_ts",
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.slice(w, F.col("chunk_id") * stride + 1, size).alias("_ck"),
+            "quality",
+            "predicted_lang",
+        )
+        .select(
+            "ingest_ts",
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.size("_ck").alias("n_tok"),
+            F.md5(F.array_join("_ck", " ")).alias("chunk_md5"),
+            "quality",
+            "predicted_lang",
+        )
+    )

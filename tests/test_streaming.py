@@ -557,3 +557,51 @@ def test_streaming_document_curation(spark):
         by_id = {r["doc_id"]: r for r in got}
         assert by_id[1]["predicted_lang"] == "en"
         assert all(r["quality"] >= 0.45 for r in got)
+
+
+def test_streaming_chunking_composes_with_curation(spark):
+    """chunk_stream appends the 50/40 context-window grid to the
+    curated stream — map-only, so it rides the same micro-batches; the
+    chunk set equals the batch b21_chunk_windows grid for the same
+    surviving docs."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        chunk_stream,
+        curate_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = (
+        "the quick brown fox jumps over a lazy dog and the day is long "
+        "in the valley of the wind and a river runs to the sea"
+    )
+    long_doc = " ".join([base] * 3)  # 81 tokens -> chunks at 0 and 40
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ingest_ts timestamp, doc_id bigint, text string"
+        src = os.path.join(tmp, "docs")
+        spark.createDataFrame(
+            [("2024-01-01 00:00:01", 1, long_doc)],
+            "ingest_ts string, doc_id bigint, text string",
+        ).select(
+            F.col("ingest_ts").cast("timestamp"), "doc_id", "text"
+        ).write.parquet(src)
+
+        stream = spark.readStream.schema(sch).parquet(src)
+        got = []
+        q = (
+            chunk_stream(curate_stream(stream, min_quality=0.3))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        grid = {(r["chunk_id"], r["start_tok"], r["n_tok"]) for r in got}
+        assert grid == {(0, 0, 50), (1, 40, 41)}
+        # chunk hashes match the batch operator's md5 of the same slices
+        toks = long_doc.lower().split()
+        import hashlib
+
+        exp0 = hashlib.md5(" ".join(toks[0:50]).encode()).hexdigest()
+        exp1 = hashlib.md5(" ".join(toks[40:81]).encode()).hexdigest()
+        by_chunk = {r["chunk_id"]: r["chunk_md5"] for r in got}
+        assert by_chunk == {0: exp0, 1: exp1}
