@@ -77,18 +77,19 @@ BENCH_QUERIES = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # best-of-2 by default: host load swings single-shot wall clock
-    # 1.5-3x; the min is the reproducible capability number
-    repeat = 2
+    # Per query: one discarded warm-up, then best-of-N timed runs.
+    # Host load swings single-shot wall clock 1.5-3x at sub-second
+    # scale; the warm-up absorbs first-touch plan compilation + page
+    # cache, and the min over 3 is the reproducible capability number.
+    repeat = 3
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
 
+    from iot_system_plc_data_to_influxdb_spark import plans
     from iot_system_plc_data_to_influxdb_spark.session import get_spark
 
-    import __spark_entry__ as entrymod
-
     spark = get_spark("bench")
-    qs = entrymod.queries()
+    qs = plans.all_queries()  # bench set spans canonical + variants
 
     # Warm the JVM/codegen paths once on the smallest SF.
     qs["b4_hash_aggregate"](spark, "/root/testdata/sf0.001").write.format(
@@ -98,13 +99,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = None
-        for _ in range(repeat):
+
+        def run_once() -> float:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            return time.perf_counter() - t0
+
+        run_once()  # warm-up, discarded
+        timings[name] = round(min(run_once() for _ in range(repeat)), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {

@@ -34,9 +34,10 @@ def main() -> int:
     from iot_system_plc_data_to_influxdb_spark.session import get_spark
 
     import __spark_entry__ as entry
+    from iot_system_plc_data_to_influxdb_spark import plans
 
     spark = get_spark("training-data-demo")
-    qs = entry.queries()
+    qs = plans.all_queries()
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     print(f"corpus: {docs.count()} documents from {SF_DIR}")

@@ -14,4 +14,10 @@ from . import (  # noqa: F401  (import for registration side effects)
     streaming_parity,
     timeseries,
 )
-from .registry import oracles, queries  # noqa: F401
+from .registry import (  # noqa: F401
+    CANONICAL,
+    all_oracles,
+    all_queries,
+    oracles,
+    queries,
+)

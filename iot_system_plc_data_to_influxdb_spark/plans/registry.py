@@ -42,6 +42,77 @@ class Declared:
 
 _REGISTRY: dict[str, Declared] = {}
 
+# The driver's correctness gate samples the FIRST 50 names of
+# ``sorted(queries())``. With 117 registered queries that window
+# silently dropped whole operator families (the b2–b9 relational core
+# went two rounds driver-unchecked). Fix: ``queries()`` exposes exactly
+# one curated canonical query per SURVEY §2 operator family (≤50 names,
+# so the sample window covers ALL of them), and the 60+ dialect
+# variants / replay twins / salted twins stay in the full registry,
+# swept by ``tools/check_oracle.py --all`` and pytest
+# (tests/test_registry.py).
+CANONICAL: frozenset = frozenset(
+    {
+        # Part A — reference-implemented operators (config plane + decode)
+        "a1_config_scan",          # A1 XML config scan
+        "a2_active_filter",        # A2
+        "a3_group_by_plc",         # A3
+        "a4_group_by_interval",    # A4
+        "a7_decode_dispatch",      # A6+A7+A8+A9 (parse/decode/bool/null-gate)
+        "a11_point_projection",    # A11 point construction
+        "a18_config_insert",       # A18
+        "a19_distinct_plcs",       # A19
+        "a20_aliases_for_plc",     # A20
+        "a21_config_lookup",       # A21
+        "a22_config_delete",       # A22
+        "a23_config_update",       # A23
+        # Part B — relational core
+        "b1_scan_pushdown",
+        "b2_time_range",
+        "b3_downsample",
+        "b3_influxql_compiled",    # the InfluxQL compiler is first-class
+        "b4_hash_aggregate",
+        "b5_approx_distinct",      # rows-only by design (HLL)
+        "b5_distinct_exact",       # hash-checkable twin for B5
+        "b6_grouping_sets",
+        "b7_broadcast_star_join",
+        "b8_local_supplier_volume",
+        "b9_outer_join",
+        "b9_semi_join",
+        "b9_anti_join",
+        "b10_range_join",
+        # time-series
+        "b11_asof_join",
+        "b11_gapfill_linear",
+        "b12_window_funcs",
+        "b13_topk_per_group",
+        "b14_set_ops",
+        "b15_pivot",
+        "b16_string_funcs",
+        "b17_array_funcs",
+        # training-data pipeline
+        "b18_dedup_exact",
+        "b19_minhash_lsh_neardup",
+        "b19_neardup_clusters",
+        "b20_knn_bruteforce",
+        "b21_curation_pipeline",
+        "b21_decontaminate",
+        "b22_feature_histogram",
+        # analytics / forecast / retention
+        "b23_anomaly_zscore",
+        "b24_holt_forecast",
+        "b25_retention_ageoff",
+        # streaming parity
+        "b26_sliding_window",
+        "b27_session_window",
+        "b28_watermark_accounting",  # rows-only by design (late-drop)
+        "b29_current_value",
+        "b30_udf_decode",
+        # flagship
+        "flagship_signal_snapshot",
+    }
+)
+
 
 def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):
     """Decorator: declare a query, optionally with its oracle SQL.
@@ -69,10 +140,30 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):
 
 
 def queries() -> dict[str, QueryFn]:
-    return {n: d.fn for n, d in sorted(_REGISTRY.items())}
+    """Driver-facing canonical set: one query per §2 operator family.
+
+    Guaranteed ≤50 names so the driver's alphabetical 50-sample covers
+    every family. Variants live in :func:`all_queries`.
+    """
+    missing = CANONICAL - set(_REGISTRY)
+    if missing:
+        raise RuntimeError(f"canonical queries not registered: {sorted(missing)}")
+    if len(CANONICAL) > 50:
+        raise RuntimeError(f"canonical set has {len(CANONICAL)} names (>50)")
+    return {n: _REGISTRY[n].fn for n in sorted(CANONICAL)}
 
 
 def oracles() -> dict[str, str]:
+    qs = queries()
+    return {n: _REGISTRY[n].oracle for n in qs if _REGISTRY[n].oracle}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    """Full registry (canonical + variants) for the secondary sweep."""
+    return {n: d.fn for n, d in sorted(_REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
     return {n: d.oracle for n, d in sorted(_REGISTRY.items()) if d.oracle}
 
 

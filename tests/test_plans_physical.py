@@ -16,7 +16,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name, mode="formatted"):
-    df = plans.queries()[name](spark, SF_DIR)
+    df = plans.all_queries()[name](spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode)

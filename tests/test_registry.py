@@ -1,0 +1,84 @@
+"""Canonical-registry invariants + secondary-registry oracle sweep.
+
+The driver's correctness gate samples the first 50 of
+``sorted(queries())``. ``queries()`` therefore exposes exactly the
+curated canonical set (≤50, one per SURVEY §2 operator family); every
+other registered query (dialect variants, replay twins, salted twins)
+must still be proven — here, against DuckDB at sf0.001, mirroring the
+driver's rows+schema+order-insensitive-hash comparison.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import TABLES, canon  # noqa: E402
+
+import iot_system_plc_data_to_influxdb_spark.plans as plans  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_canonical_fits_driver_sample_window():
+    qs = plans.queries()
+    assert len(qs) <= 50, f"{len(qs)} canonical queries won't all be sampled"
+    # every canonical name resolves to a registered callable
+    assert set(qs) == set(plans.CANONICAL)
+
+
+def test_canonical_covers_every_operator_family():
+    """One green driver row per §2 family ⇒ every family prefix present."""
+    prefixes = {re.match(r"([ab]\d+|flagship)", n).group(1) for n in plans.queries()}
+    # A5 (stream source), A10 (stateful upsert → b29), A12-A14 (sinks,
+    # pacing, retry) are streaming-side: pytest-verified, not oracle
+    # queries. A15-A17 deliberately not ported (SURVEY §7). A6/A8/A9
+    # are embedded in a7_decode_dispatch. A24 is round-trip tested.
+    expected = {f"a{i}" for i in (1, 2, 3, 4, 7, 11, 18, 19, 20, 21, 22, 23)}
+    expected |= {f"b{i}" for i in range(1, 31) if i != 28} | {"b28", "flagship"}
+    assert expected - prefixes == set(), f"families missing: {expected - prefixes}"
+
+
+def test_canonical_oracle_status_documented():
+    """Rows-only canonical entries are exactly the declared non-SQL ops."""
+    qs = plans.queries()
+    oracle_names = set(plans.oracles())
+    rows_only = set(qs) - oracle_names
+    assert rows_only == {"b5_approx_distinct", "b28_watermark_accounting"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'")
+    yield con
+    con.close()
+
+
+def _secondary_names():
+    return sorted(set(plans.all_queries()) - set(plans.CANONICAL))
+
+
+@pytest.mark.parametrize("name", _secondary_names())
+def test_secondary_registry_matches_oracle(spark, duck, name):
+    fn = plans.all_queries()[name]
+    sdf = fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    oracle = plans.all_oracles().get(name)
+    if oracle is None:
+        assert len(srows) >= 0  # rows-only by design; smoke that it runs
+        return
+    res = duck.sql(oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert canon(scols, srows) == canon(dcols, drows)

@@ -33,6 +33,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
+    from iot_system_plc_data_to_influxdb_spark import plans
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -46,9 +47,9 @@ def main() -> int:
             f"CREATE VIEW {name} AS FROM read_parquet('{SF_DIR}/{name}.parquet')"
         )
 
-    oracles = entry.oracle_sql()
+    oracles = plans.all_oracles()
     bad = 0
-    for name, fn in sorted(entry.queries().items()):
+    for name, fn in sorted(plans.all_queries().items()):
         flags = []
         try:
             df = fn(spark, SF_DIR)

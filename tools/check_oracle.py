@@ -1,10 +1,13 @@
 """Local mirror of the driver's t2 correctness gate.
 
-Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
-on DuckDB over the same parquet tables, then compares row count, sorted
-column names, and an order-insensitive value hash.
+Sweeps the FULL registry (canonical + variants — ``all_queries()``) on
+Spark and each ``all_oracles()`` twin on DuckDB over the same parquet
+tables, then compares row count, sorted column names, and an
+order-insensitive value hash. The driver only samples the ≤50 canonical
+names from ``queries()``; this tool is the evidence for everything else.
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+        python tools/check_oracle.py --canonical [sf_dir]   # driver mirror
 """
 
 from __future__ import annotations
@@ -63,10 +66,15 @@ def canon(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    canonical_only = "--canonical" in argv
+    if canonical_only:
+        argv.remove("--canonical")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
+    from iot_system_plc_data_to_influxdb_spark import plans
     from iot_system_plc_data_to_influxdb_spark.session import get_spark
 
     spark = get_spark("oracle-check")
@@ -76,8 +84,12 @@ def main():
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
 
-    qs = entrymod.queries()
-    os_ = entrymod.oracle_sql()
+    if canonical_only:
+        qs = entrymod.queries()
+        os_ = entrymod.oracle_sql()
+    else:
+        qs = plans.all_queries()
+        os_ = plans.all_oracles()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -37,9 +37,10 @@ def main() -> int:
     from iot_system_plc_data_to_influxdb_spark.session import get_spark
 
     import __spark_entry__ as entrymod
+    from iot_system_plc_data_to_influxdb_spark import plans
 
     spark = get_spark("plans")
-    qs = entrymod.queries()
+    qs = plans.all_queries()
     out = ["# Physical plans (sf0.01, formatted)\n"]
     for name in HEADLINE:
         df = qs[name](spark, "/root/testdata/sf0.01")
