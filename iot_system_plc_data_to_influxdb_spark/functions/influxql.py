@@ -143,6 +143,13 @@ def _percentile_nearest_rank(c, p: float):
 
 
 def _agg_expr(fn: str, colname: str, arg: float | None):
+    if fn is None:
+        # raw (non-aggregate) items can't be folded into a grouped
+        # aggregate — surface the documented error, never a KeyError
+        raise InfluxQLError(
+            "raw (non-aggregate) select items cannot combine with "
+            "GROUP BY time()"
+        )
     if fn == "percentile":
         if arg is None:
             raise InfluxQLError("percentile() requires a second argument")
@@ -239,17 +246,27 @@ def _split_top(s: str, kw: str) -> list[str]:
 
 def _strip_outer_parens(cond: str) -> str:
     """Remove balanced outer parens: ``("host" = 'a')`` → ``"host" = 'a'``
-    (Grafana wraps every builder-generated condition in parens)."""
+    (Grafana wraps every builder-generated condition in parens).
+
+    Parens inside single-quoted values (``"x" = ')'``) don't count
+    toward depth — same quote-aware scan as ``_split_top``."""
     cond = cond.strip()
     while cond.startswith("(") and cond.endswith(")"):
         depth = 0
+        in_quote = False
         for i, ch in enumerate(cond):
-            if ch == "(":
+            if ch == "'":
+                in_quote = not in_quote
+            elif in_quote:
+                continue
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
                 if depth == 0 and i < len(cond) - 1:
                     return cond  # parens don't span the whole string
+        if in_quote or depth != 0:
+            return cond  # unbalanced / quote-spanning — leave as-is
         cond = cond[1:-1].strip()
     return cond
 
@@ -496,9 +513,22 @@ def parse(q: str) -> _Query:
         sel.append((largs[0], largs[1], f"_bo{li}", None))
         ri = len(sel)
         sel.append((rargs[0], rargs[1], f"_bo{ri}", None))
-        binops.append(
-            (li, ri, bm.group("op"), bm.group("alias") or default)
-        )
+        # Result-column aliases must be unique: _apply_binops emits one
+        # withColumn per binop, so a repeated alias would silently
+        # overwrite the earlier result. Explicit duplicates are a user
+        # error; duplicate DEFAULTS (max(a)-min(a), max(b)-min(b) both
+        # defaulting to max_min) get InfluxDB-style _1, _2 suffixes.
+        taken = {b[3] for b in binops}
+        alias = bm.group("alias")
+        if alias:
+            if alias in taken:
+                raise InfluxQLError(f"duplicate result alias {alias!r}")
+        else:
+            alias, k = default, 0
+            while alias in taken:
+                k += 1
+                alias = f"{default}_{k}"
+        binops.append((li, ri, bm.group("op"), alias))
 
     for item in items:
         mm = _MATH_ITEM_RE.match(item)
@@ -1405,19 +1435,27 @@ def compile_influxql(
             F.col("ts").desc() if q.order_desc else F.col("ts"), *q.group_tags
         )
     elif q.binops:
-        # raw field arithmetic: value / other — per-row, map-only
+        # raw field arithmetic: value / other — per-row, map-only.
+        # Keep the group tags (the measurement column for multi-
+        # measurement / regex FROM) so per-measurement rows stay
+        # distinguishable, as InfluxDB's per-series output is.
         df = df.select(
-            "ts", *[F.col(c).alias(a) for _fn, c, a, _n in q.select]
+            "ts",
+            *q.group_tags,
+            *[F.col(c).alias(a) for _fn, c, a, _n in q.select],
         )
         df = _apply_binops(df, q)
-        df = df.select("ts", *[s[2] for s in q.select])
-        df = df.orderBy(F.col("ts").desc() if q.order_desc else F.col("ts"))
+        df = df.select("ts", *q.group_tags, *[s[2] for s in q.select])
+        df = df.orderBy(
+            F.col("ts").desc() if q.order_desc else F.col("ts"), *q.group_tags
+        )
     else:
         cols = [s[1] for s in q.select]
         if cols != ["*"]:
             if q.scalar_math or q.math_fns:
                 df = df.select(
                     "ts",
+                    *q.group_tags,
                     *[
                         F.col(c).alias(a)
                         for _fn, c, a, _n in q.select
@@ -1427,8 +1465,14 @@ def compile_influxql(
                 df = _apply_math_fns(df, q)
                 df = _apply_scalar_math(df, q, transformed=False)
             else:
-                df = df.select("ts", *[c for c in cols if c != "ts"])
-        df = df.orderBy(F.col("ts").desc() if q.order_desc else F.col("ts"))
+                df = df.select(
+                    "ts",
+                    *q.group_tags,
+                    *[c for c in cols if c != "ts" and c not in q.group_tags],
+                )
+        df = df.orderBy(
+            F.col("ts").desc() if q.order_desc else F.col("ts"), *q.group_tags
+        )
 
     if q.offset:
         df = df.offset(q.offset)

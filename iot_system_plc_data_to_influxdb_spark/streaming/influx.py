@@ -64,11 +64,13 @@ def post_lines_with_retry(
     backoff_s: float = 0.2,
 ) -> int:
     """POST one line-protocol payload with bounded retry + exponential
-    backoff — the reference's reconnect-on-write-failure behavior
-    (Linux/InfluxConnector2.py's influx client re-posts after
-    connection errors). Transient network errors and 5xx responses
-    retry; 4xx (malformed payload) raises immediately — retrying a bad
-    request can never succeed. Returns the HTTP status.
+    backoff, analogous to the reference's reconnect-on-failure loop
+    (Linux/InfluxConnector2.py reconnects the PLC after read errors;
+    the engine applies the same bounded-retry posture to its write
+    path). Transient network errors — URLError, socket read timeouts
+    (TimeoutError), and other OSErrors — and 5xx responses retry; 4xx
+    (malformed payload) raises immediately — retrying a bad request
+    can never succeed. Returns the HTTP status.
 
     Idempotency note: InfluxDB line-protocol writes are upserts keyed
     by (measurement, tags, timestamp), so a retried/replayed batch —
@@ -90,7 +92,10 @@ def post_lines_with_retry(
             if e.code < 500:
                 raise
             last = e
-        except urllib.error.URLError as e:
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            # socket read timeouts surface as bare TimeoutError (not
+            # wrapped in URLError) on CPython ≥3.10; ConnectionReset
+            # and friends as OSError — all transient, all retryable
             last = e
         if attempt < attempts - 1:
             _time.sleep(backoff_s * (2 ** attempt))

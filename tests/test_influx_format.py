@@ -210,3 +210,37 @@ def test_read_line_protocol_batch(spark, tmp_path):
     assert set(got) == {("plc1", "temp"), ("plc1", "pres")}
     assert got[("plc1", "pres")]["tags"] == {"unit": "c"}
     assert got[("plc1", "temp")]["value"] == 21.5
+
+
+def test_post_retry_catches_socket_timeout(monkeypatch):
+    """Socket read timeouts surface as bare TimeoutError (not wrapped
+    in URLError) — the retry loop must treat them as transient."""
+    import urllib.request
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        post_lines_with_retry,
+    )
+
+    calls = {"n": 0}
+
+    class _Resp:
+        status = 204
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("read timed out")
+        return _Resp()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    status = post_lines_with_retry(
+        "http://localhost:9/write", b"m v=1", attempts=3, backoff_s=0.0
+    )
+    assert status == 204
+    assert calls["n"] == 3

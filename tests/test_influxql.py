@@ -1393,3 +1393,80 @@ def test_show_cardinality_and_limit(points, spark):
         points.withColumn("tags", F.create_map(F.lit("unit"), F.lit("c"))),
     ).collect()
     assert tv[0]["count"] == 1
+
+
+def test_binop_default_alias_dedup(points):
+    """Two unaliased binops sharing a default alias must NOT collapse
+    into one column — the second gets an InfluxDB-style _1 suffix."""
+    pts = points.withColumn("other", F.col("value") * 2 + 1.0)
+    out = compile_influxql(
+        "SELECT max(value) - min(value), max(other) - min(other) "
+        "FROM m GROUP BY plc_ip",
+        pts,
+    )
+    assert sorted(out.columns) == ["max_min", "max_min_1", "plc_ip"]
+    r = {row["plc_ip"]: row for row in out.collect()}
+    for ip in ("192.168.0.1", "192.168.0.2"):
+        grp = pts.filter(F.col("plc_ip") == ip)
+        vmax, vmin, omax, omin = grp.agg(
+            F.max("value"), F.min("value"), F.max("other"), F.min("other")
+        ).first()
+        assert r[ip]["max_min"] == vmax - vmin
+        assert r[ip]["max_min_1"] == omax - omin
+
+
+def test_binop_explicit_alias_collision_raises(points):
+    with pytest.raises(InfluxQLError, match="duplicate result alias"):
+        parse(
+            "SELECT max(value) - min(value) AS r, "
+            "max(other) - min(other) AS r FROM m"
+        )
+
+
+def test_raw_binop_with_group_time_raises_typed_error(points):
+    pts = points.withColumn("other", F.col("value") + 1.0)
+    with pytest.raises(InfluxQLError):
+        compile_influxql(
+            "SELECT value / other FROM m GROUP BY time(1h)", pts
+        )
+
+
+def test_quoted_paren_inside_where_condition(points):
+    """A quoted tag value containing a paren must not desync the
+    outer-paren stripper's depth count."""
+    pts = points.withColumn("name", F.lit(")"))
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM m WHERE (\"name\" = ')')", pts
+    ).collect()
+    assert out[0]["n"] == 600
+    none = compile_influxql(
+        "SELECT count(value) AS n FROM m WHERE (\"name\" = '(x')", pts
+    ).collect()
+    assert none[0]["n"] == 0
+
+
+def test_multi_measurement_raw_select_projects_measurement(points):
+    """FROM m1, m2 without aggregation: rows from different
+    measurements must stay distinguishable (InfluxDB emits one series
+    per measurement)."""
+    out = compile_influxql(
+        'SELECT value FROM "192.168.0.1", "192.168.0.2" LIMIT 10', points
+    )
+    assert "plc_ip" in out.columns
+    assert out.count() == 10
+    both = compile_influxql(
+        'SELECT value FROM "192.168.0.1", "192.168.0.2"', points
+    )
+    assert set(r["plc_ip"] for r in both.collect()) == {
+        "192.168.0.1",
+        "192.168.0.2",
+    }
+
+
+def test_multi_measurement_raw_binop_projects_measurement(points):
+    pts = points.withColumn("other", F.col("value") * 2 + 1.0)
+    out = compile_influxql(
+        'SELECT value / other FROM "192.168.0.1", "192.168.0.2"', pts
+    )
+    assert "plc_ip" in out.columns
+    assert set(out.columns) == {"ts", "plc_ip", "value_other"}
