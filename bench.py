@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "b20_embedding_quantization",
     "b18_train_val_test_split",
     "b19_incremental_dedup",
-    "b21_boilerplate_ngrams",
+    "b21_boilerplate_hashed",  # scale path; string twin is the oracle
     "b22_audio_windows",
 ]
 

@@ -59,28 +59,32 @@ def extract_features(df: DataFrame, n_bins: int = 4) -> DataFrame:
     pandas DataFrame — no per-row Python overhead.
     """
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload, meta in zip(
-                pdf["doc_id"], pdf["payload"], pdf["meta"]
-            ):
-                b = bytes(payload)
-                hist = [0] * n_bins
-                for byte in b:
-                    hist[byte * n_bins // 256] += 1
-                total = max(len(b), 1)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_bytes": len(b),
-                        "modality": meta["modality"],
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "features": [h / total for h in hist],
-                    }
+            feats = []
+            n_bytes = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # vectorized histogram: bin = byte * n_bins // 256,
+                # whole payload in one C-speed pass (np.bincount),
+                # never a per-byte Python loop
+                hist = np.bincount(
+                    (arr.astype(np.int64) * n_bins) >> 8, minlength=n_bins
                 )
-            yield pd.DataFrame(rows)
+                n_bytes.append(arr.size)
+                feats.append((hist / max(arr.size, 1)).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": np.asarray(n_bytes, dtype=np.int32),
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                    "features": feats,
+                }
+            )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
@@ -103,28 +107,39 @@ def sample_frames(
     final frame may be short (payload tail), never empty.
     """
 
+    import numpy as np
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                for idx in range(max_frames):
-                    off = idx * stride
-                    if off >= len(b):
-                        break
-                    chunk = b[off : off + frame_bytes]
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "frame_idx": idx,
-                            "offset": off,
-                            "frame_len": len(chunk),
-                            "frame": chunk,
-                        }
-                    )
+            lens = np.fromiter(
+                (len(p) for p in pdf["payload"]), dtype=np.int64, count=len(pdf)
+            )
+            # frames per payload: ceil(len/stride) capped at max_frames —
+            # offsets/indices computed vectorized; the remaining loop is
+            # one zero-copy slice per emitted frame, never per byte
+            n_frames = np.minimum(-(-lens // stride), max_frames)
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_frames)
+            frame_idx = np.concatenate(
+                [np.arange(k, dtype=np.int64) for k in n_frames]
+            ) if len(pdf) else np.empty(0, dtype=np.int64)
+            offsets = frame_idx * stride
+            frames = [
+                bytes(p)[off : off + frame_bytes]
+                for p, k in zip(pdf["payload"], n_frames)
+                for off in range(0, int(k) * stride, stride)
+            ]
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "frame_idx", "offset", "frame_len", "frame"],
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "offset": offsets.astype(np.int32),
+                    "frame_len": np.fromiter(
+                        (len(f) for f in frames),
+                        dtype=np.int32,
+                        count=len(frames),
+                    ),
+                    "frame": frames,
+                }
             )
 
     return df.mapInPandas(
@@ -153,27 +168,55 @@ def window_stats(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
+            # whole-batch via offsets: concatenate every payload's
+            # windowed prefix into ONE array, then a single reduceat
+            # per statistic over the global window boundaries — no
+            # per-byte (or per-window) Python loops
+            segs = []
+            doc_ids = []
+            win_counts = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                for idx in range(max_windows):
-                    off = idx * window_bytes
-                    if off >= len(b):
-                        break
-                    w = b[off : off + window_bytes].astype(np.int64)
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "win_idx": idx,
-                            "n": int(w.size),
-                            "sum_amp": int(w.sum()),
-                            "sum_sq": int((w * w).sum()),
-                            "peak": int(w.max()),
-                        }
-                    )
+                nw = min(max_windows, -(-b.size // window_bytes))
+                if nw == 0:
+                    continue
+                segs.append(b[: nw * window_bytes])
+                doc_ids.append(doc_id)
+                win_counts.append(nw)
+            if not segs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.empty(0, dtype=np.int64),
+                        "win_idx": np.empty(0, dtype=np.int32),
+                        "n": np.empty(0, dtype=np.int32),
+                        "sum_amp": np.empty(0, dtype=np.int64),
+                        "sum_sq": np.empty(0, dtype=np.int64),
+                        "peak": np.empty(0, dtype=np.int32),
+                    }
+                )
+                continue
+            flat = np.concatenate(segs).astype(np.int64)
+            seg_lens = np.fromiter(
+                (s.size for s in segs), dtype=np.int64, count=len(segs)
+            )
+            seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+            win_counts = np.asarray(win_counts, dtype=np.int64)
+            win_idx = np.concatenate(
+                [np.arange(k, dtype=np.int64) for k in win_counts]
+            )
+            bounds = (
+                np.repeat(seg_starts, win_counts) + win_idx * window_bytes
+            )
+            ends = np.append(bounds[1:], flat.size)
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "win_idx", "n", "sum_amp", "sum_sq", "peak"],
+                {
+                    "doc_id": np.repeat(np.asarray(doc_ids), win_counts),
+                    "win_idx": win_idx.astype(np.int32),
+                    "n": (ends - bounds).astype(np.int32),
+                    "sum_amp": np.add.reduceat(flat, bounds),
+                    "sum_sq": np.add.reduceat(flat * flat, bounds),
+                    "peak": np.maximum.reduceat(flat, bounds).astype(np.int32),
+                }
             )
 
     return df.mapInPandas(

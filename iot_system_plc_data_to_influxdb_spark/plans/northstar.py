@@ -1487,11 +1487,10 @@ def b18_train_val_test_split(spark, sf_dir):
 # (headers, footers, license blurbs, navigation chrome); per document,
 # report how much of it is made of such grams. Two shuffles: the
 # gram->document-frequency aggregate and the per-doc rollup — both with
-# map-side partial aggregation. At 100 TB the df table is the heavy
-# shuffle; the standard tricks apply unchanged: hash grams to int64
-# (xxhash64) to shrink shuffle width, and pre-filter with a frequency
-# sketch so singleton grams (the vast majority) never shuffle at all.
-# Kept as exact strings here for bit-exact oracle parity.
+# map-side partial aggregation. Kept as exact strings here for
+# bit-exact oracle parity; the 100 TB shape — xxhash64 int64 shuffle
+# keys + df>=3 pre-filter so singleton grams never enter the join —
+# is b21_boilerplate_hashed below (tests assert identical output).
 # --------------------------------------------------------------------------
 @register(
     "b21_boilerplate_ngrams",
@@ -1540,6 +1539,91 @@ def b21_boilerplate_ngrams(spark, sf_dir):
             F.count("*").alias("n_grams"),
             F.sum((F.col("df") >= 3).cast("bigint")).alias("n_boiler"),
         )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        round_ratio(F.col("n_boiler"), F.col("n_grams"), 4).alias("boiler_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B21k' — the 100 TB shape of the boilerplate signal. Same output as
+# b21_boilerplate_ngrams (the string variant stays as the bit-exact
+# oracle twin; tests assert equality), but the heavy shuffles carry
+# xxhash64(gram) int64s instead of ~40-byte gram strings (≈5× narrower
+# rows in the df aggregate), and the gram→doc join probes only the
+# df>=3 boilerplate set — singleton and doubleton grams (the vast
+# majority of distinct grams in a web corpus) are filtered out after
+# the map-side-combined count and never enter the join shuffle.
+# Per-doc totals come from a separate doc_id-local aggregate that
+# reuses the ingest partitioning, so the wide gram table crosses the
+# network once, 16 bytes per row. 64-bit collisions merging two
+# distinct grams are ~1e-8 at 1e9 distinct grams — the standard
+# accepted risk for corpus-scale dedup signals.
+# --------------------------------------------------------------------------
+@register(
+    "b21_boilerplate_hashed",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+        unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+      FROM d
+    ),
+    g0 AS (
+      SELECT doc_id,
+        concat_ws(' ', w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4]) AS g
+      FROM pos
+    ),
+    g AS (SELECT DISTINCT doc_id, g FROM g0),
+    df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+    boiler AS (SELECT g FROM df WHERE df >= 3),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    hits AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+      FROM g JOIN boiler USING (g) GROUP BY g.doc_id
+    ),
+    per AS (
+      SELECT t.doc_id, t.n_grams, COALESCE(h.n_boiler, 0) AS n_boiler
+      FROM totals t LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT doc_id, n_grams, n_boiler,
+      {sql_round_ratio('n_boiler', 'n_grams', 4)} AS boiler_frac
+    FROM per
+    """,
+    tags=("B21",),
+)
+def b21_boilerplate_hashed(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    grams = docs.select("doc_id", tokens(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("w"), 5))).alias("g"),
+    )
+    hashed = grams.select("doc_id", F.xxhash64("g").alias("gh"))
+    # df aggregate over int64 keys, map-side partial combine; the
+    # singleton/doubleton tail dies here and never reaches the join
+    boiler = (
+        hashed.groupBy("gh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("gh")
+    )
+    totals = hashed.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        hashed.join(boiler, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    per = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
     )
     return per.select(
         "doc_id",

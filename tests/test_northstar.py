@@ -531,3 +531,16 @@ def test_chunk_windows_geometry(spark, monkeypatch, tmp_path):
         (4, 1): (40, 50),
         (4, 2): (80, 50),
     }
+
+
+def test_boilerplate_hashed_equals_string_variant(spark):
+    """The xxhash64-shuffle variant must be row-identical to the exact
+    string-gram twin (the oracle) — hashing narrows the shuffle, never
+    the result."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    sf = "/root/testdata/sf0.001"
+    qs = plans.all_queries()
+    a = sorted(map(tuple, qs["b21_boilerplate_ngrams"](spark, sf).collect()))
+    b = sorted(map(tuple, qs["b21_boilerplate_hashed"](spark, sf).collect()))
+    assert a == b and len(a) > 0

@@ -182,3 +182,16 @@ def test_curation_pipeline_single_logical_shuffle(spark):
         ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(exchanges) <= 2, p[:1200]
+
+
+def test_b21_boilerplate_hashed_shuffles_int64_grams(spark):
+    """The 100 TB fix the string variant documents: the gram→df
+    aggregate and the boilerplate probe must shuffle xxhash64 int64
+    keys, and the df>=3 filter must sit below the join so singleton
+    grams never enter the join shuffle."""
+    p = _plan(spark, "b21_boilerplate_hashed")
+    assert "xxhash64" in p
+    # the join key is the hashed column, not the gram string
+    joins = [ln for ln in p.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln]
+    assert any("gh" in ln for ln in joins)
+    assert not any(" g#" in ln for ln in joins)
