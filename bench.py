@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "b24_holt_forecast",
     "b19_neardup_clusters",
     "b8_local_supplier_volume",
+    "b8_bucketed",  # write-time co-partitioned twin of b8_shuffle_join
     "b21_bpe_token_counts",
     "b18_hash_sample_mix",
     "b3_influxql_compiled",

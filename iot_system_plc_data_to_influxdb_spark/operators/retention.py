@@ -32,6 +32,70 @@ def write_points_partitioned(points: DataFrame, path: str) -> None:
     )
 
 
+#: test-scale stand-in for SCALE.md's 1024 — the layout is identical,
+#: only the modulus differs
+N_PLC_BUCKETS = 64
+
+
+def plc_bucket(plc_ip_col, n_buckets: int = N_PLC_BUCKETS):
+    """SCALE.md's coarsened partition key: hash(plc_ip) % n_buckets.
+
+    Raw (plc_ip, date) partitioning explodes into ~10M directories at
+    10k PLCs × 1000 days; bucketing the PLC axis bounds the partition
+    count at n_buckets × days while keeping both pruning axes — a
+    single-PLC query prunes to its bucket, a time-range query to its
+    dates. xxhash64 is Spark-native (evaluated JVM-side, codegen'd)."""
+    return F.pmod(F.xxhash64(plc_ip_col), F.lit(n_buckets))
+
+
+def write_points_bucketed(
+    points: DataFrame, path: str, n_buckets: int = N_PLC_BUCKETS
+) -> None:
+    """The 100 TB points layout: parquet partitioned by
+    (plc_bucket, date), rows sorted by (plc_ip, ts) inside each file
+    so a single PLC's points are contiguous (row-group stat pruning
+    inside the bucket) and time-ordered for range scans."""
+    (
+        points.withColumn("plc_bucket", plc_bucket(F.col("plc_ip"), n_buckets))
+        .withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("plc_bucket", "date")
+        .sortWithinPartitions("plc_ip", "ts")
+        .write.mode("append")
+        .partitionBy("plc_bucket", "date")
+        .parquet(path)
+    )
+
+
+def read_points_for_plc(
+    spark,
+    path: str,
+    plc_ip: str,
+    date_lo: str | None = None,
+    date_hi: str | None = None,
+    n_buckets: int = N_PLC_BUCKETS,
+) -> DataFrame:
+    """Single-PLC (optionally time-ranged) read over the bucketed
+    layout, shaped so BOTH pruning axes stay partition filters:
+    plc_bucket == hash(plc_ip) % n (computed once, driver-side, with
+    the same JVM xxhash64 the writer used) and the date bounds as
+    lexicographic string comparisons on the partition column. The
+    residual plc_ip equality prunes row groups via the write-time sort;
+    it and any ts bounds push down into the parquet scan."""
+    b = int(
+        spark.range(1)
+        .select(plc_bucket(F.lit(plc_ip), n_buckets).alias("b"))
+        .first()["b"]
+    )
+    df = spark.read.parquet(path).filter(
+        (F.col("plc_bucket") == b) & (F.col("plc_ip") == plc_ip)
+    )
+    if date_lo is not None:
+        df = df.filter(F.col("date") >= date_lo)
+    if date_hi is not None:
+        df = df.filter(F.col("date") <= date_hi)
+    return df
+
+
 def expired_partitions(path: str, cutoff: _dt.date) -> list[str]:
     out = []
     for plc_dir in sorted(os.listdir(path)):

@@ -296,6 +296,72 @@ def b8(spark, sf_dir):
     )
 
 
+def _bucketed_table(spark, sf_dir: str, base: str, key: str, n_buckets: int = 8):
+    """Materialize (once per sf_dir) a bucketed+sorted copy of a fact
+    table — the write-time co-partitioning SCALE.md names as the 100 TB
+    elimination of the b8 shuffle. Idempotent: reuses the warehouse
+    table when it already exists in this catalog."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/").split("sf")[-1])
+    name = f"{base}_bkt_{tag}"
+    if not spark.catalog.tableExists(name):
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse directory survives — clear an orphaned location so
+        # saveAsTable can (re)create the table with bucketing metadata
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, name.lower())
+        if wh and os.path.exists(loc):
+            shutil.rmtree(loc)
+        (
+            t(spark, sf_dir, base)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@register(
+    "b8_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    """,
+    tags=("B8",),
+)
+def b8_bucketed(spark, sf_dir):
+    """b8_shuffle_join over write-time-bucketed fact tables: both sides
+    bucketed+sorted on the join key, so the sort-merge join (forced via
+    a plan-local merge hint, no session conf) and the downstream
+    aggregate reuse the storage partitioning — ZERO Exchange in the
+    plan (guarded in tests/test_plans_physical.py). This is the shape
+    the nightly 100 TB pipeline uses: pay the partitioning once at
+    write time, never at query time."""
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        o.hint("merge")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # B9 — outer / semi / anti joins
 # --------------------------------------------------------------------------

@@ -50,6 +50,46 @@ def F_lit(v):  # local import indirection to keep the hook picklable
     return F.lit(v)
 
 
+def write_points_batch_bucketed(
+    batch_df: DataFrame, batch_id: int, table_path: str, n_buckets: int = 64
+) -> None:
+    """foreachBatch hook writing the SCALE.md archive layout
+    ((plc_bucket, date) partitions, (plc_ip, ts)-sorted files) straight
+    off the stream — operators/retention.write_points_bucketed is the
+    single source of truth for the layout, so batch backfills and the
+    streaming sink produce byte-compatible tables."""
+    from ..operators.retention import write_points_bucketed
+
+    write_points_bucketed(
+        batch_df.withColumn("batch_id", F_lit(batch_id)), table_path, n_buckets
+    )
+
+
+def start_bucketed_points_query(
+    points: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    trigger_interval: str = "0 seconds",
+    available_now: bool = False,
+    n_buckets: int = 64,
+):
+    """Streaming query materializing the bucketed points archive."""
+    writer = (
+        points.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, bid: write_points_batch_bucketed(
+                df, bid, table_path, n_buckets
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
 def start_points_query(
     points: DataFrame,
     table_path: str,

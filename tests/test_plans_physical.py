@@ -195,3 +195,12 @@ def test_b21_boilerplate_hashed_shuffles_int64_grams(spark):
     joins = [ln for ln in p.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln]
     assert any("gh" in ln for ln in joins)
     assert not any(" g#" in ln for ln in joins)
+
+
+def test_b8_bucketed_join_has_zero_exchange(spark):
+    """Write-time co-partitioning must eliminate BOTH query-time
+    shuffles: the fact⋈fact join and the downstream aggregate reuse
+    the bucketed storage partitioning."""
+    p = _plan(spark, "b8_bucketed")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, p[:1500]

@@ -1,0 +1,141 @@
+"""End-to-end proof of SCALE.md's (plc_bucket, date) points layout:
+the streaming sink writes it, and a single-PLC time-range query scans
+ONLY the matching partition directories (input_file_name assert, the
+same evidence style tests/test_bucketing.py uses for ANN buckets).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import datetime as dt
+import io
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from iot_system_plc_data_to_influxdb_spark.operators.retention import (
+    read_points_for_plc,
+    write_points_bucketed,
+)
+
+N_BUCKETS = 8  # small modulus so several PLCs share buckets
+
+
+def _points_df(spark):
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for day in range(4):
+        for ip_i in range(6):
+            for k in range(10):
+                rows.append(
+                    (
+                        t0 + dt.timedelta(days=day, minutes=k),
+                        f"192.168.0.{ip_i}",
+                        "temp",
+                        float(day * 100 + k),
+                    )
+                )
+    return spark.createDataFrame(
+        rows, "ts timestamp, plc_ip string, alias string, value double"
+    )
+
+
+def test_bucketed_layout_prunes_both_axes(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "points")
+        write_points_bucketed(_points_df(spark), path, n_buckets=N_BUCKETS)
+
+        bucket_dirs = [
+            d for d in os.listdir(path) if d.startswith("plc_bucket=")
+        ]
+        assert len(bucket_dirs) > 1  # several buckets, else pruning is moot
+        all_dirs = {
+            (b, d)
+            for b in bucket_dirs
+            for d in os.listdir(os.path.join(path, b))
+            if d.startswith("date=")
+        }
+        assert len(all_dirs) > 4
+
+        q = read_points_for_plc(
+            spark,
+            path,
+            "192.168.0.3",
+            date_lo="2024-01-02",
+            date_hi="2024-01-03",
+            n_buckets=N_BUCKETS,
+        )
+
+        # both axes must land in PartitionFilters, not post-scan filters
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain(True)
+        plan = buf.getvalue()
+        part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert "plc_bucket" in part_filters and "date" in part_filters
+        # the residual plc_ip equality reaches the parquet reader
+        assert "EqualTo(plc_ip,192.168.0.3)" in plan.split("PushedFilters")[1]
+
+        # file-level proof: only (that PLC's bucket) × (2 dates) dirs open
+        scanned = {
+            (
+                "plc_bucket=" + r["f"].split("plc_bucket=")[1].split("/")[0],
+                "date=" + r["f"].split("date=")[1].split("/")[0],
+            )
+            for r in q.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert len({b for b, _ in scanned}) == 1
+        assert {d for _, d in scanned} == {"date=2024-01-02", "date=2024-01-03"}
+        assert len(scanned) < len(all_dirs)
+
+        # and the data is right: 2 days × 10 points for that PLC
+        rows = q.collect()
+        assert len(rows) == 20
+        assert all(r["plc_ip"] == "192.168.0.3" for r in rows)
+
+
+def test_streaming_sink_writes_bucketed_layout(spark):
+    """The stream path produces the identical layout: file-stream in,
+    foreachBatch bucketed write out, then the same pruned read."""
+    import time
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.sinks import (
+        start_bucketed_points_query,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        _points_df(spark).write.parquet(src)
+        sch = "ts timestamp, plc_ip string, alias string, value double"
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = start_bucketed_points_query(
+            stream,
+            os.path.join(tmp, "points"),
+            os.path.join(tmp, "ckpt"),
+            available_now=True,
+            n_buckets=N_BUCKETS,
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+
+        path = os.path.join(tmp, "points")
+        assert any(d.startswith("plc_bucket=") for d in os.listdir(path))
+        out = read_points_for_plc(
+            spark, path, "192.168.0.1", n_buckets=N_BUCKETS
+        )
+        assert out.count() == 40  # 4 days × 10 points
+        # written rows are (plc_ip, ts)-sorted inside each file
+        one = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .filter(F.col("plc_bucket") == out.first()["plc_bucket"])
+        )
+        first_file = one.first()["f"]
+        vals = [
+            (r["plc_ip"], r["ts"])
+            for r in one.filter(F.col("f") == first_file).collect()
+        ]
+        assert vals == sorted(vals)
