@@ -688,9 +688,6 @@ def parse(q: str) -> _Query:
 
     if fill and out.group_time_s is None:
         raise InfluxQLError("fill() requires GROUP BY time()")
-    if tz and fill not in (None, "none"):
-        # bucket grids are not uniform in UTC across DST transitions
-        raise InfluxQLError("fill() combined with tz() is unsupported")
     aggs = [s for s in out.select if s[0]]
     if out.group_time_s is not None and not aggs:
         raise InfluxQLError("GROUP BY time() requires aggregate select")
@@ -1061,6 +1058,11 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
         # series side is data-sized and stays distributed.
         every = q.group_time_s
         off = q.group_time_offset_s
+        # With tz() both the WHERE literals and the bucket lattice live
+        # on the LOCAL wall-clock (matching _bucket_expr / _time_lit);
+        # _epoch_utc then yields "naive local seconds", and the uniform
+        # local grid maps to a NON-uniform UTC grid across DST (day
+        # buckets are 23/24/25 UTC hours — InfluxDB's tz semantics).
         lo_s, hi_s = _epoch_utc(q.time_lo[1]), _epoch_utc(q.time_hi[1])
         start = (lo_s - off) // every * every + off
         if q.time_hi[0] == "<=":
@@ -1071,6 +1073,15 @@ def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
         grid = spark.range(start, end, every).select(
             F.timestamp_seconds("id").alias("time")
         )
+        if q.tz:
+            # local wall-clock → UTC instants. Spring-forward makes a
+            # local bucket start nonexistent: it maps onto the same UTC
+            # instant as its neighbor — dropDuplicates keeps the grid
+            # keyed by distinct UTC bucket starts, matching exactly the
+            # instants _bucket_expr can emit.
+            grid = grid.select(
+                F.to_utc_timestamp(F.col("time"), q.tz).alias("time")
+            ).dropDuplicates(["time"])
         if q.group_tags:
             series = df.select(*q.group_tags).distinct()
             grid = series.crossJoin(F.broadcast(grid))

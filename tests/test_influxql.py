@@ -787,13 +787,15 @@ def test_tz_day_buckets(points, spark):
     ].hour == 5
 
 
-def test_tz_with_fill_rejected(points):
-    with pytest.raises(InfluxQLError):
-        parse(
-            "SELECT mean(value) FROM m WHERE time >= '2024-01-01 00:00:00' "
-            "AND time < '2024-01-02 00:00:00' GROUP BY time(1h) fill(previous) "
-            "tz('America/New_York')"
-        )
+def test_tz_with_fill_parses(points):
+    # fill()+tz() composes now (DST-aware local grid); the statement
+    # must parse cleanly — behavior is covered by the DST tests below
+    q = parse(
+        "SELECT mean(value) FROM m WHERE time >= '2024-01-01 00:00:00' "
+        "AND time < '2024-01-02 00:00:00' GROUP BY time(1h) fill(previous) "
+        "tz('America/New_York')"
+    )
+    assert q.fill == "previous" and q.tz == "America/New_York"
 
 
 def test_show_databases_and_retention_policies(points):
@@ -1470,3 +1472,68 @@ def test_multi_measurement_raw_binop_projects_measurement(points):
     )
     assert "plc_ip" in out.columns
     assert set(out.columns) == {"ts", "plc_ip", "value_other"}
+
+
+def test_fill_with_tz_daily_buckets_across_dst(spark):
+    """fill() + tz(): the bucket grid is uniform on the LOCAL clock, so
+    across spring-forward the UTC bucket starts are 23h apart — and the
+    empty buckets still materialize with fill(previous) carried over."""
+    pts = spark.createDataFrame(
+        [
+            ("2024-03-08 15:00:00", "p1", "temp", 10.0),
+            ("2024-03-12 15:00:00", "p1", "temp", 50.0),
+        ],
+        "ts string, plc_ip string, alias string, value double",
+    ).select(F.col("ts").cast("timestamp"), "plc_ip", "alias", "value")
+    out = compile_influxql(
+        "SELECT mean(value) AS m FROM points "
+        "WHERE time >= '2024-03-08 00:00:00' AND time < '2024-03-13 00:00:00' "
+        "GROUP BY time(1d) fill(previous) tz('America/New_York')",
+        pts,
+    )
+    rows = out.orderBy("time").collect()
+    assert len(rows) == 5  # one bucket per local day, 03-08 .. 03-12
+    local = [
+        r["local"]
+        for r in out.select(
+            F.from_utc_timestamp("time", "America/New_York").alias("local")
+        )
+        .orderBy("local")
+        .collect()
+    ]
+    # every bucket starts at LOCAL midnight...
+    assert all(t.hour == 0 and t.minute == 0 for t in local)
+    # ...so the UTC spacing shrinks to 23h across the 03-10 transition
+    diffs = [
+        int((b["time"] - a["time"]).total_seconds())
+        for a, b in zip(rows, rows[1:])
+    ]
+    assert 23 * 3600 in diffs and 24 * 3600 in diffs
+    # fill(previous) carried the 03-08 value through the empty days
+    assert [r["m"] for r in rows] == [10.0, 10.0, 10.0, 10.0, 50.0]
+
+
+def test_fill_with_tz_hourly_spring_forward_skips_nonexistent_hour(spark):
+    """Hourly grid over the spring-forward morning: local 02:00 does
+    not exist — the grid must not emit a duplicate/phantom UTC bucket."""
+    pts = spark.createDataFrame(
+        [("2024-03-10 00:30:00", "p1", "temp", 1.0)],
+        "ts string, plc_ip string, alias string, value double",
+    ).select(
+        F.to_utc_timestamp(F.col("ts").cast("timestamp"), "America/New_York").alias("ts"),
+        "plc_ip",
+        "alias",
+        "value",
+    )
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM points "
+        "WHERE time >= '2024-03-10 00:00:00' AND time < '2024-03-10 06:00:00' "
+        "GROUP BY time(1h) fill(0) tz('America/New_York')",
+        pts,
+    )
+    rows = out.orderBy("time").collect()
+    times = [r["time"] for r in rows]
+    assert len(times) == len(set(times))  # no duplicate UTC buckets
+    # local hours 00,01,03,04,05 — five buckets, 02:00 never existed
+    assert len(rows) == 5
+    assert [r["n"] for r in rows] == [1, 0, 0, 0, 0]
