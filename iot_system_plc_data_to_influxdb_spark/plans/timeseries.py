@@ -851,7 +851,11 @@ def b24_holt_forecast(spark, sf_dir):
         lvl, trd = ys[0], 0.0
         for y in ys[1:]:
             # identical expression tree to the oracle's recursive CTE —
-            # IEEE-754 ops are exactly rounded, so same tree ⇒ same bits
+            # IEEE-754 ops are exactly rounded, so same tree ⇒ same bits.
+            # Not ewm-vectorizable: level and trend are mutually
+            # recursive (two coupled state variables, vs ewm's one);
+            # the loop runs over ≤ a few hundred BUCKETS per series,
+            # not raw points, so it is not a hot path.
             l_new = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (lvl + trd)
             trd = _HOLT_BETA * (l_new - lvl) + (1 - _HOLT_BETA) * trd
             lvl = l_new
@@ -1129,7 +1133,13 @@ def b12_rsi(spark, sf_dir):
                 sum_l += cl
                 ag, al = sum_g / 1400.0, sum_l / 1400.0
             else:
-                # identical tree to the oracle's recursive arm
+                # identical tree to the oracle's recursive arm. NOT
+                # replaceable by pandas ewm(alpha=1/14, adjust=False):
+                # ewm computes (1-a)*acc + a*v, Wilder's published form
+                # is (acc*13 + v)/14 — measured ~1.8e-14 apart (see
+                # tests/test_operators.py::test_wilder_fold_vs_ewm_
+                # measurement), so the loop stays to keep the oracle
+                # tree bit-exact.
                 ag = (ag * 13 + cg / 100.0) / 14
                 al = (al * 13 + cl / 100.0) / 14
             rsi_v = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)

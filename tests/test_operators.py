@@ -252,3 +252,35 @@ def test_approx_distinct_error_bound(spark):
     for k in exact:
         rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel < 0.05, (k, exact[k], approx[k], rel)
+
+
+def test_wilder_fold_vs_ewm_measurement():
+    """Fold-vectorization check (recorded measurement): pandas
+    ewm(adjust=False) IS bit-equal to the EWMA/DEMA/TEMA oracle tree
+    a*v + (1-a)*acc — those queries use it — but NOT to Wilder's RSI
+    tree (acc*13 + v)/14, which differs at ~1e-14. b12_rsi therefore
+    keeps its explicit loop to stay bit-exact with its oracle."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0, 100, 1000)
+
+    a = 0.3
+    acc = vals[0]
+    ewma_loop = [acc]
+    for v in vals[1:]:
+        acc = a * v + (1 - a) * acc
+        ewma_loop.append(acc)
+    ewm = pd.Series(vals).ewm(alpha=a, adjust=False).mean().to_numpy()
+    assert np.array_equal(np.array(ewma_loop), ewm)  # bit-equal
+
+    acc = vals[0]
+    wilder_loop = [acc]
+    for v in vals[1:]:
+        acc = (acc * 13 + v) / 14
+        wilder_loop.append(acc)
+    wilder_ewm = pd.Series(vals).ewm(alpha=1 / 14, adjust=False).mean()
+    diff = np.max(np.abs(np.array(wilder_loop) - wilder_ewm.to_numpy()))
+    assert diff > 0  # NOT bit-equal -> the RSI loop must stay
+    assert diff < 1e-10  # but numerically tiny (documentation, not a bug)
