@@ -21,10 +21,16 @@ from ..functions.text import (
     shingles,
     simhash16,
     stopword_hits,
+    token_hash16,
     tokens,
 )
 from ..functions.vectors import cosine
-from ._exact import round_ratio, sql_round_ratio
+from ._exact import (
+    round_ratio,
+    round_ratio_signed,
+    sql_round_ratio,
+    sql_round_ratio_signed,
+)
 from .registry import register
 
 # Shared DuckDB CTE: tokenized + shingled documents (mirrors
@@ -1934,7 +1940,7 @@ def b22_frame_sample(spark, sf_dir):
 # assign, one agg for the update); the quantization is the same 1e-7
 # scaling b20_knn_bruteforce/b20_embedding_quantization already use.
 # --------------------------------------------------------------------------
-_B20_KMEANS_EXACT_ORACLE = """
+_KMEANS_EXACT_CTE = """
     WITH pos AS (SELECT unnest(range(1, 65)) AS i),
     qv AS (
       SELECT e.vec_id,
@@ -1984,6 +1990,11 @@ _B20_KMEANS_EXACT_ORACLE = """
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY r, cluster) AS rk
         FROM s2) WHERE rk = 1
     )
+"""
+
+_B20_KMEANS_EXACT_ORACLE = (
+    _KMEANS_EXACT_CTE
+    + """
     SELECT a2.cluster,
       CAST(COUNT(*) AS BIGINT) AS n_members,
       CAST(SUM(v.x[1]) AS BIGINT) AS s_dim1,
@@ -1991,11 +2002,18 @@ _B20_KMEANS_EXACT_ORACLE = """
     FROM a2 JOIN qv v USING (vec_id)
     GROUP BY a2.cluster
 """
+)
 
 
-@register("b20_kmeans_exact_replay", oracle=_B20_KMEANS_EXACT_ORACLE, tags=("B20",))
-def b20_kmeans_exact_replay(spark, sf_dir):
-    K = 8
+def _exact_kmeans_assignments(spark, sf_dir, K=8):
+    """Shared exact-integer k-means dataflow (two Lloyd iterations).
+
+    Returns ``(v, a2)``: the 1e-7-quantized vectors ``(vec_id, x)`` and
+    the iteration-2 assignments ``(vec_id, x, cluster)``. Used by
+    b20_kmeans_exact_replay (cluster stats) and b19_semdedup
+    (within-cluster semantic pruning) — both hash-checked against the
+    same DuckDB CTE chain.
+    """
     emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
     qx = F.transform(
         "embedding",
@@ -2045,6 +2063,12 @@ def b20_kmeans_exact_replay(spark, sf_dir):
         .select("cluster", F.col("ds.s").alias("sx"), "n")
     )
     a2 = assign(cent1)
+    return v, a2
+
+
+@register("b20_kmeans_exact_replay", oracle=_B20_KMEANS_EXACT_ORACLE, tags=("B20",))
+def b20_kmeans_exact_replay(spark, sf_dir):
+    v, a2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
     return (
         a2.join(v.select("vec_id", F.element_at("x", 1).alias("x1")), "vec_id")
         .groupBy("cluster")
@@ -2540,4 +2564,292 @@ def b21_curation_pipeline(spark, sf_dir, size: int = 50, stride: int = 40):
             "doc_tokens",
             "doc_stop_hits",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B19g — SemDeDup (semantic dedup): cluster embeddings with the exact-
+# integer k-means, then prune near-identical members WITHIN each
+# cluster only. The whole point (Abbas et al. 2023, "SemDeDup"): the
+# pairwise cosine work is bounded by Σ cluster_size², not N² — at
+# 100 TB you run k ≈ N/⟨cluster⟩ clusters so each cluster holds a few
+# thousand vectors and the within-cluster join is embarrassingly
+# parallel per cluster key. Here k=8 demonstrates the dataflow; the
+# self-join shuffles on the cluster id (hot clusters would take the
+# operators/skew.py salting path, same as the MinHash band join).
+# Keeps the lowest-id member of each near-dup group: a vector is
+# dropped iff an earlier (lower vec_id) same-cluster vector has
+# cosine ≥ 0.35 with it.
+# --------------------------------------------------------------------------
+_B19_SEMDEDUP_ORACLE = (
+    _KMEANS_EXACT_CTE
+    + """
+    , m AS (
+      SELECT a2.vec_id, a2.cluster, v.x FROM a2 JOIN qv v USING (vec_id)
+    ),
+    pr AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2, a.cluster,
+        CAST(SUM(CAST(a.x[pos.i] AS HUGEINT) * b.x[pos.i]) AS DOUBLE)
+          / SQRT(CAST(SUM(CAST(a.x[pos.i] AS HUGEINT) * a.x[pos.i]) AS DOUBLE)
+                 * CAST(SUM(CAST(b.x[pos.i] AS HUGEINT) * b.x[pos.i]) AS DOUBLE))
+          AS cos
+      FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      CROSS JOIN pos
+      GROUP BY 1, 2, 3
+    )
+    SELECT v2 AS vec_id, cluster, MIN(v1) AS dup_of,
+      ROUND(MAX(cos), 6) AS max_cos
+    FROM pr WHERE cos >= 0.35 GROUP BY 1, 2
+"""
+)
+
+
+@register("b19_semdedup", oracle=_B19_SEMDEDUP_ORACLE, tags=("B19", "B20"))
+def b19_semdedup(spark, sf_dir):
+    v, a2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
+
+    def int_dot(a, b):
+        # exact int64 products summed in DECIMAL(38,0): |x| ≤ 4e7 so a
+        # term ≤ 1.6e15 and 64 terms ≤ 1e17 — order-independent, bit-
+        # identical to the oracle's HUGEINT sums.
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda p, q: (
+                    p.cast("decimal(19,0)") * q.cast("decimal(19,0)")
+                ).cast("decimal(38,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, term: (acc + term).cast("decimal(38,0)"),
+        )
+
+    m = a2.select("vec_id", "cluster", "x")
+    a = m.select(
+        F.col("vec_id").alias("v1"), "cluster", F.col("x").alias("xa")
+    )
+    b = m.select(
+        F.col("vec_id").alias("v2"),
+        F.col("cluster").alias("c2"),
+        F.col("x").alias("xb"),
+    )
+    cos = int_dot(F.col("xa"), F.col("xb")).cast("double") / F.sqrt(
+        int_dot(F.col("xa"), F.col("xa")).cast("double")
+        * int_dot(F.col("xb"), F.col("xb")).cast("double")
+    )
+    pairs = (
+        a.join(b, (F.col("cluster") == F.col("c2")) & (F.col("v1") < F.col("v2")))
+        .select("v1", "v2", "cluster", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.35)
+    )
+    return pairs.groupBy(F.col("v2").alias("vec_id"), "cluster").agg(
+        F.min("v1").alias("dup_of"),
+        F.round(F.max("cos_raw"), 6).alias("max_cos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B21n — n-gram LM fit score (CCNet-style perplexity bucketing): train
+# a bigram count model on a held reference slice (even doc_ids), cap
+# it to the top-4096 bigrams (count desc, bigram asc — at 100 TB the
+# cap is what keeps the model broadcastable: the head of the bigram
+# distribution carries the signal, the tail is noise), then score
+# every document by the mean reference-count of its bigrams and
+# bucket into head/middle/tail terciles. CCNet buckets by KenLM
+# perplexity; the count-based fit statistic here is the same shape
+# with exact-integer determinism (log-prob sums are not
+# cross-engine reproducible). Model agg is one shuffle with map-side
+# partials; the corpus probe is a broadcast left join (model ≤ 4096
+# rows by construction); per-doc agg shuffles on doc_id. The final
+# NTILE(3) runs on the scored table — at 100 TB you'd replace the
+# global sort with two approx-quantile cutpoints and a map-only
+# bucket assignment; the tercile contract is identical.
+# --------------------------------------------------------------------------
+_B21_LM_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE len(w) >= 2),
+    bg AS (
+      SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS bg
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d2)
+    ),
+    model AS (
+      SELECT bg, count(*) AS c FROM bg WHERE doc_id % 2 = 0
+      GROUP BY bg ORDER BY c DESC, bg LIMIT 4096
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+        CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(COALESCE(m.c, 0)) AS BIGINT) AS matched
+      FROM bg b LEFT JOIN model m USING (bg) GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id, d2.lang, p.n_bigrams, p.matched,
+        {fit} AS fit_score
+      FROM per_doc p JOIN d2 USING (doc_id)
+    )
+    SELECT doc_id, lang, n_bigrams, matched, fit_score,
+      CAST(NTILE(3) OVER (ORDER BY fit_score DESC, doc_id) AS INT)
+        AS ppl_bucket
+    FROM scored
+""".replace("{fit}", sql_round_ratio("p.matched", "p.n_bigrams", 4))
+
+
+@register("b21_lm_bigram_fit", oracle=_B21_LM_ORACLE, tags=("B21",))
+def b21_lm_bigram_fit(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", "lang", tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    w = F.col("w")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+            )
+        ).alias("bg"),
+    )
+    model = (
+        bg.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "bg")
+        .limit(4096)
+    )
+    per_doc = (
+        bg.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce("c", F.lit(0))).alias("matched"),
+        )
+    )
+    scored = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "matched",
+        round_ratio(F.col("matched"), F.col("n_bigrams"), 4).alias("fit_score"),
+    )
+    tercile = Window.orderBy(F.col("fit_score").desc(), "doc_id")
+    return scored.withColumn("ppl_bucket", F.ntile(3).over(tercile))
+
+
+# --------------------------------------------------------------------------
+# B21o — linear quality-classifier inference (fastText-shaped): score
+# each document with a hashed-unigram linear model — weight(token) =
+# h16(md5(token)) % 2001 − 1000, a deterministic stand-in for trained
+# weights (the container has no ML libs; a real deployment drops a
+# learned weight table into the same broadcast slot). The entire
+# scorer is ONE map-only projection: fold the weight transform over
+# the un-exploded token array — zero shuffles, zero joins, runs at
+# scan speed on any corpus size. That is the production shape for
+# classifier-based quality filtering (the model rides in the closure /
+# broadcast; the corpus never re-partitions).
+# --------------------------------------------------------------------------
+_H16_SQL = (
+    "((strpos('0123456789abcdef', substr(md5({t}), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5({t}), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5({t}), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5({t}), 4, 1)) - 1))"
+)
+
+_B21_CLASSIFIER_ORACLE = (
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(list_aggregate(
+          list_transform(w, t -> """
+    + _H16_SQL.replace("{t}", "t")
+    + r""" % 2001 - 1000),
+          'sum') AS BIGINT) AS w_sum
+      FROM d
+    )
+    SELECT doc_id, lang, n_tokens, w_sum,
+      {mw} AS mean_w,
+      CASE WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM s
+""".replace("{mw}", sql_round_ratio_signed("w_sum", "n_tokens", 3))
+)
+
+
+@register("b21_classifier_score", oracle=_B21_CLASSIFIER_ORACLE, tags=("B21",))
+def b21_classifier_score(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", "lang", tokens(F.col("text")).alias("w"))
+    )
+    wts = F.transform(F.col("w"), lambda tok: token_hash16(tok) % 2001 - 1000)
+    s = docs.select(
+        "doc_id",
+        "lang",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            wts, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("w_sum"),
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "w_sum",
+        round_ratio_signed(F.col("w_sum"), F.col("n_tokens"), 3).alias("mean_w"),
+        F.when(F.col("w_sum") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B18e — deterministic epoch shuffle: the "reshuffle the corpus every
+# epoch" step of a training-data pipeline. Shard = salted-md5 hash of
+# the doc id (change the salt, change the epoch); position within the
+# shard = rank of the full digest. One hash-partitioned sort — on a
+# cluster this is a single range-free shuffle into n_shards writer
+# tasks, each emitting one ordered shard file; re-running with the
+# same salt is bit-identical (seeded RNG without RNG state).
+# --------------------------------------------------------------------------
+_B18_EPOCH_ORACLE = """
+    WITH s AS (
+      SELECT doc_id,
+        md5(concat('ep1|', CAST(doc_id AS VARCHAR))) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS INT)
+        AS shard,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+        ORDER BY h, doc_id) AS INT) AS pos_in_shard
+    FROM s
+"""
+
+
+@register("b18_epoch_shuffle", oracle=_B18_EPOCH_ORACLE, tags=("B18",))
+def b18_epoch_shuffle(spark, sf_dir):
+    from ..functions.text import nibble
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    h = F.md5(F.concat(F.lit("ep1|"), F.col("doc_id").cast("string")))
+    s = docs.select("doc_id", h.alias("h"))
+    shard = (nibble(F.substring("h", 1, 1)) % 8).cast("int")
+    win = Window.partitionBy(shard).orderBy("h", "doc_id")
+    return s.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(win).alias("pos_in_shard"),
     )

@@ -544,3 +544,74 @@ def test_boilerplate_hashed_equals_string_variant(spark):
     a = sorted(map(tuple, qs["b21_boilerplate_ngrams"](spark, sf).collect()))
     b = sorted(map(tuple, qs["b21_boilerplate_hashed"](spark, sf).collect()))
     assert a == b and len(a) > 0
+
+
+def test_semdedup_drop_set_properties(spark):
+    """Dropped rows always point at an earlier same-cluster survivor-or-
+    dup (dup_of < vec_id), and survivors ∪ dropped = corpus."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    dropped = plans.all_queries()["b19_semdedup"](spark, SF_DIR).collect()
+    n_vecs = t(spark, SF_DIR, "embeddings").count()
+    drop_ids = {r["vec_id"] for r in dropped}
+    assert len(drop_ids) == len(dropped)  # one verdict per dropped vec
+    for r in dropped:
+        assert r["dup_of"] < r["vec_id"]
+        assert 0.0 < r["max_cos"] <= 1.0
+    # survivors = everything not dropped; the split is a partition
+    assert len(drop_ids) < n_vecs
+
+
+def test_classifier_score_is_shuffle_free(spark):
+    """The linear-classifier scorer must compile to a map-only plan —
+    no Exchange anywhere: that IS the operator's 100 TB contract."""
+    import contextlib
+    import io
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    df = plans.all_queries()["b21_classifier_score"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # the single explicit repartition of the one-file input is the only
+    # allowed exchange (formatted mode prints each node twice: tree +
+    # detail); scoring itself adds none
+    assert p.count("Exchange") <= 2, p[:1500]
+    labels = {r["label"] for r in df.collect()}
+    assert labels <= {"keep", "drop"}
+
+
+def test_epoch_shuffle_is_permutation(spark):
+    """Each shard's positions are 1..n with no gaps; shards partition
+    the corpus; re-running is bit-identical (same salt ⇒ same epoch)."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    fn = plans.all_queries()["b18_epoch_shuffle"]
+    rows = fn(spark, SF_DIR).collect()
+    n_docs = t(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = {(r["doc_id"], r["shard"], r["pos_in_shard"]) for r in fn(spark, SF_DIR).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos_in_shard"]) for r in rows}
+
+
+def test_lm_bigram_fit_terciles_balanced(spark):
+    """NTILE(3) buckets differ in size by ≤1 and reference docs (the
+    model's own training slice) score at least as well on average."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    rows = plans.all_queries()["b21_lm_bigram_fit"](spark, SF_DIR).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["ppl_bucket"]] = sizes.get(r["ppl_bucket"], 0) + 1
+        assert 0 <= r["matched"]
+        assert r["n_bigrams"] >= 1
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
