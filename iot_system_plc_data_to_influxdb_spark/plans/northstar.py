@@ -2853,3 +2853,105 @@ def b18_epoch_shuffle(spark, sf_dir):
         shard.alias("shard"),
         F.row_number().over(win).alias("pos_in_shard"),
     )
+
+
+# --------------------------------------------------------------------------
+# B19h — duplicated-span detection (exact substring dedup, Lee et al.
+# 2021 shape): flag every maximal token span whose 5-grams also occur
+# in at least one OTHER document, merging overlapping/adjacent
+# duplicated 5-gram starts into spans with an islands-and-gaps window.
+# Unlike document-level dedup (B18/B19a-f) this localizes WHICH tokens
+# are boilerplate so a trainer can cut the span, not the document.
+# Dataflow: positional 5-grams → cross-doc df aggregate (map-side
+# partials) → positions re-join the duplicated-gram set on the
+# fixed-width md5 key (32 bytes regardless of gram text; the
+# xxhash64-int64 swap proven by b21_boilerplate_hashed applies
+# verbatim at 100 TB) → per-doc ordered window merges starts into
+# maximal spans. Three shuffles total: gram-df, the positions⋈dupset
+# join, and the per-doc window.
+# --------------------------------------------------------------------------
+_B19_SPAN_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    d5 AS (SELECT * FROM d WHERE len(w) >= 5),
+    g AS (
+      SELECT doc_id, i - 1 AS i,
+        md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) AS gh
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d5)
+    ),
+    dup AS (
+      SELECT gh FROM (
+        SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh
+      ) WHERE nd >= 2
+    ),
+    pos AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gh)),
+    flag AS (
+      SELECT doc_id, i,
+        CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 5
+             THEN 1 ELSE 0 END AS brk
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    isl AS (
+      SELECT doc_id, i,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM flag
+    )
+    SELECT doc_id, CAST(island AS INT) AS span_id,
+      CAST(MIN(i) AS INT) AS start_tok,
+      CAST(MAX(i) + 4 AS INT) AS end_tok,
+      CAST(MAX(i) + 5 - MIN(i) AS INT) AS n_tok
+    FROM isl GROUP BY 1, 2
+"""
+
+
+@register("b19_span_dedup", oracle=_B19_SPAN_ORACLE, tags=("B19", "B21"))
+def b19_span_dedup(spark, sf_dir):
+    L = 5
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= L)
+    )
+    w = F.col("w")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - L),
+                lambda i: F.md5(
+                    F.concat_ws(" ", *[F.get(w, i + k) for k in range(L)])
+                ),
+            )
+        ).alias("i", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    pos = grams.join(dup, "gh").select("doc_id", "i")
+    ordered = Window.partitionBy("doc_id").orderBy("i")
+    brk = (
+        F.when(
+            F.lag("i").over(ordered).isNull()
+            | (F.col("i") - F.lag("i").over(ordered) > L),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    isl = pos.select("doc_id", "i", brk).select(
+        "doc_id",
+        "i",
+        F.sum("brk").over(ordered).cast("int").alias("span_id"),
+    )
+    return isl.groupBy("doc_id", "span_id").agg(
+        F.min("i").cast("int").alias("start_tok"),
+        (F.max("i") + L - 1).cast("int").alias("end_tok"),
+        (F.max("i") + L - F.min("i")).cast("int").alias("n_tok"),
+    )

@@ -615,3 +615,30 @@ def test_lm_bigram_fit_terciles_balanced(spark):
         assert r["n_bigrams"] >= 1
     assert set(sizes) == {1, 2, 3}
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_span_dedup_geometry(spark):
+    """Spans are maximal: ≥5 tokens, inside doc bounds, non-overlapping
+    and separated by >1 gap per doc (else the islands merge was wrong)."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    rows = plans.all_queries()["b19_span_dedup"](spark, SF_DIR).collect()
+    assert rows, "synthetic corpus should contain some cross-doc 5-grams"
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in t(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"))
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        assert r["n_tok"] >= 5
+        assert r["n_tok"] == r["end_tok"] - r["start_tok"] + 1
+        assert 0 <= r["start_tok"] and r["end_tok"] < lens[r["doc_id"]]
+        by_doc.setdefault(r["doc_id"], []).append((r["start_tok"], r["end_tok"]))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            # a gap of ≤ 5 between starts would have merged; post-merge
+            # spans must be disjoint with at least one clean token between
+            assert s2 > e1 + 1, (doc, spans)
