@@ -32,6 +32,14 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Set the nanos-as-long legacy flag once per session (idempotent;
+    avoids re-mutating session conf on every table read)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain parquet scan — pushdown-friendly."""
     if name not in TABLES:
@@ -46,7 +54,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ). Either way the column is normalized to a session-
         # timezone TIMESTAMP; the session tz is pinned to UTC
         # (session.py/registry.py) so the NTZ→TZ cast is a micros-identity.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_nanos_as_long(spark)
         df = spark.read.parquet(path)
         dt = dict(df.dtypes).get("ts")
         if dt == "bigint":
@@ -80,7 +88,7 @@ def events_between(
     bounds `floor(ts/1000) >= lo_us  ⇔  ts >= lo_us*1000` (and the same
     for the strict upper bound).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":

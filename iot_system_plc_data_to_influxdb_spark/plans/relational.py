@@ -461,7 +461,12 @@ _B10_VALUES = ", ".join(
 def b10(spark, sf_dir):
     # Tiny interval dim broadcast against the big fact → the non-equi
     # predicate evaluates inside a BroadcastNestedLoopJoin, which is the
-    # scalable plan (no shuffle of the fact table).
+    # scalable plan (no shuffle of the fact table). The fact scan is
+    # additionally pre-filtered to the dim's bounding range
+    # [min(start), max(end)) — those bounds reach the parquet reader as
+    # PushedFilters (events_between), so at 100 TB sparse windows read
+    # only their row groups instead of the whole history before the NL
+    # predicate runs.
     win = spark.createDataFrame(
         [(n, s, e) for n, s, e in _WINDOWS],
         "win_name string, win_start string, win_end string",
@@ -470,7 +475,9 @@ def b10(spark, sf_dir):
         F.col("win_start").cast("timestamp").alias("win_start"),
         F.col("win_end").cast("timestamp").alias("win_end"),
     )
-    ev = t(spark, sf_dir, "events")
+    lo = min(s for _, s, _ in _WINDOWS)
+    hi = max(e for _, _, e in _WINDOWS)
+    ev = events_between(spark, sf_dir, lo, hi)
     return (
         ev.join(
             F.broadcast(win),
@@ -481,6 +488,43 @@ def b10(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         )
+    )
+
+
+@register(
+    "b10_range_join_pruned",
+    oracle=f"""
+    WITH win(win_name, win_start, win_end) AS (VALUES {_B10_VALUES})
+    SELECT win_name, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM win JOIN events ON ts >= win_start AND ts < win_end
+    GROUP BY win_name
+    """,
+    tags=("B10",),
+)
+def b10_pruned(spark, sf_dir):
+    """Interval-join compilation for a SMALL, STATIC interval dim: emit
+    one pushed range scan per window and union them — no join operator
+    at all. Each branch's ts bounds reach the parquet reader
+    (events_between), so windows covering 0.1% of the history read
+    0.1% of the row groups; overlapping windows double-count exactly
+    like the join (an event in k windows appears in k branches). This
+    is the plan to pick when the dim fits in the driver (dozens of
+    alert/maintenance/audit windows); b10_range_join stays the general
+    shape for dims too large to unroll."""
+    parts = []
+    for name, s, e in _WINDOWS:
+        parts.append(
+            events_between(spark, sf_dir, s, e).select(
+                F.lit(name).alias("win_name"), "value"
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionAll(p)
+    return unioned.groupBy("win_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
 
 

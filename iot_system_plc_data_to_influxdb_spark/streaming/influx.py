@@ -121,9 +121,8 @@ def write_batch_to_influx(
             post_lines_with_retry(
                 f"{url}/write" + (f"?db={db}" if db else ""), payload
             )
-        return iter(())
 
-    lines.rdd.mapPartitions(post_partition).count()
+    lines.foreachPartition(post_partition)
 
 
 # --------------------------------------------------------------------------

@@ -204,3 +204,26 @@ def test_b8_bucketed_join_has_zero_exchange(spark):
     p = _plan(spark, "b8_bucketed")
     assert "SortMergeJoin" in p
     assert "Exchange" not in p, p[:1500]
+
+
+def test_b10_fact_scan_is_range_prefiltered(spark):
+    """The general NL range join must pre-filter the fact scan to the
+    interval dim's bounding range — bounds pushed to the reader."""
+    p = _plan(spark, "b10_range_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed or "LessThan(ts" in pushed, pushed
+
+
+def test_b10_pruned_variant_has_no_join(spark):
+    """The compiled small-dim variant unrolls windows into pushed range
+    scans — no join operator at all, every branch pushes its bounds."""
+    p = _plan(spark, "b10_range_join_pruned")
+    assert "Join" not in p
+    # one pruned branch per window (formatted mode prints each node
+    # twice: tree + detail)
+    assert p.count("Scan parquet") == 12
+    # every branch carries pushed ts bounds
+    for seg in p.split("PushedFilters")[1:]:
+        assert "ts" in seg[:200]
