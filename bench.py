@@ -73,6 +73,12 @@ BENCH_QUERIES = [
     "b19_incremental_dedup",
     "b21_boilerplate_hashed",  # scale path; string twin is the oracle
     "b22_audio_windows",
+    "b19_semdedup",  # cluster-bounded semantic dedup
+    "b19_span_dedup",  # positional duplicated-span detection
+    "b21_classifier_score",  # zero-shuffle linear classifier inference
+    "b21_lm_bigram_fit",  # bigram-LM quality terciles
+    "b18_epoch_shuffle",  # deterministic shard shuffle
+    "b10_range_join_pruned",  # compiled pushdown variant of b10
 ]
 
 

@@ -30,6 +30,12 @@ HEADLINE = [
     "b21_pii_redaction",
     "b21_curation_pipeline",
     "b16_influxql_or_groups",
+    "b10_range_join_pruned",
+    "b19_semdedup",
+    "b19_span_dedup",
+    "b21_classifier_score",
+    "b21_lm_bigram_fit",
+    "b18_epoch_shuffle",
 ]
 
 
