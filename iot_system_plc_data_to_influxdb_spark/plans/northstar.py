@@ -2624,22 +2624,31 @@ def b19_semdedup(spark, sf_dir):
             lambda acc, term: (acc + term).cast("decimal(38,0)"),
         )
 
-    m = a2.select("vec_id", "cluster", "x")
-    a = m.select(
-        F.col("vec_id").alias("v1"), "cluster", F.col("x").alias("xa")
+    # Within-cluster pair generation WITHOUT a self-join: gather each
+    # cluster's members into one row, then double-explode. A self-join
+    # on a2 would recompute the whole k-means lineage for both sides
+    # (Spark doesn't share un-cached subtrees); this computes it once
+    # and generates pairs in-partition. The SemDeDup sizing contract —
+    # k grows with N so clusters stay a few thousand members — is
+    # exactly what keeps one cluster's member array executor-sized.
+    grouped = a2.groupBy("cluster").agg(
+        F.collect_list(F.struct("vec_id", "x")).alias("ms")
     )
-    b = m.select(
-        F.col("vec_id").alias("v2"),
-        F.col("cluster").alias("c2"),
-        F.col("x").alias("xb"),
-    )
-    cos = int_dot(F.col("xa"), F.col("xb")).cast("double") / F.sqrt(
-        int_dot(F.col("xa"), F.col("xa")).cast("double")
-        * int_dot(F.col("xb"), F.col("xb")).cast("double")
+    ex = grouped.select(
+        "cluster", F.explode("ms").alias("a"), "ms"
+    ).select("cluster", "a", F.explode("ms").alias("b"))
+    cos = int_dot(F.col("a.x"), F.col("b.x")).cast("double") / F.sqrt(
+        int_dot(F.col("a.x"), F.col("a.x")).cast("double")
+        * int_dot(F.col("b.x"), F.col("b.x")).cast("double")
     )
     pairs = (
-        a.join(b, (F.col("cluster") == F.col("c2")) & (F.col("v1") < F.col("v2")))
-        .select("v1", "v2", "cluster", cos.alias("cos_raw"))
+        ex.filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            "cluster",
+            cos.alias("cos_raw"),
+        )
         .filter(F.col("cos_raw") >= 0.35)
     )
     return pairs.groupBy(F.col("v2").alias("vec_id"), "cluster").agg(
@@ -2707,8 +2716,12 @@ def b21_lm_bigram_fit(spark, sf_dir):
         .filter(F.size("w") >= 2)
     )
     w = F.col("w")
+    # lang rides through the explode/aggregate (functionally dependent
+    # on doc_id) — avoids re-joining the corpus to itself for one
+    # column, which at 100 TB would be a second fact-sized shuffle.
     bg = docs.select(
         "doc_id",
+        "lang",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size(w) - 2),
@@ -2723,20 +2736,22 @@ def b21_lm_bigram_fit(spark, sf_dir):
         .orderBy(F.col("c").desc(), "bg")
         .limit(4096)
     )
-    per_doc = (
+    scored = (
         bg.join(F.broadcast(model), "bg", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_bigrams"),
             F.sum(F.coalesce("c", F.lit(0))).alias("matched"),
         )
-    )
-    scored = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
-        "lang",
-        "n_bigrams",
-        "matched",
-        round_ratio(F.col("matched"), F.col("n_bigrams"), 4).alias("fit_score"),
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "matched",
+            round_ratio(F.col("matched"), F.col("n_bigrams"), 4).alias(
+                "fit_score"
+            ),
+        )
     )
     tercile = Window.orderBy(F.col("fit_score").desc(), "doc_id")
     return scored.withColumn("ppl_bucket", F.ntile(3).over(tercile))
@@ -2843,7 +2858,9 @@ _B18_EPOCH_ORACLE = """
 def b18_epoch_shuffle(spark, sf_dir):
     from ..functions.text import nibble
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    # no explicit repartition: the window's partitionBy(shard) IS the
+    # (only) shuffle — an upstream repartition would just double it
+    docs = t(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("ep1|"), F.col("doc_id").cast("string")))
     s = docs.select("doc_id", h.alias("h"))
     shard = (nibble(F.substring("h", 1, 1)) % 8).cast("int")

@@ -179,3 +179,68 @@ def test_field_arithmetic_equals_separate_queries(spark, rows):
     assert set(ratio) == set(num) == set(den)
     for k in ratio:
         assert ratio[k] == num[k] / den[k]
+
+
+# --- b19_span_dedup: Spark islands-merge vs a direct Python oracle ----------
+
+def _py_spans(docs: dict[int, list[str]], L: int = 5):
+    """Reference implementation: duplicated L-gram starts merged into
+    maximal spans (gap > L breaks)."""
+    grams = {}
+    for d, toks in docs.items():
+        for i in range(len(toks) - L + 1):
+            grams.setdefault(tuple(toks[i : i + L]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = set()
+    for d, toks in docs.items():
+        starts = [
+            i
+            for i in range(len(toks) - L + 1)
+            if tuple(toks[i : i + L]) in dup
+        ]
+        if not starts:
+            continue
+        span = [starts[0], starts[0]]
+        for i in starts[1:]:
+            if i - span[1] > L:
+                out.add((d, span[0], span[1] + L - 1))
+                span = [i, i]
+            else:
+                span[1] = i
+        out.add((d, span[0], span[1] + L - 1))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),  # tiny vocab forces collisions
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_span_dedup_matches_python_oracle(spark, token_lists):
+    import iot_system_plc_data_to_influxdb_spark.plans as plans_mod
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b19_span_dedup,
+    )
+
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    # drive the registered plan through a monkeyless path: build the
+    # same dataframe shape the query reads, via a temp parquet dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, " ".join(toks), "en", "src", len(" ".join(toks))) for d, toks in docs.items()],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            (r["doc_id"], r["start_tok"], r["end_tok"])
+            for r in b19_span_dedup(spark, td).collect()
+        }
+    assert got == _py_spans(docs)
