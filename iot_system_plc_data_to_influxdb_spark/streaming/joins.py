@@ -56,3 +56,31 @@ def interval_join(
         & (rts <= pts)
     )
     return p.join(r, cond, "inner").drop("_rkey")
+
+
+def enrich_with_config(stream: DataFrame, config: DataFrame) -> DataFrame:
+    """Stream–static join: attach config metadata to live readings.
+
+    The reference resolves each polled value against the XML config row
+    that produced it (type/alias/interval — InfluxConnector2 keeps the
+    parsed config in memory next to the poll loop). Spark's equivalent
+    is a stream–static broadcast join: the config dimension is a static
+    DataFrame (KBs — one row per configured tag), the readings stream
+    probes it per micro-batch, and inactive tags drop out via the inner
+    join. No state, no watermark interaction — the static side is
+    re-broadcast per batch, which is also what picks up config edits
+    between micro-batches when the static side reads from a path.
+
+    ``stream`` needs (plc_ip, alias) columns; the enriched output adds
+    the config's data_type / data_area / address / poll_interval for
+    downstream per-interval routing (streaming/sinks.py).
+    """
+    dim = config.filter(F.col("active")).select(
+        "plc_ip",
+        "alias",
+        "data_type",
+        "data_area",
+        "address",
+        "poll_interval",
+    )
+    return stream.join(F.broadcast(dim), ["plc_ip", "alias"], "inner")
