@@ -2609,19 +2609,16 @@ def b19_semdedup(spark, sf_dir):
     v, a2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
 
     def int_dot(a, b):
-        # exact int64 products summed in DECIMAL(38,0): |x| ≤ 4e7 so a
-        # term ≤ 1.6e15 and 64 terms ≤ 1e17 — order-independent, bit-
-        # identical to the oracle's HUGEINT sums.
+        # exact int64 dot: |x| ≤ 1e8 for any embedding component under
+        # 10 in magnitude (1e-7 quantization), so a term ≤ 1e16 and the
+        # 64-dim sum ≤ 6.4e17 — well inside int64, and ANSI mode would
+        # error (not wrap) if data ever violated the bound. Pure bigint
+        # folds run several× faster than the decimal(38) algebra the
+        # k-means assignment uses for its (n·x − s)² worst case.
         return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda p, q: (
-                    p.cast("decimal(19,0)") * q.cast("decimal(19,0)")
-                ).cast("decimal(38,0)"),
-            ),
-            F.lit(0).cast("decimal(38,0)"),
-            lambda acc, term: (acc + term).cast("decimal(38,0)"),
+            F.zip_with(a, b, lambda p, q: p * q),
+            F.lit(0).cast("bigint"),
+            lambda acc, term: acc + term,
         )
 
     # Within-cluster pair generation WITHOUT a self-join: gather each
@@ -2631,15 +2628,23 @@ def b19_semdedup(spark, sf_dir):
     # and generates pairs in-partition. The SemDeDup sizing contract —
     # k grows with N so clusters stay a few thousand members — is
     # exactly what keeps one cluster's member array executor-sized.
-    grouped = a2.groupBy("cluster").agg(
-        F.collect_list(F.struct("vec_id", "x")).alias("ms")
+    # norms are per-member, not per-pair: compute each ‖x‖² once before
+    # the pair explosion (m dots instead of pair-count dots — a 3×
+    # arithmetic cut when clusters average hundreds of members)
+    member = a2.select(
+        "vec_id",
+        "cluster",
+        "x",
+        int_dot(F.col("x"), F.col("x")).alias("n2"),
+    )
+    grouped = member.groupBy("cluster").agg(
+        F.collect_list(F.struct("vec_id", "x", "n2")).alias("ms")
     )
     ex = grouped.select(
         "cluster", F.explode("ms").alias("a"), "ms"
     ).select("cluster", "a", F.explode("ms").alias("b"))
     cos = int_dot(F.col("a.x"), F.col("b.x")).cast("double") / F.sqrt(
-        int_dot(F.col("a.x"), F.col("a.x")).cast("double")
-        * int_dot(F.col("b.x"), F.col("b.x")).cast("double")
+        F.col("a.n2").cast("double") * F.col("b.n2").cast("double")
     )
     pairs = (
         ex.filter(F.col("a.vec_id") < F.col("b.vec_id"))
