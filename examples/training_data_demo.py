@@ -9,11 +9,15 @@ Walks the nightly pipeline a data team runs before a training job:
 2. curation — exact dedup → integer quality gate → context-window
    chunking (the oracle-checked `b21_curation_pipeline` plan),
 3. dedup at scale — MinHash-LSH near-dup pairs and their connected
-   components,
-4. retrieval side — kNN over the embeddings table (brute-force
+   components; SemDeDup semantic pruning over the embedding space;
+   duplicated-span localization (which tokens, not just which docs),
+4. quality models — linear-classifier keep/drop scoring and bigram-LM
+   head/middle/tail terciles,
+5. retrieval side — kNN over the embeddings table (brute-force
    baseline + LSH bucketed path),
-5. packing + shards — greedy doc→context-window binning, materialized
-   as a (lang, bin_id)-partitioned shard tree a trainer prunes into.
+6. packing + shards — greedy doc→context-window binning, materialized
+   as a (lang, bin_id)-partitioned shard tree a trainer prunes into;
+   a deterministic epoch shuffle orders the corpus into shards.
 
 Every step is a registered query or operator with its own oracle or
 pytest; this script just chains them the way a user would.
@@ -57,6 +61,23 @@ def main() -> int:
         "clusters"
     )
 
+    sem = qs["b19_semdedup"](spark, SF_DIR)
+    spans = qs["b19_span_dedup"](spark, SF_DIR)
+    print(
+        f"semantic dedup: {sem.count()} embeddings pruned within k-means "
+        f"clusters; span dedup: {spans.count()} duplicated token spans "
+        "localized"
+    )
+
+    cls = qs["b21_classifier_score"](spark, SF_DIR)
+    lm = qs["b21_lm_bigram_fit"](spark, SF_DIR)
+    kept = cls.filter("label = 'keep'").count()
+    head = lm.filter("ppl_bucket = 1").count()
+    print(
+        f"quality models: classifier keeps {kept}/{cls.count()} docs; "
+        f"LM-fit head tercile holds {head} docs"
+    )
+
     knn = qs["b20_knn_bruteforce"](spark, SF_DIR)
     print("retrieval (top-5 exact-cosine neighbors of vec 0):")
     knn.show(5, truncate=False)
@@ -86,6 +107,13 @@ def main() -> int:
         )
         assert "lang" in pf and "bin_id" in pf, "partition pruning missing"
         print(f"  rows in (en, bin 0): {one.count()}")
+
+    shuffled = qs["b18_epoch_shuffle"](spark, SF_DIR)
+    n_shards = shuffled.select("shard").distinct().count()
+    print(
+        f"epoch shuffle: corpus dealt into {n_shards} ordered shards "
+        "(salt change = next epoch, bit-identical replay)"
+    )
     return 0
 
 

@@ -2640,9 +2640,16 @@ def b19_semdedup(spark, sf_dir):
     grouped = member.groupBy("cluster").agg(
         F.collect_list(F.struct("vec_id", "x", "n2")).alias("ms")
     )
-    ex = grouped.select(
-        "cluster", F.explode("ms").alias("a"), "ms"
-    ).select("cluster", "a", F.explode("ms").alias("b"))
+    # first explode = one row per (cluster, member); redistribute THOSE
+    # before the second explode so pair generation uses every core, not
+    # k tasks (each row carries its cluster's member array — the
+    # standard replicate-the-block trade, bounded by the SemDeDup
+    # cluster-size contract)
+    ex = (
+        grouped.select("cluster", F.explode("ms").alias("a"), "ms")
+        .repartition(32, "cluster", F.col("a.vec_id"))
+        .select("cluster", "a", F.explode("ms").alias("b"))
+    )
     cos = int_dot(F.col("a.x"), F.col("b.x")).cast("double") / F.sqrt(
         F.col("a.n2").cast("double") * F.col("b.n2").cast("double")
     )
