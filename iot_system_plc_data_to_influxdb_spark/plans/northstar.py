@@ -2984,3 +2984,61 @@ def b19_span_dedup(spark, sf_dir):
         (F.max("i") + L - 1).cast("int").alias("end_tok"),
         (F.max("i") + L - F.min("i")).cast("int").alias("n_tok"),
     )
+
+
+# --------------------------------------------------------------------------
+# B21p — corpus statistics ("dataset card"): the per-(lang, source)
+# inventory every training-data release ships — doc counts, token
+# totals, length extremes — with ROLLUP subtotals so one pass answers
+# the per-source, per-lang, and whole-corpus questions (the B6
+# machinery applied to the curation domain). One shuffle, map-side
+# partials; exact-integer averages via _exact.round_ratio.
+# --------------------------------------------------------------------------
+_B21_STATS_ORACLE = (
+    r"""
+    WITH pd AS (
+      SELECT lang, source,
+        CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+          AS nt
+      FROM documents
+    )
+    SELECT lang, source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(nt) AS BIGINT) AS total_tokens,
+      CAST(MAX(nt) AS BIGINT) AS max_doc_tokens,
+      CAST(MIN(nt) AS BIGINT) AS min_doc_tokens,
+      {avg} AS avg_doc_tokens
+    FROM pd
+    GROUP BY ROLLUP(lang, source)
+""".replace(
+        "{avg}",
+        sql_round_ratio("CAST(SUM(nt) AS BIGINT)", "COUNT(*)", 2),
+    )
+)
+
+
+@register("b21_corpus_stats", oracle=_B21_STATS_ORACLE, tags=("B21", "B6"))
+def b21_corpus_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    pd_ = docs.select(
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("nt"),
+    )
+    agg = pd_.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.max("nt").alias("max_doc_tokens"),
+        F.min("nt").alias("min_doc_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        "max_doc_tokens",
+        "min_doc_tokens",
+        round_ratio(F.col("total_tokens"), F.col("n_docs"), 2).alias(
+            "avg_doc_tokens"
+        ),
+    )
