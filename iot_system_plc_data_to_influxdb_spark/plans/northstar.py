@@ -3042,3 +3042,24 @@ def b21_corpus_stats(spark, sf_dir):
             "avg_doc_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B21q — distributed BPE tokenizer training (operators/bpe.py): the
+# corpus-side half of tokenizer work a training pipeline runs. Rows-
+# only by design (n-round iterative driver loop, same registry
+# precedent as the float k-means path) — but verified STRONGER than a
+# SQL oracle: tests/test_bpe.py proves the merge sequence equals a
+# reference Python BPE implementation merge-for-merge, and that
+# applying the merges reproduces the reference segmentation exactly.
+# --------------------------------------------------------------------------
+@register("b21_bpe_train", oracle=None, tags=("B21", "B30"))
+def b21_bpe_train(spark, sf_dir):
+    from ..operators.bpe import train_bpe
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    merges = train_bpe(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, weighted_count bigint",
+    )
