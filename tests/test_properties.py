@@ -244,3 +244,53 @@ def test_span_dedup_matches_python_oracle(spark, token_lists):
             for r in b19_span_dedup(spark, td).collect()
         }
     assert got == _py_spans(docs)
+
+
+# --- InfluxQL parser totality: garbage in → InfluxQLError out, never a
+# bare KeyError/IndexError/AttributeError (the "no silent fallback"
+# contract the round-2 advisor probed with hand-built edge cases) -----------
+
+_INFLUX_FRAGMENTS = st.sampled_from(
+    [
+        "SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "LIMIT",
+        "SLIMIT", "fill(", "time(", "mean(", "value", "points", "*",
+        "(", ")", ",", "'x'", '"tag"', "=~ /re/", "AND", "OR", "1h",
+        "now()", "-", "/", "time", "DESC", "INTO", "tz('UTC')", "::field",
+        "0.5", ";", "''",
+    ]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_INFLUX_FRAGMENTS, min_size=1, max_size=12))
+def test_influxql_parse_total_on_fragment_soup(frags):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        InfluxQLError,
+        parse,
+    )
+
+    q = " ".join(frags)
+    try:
+        parse(q)
+    except InfluxQLError:
+        pass  # the contract: malformed input fails loudly AND typed
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(codec="ascii", min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_influxql_parse_total_on_ascii_noise(s):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        InfluxQLError,
+        parse,
+    )
+
+    try:
+        parse(s)
+    except InfluxQLError:
+        pass
