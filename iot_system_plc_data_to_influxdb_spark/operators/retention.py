@@ -144,3 +144,76 @@ def write_training_shards(
         .partitionBy("lang", "bin_id")
         .parquet(path)
     )
+
+
+def partition_file_counts(path: str) -> dict[str, int]:
+    """partition-dir (relative) → parquet file count, for any 2-level
+    hive layout written by the functions above."""
+    out: dict[str, int] = {}
+    for lvl1 in sorted(os.listdir(path)):
+        full1 = os.path.join(path, lvl1)
+        if "=" not in lvl1 or not os.path.isdir(full1):
+            continue
+        for lvl2 in sorted(os.listdir(full1)):
+            full2 = os.path.join(full1, lvl2)
+            if "=" not in lvl2 or not os.path.isdir(full2):
+                continue
+            n = sum(1 for f in os.listdir(full2) if f.endswith(".parquet"))
+            out[f"{lvl1}/{lvl2}"] = n
+    return out
+
+
+def compact_partition(
+    spark,
+    path: str,
+    partition_rel: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Rewrite ONE partition directory's many small files into
+    ⌈bytes/target⌉ files. Returns (files_before, files_after).
+
+    Streaming sinks write a file per micro-batch per partition — after
+    a day a (plc_bucket, date) directory holds thousands of KB-sized
+    files and scan cost is dominated by file-open overhead. Compaction
+    is the standard nightly repair: read the one partition, coalesce to
+    the target file count, write to a staging dir, atomically swap.
+    Only the partition being compacted is touched (O(partition), never
+    O(table)), so a fleet compacts yesterday's partitions while today's
+    keep streaming — exactly how Delta/Iceberg OPTIMIZE schedules, done
+    here as plain directory arithmetic.
+    """
+    full = os.path.join(path, partition_rel)
+    files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+    before = len(files)
+    total_bytes = sum(os.path.getsize(os.path.join(full, f)) for f in files)
+    n_out = max(1, -(-total_bytes // target_bytes))  # ceil
+    if n_out >= before:
+        return before, before  # already compact
+    staging = full + ".compact_tmp"
+    (
+        spark.read.parquet(full)
+        .coalesce(int(n_out))
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    old = full + ".compact_old"
+    os.rename(full, old)
+    os.rename(staging, full)
+    shutil.rmtree(old)
+    # drop _SUCCESS marker noise so the dir stays a clean partition
+    marker = os.path.join(full, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
+    after = sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+    return before, after
+
+
+def compact_all(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict[str, tuple[int, int]]:
+    """Compact every partition that has more files than its data needs."""
+    results = {}
+    for rel, n in partition_file_counts(path).items():
+        if n > 1:
+            results[rel] = compact_partition(spark, path, rel, target_bytes)
+    return results

@@ -139,3 +139,43 @@ def test_streaming_sink_writes_bucketed_layout(spark):
             for r in one.filter(F.col("f") == first_file).collect()
         ]
         assert vals == sorted(vals)
+
+
+def test_compaction_shrinks_files_preserves_rows(spark, tmp_path):
+    """Micro-batch-shaped writes leave many small files; compaction
+    rewrites each partition to few files with identical content and
+    intact pruning axes."""
+    from iot_system_plc_data_to_influxdb_spark.operators.retention import (
+        compact_all,
+        partition_file_counts,
+        write_points_bucketed,
+    )
+
+    base = str(tmp_path / "pts")
+    pts = spark.createDataFrame(
+        [
+            (f"10.0.0.{i % 3}", f"tag{i % 5}", float(i), f"2024-01-0{1 + i % 2}T00:00:{i % 60:02d}")
+            for i in range(300)
+        ],
+        "plc_ip string, alias string, value double, ts_s string",
+    ).select("plc_ip", "alias", "value", F.col("ts_s").cast("timestamp").alias("ts"))
+    # simulate 6 micro-batches: repeated appends → many files/partition
+    for k in range(6):
+        write_points_bucketed(pts.filter(F.pmod(F.xxhash64("alias", "value") , F.lit(6)) == k), base, n_buckets=4)
+
+    before = partition_file_counts(base)
+    assert max(before.values()) > 1, "appends should leave multiple files"
+    rows_before = spark.read.parquet(base).count()
+    sum_before = spark.read.parquet(base).agg(F.sum("value")).first()[0]
+
+    results = compact_all(spark, base)
+    assert results, "at least one partition compacted"
+    after = partition_file_counts(base)
+    for rel, (b, a) in results.items():
+        assert a < b and after[rel] == a
+
+    assert spark.read.parquet(base).count() == rows_before
+    assert spark.read.parquet(base).agg(F.sum("value")).first()[0] == sum_before
+    # pruning axes intact after the rewrite
+    one = spark.read.parquet(base).filter("plc_bucket = 0 and date = '2024-01-01'")
+    assert one.count() == one.select("plc_ip").na.drop().count()
