@@ -68,8 +68,11 @@ def enrich_with_config(stream: DataFrame, config: DataFrame) -> DataFrame:
     DataFrame (KBs — one row per configured tag), the readings stream
     probes it per micro-batch, and inactive tags drop out via the inner
     join. No state, no watermark interaction — the static side is
-    re-broadcast per batch, which is also what picks up config edits
-    between micro-batches when the static side reads from a path.
+    re-broadcast per batch. (Note: a parquet static side keeps its
+    file listing from plan time, so config EDITS need a query restart
+    — or a Delta-backed config table, whose snapshots do refresh per
+    batch. The reference behaves the same way: it parses the XML once
+    at process start.)
 
     ``stream`` needs (plc_ip, alias) columns; the enriched output adds
     the config's data_type / data_area / address / poll_interval for
