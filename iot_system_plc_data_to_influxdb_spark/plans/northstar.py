@@ -3063,3 +3063,115 @@ def b21_bpe_train(spark, sf_dir):
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, weighted_count bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# B21r — HTML extraction + link-density gate: the raw-crawl → text
+# stage every web-corpus pipeline runs before any other operator
+# (C4/RefinedWeb lineage). The testdata corpus is plain text, so the
+# query first renders each document as a deterministic HTML page
+# (paragraph per 12 tokens, every 7th token an <a> link) and then runs
+# the real extraction: tag stripping, whitespace normalization, and
+# the link-density quality signal (chars inside anchors / total
+# chars) that gates navigation-heavy pages. Entirely regex/native
+# expressions — map-only over the corpus, the same zero-shuffle shape
+# as the other text scorers — and the strip provably inverts the
+# render (extracted text == original, asserted in the oracle
+# comparison since round_trip_ok is a column).
+# --------------------------------------------------------------------------
+_B21_HTML_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+        trim(lower(text)) AS norm_text
+      FROM documents
+    ),
+    rendered AS (
+      SELECT doc_id, lang, norm_text,
+        '<html><body><p>' || array_to_string(
+          list_transform(w, (t, i) -> CASE
+            WHEN i % 7 = 0 THEN '<a href="/x">' || t || '</a>'
+            WHEN i % 12 = 0 THEN t || '</p><p>'
+            ELSE t END), ' ') || '</p></body></html>' AS html
+      FROM d
+    ),
+    stripped AS (
+      SELECT doc_id, lang, norm_text, html,
+        trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                            '\s+', ' ', 'g')) AS extracted,
+        CAST(length(html) AS BIGINT) AS total_chars,
+        CAST(COALESCE(length(array_to_string(
+          regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1), '')), 0)
+          AS BIGINT) AS link_chars
+      FROM rendered
+    )
+    SELECT doc_id, lang, total_chars, link_chars,
+      {ld} AS link_density,
+      CAST(extracted = regexp_replace(norm_text, '\s+', ' ', 'g') AS INT)
+        AS round_trip_ok
+    FROM stripped
+""".replace("{ld}", sql_round_ratio("link_chars", "total_chars", 4))
+
+
+@register("b21_html_extract", oracle=_B21_HTML_ORACLE, tags=("B21",))
+def b21_html_extract(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    w = tokens(F.col("text"))
+    norm_text = F.lower(F.trim("text"))
+    rendered = F.concat(
+        F.lit("<html><body><p>"),
+        F.array_join(
+            F.zip_with(
+                w,
+                F.sequence(F.lit(1), F.size(w)),
+                lambda tkn, i: F.when(
+                    i % 7 == 0,
+                    F.concat(F.lit('<a href="/x">'), tkn, F.lit("</a>")),
+                )
+                .when(i % 12 == 0, F.concat(tkn, F.lit("</p><p>")))
+                .otherwise(tkn),
+            ),
+            " ",
+        ),
+        F.lit("</p></body></html>"),
+    )
+    base = docs.select(
+        "doc_id", "lang", norm_text.alias("norm_text"), rendered.alias("html")
+    )
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("html", r"<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    link_chars = F.coalesce(
+        F.length(
+            F.array_join(
+                F.regexp_extract_all("html", F.lit(r"<a [^>]*>([^<]*)</a>"), 1),
+                "",
+            )
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    s = base.select(
+        "doc_id",
+        "lang",
+        F.length("html").cast("bigint").alias("total_chars"),
+        link_chars.alias("link_chars"),
+        extracted.alias("extracted"),
+        "norm_text",
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "total_chars",
+        "link_chars",
+        round_ratio(F.col("link_chars"), F.col("total_chars"), 4).alias(
+            "link_density"
+        ),
+        (
+            F.col("extracted")
+            == F.regexp_replace("norm_text", r"\s+", " ")
+        )
+        .cast("int")
+        .alias("round_trip_ok"),
+    )
