@@ -9,6 +9,7 @@ from __future__ import annotations
 import datetime as dt
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 # names must avoid the line-protocol escape-ambiguous characters
 # (backslash, newline); everything else printable is fair game
@@ -294,3 +295,63 @@ def test_influxql_parse_total_on_ascii_noise(s):
         parse(s)
     except InfluxQLError:
         pass
+
+
+# --- InfluxQL compile+execute totality over a generated grammar ------------
+# Grafana emits combinatorial SELECT shapes; every VALID combination the
+# grammar below builds must compile to a runnable plan (or reject with
+# the typed error) — no bare exceptions, no crash in .collect().
+
+_AGG = st.sampled_from(["mean", "max", "min", "sum", "count", "last", "first"])
+_TRANSFORM = st.sampled_from(
+    ["", "derivative", "non_negative_derivative", "difference",
+     "moving_average", "cumulative_sum"]
+)
+_FILL = st.sampled_from(["", "fill(previous)", "fill(0)", "fill(none)", "fill(linear)"])
+_BUCKET = st.sampled_from(["10m", "1h", "6h"])
+_WHERE = st.sampled_from(
+    ["", "WHERE time >= '2024-01-02' AND time < '2024-01-05'",
+     "WHERE \"plc\" = '10.0.0.1'", "WHERE value > 10"]
+)
+_TAIL = st.sampled_from(["", "ORDER BY time DESC", "LIMIT 5", "ORDER BY time DESC LIMIT 3"])
+
+
+@st.composite
+def _influxql_query(draw):
+    agg = draw(_AGG)
+    tr = draw(_TRANSFORM)
+    sel = f"{agg}(value)"
+    if tr == "moving_average":
+        sel = f"moving_average({sel}, 3)"
+    elif tr:
+        sel = f"{tr}({sel})"
+    where = draw(_WHERE)
+    fill = draw(_FILL)
+    bucket = draw(_BUCKET)
+    tail = draw(_TAIL)
+    return f"SELECT {sel} FROM points {where} GROUP BY time({bucket}) {fill} {tail}".strip()
+
+
+@settings(max_examples=25, deadline=None)
+@given(_influxql_query())
+def test_influxql_compile_grammar_total(spark, q):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        InfluxQLError,
+        compile_statement,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (f"2024-01-0{1 + i % 6}T{i % 24:02d}:00:00", "10.0.0.%d" % (i % 2), "t1", float(i))
+            for i in range(48)
+        ],
+        "ts_s string, plc string, alias string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "plc", "alias", "value"
+    )
+    try:
+        out = compile_statement(q, pts)
+    except InfluxQLError:
+        return  # typed rejection is a valid outcome
+    rows = out.collect()  # plan must actually execute
+    assert rows is not None
