@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "b21_lm_bigram_fit",  # bigram-LM quality terciles
     "b18_epoch_shuffle",  # deterministic shard shuffle
     "b10_range_join_pruned",  # compiled pushdown variant of b10
+    "b21_html_extract",  # raw-crawl extraction stage
+    "b21_corpus_stats",  # dataset-card rollup
 ]
 
 

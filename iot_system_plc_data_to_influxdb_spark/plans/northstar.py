@@ -3175,3 +3175,41 @@ def b21_html_extract(spark, sf_dir):
         .cast("int")
         .alias("round_trip_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# B22f — batched text-encoder inference (operators/inference.py): the
+# corpus → embedding stage, run through the mapInPandas slot a real
+# model occupies (Arrow batches = forward passes, model loaded once
+# per task). The deterministic hashed-BoW "model" makes the whole
+# inference path oracle-checkable: the DuckDB replay recomputes every
+# per-dim integer sum, and tests/test_inference.py additionally proves
+# the mapInPandas output row-identical to the pure-Catalyst twin.
+# --------------------------------------------------------------------------
+_B22_ENCODER_ORACLE = (
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+      ["""
+    + ", ".join(
+        "CAST(list_aggregate(list_transform(w, t -> "
+        + _H16_SQL.replace("{t}", f"concat('{j}|', t)")
+        + " % 201 - 100), 'sum') AS BIGINT)"
+        for j in range(8)
+    )
+    + r"""] AS embedding
+    FROM d
+"""
+)
+
+
+@register("b22_text_encoder", oracle=_B22_ENCODER_ORACLE, tags=("B22", "B20"))
+def b22_text_encoder(spark, sf_dir):
+    from ..operators.inference import encode_documents
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return encode_documents(docs)
