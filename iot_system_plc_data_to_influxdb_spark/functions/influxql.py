@@ -172,10 +172,12 @@ _AGG_ITEM_RE = re.compile(
     re.IGNORECASE,
 )
 _MATH_ITEM_RE = re.compile(
-    r"^(?P<base>.+\)|[\w\"]+)\s*(?P<op>[*/+-])\s*(?P<num>-?\d+(?:\.\d+)?)"
+    r"^(?P<base>.+\)|[\w\"]+)(?P<chain>(?:\s*[*/+-]\s*-?\d+(?:\.\d+)?)+)"
     r"(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
+#: one (op, literal) link of a scalar-math chain
+_MATH_LINK_RE = re.compile(r"([*/+-])\s*(-?\d+(?:\.\d+)?)")
 # field-vs-field arithmetic (Grafana efficiency/ratio panels):
 # mean(a) + mean(b), value / other
 _BINOP_AGG_RE = re.compile(
@@ -545,17 +547,20 @@ def parse(q: str) -> _Query:
                 parse_binop(brm, agg=False)
                 continue
         if mm:
-            # scalar arithmetic suffix: mean(value) * 100 [AS pct] —
-            # Grafana's unit-conversion idiom. Parse the base item, then
-            # record the (op, literal) to apply after aggregation (and
-            # after the transform, for transformed items).
+            # scalar arithmetic suffix chain: mean(value) * 100, or the
+            # Fahrenheit idiom mean(value) * 9 / 5 + 32 [AS f] —
+            # Grafana's unit conversions. Parse the base item, then
+            # record the (op, literal) links, applied with standard
+            # arithmetic precedence after aggregation (after the
+            # transform, for transformed items).
             parse_item(
                 mm.group("base").strip(),
                 alias_override=mm.group("alias"),
             )
-            num_txt = mm.group("num")
-            num = float(num_txt) if "." in num_txt else int(num_txt)
-            scalar_math[len(sel) - 1] = (mm.group("op"), num)
+            scalar_math[len(sel) - 1] = [
+                (op, float(n) if "." in n else int(n))
+                for op, n in _MATH_LINK_RE.findall(mm.group("chain"))
+            ]
         else:
             parse_item(item)
 
@@ -826,18 +831,27 @@ def _apply_scalar_math(
     their math right after aggregation (before fill — InfluxDB fills
     the DISPLAYED value, so fill literals are not rescaled); transform
     items get it after the transform runs."""
-    for idx, (op, num) in q.scalar_math.items():
+    for idx, chain in q.scalar_math.items():
         if (idx in q.transforms) != transformed:
             continue
         alias = q.select[idx][2]
-        c = F.col(alias)
-        df = df.withColumn(
-            alias,
-            c * num if op == "*" else
-            c / num if op == "/" else
-            c + num if op == "+" else
-            c - num,
-        )
+        # standard precedence (* / bind before + -), matching InfluxDB:
+        # accumulate multiplicative runs into terms, then add/subtract
+        terms: list = []
+        pending, cur = "+", F.col(alias)
+        for op, num in chain:
+            if op == "*":
+                cur = cur * num
+            elif op == "/":
+                cur = cur / num
+            else:
+                terms.append((pending, cur))
+                pending, cur = op, num
+        terms.append((pending, cur))
+        acc = terms[0][1]
+        for sgn, v in terms[1:]:
+            acc = acc + v if sgn == "+" else acc - v
+        df = df.withColumn(alias, acc)
     return df
 
 

@@ -1537,3 +1537,22 @@ def test_fill_with_tz_hourly_spring_forward_skips_nonexistent_hour(spark):
     # local hours 00,01,03,04,05 — five buckets, 02:00 never existed
     assert len(rows) == 5
     assert [r["n"] for r in rows] == [1, 0, 0, 0, 0]
+
+
+def test_scalar_math_chains_with_precedence(spark, points):
+    """mean(v) * 9 / 5 + 32 — the Grafana unit-conversion chain — with
+    standard arithmetic precedence (+ 1 * 2 adds 2, not (x+1)*2)."""
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_statement,
+    )
+
+    base = compile_statement("SELECT mean(value) FROM points", points)
+    m = base.collect()[0]["mean"]
+    f = compile_statement(
+        "SELECT mean(value) * 9 / 5 + 32 FROM points", points
+    ).collect()[0]["mean"]
+    assert abs(f - (m * 9 / 5 + 32)) < 1e-9
+    p = compile_statement(
+        "SELECT mean(value) + 1 * 2 FROM points", points
+    ).collect()[0]["mean"]
+    assert abs(p - (m + 2)) < 1e-9
