@@ -171,13 +171,127 @@ _AGG_ITEM_RE = re.compile(
     r"(?:,\s*(?P<n>[\d.]+[smhdw]?)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
-_MATH_ITEM_RE = re.compile(
-    r"^(?P<base>.+\)|[\w\"]+)(?P<chain>(?:\s*[*/+-]\s*-?\d+(?:\.\d+)?)+)"
-    r"(?:\s+AS\s+(?P<alias>\w+))?$",
-    re.IGNORECASE,
-)
-#: one (op, literal) link of a scalar-math chain
-_MATH_LINK_RE = re.compile(r"([*/+-])\s*(-?\d+(?:\.\d+)?)")
+_SCALAR_ALIAS_RE = re.compile(r"\s+AS\s+(\w+)\s*$", re.IGNORECASE)
+_CALL_START_RE = re.compile(r"\w+\(")
+
+
+def _find_call(s: str):
+    """(start, end) of the first balanced fn(...) call in s, or None."""
+    m = _CALL_START_RE.search(s)
+    if not m:
+        return None
+    depth, i = 0, m.end() - 1
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return m.start(), i + 1
+        i += 1
+    return None
+
+
+def _parse_scalar_expr(item: str):
+    """Detect scalar arithmetic around ONE aggregate/field operand —
+    any literal order, parenthesization, unary minus: `mean(v)*9/5+32`,
+    `100 * mean(v)`, `(mean(v)*9/5)+32`, `-mean(v)`. Returns
+    (base_str, ast, alias|None) or None if the item isn't this shape.
+    AST: ('base',) | ('num', x) | ('neg', a) | ('+|-|*|/', l, r)."""
+    am = _SCALAR_ALIAS_RE.search(item)
+    alias = am.group(1) if am else None
+    expr = item[: am.start()] if am else item
+    span = _find_call(expr)
+    if span is None:
+        # bare-field arithmetic: exactly one quoted/bare identifier
+        idents = [
+            m
+            for m in re.finditer(r'"[^"]+"|[A-Za-z_]\w*', expr)
+            if not re.fullmatch(r"\d+", m.group())
+        ]
+        if len(idents) != 1:
+            return None
+        span = idents[0].span()
+    base = expr[span[0] : span[1]]
+    rest = expr[: span[0]] + "@" + expr[span[1] :]
+    if re.search(r"\w+\(", rest) or re.search(r'"[^"]+"|[A-Za-z_]\w*', rest):
+        return None  # a second operand → the binop paths own this item
+    if not re.fullmatch(r"[\d\s.()+\-*/@]*", rest):
+        return None
+    if rest.strip() == "@":
+        return None  # no arithmetic — plain item
+    toks = re.findall(r"\d+\.\d+|\d+|[@()+\-*/]", rest)
+
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_factor():
+        t = peek()
+        if t == "-":
+            take()
+            return ("neg", parse_factor())
+        if t == "+":
+            take()
+            return parse_factor()
+        if t == "(":
+            take()
+            node = parse_sum()
+            if peek() != ")":
+                raise InfluxQLError(f"unbalanced parens in {item!r}")
+            take()
+            return node
+        if t == "@":
+            take()
+            return ("base",)
+        if t is None or t in ")*/":
+            raise InfluxQLError(f"malformed arithmetic in {item!r}")
+        return ("num", float(take()))
+
+    def parse_term():
+        node = parse_factor()
+        while peek() in ("*", "/"):
+            node = (take(), node, parse_factor())
+        return node
+
+    def parse_sum():
+        node = parse_term()
+        while peek() in ("+", "-"):
+            node = (take(), node, parse_term())
+        return node
+
+    ast = parse_sum()
+    if pos != len(toks):
+        raise InfluxQLError(f"malformed arithmetic in {item!r}")
+    return base, ast, alias
+
+
+def _eval_scalar_ast(ast, c):
+    """AST → Column (numeric-only subtrees fold to plain floats; the
+    Column's reflected operators handle float ⊕ Column)."""
+    kind = ast[0]
+    if kind == "base":
+        return c
+    if kind == "num":
+        return ast[1]
+    if kind == "neg":
+        return -_eval_scalar_ast(ast[1], c)
+    l = _eval_scalar_ast(ast[1], c)
+    r = _eval_scalar_ast(ast[2], c)
+    if kind == "+":
+        return l + r
+    if kind == "-":
+        return l - r
+    if kind == "*":
+        return l * r
+    return l / r
 # field-vs-field arithmetic (Grafana efficiency/ratio panels):
 # mean(a) + mean(b), value / other
 _BINOP_AGG_RE = re.compile(
@@ -533,8 +647,8 @@ def parse(q: str) -> _Query:
         binops.append((li, ri, bm.group("op"), alias))
 
     for item in items:
-        mm = _MATH_ITEM_RE.match(item)
-        if not mm:
+        se = _parse_scalar_expr(item)
+        if se is None:
             bam = _BINOP_AGG_RE.match(item)
             if bam:
                 parse_binop(bam, agg=True)
@@ -546,23 +660,17 @@ def parse(q: str) -> _Query:
             ):
                 parse_binop(brm, agg=False)
                 continue
-        if mm:
-            # scalar arithmetic suffix chain: mean(value) * 100, or the
-            # Fahrenheit idiom mean(value) * 9 / 5 + 32 [AS f] —
-            # Grafana's unit conversions. Parse the base item, then
-            # record the (op, literal) links, applied with standard
-            # arithmetic precedence after aggregation (after the
-            # transform, for transformed items).
-            parse_item(
-                mm.group("base").strip(),
-                alias_override=mm.group("alias"),
-            )
-            scalar_math[len(sel) - 1] = [
-                (op, float(n) if "." in n else int(n))
-                for op, n in _MATH_LINK_RE.findall(mm.group("chain"))
-            ]
-        else:
             parse_item(item)
+        else:
+            # scalar arithmetic around one aggregate/field operand —
+            # Grafana's unit conversions in any written order:
+            # mean(v) * 100, 100 * mean(v), (mean(v) * 9 / 5) + 32,
+            # -mean(v). Parse the operand as the item; the literal
+            # arithmetic AST evaluates with standard precedence after
+            # aggregation (after the transform, for transformed items).
+            base, ast, alias = se
+            parse_item(base.strip(), alias_override=alias)
+            scalar_math[len(sel) - 1] = ast
 
     if len(predictor) > 1:
         raise InfluxQLError("only one holt_winters() item is supported")
@@ -831,27 +939,11 @@ def _apply_scalar_math(
     their math right after aggregation (before fill — InfluxDB fills
     the DISPLAYED value, so fill literals are not rescaled); transform
     items get it after the transform runs."""
-    for idx, chain in q.scalar_math.items():
+    for idx, ast in q.scalar_math.items():
         if (idx in q.transforms) != transformed:
             continue
         alias = q.select[idx][2]
-        # standard precedence (* / bind before + -), matching InfluxDB:
-        # accumulate multiplicative runs into terms, then add/subtract
-        terms: list = []
-        pending, cur = "+", F.col(alias)
-        for op, num in chain:
-            if op == "*":
-                cur = cur * num
-            elif op == "/":
-                cur = cur / num
-            else:
-                terms.append((pending, cur))
-                pending, cur = op, num
-        terms.append((pending, cur))
-        acc = terms[0][1]
-        for sgn, v in terms[1:]:
-            acc = acc + v if sgn == "+" else acc - v
-        df = df.withColumn(alias, acc)
+        df = df.withColumn(alias, _eval_scalar_ast(ast, F.col(alias)))
     return df
 
 

@@ -1556,3 +1556,24 @@ def test_scalar_math_chains_with_precedence(spark, points):
         "SELECT mean(value) + 1 * 2 FROM points", points
     ).collect()[0]["mean"]
     assert abs(p - (m + 2)) < 1e-9
+
+
+def test_scalar_math_any_shape(spark, points):
+    """Literal-first, parenthesized, and unary-minus arithmetic around
+    one aggregate — all the ways dashboards write unit conversions."""
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_statement,
+    )
+
+    m = compile_statement("SELECT mean(value) FROM points", points).collect()[0]["mean"]
+    cases = {
+        "SELECT 100 * mean(value) FROM points": 100 * m,
+        "SELECT (mean(value) * 9 / 5) + 32 FROM points": m * 9 / 5 + 32,
+        "SELECT -mean(value) FROM points": -m,
+        "SELECT (mean(value) + 1) * 2 FROM points": (m + 1) * 2,
+        "SELECT 1 - mean(value) AS inv FROM points": 1 - m,
+    }
+    for q, want in cases.items():
+        col = "inv" if "AS inv" in q else "mean"
+        got = compile_statement(q, points).collect()[0][col]
+        assert abs(got - want) < 1e-9, q
