@@ -805,7 +805,16 @@ def parse(q: str) -> _Query:
     if out.group_time_s is not None and not aggs:
         raise InfluxQLError("GROUP BY time() requires aggregate select")
     if aggs and len(aggs) != len(out.select):
-        raise InfluxQLError("cannot mix aggregated and raw select items")
+        # one exception, straight from InfluxDB: a single selector may
+        # carry raw companion columns — SELECT top(value, 3), plc — the
+        # companions come from the SELECTED rows
+        selector_mix = (
+            len(aggs) == 1
+            and aggs[0][0] in ("top", "bottom", "sample")
+            and out.select[0][0] in ("top", "bottom", "sample")
+        )
+        if not selector_mix:
+            raise InfluxQLError("cannot mix aggregated and raw select items")
     nested = [i for i in out.transforms if out.select[i][0]]
     if nested and out.group_time_s is None:
         raise InfluxQLError(
@@ -1457,11 +1466,21 @@ def compile_influxql(
         # InfluxDB's reservoir RNG — deterministic and cross-engine
         # replayable (documented deviation); still a uniform,
         # value-independent pick.
-        if len(q.select) != 1 or q.group_time_s is not None:
+        raw_rest = [s for s in q.select[1:] if s[0] is None]
+        if (
+            q.select[0][0] not in ("top", "bottom", "sample")
+            or len(raw_rest) != len(q.select) - 1
+            or q.group_time_s is not None
+        ):
             raise InfluxQLError(
-                "top()/bottom()/sample() must be the only select item and "
-                "cannot combine with GROUP BY time()"
+                "top()/bottom()/sample() must lead the select list (raw "
+                "companion columns only) and cannot combine with GROUP BY "
+                "time()"
             )
+        # companions from the selected rows; group tags already emitted
+        companions = [
+            (c, a) for _f2, c, a, _n2 in raw_rest if c not in q.group_tags
+        ]
         fn, colname, alias, n = q.select[0]
         if n is None:
             raise InfluxQLError(f"{fn}() requires a second argument")
@@ -1484,6 +1503,8 @@ def compile_influxql(
                 F.col("ts").alias("time"),
                 *q.group_tags,
                 F.col(colname).alias(alias),
+                # companion columns ride along from the selected rows
+                *[F.col(c).alias(a) for c, a in companions],
             )
         )
         df = (

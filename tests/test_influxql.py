@@ -1577,3 +1577,35 @@ def test_scalar_math_any_shape(spark, points):
         col = "inv" if "AS inv" in q else "mean"
         got = compile_statement(q, points).collect()[0][col]
         assert abs(got - want) < 1e-9, q
+
+
+def test_selector_companion_columns(spark, points):
+    """SELECT top(value, N), <tag> — companions come from the selected
+    rows; a companion that is already a GROUP BY tag is not duplicated;
+    mixing a selector with another aggregate stays a typed error."""
+    import pytest as _pytest
+
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        InfluxQLError,
+        compile_statement,
+    )
+
+    rows = compile_statement(
+        "SELECT top(value, 3), plc_ip FROM points", points
+    ).collect()
+    assert len(rows) == 3 and all(r["plc_ip"] is not None for r in rows)
+    # companion values must belong to the selected rows
+    raw = {
+        (r["ts"], r["value"]): r["plc_ip"]
+        for r in points.select("ts", "value", "plc_ip").collect()
+    }
+    for r in rows:
+        assert raw[(r["time"], r["top"])] == r["plc_ip"]
+
+    grouped = compile_statement(
+        "SELECT top(value, 1), plc_ip FROM points GROUP BY plc_ip", points
+    )
+    assert grouped.columns.count("plc_ip") == 1
+
+    with _pytest.raises(InfluxQLError):
+        compile_statement("SELECT top(value, 3), mean(value) FROM points", points)
