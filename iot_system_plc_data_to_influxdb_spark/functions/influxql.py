@@ -121,14 +121,40 @@ _MATH_FNS = {
 }
 
 
+#: one duration token; multi-char units first so 'ms' beats 'm'+'s'
+_DUR_TOKEN_RE = re.compile(
+    r"(\d+(?:\.\d+)?)(ns|us|ms|µ|u|s|m|h|d|w)", re.IGNORECASE
+)
+_SUBSEC = {"ns": 1e-9, "us": 1e-6, "u": 1e-6, "µ": 1e-6, "ms": 1e-3}
+#: a full (possibly compound) duration literal: 90m, 1h30m, 1d12h
+_DUR_RE_SRC = r"(?:\d+(?:\.\d+)?(?:ns|us|ms|µ|u|s|m|h|d|w))+"
+
+
+def _compound_duration_s(txt: str) -> float:
+    """InfluxQL duration literal → seconds, including compound forms
+    ('1h30m', '1d12h') and sub-second units."""
+    pos, total = 0, 0.0
+    for m in _DUR_TOKEN_RE.finditer(txt):
+        if m.start() != pos:
+            raise InfluxQLError(f"bad duration {txt!r}")
+        pos = m.end()
+        unit = m.group(2).lower()
+        total += float(m.group(1)) * (
+            _SUBSEC.get(unit) or _UNIT_SECONDS[unit]
+        )
+    if pos != len(txt) or pos == 0:
+        raise InfluxQLError(f"bad duration {txt!r}")
+    return total
+
+
 def _duration_s(arg: str | None, default: float = 1.0) -> float:
-    """'10s'/'1m'/'2h' → seconds; bare number → seconds."""
+    """'10s'/'1m'/'2h'/'1h30m' → seconds; bare number → seconds."""
     if arg is None:
         return default
     m = re.match(r"^([\d.]+)([smhdw]?)$", arg)
-    if not m:
-        raise InfluxQLError(f"bad duration {arg!r}")
-    return float(m.group(1)) * _UNIT_SECONDS.get(m.group(2), 1)
+    if m:
+        return float(m.group(1)) * _UNIT_SECONDS.get(m.group(2), 1)
+    return _compound_duration_s(arg)
 
 
 def _percentile_nearest_rank(c, p: float):
@@ -308,16 +334,18 @@ _BINOP_RAW_RE = re.compile(
 _NESTED_ITEM_RE = re.compile(
     r"^(?P<ofn>\w+)\s*\(\s*(?P<ifn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*"
     r"(?:,\s*(?P<iarg>[\d.]+)\s*)?\)\s*"
-    r"(?:,\s*(?P<oarg>[\d.]+[smhdw]?)\s*)?"
+    r"(?:,\s*(?P<oarg>[\d.]+(?:[a-wyzµ][\d.a-wyzµ]*)?)\s*)?"
     r"(?:,\s*(?P<oarg2>\d+)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
 _TIME_COND_RE = re.compile(
-    r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE
+    r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'"
+    rf"(?:\s*(?P<sign>[+-])\s*(?P<dur>{_DUR_RE_SRC}))?$",
+    re.IGNORECASE,
 )
 _TIME_NOW_RE = re.compile(
     r"^time\s*(?P<op>>=|<=|>|<)\s*now\s*\(\s*\)"
-    r"(?:\s*-\s*(?P<n>\d+)(?P<u>[smhdw]))?$",
+    rf"(?:\s*(?P<sign>[+-])\s*(?P<dur>{_DUR_RE_SRC}))?$",
     re.IGNORECASE,
 )
 _TIME_EPOCH_RE = re.compile(
@@ -400,8 +428,8 @@ _FIELD_COND_RE = re.compile(
     r"^(?P<key>[\w\"]+)\s*(?P<op>>=|<=|>|<|!=|=)\s*(?P<num>-?[\d.]+)$"
 )
 _GB_TIME_RE = re.compile(
-    r"^time\s*\(\s*(?P<n>\d+)(?P<u>[smhdw])\s*"
-    r"(?:,\s*(?P<on>\d+)(?P<ou>[smhdw])\s*)?\)$",
+    rf"^time\s*\(\s*(?P<dur>{_DUR_RE_SRC})\s*"
+    rf"(?:,\s*(?P<odur>{_DUR_RE_SRC})\s*)?\)$",
     re.IGNORECASE,
 )
 _TZ_RE = re.compile(r"\s+tz\s*\(\s*'(?P<tz>[^']+)'\s*\)\s*$", re.IGNORECASE)
@@ -709,10 +737,22 @@ def parse(q: str) -> _Query:
             tm = _TIME_COND_RE.match(cond)
             if tm:
                 op = tm.group("op")
+                ts = tm.group("ts")
+                if tm.group("dur"):
+                    # time literal ± duration ('2024-01-01' + 2h)
+                    import datetime as _dt
+
+                    base = _dt.datetime.fromisoformat(ts)
+                    delta = _dt.timedelta(
+                        seconds=_compound_duration_s(tm.group("dur"))
+                    )
+                    ts = str(
+                        base + delta if tm.group("sign") == "+" else base - delta
+                    )
                 if op in (">", ">="):
-                    out.time_lo = (op, tm.group("ts"))
+                    out.time_lo = (op, ts)
                 else:
-                    out.time_hi = (op, tm.group("ts"))
+                    out.time_hi = (op, ts)
                 continue
             nw = _TIME_NOW_RE.match(cond)
             if nw:
@@ -721,10 +761,12 @@ def parse(q: str) -> _Query:
                 # range still reaches the scan as a pushed filter
                 op = nw.group("op")
                 back = (
-                    int(nw.group("n")) * _UNIT_SECONDS[nw.group("u").lower()]
-                    if nw.group("n")
+                    _compound_duration_s(nw.group("dur"))
+                    if nw.group("dur")
                     else 0
                 )
+                if nw.group("sign") == "+":
+                    back = -back
                 bound = ("now", back)
                 if op in (">", ">="):
                     out.time_lo = (op, bound)
@@ -773,13 +815,17 @@ def parse(q: str) -> _Query:
         for g in (s.strip() for s in re.split(r",(?![^(]*\))", groupby)):
             gt = _GB_TIME_RE.match(g)
             if gt:
-                out.group_time_s = int(gt.group("n")) * _UNIT_SECONDS[
-                    gt.group("u").lower()
-                ]
-                if gt.group("on"):
-                    out.group_time_offset_s = int(gt.group("on")) * _UNIT_SECONDS[
-                        gt.group("ou").lower()
-                    ]
+                out.group_time_s = int(
+                    round(_compound_duration_s(gt.group("dur")))
+                )
+                if out.group_time_s < 1:
+                    raise InfluxQLError(
+                        "GROUP BY time() buckets under 1s are unsupported"
+                    )
+                if gt.group("odur"):
+                    out.group_time_offset_s = int(
+                        round(_compound_duration_s(gt.group("odur")))
+                    )
             elif g == "*":
                 # GROUP BY * — every tag column; the tag universe is a
                 # property of the table, so expansion happens at compile

@@ -1609,3 +1609,38 @@ def test_selector_companion_columns(spark, points):
 
     with _pytest.raises(InfluxQLError):
         compile_statement("SELECT top(value, 3), mean(value) FROM points", points)
+
+
+def test_compound_durations_and_time_math(spark, points):
+    """1h30m == 90m everywhere durations appear; literal ± duration and
+    now() ± compound duration in WHERE."""
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_statement,
+    )
+
+    a = compile_statement(
+        "SELECT mean(value) FROM points GROUP BY time(1h30m)", points
+    ).collect()
+    b = compile_statement(
+        "SELECT mean(value) FROM points GROUP BY time(90m)", points
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
+
+    lo = compile_statement(
+        "SELECT value FROM points WHERE time >= '2024-01-01 00:30:00' + 30m",
+        points,
+    ).count()
+    direct = compile_statement(
+        "SELECT value FROM points WHERE time >= '2024-01-01 01:00:00'", points
+    ).count()
+    assert lo == direct > 0
+
+    d = compile_statement(
+        "SELECT derivative(mean(value), 1h30m) FROM points GROUP BY time(1h)",
+        points,
+    ).collect()
+    d2 = compile_statement(
+        "SELECT derivative(mean(value), 90m) FROM points GROUP BY time(1h)",
+        points,
+    ).collect()
+    assert [tuple(r) for r in d] == [tuple(r) for r in d2] and len(d) > 0
