@@ -1927,8 +1927,8 @@ def compile_into(
 _CREATE_CQ_RE = re.compile(
     r"^\s*CREATE\s+CONTINUOUS\s+QUERY\s+(?P<name>[\w\"]+)\s+ON\s+"
     r"(?P<db>[\w.\"]+)"
-    r"(?:\s+RESAMPLE(?:\s+EVERY\s+(?P<every>\d+[smhdw]))?"
-    r"(?:\s+FOR\s+(?P<for>\d+[smhdw]))?)?"
+    rf"(?:\s+RESAMPLE(?:\s+EVERY\s+(?P<every>{_DUR_RE_SRC}))?"
+    rf"(?:\s+FOR\s+(?P<for>{_DUR_RE_SRC}))?)?"
     r"\s+BEGIN\s+(?P<body>.+?)\s+END\s*$",
     re.IGNORECASE | re.DOTALL,
 )
