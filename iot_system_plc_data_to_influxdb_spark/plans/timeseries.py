@@ -1899,3 +1899,41 @@ def b16_influxql_field_math(spark, sf_dir):
         "GROUP BY time(1d), event_type",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B3m — the round-3 dialect additions through the front door, oracle-
+# checked: compound durations (time(1h30m)), WHERE literal ± duration,
+# and free-form scalar arithmetic (max(value) * 9 / 5 + 32 — the
+# Fahrenheit chain) in one statement.
+# --------------------------------------------------------------------------
+@register(
+    "b3_influxql_compound",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR(epoch(ts) / 5400) * 5400 AS BIGINT)) AS time,
+      event_type,
+      COUNT(value) AS n,
+      MAX(value) * 9 / 5 + 32 AS f
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 06:00:00'
+      AND ts <  TIMESTAMP '2024-01-02 10:30:00'
+    GROUP BY 1, 2
+    """,
+    tags=("B3", "B16"),
+)
+def b3_influxql_compound(spark, sf_dir):
+    from ..functions.influxql import compile_influxql
+
+    ev = events_between(
+        spark, sf_dir, "2024-01-01 06:00:00", "2024-01-02 10:30:00"
+    )
+    return compile_influxql(
+        "SELECT count(value) AS n, max(value) * 9 / 5 + 32 AS f "
+        "FROM events "
+        "WHERE time >= '2024-01-01 00:00:00' + 6h "
+        "AND time < '2024-01-02 12:00:00' - 1h30m "
+        "GROUP BY time(1h30m), event_type",
+        ev,
+    )
