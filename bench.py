@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "b10_range_join_pruned",  # compiled pushdown variant of b10
     "b21_html_extract",  # raw-crawl extraction stage
     "b21_corpus_stats",  # dataset-card rollup
+    "b22_text_encoder",  # Arrow-batched mapInPandas inference path
+    "b3_influxql_compound",  # compound-duration dialect additions
 ]
 
 
