@@ -217,3 +217,38 @@ def compact_all(
         if n > 1:
             results[rel] = compact_partition(spark, path, rel, target_bytes)
     return results
+
+
+def recover_interrupted_compactions(path: str) -> dict[str, str]:
+    """Repair partitions left inconsistent by a compaction crash.
+
+    The swap sequence is: write `.compact_tmp` → rename live dir to
+    `.compact_old` → rename tmp to live → delete old. A crash can
+    leave (a) an orphan `.compact_tmp` (crash before the swap — the
+    live dir is intact: drop the tmp), or (b) a `.compact_old` with no
+    live dir (crash between the renames: restore the old dir) or with
+    a live dir (crash before cleanup: the swap completed, drop the
+    old). Run this on startup, the way a WAL is replayed.
+    """
+    actions: dict[str, str] = {}
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            full = os.path.join(root, d)
+            if d.endswith(".compact_tmp"):
+                shutil.rmtree(full)
+                actions[os.path.relpath(full, path)] = "dropped orphan tmp"
+                dirs.remove(d)
+            elif d.endswith(".compact_old"):
+                live = full[: -len(".compact_old")]
+                if os.path.exists(live):
+                    shutil.rmtree(full)
+                    actions[os.path.relpath(full, path)] = (
+                        "swap had completed; dropped old"
+                    )
+                else:
+                    os.rename(full, live)
+                    actions[os.path.relpath(full, path)] = (
+                        "restored interrupted swap"
+                    )
+                dirs.remove(d)
+    return actions

@@ -179,3 +179,50 @@ def test_compaction_shrinks_files_preserves_rows(spark, tmp_path):
     # pruning axes intact after the rewrite
     one = spark.read.parquet(base).filter("plc_bucket = 0 and date = '2024-01-01'")
     assert one.count() == one.select("plc_ip").na.drop().count()
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Every crash window of the compaction swap is recoverable: orphan
+    tmp, missing live dir, completed-swap leftovers."""
+    import os
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.operators.retention import (
+        partition_file_counts,
+        recover_interrupted_compactions,
+        write_points_bucketed,
+    )
+
+    base = str(tmp_path / "pts")
+    pts = spark.createDataFrame(
+        [("10.0.0.1", "t", float(i), f"2024-01-01T00:00:{i:02d}") for i in range(30)],
+        "plc_ip string, alias string, value double, ts_s string",
+    ).select("plc_ip", "alias", "value", F.col("ts_s").cast("timestamp").alias("ts"))
+    write_points_bucketed(pts, base, n_buckets=2)
+    counts = partition_file_counts(base)
+    rel = next(iter(counts))
+    full = os.path.join(base, rel)
+    rows_before = spark.read.parquet(base).count()
+
+    # (a) crash before swap: orphan tmp next to an intact live dir
+    shutil.copytree(full, full + ".compact_tmp")
+    # (b) crash between renames in a second partition: live dir missing
+    rel2 = [r for r in counts if r != rel]
+    if rel2:
+        full2 = os.path.join(base, rel2[0])
+        os.rename(full2, full2 + ".compact_old")
+
+    actions = recover_interrupted_compactions(base)
+    assert any("orphan tmp" in v for v in actions.values())
+    if rel2:
+        assert any("restored" in v for v in actions.values())
+    # all partitions whole again, no stray dirs, rows intact
+    assert spark.read.parquet(base).count() == rows_before
+    for root, dirs, _ in os.walk(base):
+        assert not any(d.endswith((".compact_tmp", ".compact_old")) for d in dirs)
+
+    # (c) completed swap: old dir next to a live one
+    shutil.copytree(full, full + ".compact_old")
+    actions = recover_interrupted_compactions(base)
+    assert any("dropped old" in v for v in actions.values())
+    assert spark.read.parquet(base).count() == rows_before
