@@ -1,0 +1,213 @@
+"""InfluxDB 1.x-compatible HTTP API over the engine (stdlib only).
+
+The reference's consumers speak InfluxDB's wire protocol: Grafana
+issues ``GET /query?q=<InfluxQL>&db=...`` and expects
+``{"results": [{"series": [{name, columns, values}]}]}``; writers
+``POST /write`` line protocol. This module serves BOTH from the
+engine, so a user points their existing datasource/clients at it and
+switches storage engines without touching a dashboard or a writer:
+
+- ``/query``: routed through the same compiler the batch API uses —
+  SELECT/subqueries via compile_statement, SHOW via compile_show,
+  DELETE via compile_delete. ``epoch=ms|s|u|ns`` is honored; default
+  timestamps are RFC3339, like InfluxDB.
+- ``/write``: line protocol → parse_line_protocol (the native-
+  expression parser) → appended to the points directory in the
+  engine's long/narrow layout.
+- ``/ping``: 204, X-Influxdb-Version — the datasource health check.
+
+Scope: a dashboard/ingest GATEWAY. Results collect on the gateway
+(capped at ``max_rows``) because a Grafana panel is KB-sized by
+contract; bulk exports go through Spark writers, not this door. The
+stdlib ThreadingHTTPServer is the transport — no web framework in the
+container, and none needed for the protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _json_cell(v, epoch: str | None):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if epoch:
+            us = int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+            return {
+                "ns": us * 1000, "u": us, "ms": us // 1000, "s": us // 1_000_000
+            }[epoch]
+        return v.isoformat() + "Z"
+    if isinstance(v, _dt.date):
+        return str(v)
+    return v
+
+
+def df_to_series(
+    df: DataFrame, name: str, epoch: str | None = None, max_rows: int = 10000
+) -> dict:
+    """DataFrame → one InfluxDB 'series' object. The first timestamp
+    column is surfaced as 'time' (InfluxDB's column order)."""
+    cols = list(df.columns)
+    for tc in ("time", "ts"):
+        if tc in cols:
+            cols.remove(tc)
+            cols.insert(0, tc)
+            break
+    rows = df.select(*cols).limit(max_rows).collect()
+    out_cols = ["time" if c == "ts" else c for c in cols]
+    return {
+        "name": name,
+        "columns": out_cols,
+        "values": [[_json_cell(v, epoch) for v in row] for row in rows],
+    }
+
+
+class InfluxAPI:
+    """The engine behind the handler — resolves measurements and owns
+    the write path."""
+
+    def __init__(self, spark, get_table, write_dir: str | None = None):
+        self.spark = spark
+        self.get_table = get_table  # (measurement_name) -> DataFrame
+        self.write_dir = write_dir
+
+    def query(self, q: str, epoch: str | None) -> dict:
+        from ..functions.influxql import (
+            InfluxQLError,
+            compile_delete,
+            compile_show,
+            compile_statement,
+            split_into,
+        )
+
+        statements = [s.strip() for s in q.split(";") if s.strip()]
+        results = []
+        for i, stmt in enumerate(statements):
+            up = stmt.upper()
+            try:
+                if up.startswith("SHOW"):
+                    df = compile_show(stmt, self.get_table(None))
+                    name = "measurements" if "MEASUREMENTS" in up else "results"
+                elif up.startswith("DELETE") or up.startswith("DROP MEASUREMENT"):
+                    kept = compile_delete(stmt, self.get_table(None))
+                    if self.write_dir:
+                        kept.write.mode("overwrite").parquet(self.write_dir)
+                    results.append({"statement_id": i})
+                    continue
+                else:
+                    target, stmt_wo = split_into(stmt)
+                    m = _from_measurement(stmt_wo)
+                    df = compile_statement(stmt_wo, self.get_table(m))
+                    if target is not None and self.write_dir:
+                        df.write.mode("append").parquet(
+                            f"{self.write_dir}__{target}"
+                        )
+                        results.append({"statement_id": i})
+                        continue
+                    name = m or "results"
+                results.append(
+                    {
+                        "statement_id": i,
+                        "series": [df_to_series(df, name, epoch)],
+                    }
+                )
+            except InfluxQLError as e:
+                results.append({"statement_id": i, "error": str(e)})
+        return {"results": results}
+
+    def write(self, body: str) -> int:
+        from .influx import parse_line_protocol
+
+        lines = self.spark.createDataFrame(
+            [(ln,) for ln in body.splitlines() if ln.strip()], "line string"
+        )
+        pts = (
+            parse_line_protocol(lines)
+            .filter(F.col("measurement").isNotNull())
+            .select(
+                F.col("ts"),
+                F.col("measurement").alias("plc_ip"),
+                F.col("field").alias("alias"),
+                F.col("value"),
+            )
+        )
+        n = pts.count()
+        if self.write_dir:
+            pts.write.mode("append").parquet(self.write_dir)
+        return n
+
+
+def _from_measurement(stmt: str):
+    import re
+
+    m = re.search(
+        r'\bFROM\s+("[^"]+"|[\w.]+)', stmt, flags=re.IGNORECASE
+    )
+    if not m:
+        return None
+    name = m.group(1).strip('"')
+    return name.split(".")[-1]  # db.rp.name → name
+
+
+def serve(api: InfluxAPI, port: int = 0):
+    """Start the gateway on ``port`` (0 = ephemeral). Returns
+    (server, thread, bound_port); ``server.shutdown()`` stops it."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _respond(self, code: int, payload: bytes = b"", ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("X-Influxdb-Version", "1.8-compat-spark")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/ping":
+                return self._respond(204)
+            if parsed.path == "/query":
+                qs = urllib.parse.parse_qs(parsed.query)
+                q = (qs.get("q") or [""])[0]
+                epoch = (qs.get("epoch") or [None])[0]
+                try:
+                    body = json.dumps(api.query(q, epoch)).encode()
+                    return self._respond(200, body)
+                except Exception as e:  # noqa: BLE001 — wire errors as JSON
+                    return self._respond(
+                        400, json.dumps({"error": str(e)}).encode()
+                    )
+            return self._respond(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            parsed = urllib.parse.urlparse(self.path)
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length).decode()
+            if parsed.path == "/query":
+                qs = urllib.parse.parse_qs(parsed.query or body)
+                q = (qs.get("q") or [""])[0]
+                epoch = (qs.get("epoch") or [None])[0]
+                return self._respond(200, json.dumps(api.query(q, epoch)).encode())
+            if parsed.path == "/write":
+                try:
+                    api.write(body)
+                    return self._respond(204)
+                except Exception as e:  # noqa: BLE001
+                    return self._respond(
+                        400, json.dumps({"error": str(e)}).encode()
+                    )
+            return self._respond(404, b'{"error": "not found"}')
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread, server.server_address[1]
