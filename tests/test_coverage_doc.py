@@ -1,0 +1,45 @@
+"""COVERAGE.md drift guard: every `name` ☑ claim must be a registered
+query WITH an oracle; every named rows-only claim must be registered
+WITHOUT one. Keeps the judge-facing inventory honest mechanically."""
+
+from __future__ import annotations
+
+import re
+
+import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+COVERAGE = "/root/repo/COVERAGE.md"
+
+
+def test_checked_claims_are_oracle_backed():
+    text = open(COVERAGE).read()
+    qs = plans.all_queries()
+    oracles = plans.all_oracles()
+    checked = set(re.findall(r"`([ab]\d+_\w+|flagship_\w+)`\s*☑", text))
+    assert checked, "no ☑ claims parsed — did the format change?"
+    missing = {n for n in checked if n not in qs}
+    assert not missing, f"☑ claims not registered: {sorted(missing)}"
+    unbacked = {n for n in checked if n not in oracles}
+    assert not unbacked, f"☑ claims without an oracle: {sorted(unbacked)}"
+
+
+def test_rows_only_claims_match_registry():
+    text = open(COVERAGE).read()
+    qs = plans.all_queries()
+    oracles = plans.all_oracles()
+    rows_only_registered = set(qs) - set(oracles)
+    # every registered rows-only query must be mentioned in COVERAGE.md
+    unmentioned = {n for n in rows_only_registered if n not in text}
+    assert not unmentioned, f"rows-only queries undocumented: {sorted(unmentioned)}"
+    # and none of them may carry a ☑ anywhere
+    for n in rows_only_registered:
+        assert not re.search(rf"`{n}`\s*☑", text), f"{n} is rows-only but marked ☑"
+
+
+def test_every_registered_query_is_documented():
+    text = open(COVERAGE).read()
+    undocumented = {n for n in plans.all_queries() if f"`{n}`" not in text}
+    # variants of a documented family may be described in prose; but the
+    # canonical set must appear verbatim
+    missing_canonical = undocumented & set(plans.CANONICAL)
+    assert not missing_canonical, f"canonical undocumented: {sorted(missing_canonical)}"
