@@ -276,3 +276,19 @@ class IoTEngine:
         from .streaming.rollup import resample_downsample
 
         return resample_downsample(self.spark, points, rollup_path, every=every)
+
+    def serve_influx_api(self, table_path: str, port: int = 0):
+        """Start the InfluxDB 1.x wire-protocol gateway over a points
+        directory: existing Grafana datasources GET /query, existing
+        writers POST /write, health checks hit /ping — no client
+        changes. Returns (server, port); call server.shutdown() to
+        stop. See streaming/http_api.py for protocol scope."""
+        from .streaming.http_api import InfluxAPI, serve
+
+        api = InfluxAPI(
+            self.spark,
+            lambda _m: self.spark.read.parquet(table_path),
+            write_dir=table_path,
+        )
+        server, _thread, bound = serve(api, port)
+        return server, bound

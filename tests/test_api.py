@@ -125,3 +125,30 @@ def test_line_protocol_ingest_to_influxql_e2e(spark, tmp_path):
     assert names == ["192.168.0.1", "192.168.0.2"]
     surviving = engine.influxql('DROP MEASUREMENT "192.168.0.2"', pts)
     assert surviving.select("plc_ip").distinct().count() == 1
+
+
+def test_serve_influx_api_facade(spark, tmp_path):
+    """One call starts the wire-compatible gateway over a points dir."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from iot_system_plc_data_to_influxdb_spark.api import IoTEngine
+
+    path = str(tmp_path / "pts")
+    spark.createDataFrame(
+        [("2024-01-01T00:00:00", "p1", "t", 1.5), ("2024-01-01T01:00:00", "p1", "t", 2.5)],
+        "ts_s string, plc_ip string, alias string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "plc_ip", "alias", "value").write.parquet(path)
+
+    eng = IoTEngine(spark)
+    server, port = eng.serve_influx_api(path)
+    try:
+        q = urllib.parse.quote("SELECT mean(value) FROM points")
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/query?q={q}", timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["results"][0]["series"][0]["values"] == [[2.0]]
+    finally:
+        server.shutdown()
