@@ -9,7 +9,9 @@ Walks exactly the path a user of the reference system
 1. the XML tag config (ConfigApp's file format),
 2. the acquisition daemon (poll → decode → points table),
 3. the InfluxQL queries their Grafana dashboards emit,
-4. a continuous-query rollup + retention age-off.
+4. a continuous-query rollup + retention age-off,
+5. the InfluxDB 1.x HTTP wire protocol served by the engine itself
+   (point the existing Grafana datasource at it, unchanged).
 
 Everything runs locally against the simulated PLC source; swapping
 the simulator for the snap7 backend is a config change in
@@ -118,6 +120,31 @@ def main() -> int:
         write_points_partitioned(pts, archive)
         dropped = engine.age_off(archive, dt.date(2024, 1, 2))
         print(f"retention age-off dropped {dropped} date partitions")
+
+        # 5. the wire protocol: existing Grafana datasources and
+        # writers point at the engine unchanged
+        import json
+        import urllib.parse
+        import urllib.request
+
+        pts_dir = os.path.join(tmp, "api_points")
+        pts.write.mode("overwrite").parquet(pts_dir)
+        server, port = engine.serve_influx_api(pts_dir)
+        try:
+            q = urllib.parse.quote(
+                "SELECT count(value) AS n FROM points GROUP BY plc_ip"
+            )
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/query?db=iot&q={q}", timeout=60
+            ) as r:
+                payload = json.loads(r.read())
+            series = payload["results"][0]["series"][0]
+            print(
+                f"HTTP /query (InfluxDB wire protocol) on :{port} → "
+                f"columns {series['columns']}, {len(series['values'])} rows"
+            )
+        finally:
+            server.shutdown()
     return 0
 
 
