@@ -35,6 +35,8 @@ QUERIES = [
     "b21_boilerplate_hashed",    # claim: int64-hashed gram shuffle
     "b18_epoch_shuffle",         # claim: one hash-partitioned sort
     "b21_curation_pipeline",     # claim: one shuffle total
+    "b19_semdedup",              # claim: k-means aggs + one cluster gather
+    "b22_text_encoder",          # claim: Arrow batches, no shuffle beyond fan-out
 ]
 
 UI_PORT = 4047
