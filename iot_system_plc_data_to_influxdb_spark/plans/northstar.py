@@ -2640,14 +2640,29 @@ def b19_semdedup(spark, sf_dir):
     grouped = member.groupBy("cluster").agg(
         F.collect_list(F.struct("vec_id", "x", "n2")).alias("ms")
     )
-    # first explode = one row per (cluster, member); redistribute THOSE
-    # before the second explode so pair generation uses every core, not
-    # k tasks (each row carries its cluster's member array — the
-    # standard replicate-the-block trade, bounded by the SemDeDup
-    # cluster-size contract)
+    # Pair-generation parallelism WITHOUT per-member array replication:
+    # exploding (member, ms) rows before the shuffle would ship each
+    # cluster's member array once PER MEMBER (measured 167 MB shuffle
+    # write at sf0.1 — cluster_size× amplification, the wrong slope at
+    # scale). Instead each cluster emits S salt copies of its array;
+    # copy s owns the 'a' members with vec_id ≡ s (mod S). Shuffle
+    # volume = S × cluster data (S=8, fixed), parallelism = k·S tasks.
+    S = 8
+    salted = grouped.select(
+        "cluster",
+        "ms",
+        F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("salt"),
+    ).repartition(32, "cluster", "salt")
     ex = (
-        grouped.select("cluster", F.explode("ms").alias("a"), "ms")
-        .repartition(32, "cluster", F.col("a.vec_id"))
+        salted.select(
+            "cluster",
+            "ms",
+            F.explode(
+                F.filter(
+                    "ms", lambda m: F.pmod(m["vec_id"], F.lit(S)) == F.col("salt")
+                )
+            ).alias("a"),
+        )
         .select("cluster", "a", F.explode("ms").alias("b"))
     )
     cos = int_dot(F.col("a.x"), F.col("b.x")).cast("double") / F.sqrt(
