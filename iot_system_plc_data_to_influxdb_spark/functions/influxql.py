@@ -279,7 +279,10 @@ def _parse_scalar_expr(item: str):
             return ("base",)
         if t is None or t in ")*/":
             raise InfluxQLError(f"malformed arithmetic in {item!r}")
-        return ("num", float(take()))
+        # ints stay ints so integer aggregates keep their wire type
+        # (count(v) * 2 must stay bigint, not become 20.0)
+        lit = take()
+        return ("num", float(lit) if "." in lit or "e" in lit.lower() else int(lit))
 
     def parse_term():
         node = parse_factor()
@@ -742,7 +745,16 @@ def parse(q: str) -> _Query:
                     # time literal ± duration ('2024-01-01' + 2h)
                     import datetime as _dt
 
-                    base = _dt.datetime.fromisoformat(ts)
+                    try:
+                        base = _dt.datetime.fromisoformat(ts)
+                    except ValueError:
+                        # parser totality: garbage in → InfluxQLError
+                        # out (matches _aligned()'s ValueError guard),
+                        # so one bad statement can't 400 a whole
+                        # multi-statement gateway request.
+                        raise InfluxQLError(
+                            f"invalid time literal {ts!r}"
+                        ) from None
                     delta = _dt.timedelta(
                         seconds=_compound_duration_s(tm.group("dur"))
                     )
@@ -1537,22 +1549,26 @@ def compile_influxql(
             if fn == "bottom"
             else [F.md5(F.unix_micros(F.col("ts")).cast("string")), F.col("ts")]
         )
-        w = (
-            Window.partitionBy(*q.group_tags).orderBy(*order)
-            if q.group_tags
-            else Window.orderBy(*order)
-        )
-        df = (
-            df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= int(n))
-            .select(
-                F.col("ts").alias("time"),
-                *q.group_tags,
-                F.col(colname).alias(alias),
-                # companion columns ride along from the selected rows
-                *[F.col(c).alias(a) for c, a in companions],
+        projection = [
+            F.col("ts").alias("time"),
+            *q.group_tags,
+            F.col(colname).alias(alias),
+            # companion columns ride along from the selected rows
+            *[F.col(c).alias(a) for c, a in companions],
+        ]
+        if q.group_tags:
+            w = Window.partitionBy(*q.group_tags).orderBy(*order)
+            df = (
+                df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= int(n))
+                .select(*projection)
             )
-        )
+        else:
+            # global selector: orderBy().limit() compiles to
+            # TakeOrderedAndProject (per-partition heaps, no shuffle)
+            # — an unpartitioned row_number window would move the
+            # whole measurement to a single partition.
+            df = df.orderBy(*order).limit(int(n)).select(*projection)
         df = (
             _apply_scalar_math(df, q, transformed=False)
             .orderBy("time", *q.group_tags)

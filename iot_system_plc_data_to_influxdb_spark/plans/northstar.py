@@ -2696,10 +2696,16 @@ def b19_semdedup(spark, sf_dir):
 # with exact-integer determinism (log-prob sums are not
 # cross-engine reproducible). Model agg is one shuffle with map-side
 # partials; the corpus probe is a broadcast left join (model ≤ 4096
-# rows by construction); per-doc agg shuffles on doc_id. The final
-# NTILE(3) runs on the scored table — at 100 TB you'd replace the
-# global sort with two approx-quantile cutpoints and a map-only
-# bucket assignment; the tercile contract is identical.
+# rows by construction); per-doc agg shuffles on doc_id. The tercile
+# assignment replicates NTILE(3) EXACTLY without a global sort:
+# fit_score is a 4-decimal ratio (≤10,001 distinct values), so a
+# score histogram (one small keyed agg, driver gets ≤10k scalar
+# rows) yields every score's global rank offset; scores entirely
+# inside a tercile get their bucket by broadcast-joined lookup
+# (map-only), and only the ≤2 boundary-straddling score groups need
+# a within-score row_number (partitioned window, tiny). The old
+# single-partition NTILE lives on as the b21_lm_bigram_fit_ntile
+# twin — both hash-check against the same NTILE oracle.
 # --------------------------------------------------------------------------
 _B21_LM_ORACLE = r"""
     WITH d AS (
@@ -2746,6 +2752,103 @@ def b21_lm_bigram_fit(spark, sf_dir):
     # lang rides through the explode/aggregate (functionally dependent
     # on doc_id) — avoids re-joining the corpus to itself for one
     # column, which at 100 TB would be a second fact-sized shuffle.
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+            )
+        ).alias("bg"),
+    )
+    model = (
+        bg.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "bg")
+        .limit(4096)
+    )
+    scored = (
+        bg.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce("c", F.lit(0))).alias("matched"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "matched",
+            round_ratio(F.col("matched"), F.col("n_bigrams"), 4).alias(
+                "fit_score"
+            ),
+        )
+    )
+    scored = scored.persist()
+    # exact NTILE(3) via score histogram: ranks are contiguous per
+    # score under (fit_score DESC, doc_id) order, so a score's bucket
+    # is fully determined by its cumulative-count offset unless the
+    # score group straddles a tercile boundary.
+    hist = sorted(
+        scored.groupBy("fit_score").agg(F.count("*").alias("cnt")).collect(),
+        key=lambda r: -r["fit_score"],
+    )
+    total = sum(r["cnt"] for r in hist)
+    base, rem = divmod(total, 3)
+    b1 = base + (1 if rem >= 1 else 0)
+    b2 = b1 + base + (1 if rem >= 2 else 0)
+    lookup, start = [], 0
+    for r in hist:
+        end = start + r["cnt"]
+        if end <= b1:
+            bucket = 1
+        elif start >= b2:
+            bucket = 3
+        elif start >= b1 and end <= b2:
+            bucket = 2
+        else:
+            bucket = None  # straddles a boundary — resolve per-row
+        lookup.append((r["fit_score"], start, bucket))
+        start = end
+    lut = F.broadcast(
+        spark.createDataFrame(
+            lookup, "fit_score double, _start bigint, _bucket int"
+        )
+    )
+    joined = scored.join(lut, "fit_score", "left")
+    inside = joined.filter(F.col("_bucket").isNotNull()).withColumn(
+        "ppl_bucket", F.col("_bucket")
+    )
+    straddle_rank = Window.partitionBy("fit_score").orderBy("doc_id")
+    straddle = (
+        joined.filter(F.col("_bucket").isNull())
+        .withColumn("_rk", F.col("_start") + F.row_number().over(straddle_rank))
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("_rk") <= b1, 1)
+            .when(F.col("_rk") <= b2, 2)
+            .otherwise(3),
+        )
+    )
+    cols = ["doc_id", "lang", "n_bigrams", "matched", "fit_score", "ppl_bucket"]
+    return inside.select(*cols).unionByName(straddle.select(*cols))
+
+
+@register("b21_lm_bigram_fit_ntile", oracle=_B21_LM_ORACLE, tags=("B21",))
+def b21_lm_bigram_fit_ntile(spark, sf_dir):
+    """Single-window NTILE twin of b21_lm_bigram_fit — the correctness
+    baseline for the histogram-cutpoint bucketing (both hash against
+    the same oracle). Not the scale path: the unpartitioned window
+    funnels the scored table through one partition."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", "lang", tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    w = F.col("w")
     bg = docs.select(
         "doc_id",
         "lang",

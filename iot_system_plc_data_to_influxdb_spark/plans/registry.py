@@ -105,7 +105,7 @@ CANONICAL: frozenset = frozenset(
         # streaming parity
         "b26_sliding_window",
         "b27_session_window",
-        "b28_watermark_accounting",  # rows-only by design (late-drop)
+        "b28_watermark_accounting",  # hash-checked (two-pass running max)
         "b29_current_value",
         "b30_udf_decode",
         # flagship

@@ -134,27 +134,89 @@ def b29(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# B28 — watermark semantics (rows-only: late-arrival accounting; the
-# real withWatermark drop runs in tests/test_streaming.py)
+# B28 — watermark semantics: late-arrival accounting. The real
+# withWatermark drop runs in tests/test_streaming.py; this batch twin
+# computes, per 5-min bucket, how many rows a 1-minute watermark would
+# have dropped — i.e. rows whose ts is behind the running max ts (in
+# arrival order = event_id) minus the watermark.
+#
+# Scale shape: a global running max is NOT one big Window.orderBy
+# (which moves the whole table to a single partition — WindowExec
+# warns, and at 100 TB it is a driver-killer). Two-pass instead:
+# (1) range-bucket event_id into P contiguous slices and take the
+#     running max WITHIN each slice (Window partitioned by slice —
+#     fully parallel);
+# (2) per-slice maxima (P scalar rows) come back to the driver, a
+#     prefix max over them is computed in plain Python, and the P
+#     (slice, prefix_max) pairs are broadcast back.
+# running_max(row) = greatest(within-slice cummax, prefix max of all
+# earlier slices). Only P scalars ever hit the driver.
 # --------------------------------------------------------------------------
-@register("b28_watermark_accounting", oracle=None, tags=("B28",))
+_B28_ORACLE = """
+    WITH flagged AS (
+      SELECT ts,
+        CAST(ts < MAX(ts) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - INTERVAL 1 MINUTE AS INT) AS late
+      FROM events
+    )
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00' + to_seconds(
+        CAST(FLOOR(FLOOR(epoch(ts)) / 300) * 300 AS BIGINT)
+      ) AS bucket_start,
+      COUNT(*) AS n,
+      SUM(late) AS n_late
+    FROM flagged GROUP BY bucket_start
+"""
+
+
+@register("b28_watermark_accounting", oracle=_B28_ORACLE, tags=("B28",))
 def b28(spark, sf_dir):
-    # Batch view of what a 1-minute watermark would do to out-of-order
-    # data: per 5-min bucket, rows arriving after the running max ts
-    # minus the watermark are "late". events is near-ordered so this
-    # also documents the input's disorder profile.
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    flagged = ev.withColumn(
-        "late",
-        (
-            F.col("ts")
-            < F.max("ts").over(w) - F.expr("INTERVAL 1 MINUTE")
-        ).cast("int"),
+    P = 32
+    ev = t(spark, sf_dir, "events").select("event_id", "ts")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    span = max(1, int(hi) - int(lo) + 1)
+    bucketed = ev.withColumn(
+        "_slice",
+        F.least(
+            F.lit(P - 1),
+            ((F.col("event_id") - F.lit(int(lo))) * P / F.lit(span)).cast("int"),
+        ),
     )
-    return flagged.groupBy(F.window("ts", "5 minutes").start.alias("bucket_start")).agg(
+    # pass 1: within-slice running max, excluding the current row
+    win = (
+        Window.partitionBy("_slice")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # pass 2: P scalar slice-maxima → driver prefix max → broadcast
+    slice_max = {
+        r["_slice"]: r["m"]
+        for r in bucketed.groupBy("_slice").agg(F.max("ts").alias("m")).collect()
+    }
+    prefix, best = [], None
+    for s in range(P):
+        prefix.append((s, best))
+        if s in slice_max and (best is None or slice_max[s] > best):
+            best = slice_max[s]
+    pre = F.broadcast(
+        spark.createDataFrame(prefix, "_slice int, _pre timestamp")
+    )
+    flagged = (
+        bucketed.join(pre, "_slice", "left")
+        .withColumn("_run_max", F.greatest(F.max("ts").over(win), F.col("_pre")))
+        .withColumn(
+            "late",
+            (F.col("ts") < F.col("_run_max") - F.expr("INTERVAL 1 MINUTE")).cast(
+                "int"
+            ),
+        )
+    )
+    return flagged.groupBy(
+        F.window("ts", "5 minutes").start.alias("bucket_start")
+    ).agg(
         F.count("*").alias("n"),
         F.sum("late").alias("n_late"),
     )

@@ -38,7 +38,11 @@ def _json_cell(v, epoch: str | None):
 
     if isinstance(v, _dt.datetime):
         if epoch:
-            us = int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+            # exact integer epoch — timestamp()*1e6 is a float64
+            # multiply that can be off by 1µs at µs precision
+            us = (
+                v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            ) // _dt.timedelta(microseconds=1)
             return {
                 "ns": us * 1000, "u": us, "ms": us // 1000, "s": us // 1_000_000
             }[epoch]
@@ -97,7 +101,7 @@ class InfluxAPI:
                 elif up.startswith("DELETE") or up.startswith("DROP MEASUREMENT"):
                     kept = compile_delete(stmt, self.get_table(None))
                     if self.write_dir:
-                        kept.write.mode("overwrite").parquet(self.write_dir)
+                        self._rewrite_points(kept)
                     results.append({"statement_id": i})
                     continue
                 else:
@@ -120,6 +124,26 @@ class InfluxAPI:
             except InfluxQLError as e:
                 results.append({"statement_id": i, "error": str(e)})
         return {"results": results}
+
+    def _rewrite_points(self, kept: DataFrame) -> None:
+        """Materialize the post-DELETE survivors to a staging dir and
+        atomically rename-swap into place.
+
+        mode('overwrite') straight onto ``write_dir`` would delete the
+        source files while ``kept`` is still lazily reading them — the
+        job dies with FILE_NOT_EXIST and the points directory is gone.
+        Same swap sequence as retention.compact_partition: write
+        ``.delete_tmp`` → rename live → tmp-to-live → drop old.
+        """
+        import os
+        import shutil
+
+        staging = self.write_dir + ".delete_tmp"
+        kept.write.mode("overwrite").parquet(staging)
+        old = self.write_dir + ".delete_old"
+        os.rename(self.write_dir, old)
+        os.rename(staging, self.write_dir)
+        shutil.rmtree(old)
 
     def write(self, body: str) -> int:
         from .influx import parse_line_protocol
@@ -193,10 +217,19 @@ def serve(api: InfluxAPI, port: int = 0):
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length).decode()
             if parsed.path == "/query":
+                # Grafana's InfluxDB datasource POSTs queries by
+                # default — same error envelope as the GET path
                 qs = urllib.parse.parse_qs(parsed.query or body)
                 q = (qs.get("q") or [""])[0]
                 epoch = (qs.get("epoch") or [None])[0]
-                return self._respond(200, json.dumps(api.query(q, epoch)).encode())
+                try:
+                    return self._respond(
+                        200, json.dumps(api.query(q, epoch)).encode()
+                    )
+                except Exception as e:  # noqa: BLE001 — wire errors as JSON
+                    return self._respond(
+                        400, json.dumps({"error": str(e)}).encode()
+                    )
             if parsed.path == "/write":
                 try:
                     api.write(body)

@@ -106,3 +106,118 @@ def test_write_then_query_roundtrip(gateway, spark):
     vals = json.loads(body)["results"][0]["series"][0]["values"]
     # a global aggregate has no time column — the row is just [count]
     assert vals == [[5]]
+
+
+def test_multi_statement_error_isolation(gateway):
+    """InfluxDB accepts q=stmt1;stmt2 (dashboards batch their panel
+    queries) and returns one result object per statement; a malformed
+    statement yields an in-band per-statement error, not a request
+    failure."""
+    base, _ = gateway
+    q = urllib.parse.quote(
+        "SELECT count(value) FROM points WHERE \"plc_ip\" = 'plc1';"
+        "SELECT bogus("
+    )
+    status, body = _get(f"{base}/query?q={q}")
+    assert status == 200
+    out = json.loads(body)["results"]
+    assert len(out) == 2
+    assert "series" in out[0] and "error" not in out[0]
+    assert "error" in out[1] and "series" not in out[1]
+
+
+def test_bad_time_literal_is_inband_error(gateway):
+    """Parser totality: garbage time literal in time-arithmetic must
+    surface as InfluxQLError (in-band), never a bare ValueError that
+    400s the whole multi-statement request."""
+    base, _ = gateway
+    q = urllib.parse.quote(
+        "SELECT count(value) FROM points;"
+        "SELECT mean(value) FROM points WHERE time >= 'garbage' + 1h"
+    )
+    status, body = _get(f"{base}/query?q={q}")
+    assert status == 200
+    out = json.loads(body)["results"]
+    assert "series" in out[0]
+    assert "error" in out[1]
+
+
+def test_post_query_grafana_default(gateway):
+    """Grafana's InfluxDB datasource POSTs by default; errors must come
+    back as JSON over HTTP, not a dropped connection."""
+    base, _ = gateway
+    q = urllib.parse.urlencode(
+        {"q": "SELECT mean(value) FROM points GROUP BY time(12h)"}
+    )
+    req = urllib.request.Request(
+        f"{base}/query", data=q.encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+        out = json.loads(r.read())
+    assert len(out["results"][0]["series"][0]["values"]) == 2
+
+
+def test_delete_roundtrip(spark, tmp_path):
+    """DELETE through the gateway must remove the matched rows and leave
+    the points directory fully readable (staged atomic swap — a naive
+    overwrite-in-place deletes source files mid-read and destroys the
+    table)."""
+    write_dir = str(tmp_path / "points")
+    pts = spark.createDataFrame(
+        [
+            (f"2024-01-01T{h:02d}:00:00", plc, "temp", float(h))
+            for h in range(10)
+            for plc in ("plcA", "plcB")
+        ],
+        "ts_s string, plc_ip string, alias string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "plc_ip", "alias", "value"
+    )
+    pts.write.mode("overwrite").parquet(write_dir)
+    api = InfluxAPI(
+        spark, lambda _m: spark.read.parquet(write_dir), write_dir=write_dir
+    )
+    server, _thread, port = serve(api, port=0)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        q = urllib.parse.quote(
+            "DELETE FROM plcA WHERE time < '2024-01-01T05:00:00'"
+        )
+        status, body = _get(f"{base}/query?q={q}")
+        assert status == 200
+        assert "error" not in json.loads(body)["results"][0]
+        # survivors: plcA keeps 5 of 10, plcB untouched
+        after = spark.read.parquet(write_dir)
+        assert after.count() == 15
+        assert after.filter(F.col("plc_ip") == "plcA").count() == 5
+        # directory is clean — no staging/old residue
+        import os
+
+        assert not os.path.exists(write_dir + ".delete_tmp")
+        assert not os.path.exists(write_dir + ".delete_old")
+        # DROP MEASUREMENT goes through the same safe path
+        q2 = urllib.parse.quote("DROP MEASUREMENT plcB")
+        status2, _b = _get(f"{base}/query?q={q2}")
+        assert status2 == 200
+        assert spark.read.parquet(write_dir).count() == 5
+    finally:
+        server.shutdown()
+
+
+def test_epoch_us_exact(gateway):
+    """epoch=u timestamps are exact integer microseconds (float64
+    epoch arithmetic can be off by 1µs)."""
+    base, _ = gateway
+    q = urllib.parse.quote(
+        "SELECT value FROM points WHERE \"plc_ip\" = 'plc1' "
+        "AND time >= '2024-01-01T03:00:00' AND time < '2024-01-01T04:00:00'"
+    )
+    _status, body = _get(f"{base}/query?epoch=u&q={q}")
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    import datetime as dt
+
+    want = (
+        dt.datetime(2024, 1, 1, 3) - dt.datetime(1970, 1, 1)
+    ) // dt.timedelta(microseconds=1)
+    assert vals[0][0] == want

@@ -1644,3 +1644,41 @@ def test_compound_durations_and_time_math(spark, points):
         points,
     ).collect()
     assert [tuple(r) for r in d] == [tuple(r) for r in d2] and len(d) > 0
+
+
+def test_global_selector_is_take_ordered(points):
+    """No-GROUP-BY top()/bottom() must compile to TakeOrderedAndProject
+    (per-partition heaps), never an unpartitioned row_number window
+    that funnels the whole measurement through one partition."""
+    import contextlib
+    import io
+
+    df = compile_influxql("SELECT top(value, 3), plc_ip FROM points", points)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_int_literal_arithmetic_keeps_bigint(points):
+    """count(v) * 2 stays an integer on the wire (InfluxDB returns
+    bigint for integer aggregate arithmetic, not 20.0)."""
+    out = compile_influxql(
+        "SELECT count(value) * 2 AS n2 FROM points WHERE alias = 'temp'",
+        points,
+    )
+    assert dict(out.dtypes)["n2"] == "bigint"
+    [row] = out.collect()
+    assert isinstance(row["n2"], int) and row["n2"] == 800
+
+
+def test_bad_time_literal_raises_influxql_error(points):
+    """Parser totality: a garbage time literal in time±duration math is
+    an InfluxQLError, never a bare ValueError."""
+    with pytest.raises(InfluxQLError):
+        compile_influxql(
+            "SELECT mean(value) FROM points WHERE time >= 'garbage' + 1h",
+            points,
+        )

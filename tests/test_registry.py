@@ -50,7 +50,9 @@ def test_canonical_oracle_status_documented():
     qs = plans.queries()
     oracle_names = set(plans.oracles())
     rows_only = set(qs) - oracle_names
-    assert rows_only == {"b5_approx_distinct", "b28_watermark_accounting"}
+    # b28 gained its DuckDB oracle in r4 (two-pass running max is
+    # batch-SQL-expressible); HLL remains the only rows-only entry.
+    assert rows_only == {"b5_approx_distinct"}
 
 
 @pytest.fixture(scope="module")
