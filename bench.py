@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "b21_corpus_stats",  # dataset-card rollup
     "b22_text_encoder",  # Arrow-batched mapInPandas inference path
     "b3_influxql_compound",  # compound-duration dialect additions
+    "b28_watermark_accounting",  # two-pass running max (no WindowExec funnel)
 ]
 
 
@@ -108,6 +109,8 @@ def main() -> int:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    median: dict[str, float] = {}
+    stddev: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
 
@@ -116,8 +119,28 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
-        run_once()  # warm-up, discarded
-        timings[name] = round(min(run_once() for _ in range(repeat)), 3)
+        # Drop the PREVIOUS queries' cached intermediates (LSH
+        # signatures, CC frontiers are cache()d and never unpersisted);
+        # letting them pile up across the suite evicts the current
+        # query's cache mid-measurement and later queries measure GC.
+        # Within one query, repeats intentionally share the warm cache
+        # (CacheManager matches the rebuilt logical plan) — steady-state
+        # marginal cost, same basis as earlier rounds.
+        spark.catalog.clearCache()
+        warm = run_once()  # warm-up, discarded
+        # sub-2s queries are host-load noise-bound: 5 samples there
+        # (3 for heavier ones). "queries" stays min-of-N — the
+        # reproducible capability number, comparable round-over-round;
+        # "median"/"stddev" expose the noise so regressions are
+        # attributable rather than argued from single points.
+        n = 5 if warm < 2.0 else repeat
+        runs = sorted(run_once() for _ in range(n))
+        timings[name] = round(runs[0], 3)
+        median[name] = round(runs[len(runs) // 2], 3)
+        mean = sum(runs) / len(runs)
+        stddev[name] = round(
+            (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5, 3
+        )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -125,6 +148,8 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "median": median,
+        "stddev": stddev,
         "sf": float(sf),
     }
     print(json.dumps(out))

@@ -74,17 +74,52 @@ def salted_self_join_pairs(
             F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
         )
 
-    # hot detection via ONE windowed count (not a groupBy + join back):
-    # every branch below shares the same shuffle subplan, which Spark's
-    # ReuseExchange collapses to a single physical exchange
-    from pyspark.sql import Window
+    # Hot detection via a bucket-size aggregate whose OUTPUT is tiny
+    # (one row per bucket) — hot keys are few by definition, so they
+    # broadcast back. (An r3 windowed-count formulation shared one
+    # logical shuffle but fed FOUR sort-merge-join sides; measured at
+    # sf0.1 the candidate stage cost 4.3 s vs 0.9 s for this shape.)
+    sizes = df.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
+    hot_keys = sizes.filter(F.col("_bn") > hot_threshold).drop("_bn")
 
-    wb = Window.partitionBy(*bucket_cols)
-    flagged = df.withColumn("_bn", F.count("*").over(wb))
-    cold = flagged.filter(F.col("_bn") <= hot_threshold).drop("_bn")
-    hot = flagged.filter(F.col("_bn") > hot_threshold).drop("_bn")
+    # Cold buckets (≤ hot_threshold rows, the overwhelming majority):
+    # ONE shuffle — collect each bucket's ids and expand the ordered
+    # pairs natively from the sorted array. The per-reducer array is
+    # bounded by hot_threshold, so no reducer ever materializes a
+    # viral bucket.
+    cold = df.join(
+        F.broadcast(hot_keys), bucket_cols, "left_anti"
+    )
+    cold_pairs = (
+        cold.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("_ids"),
+                                i + F.lit(2),
+                                F.size(F.col("_ids")) - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("d1"), y.alias("d2")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .select("_p.d1", "_p.d2")
+    )
 
-    cold_pairs = _pairs(cold, cold)
+    # Hot buckets: salted join — probe side split by hash(id) % n_salts,
+    # build side replicated n_salts times, spreading each viral
+    # bucket's m² pairs over n_salts reducers.
+    hot = df.join(F.broadcast(hot_keys), bucket_cols, "left_semi")
     hot_a = hot.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)))
     hot_b = hot.withColumn(
         "_rep", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -68,13 +68,16 @@ def _doc_shingles(spark, sf_dir):
 # B19a — MinHash + LSH near-duplicate detection (the 100 TB dedup path:
 # k salted-md5 min-hashes → bands → bucket join → verify candidates only)
 # --------------------------------------------------------------------------
-# 8 minhash components from 2 md5 digests per shingle: component j is
-# the min over shingles of a disjoint 8-hex-char (32-bit) slice of
-# md5('a|'+s) (j<4) or md5('b|'+s) (j>=4). Fixed-width lowercase hex
-# makes lexicographic MIN equal numeric MIN — identical in both engines
-# at a quarter of the hashing cost of 8 independent md5s.
+# 8 minhash components, one salted md5 per (shingle, component):
+# component j is the min over shingles of the first 8 hex chars of
+# md5(j|shingle). Fixed-width lowercase hex makes lexicographic MIN
+# equal numeric MIN — identical in both engines. An r3 experiment
+# derived all 8 components from 2 md5 digests via fixed-width slices
+# ("4x less hashing"); measured A/B at sf0.1 it was 1.6-4x SLOWER
+# (2.42s vs 1.54s): building 64-char concat strings per shingle and
+# re-traversing them 8x costs more than md5 itself. Reverted.
 _MINHASH_COMPONENTS = ",\n        ".join(
-    f"min(substr(md5(concat('{'a' if j < 4 else 'b'}|', s)), {1 + 8 * (j % 4)}, 8)) AS h{j}"
+    f"min(substr(md5(concat('{j}|', s)), 1, 8)) AS h{j}"
     for j in range(8)
 )
 
@@ -136,29 +139,20 @@ def b19_minhash(spark, sf_dir):
             F.array_distinct(shingles(F.col("w"))).alias("arr"),
         )
     )
-    # hash each shingle ONCE (two md5s, concatenated to 64 hex chars),
-    # then take 8 array_min passes over cheap fixed-width slices — 4×
-    # less hashing than 8 independent salted md5s per shingle
-    hashed = docs.withColumn(
-        "hs",
-        F.transform(
-            F.col("arr"),
-            lambda s: F.concat(
-                F.md5(F.concat(F.lit("a|"), s)), F.md5(F.concat(F.lit("b|"), s))
-            ),
-        ),
-    )
-    def _slice(start):
-        # single-arg lambda: a 2-arg callable would receive (element,
-        # index) from F.transform
-        return lambda h: F.substring(h, start, 8)
-
-    sig = hashed.select(
+    # one salted md5 per (shingle, component), min-folded over the
+    # un-exploded array — zero shuffle. Measured faster than deriving
+    # the components from two concatenated digests (see oracle note).
+    sig = docs.select(
         "doc_id",
         "arr",
         *[
             F.array_min(
-                F.transform(F.col("hs"), _slice(1 + 8 * (j % 4) + 32 * (j // 4)))
+                F.transform(
+                    F.col("arr"),
+                    lambda s, j=j: F.substring(
+                        F.md5(F.concat(F.lit(f"{j}|"), s)), 1, 8
+                    ),
+                )
             ).alias(f"h{j}")
             for j in range(8)
         ],
@@ -891,6 +885,9 @@ def b19_clusters(spark, sf_dir):
     from ..operators.graph import connected_components
 
     labels, _rounds = connected_components(pairs)
+    # CC's first localCheckpoint materialized from pairs and cut the
+    # lineage — the cache is dead weight from here on
+    pairs.unpersist()
     wc = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")

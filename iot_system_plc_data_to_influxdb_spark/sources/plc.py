@@ -185,11 +185,10 @@ class PLCSimDataSource(DataSource):
 def try_snap7_backend():
     """Production backend hook: returns the snap7 module or None.
 
-    The real reader would open one snap7 client per partition (per PLC,
-    A3) and call ``read_area(area, db, offset, size)`` exactly as
-    Linux/InfluxConnector2.py:142-160 does; unavailable in CI.
+    Resolved through ``sys.modules`` at call time so tests can inject a
+    fake module and exercise the production read path without a PLC.
     """
-    try:  # pragma: no cover - snap7 not installed here
+    try:
         import snap7  # type: ignore
 
         return snap7
@@ -197,5 +196,154 @@ def try_snap7_backend():
         return None
 
 
+# snap7 protocol constants (public libsnap7 API). Area codes select
+# the memory region; the reference hard-codes DB's 132 == 0x84
+# (Linux/InfluxConnector2.py:142) and passes the S7WL* word-length
+# constant as read_area's 4th argument (:142-160).
+S7_AREA_CODES = {
+    "S7AreaPE": 0x81,  # process inputs
+    "S7AreaPA": 0x82,  # process outputs
+    "S7AreaMK": 0x83,  # flags / merker
+    "S7AreaDB": 0x84,  # data blocks (== 132)
+    "S7AreaCT": 0x1C,  # counters (untested in reference, README.md:49)
+    "S7AreaTM": 0x1D,  # timers
+}
+S7_WORD_LEN = {
+    "S7WLBit": 0x01,
+    "S7WLByte": 0x02,
+    "S7WLWord": 0x04,
+    "S7WLDWord": 0x06,
+    "S7WLReal": 0x08,
+    "S7WLCounter": 0x1C,
+    "S7WLTimer": 0x1D,
+}
+
+
+def s7_read_plan(data_type: str, data_area: str, address: str):
+    """Map one tag to its exact ``read_area`` argument tuple:
+    ``(area_code, db_number, start, word_len, bit_off)`` — or ``None``
+    when the reference would skip the tag.
+
+    Mirrors Linux/InfluxConnector2.py:139-170 exactly:
+    - DB area consumes digit runs as (db_number, byte_offset[, bit]);
+      requires ≥2 numbers, and a Bit REQUIRES exactly 3 (DB5.DBX2.7).
+    - PE/PA/MK consume (byte_offset[, bit]); ≥1 number, Bit requires
+      exactly 2 (I0.1).
+    - Counter/Timer areas and malformed addresses yield None — the
+      null gate (A9) drops them downstream.
+    """
+    nums = _address_numbers(address)
+    if data_area not in S7_AREA_CODES or data_type not in S7_WORD_LEN:
+        return None
+    if data_area == "S7AreaDB":
+        if len(nums) < 2:
+            return None
+        if data_type == "S7WLBit" and len(nums) != 3:
+            return None
+        db, start = nums[0], nums[1]
+        bit = nums[2] if len(nums) > 2 else None
+    else:
+        if len(nums) < 1:
+            return None
+        if data_type == "S7WLBit" and len(nums) != 2:
+            return None
+        db, start = 0, nums[0]
+        bit = nums[1] if len(nums) > 1 else None
+    return (
+        S7_AREA_CODES[data_area],
+        db,
+        start,
+        S7_WORD_LEN[data_type],
+        bit,
+    )
+
+
+class Snap7Poller:
+    """Production read loop for ONE PLC group (A3: one connection per
+    PLC). Batch-sweeps every tag via ``read_area`` with the reference's
+    exact argument mapping; on any read error it disconnects,
+    reconnects ``(ip, rack=0, slot)``, and abandons the rest of the
+    sweep — the next sweep resumes — which is precisely the reference's
+    recovery behavior (Linux/InfluxConnector2.py:187-195).
+
+    Designed to run inside one input partition of the DataSource (the
+    executor-side body of A5), so a 1000-PLC fleet holds one connection
+    per partition.
+    """
+
+    def __init__(self, plc_ip: str, slot: int = 1, snap7_module=None):
+        snap7 = snap7_module or try_snap7_backend()
+        if snap7 is None:
+            raise RuntimeError(
+                "snap7 backend requested but the snap7 library is not "
+                "installed; use the plc_sim simulator backend instead"
+            )
+        self.plc_ip = plc_ip
+        self.slot = slot
+        self.client = snap7.client.Client()
+        self.client.connect(plc_ip, 0, slot)
+
+    def _reconnect(self):
+        self.client.disconnect()
+        self.client.connect(self.plc_ip, 0, self.slot)
+
+    def sweep(self, tags, poll: int):
+        """One full pass over this PLC's tags → READING_SCHEMA rows."""
+        import datetime
+
+        ts = datetime.datetime.utcfromtimestamp(_EPOCH_BASE + poll)
+        rows = []
+        for ip, data_type, data_area, address, alias in tags:
+            if ip != self.plc_ip:
+                continue
+            plan = s7_read_plan(data_type, data_area, address)
+            if plan is None:
+                continue
+            area, db, start, word_len, bit = plan
+            try:
+                buf = bytes(self.client.read_area(area, db, start, word_len))
+            except Exception:  # noqa: BLE001 — any comms error
+                self._reconnect()
+                break
+            rows.append(
+                (poll, ts, ip, alias, data_type, data_area, address, bit, buf)
+            )
+        return rows
+
+
+class PLCSnap7BatchReader(DataSourceReader):
+    """Batch reader over live PLCs: one partition = one PLC = one
+    snap7 connection, ``polls`` sweeps each."""
+
+    def __init__(self, options):
+        self.tags = _tags_from_options(options)
+        self.n_polls = int(options.get("polls", "1"))
+        self.slot = int(options.get("slot", "1"))
+
+    def partitions(self):
+        ips = sorted({ip for ip, *_ in self.tags})
+        return [_PlcPartition(ip, range(self.n_polls)) for ip in ips]
+
+    def read(self, partition: _PlcPartition) -> Iterator[tuple]:
+        poller = Snap7Poller(partition.plc_ip, slot=self.slot)
+        for poll in partition.polls:
+            yield from poller.sweep(self.tags, poll)
+
+
+class PLCSnap7DataSource(DataSource):
+    """format("plc_s7") — the production backend (requires snap7)."""
+
+    @classmethod
+    def name(cls):
+        return "plc_s7"
+
+    def schema(self):
+        return READING_SCHEMA
+
+    def reader(self, schema: StructType):
+        return PLCSnap7BatchReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(PLCSimDataSource)
+    spark.dataSource.register(PLCSnap7DataSource)
