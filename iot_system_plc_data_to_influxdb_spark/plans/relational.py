@@ -296,7 +296,7 @@ def b8(spark, sf_dir):
     )
 
 
-def _bucketed_table(spark, sf_dir: str, base: str, key: str, n_buckets: int = 8):
+def _bucketed_table(spark, sf_dir: str, base: str, key, n_buckets: int = 8):
     """Materialize (once per sf_dir) a bucketed+sorted copy of a fact
     table — the write-time co-partitioning SCALE.md names as the 100 TB
     elimination of the b8 shuffle. Idempotent: reuses the warehouse
@@ -306,6 +306,7 @@ def _bucketed_table(spark, sf_dir: str, base: str, key: str, n_buckets: int = 8)
     import shutil
     from urllib.parse import urlparse
 
+    keys = [key] if isinstance(key, str) else list(key)
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/").split("sf")[-1])
     name = f"{base}_bkt_{tag}"
     if not spark.catalog.tableExists(name):
@@ -319,11 +320,65 @@ def _bucketed_table(spark, sf_dir: str, base: str, key: str, n_buckets: int = 8)
         (
             t(spark, sf_dir, base)
             .write.mode("overwrite")
-            .bucketBy(n_buckets, key)
-            .sortBy(key)
+            .bucketBy(n_buckets, keys[0], *keys[1:])
+            .sortBy(keys[0], *keys[1:])
             .saveAsTable(name)
         )
     return spark.table(name)
+
+
+@register(
+    "b8_points_bucketed",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, event_type, MAX(value) AS peak,
+        COUNT(*) AS n_readings
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT e.user_id AS plc_ip, e.event_type AS alias, e.ts,
+      e.value, s.n_readings
+    FROM events e JOIN stats s
+      ON s.user_id = e.user_id AND s.event_type = e.event_type
+    WHERE e.value >= s.peak
+    """,
+    tags=("B8", "A11"),
+)
+def b8_points_bucketed(spark, sf_dir):
+    """The acquisition→query loop over the bucketed points layout:
+    the points table (events standing in as the long/narrow signal
+    table, (user_id, event_type) ≡ (plc_ip, alias)) is stored
+    bucketed+sorted on the signal key — the layout
+    streaming.sinks.start_bucketed_signal_table materializes straight
+    off the stream. Per-signal stats are aggregated WITHOUT an
+    exchange (the groupBy reuses the bucket partitioning) and joined
+    back point-to-stats with zero shuffle on either side (merge hint,
+    bucketed-bucketed). Each signal's peak readings come out; the only
+    float op is an equality comparison, so the oracle is exact.
+    Plan-guarded exchange-free in tests/test_plans_physical.py."""
+    pts = _bucketed_table(
+        spark, sf_dir, "events", ["user_id", "event_type"]
+    ).select("user_id", "event_type", "ts", "value")
+    stats = pts.groupBy("user_id", "event_type").agg(
+        F.max("value").alias("peak"),
+        F.count("*").alias("n_readings"),
+    )
+    return (
+        pts.hint("merge")
+        .join(stats, ["user_id", "event_type"])
+        # >= not ==: against a MAX they select the same rows, but an
+        # equality would be promoted by Catalyst into a THIRD equi-join
+        # key, and a 3-key join can't reuse the 2-key bucketing —
+        # exchanges reappear on both sides. The inequality stays a
+        # post-join predicate.
+        .filter(F.col("value") >= F.col("peak"))
+        .select(
+            F.col("user_id").alias("plc_ip"),
+            F.col("event_type").alias("alias"),
+            "ts",
+            "value",
+            "n_readings",
+        )
+    )
 
 
 @register(

@@ -133,3 +133,51 @@ def start_interval_queries(
         )
         queries.append(q)
     return queries
+
+
+def write_signal_batch_bucketed(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_name: str,
+    n_buckets: int = 8,
+) -> None:
+    """foreachBatch hook appending the micro-batch into a CATALOG table
+    bucketed+sorted by (plc_ip, alias) — the join-time layout, sibling
+    to write_points_batch_bucketed's (plc_bucket, date) scan-pruning
+    layout. Signal-keyed joins and per-signal aggregates over this
+    table run with ZERO exchange (the groupBy and the merge join both
+    reuse the storage partitioning; plan-guarded in
+    tests/test_plans_physical.py::test_b8_points_bucketed_zero_exchange
+    and proven off a live stream in tests/test_points_layout.py).
+    Bucket writes require the table catalog (bucket metadata lives
+    there), hence saveAsTable instead of a path write."""
+    (
+        batch_df.withColumn("batch_id", F_lit(batch_id))
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "plc_ip", "alias")
+        .sortBy("plc_ip", "alias")
+        .saveAsTable(table_name)
+    )
+
+
+def start_bucketed_signal_table(
+    points: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    n_buckets: int = 8,
+):
+    """Streaming query materializing the signal-bucketed points table."""
+    writer = (
+        points.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, bid: write_signal_batch_bucketed(
+                df, bid, table_name, n_buckets
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

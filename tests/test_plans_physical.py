@@ -227,3 +227,11 @@ def test_b10_pruned_variant_has_no_join(spark):
     # every branch carries pushed ts bounds
     for seg in p.split("PushedFilters")[1:]:
         assert "ts" in seg[:200]
+
+
+def test_b8_points_bucketed_zero_exchange(spark):
+    """Signal-keyed stats join over the bucketed points layout: the
+    groupBy AND the merge join both reuse storage partitioning."""
+    p = _plan(spark, "b8_points_bucketed")
+    assert "Exchange" not in p
+    assert "SortMergeJoin" in p

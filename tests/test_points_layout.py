@@ -226,3 +226,63 @@ def test_compaction_crash_recovery(spark, tmp_path):
     actions = recover_interrupted_compactions(base)
     assert any("dropped old" in v for v in actions.values())
     assert spark.read.parquet(base).count() == rows_before
+
+
+def test_acquisition_to_bucketed_join_zero_exchange(spark):
+    """The FULL acquisition→query loop over the signal-bucketed layout:
+    plc_sim stream → decode → foreachBatch bucketed saveAsTable →
+    per-signal stats join with ZERO Exchange in the plan."""
+    import contextlib
+    import io
+    import uuid
+
+    from iot_system_plc_data_to_influxdb_spark.sources.plc import register
+    from iot_system_plc_data_to_influxdb_spark.streaming.pipeline import (
+        decode_readings,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.sinks import (
+        start_bucketed_signal_table,
+    )
+
+    register(spark)
+    table = f"points_live_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        raw = (
+            spark.readStream.format("plc_sim")
+            .option("pollsPerBatch", "4")
+            .load()
+        )
+        q = start_bucketed_signal_table(
+            decode_readings(raw),
+            table,
+            os.path.join(tmp, "ckpt"),
+            available_now=True,
+            n_buckets=4,
+        )
+        q.awaitTermination(120)
+    try:
+        pts = spark.table(table).select("plc_ip", "alias", "ts", "value")
+        stats = pts.groupBy("plc_ip", "alias").agg(
+            F.max("value").alias("peak"), F.count("*").alias("n")
+        )
+        joined = (
+            pts.hint("merge")
+            .join(stats, ["plc_ip", "alias"])
+            .filter(F.col("value") >= F.col("peak"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+        rows = joined.collect()
+        # every live signal surfaced exactly its peak reading(s)
+        aliases = {r["alias"] for r in rows}
+        assert {"boiler_temp", "valve_pos", "line_speed"} <= aliases
+        for r in rows:
+            assert r["value"] == r["peak"]
+        # bucketed metadata really landed in the catalog
+        ddl = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        txt = "\n".join(str(r) for r in ddl)
+        assert "plc_ip" in txt and "Num Buckets" in txt
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -28,6 +28,7 @@ QUERIES = [
     "b7_broadcast_star_join",    # claim: no fact shuffle (dims broadcast)
     "b8_shuffle_join",           # claim: the heavy one (both facts hash)
     "b8_bucketed",               # claim: ZERO exchange over bucketed facts
+    "b8_points_bucketed",        # claim: ZERO exchange — points agg+join on signal buckets
     "b13_global_topk",           # claim: TakeOrdered, no global sort
     "b19_minhash_lsh_neardup",   # claim: signatures map-only
     "b21_classifier_score",      # claim: map-only, zero shuffle
