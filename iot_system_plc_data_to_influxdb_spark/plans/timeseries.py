@@ -1937,3 +1937,56 @@ def b3_influxql_compound(spark, sf_dir):
         "GROUP BY time(1h30m), event_type",
         ev,
     )
+
+
+# --------------------------------------------------------------------------
+# B3k — SELECT ... INTO through the compiled front door (the statement
+# InfluxDB continuous queries and one-shot backfills are written in).
+# The query MATERIALIZES the compiled rollup into the INTO target
+# (parquet at a deterministic temp location) and returns the rows read
+# back from the target — so the hash check covers the written bytes,
+# not just the plan. compile_into splits the statement exactly as
+# streaming/rollup.py's CQ scheduler does.
+# --------------------------------------------------------------------------
+@register(
+    "b3_influxql_into",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + to_seconds(CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)) AS time,
+      event_type,
+      COUNT(value) AS n,
+      MIN(value) AS lo,
+      MAX(value) AS hi
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("B3", "A12"),
+)
+def b3_influxql_into(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.influxql import compile_into
+
+    ev = events_between(spark, sf_dir, "2024-01-01", "2024-01-02")
+    target, df = compile_into(
+        "SELECT count(value) AS n, min(value) AS lo, max(value) AS hi "
+        "INTO events_1h FROM events "
+        "WHERE time >= '2024-01-01' AND time < '2024-01-02' "
+        "GROUP BY time(1h), event_type",
+        ev,
+    )
+    assert target == "events_1h"
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "influxql_into",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    path = os.path.join(base, target)
+    shutil.rmtree(path, ignore_errors=True)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

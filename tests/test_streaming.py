@@ -605,3 +605,67 @@ def test_streaming_chunking_composes_with_curation(spark):
         exp1 = hashlib.md5(" ".join(toks[40:81]).encode()).hexdigest()
         by_chunk = {r["chunk_id"]: r["chunk_md5"] for r in got}
         assert by_chunk == {0: exp0, 1: exp1}
+
+
+def test_dedup_watermark_state_eviction(spark):
+    """The bounded-state half of dropDuplicatesWithinWatermark: once
+    the watermark moves past a key's event time its dedup state is
+    evicted — safe because the same watermark gate DROPS any stale
+    arrival of that key as late data. State stays ∝ watermark window
+    (not corpus) at 100 TB, and the output still carries no duplicate:
+    eviction and the late-row filter are two halves of one contract."""
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.pipeline import (
+        dedup_within_watermark,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ts timestamp, plc_ip string, alias string, value double"
+        batches = [
+            [("2024-01-01 00:00:05", "p1", "a", 1.0)],
+            # advance event time far past the 10s watermark bound so
+            # the 00:00:05 key's state is evicted
+            [("2024-01-01 00:10:00", "p1", "a", 2.0)],
+            # stale duplicate of batch 0 — state evicted, but the
+            # watermark gate drops it as late: NOT re-emitted
+            [("2024-01-01 00:00:05", "p1", "a", 1.0)],
+        ]
+        t0 = time.time() - 100
+        dst = os.path.join(tmp, "stream")
+        os.makedirs(dst, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "ts string, plc_ip string, alias string, value double"
+            ).select(F.col("ts").cast("timestamp"), "plc_ip", "alias", "value")
+            stage = os.path.join(tmp, f"stage{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        seen = []
+        q = (
+            dedup_within_watermark(stream, watermark="10 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: seen.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # exactly one of each: the stale duplicate was late-dropped,
+        # not matched against (already-evicted) dedup state
+        from collections import Counter
+
+        counts = Counter(str(r["ts"]) for r in seen)
+        assert counts["2024-01-01 00:00:05"] == 1
+        assert counts["2024-01-01 00:10:00"] == 1
+        assert len(seen) == 2
