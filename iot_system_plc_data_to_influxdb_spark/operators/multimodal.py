@@ -4,11 +4,19 @@ Image/audio/video payloads are opaque BINARY columns travelling next to
 typed metadata; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
-The actual media decode is STUBBED (no image/audio libs in this
-container): ``decode_image`` raises NotImplementedError, and
-``extract_features`` computes a deterministic fake feature (byte
-histogram) so the Spark-side plumbing — schema, batch shape, partition
-behavior — is real and tested (tests/test_northstar.py).
+Decode support has two tiers:
+
+- **Real byte-level decode** for the uncompressed container formats —
+  24bpp BMP (header/offset/row-padding/bottom-up/BGR), binary PPM
+  (P6 grammar incl. comments), RIFF/WAVE PCM16 (proper chunk walk) —
+  implemented in pure struct/numpy below and hash-checked against
+  closed-form SQL oracles (b22_image_decode / b22_audio_decode).
+- **Codec-gated**: compressed formats (JPEG/PNG/MP4) need an image/
+  audio library not present in this container; ``decode_image``
+  raises the documented NotImplementedError for those, and
+  ``extract_features`` computes a deterministic byte histogram so the
+  Spark-side plumbing — schema, batch shape, partition behavior — is
+  still real and tested (tests/test_northstar.py).
 """
 
 from __future__ import annotations
@@ -42,12 +50,20 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - documented stub
-    """Real image decode (PIL/opencv) — unavailable in this container."""
+def decode_image(payload: bytes):
+    """Image decode dispatch: REAL pure-numpy decoders for the
+    uncompressed container formats (24bpp BMP, binary PPM — see
+    decode_bmp/decode_ppm below); compressed codecs (JPEG/PNG/...)
+    require an image library not present in this container and raise
+    the documented gate. Returns (width, height, (H, W, 3) uint8 RGB)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "media decode requires an image library not present in this "
-        "environment; extract_features uses a deterministic byte "
-        "histogram instead"
+        "compressed codec decode (JPEG/PNG/...) requires an image "
+        "library not present in this environment; BMP and PPM decode "
+        "natively"
     )
 
 
@@ -223,4 +239,235 @@ def window_stats(
         batches,
         "doc_id bigint, win_idx int, n int, sum_amp bigint, sum_sq bigint, "
         "peak int",
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL byte-level media decode — pure struct/numpy, no codec libraries.
+#
+# Uncompressed container formats (BMP, binary PPM, RIFF/WAVE PCM) are
+# fully specified byte layouts; parsing them needs no image/audio lib,
+# so these decoders are REAL — every header field, row-padding rule,
+# channel order, and sample width is honored and tested byte-for-byte.
+# Compressed codecs (JPEG/PNG/MP4) still raise the documented gate in
+# decode_image; a production deployment drops PIL/ffmpeg into the same
+# (payload) → array contract.
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels) -> bytes:
+    """numpy (H, W, 3) uint8 RGB → a standard 24bpp bottom-up BMP.
+
+    Layout: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, rows
+    stored bottom-up, pixels as BGR, each row padded to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = pixels[:, :, ::-1]  # RGB → BGR
+    rows = []
+    padding = b"\x00" * pad
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + padding)
+    return header + dib + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """24bpp uncompressed BMP → (width, height, (H, W, 3) uint8 RGB).
+
+    Handles the format's real quirks: pixel-array offset from the file
+    header, signed height (negative = top-down), BGR channel order,
+    4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    dib_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24bpp uncompressed BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1]  # BGR → RGB
+
+
+def encode_ppm(pixels) -> bytes:
+    """numpy (H, W, 3) uint8 RGB → binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) → (width, height, (H, W, 3) uint8 RGB), honoring
+    the whitespace/comment grammar of the header."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data,
+    # '#' comments run to end-of-line
+    fields = []
+    i = 2
+    while len(fields) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """numpy int16 mono samples → RIFF/WAVE PCM16."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM → (sample_rate, channels, numpy int16 samples).
+
+    Walks the chunk list properly (fmt may be followed by LIST/fact
+    chunks before data; chunks are word-aligned)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = channels = bits = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, body
+            )
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 supported (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2,
+                                    offset=body)
+        pos = body + size + (size % 2)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, channels, samples
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode: BMP/PPM payloads → per-image
+    dimensions + exact per-channel sums and means. Wrong padding, row
+    order, or channel handling in the decoder shows up immediately as
+    a mean mismatch against the closed-form oracle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_px": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"BM":
+                    w, h, px = decode_bmp(b)
+                elif b[:2] == b"P6":
+                    w, h, px = decode_ppm(b)
+                else:
+                    raise NotImplementedError(
+                        "compressed codec decode requires an image "
+                        "library not present in this environment"
+                    )
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = w * h
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(n)
+                for k, c in zip(("sum_r", "sum_g", "sum_b"), range(3)):
+                    out[k].append(int(sums[c]))
+                for k, c in zip(("mean_r", "mean_g", "mean_b"), range(3)):
+                    out[k].append(float(sums[c]) / n)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, width int, height int, n_px int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: WAV PCM16 payloads → header
+    fields + exact integer sample statistics."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "sum_amp": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_samples"].append(samples.size)
+                out["sum_amp"].append(int(samples.astype(np.int64).sum()))
+                out["peak"].append(int(samples.max()) if samples.size else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, sample_rate int, channels int, n_samples int, "
+        "sum_amp bigint, peak int",
     )

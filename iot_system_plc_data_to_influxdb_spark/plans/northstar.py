@@ -3328,3 +3328,147 @@ def b22_text_encoder(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
     return encode_documents(docs)
+
+
+# --------------------------------------------------------------------------
+# B22h — REAL image decode (BMP + PPM, pure struct/numpy — see
+# operators/multimodal.py): payloads are standards-compliant 24bpp
+# bottom-up BMPs (even doc_id) and binary P6 PPMs (odd doc_id) whose
+# pixel content is a closed-form function of doc_id, so the DECODED
+# per-channel sums/means are SQL-derivable — any mistake in the
+# decoder's header parsing, 4-byte row padding, bottom-up row order,
+# or BGR→RGB swap breaks the hash. The encode side runs as its own
+# mapInPandas stage, so the bytes crossing the decode boundary are
+# produced by the engine, not fixtures.
+# --------------------------------------------------------------------------
+_B22_IMG_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    ys AS (SELECT unnest(range(0, 14)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+        (3 * d.doc_id + y) % 256 AS r,
+        (2 * d.doc_id + y) % 256 AS g,
+        (d.doc_id + y) % 256 AS b
+      FROM d JOIN ys ON y < d.h
+    )
+    SELECT doc_id,
+      CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(w * h AS INT) AS n_px,
+      CAST(w * SUM(r) AS BIGINT) AS sum_r,
+      CAST(w * SUM(g) AS BIGINT) AS sum_g,
+      CAST(w * SUM(b) AS BIGINT) AS sum_b,
+      CAST(w * SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+      CAST(w * SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+      CAST(w * SUM(b) AS DOUBLE) / (w * h) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
+def _media_payloads_image(df):
+    """mapInPandas stage: doc_id → real BMP/PPM bytes. Pixel (x, y) of
+    doc d is channel-wise ((3d+y)%256, (2d+y)%256, (d+y)%256) — constant
+    along x, so the oracle only enumerates rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp, encode_ppm
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                chan = np.concatenate(
+                    [(3 * d + y) % 256, (2 * d + y) % 256, (d + y) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                px = np.broadcast_to(chan, (h, w, 3)).copy()
+                ids.append(d)
+                payloads.append(
+                    encode_bmp(px) if d % 2 == 0 else encode_ppm(px)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_image_decode", oracle=_B22_IMG_ORACLE, tags=("B22",))
+def b22_image_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(_media_payloads_image(docs))
+
+
+# --------------------------------------------------------------------------
+# B22i — REAL audio decode (RIFF/WAVE PCM16, proper chunk walk):
+# payloads are WAV files with doc_id-determined sample rate and a
+# closed-form int16 sample sequence; the decoded header fields and
+# exact integer sample statistics hash-check against SQL.
+# --------------------------------------------------------------------------
+_B22_WAV_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+        8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (SELECT unnest(range(0, 128)) AS i),
+    s AS (
+      SELECT d.doc_id, d.n, d.rate,
+        (7 * d.doc_id + 31 * i) % 2048 - 1024 AS amp
+      FROM d JOIN idx ON i < d.n
+    )
+    SELECT doc_id,
+      CAST(rate AS INT) AS sample_rate,
+      1 AS channels,
+      CAST(n AS INT) AS n_samples,
+      CAST(SUM(amp) AS BIGINT) AS sum_amp,
+      CAST(MAX(amp) AS INT) AS peak
+    FROM s GROUP BY doc_id, n, rate
+"""
+
+
+def _media_payloads_wav(df):
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((7 * d + 31 * i) % 2048 - 1024).astype(np.int16)
+                ids.append(d)
+                payloads.append(
+                    encode_wav(samples, 8000 + (d % 8) * 1000)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_audio_decode", oracle=_B22_WAV_ORACLE, tags=("B22",))
+def b22_audio_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_audio
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_audio(_media_payloads_wav(docs))

@@ -41,9 +41,84 @@ def test_multimodal_features_deterministic(spark):
         assert r["modality"] == "image/fake"
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_dispatch():
+    """BMP/PPM decode natively; compressed codecs raise the gate."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+    )
+
+    px = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+    for enc in (encode_bmp, encode_ppm):
+        w, h, out = decode_image(enc(px))
+        assert (w, h) == (5, 6)
+        assert (out == px).all()
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_bmp_top_down_and_padding():
+    """Negative height = top-down rows; odd widths exercise the 4-byte
+    row padding both directions."""
+    import struct
+
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = np.random.RandomState(7).randint(0, 256, (3, 3, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(px))
+    # flip the height field negative and re-order rows top-down
+    (h,) = struct.unpack_from("<i", blob, 22)
+    struct.pack_into("<i", blob, 22, -h)
+    stride = 3 * 3 + ((-3 * 3) % 4)
+    rows = [bytes(blob[54 + i * stride: 54 + (i + 1) * stride]) for i in range(3)]
+    blob[54:] = b"".join(reversed(rows))
+    w, hh, out = decode_bmp(bytes(blob))
+    assert (w, hh) == (3, 3)
+    assert (out == px).all()
+
+
+def test_ppm_header_comments():
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    blob = b"P6\n# a comment\n2 2\n# another\n255\n" + px.tobytes()
+    w, h, out = decode_ppm(blob)
+    assert (w, h) == (2, 2)
+    assert (out == px).all()
+
+
+def test_wav_chunk_walk_with_extra_chunks():
+    """fmt may be followed by LIST/fact chunks (odd-sized → padded)
+    before data; the decoder must walk, not assume offsets."""
+    import struct
+
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = (np.arange(33, dtype=np.int64) * 97 % 2048 - 1024).astype(np.int16)
+    blob = encode_wav(s, 44100)
+    # splice an odd-length LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad byte
+    patched = blob[:fmt_end] + extra + blob[fmt_end:]
+    rate, ch, got = decode_wav(patched)
+    assert rate == 44100 and ch == 1
+    assert (got == s).all()
 
 
 def test_minhash_finds_planted_neardups(spark):
