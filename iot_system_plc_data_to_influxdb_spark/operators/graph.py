@@ -79,7 +79,11 @@ def connected_components(
         # localCheckpoint truncates the logical plan each round —
         # without it the lineage (≈8 self-references per round)
         # compounds geometrically and analysis time explodes by round 3
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy checkpoint: the checksum action below is what
+        # materializes it, so each round is ONE job (an eager
+        # checkpoint would spend a second job per round just to
+        # persist before the same data is re-read for the checksum)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # order-insensitive checksum of the edge multiset; equal
         # checksum+count for an only-contracting edge set ⇒ fixpoint
         chk = new_edges.agg(

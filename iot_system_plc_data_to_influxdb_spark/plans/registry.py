@@ -97,7 +97,7 @@ CANONICAL: frozenset = frozenset(
         "b20_knn_bruteforce",
         "b21_curation_pipeline",
         "b21_decontaminate",
-        "b22_feature_histogram",
+        "b22_image_decode",  # REAL BMP/PPM byte-level decode, hash-checked
         # analytics / forecast / retention
         "b23_anomaly_zscore",
         "b24_holt_forecast",
