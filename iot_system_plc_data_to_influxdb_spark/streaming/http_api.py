@@ -145,14 +145,14 @@ class InfluxAPI:
         os.rename(staging, self.write_dir)
         shutil.rmtree(old)
 
-    def write(self, body: str) -> int:
+    def write(self, body: str, precision: str = "ns") -> int:
         from .influx import parse_line_protocol
 
         lines = self.spark.createDataFrame(
             [(ln,) for ln in body.splitlines() if ln.strip()], "line string"
         )
         pts = (
-            parse_line_protocol(lines)
+            parse_line_protocol(lines, precision=precision)
             .filter(F.col("measurement").isNotNull())
             .select(
                 F.col("ts"),
@@ -231,8 +231,10 @@ def serve(api: InfluxAPI, port: int = 0):
                         400, json.dumps({"error": str(e)}).encode()
                     )
             if parsed.path == "/write":
+                qs = urllib.parse.parse_qs(parsed.query)
+                precision = (qs.get("precision") or ["ns"])[0]
                 try:
-                    api.write(body)
+                    api.write(body, precision=precision)
                     return self._respond(204)
                 except Exception as e:  # noqa: BLE001
                     return self._respond(

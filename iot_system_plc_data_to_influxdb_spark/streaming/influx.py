@@ -155,12 +155,25 @@ def _kv_entries(seg: Column) -> Column:
     )
 
 
-def parse_line_protocol(lines: DataFrame, column: str = "line") -> DataFrame:
+# wire-unit → microseconds multiplier; ns divides instead (a float
+# 0.001 multiply would lose exactness on 1.7e18-scale ns epochs —
+# decimal division keeps every digit)
+_PRECISION_TO_MICROS = {"ns": None, "u": 1, "ms": 1_000, "s": 1_000_000}
+
+
+def parse_line_protocol(
+    lines: DataFrame, column: str = "line", precision: str = "ns"
+) -> DataFrame:
     """One row per field per line: (measurement, tags, field, value_raw,
     value, ts). ``value`` is the numeric reading (ints/bools coerced),
     ``value_raw`` preserves the wire text. Lines that do not match the
     grammar yield a null measurement — filter or quarantine upstream
-    (the A9 null gate applied to ingest)."""
+    (the A9 null gate applied to ingest).
+
+    ``precision`` is the wire timestamp unit, matching InfluxDB's
+    ``/write?precision=ns|u|ms|s`` (default ns)."""
+    if precision not in _PRECISION_TO_MICROS:
+        raise ValueError(f"unsupported precision {precision!r}")
     c = F.col(column)
     seg1 = F.regexp_extract(c, _SEG_RE, 1)
     seg2 = F.regexp_extract(c, _SEG_RE, 2)
@@ -180,7 +193,14 @@ def parse_line_protocol(lines: DataFrame, column: str = "line") -> DataFrame:
         F.explode(_kv_entries(seg2)).alias("f"),
         F.when(
             seg3 != "",
-            F.timestamp_micros((seg3.try_cast("decimal(38,0)") / 1000).try_cast("long")),
+            F.timestamp_micros(
+                (
+                    seg3.try_cast("decimal(38,0)") / 1000
+                    if precision == "ns"
+                    else seg3.try_cast("decimal(38,0)")
+                    * _PRECISION_TO_MICROS[precision]
+                ).try_cast("long")
+            ),
         ).alias("ts"),
     )
     raw = F.col("f.v")

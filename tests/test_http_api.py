@@ -221,3 +221,37 @@ def test_epoch_us_exact(gateway):
         dt.datetime(2024, 1, 1, 3) - dt.datetime(1970, 1, 1)
     ) // dt.timedelta(microseconds=1)
     assert vals[0][0] == want
+
+
+def test_write_precision_param(gateway, spark):
+    """/write honors InfluxDB's precision=s|ms|u|ns query parameter
+    (clients default to coarser units; timestamps must land exact)."""
+    base, write_dir = gateway
+    cases = [
+        ("s", "1704067200"),
+        ("ms", "1704067200123"),
+        ("u", "1704067200123456"),
+        ("ns", "1704067200123456000"),
+    ]
+    for i, (prec, ts) in enumerate(cases):
+        line = f"plcP v{i}={i} {ts}"
+        req = urllib.request.Request(
+            f"{base}/write?db=iot&precision={prec}",
+            data=line.encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 204
+    import datetime as dt
+
+    got = {
+        r["alias"]: r["ts"]
+        for r in spark.read.parquet(write_dir)
+        .filter(F.col("plc_ip") == "plcP")
+        .collect()
+    }
+    base_ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert got["v0"] == base_ts
+    assert got["v1"] == base_ts + dt.timedelta(milliseconds=123)
+    assert got["v2"] == base_ts + dt.timedelta(microseconds=123456)
+    assert got["v3"] == base_ts + dt.timedelta(microseconds=123456)
