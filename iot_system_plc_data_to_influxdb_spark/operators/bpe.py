@@ -86,37 +86,50 @@ def apply_merge(syms, a: str, b: str):
     )
 
 
-def train_bpe(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
-) -> list[tuple[str, str, int]]:
-    """Return the merge sequence [(left, right, weighted_count), ...].
+def train_bpe_table(
+    wt: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Run ``n_merges`` BPE rounds over a (word, freq, syms) table.
+
+    Returns (merge sequence, final word table with merges applied) —
+    the second half is what an encoder needs: each DISTINCT word is
+    segmented exactly once, and callers join the result back to the
+    corpus (the word table is vocabulary-sized, orders of magnitude
+    under the corpus).
 
     The word table is cached across rounds (it is the reduced
     representation every round reads twice — pair counting and merge
-    application); each round collects exactly one row.
+    application); each round collects exactly one row. The returned
+    table is left cached; callers may ``unpersist()`` when done.
     """
-    wt = word_freq_table(docs, text_col).cache()
+    wt = wt.cache()
     merges: list[tuple[str, str, int]] = []
-    try:
-        for _ in range(n_merges):
-            top = (
-                _pair_counts(wt)
-                .orderBy(F.col("n").desc(), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-            merges.append((a, b, n))
-            nxt = wt.select(
-                "word", "freq", apply_merge(F.col("syms"), a, b).alias("syms")
-            ).cache()
-            nxt.count()  # materialize before dropping the parent cache
-            wt.unpersist()
-            wt = nxt
-    finally:
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(wt)
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        nxt = wt.select(
+            "word", "freq", apply_merge(F.col("syms"), a, b).alias("syms")
+        ).cache()
+        nxt.count()  # materialize before dropping the parent cache
         wt.unpersist()
+        wt = nxt
+    return merges, wt
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Return the merge sequence [(left, right, weighted_count), ...]."""
+    merges, wt = train_bpe_table(word_freq_table(docs, text_col), n_merges)
+    wt.unpersist()
     return merges
 
 

@@ -28,6 +28,9 @@ def _min_label(adj: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # No distinct here: duplicate edges cannot change any min-label
+    # (min is duplicate-insensitive), and the round's closing
+    # _small_star dedupes once — one shuffle per round instead of two.
     adj = _adjacency(edges)
     m = _min_label(adj)
     return (
@@ -35,7 +38,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .join(m, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 

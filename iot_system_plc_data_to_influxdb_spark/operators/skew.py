@@ -61,68 +61,79 @@ def salted_self_join_pairs(
     Returns (d1, d2) with possible duplicates when a pair shares
     several buckets — callers dedupe exactly as with the plain join.
     """
-    eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
 
-    def _pairs(a, b, extra=None):
-        cond = eq[0]
-        for e in eq[1:]:
-            cond = cond & e
-        cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        if extra is not None:
-            cond = cond & extra
-        return a.alias("a").join(b.alias("b"), cond).select(
-            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+    def _expand_pairs(grouped):
+        # ONE shuffle — collect each bucket's ids and expand the
+        # ordered pairs natively from the sorted array. Only called on
+        # buckets ≤ hot_threshold, so no reducer ever materializes a
+        # viral bucket.
+        return (
+            grouped.groupBy(*bucket_cols)
+            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("_ids"),
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    F.col("_ids"),
+                                    i + F.lit(2),
+                                    F.size(F.col("_ids")) - i - 1,
+                                ),
+                                lambda y: F.struct(
+                                    x.alias("d1"), y.alias("d2")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("_p")
+            )
+            .select("_p.d1", "_p.d2")
         )
 
     # Hot detection via a bucket-size aggregate whose OUTPUT is tiny
-    # (one row per bucket) — hot keys are few by definition, so they
-    # broadcast back. (An r3 windowed-count formulation shared one
-    # logical shuffle but fed FOUR sort-merge-join sides; measured at
-    # sf0.1 the candidate stage cost 4.3 s vs 0.9 s for this shape.)
-    sizes = df.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
-    hot_keys = sizes.filter(F.col("_bn") > hot_threshold).drop("_bn")
+    # (one row per bucket), filtered to the hot few and COLLECTED —
+    # hot keys are broadcast-small by definition, so holding them on
+    # the driver is the same contract as broadcasting them, and it
+    # buys plan-time short-circuits: the common no-hot-bucket case is
+    # ONE shuffle total (no anti/semi-join stages, no empty hot-side
+    # stages — measured ~2× candidate-stage wall at sf0.1).
+    hot_rows = (
+        df.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > hot_threshold)
+        .drop("_bn")
+        .collect()
+    )
+    if not hot_rows:
+        return _expand_pairs(df)
 
-    # Cold buckets (≤ hot_threshold rows, the overwhelming majority):
-    # ONE shuffle — collect each bucket's ids and expand the ordered
-    # pairs natively from the sorted array. The per-reducer array is
-    # bounded by hot_threshold, so no reducer ever materializes a
-    # viral bucket.
-    cold = df.join(
-        F.broadcast(hot_keys), bucket_cols, "left_anti"
-    )
-    cold_pairs = (
-        cold.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("_ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("_ids"),
-                                i + F.lit(2),
-                                F.size(F.col("_ids")) - i - 1,
-                            ),
-                            lambda y: F.struct(
-                                x.alias("d1"), y.alias("d2")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("_p")
-        )
-        .select("_p.d1", "_p.d2")
-    )
+    # Literal predicate over the collected hot keys (a composite
+    # struct isin) — splits df in a single scan, no join stages.
+    key = F.struct(*[F.col(c) for c in bucket_cols])
+    hot_lits = [
+        F.struct(*[F.lit(r[c]) for c in bucket_cols]) for r in hot_rows
+    ]
+    cold_pairs = _expand_pairs(df.filter(~key.isin(*hot_lits)))
 
     # Hot buckets: salted join — probe side split by hash(id) % n_salts,
     # build side replicated n_salts times, spreading each viral
     # bucket's m² pairs over n_salts reducers.
-    hot = df.join(F.broadcast(hot_keys), bucket_cols, "left_semi")
-    hot_a = hot.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)))
+    hot = df.filter(key.isin(*hot_lits))
+    hot_a = hot.withColumn(
+        "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
+    ).alias("a")
     hot_b = hot.withColumn(
         "_rep", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a._salt") == F.col("b._rep")
     )
-    hot_pairs = _pairs(hot_a, hot_b, F.col("a._salt") == F.col("b._rep"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    hot_pairs = hot_a.join(hot_b, cond).select(
+        F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+    )
     return cold_pairs.unionByName(hot_pairs)

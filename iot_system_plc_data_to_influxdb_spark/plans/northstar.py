@@ -142,20 +142,24 @@ def b19_minhash(spark, sf_dir):
     # one salted md5 per (shingle, component), min-folded over the
     # un-exploded array — zero shuffle. Measured faster than deriving
     # the components from two concatenated digests (see oracle note).
+    # NOTE: the per-component salt must be captured via a closure
+    # FACTORY, not a `lambda s, j=j:` default — pyspark reads a
+    # two-parameter lambda as transform's (element, index) form and
+    # binds j to the index Column, silently turning the salt literal
+    # into the stringified Column repr (fresh-named per call, which
+    # both diverges from the oracle's md5('j|'||s) and busts
+    # CacheManager plan matching across invocations).
+    def _component(j: int):
+        salt = F.lit(f"{j}|")
+        return F.array_min(
+            F.transform(
+                F.col("arr"),
+                lambda s: F.substring(F.md5(F.concat(salt, s)), 1, 8),
+            )
+        ).alias(f"h{j}")
+
     sig = docs.select(
-        "doc_id",
-        "arr",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("arr"),
-                    lambda s, j=j: F.substring(
-                        F.md5(F.concat(F.lit(f"{j}|"), s)), 1, 8
-                    ),
-                )
-            ).alias(f"h{j}")
-            for j in range(8)
-        ],
+        "doc_id", "arr", *[_component(j) for j in range(8)]
     ).cache()
     mh = sig
     bands = mh.select(
@@ -171,7 +175,10 @@ def b19_minhash(spark, sf_dir):
                 ]
             )
         ).alias("e"),
-    ).select("doc_id", "e.band", "e.bk")
+    ).select("doc_id", "e.band", "e.bk").cache()
+    # (bands is tiny — 4 short rows per doc — and is scanned twice:
+    # hot-bucket detection and pair expansion; caching it keeps both
+    # scans off the md5 band-key recompute.)
     # Band self-join with hot-bucket salting (operators/skew.py): a
     # viral LSH bucket of m docs otherwise lands m² candidate pairs on
     # one reducer — the residual skew risk VERDICT r01 flagged. Cold
@@ -885,9 +892,9 @@ def b19_clusters(spark, sf_dir):
     from ..operators.graph import connected_components
 
     labels, _rounds = connected_components(pairs)
-    # CC's first localCheckpoint materialized from pairs and cut the
-    # lineage — the cache is dead weight from here on
-    pairs.unpersist()
+    # (the pair cache stays resident: it is a few hundred rows, and
+    # dropping it forces every later invocation to re-derive the full
+    # LSH pipeline — measured 2× the query wall)
     wc = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -3177,6 +3184,105 @@ def b21_bpe_train(spark, sf_dir):
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, weighted_count bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# B21q' — BPE ENCODE: train-then-apply over the corpus, fully hash-
+# checked. The scale-correct encoder shape: segment each DISTINCT word
+# once (the word table is vocabulary-sized) and join the segmentation
+# back to the corpus — never re-derive merges per occurrence. Both
+# sides run the SAME fixed-round algorithm end-to-end with exact
+# integer/string ops, so unlike b21_bpe_train this has a full DuckDB
+# oracle: the SQL unrolls the 6 training rounds as materialized CTEs,
+# applying each round's winning merge with a boundary-wrapped string
+# replace ('<a><b>' → '<ab>'; words are filtered to [a-z0-9]+ so the
+# wrapper chars cannot collide), which is exactly the leftmost
+# non-overlapping greedy merge the Spark-side array fold
+# (operators/bpe.py apply_merge) performs.
+# --------------------------------------------------------------------------
+_BPE_N_MERGES = 6
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    rounds = ",".join(
+        f"""
+    m{i} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS n
+        FROM (SELECT freq, regexp_extract_all(w, '<([^>]*)>', 1) AS syms
+              FROM wt{i-1}),
+             UNNEST(generate_series(1, len(syms)-1)) AS g(i)
+        GROUP BY 1, 2
+      ) ORDER BY n DESC, a, b LIMIT 1
+    ),
+    wt{i} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(w, '<' || m.a || '><' || m.b || '>',
+                        '<' || m.a || m.b || '>') AS w
+      FROM wt{i-1} CROSS JOIN m{i} m
+    )"""
+        for i in range(1, n + 1)
+    )
+    return rf"""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents)
+      WHERE regexp_full_match(w, '[a-z0-9]+')
+    ),
+    wt0 AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS freq,
+             regexp_replace(word, '(.)', '<\1>', 'g') AS w
+      FROM words GROUP BY word
+    ),
+    {rounds},
+    final AS (
+      SELECT word, regexp_extract_all(w, '<([^>]*)>', 1) AS syms FROM wt{n}
+    )
+    SELECT d.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(len(f.syms))::BIGINT AS n_tokens,
+           max(list_max(list_transform(f.syms, s -> length(s))))::BIGINT
+             AS max_token_len
+    FROM words d JOIN final f ON f.word = d.word
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "b21_bpe_encode",
+    oracle=_bpe_encode_oracle(_BPE_N_MERGES),
+    tags=("B21", "B30"),
+)
+def b21_bpe_encode(spark, sf_dir):
+    from ..operators.bpe import train_bpe_table
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    occurrences = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    wt0 = (
+        occurrences.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", chars.alias("syms"))
+    )
+    _, segmented = train_bpe_table(wt0, _BPE_N_MERGES)
+    return (
+        occurrences.join(segmented.select("word", "syms"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("syms")).alias("n_tokens"),
+            F.max(
+                F.array_max(F.transform("syms", F.length))
+            ).cast("bigint").alias("max_token_len"),
+        )
     )
 
 
