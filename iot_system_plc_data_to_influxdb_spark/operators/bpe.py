@@ -97,10 +97,13 @@ def train_bpe_table(
     corpus (the word table is vocabulary-sized, orders of magnitude
     under the corpus).
 
-    The word table is cached across rounds (it is the reduced
-    representation every round reads twice — pair counting and merge
-    application); each round collects exactly one row. The returned
-    table is left cached; callers may ``unpersist()`` when done.
+    The BASE word table is cached once; each round's merge application
+    stays lazy (a native fold stacked on the cached base — recomputing
+    i folds over the vocabulary-sized table is far cheaper than a
+    materialize-job per round, halving the round job count), so each
+    round costs exactly one job: the top-pair collect. The returned
+    table reads from the cached base; callers may ``unpersist()`` it
+    when done.
     """
     wt = wt.cache()
     merges: list[tuple[str, str, int]] = []
@@ -115,12 +118,9 @@ def train_bpe_table(
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((a, b, n))
-        nxt = wt.select(
+        wt = wt.select(
             "word", "freq", apply_merge(F.col("syms"), a, b).alias("syms")
-        ).cache()
-        nxt.count()  # materialize before dropping the parent cache
-        wt.unpersist()
-        wt = nxt
+        )
     return merges, wt
 
 
