@@ -51,19 +51,20 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Image decode dispatch: REAL pure-numpy decoders for the
-    uncompressed container formats (24bpp BMP, binary PPM — see
-    decode_bmp/decode_ppm below); compressed codecs (JPEG/PNG/...)
-    require an image library not present in this container and raise
-    the documented gate. Returns (width, height, (H, W, 3) uint8 RGB)."""
+    """Image decode dispatch: REAL decoders for 24bpp BMP, binary PPM
+    (pure numpy) and PNG (stdlib-zlib inflate + spec-level chunk walk
+    and filter reconstruction — see decode_png below). JPEG and video
+    codecs require libraries not present in this container and raise
+    the documented gate. Returns (width, height, (H, W, C) uint8)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed codec decode (JPEG/PNG/...) requires an image "
-        "library not present in this environment; BMP and PPM decode "
-        "natively"
+        "JPEG/video codec decode requires a library not present in "
+        "this environment; BMP, PPM, and PNG decode natively"
     )
 
 
@@ -400,6 +401,173 @@ def decode_wav(payload: bytes):
     return sample_rate, channels, samples
 
 
+# --------------------------------------------------------------------------
+# REAL compressed-codec decode: PNG. The DEFLATE layer is the Python
+# standard library's zlib (no external image library), and everything
+# around it — chunk walk with CRC verification, IHDR validation, and
+# all five scanline filters (None/Sub/Up/Average/Paeth) — is
+# implemented here per the PNG spec (RFC 2083). 8-bit non-interlaced
+# truecolor (RGB) and truecolor+alpha (RGBA) are supported; palette /
+# 16-bit / interlaced images raise the documented gate.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor over int32 numpy arrays (spec §6.6)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels) -> bytes:
+    """numpy (H, W, 3|4) uint8 → a real PNG (8-bit, non-interlaced).
+
+    The filter type cycles y % 5 per scanline, deliberately exercising
+    every filter (None/Sub/Up/Average/Paeth) so a decoder round-trip
+    covers all five reconstruction paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    color_type = 2 if ch == 3 else 6
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        row = px[y].astype(np.int32)
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        ul = np.zeros_like(row)
+        ul[1:] = prev[:-1]
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            filt = row - _paeth(left, prev, ul)
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """PNG → (width, height, (H, W, 3|4) uint8).
+
+    Real spec-level decode: chunk walk with CRC32 verification,
+    multi-IDAT concatenation, zlib inflate, and per-scanline filter
+    reconstruction. Sub reconstruction is a vectorized cumulative sum
+    (mod-256 addition is associative, so cumsum-then-truncate equals
+    the serial recurrence); Up is one vectorized add; Average/Paeth
+    carry a true left-dependence and walk pixels within the row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if (
+        depth != 8
+        or color_type not in (2, 6)
+        or comp != 0
+        or filt_method != 0
+        or interlace != 0
+    ):
+        raise NotImplementedError(
+            "only 8-bit non-interlaced truecolor(+alpha) PNG is "
+            f"supported (depth={depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * ch
+    if len(raw) != stride * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, w, ch), dtype=np.int32)
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * stride]
+        fr = np.frombuffer(
+            raw, dtype=np.uint8, count=w * ch, offset=y * stride + 1
+        ).reshape(w, ch).astype(np.int32)
+        if ft == 0:
+            row = fr
+        elif ft == 1:  # Sub: out[x] = fr[x] + out[x-1]
+            row = np.cumsum(fr, axis=0)
+        elif ft == 2:  # Up
+            row = fr + prev
+        elif ft == 3:  # Average
+            row = np.zeros_like(fr)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                row[x] = (fr[x] + (left + prev[x]) // 2) % 256
+                left = row[x]
+        elif ft == 4:  # Paeth
+            row = np.zeros_like(fr)
+            left = np.zeros(ch, dtype=np.int32)
+            ulx = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                row[x] = (fr[x] + _paeth(left, prev[x], ulx)) % 256
+                left = row[x]
+                ulx = prev[x]
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        row = row % 256
+        out[y] = row
+        prev = row
+    return w, h, out.astype(np.uint8)
+
+
 def decode_images(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL image decode: BMP/PPM payloads → per-image
     dimensions + exact per-channel sums and means. Wrong padding, row
@@ -415,17 +583,10 @@ def decode_images(df: DataFrame) -> DataFrame:
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                if b[:2] == b"BM":
-                    w, h, px = decode_bmp(b)
-                elif b[:2] == b"P6":
-                    w, h, px = decode_ppm(b)
-                else:
-                    raise NotImplementedError(
-                        "compressed codec decode requires an image "
-                        "library not present in this environment"
-                    )
-                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                w, h, px = decode_image(bytes(payload))
+                sums = px.reshape(-1, px.shape[2])[:, :3].sum(
+                    axis=0, dtype=np.int64
+                )
                 n = w * h
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)

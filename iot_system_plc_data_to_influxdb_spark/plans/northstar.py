@@ -3474,13 +3474,16 @@ _B22_IMG_ORACLE = """
 
 
 def _media_payloads_image(df):
-    """mapInPandas stage: doc_id → real BMP/PPM bytes. Pixel (x, y) of
-    doc d is channel-wise ((3d+y)%256, (2d+y)%256, (d+y)%256) — constant
-    along x, so the oracle only enumerates rows."""
+    """mapInPandas stage: doc_id → real BMP/PPM/PNG bytes. Pixel (x, y)
+    of doc d is channel-wise ((3d+y)%256, (2d+y)%256, (d+y)%256) —
+    constant along x, so the oracle only enumerates rows. One third of
+    the docs go through the compressed path (real PNG: zlib DEFLATE +
+    per-row filters cycling all five types), so the hash-check proves
+    the PNG filter reconstruction, not just the uncompressed layouts."""
     import numpy as np
     import pandas as pd
 
-    from ..operators.multimodal import encode_bmp, encode_ppm
+    from ..operators.multimodal import encode_bmp, encode_png, encode_ppm
 
     def batches(it):
         for pdf in it:
@@ -3495,9 +3498,8 @@ def _media_payloads_image(df):
                 ).astype(np.uint8)
                 px = np.broadcast_to(chan, (h, w, 3)).copy()
                 ids.append(d)
-                payloads.append(
-                    encode_bmp(px) if d % 2 == 0 else encode_ppm(px)
-                )
+                enc = (encode_bmp, encode_ppm, encode_png)[d % 3]
+                payloads.append(enc(px))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.mapInPandas(batches, "doc_id bigint, payload binary")

@@ -42,21 +42,86 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_decode_image_dispatch():
-    """BMP/PPM decode natively; compressed codecs raise the gate."""
+    """BMP/PPM/PNG decode natively; JPEG raises the gate."""
     import numpy as np
 
     from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
         encode_bmp,
+        encode_png,
         encode_ppm,
     )
 
     px = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
-    for enc in (encode_bmp, encode_ppm):
+    for enc in (encode_bmp, encode_ppm, encode_png):
         w, h, out = decode_image(enc(px))
         assert (w, h) == (5, 6)
         assert (out == px).all()
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG/JFIF
+
+
+def test_png_round_trip_all_filters():
+    """≥5 rows so the encoder's cycling filter exercises every
+    reconstruction path (None/Sub/Up/Average/Paeth), RGB and RGBA."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for ch in (3, 4):
+        px = rng.randint(0, 256, (7, 6, ch), dtype=np.uint8)
+        w, h, out = decode_png(encode_png(px))
+        assert (w, h) == (6, 7)
+        assert (out == px).all()
+
+
+def test_png_hand_built_fixture():
+    """Decode a byte-level hand-computed PNG (independent of our
+    encoder): 2x2 RGB, row 0 filter None, row 1 filter Up — the
+    filtered bytes are worked out by hand below."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    # target pixels: row0 = (10,20,30),(40,50,60); row1 = (15,25,35),(45,55,65)
+    # row1 with Up filter stores pixel - above = (5,5,5),(5,5,5)
+    scan = (
+        b"\x00" + bytes([10, 20, 30, 40, 50, 60])
+        + b"\x02" + bytes([5, 5, 5, 5, 5, 5])
+    )
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = decode_png(blob)
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[15, 25, 35], [45, 55, 65]]],
+        dtype=np.uint8,
+    )
+    assert (w, h) == (2, 2)
+    assert (out == want).all()
+
+    # corrupt one IDAT byte → CRC must catch it
+    bad = bytearray(blob)
+    idat_at = blob.index(b"IDAT")
+    bad[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
 
 
 def test_bmp_top_down_and_padding():
