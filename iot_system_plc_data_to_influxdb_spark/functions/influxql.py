@@ -99,9 +99,7 @@ _TRANSFORMS = (
 # InfluxDB 1.8 one-argument math transformations — applied to each
 # output value, either a raw field (`abs(value)`) or an aggregate
 # (`sqrt(mean(value))`). ceil/floor return BIGINT in Spark but FLOAT in
-# InfluxDB (and DOUBLE in DuckDB) — cast back to double. Two-argument
-# pow()/atan2()/log(b,x) are not in the reference dashboards' surface
-# and raise InfluxQLError like any other unsupported item.
+# InfluxDB (and DOUBLE in DuckDB) — cast back to double.
 _MATH_FNS = {
     "abs": F.abs,
     "ceil": lambda c: F.ceil(c).cast("double"),
@@ -118,6 +116,15 @@ _MATH_FNS = {
     "asin": F.asin,
     "acos": F.acos,
     "atan": F.atan,
+}
+
+# InfluxDB's two-argument math transformations with a numeric second
+# argument: LOG(field, b) = log base b, POW(field, x), ATAN2(field, x)
+# = atan2(field_value, x).
+_MATH2_FNS = {
+    "log": lambda c, k: F.log(k, c),
+    "pow": lambda c, k: F.pow(c, F.lit(k)),
+    "atan2": lambda c, k: F.atan2(c, F.lit(k)),
 }
 
 
@@ -195,6 +202,14 @@ _SELECT_RE = re.compile(
 _AGG_ITEM_RE = re.compile(
     r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"*]+)\s*"
     r"(?:,\s*(?P<n>[\d.]+[smhdw]?)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+# three-argument selector: top(field, tag, N) / bottom(field, tag, N) —
+# InfluxDB's "greatest/least field values across N distinct tag values"
+_SELECTOR3_RE = re.compile(
+    r"^(?P<fn>top|bottom)\s*\(\s*(?P<arg>[\w\"]+)\s*,"
+    r"\s*(?P<tag>[\w\"]+)\s*,\s*(?P<n>\d+)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
 _SCALAR_ALIAS_RE = re.compile(r"\s+AS\s+(\w+)\s*$", re.IGNORECASE)
@@ -522,6 +537,9 @@ class _Query:
     math_fns: dict = field(default_factory=dict)
     # (n_predict, season_len, select_idx) for holt_winters()
     predictor: tuple | None = None
+    # per-tag selector: top/bottom(field, tag, N) picks the extreme
+    # point of each tag series, then the N most extreme tags
+    selector_tag: str | None = None
 
 
 def parse(q: str) -> _Query:
@@ -561,7 +579,22 @@ def parse(q: str) -> _Query:
         else:
             cur.append(ch)
     items.append("".join(cur).strip())
+    selector3: list = []
+
     def parse_item(item, alias_override=None):
+        s3 = _SELECTOR3_RE.match(item)
+        if s3:
+            fn = s3.group("fn").lower()
+            selector3.append(_unquote(s3.group("tag")))
+            sel.append(
+                (
+                    fn,
+                    _unquote(s3.group("arg")),
+                    alias_override or s3.group("alias") or fn,
+                    float(s3.group("n")),
+                )
+            )
+            return
         nm = _NESTED_ITEM_RE.match(item)
         am = _AGG_ITEM_RE.match(item)
         if nm:
@@ -584,6 +617,17 @@ def parse(q: str) -> _Query:
                 # math of an aggregate: sqrt(mean(value))
                 iarg = float(nm.group("iarg")) if nm.group("iarg") else None
                 math_fns[len(sel)] = ofn
+                sel.append((ifn, col, alias or ofn, iarg))
+            elif ofn in _MATH2_FNS and (
+                ifn in _AGGS or ifn == "percentile"
+            ):
+                # two-argument math of an aggregate: pow(mean(value), 2)
+                if nm.group("oarg") is None:
+                    raise InfluxQLError(
+                        f"{ofn}() requires a numeric second argument"
+                    )
+                iarg = float(nm.group("iarg")) if nm.group("iarg") else None
+                math_fns[len(sel)] = (ofn, float(nm.group("oarg")))
                 sel.append((ifn, col, alias or ofn, iarg))
             elif ofn == "holt_winters" and ifn in _AGGS:
                 # holt_winters(mean(value), N, S): predict N buckets
@@ -613,6 +657,15 @@ def parse(q: str) -> _Query:
                 if raw_n is not None:
                     raise InfluxQLError(f"{fn}() takes exactly one argument")
                 math_fns[len(sel)] = fn
+                sel.append((None, _unquote(am.group("arg")), alias or fn, None))
+                return
+            if fn in _MATH2_FNS:
+                # two-argument math over a raw field: pow(value, 2)
+                if raw_n is None or re.search(r"[smhdw]$", raw_n):
+                    raise InfluxQLError(
+                        f"{fn}() requires a numeric second argument"
+                    )
+                math_fns[len(sel)] = (fn, float(raw_n))
                 sel.append((None, _unquote(am.group("arg")), alias or fn, None))
                 return
             if fn not in _AGGS and fn not in (
@@ -716,8 +769,14 @@ def parse(q: str) -> _Query:
         scalar_math=scalar_math,
         math_fns=math_fns,
         predictor=predictor[0] if predictor else None,
+        selector_tag=selector3[0] if selector3 else None,
         binops=binops,
     )
+    if len(selector3) > 1 or (selector3 and len(sel) > 1):
+        raise InfluxQLError(
+            "top()/bottom() with a tag argument must be the only "
+            "select item"
+        )
 
     if gd["where"]:
         for cond in _split_top(gd["where"], "AND"):
@@ -854,8 +913,9 @@ def parse(q: str) -> _Query:
     out.offset = int(gd["offset"]) if gd.get("offset") else 0
     out.slimit = int(gd["slimit"]) if gd.get("slimit") else None
     out.soffset = int(gd["soffset"]) if gd.get("soffset") else 0
-    if (out.slimit is not None or out.soffset) and not out.group_tags:
-        raise InfluxQLError("SLIMIT/SOFFSET requires GROUP BY <tag>")
+    # SLIMIT/SOFFSET page over SERIES; without GROUP BY <tag> the
+    # measurement is one series, so SLIMIT n≥1 is the identity and
+    # SOFFSET ≥1 pages past everything (InfluxDB accepts both).
 
     if fill and out.group_time_s is None:
         raise InfluxQLError("fill() requires GROUP BY time()")
@@ -1021,7 +1081,10 @@ def _apply_math_fns(df: DataFrame, q: _Query) -> DataFrame:
     suffixes) or on the raw projection for un-aggregated fields."""
     for idx, fn in q.math_fns.items():
         alias = q.select[idx][2]
-        df = df.withColumn(alias, _MATH_FNS[fn](F.col(alias)))
+        if isinstance(fn, tuple):  # two-argument: (name, literal)
+            df = df.withColumn(alias, _MATH2_FNS[fn[0]](F.col(alias), fn[1]))
+        else:
+            df = df.withColumn(alias, _MATH_FNS[fn](F.col(alias)))
     return df
 
 
@@ -1202,7 +1265,11 @@ def _apply_binops(df: DataFrame, q: _Query) -> DataFrame:
 def _finish_grouped(df: DataFrame, q: _Query) -> DataFrame:
     """fill() / ORDER BY time / LIMIT / SLIMIT on a GROUP BY time()
     result — shared by the raw-table and rollup-routed paths."""
-    if q.slimit is not None or q.soffset:
+    if (q.slimit is not None or q.soffset) and not q.group_tags:
+        # one series: SOFFSET ≥1 pages past it, SLIMIT is the identity
+        if q.soffset:
+            df = df.limit(0)
+    elif q.slimit is not None or q.soffset:
         # series paging: rank series on the tiny DISTINCT-tags set and
         # semi-join back — a global window over the full result would
         # funnel every row through one partition at scale
@@ -1516,7 +1583,50 @@ def compile_influxql(
     df = _where_filters(df, q)
 
     selectors = [s for s in q.select if s[0] in ("top", "bottom", "sample")]
-    if selectors:
+    if selectors and q.selector_tag:
+        # top(field, tag, N) / bottom(field, tag, N): the extreme field
+        # value of each tag series, for the N most extreme tags. Two
+        # tiny aggregates: per-tag argmax/argmin (max_by over a
+        # tie-broken ordering struct — value first, then EARLIER time
+        # wins), then a global top-N over the one-row-per-tag result
+        # (orderBy().limit() → TakeOrderedAndProject, no window
+        # funnel). Output rows carry the winning point's timestamp,
+        # matching InfluxDB's selector semantics.
+        if q.group_time_s is not None:
+            raise InfluxQLError(
+                "top()/bottom() with a tag argument cannot combine "
+                "with GROUP BY time()"
+            )
+        fn, colname, alias, n = q.select[0]
+        tag = q.selector_tag
+        top = fn == "top"
+        # tie-break: extreme value, then earliest point — encode
+        # "earliest" as negated epoch so ONE max_by/min_by ordering
+        # struct expresses both
+        ts_key = -F.unix_micros(F.col("ts")) if top else F.unix_micros(F.col("ts"))
+        pick = F.max_by if top else F.min_by
+        per_tag = df.groupBy(tag).agg(
+            pick(
+                F.struct(F.col("ts"), F.col(colname)),
+                F.struct(F.col(colname), ts_key),
+            ).alias("_pt")
+        )
+        per_tag = per_tag.select(
+            F.col("_pt.ts").alias("time"),
+            F.col(f"_pt.{colname}").alias(alias),
+            F.col(tag),
+        )
+        val = F.col(alias)
+        df = (
+            per_tag.orderBy(
+                val.desc() if top else val, "time", tag
+            )
+            .limit(int(n))
+        )
+        df = _apply_scalar_math(df, q, transformed=False).orderBy(
+            "time", tag
+        )
+    elif selectors:
         # top(v, N)/bottom(v, N)/sample(v, N): InfluxDB "selectors"
         # return N POINTS per series (time preserved), not one
         # aggregate row — a tag-partitioned rank, not a groupBy.
@@ -1678,6 +1788,10 @@ def compile_influxql(
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
+    if q.soffset and not q.group_tags:
+        # single-series SOFFSET pages past the only series (the
+        # GROUP-BY-tag paging lives in _finish_grouped)
+        df = df.limit(0)
     return df
 
 

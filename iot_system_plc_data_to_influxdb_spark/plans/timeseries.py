@@ -1795,6 +1795,48 @@ def b13_influxql_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B13d — InfluxQL TOP(field, tag, N): the greatest field values across
+# N distinct tag values (InfluxDB's per-tag selector form). Compiled as
+# two tiny aggregates — per-tag argmax via max_by over a tie-broken
+# ordering struct (value first, then EARLIER point wins), then a
+# global top-N over the one-row-per-tag result (orderBy().limit() →
+# TakeOrderedAndProject; the per-tag table is tag-cardinality-sized,
+# so no window funnel and no full-data sort at any scale). Exact value
+# picks, so the oracle hash-checks.
+# --------------------------------------------------------------------------
+@register(
+    "b13_influxql_top_per_tag",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, ts, value,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY value DESC, ts
+        ) AS rn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-12'
+    ),
+    per_tag AS (
+      SELECT event_type, ts, value FROM ranked WHERE rn = 1
+    )
+    SELECT ts AS time, value AS top, event_type
+    FROM per_tag
+    ORDER BY value DESC, ts, event_type LIMIT 3
+    """,
+    tags=("B13",),
+)
+def b13_influxql_top_per_tag(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-03", "2024-01-12")
+    return compile_statement(
+        "SELECT top(value, event_type, 3) FROM events "
+        "WHERE time >= '2024-01-03 00:00:00' "
+        "AND time < '2024-01-12 00:00:00'",
+        ev,
+    )
+
+
+# --------------------------------------------------------------------------
 # B16f — parenthesized OR groups through the compiled front door: the
 # exact WHERE shape Grafana emits for multi-value template variables
 # (`("event_type" = 'click' OR "event_type" = 'error' OR value >= 99.5)`).

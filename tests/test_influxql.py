@@ -361,8 +361,10 @@ def test_slimit_series_limit(points):
         points,
     ).collect()
     assert {r["plc_ip"] for r in out} == {"192.168.0.1"}  # first series only
-    with pytest.raises(InfluxQLError):
-        parse("SELECT mean(value) FROM p GROUP BY time(5m) SLIMIT 2")
+    # no GROUP BY <tag> → one series; SLIMIT parses and is the identity
+    # (semantics covered in test_slimit_without_tag_grouping)
+    q = parse("SELECT mean(value) FROM p GROUP BY time(5m) SLIMIT 2")
+    assert q.slimit == 2 and not q.group_tags
 
 
 def test_fill_previous_emits_empty_buckets(points, spark):
@@ -1681,4 +1683,101 @@ def test_bad_time_literal_raises_influxql_error(points):
         compile_influxql(
             "SELECT mean(value) FROM points WHERE time >= 'garbage' + 1h",
             points,
+        )
+
+
+def test_two_arg_math_functions(points):
+    """pow/atan2/log with a numeric second argument — raw fields and
+    aggregates (ulp-risky cross-libm, so checked vs Spark-native here
+    rather than hash-checked vs DuckDB)."""
+    import math
+
+    out = compile_influxql(
+        "SELECT pow(value, 2) AS p, atan2(value, 2) AS a, "
+        "log(value, 2) AS lg FROM points "
+        "WHERE value > 0 AND time < '2024-01-01 00:05:00'",
+        points,
+    ).collect()
+    src = {
+        r["ts"]: r["value"]
+        for r in points.filter(
+            (F.col("value") > 0) & (F.col("ts") < "2024-01-01 00:05:00")
+        ).collect()
+    }
+    assert len(out) == len(src)
+    for r in out:
+        v = src[r["ts"]]
+        assert r["p"] == pytest.approx(v**2)
+        assert r["a"] == pytest.approx(math.atan2(v, 2))
+        assert r["lg"] == pytest.approx(math.log2(v))
+
+    agg = compile_influxql(
+        "SELECT pow(max(value), 2) AS pm FROM points", points
+    ).collect()
+    vmax = points.agg(F.max("value")).first()[0]
+    assert agg[0]["pm"] == pytest.approx(vmax**2)
+
+    with pytest.raises(InfluxQLError):
+        compile_influxql("SELECT pow(value) FROM points", points)
+    with pytest.raises(InfluxQLError):
+        compile_influxql("SELECT log(value, 5m) FROM points", points)
+
+
+def test_slimit_without_tag_grouping(points):
+    """One series when there is no GROUP BY <tag>: SLIMIT n≥1 is the
+    identity, SOFFSET ≥1 pages past everything (InfluxDB accepts both
+    — previously this raised)."""
+    base = (
+        "SELECT mean(value) FROM points "
+        "WHERE time < '2024-01-01 01:00:00' GROUP BY time(10m)"
+    )
+    plain = compile_influxql(base, points).collect()
+    slimited = compile_influxql(base + " SLIMIT 2", points).collect()
+    assert slimited == plain
+    assert compile_influxql(base + " SLIMIT 1 SOFFSET 1", points).count() == 0
+    # raw (non-grouped) select: same single-series semantics
+    raw = "SELECT value FROM points LIMIT 5"
+    assert compile_influxql(raw + " SLIMIT 3", points).count() == 5
+    assert compile_influxql(raw + " SOFFSET 2", points).count() == 0
+
+
+def test_top_bottom_per_tag(points):
+    """top(field, tag, N): the extreme point of each tag series, for
+    the N most extreme tags; ties broken value-then-earliest-time."""
+    out = compile_influxql(
+        "SELECT top(value, alias, 2) FROM points", points
+    ).collect()
+    assert {r["alias"] for r in out} <= {"temp", "pressure"}
+    assert len(out) == 2
+    # expected: per-alias max value with earliest ts, top 2 aliases
+    exp = {}
+    for r in points.collect():
+        cur = exp.get(r["alias"])
+        key = (r["value"], -r["ts"].timestamp())
+        if cur is None or key > (cur[0], -cur[1].timestamp()):
+            exp[r["alias"]] = (r["value"], r["ts"])
+    want = sorted(
+        ((v, ts, a) for a, (v, ts) in exp.items()),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:2]
+    got = sorted(
+        ((r["top"], r["time"], r["alias"]) for r in out),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )
+    assert got == [(v, ts, a) for v, ts, a in want]
+
+    bot = compile_influxql(
+        "SELECT bottom(value, plc_ip, 1) AS b FROM points", points
+    ).collect()
+    vmin = points.agg(F.min("value")).first()[0]
+    assert len(bot) == 1 and bot[0]["b"] == vmin
+
+    with pytest.raises(InfluxQLError):
+        compile_influxql(
+            "SELECT top(value, alias, 2) FROM points GROUP BY time(1h)",
+            points,
+        )
+    with pytest.raises(InfluxQLError):
+        compile_influxql(
+            "SELECT top(value, alias, 2), mean(value) FROM points", points
         )
