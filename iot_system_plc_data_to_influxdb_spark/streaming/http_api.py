@@ -80,13 +80,31 @@ class InfluxAPI:
         self.spark = spark
         self.get_table = get_table  # (measurement_name) -> DataFrame
         self.write_dir = write_dir
+        # name → CQSpec, registered via CREATE CONTINUOUS QUERY on the
+        # wire; the engine executes specs with streaming/rollup.py
+        self.continuous_queries: dict = {}
+
+    #: admin statements InfluxDB clients issue that map to engine
+    #: no-ops (the points directory IS the database; retention is the
+    #: caller-driven operators/retention.py) — acknowledged so existing
+    #: client bootstrap code (e.g. create_database on connect, exactly
+    #: what the reference connector does) works unchanged.
+    _ACK_PREFIXES = (
+        "CREATE DATABASE",
+        "DROP DATABASE",
+        "CREATE RETENTION POLICY",
+        "ALTER RETENTION POLICY",
+        "DROP RETENTION POLICY",
+    )
 
     def query(self, q: str, epoch: str | None) -> dict:
         from ..functions.influxql import (
             InfluxQLError,
+            compile_create_cq,
             compile_delete,
             compile_show,
             compile_statement,
+            parse_drop_cq,
             split_into,
         )
 
@@ -95,6 +113,34 @@ class InfluxAPI:
         for i, stmt in enumerate(statements):
             up = stmt.upper()
             try:
+                if up.startswith(self._ACK_PREFIXES):
+                    results.append({"statement_id": i})
+                    continue
+                if up.startswith("CREATE CONTINUOUS QUERY"):
+                    spec = compile_create_cq(stmt)
+                    self.continuous_queries[spec.name] = spec
+                    results.append({"statement_id": i})
+                    continue
+                if up.startswith("DROP CONTINUOUS QUERY"):
+                    name, _db = parse_drop_cq(stmt)
+                    self.continuous_queries.pop(name, None)
+                    results.append({"statement_id": i})
+                    continue
+                if up.startswith("SHOW CONTINUOUS QUERIES"):
+                    results.append(
+                        {
+                            "statement_id": i,
+                            "series": [
+                                {
+                                    "name": s.db,
+                                    "columns": ["name", "query"],
+                                    "values": [[s.name, s.select]],
+                                }
+                                for s in self.continuous_queries.values()
+                            ],
+                        }
+                    )
+                    continue
                 if up.startswith("SHOW"):
                     df = compile_show(stmt, self.get_table(None))
                     name = "measurements" if "MEASUREMENTS" in up else "results"
@@ -167,6 +213,59 @@ class InfluxAPI:
         return n
 
 
+def chunk_response(resp: dict, chunk_size: int) -> list[dict]:
+    """Split a /query response into InfluxDB's chunked form: one
+    response document per ≤chunk_size rows of each series, every
+    non-final chunk of a statement flagged ``"partial": true`` (both
+    at the series and statement level, as InfluxDB 1.x does). The
+    wire format is these documents newline-delimited."""
+    docs: list[dict] = []
+    for res in resp["results"]:
+        series = res.get("series")
+        if not series:
+            docs.append({"results": [res]})
+            continue
+        chunks: list[dict] = []
+        for s in series:
+            vals = s["values"]
+            pieces = [
+                vals[o : o + chunk_size]
+                for o in range(0, max(len(vals), 1), chunk_size)
+            ]
+            for j, piece in enumerate(pieces):
+                chunk = {k: v for k, v in s.items() if k != "values"}
+                chunk["values"] = piece
+                if j < len(pieces) - 1:
+                    chunk["partial"] = True
+                chunks.append(chunk)
+        for j, chunk in enumerate(chunks):
+            stmt_res: dict = {
+                "statement_id": res["statement_id"],
+                "series": [chunk],
+            }
+            if j < len(chunks) - 1:
+                stmt_res["partial"] = True
+            docs.append({"results": [stmt_res]})
+    return docs
+
+
+def to_csv(resp: dict) -> str:
+    """InfluxDB 1.x CSV rendering (``Accept: application/csv``):
+    header ``name,tags,time,<cols>``, one line per value row."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    for res in resp["results"]:
+        for s in res.get("series", []):
+            cols = s["columns"]
+            w.writerow(["name", "tags"] + cols)
+            for row in s["values"]:
+                w.writerow([s["name"], ""] + list(row))
+    return buf.getvalue()
+
+
 def _from_measurement(stmt: str):
     import re
 
@@ -195,21 +294,35 @@ def serve(api: InfluxAPI, port: int = 0):
             self.end_headers()
             self.wfile.write(payload)
 
+        def _serve_query(self, qs):
+            q = (qs.get("q") or [""])[0]
+            epoch = (qs.get("epoch") or [None])[0]
+            chunked = (qs.get("chunked") or [""])[0] == "true"
+            chunk_size = int((qs.get("chunk_size") or ["10000"])[0])
+            try:
+                resp = api.query(q, epoch)
+                if "csv" in (self.headers.get("Accept") or ""):
+                    return self._respond(
+                        200, to_csv(resp).encode(), ctype="application/csv"
+                    )
+                if chunked:
+                    body = "\n".join(
+                        json.dumps(d) for d in chunk_response(resp, chunk_size)
+                    ).encode()
+                else:
+                    body = json.dumps(resp).encode()
+                return self._respond(200, body)
+            except Exception as e:  # noqa: BLE001 — wire errors as JSON
+                return self._respond(
+                    400, json.dumps({"error": str(e)}).encode()
+                )
+
         def do_GET(self):
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path == "/ping":
                 return self._respond(204)
             if parsed.path == "/query":
-                qs = urllib.parse.parse_qs(parsed.query)
-                q = (qs.get("q") or [""])[0]
-                epoch = (qs.get("epoch") or [None])[0]
-                try:
-                    body = json.dumps(api.query(q, epoch)).encode()
-                    return self._respond(200, body)
-                except Exception as e:  # noqa: BLE001 — wire errors as JSON
-                    return self._respond(
-                        400, json.dumps({"error": str(e)}).encode()
-                    )
+                return self._serve_query(urllib.parse.parse_qs(parsed.query))
             return self._respond(404, b'{"error": "not found"}')
 
         def do_POST(self):
@@ -219,17 +332,9 @@ def serve(api: InfluxAPI, port: int = 0):
             if parsed.path == "/query":
                 # Grafana's InfluxDB datasource POSTs queries by
                 # default — same error envelope as the GET path
-                qs = urllib.parse.parse_qs(parsed.query or body)
-                q = (qs.get("q") or [""])[0]
-                epoch = (qs.get("epoch") or [None])[0]
-                try:
-                    return self._respond(
-                        200, json.dumps(api.query(q, epoch)).encode()
-                    )
-                except Exception as e:  # noqa: BLE001 — wire errors as JSON
-                    return self._respond(
-                        400, json.dumps({"error": str(e)}).encode()
-                    )
+                return self._serve_query(
+                    urllib.parse.parse_qs(parsed.query or body)
+                )
             if parsed.path == "/write":
                 qs = urllib.parse.parse_qs(parsed.query)
                 precision = (qs.get("precision") or ["ns"])[0]

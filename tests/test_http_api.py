@@ -255,3 +255,93 @@ def test_write_precision_param(gateway, spark):
     assert got["v1"] == base_ts + dt.timedelta(milliseconds=123)
     assert got["v2"] == base_ts + dt.timedelta(microseconds=123456)
     assert got["v3"] == base_ts + dt.timedelta(microseconds=123456)
+
+
+def test_admin_statements_acknowledged(gateway):
+    """CREATE DATABASE on connect is exactly what the reference
+    connector does — it must succeed as a no-op ack, as must the
+    retention-policy admin family."""
+    base, _ = gateway
+    for stmt in (
+        "CREATE DATABASE plc9",
+        'CREATE RETENTION POLICY "two_w" ON plc9 DURATION 14d REPLICATION 1',
+        "DROP DATABASE plc9",
+    ):
+        status, body = _get(f"{base}/query?q={urllib.parse.quote(stmt)}")
+        assert status == 200
+        res = json.loads(body)["results"][0]
+        assert res == {"statement_id": 0}
+
+
+def test_continuous_query_lifecycle(gateway):
+    base, _ = gateway
+    create = (
+        'CREATE CONTINUOUS QUERY "cq_1h" ON iot BEGIN '
+        "SELECT mean(value) INTO points_1h FROM points "
+        "GROUP BY time(1h) END"
+    )
+    status, body = _get(f"{base}/query?q={urllib.parse.quote(create)}")
+    assert status == 200
+    assert json.loads(body)["results"][0] == {"statement_id": 0}
+
+    status, body = _get(
+        f"{base}/query?q={urllib.parse.quote('SHOW CONTINUOUS QUERIES')}"
+    )
+    series = json.loads(body)["results"][0]["series"]
+    assert ["cq_1h", "SELECT mean(value)  FROM points GROUP BY time(1h)"] in [
+        v for s in series for v in s["values"]
+    ] or any("cq_1h" in v for s in series for v in s["values"])
+
+    drop = 'DROP CONTINUOUS QUERY "cq_1h" ON iot'
+    status, _b = _get(f"{base}/query?q={urllib.parse.quote(drop)}")
+    assert status == 200
+    status, body = _get(
+        f"{base}/query?q={urllib.parse.quote('SHOW CONTINUOUS QUERIES')}"
+    )
+    assert json.loads(body)["results"][0]["series"] == []
+
+
+def test_chunked_query_response(gateway):
+    """chunked=true&chunk_size=N → newline-delimited response docs,
+    every non-final chunk flagged partial (InfluxDB 1.x wire shape)."""
+    base, _ = gateway
+    # alias filter + ORDER BY keeps the row set and order deterministic
+    # regardless of what earlier /write tests appended
+    q = urllib.parse.quote(
+        "SELECT value FROM points WHERE \"alias\" = 'temp' "
+        "ORDER BY time ASC LIMIT 10"
+    )
+    status, body = _get(
+        f"{base}/query?q={q}&chunked=true&chunk_size=4"
+    )
+    assert status == 200
+    docs = [json.loads(ln) for ln in body.decode().splitlines()]
+    assert len(docs) == 3  # 4 + 4 + 2 rows
+    sizes = [len(d["results"][0]["series"][0]["values"]) for d in docs]
+    assert sizes == [4, 4, 2]
+    assert all(
+        d["results"][0]["series"][0].get("partial") for d in docs[:-1]
+    )
+    assert "partial" not in docs[-1]["results"][0]["series"][0]
+    merged = [
+        v
+        for d in docs
+        for v in d["results"][0]["series"][0]["values"]
+    ]
+    plain = json.loads(_get(f"{base}/query?q={q}")[1])
+    assert merged == plain["results"][0]["series"][0]["values"]
+
+
+def test_csv_accept_header(gateway):
+    base, _ = gateway
+    q = urllib.parse.quote("SELECT value FROM points LIMIT 2")
+    req = urllib.request.Request(
+        f"{base}/query?q={q}", headers={"Accept": "application/csv"}
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/csv"
+        lines = r.read().decode().strip().splitlines()
+    assert lines[0].startswith("name,tags,time,")
+    assert len(lines) == 3  # header + 2 rows
+    assert lines[1].startswith("points,")
