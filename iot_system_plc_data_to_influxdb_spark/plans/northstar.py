@@ -3580,3 +3580,79 @@ def b22_audio_decode(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_audio(_media_payloads_wav(docs))
+
+
+# --------------------------------------------------------------------------
+# B22j — REAL video-container decode + frame sampling: payloads are
+# YUV4MPEG2 streams (the uncompressed interchange format ffmpeg/x264
+# speak — ASCII stream header, FRAME markers, planar C420 YCbCr);
+# luma(f, y, x) of doc d is (d + 2f + y) % 256, constant along x, so
+# the per-sampled-frame integer luma stats hash-check against a SQL
+# enumeration of (frame, row). This is the video half of the B22
+# decode→sample→feature pipeline on a real container; compressed
+# codecs (H.264/VP9) remain the documented gate.
+# --------------------------------------------------------------------------
+_B22_Y4M_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 8 + 2 * (doc_id % 4) AS w, 6 + 2 * (doc_id % 3) AS h,
+             4 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 120
+    ),
+    fi AS (SELECT unnest(range(0, 8)) AS f),
+    yy AS (SELECT unnest(range(0, 10)) AS y),
+    px AS (
+      SELECT d.doc_id, fi.f, d.w, d.h, d.nf,
+        (d.doc_id + 2 * fi.f + yy.y) % 256 AS lum
+      FROM d
+      JOIN fi ON fi.f < d.nf AND fi.f % 2 = 0
+      JOIN yy ON yy.y < d.h
+    )
+    SELECT doc_id,
+      CAST(f AS INT) AS frame_idx,
+      CAST(w AS INT) AS width,
+      CAST(h AS INT) AS height,
+      CAST(nf AS INT) AS n_frames,
+      CAST(w * SUM(lum) AS BIGINT) AS sum_luma,
+      CAST(MAX(lum) AS INT) AS max_luma
+    FROM px GROUP BY doc_id, f, w, h, nf
+"""
+
+
+def _media_payloads_y4m(df):
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_y4m
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + 2 * (d % 4), 6 + 2 * (d % 3)
+                nf = 4 + d % 5
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    np.broadcast_to(
+                        (d + 2 * f + y) % 256, (h, w)
+                    ).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                ids.append(d)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_video_decode", oracle=_B22_Y4M_ORACLE, tags=("B22",))
+def b22_video_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_video_frames
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_video_frames(_media_payloads_y4m(docs), every=2)

@@ -782,3 +782,41 @@ def test_span_dedup_geometry(spark):
             # a gap of ≤ 5 between starts would have merged; post-merge
             # spans must be disjoint with at least one clean token between
             assert s2 > e1 + 1, (doc, spans)
+
+
+def test_y4m_round_trip_and_parsing():
+    """Y4M container: round trip, order-free header tokens, FRAME
+    marker parameters, and the C420 per-frame byte budget."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (6, 8), dtype=np.uint8) for _ in range(3)]
+    w, h, fps, out = decode_y4m(encode_y4m(frames, fps=30))
+    assert (w, h, fps, len(out)) == (8, 6, 30, 3)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+    # order-free header tokens + FRAME marker parameters
+    luma = bytes(range(4)) * 1  # 2x2 luma
+    chroma = b"\x80" * 2  # 1x1 Cb + 1x1 Cr
+    blob = (
+        b"YUV4MPEG2 C420jpeg H2 F24:1 W2 Ip A1:1\n"
+        + b"FRAME Xparam\n" + luma + chroma
+    )
+    w, h, fps, out = decode_y4m(blob)
+    assert (w, h, fps, len(out)) == (2, 2, 24, 1)
+    assert out[0].tolist() == [[0, 1], [2, 3]]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_y4m(b"RIFF....")
+    with _pt.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + b"\x00" * 8)
+    with _pt.raises(ValueError):
+        encode_y4m([np.zeros((3, 4), dtype=np.uint8)])  # odd height
