@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "b22_text_encoder",  # Arrow-batched mapInPandas inference path
     "b3_influxql_compound",  # compound-duration dialect additions
     "b28_watermark_accounting",  # two-pass running max (no WindowExec funnel)
+    "b13_influxql_top_per_tag",  # 3-arg selector: per-tag argmax + TakeOrdered
+    "b22_video_decode",  # real Y4M container decode + frame sampling
 ]
 
 

@@ -313,7 +313,10 @@ _WHERE = st.sampled_from(
     ["", "WHERE time >= '2024-01-02' AND time < '2024-01-05'",
      "WHERE \"plc\" = '10.0.0.1'", "WHERE value > 10"]
 )
-_TAIL = st.sampled_from(["", "ORDER BY time DESC", "LIMIT 5", "ORDER BY time DESC LIMIT 3"])
+_TAIL = st.sampled_from(
+    ["", "ORDER BY time DESC", "LIMIT 5", "ORDER BY time DESC LIMIT 3",
+     "SLIMIT 2", "LIMIT 4 SLIMIT 1 SOFFSET 1"]
+)
 
 
 @st.composite
@@ -332,8 +335,26 @@ def _influxql_query(draw):
     return f"SELECT {sel} FROM points {where} GROUP BY time({bucket}) {fill} {tail}".strip()
 
 
+# selector / math / paging shapes over the raw (non-time-grouped) path
+_RAW_SEL = st.sampled_from(
+    ["top(value, 3)", "bottom(value, 2)", "top(value, plc, 2)",
+     "bottom(value, plc, 1)", "sample(value, 3)", "distinct(value)",
+     "pow(value, 2)", "log(value, 2)", "atan2(value, 2)", "abs(value)"]
+)
+_RAW_GROUP = st.sampled_from(["", "GROUP BY plc"])
+
+
+@st.composite
+def _influxql_raw_query(draw):
+    sel = draw(_RAW_SEL)
+    where = draw(_WHERE)
+    group = draw(_RAW_GROUP)
+    tail = draw(_TAIL)
+    return f"SELECT {sel} FROM points {where} {group} {tail}".strip()
+
+
 @settings(max_examples=25, deadline=None)
-@given(_influxql_query())
+@given(st.one_of(_influxql_query(), _influxql_raw_query()))
 def test_influxql_compile_grammar_total(spark, q):
     from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
         InfluxQLError,
