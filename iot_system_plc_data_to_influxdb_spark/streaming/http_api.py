@@ -141,6 +141,36 @@ class InfluxAPI:
                         }
                     )
                     continue
+                if up.startswith("EXPLAIN"):
+                    # InfluxDB 1.7+ EXPLAIN [ANALYZE] <select>: a
+                    # QUERY PLAN series — here the real optimizer
+                    # output (the Catalyst physical plan), which is
+                    # the honest answer to "what will this query do"
+                    inner = stmt.split(None, 1)[1]
+                    if inner.upper().startswith("ANALYZE"):
+                        inner = inner.split(None, 1)[1]
+                    m = _from_measurement(inner)
+                    plan_df = compile_statement(inner, self.get_table(m))
+                    plan = plan_df._jdf.queryExecution().explainString(
+                        plan_df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                            "simple"
+                        )
+                    )
+                    results.append(
+                        {
+                            "statement_id": i,
+                            "series": [
+                                {
+                                    "name": "query_plan",
+                                    "columns": ["QUERY PLAN"],
+                                    "values": [
+                                        [ln] for ln in plan.splitlines() if ln
+                                    ],
+                                }
+                            ],
+                        }
+                    )
+                    continue
                 if up.startswith("SHOW"):
                     df = compile_show(stmt, self.get_table(None))
                     name = "measurements" if "MEASUREMENTS" in up else "results"

@@ -345,3 +345,19 @@ def test_csv_accept_header(gateway):
     assert lines[0].startswith("name,tags,time,")
     assert len(lines) == 3  # header + 2 rows
     assert lines[1].startswith("points,")
+
+
+def test_explain_returns_query_plan(gateway):
+    """EXPLAIN <select> (InfluxDB 1.7+) answers with a QUERY PLAN
+    series — here the actual Catalyst physical plan."""
+    base, _ = gateway
+    q = urllib.parse.quote(
+        "EXPLAIN SELECT mean(value) FROM points GROUP BY time(1h)"
+    )
+    status, body = _get(f"{base}/query?q={q}")
+    assert status == 200
+    series = json.loads(body)["results"][0]["series"][0]
+    assert series["name"] == "query_plan"
+    assert series["columns"] == ["QUERY PLAN"]
+    text = "\n".join(v[0] for v in series["values"])
+    assert "Physical Plan" in text or "HashAggregate" in text
