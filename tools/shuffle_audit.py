@@ -38,6 +38,8 @@ QUERIES = [
     "b21_curation_pipeline",     # claim: one shuffle total
     "b19_semdedup",              # claim: k-means aggs + one cluster gather
     "b22_text_encoder",          # claim: Arrow batches, no shuffle beyond fan-out
+    "b22_video_decode",          # claim: map-only container decode (Arrow fan-out)
+    "b13_influxql_top_per_tag",  # claim: tag-sized aggregate + TakeOrdered
 ]
 
 UI_PORT = 4047
