@@ -113,6 +113,8 @@ def main() -> int:
     timings: dict[str, float] = {}
     median: dict[str, float] = {}
     stddev: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    warmups: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
 
@@ -137,6 +139,8 @@ def main() -> int:
         # attributable rather than argued from single points.
         n = 5 if warm < 2.0 else repeat
         runs = sorted(run_once() for _ in range(n))
+        warmups[name] = round(warm, 3)
+        all_runs[name] = [round(r, 3) for r in runs]
         timings[name] = round(runs[0], 3)
         median[name] = round(runs[len(runs) // 2], 3)
         mean = sum(runs) / len(runs)
@@ -145,16 +149,40 @@ def main() -> int:
         )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    out = {
+    detail = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "median": median,
         "stddev": stddev,
+        "runs": all_runs,
+        "warmup": warmups,
         "sf": float(sf),
     }
-    print(json.dumps(out))
+    # Full per-run detail goes to a side file + a non-final stdout line;
+    # the driver captures only the LAST 2,000 chars of stdout and parses
+    # the final line, so that line must stay compact (round 4's 5.6 KB
+    # combined line came back `parsed: null`).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1)
+    print("DETAIL " + json.dumps({"median": median, "stddev": stddev}))
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf),
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1950, (
+        f"final bench line {len(line)} chars >= driver's 2000-char capture; "
+        "trim query names or rounding"
+    )
+    print(line)
     return 0
 
 

@@ -164,6 +164,19 @@ def _duration_s(arg: str | None, default: float = 1.0) -> float:
     return _compound_duration_s(arg)
 
 
+def _numeric(tok: str, fn: str) -> float:
+    """Convert a parsed argument token to float, mapping failures to
+    InfluxQLError so one malformed statement can't escape the gateway's
+    per-statement error isolation as a bare ValueError (e.g.
+    ``pow(mean(value), 2h)`` — the arg regexes admit duration tokens)."""
+    try:
+        return float(tok)
+    except (TypeError, ValueError):
+        raise InfluxQLError(
+            f"{fn}() requires a numeric argument, got {tok!r}"
+        ) from None
+
+
 def _percentile_nearest_rank(c, p: float):
     """InfluxDB percentile(): the nearest-rank sample — an actually-
     observed value, no interpolation (deterministic cross-engine,
@@ -608,14 +621,14 @@ def parse(q: str) -> _Query:
             ):
                 if ofn == "elapsed":
                     raise InfluxQLError("elapsed() takes a field, not an aggregate")
-                iarg = float(nm.group("iarg")) if nm.group("iarg") else None
+                iarg = _numeric(nm.group("iarg"), ifn) if nm.group("iarg") else None
                 transforms[len(sel)] = (ofn, nm.group("oarg"))
                 sel.append((ifn, col, alias or ofn, iarg))
             elif ofn in _MATH_FNS and (
                 ifn in _AGGS or ifn == "percentile"
             ):
                 # math of an aggregate: sqrt(mean(value))
-                iarg = float(nm.group("iarg")) if nm.group("iarg") else None
+                iarg = _numeric(nm.group("iarg"), ifn) if nm.group("iarg") else None
                 math_fns[len(sel)] = ofn
                 sel.append((ifn, col, alias or ofn, iarg))
             elif ofn in _MATH2_FNS and (
@@ -626,8 +639,8 @@ def parse(q: str) -> _Query:
                     raise InfluxQLError(
                         f"{ofn}() requires a numeric second argument"
                     )
-                iarg = float(nm.group("iarg")) if nm.group("iarg") else None
-                math_fns[len(sel)] = (ofn, float(nm.group("oarg")))
+                iarg = _numeric(nm.group("iarg"), ifn) if nm.group("iarg") else None
+                math_fns[len(sel)] = (ofn, _numeric(nm.group("oarg"), ofn))
                 sel.append((ifn, col, alias or ofn, iarg))
             elif ofn == "holt_winters" and ifn in _AGGS:
                 # holt_winters(mean(value), N, S): predict N buckets
@@ -637,7 +650,8 @@ def parse(q: str) -> _Query:
                         "holt_winters() requires (agg(field), N, S)"
                     )
                 predictor.append(
-                    (int(float(nm.group("oarg"))), int(nm.group("oarg2")),
+                    (int(_numeric(nm.group("oarg"), ofn)),
+                     int(_numeric(nm.group("oarg2"), ofn)),
                      len(sel))
                 )
                 sel.append((ifn, col, alias or "holt_winters", None))

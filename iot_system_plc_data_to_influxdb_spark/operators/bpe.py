@@ -97,15 +97,17 @@ def train_bpe_table(
     corpus (the word table is vocabulary-sized, orders of magnitude
     under the corpus).
 
-    The BASE word table is cached once; each round's merge application
-    stays lazy (a native fold stacked on the cached base — recomputing
-    i folds over the vocabulary-sized table is far cheaper than a
-    materialize-job per round, halving the round job count), so each
-    round costs exactly one job: the top-pair collect. The returned
-    table reads from the cached base; callers may ``unpersist()`` it
-    when done.
+    Returns (merges, final_wt, base): the BASE word table is cached
+    once; each round's merge application stays lazy (a native fold
+    stacked on the cached base — recomputing i folds over the
+    vocabulary-sized table is far cheaper than a materialize-job per
+    round, halving the round job count), so each round costs exactly
+    one job: the top-pair collect. ``base`` is the actually-cached
+    DataFrame — ``final_wt`` is a derivation of it, so unpersisting
+    final_wt is a plan-sameResult no-op; call ``base.unpersist()``
+    when done with the returned table.
     """
-    wt = wt.cache()
+    base = wt = wt.cache()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
@@ -121,15 +123,17 @@ def train_bpe_table(
         wt = wt.select(
             "word", "freq", apply_merge(F.col("syms"), a, b).alias("syms")
         )
-    return merges, wt
+    return merges, wt, base
 
 
 def train_bpe(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str, int]]:
     """Return the merge sequence [(left, right, weighted_count), ...]."""
-    merges, wt = train_bpe_table(word_freq_table(docs, text_col), n_merges)
-    wt.unpersist()
+    merges, _wt, base = train_bpe_table(
+        word_freq_table(docs, text_col), n_merges
+    )
+    base.unpersist()
     return merges
 
 

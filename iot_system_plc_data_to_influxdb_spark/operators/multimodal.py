@@ -327,19 +327,32 @@ def decode_ppm(payload: bytes):
         raise ValueError("not a P6 PPM payload")
     # header: P6 <ws> width <ws> height <ws> maxval <single ws> data,
     # '#' comments run to end-of-line
+    # every scan is bounded by len(payload): a truncated header raises
+    # instead of spinning forever inside a mapInPandas task (b'' is not
+    # .isspace(), so an unbounded 'scan to whitespace' never exits)
+    end = len(payload)
     fields = []
     i = 2
     while len(fields) < 3:
-        while payload[i : i + 1].isspace():
+        while i < end and payload[i : i + 1].isspace():
             i += 1
+        if i >= end:
+            raise ValueError("truncated PPM header")
         if payload[i : i + 1] == b"#":
-            while payload[i : i + 1] not in (b"\n", b""):
+            while i < end and payload[i : i + 1] != b"\n":
                 i += 1
             continue
         j = i
-        while not payload[j : j + 1].isspace():
+        while j < end and not payload[j : j + 1].isspace():
             j += 1
-        fields.append(int(payload[i:j]))
+        if j >= end:
+            raise ValueError("truncated PPM header")
+        try:
+            fields.append(int(payload[i:j]))
+        except ValueError:
+            raise ValueError(
+                f"malformed PPM header field {payload[i:j]!r}"
+            ) from None
         i = j
     i += 1  # the single whitespace after maxval
     w, h, maxval = fields

@@ -111,17 +111,31 @@ def salted_self_join_pairs(
         return _expand_pairs(df)
 
     # Literal predicate over the collected hot keys (a composite
-    # struct isin) — splits df in a single scan, no join stages.
+    # struct comparison) — splits df in a single scan, no join stages.
+    # eqNullSafe, not isin: a NULL in any bucket_col makes isin()
+    # evaluate to NULL, which would silently drop the row from BOTH
+    # the cold and hot sides (groupBy treats NULL as a normal group,
+    # so NULL-keyed buckets are legitimate and must route like any
+    # other).
     key = F.struct(*[F.col(c) for c in bucket_cols])
+    # cast each literal to the source column's type: a NULL literal is
+    # VOID-typed and would fail struct <=> struct analysis otherwise
+    col_types = {f.name: f.dataType for f in df.schema.fields}
     hot_lits = [
-        F.struct(*[F.lit(r[c]) for c in bucket_cols]) for r in hot_rows
+        F.struct(
+            *[F.lit(r[c]).cast(col_types[c]) for c in bucket_cols]
+        )
+        for r in hot_rows
     ]
-    cold_pairs = _expand_pairs(df.filter(~key.isin(*hot_lits)))
+    hot_pred = F.lit(False)
+    for h in hot_lits:
+        hot_pred = hot_pred | key.eqNullSafe(h)
+    cold_pairs = _expand_pairs(df.filter(~hot_pred))
 
     # Hot buckets: salted join — probe side split by hash(id) % n_salts,
     # build side replicated n_salts times, spreading each viral
     # bucket's m² pairs over n_salts reducers.
-    hot = df.filter(key.isin(*hot_lits))
+    hot = df.filter(hot_pred)
     hot_a = hot.withColumn(
         "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
     ).alias("a")
@@ -132,7 +146,8 @@ def salted_self_join_pairs(
         F.col("a._salt") == F.col("b._rep")
     )
     for c in bucket_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        # eqNullSafe so rows inside a NULL-keyed hot bucket still pair
+        cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
     hot_pairs = hot_a.join(hot_b, cond).select(
         F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
     )

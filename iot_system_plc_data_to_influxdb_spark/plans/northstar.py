@@ -3272,7 +3272,7 @@ def b21_bpe_encode(spark, sf_dir):
         .agg(F.count("*").alias("freq"))
         .select("word", "freq", chars.alias("syms"))
     )
-    _, segmented = train_bpe_table(wt0, _BPE_N_MERGES)
+    _, segmented, _base = train_bpe_table(wt0, _BPE_N_MERGES)
     return (
         occurrences.join(segmented.select("word", "syms"), "word")
         .groupBy("doc_id")

@@ -424,18 +424,26 @@ def b8_bucketed(spark, sf_dir):
     "b9_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
     """,
     tags=("B9", "A22"),
 )
 def b9_anti(spark, sf_dir):
+    """Churned customers: no order since 2000-01-01. The date predicate
+    keeps the canonical result non-empty at sf0.01 (the unfiltered
+    anti-join is vacuously empty there — every customer has an order),
+    and it pushes down to the orders scan so the anti-join's build side
+    shrinks before the shuffle."""
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return (
         t(spark, sf_dir, "customer")
-        .join(
-            t(spark, sf_dir, "orders"),
-            F.col("c_custkey") == F.col("o_custkey"),
-            "left_anti",
-        )
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 

@@ -165,7 +165,7 @@ _B28_ORACLE = """
         CAST(FLOOR(FLOOR(epoch(ts)) / 300) * 300 AS BIGINT)
       ) AS bucket_start,
       COUNT(*) AS n,
-      SUM(late) AS n_late
+      CAST(SUM(late) AS BIGINT) AS n_late
     FROM flagged GROUP BY bucket_start
 """
 

@@ -129,6 +129,16 @@ def test_parse_errors():
         parse("SELECT mean(value), value FROM p")  # mixed agg/raw
     with pytest.raises(InfluxQLError):
         parse("DELETE FROM p")
+    # non-numeric math/predictor arguments must surface as InfluxQLError
+    # (never a bare ValueError, which would escape the gateway's
+    # per-statement isolation and 400 a whole multi-statement request)
+    with pytest.raises(InfluxQLError):
+        parse("SELECT pow(mean(value), 2h) FROM p")
+    with pytest.raises(InfluxQLError):
+        parse(
+            "SELECT holt_winters(mean(value), 2h, 0) FROM p "
+            "WHERE time > now() - 1h GROUP BY time(10m)"
+        )
 
 
 def test_parse_shape():

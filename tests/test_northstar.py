@@ -163,6 +163,52 @@ def test_ppm_header_comments():
     assert (out == px).all()
 
 
+def test_ppm_truncated_header_fails_fast():
+    """A malformed/truncated header must raise, not spin: the old
+    unbounded 'scan to whitespace' loop never terminated on b'' (which
+    is not .isspace()), wedging the executor task inside mapInPandas."""
+    import pytest
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    for blob in (b"P6", b"P6\n2", b"P6\n# only a comment", b"P6\n2 2\n25"):
+        with pytest.raises(ValueError):
+            decode_ppm(blob)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 xx\n255\n" + b"\0" * 12)
+
+
+def test_salted_pairs_null_bucket_keys(spark):
+    """NULL bucket keys must route like any other bucket (the old
+    struct-isin predicate evaluated to NULL and silently dropped the
+    rows from BOTH the cold and hot sides)."""
+    from iot_system_plc_data_to_influxdb_spark.operators.skew import (
+        salted_self_join_pairs,
+    )
+
+    rows = [(i, None if i < 3 else "k") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id int, bucket string")
+    # force the hot path: threshold 2 makes BOTH buckets (3 rows each) hot
+    got = {
+        (r["d1"], r["d2"])
+        for r in salted_self_join_pairs(
+            df, ["bucket"], "doc_id", hot_threshold=2, n_salts=2
+        ).collect()
+    }
+    want = {(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)}
+    assert got == want
+    # cold path too (threshold high enough that nothing is hot)
+    got_cold = {
+        (r["d1"], r["d2"])
+        for r in salted_self_join_pairs(
+            df, ["bucket"], "doc_id", hot_threshold=100, n_salts=2
+        ).collect()
+    }
+    assert got_cold == want
+
+
 def test_wav_chunk_walk_with_extra_chunks():
     """fmt may be followed by LIST/fact chunks (odd-sized → padded)
     before data; the decoder must walk, not assume offsets."""
