@@ -57,14 +57,65 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Exact CC over a COLLECTED edge list: union-find with path
+    halving, parent = min of component (union attaches the larger root
+    under the smaller, so every root is its component's minimum)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(n, find(n)) for n in parent]
+    node_t = edges.schema["src"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    return spark.createDataFrame(
+        labels,
+        StructType(
+            [StructField("node", node_t), StructField("component", node_t)]
+        ),
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 30
+    pairs: DataFrame,
+    max_rounds: int = 30,
+    driver_threshold: int = 2_000_000,
 ) -> tuple[DataFrame, int]:
     """(node, component) for an undirected pair list (d1, d2), where
     component = the minimum node id reachable. Returns the label
     DataFrame and the number of alternation rounds used. Nodes appear
     iff they appear in some pair (callers union isolated nodes with
-    label=self if needed)."""
+    label=self if needed).
+
+    Adaptive strategy, same contract as a broadcast join: after the
+    dedupe the edge count is known (one cheap count over the
+    checkpointed RDD); at or under ``driver_threshold`` edges (~32 MB
+    at 16 B/edge — broadcast-small) the transitive closure runs as
+    driver-side union-find in O(n α(n)) and the answer returns in ONE
+    collect + ONE createDataFrame, skipping the star rounds whose
+    per-round multi-stage scheduling latency dominates at small n
+    (measured 2.1 s for 2 rounds over 256 edges at sf0.1 vs ~0.2 s
+    collected). Past the threshold — the 100 TB path, where the edge
+    list can be billions — the alternating star rounds run unchanged;
+    ``rounds`` reports 0 for the driver path. Tests pin BOTH paths to
+    the same labels (tests/test_northstar.py)."""
     edges = (
         pairs.select(
             F.col(pairs.columns[0]).alias("src"),
@@ -74,6 +125,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_threshold:
+        return _driver_union_find(pairs.sparkSession, edges), 0
     prev = None
     rounds = 0
     for _ in range(max_rounds):

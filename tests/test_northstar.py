@@ -353,10 +353,17 @@ def test_connected_components_star_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "d1 long, d2 long"
     )
-    labels, rounds = connected_components(chain)
+    # driver_threshold=0 forces the distributed star rounds — the
+    # 100 TB path this test exists to pin
+    labels, rounds = connected_components(chain, driver_threshold=0)
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(200)}
-    assert rounds <= 12  # log-ish, not diameter-ish
+    assert 0 < rounds <= 12  # log-ish, not diameter-ish
+    # the adaptive driver path must produce identical labels
+    labels2, rounds2 = connected_components(chain)
+    got2 = {r["node"]: r["component"] for r in labels2.collect()}
+    assert got2 == got
+    assert rounds2 == 0  # small edge list took the union-find path
 
 
 def test_connected_components_random_vs_union_find(spark):
@@ -388,11 +395,11 @@ def test_connected_components_random_vs_union_find(spark):
         roots.setdefault(r, n)  # min node per component
         want[n] = roots[r]
 
-    labels, _ = connected_components(
-        spark.createDataFrame(pairs, "d1 long, d2 long")
-    )
-    got = {r["node"]: r["component"] for r in labels.collect()}
-    assert got == want
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    for threshold in (0, 2_000_000):  # star rounds AND driver union-find
+        labels, _ = connected_components(df, driver_threshold=threshold)
+        got = {r["node"]: r["component"] for r in labels.collect()}
+        assert got == want
 
 
 def test_decontaminate_flags_eval_overlap(spark):
