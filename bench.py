@@ -10,6 +10,7 @@ Usage: python bench.py [--repeat N]
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -131,6 +132,19 @@ def main() -> int:
         # (CacheManager matches the rebuilt logical plan) — steady-state
         # marginal cost, same basis as earlier rounds.
         spark.catalog.clearCache()
+        # Pay async-cleanup debt OUTSIDE the timed window: a Python
+        # gc.collect() releases DataFrame handles so the JVM
+        # ContextCleaner unpersists checkpoint RDDs / broadcasts now
+        # (not concurrently with a later timed run), and an explicit
+        # JVM GC drains the heap the previous query inflated. Round-4
+        # attribution: b3_influxql_derivative benched 1.3-1.7 s in some
+        # suite runs vs 0.35 s in others with NO plan difference —
+        # cleanup landing inside the measurement window.
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         warm = run_once()  # warm-up, discarded
         # sub-2s queries are host-load noise-bound: 5 samples there
         # (3 for heavier ones). "queries" stays min-of-N — the

@@ -78,11 +78,21 @@ class InfluxAPI:
 
     def __init__(self, spark, get_table, write_dir: str | None = None):
         self.spark = spark
-        self.get_table = get_table  # (measurement_name) -> DataFrame
+        self._get_table_raw = get_table  # (measurement_name) -> DataFrame
         self.write_dir = write_dir
         # name → CQSpec, registered via CREATE CONTINUOUS QUERY on the
         # wire; the engine executes specs with streaming/rollup.py
         self.continuous_queries: dict = {}
+
+    def get_table(self, measurement):
+        """Resolve a measurement, normalizing the time column: CQ / INTO
+        targets materialize with a ``time`` column (the compiler's
+        output name) while the compiler's input contract is ``ts`` —
+        a rollup measurement must be queryable like any other."""
+        df = self._get_table_raw(measurement)
+        if "ts" not in df.columns and "time" in df.columns:
+            df = df.withColumnRenamed("time", "ts")
+        return df
 
     #: admin statements InfluxDB clients issue that map to engine
     #: no-ops (the points directory IS the database; retention is the
@@ -200,6 +210,69 @@ class InfluxAPI:
             except InfluxQLError as e:
                 results.append({"statement_id": i, "error": str(e)})
         return {"results": results}
+
+    def run_continuous_queries(self, now=None) -> dict:
+        """One CQ-service tick: execute every registered CQ and append
+        its rollup INTO the target measurement, idempotently.
+
+        InfluxDB's CQ service runs each CQ on a timer over the
+        just-closed bucket(s); here the tick is explicit (callers — a
+        scheduler thread via ``start_cq_service`` or a test — decide
+        cadence). Semantics per tick:
+
+        - the CQ body compiles through the SAME InfluxQL compiler as
+          ``/query`` (a spec that registered is guaranteed runnable);
+        - with ``now`` given, only buckets in ``[now - resample_for,
+          now)`` (default lookback: one GROUP BY time bucket) are
+          recomputed, both bounds floored to bucket edges — the
+          post-aggregation time filter on the bucket-start column is
+          exactly InfluxDB's resample window because buckets are
+          epoch-aligned;
+        - rows whose (time, group tags) key already exists in the
+          target are anti-joined away, so re-running a tick (or
+          overlapping windows across ticks) never duplicates buckets.
+
+        Returns {cq_name: rows_appended}.
+        """
+        import datetime as _dt
+        import os
+
+        from ..functions.influxql import compile_statement, parse
+
+        appended: dict = {}
+        for spec in list(self.continuous_queries.values()):
+            q = parse(spec.select)
+            df = compile_statement(spec.select, self.get_table(q.measurement))
+            if now is not None:
+                bucket = spec.group_time_s
+                lookback = spec.resample_for_s or bucket
+                now_s = int(
+                    (
+                        now.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+                    ).total_seconds()
+                )
+                hi = now_s // bucket * bucket
+                lo = (now_s - lookback) // bucket * bucket
+                df = df.filter(
+                    (F.col("time") >= F.from_unixtime(F.lit(lo)).cast("timestamp"))
+                    & (F.col("time") < F.from_unixtime(F.lit(hi)).cast("timestamp"))
+                )
+            target_path = f"{self.write_dir}__{spec.target}"
+            keys = ["time"] + [
+                tag for tag in q.group_tags if tag in df.columns
+            ]
+            if os.path.isdir(target_path) and any(
+                not e.startswith(("_", ".")) for e in os.listdir(target_path)
+            ):
+                existing = self.spark.read.parquet(target_path).select(*keys)
+                df = df.join(existing, keys, "left_anti")
+            df = df.cache()
+            n = df.count()
+            if n:
+                df.write.mode("append").parquet(target_path)
+            df.unpersist()
+            appended[spec.name] = n
+        return appended
 
     def _rewrite_points(self, kept: DataFrame) -> None:
         """Materialize the post-DELETE survivors to a staging dir and
@@ -381,3 +454,30 @@ def serve(api: InfluxAPI, port: int = 0):
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread, server.server_address[1]
+
+
+def start_cq_service(api: InfluxAPI, interval_s: float, on_tick=None):
+    """The CQ scheduler: a daemon thread firing
+    ``api.run_continuous_queries()`` every ``interval_s`` seconds —
+    InfluxDB's continuous-query service loop. Returns a stop() callable.
+    ``on_tick(result_dict)`` is invoked after each tick (tests hook it
+    to observe ticks deterministically)."""
+    stop_event = threading.Event()
+
+    def loop():
+        while not stop_event.wait(interval_s):
+            try:
+                result = api.run_continuous_queries()
+            except Exception:  # noqa: BLE001 — a bad CQ must not kill the loop
+                result = None
+            if on_tick is not None:
+                on_tick(result)
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+
+    def stop():
+        stop_event.set()
+        t.join(timeout=30)
+
+    return stop

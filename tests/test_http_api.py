@@ -361,3 +361,173 @@ def test_explain_returns_query_plan(gateway):
     assert series["columns"] == ["QUERY PLAN"]
     text = "\n".join(v[0] for v in series["values"])
     assert "Physical Plan" in text or "HashAggregate" in text
+
+
+def test_cq_execute_end_to_end(spark, tmp_path):
+    """The full registered-CQ loop over the wire: CREATE CONTINUOUS
+    QUERY via /query, stream points in via /write, run a CQ-service
+    tick, observe the rolled-up series through /query — and prove the
+    tick is idempotent (a second tick appends nothing) and
+    incremental (new writes roll up on the next tick without
+    duplicating old buckets)."""
+    import os
+
+    write_dir = str(tmp_path / "points")
+    # seed one row so the points measurement exists for /query
+    spark.createDataFrame(
+        [("2024-03-01T00:10:00", "plc1", "temp", 1.0)],
+        "ts_s string, plc_ip string, alias string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "plc_ip", "alias", "value"
+    ).write.mode("overwrite").parquet(write_dir)
+
+    def get_table(m):
+        if m and os.path.isdir(f"{write_dir}__{m}"):
+            return spark.read.parquet(f"{write_dir}__{m}")
+        return spark.read.parquet(write_dir)
+
+    api = InfluxAPI(spark, get_table, write_dir=write_dir)
+    server, _thread, port = serve(api, port=0)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        create = (
+            'CREATE CONTINUOUS QUERY "cq_1h" ON iot BEGIN '
+            "SELECT mean(value) AS mean_value INTO rollup_1h FROM points "
+            "GROUP BY time(1h), plc_ip END"
+        )
+        status, body = _get(f"{base}/query?q={urllib.parse.quote(create)}")
+        assert status == 200
+        assert json.loads(body)["results"][0] == {"statement_id": 0}
+
+        # stream writes through /write: 4 points across 2 hour-buckets
+        # (epoch seconds for 2024-03-01T01:00:00Z = 1709254800)
+        t0 = 1_709_254_800
+        lines = "\n".join(
+            f"plc1 value={v} {(t0 + i * 1800) * 10**9}"
+            for i, v in enumerate([10.0, 20.0, 30.0, 40.0])
+        )
+        req = urllib.request.Request(
+            f"{base}/write?db=iot", data=lines.encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 204
+
+        # CQ-service tick materializes the rollup
+        appended = api.run_continuous_queries()
+        assert appended["cq_1h"] >= 3  # seed bucket + 2 written buckets
+
+        # the rolled-up series is queryable through the same gateway
+        q = urllib.parse.quote(
+            "SELECT mean_value FROM rollup_1h WHERE \"plc_ip\" = 'plc1' "
+            "AND time >= '2024-03-01T01:00:00' ORDER BY time ASC"
+        )
+        status, body = _get(f"{base}/query?q={q}&epoch=s")
+        assert status == 200
+        series = json.loads(body)["results"][0]["series"][0]
+        assert series["values"] == [[t0, 15.0], [t0 + 3600, 35.0]]
+
+        # idempotence: a second tick appends nothing
+        assert api.run_continuous_queries() == {"cq_1h": 0}
+
+        # incremental: another write, next tick rolls up ONLY the new
+        # bucket (old buckets anti-joined away)
+        line = f"plc1 value=99 {(t0 + 7200) * 10**9}"
+        req = urllib.request.Request(
+            f"{base}/write?db=iot", data=line.encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 204
+        assert api.run_continuous_queries() == {"cq_1h": 1}
+        status, body = _get(f"{base}/query?q={q}&epoch=s")
+        vals = json.loads(body)["results"][0]["series"][0]["values"]
+        assert vals == [[t0, 15.0], [t0 + 3600, 35.0], [t0 + 7200, 99.0]]
+    finally:
+        server.shutdown()
+
+
+def test_cq_resample_window_bounds(spark, tmp_path):
+    """With RESAMPLE FOR and an explicit now, a tick only recomputes
+    buckets inside [now - FOR, now) floored to bucket edges."""
+    import datetime as dt
+    import os
+
+    write_dir = str(tmp_path / "points")
+    rows = [
+        (f"2024-03-01T{h:02d}:15:00", "plc1", "temp", float(h))
+        for h in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "ts_s string, plc_ip string, alias string, value double"
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "plc_ip", "alias", "value"
+    ).write.mode("overwrite").parquet(write_dir)
+
+    def get_table(m):
+        if m and os.path.isdir(f"{write_dir}__{m}"):
+            return spark.read.parquet(f"{write_dir}__{m}")
+        return spark.read.parquet(write_dir)
+
+    api = InfluxAPI(spark, get_table, write_dir=write_dir)
+    api.query(
+        "CREATE CONTINUOUS QUERY cq_w ON iot RESAMPLE FOR 2h BEGIN "
+        "SELECT mean(value) AS m INTO roll_w FROM points "
+        "GROUP BY time(1h) END",
+        None,
+    )
+    # now = 04:30 → window [02:00, 04:00): exactly buckets 02 and 03
+    now = dt.datetime(2024, 3, 1, 4, 30)
+    assert api.run_continuous_queries(now=now) == {"cq_w": 2}
+    got = {
+        r["time"]: r["m"]
+        for r in spark.read.parquet(f"{write_dir}__roll_w").collect()
+    }
+    assert got == {
+        dt.datetime(2024, 3, 1, 2): 2.0,
+        dt.datetime(2024, 3, 1, 3): 3.0,
+    }
+
+
+def test_cq_service_thread_ticks(spark, tmp_path):
+    """The scheduler thread fires run_continuous_queries on its
+    interval and stop() halts it."""
+    import os
+    import threading as th
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.http_api import (
+        start_cq_service,
+    )
+
+    write_dir = str(tmp_path / "points")
+    spark.createDataFrame(
+        [("2024-03-01T00:10:00", "plc1", "temp", 5.0)],
+        "ts_s string, plc_ip string, alias string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "plc_ip", "alias", "value"
+    ).write.mode("overwrite").parquet(write_dir)
+
+    def get_table(m):
+        if m and os.path.isdir(f"{write_dir}__{m}"):
+            return spark.read.parquet(f"{write_dir}__{m}")
+        return spark.read.parquet(write_dir)
+
+    api = InfluxAPI(spark, get_table, write_dir=write_dir)
+    api.query(
+        "CREATE CONTINUOUS QUERY cq_t ON iot BEGIN "
+        "SELECT mean(value) AS m INTO roll_t FROM points "
+        "GROUP BY time(1h) END",
+        None,
+    )
+    ticked = th.Event()
+    results = []
+
+    def on_tick(res):
+        results.append(res)
+        ticked.set()
+
+    stop = start_cq_service(api, interval_s=0.2, on_tick=on_tick)
+    try:
+        assert ticked.wait(timeout=60)
+    finally:
+        stop()
+    assert results[0] == {"cq_t": 1}
+    assert os.path.isdir(f"{write_dir}__roll_t")
