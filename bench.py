@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "b28_watermark_accounting",  # two-pass running max (no WindowExec funnel)
     "b13_influxql_top_per_tag",  # 3-arg selector: per-tag argmax + TakeOrdered
     "b22_video_decode",  # real Y4M container decode + frame sampling
+    "b22_jpeg_decode",  # pure-numpy baseline JPEG (Huffman+IDCT), hash-checked
 ]
 
 

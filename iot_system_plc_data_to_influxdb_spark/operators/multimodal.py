@@ -52,19 +52,22 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes):
     """Image decode dispatch: REAL decoders for 24bpp BMP, binary PPM
-    (pure numpy) and PNG (stdlib-zlib inflate + spec-level chunk walk
-    and filter reconstruction — see decode_png below). JPEG and video
-    codecs require libraries not present in this container and raise
-    the documented gate. Returns (width, height, (H, W, C) uint8)."""
+    (pure numpy), PNG (stdlib-zlib inflate + spec-level chunk walk and
+    filter reconstruction — see decode_png below), and baseline JPEG
+    (pure-numpy Huffman + dequant + IDCT — see decode_jpeg below).
+    Progressive JPEG and video codecs raise the documented gate.
+    Returns (width, height, (H, W, C) uint8)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/video codec decode requires a library not present in "
-        "this environment; BMP, PPM, and PNG decode natively"
+        "video codec decode requires a library not present in this "
+        "environment; BMP, PPM, PNG, and baseline JPEG decode natively"
     )
 
 
@@ -688,6 +691,454 @@ def decode_png(payload: bytes):
         out[y] = row
         prev = row
     return w, h, out.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ISO/IEC 10918-1), pure numpy/stdlib. The encoder emits
+# JFIF / SOF0 / 4:4:4 with the Annex K Huffman tables; the decoder is a
+# general baseline-sequential reader (tables from the FILE, not assumed:
+# multi-table DQT/DHT markers, restart intervals, grayscale or 3-channel,
+# any 1x1-sampled component layout). Progressive (SOF2) and chroma
+# subsampling raise typed gates. Quantization defaults to all-ones so a
+# block-constant grayscale image round-trips EXACTLY (DC-only blocks are
+# integer-representable through FDCT->quant->dequant->IDCT), which is
+# what makes decode hash-checkable against a closed-form SQL oracle.
+# ---------------------------------------------------------------------------
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K Huffman table specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    import numpy as np
+
+    n = np.arange(8)
+    k = n[:, None]
+    a = np.cos((2 * n[None, :] + 1) * k * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    return a  # orthonormal: F = A @ f @ A.T is the JPEG FDCT
+
+
+def _huff_encode_table(bits, vals):
+    """(BITS, HUFFVAL) → {value: (code, length)} (canonical codes)."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits, vals):
+    """(BITS, HUFFVAL) → {(length, code): value}."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            self.put(0x7F, 7 - ((self._n - 1) % 8))  # pad with 1-bits
+
+
+def _mag_bits(v: int):
+    """Coefficient → (category, appended bits) per spec F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(pixels, quant=None, restart_interval: int = 0) -> bytes:
+    """numpy (H, W, 3) uint8 RGB → baseline JFIF JPEG (SOF0, 4:4:4,
+    Annex K Huffman tables). ``quant`` is an optional 64-entry
+    zigzag-order quantization list shared by luma and chroma; default
+    all-ones, under which block-constant grayscale content round-trips
+    exactly. ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (the error-resilience feature real camera files
+    use; exercises the decoder's restart path)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w, _ = px.shape
+    q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(
+        quant, dtype=np.int64
+    )
+    # RGB → YCbCr (JFIF / BT.601 full-range)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    # pad to 8x8 multiples by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    A = _dct_matrix()
+    qz = q[np.argsort(_ZIGZAG)].reshape(8, 8)  # natural-order table
+
+    enc_dc = [_huff_encode_table(*_DC_LUMA), _huff_encode_table(*_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_AC_LUMA), _huff_encode_table(*_AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                n = mcu // restart_interval - 1
+                bw.out += bytes([0xFF, 0xD0 + n % 8])
+                pred = [0, 0, 0]
+            mcu += 1
+            for ci, plane in enumerate(planes):
+                tbl = 0 if ci == 0 else 1
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = A @ (block - 128.0) @ A.T
+                qc = np.round(coef / qz).astype(np.int64)
+                zz = qc.flatten()[_ZIGZAG]
+                # DC: differential
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, extra = _mag_bits(diff)
+                code, ln = enc_dc[tbl][s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(extra, s)
+                # AC: run-length of zeros + category
+                run = 0
+                for ac in zz[1:]:
+                    v = int(ac)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[tbl][0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    s, extra = _mag_bits(v)
+                    code, ln = enc_ac[tbl][(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(extra, s)
+                    run = 0
+                if run:
+                    code, ln = enc_ac[tbl][0x00]  # EOB
+                    bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(int(q[i]) for i in range(64))
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)  # DQT table 0 (luma)
+    out += seg(0xFFDB, b"\x01" + zz_q)  # DQT table 1 (chroma)
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",  # 3 comps, 1x1, Tq 0/1/1
+    )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    for tc_th, (bits, vals) in (
+        (0x00, _DC_LUMA), (0x10, _AC_LUMA),
+        (0x01, _DC_CHROMA), (0x11, _AC_CHROMA),
+    ):
+        out += seg(
+            0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)
+        )
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: 0xFF00 unstuffing, restart-marker
+    detection at byte boundaries."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos : self.pos + 1]
+                if nxt == b"\x00":
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt.hex()} in entropy data"
+                    )
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        self._n = 0
+        # 1-bit padding before a marker can itself be a stuffed 0xFF00
+        while self.data[self.pos : self.pos + 2] == b"\xff\x00":
+            self.pos += 2
+        if self.data[self.pos : self.pos + 2] != bytes([0xFF, 0xD0 + n % 8]):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Appended-bits value → signed coefficient (spec F.2.2.1)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG → (width, height, (H, W, 3) uint8 RGB).
+
+    General baseline-sequential decoder: quantization and Huffman
+    tables are read from the FILE (multi-table markers supported),
+    restart intervals honored, grayscale and 3-component 4:4:4 streams
+    accepted. Progressive (SOF2) and subsampled chroma raise typed
+    NotImplementedError gates."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict = {}
+    htables: dict = {}  # (class, id) -> decode table
+    frame = None
+    dri = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq:
+                    vals = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=i
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=i
+                    ).astype(np.int64)
+                    i += 64
+                qtables[tq] = vals
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                if len(bits) < 16 or i + 17 + n > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
+                vals = list(body[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(ncomp):
+                # components start after precision(1)+h(2)+w(2)+ncomp(1)
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (fw, fh, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c : 3 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0xF))
+            pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fw, fh, comps = frame
+    tq_by_cid = dict(comps)
+    A = _dct_matrix()
+    inv_zig = np.argsort(np.asarray(_ZIGZAG))
+
+    br = _BitReader(payload, pos)
+    mx, my = -(-fw // 8), -(-fh // 8)
+    planes = [np.zeros((my * 8, mx * 8)) for _ in scan]
+    pred = [0] * len(scan)
+    mcu = 0
+    for by in range(my):
+        for bx in range(mx):
+            if dri and mcu and mcu % dri == 0:
+                br.align_and_expect_rst(mcu // dri - 1)
+                pred = [0] * len(scan)
+            for ci, (cid, td, ta) in enumerate(scan):
+                dc_t = htables[(0, td)]
+                ac_t = htables[(1, ta)]
+                zz = np.zeros(64, dtype=np.int64)
+                s = br.decode_huff(dc_t)
+                diff = _extend(br.bits(s), s) if s else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = br.decode_huff(ac_t)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC index overrun")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                coef = (zz * qtables[tq_by_cid[cid]])[inv_zig].reshape(8, 8)
+                block = A.T @ coef @ A + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            mcu += 1
+
+    planes = [p[:fh, :fw] for p in planes]
+    if len(planes) == 1:
+        y = planes[0]
+        rgb = np.stack([y, y, y], axis=2)
+    else:
+        y, cb, cr = planes
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+    return fw, fh, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def decode_images(df: DataFrame) -> DataFrame:

@@ -3519,6 +3519,91 @@ def b22_image_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B22j — REAL baseline JPEG decode (pure numpy/stdlib: marker walk,
+# canonical Huffman decode, dequant, IDCT, YCbCr→RGB — see
+# operators/multimodal.py decode_jpeg). Payloads are engine-encoded
+# JPEGs of 8x8-BLOCK-CONSTANT GRAYSCALE images with all-ones
+# quantization: a constant block carries only its DC coefficient,
+# which is integer-exact through FDCT→quant→dequant→IDCT, and R=G=B
+# makes the YCbCr round trip exact — so the decoded pixels equal the
+# closed-form construction EXACTLY and the per-channel sums are
+# SQL-derivable. Every third doc adds a restart interval, proving the
+# RSTn/DRI path against the same oracle. Lossy content is covered by
+# PSNR tests in pytest (an SQL oracle can't express quantization
+# noise).
+# --------------------------------------------------------------------------
+_B22_JPEG_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+        8 * (1 + doc_id % 3) AS w,
+        8 * (1 + doc_id % 2) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    bxs AS (SELECT unnest(range(0, 3)) AS bx),
+    bys AS (SELECT unnest(range(0, 2)) AS by),
+    blocks AS (
+      SELECT d.doc_id, d.w, d.h,
+        (31 * d.doc_id + 7 * bx + 13 * by) % 256 AS g
+      FROM d
+      JOIN bxs ON bx < d.w // 8
+      JOIN bys ON by < d.h // 8
+    )
+    SELECT doc_id,
+      CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(w * h AS INT) AS n_px,
+      CAST(64 * SUM(g) AS BIGINT) AS sum_r,
+      CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+      CAST(64 * SUM(g) AS BIGINT) AS sum_b,
+      CAST(64 * SUM(g) AS DOUBLE) / (w * h) AS mean_r,
+      CAST(64 * SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+      CAST(64 * SUM(g) AS DOUBLE) / (w * h) AS mean_b
+    FROM blocks GROUP BY doc_id, w, h
+"""
+
+
+def _media_payloads_jpeg(df):
+    """mapInPandas stage: doc_id → real baseline JPEG bytes. Block
+    (bx, by) of doc d is the constant gray (31d + 7bx + 13by) % 256;
+    docs with d % 3 == 0 encode with a restart interval of 2."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_jpeg
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                bx = np.arange(bw, dtype=np.int64)[None, :]
+                by = np.arange(bh, dtype=np.int64)[:, None]
+                g = ((31 * d + 7 * bx + 13 * by) % 256).astype(np.uint8)
+                gray = g.repeat(8, axis=0).repeat(8, axis=1)
+                px = np.stack([gray, gray, gray], axis=2)
+                ids.append(d)
+                payloads.append(
+                    encode_jpeg(px, restart_interval=2 if d % 3 == 0 else 0)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_jpeg_decode", oracle=_B22_JPEG_ORACLE, tags=("B22",))
+def b22_jpeg_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(_media_payloads_jpeg(docs))
+
+
+# --------------------------------------------------------------------------
 # B22i — REAL audio decode (RIFF/WAVE PCM16, proper chunk walk):
 # payloads are WAV files with doc_id-determined sample rate and a
 # closed-form int16 sample sequence; the decoded header fields and

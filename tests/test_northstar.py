@@ -42,11 +42,14 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_decode_image_dispatch():
-    """BMP/PPM/PNG decode natively; JPEG raises the gate."""
+    """BMP/PPM/PNG decode natively and exactly; baseline JPEG decodes
+    natively (lossy — near-exact under all-ones quant); progressive
+    JPEG raises the gate."""
     import numpy as np
 
     from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
         encode_bmp,
+        encode_jpeg,
         encode_png,
         encode_ppm,
     )
@@ -56,8 +59,94 @@ def test_decode_image_dispatch():
         w, h, out = decode_image(enc(px))
         assert (w, h) == (5, 6)
         assert (out == px).all()
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG/JFIF
+    w, h, out = decode_image(encode_jpeg(px))
+    assert (w, h) == (5, 6)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+    blob = bytearray(encode_jpeg(px))
+    blob[blob.index(b"\xff\xc0") + 1] = 0xC2  # patch SOF0 → SOF2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_image(bytes(blob))
+
+
+def test_jpeg_block_constant_gray_exact():
+    """All-ones quantization + 8x8-block-constant grayscale: only the
+    DC coefficient survives the FDCT and it is integer-exact through
+    quant→dequant→IDCT, so decode(encode(px)) == px bit-for-bit —
+    the property the b22_jpeg_decode SQL oracle hash-checks."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    for bh, bw in ((1, 1), (2, 3), (3, 2)):
+        g = rng.randint(0, 256, (bh, bw)).astype(np.uint8)
+        gray = g.repeat(8, axis=0).repeat(8, axis=1)
+        px = np.stack([gray, gray, gray], axis=2)
+        w, h, out = decode_jpeg(encode_jpeg(px))
+        assert (w, h) == (bw * 8, bh * 8)
+        assert (out == px).all()
+
+
+def test_jpeg_lossy_psnr_and_restart():
+    """Random color content (JPEG's worst case): near-lossless under
+    all-ones quant (>45 dB), still recognizable under the Annex K
+    luminance table; restart intervals decode identically, including
+    the RSTn index wrap past 8 markers."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 10 * np.log10(255**2 / mse) if mse else float("inf")
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (19, 22, 3), dtype=np.uint8)  # pad both dims
+    w, h, out = decode_jpeg(encode_jpeg(px))
+    assert (w, h) == (22, 19)
+    assert psnr(out, px) > 45
+    # K.1 luminance table (natural order) → zigzag for the encoder
+    k1 = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+         92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+         100, 103, 99]
+    )
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        _ZIGZAG,
+    )
+
+    _w, _h, out_q = decode_jpeg(encode_jpeg(px, quant=k1[np.array(_ZIGZAG)]))
+    assert psnr(out_q, px) > 12  # lossy but structured
+    # restart markers: 12 MCUs at interval 1 wraps the RST index
+    for ri in (1, 3):
+        _w, _h, out_r = decode_jpeg(encode_jpeg(px, restart_interval=ri))
+        assert (out_r == out).all()
+
+
+def test_jpeg_malformed_fails_fast():
+    import numpy as np
+    import pytest
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"notajpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # no SOF/SOS
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(px)[:-30])  # truncated entropy data
 
 
 def test_png_round_trip_all_filters():
