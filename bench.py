@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "b13_influxql_top_per_tag",  # 3-arg selector: per-tag argmax + TakeOrdered
     "b22_video_decode",  # real Y4M container decode + frame sampling
     "b22_jpeg_decode",  # pure-numpy baseline JPEG (Huffman+IDCT), hash-checked
+    "b12_influxql_ta_ema",  # InfluxQL 1.8 TA suite: EMA/DEMA/TEMA/TRIX front door
+    "b12_influxql_ta_osc",  # RSI/CMO/KER/KAMA front door, exact-int window terms
 ]
 
 

@@ -94,7 +94,21 @@ _TRANSFORMS = (
     "moving_average",
     "cumulative_sum",
     "elapsed",
+) + (
+    # InfluxQL 1.8 technical-analysis suite — iterative folds executed
+    # as ONE Arrow-batched applyInPandas pass per statement (see
+    # _apply_ta); per-function emission rules documented there
+    "exponential_moving_average",
+    "double_exponential_moving_average",
+    "triple_exponential_moving_average",
+    "triple_exponential_derivative",
+    "relative_strength_index",
+    "chande_momentum_oscillator",
+    "kaufmans_efficiency_ratio",
+    "kaufmans_adaptive_moving_average",
 )
+
+_TA_FNS = frozenset(_TRANSFORMS[7:])
 
 # InfluxDB 1.8 one-argument math transformations — applied to each
 # output value, either a raw field (`abs(value)`) or an aggregate
@@ -622,6 +636,8 @@ def parse(q: str) -> _Query:
                 if ofn == "elapsed":
                     raise InfluxQLError("elapsed() takes a field, not an aggregate")
                 iarg = _numeric(nm.group("iarg"), ifn) if nm.group("iarg") else None
+                if ofn in _TA_FNS and int(_numeric(nm.group("oarg"), ofn)) < 1:
+                    raise InfluxQLError(f"{ofn}() period must be >= 1")
                 transforms[len(sel)] = (ofn, nm.group("oarg"))
                 sel.append((ifn, col, alias or ofn, iarg))
             elif ofn in _MATH_FNS and (
@@ -663,6 +679,8 @@ def parse(q: str) -> _Query:
             alias = alias_override or am.group("alias")
             if fn in _TRANSFORMS:
                 # transform over the raw series: derivative(value, 1s)
+                if fn in _TA_FNS and int(_numeric(raw_n, fn)) < 1:
+                    raise InfluxQLError(f"{fn}() period must be >= 1")
                 transforms[len(sel)] = (fn, raw_n)
                 sel.append((None, _unquote(am.group("arg")), alias or fn, None))
                 return
@@ -1190,6 +1208,146 @@ def _apply_predictor(df: DataFrame, q: _Query) -> DataFrame:
     return out.orderBy("time", *tags)
 
 
+def _ta_fold(ofn: str, xs: list, n: int) -> list:
+    """One technical-analysis fold over a series (CPython loop — runs
+    inside applyInPandas on ONE series' buckets, which is range/interval
+    rows, not raw points). Emission rules (each mirrors a recursive-CTE
+    oracle tree bit-for-bit, so the expression order below is load-
+    bearing — do not algebraically simplify):
+
+    - exponential_moving_average(x, N): alpha = 2/(N+1), y0 = x0,
+      y[i] = alpha*x[i] + (1-alpha)*y[i-1]; emits from the first row.
+    - double/triple: DEMA = 2*e1 - e2, TEMA = 3*e1 - 3*e2 + e3 where
+      e2 = EMA(e1), e3 = EMA(e2); emit from the first row.
+    - triple_exponential_derivative (TRIX): 100*(t[i]-t[i-1])/t[i-1]
+      over t = e3; null at the first row (and where t[i-1] == 0).
+    - relative_strength_index(x, N): Wilder — seed avg gain/loss =
+      mean of the first N diffs, then a[i] = (a[i-1]*(N-1)+g[i])/N;
+      100.0 when avg loss is 0; emits from row index N.
+    - chande_momentum_oscillator(x, N): 100*(sUp-sDown)/(sUp+sDown)
+      over the last N diffs (running diff sums — exact when the input
+      aggregate is integral, e.g. count()); 0.0 when the denominator
+      is 0; emits from row index N.
+    - kaufmans_efficiency_ratio(x, N): |x[i]-x[i-N]| / sum(|diff|)
+      over the last N diffs, in [0, 1]; 0.0 when flat; from index N.
+    - kaufmans_adaptive_moving_average(x, N): sc = (er*(2/3 - 2/31)
+      + 2/31)^2, y seeded at x[N-1], y[i] = y[i-1] + sc*(x[i]-y[i-1]);
+      emits from row index N.
+    """
+    m = len(xs)
+    out: list = [None] * m
+
+    def ema_series(vals, n_):
+        a = 2.0 / (n_ + 1)
+        ys = []
+        y = None
+        for v in vals:
+            y = v if y is None else a * v + (1 - a) * y
+            ys.append(y)
+        return ys
+
+    if ofn == "exponential_moving_average":
+        return ema_series(xs, n)
+    if ofn in (
+        "double_exponential_moving_average",
+        "triple_exponential_moving_average",
+        "triple_exponential_derivative",
+    ):
+        e1 = ema_series(xs, n)
+        e2 = ema_series(e1, n)
+        if ofn == "double_exponential_moving_average":
+            return [2 * a - b for a, b in zip(e1, e2)]
+        e3 = ema_series(e2, n)
+        if ofn == "triple_exponential_moving_average":
+            return [3 * a - 3 * b + c for a, b, c in zip(e1, e2, e3)]
+        for i in range(1, m):
+            if e3[i - 1] != 0:
+                out[i] = 100.0 * (e3[i] - e3[i - 1]) / e3[i - 1]
+        return out
+    if ofn == "relative_strength_index":
+        if m <= n:
+            return out
+        diffs = [xs[i] - xs[i - 1] for i in range(1, m)]
+        ag = sum(max(d, 0) for d in diffs[:n]) / n
+        al = sum(max(-d, 0) for d in diffs[:n]) / n
+        out[n] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+        for i in range(n + 1, m):
+            d = diffs[i - 1]
+            ag = (ag * (n - 1) + max(d, 0)) / n
+            al = (al * (n - 1) + max(-d, 0)) / n
+            out[i] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+        return out
+    if ofn in (
+        "chande_momentum_oscillator",
+        "kaufmans_efficiency_ratio",
+        "kaufmans_adaptive_moving_average",
+    ):
+        diffs = [xs[i] - xs[i - 1] for i in range(1, m)]
+        y = None
+        for i in range(n, m):
+            win = diffs[i - n : i]
+            s_up = sum(max(d, 0) for d in win)
+            s_dn = sum(max(-d, 0) for d in win)
+            if ofn == "chande_momentum_oscillator":
+                tot = s_up + s_dn
+                out[i] = 0.0 if tot == 0 else 100.0 * (s_up - s_dn) / tot
+                continue
+            s_abs = s_up + s_dn
+            er = 0.0 if s_abs == 0 else abs(xs[i] - xs[i - n]) / s_abs
+            if ofn == "kaufmans_efficiency_ratio":
+                out[i] = er
+                continue
+            # t*t, not **2: the oracle writes t*t and pow(x, 2) is not
+            # guaranteed bit-equal to multiplication
+            t = er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0
+            sc = t * t
+            if y is None:
+                y = xs[n - 1]
+            y = y + sc * (xs[i] - y)
+            out[i] = y
+        return out
+    raise InfluxQLError(f"unsupported transform {ofn!r}")
+
+
+def _apply_ta(
+    df: DataFrame, q: _Query, ta_items: list, time_col: str
+) -> DataFrame:
+    """Run every technical-analysis transform of a statement in ONE
+    applyInPandas pass per series (partitioned by the GROUP BY tags —
+    at scale each series is one task; with no tags the statement is
+    inherently one global series, same caveat as the Window path)."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructType
+
+    for alias, _ofn, _n in ta_items:
+        df = df.withColumn(alias, F.col(alias).cast("double"))
+    tags = list(q.group_tags)
+    fields = [
+        (f.name, DoubleType() if f.name in {a for a, _, _ in ta_items}
+         else f.dataType)
+        for f in df.schema.fields
+    ]
+    schema = StructType()
+    for name, dtype in fields:
+        schema = schema.add(name, dtype, True)
+    cols = [name for name, _ in fields]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        for alias, ofn, n in ta_items:
+            xs = [float(v) for v in pdf[alias]]
+            # nullable Float64 so warm-up rows cross Arrow as NULL,
+            # not NaN (a NaN would defeat the isNotNull warm filter
+            # and hash differently than the oracle's NULL)
+            pdf[alias] = pd.array(_ta_fold(ofn, xs, n), dtype="Float64")
+        return pdf[cols]
+
+    grouped = df.groupBy(*tags) if tags else df.groupBy(F.lit(0).alias("_g"))
+    out = grouped.applyInPandas(fold, schema)
+    return out.select(*cols)
+
+
 def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataFrame:
     """InfluxDB transformations over an ordered series — the GROUP BY
     time() buckets (nested form) or the raw points (flat form). All of
@@ -1207,9 +1365,17 @@ def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataF
     w = Window.partitionBy(*q.group_tags).orderBy(time_col)
     tcol = F.col(time_col)
     warm = []  # columns whose warm-up rows InfluxDB does not emit
+    ta_items = []  # technical-analysis folds, run in one pandas pass
     for idx, (ofn, oarg) in q.transforms.items():
         alias = q.select[idx][2]
         c = F.col(alias)
+        if ofn in _TA_FNS:
+            if oarg is None:
+                raise InfluxQLError(f"{ofn}() requires a period argument")
+            ta_items.append((alias, ofn, int(_numeric(oarg, ofn))))
+            if ofn != "exponential_moving_average":
+                warm.append(alias)
+            continue
         if ofn in ("difference", "non_negative_difference"):
             res = c - F.lag(c).over(w)
             warm.append(alias)
@@ -1241,6 +1407,8 @@ def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataF
         df = df.withColumn(alias, res)
         if ofn.startswith("non_negative"):
             df = df.filter(F.col(alias) >= 0)
+    if ta_items:
+        df = _apply_ta(df, q, ta_items, time_col)
     if warm:
         # keep a row if any transformed column produced a value there
         # (InfluxDB pads shorter-warm-up columns with null, drops rows

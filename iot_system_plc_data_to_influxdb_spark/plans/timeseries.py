@@ -782,6 +782,199 @@ def b12_transforms2(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B12g — InfluxQL 1.8 technical-analysis suite through the front door:
+# EXPONENTIAL_MOVING_AVERAGE / DOUBLE_/TRIPLE_ / TRIPLE_EXPONENTIAL_
+# DERIVATIVE compiled from the wire statement (functions/influxql.py
+# _apply_ta: one Arrow-batched applyInPandas fold per statement,
+# parallel across series). The aggregate under the transforms is
+# count(value) so every fold starts from EXACT integers — bucket means
+# would make the hash hostage to AVG summation order; the mean-based
+# forms are exercised semantically in pytest. Each fold's IEEE-754
+# tree is mirrored in the chained recursive-CTE oracle (e2 = EMA(e1),
+# e3 = EMA(e2), materialized between recursions so the chain stays
+# linear).
+# --------------------------------------------------------------------------
+_B12_TA_EMA_ORACLE = """
+    WITH RECURSIVE b AS MATERIALIZED (
+      SELECT event_type,
+        TIMESTAMP '1970-01-01 00:00:00' + to_seconds(
+          CAST(FLOOR(FLOOR(epoch(ts)) / 21600) * 21600 AS BIGINT)
+        ) AS time,
+        COUNT(value) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'
+      GROUP BY 1, 2
+    ),
+    s AS MATERIALIZED (
+      SELECT event_type, time, c,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY time) AS rn
+      FROM b
+    ),
+    e1 AS (
+      SELECT event_type, time, rn, CAST(c AS DOUBLE) AS v FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.time, s.rn,
+        (2.0/11.0) * s.c + (1 - (2.0/11.0)) * r.v
+      FROM s JOIN e1 r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ),
+    m1 AS MATERIALIZED (SELECT * FROM e1),
+    e2 AS (
+      SELECT event_type, rn, v AS w FROM m1 WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, (2.0/11.0) * s.v + (1 - (2.0/11.0)) * r.w
+      FROM m1 s JOIN e2 r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ),
+    m2 AS MATERIALIZED (SELECT * FROM e2),
+    e3 AS (
+      SELECT event_type, rn, w AS u FROM m2 WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, (2.0/11.0) * s.w + (1 - (2.0/11.0)) * r.u
+      FROM m2 s JOIN e3 r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ),
+    m3 AS MATERIALIZED (SELECT * FROM e3)
+    SELECT m1.time, m1.event_type,
+      m1.v AS ema,
+      2 * m1.v - m2.w AS dema,
+      3 * m1.v - 3 * m2.w + m3.u AS tema,
+      CASE WHEN LAG(m3.u) OVER pw IS NOT NULL AND LAG(m3.u) OVER pw <> 0
+           THEN 100.0 * (m3.u - LAG(m3.u) OVER pw) / LAG(m3.u) OVER pw
+      END AS trix
+    FROM m1
+    JOIN m2 ON m1.event_type = m2.event_type AND m1.rn = m2.rn
+    JOIN m3 ON m1.event_type = m3.event_type AND m1.rn = m3.rn
+    WINDOW pw AS (PARTITION BY m1.event_type ORDER BY m1.rn)
+"""
+
+
+@register("b12_influxql_ta_ema", oracle=_B12_TA_EMA_ORACLE, tags=("B12", "B3"))
+def b12_influxql_ta_ema(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-01", "2024-01-29")
+    return compile_statement(
+        "SELECT exponential_moving_average(count(value), 10) AS ema, "
+        "double_exponential_moving_average(count(value), 10) AS dema, "
+        "triple_exponential_moving_average(count(value), 10) AS tema, "
+        "triple_exponential_derivative(count(value), 10) AS trix "
+        "FROM events "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+        "GROUP BY time(6h), event_type",
+        ev,
+    )
+
+
+# --------------------------------------------------------------------------
+# B12h — the oscillator half of the TA suite: RELATIVE_STRENGTH_INDEX
+# (Wilder smoothing), CHANDE_MOMENTUM_OSCILLATOR, KAUFMANS_EFFICIENCY_
+# RATIO, KAUFMANS_ADAPTIVE_MOVING_AVERAGE. Window-sum terms are exact
+# BIGINT sums of count() diffs (order-independent in both engines);
+# the only recursions are Wilder's gain/loss fold and KAMA's adaptive
+# fold, mirrored tree-for-tree. Emission: rn > period for the window
+# functions, rn > 14 for RSI — rows where at least one column is
+# defined survive, others are NULL on both sides.
+# --------------------------------------------------------------------------
+_B12_TA_OSC_ORACLE = """
+    WITH RECURSIVE b AS MATERIALIZED (
+      SELECT event_type,
+        TIMESTAMP '1970-01-01 00:00:00' + to_seconds(
+          CAST(FLOOR(FLOOR(epoch(ts)) / 21600) * 21600 AS BIGINT)
+        ) AS time,
+        COUNT(value) AS c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'
+      GROUP BY 1, 2
+    ),
+    s AS MATERIALIZED (
+      SELECT event_type, time, c,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY time) AS rn,
+        c - LAG(c) OVER (PARTITION BY event_type ORDER BY time) AS d
+      FROM b
+    ),
+    win AS MATERIALIZED (
+      SELECT event_type, time, c, rn, d,
+        SUM(GREATEST(d, 0)) OVER tw AS s_up,
+        SUM(GREATEST(-d, 0)) OVER tw AS s_dn,
+        LAG(c, 10) OVER (PARTITION BY event_type ORDER BY rn) AS c10
+      FROM s
+      WINDOW tw AS (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    -- Wilder RSI: seed = mean of the first 14 diffs at rn 15
+    seed AS MATERIALIZED (
+      SELECT event_type,
+        SUM(GREATEST(d, 0)) / 14 AS ag, SUM(GREATEST(-d, 0)) / 14 AS al
+      FROM s WHERE rn BETWEEN 2 AND 15 GROUP BY event_type
+    ),
+    wr AS (
+      SELECT s.event_type, s.rn, seed.ag, seed.al
+      FROM s JOIN seed ON s.event_type = seed.event_type WHERE s.rn = 15
+      UNION ALL
+      SELECT s.event_type, s.rn,
+        (r.ag * 13 + GREATEST(s.d, 0)) / 14,
+        (r.al * 13 + GREATEST(-s.d, 0)) / 14
+      FROM s JOIN wr r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ),
+    mr AS MATERIALIZED (SELECT * FROM wr),
+    -- KAMA: er/sc are y-independent per row; only y itself recurses
+    kin AS MATERIALIZED (
+      SELECT event_type, rn, c,
+        CASE WHEN (s_up + s_dn) = 0 THEN 0.0
+             ELSE ABS(c - c10) / (s_up + s_dn) END
+          * (2.0/3.0 - 2.0/31.0) + 2.0/31.0 AS tt
+      FROM win WHERE rn >= 11
+    ),
+    ky AS (
+      SELECT k.event_type, k.rn,
+        CAST(p.c AS DOUBLE) + (k.tt * k.tt) * (k.c - CAST(p.c AS DOUBLE))
+          AS y
+      FROM kin k JOIN s p
+        ON p.event_type = k.event_type AND p.rn = 10
+      WHERE k.rn = 11
+      UNION ALL
+      SELECT k.event_type, k.rn, r.y + (k.tt * k.tt) * (k.c - r.y)
+      FROM kin k JOIN ky r
+        ON k.event_type = r.event_type AND k.rn = r.rn + 1
+    ),
+    my AS MATERIALIZED (SELECT * FROM ky)
+    SELECT w.time, w.event_type,
+      CASE WHEN w.rn >= 15 THEN
+        CASE WHEN mr.al = 0 THEN 100.0
+             ELSE 100.0 - 100.0 / (1.0 + mr.ag / mr.al) END
+      END AS rsi,
+      CASE WHEN w.rn >= 11 THEN
+        CASE WHEN (w.s_up + w.s_dn) = 0 THEN 0.0
+             ELSE 100.0 * (w.s_up - w.s_dn) / (w.s_up + w.s_dn) END
+      END AS cmo,
+      CASE WHEN w.rn >= 11 THEN
+        CASE WHEN (w.s_up + w.s_dn) = 0 THEN 0.0
+             ELSE ABS(w.c - w.c10) / (w.s_up + w.s_dn) END
+      END AS ker,
+      my.y AS kama
+    FROM win w
+    LEFT JOIN mr ON mr.event_type = w.event_type AND mr.rn = w.rn
+    LEFT JOIN my ON my.event_type = w.event_type AND my.rn = w.rn
+    WHERE w.rn >= 11
+"""
+
+
+@register("b12_influxql_ta_osc", oracle=_B12_TA_OSC_ORACLE, tags=("B12", "B3"))
+def b12_influxql_ta_osc(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-01", "2024-01-29")
+    return compile_statement(
+        "SELECT relative_strength_index(count(value), 14) AS rsi, "
+        "chande_momentum_oscillator(count(value), 10) AS cmo, "
+        "kaufmans_efficiency_ratio(count(value), 10) AS ker, "
+        "kaufmans_adaptive_moving_average(count(value), 10) AS kama "
+        "FROM events "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+        "GROUP BY time(6h), event_type",
+        ev,
+    )
+
+
+# --------------------------------------------------------------------------
 # B24b — Holt double-exponential smoothing (InfluxQL holt_winters()
 # without the seasonal term): level/trend recursion over the hourly
 # downsampled series per event_type, plus 1/2/3-bucket-ahead forecasts.

@@ -1791,3 +1791,110 @@ def test_top_bottom_per_tag(points):
         compile_influxql(
             "SELECT top(value, alias, 2), mean(value) FROM points", points
         )
+
+
+def test_ta_ema_matches_pandas(points):
+    """Front-door EXPONENTIAL_MOVING_AVERAGE == pandas ewm(adjust=False)
+    per series, bucket-for-bucket."""
+    import pandas as pd
+
+    out = compile_influxql(
+        "SELECT exponential_moving_average(mean(value), 5) AS ema "
+        "FROM points GROUP BY time(1m), plc_ip",
+        points,
+    ).toPandas()
+    base = compile_influxql(
+        "SELECT mean(value) AS m FROM points GROUP BY time(1m), plc_ip",
+        points,
+    ).toPandas()
+    for plc, grp in base.groupby("plc_ip"):
+        want = (
+            grp.sort_values("time")["m"].ewm(alpha=2.0 / 6.0, adjust=False)
+            .mean()
+            .tolist()
+        )
+        got = (
+            out[out["plc_ip"] == plc].sort_values("time")["ema"].tolist()
+        )
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_ta_oscillators_reference_series(points):
+    """RSI/CMO/KER/KAMA against independent reference folds on one
+    series, including warm-up null placement."""
+    out = (
+        compile_influxql(
+            "SELECT relative_strength_index(count(value), 4) AS rsi, "
+            "chande_momentum_oscillator(count(value), 3) AS cmo, "
+            "kaufmans_efficiency_ratio(count(value), 3) AS ker, "
+            "kaufmans_adaptive_moving_average(count(value), 3) AS kama "
+            "FROM points WHERE \"plc_ip\" = '192.168.0.1' "
+            "GROUP BY time(5m)",
+            points,
+        )
+        .orderBy("time")
+        .collect()
+    )
+    counts = [
+        r["n"]
+        for r in compile_influxql(
+            "SELECT count(value) AS n FROM points "
+            "WHERE \"plc_ip\" = '192.168.0.1' GROUP BY time(5m)",
+            points,
+        )
+        .orderBy("time")
+        .collect()
+    ]
+    m = len(counts)
+    diffs = [counts[i] - counts[i - 1] for i in range(1, m)]
+
+    # reference RSI (Wilder, N=4)
+    want_rsi = [None] * m
+    ag = sum(max(d, 0) for d in diffs[:4]) / 4
+    al = sum(max(-d, 0) for d in diffs[:4]) / 4
+    want_rsi[4] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+    for i in range(5, m):
+        d = diffs[i - 1]
+        ag = (ag * 3 + max(d, 0)) / 4
+        al = (al * 3 + max(-d, 0)) / 4
+        want_rsi[i] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+    # reference CMO/KER/KAMA (N=3)
+    want_cmo, want_ker, want_kama = [None] * m, [None] * m, [None] * m
+    y = None
+    for i in range(3, m):
+        win = diffs[i - 3 : i]
+        s_up = sum(max(d, 0) for d in win)
+        s_dn = sum(max(-d, 0) for d in win)
+        tot = s_up + s_dn
+        want_cmo[i] = 0.0 if tot == 0 else 100.0 * (s_up - s_dn) / tot
+        er = 0.0 if tot == 0 else abs(counts[i] - counts[i - 3]) / tot
+        want_ker[i] = er
+        t = er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0
+        if y is None:
+            y = float(counts[2])
+        y = y + t * t * (counts[i] - y)
+        want_kama[i] = y
+
+    # warm filter drops rows where nothing is defined (i < 3)
+    assert len(out) == m - 3
+    for j, r in enumerate(out):
+        i = j + 3
+        for col, want in (
+            ("rsi", want_rsi[i]),
+            ("cmo", want_cmo[i]),
+            ("ker", want_ker[i]),
+            ("kama", want_kama[i]),
+        ):
+            if want is None:
+                assert r[col] is None, (col, i)
+            else:
+                assert r[col] == pytest.approx(want, abs=1e-12), (col, i)
+
+
+def test_ta_parse_errors():
+    with pytest.raises(InfluxQLError):
+        parse("SELECT exponential_moving_average(mean(value)) FROM p "
+              "GROUP BY time(1m)")  # missing period
+    with pytest.raises(InfluxQLError):
+        parse("SELECT relative_strength_index(mean(value), 2h) FROM p "
+              "GROUP BY time(1m)")  # duration token as period
