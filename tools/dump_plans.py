@@ -36,6 +36,9 @@ HEADLINE = [
     "b21_classifier_score",
     "b21_lm_bigram_fit",
     "b18_epoch_shuffle",
+    "b9_anti_join",
+    "b12_influxql_ta_osc",
+    "b22_jpeg_decode",
 ]
 
 

@@ -40,6 +40,11 @@ QUERIES = [
     "b22_text_encoder",          # claim: Arrow batches, no shuffle beyond fan-out
     "b22_video_decode",          # claim: map-only container decode (Arrow fan-out)
     "b13_influxql_top_per_tag",  # claim: tag-sized aggregate + TakeOrdered
+    "b22_jpeg_decode",           # claim: map-only encode→decode (Arrow fan-out)
+    "b12_influxql_ta_ema",       # claim: bucket agg + per-series TA fold
+    "b12_influxql_ta_osc",       # claim: same shape, oscillator folds
+    "b19_neardup_clusters",      # claim: LSH pairs only; CC is driver union-find here
+    "b9_anti_join",              # claim: date filter pushed, anti build side shrunk
 ]
 
 UI_PORT = 4047
@@ -148,6 +153,20 @@ def main() -> int:
             "  pre-partitioned production corpus that repartition\n"
             "  disappears and the operators move zero bytes (their plans\n"
             "  contain no other Exchange — plan-guarded).\n"
+            "- **b9_anti_join**: ZERO shuffle — the o_orderdate predicate\n"
+            "  pushes to the orders scan and AQE broadcasts the shrunken\n"
+            "  build side, so the anti-join never hashes the fact table.\n"
+            "- **b22_jpeg_decode**: 3.4 KB — the encode→decode loop is two\n"
+            "  chained mapInPandas stages; the only exchange is the doc_id\n"
+            "  fan-out of the test corpus.\n"
+            "- **b12_influxql_ta_***: ~48 KB — one partial+final bucket\n"
+            "  aggregate, then the TA folds ride a per-series (group-tag)\n"
+            "  exchange whose volume is the BUCKETED series, not points.\n"
+            "- **b19_neardup_clusters**: 835 KB, all of it the MinHash/LSH\n"
+            "  pair derivation — the transitive closure itself moves zero\n"
+            "  bytes here (the deduped edge list is broadcast-small, so CC\n"
+            "  runs as driver union-find; past the 2M-edge threshold the\n"
+            "  star rounds run distributed, see operators/graph.py).\n"
             "- Zero disk/memory spill anywhere at this scale.\n"
         )
     print("wrote SHUFFLE.md")

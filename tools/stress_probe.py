@@ -38,6 +38,8 @@ QUERIES = [
     "b19_minhash_lsh_neardup",  # signatures + banded self-join
     "b21_classifier_score",     # map-only scorer
     "b18_epoch_shuffle",        # hash-partitioned sort
+    "b19_neardup_clusters",     # LSH pairs + adaptive CC (union-find/star rounds)
+    "b12_influxql_ta_osc",      # bucket agg + per-series TA folds
 ]
 
 
