@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "b22_jpeg_decode",  # pure-numpy baseline JPEG (Huffman+IDCT), hash-checked
     "b12_influxql_ta_ema",  # InfluxQL 1.8 TA suite: EMA/DEMA/TEMA/TRIX front door
     "b12_influxql_ta_osc",  # RSI/CMO/KER/KAMA front door, exact-int window terms
+    "b18_mixture_epochs",  # fractional repeat-factor mixture materialization
 ]
 
 

@@ -988,6 +988,89 @@ def b18_hash_sample_mix(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B18f — mixture materialization with FRACTIONAL repeat factors: the
+# up-sampling half of data mixing (b18_hash_sample_mix is the down-
+# sampling half). Each source gets a target factor (2.5× / 1× / 0.25×
+# keyed off the source index); a doc contributes floor(f) full epoch
+# copies plus one more iff its md5 prefix clears the fractional
+# threshold — the standard deterministic way to hit a token budget
+# like "wiki ×2.5" without RNG state. Epoch copies land in shards via
+# a second content hash, so repeats of the same doc scatter across the
+# training order instead of clumping. Map-only until the final
+# per-(source, epoch) aggregate; at 100 TB the explode is the
+# materialization itself (each output row IS a training shard row).
+# --------------------------------------------------------------------------
+_B18_MIX_ORACLE = """
+    WITH f AS (
+      SELECT doc_id, source,
+        CAST(substr(source, 4) AS INT) % 3 AS k,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, source,
+        (CASE WHEN k = 0 THEN 2 WHEN k = 1 THEN 1 ELSE 0 END
+         + CASE
+             WHEN k = 0 AND hk <= '7fffffff' THEN 1   -- +0.5
+             WHEN k = 2 AND hk <= '3fffffff' THEN 1   -- +0.25
+             ELSE 0 END) AS n_copies
+      FROM f
+    ),
+    exploded AS (
+      SELECT s.doc_id, s.source, CAST(e.epoch AS INT) AS epoch,
+        substr(md5(CAST(s.doc_id AS VARCHAR) || ':' ||
+                   CAST(e.epoch AS VARCHAR)), 1, 2) AS shard
+      FROM sized s
+      JOIN (SELECT unnest(range(1, 4)) AS epoch) e
+        ON e.epoch <= s.n_copies
+    )
+    SELECT source, epoch,
+      COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+    FROM exploded GROUP BY source, epoch
+"""
+
+
+@register("b18_mixture_epochs", oracle=_B18_MIX_ORACLE, tags=("B18", "B21"))
+def b18_mixture_epochs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    k = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(3))
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    n_copies = (
+        F.when(k == 0, 2).when(k == 1, 1).otherwise(0)
+        + F.when((k == 0) & (hk <= "7fffffff"), 1)
+        .when((k == 2) & (hk <= "3fffffff"), 1)
+        .otherwise(0)
+    )
+    exploded = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                n_copies > 0, F.sequence(F.lit(1), n_copies)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("epoch"),
+    ).withColumn(
+        "shard",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+    )
+    return exploded.groupBy("source", "epoch").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("shard").cast("bigint").alias("n_shards"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B20d — k-means embedding clustering (operators/clustering.py): the
 # curation-side counterpart of similarity search. Iterative float
 # algorithm → rows-only check here; recovery of synthetically planted

@@ -962,3 +962,44 @@ def test_y4m_round_trip_and_parsing():
         decode_y4m(b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + b"\x00" * 8)
     with _pt.raises(ValueError):
         encode_y4m([np.zeros((3, 4), dtype=np.uint8)])  # odd height
+
+
+def test_mixture_epochs_invariants(spark):
+    """Repeat-factor semantics: k=1 sources get exactly one epoch of
+    every doc; k=0 sources get 2 full epochs + a ~half fractional
+    third; k=2 sources get only a ~quarter fractional first epoch;
+    epoch populations are deterministic (md5) and non-increasing."""
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b18_mixture_epochs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = b18_mixture_epochs(spark, sf).collect()
+    per_source_total = {
+        r["source"]: r["cnt"]
+        for r in t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    by = {}
+    for r in rows:
+        by.setdefault(r["source"], {})[r["epoch"]] = r["n_docs"]
+    for source, epochs in by.items():
+        k = int(source[3:]) % 3
+        total = per_source_total[source]
+        if k == 1:
+            assert epochs == {1: total}
+        elif k == 0:
+            assert epochs[1] == total and epochs[2] == total
+            assert 0 < epochs.get(3, 0) < total  # ~50% fractional
+        else:
+            assert set(epochs) == {1} and 0 < epochs[1] < total  # ~25%
+        # epoch populations never increase
+        seq = [epochs[e] for e in sorted(epochs)]
+        assert seq == sorted(seq, reverse=True)
+    # determinism: a second run returns the identical multiset
+    again = {(r["source"], r["epoch"], r["n_docs"], r["n_shards"])
+             for r in b18_mixture_epochs(spark, sf).collect()}
+    assert again == {(r["source"], r["epoch"], r["n_docs"], r["n_shards"])
+                     for r in rows}
