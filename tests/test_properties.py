@@ -305,7 +305,20 @@ def test_influxql_parse_total_on_ascii_noise(s):
 _AGG = st.sampled_from(["mean", "max", "min", "sum", "count", "last", "first"])
 _TRANSFORM = st.sampled_from(
     ["", "derivative", "non_negative_derivative", "difference",
-     "moving_average", "cumulative_sum"]
+     "moving_average", "cumulative_sum",
+     # 1.8 technical-analysis suite (all take a period argument)
+     "exponential_moving_average", "double_exponential_moving_average",
+     "triple_exponential_moving_average", "triple_exponential_derivative",
+     "relative_strength_index", "chande_momentum_oscillator",
+     "kaufmans_efficiency_ratio", "kaufmans_adaptive_moving_average"]
+)
+_TA_NAMES = frozenset(
+    n for n in (
+        "exponential_moving_average", "double_exponential_moving_average",
+        "triple_exponential_moving_average", "triple_exponential_derivative",
+        "relative_strength_index", "chande_momentum_oscillator",
+        "kaufmans_efficiency_ratio", "kaufmans_adaptive_moving_average",
+    )
 )
 _FILL = st.sampled_from(["", "fill(previous)", "fill(0)", "fill(none)", "fill(linear)"])
 _BUCKET = st.sampled_from(["10m", "1h", "6h"])
@@ -326,6 +339,8 @@ def _influxql_query(draw):
     sel = f"{agg}(value)"
     if tr == "moving_average":
         sel = f"moving_average({sel}, 3)"
+    elif tr in _TA_NAMES:
+        sel = f"{tr}({sel}, {draw(st.sampled_from([2, 3, 5]))})"
     elif tr:
         sel = f"{tr}({sel})"
     where = draw(_WHERE)
