@@ -1985,7 +1985,8 @@ def compile_influxql(
 # --------------------------------------------------------------------------
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+(?P<what>MEASUREMENTS?|FIELD\s+KEYS?|TAG\s+KEYS?"
-    r"|TAG\s+VALUES|SERIES|DATABASES|RETENTION\s+POLICIES)"
+    r"|TAG\s+VALUES|SERIES|DATABASES|RETENTION\s+POLICIES"
+    r"|QUERIES|USERS|SUBSCRIPTIONS|SHARDS)"
     r"(?:\s+(?P<card>EXACT\s+CARDINALITY|CARDINALITY))?"
     r"(?:\s+ON\s+[\w.\"]+)?"
     r"(?:\s+FROM\s+(?P<from>[\w.\"]+))?"
@@ -2044,6 +2045,47 @@ def _show_base(
             [("autogen", "0s", "0s", 1, True)],
             "name string, duration string, shardGroupDuration string, "
             "replicaN int, `default` boolean",
+        )
+    if what == "QUERIES":
+        # the gateway executes statements synchronously — nothing is
+        # ever in flight when a SHOW QUERIES statement runs, so the
+        # honest answer is the empty running-query table (the influx
+        # CLI and Chronograf issue this during admin flows)
+        spark = points.sparkSession
+        return spark.createDataFrame(
+            [],
+            "qid bigint, query string, database string, "
+            "duration string, status string",
+        )
+    if what == "USERS":
+        # no auth layer in the gateway; empty user table, admin column
+        # present so client table renderers work
+        spark = points.sparkSession
+        return spark.createDataFrame([], "`user` string, admin boolean")
+    if what == "SUBSCRIPTIONS":
+        spark = points.sparkSession
+        return spark.createDataFrame(
+            [],
+            "retention_policy string, name string, mode string, "
+            "destinations string",
+        )
+    if what == "SHARDS":
+        # one logical shard = the points table; start/end derived from
+        # the actual data span (a MIN/MAX aggregate — pushed to scan
+        # statistics, no full read)
+        return points.agg(
+            F.lit(1).cast("bigint").alias("id"),
+            F.lit(SHOW_DATABASE_NAME).alias("database"),
+            F.lit("autogen").alias("retention_policy"),
+            F.lit(1).cast("bigint").alias("shard_group"),
+            F.date_format(
+                F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("start_time"),
+            F.date_format(
+                F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("end_time"),
+            F.lit("").alias("expiry_time"),
+            F.lit("").alias("owners"),
         )
     if what == "MEASUREMENTS":
         return df.select(F.col("plc_ip").alias("name")).distinct().orderBy("name")

@@ -105,6 +105,11 @@ class InfluxAPI:
         "CREATE RETENTION POLICY",
         "ALTER RETENTION POLICY",
         "DROP RETENTION POLICY",
+        # statements are executed synchronously — by the time a KILL
+        # arrives its target has already returned, so the kill is a
+        # well-formed no-op (same contract InfluxDB has for a qid that
+        # just finished)
+        "KILL QUERY",
     )
 
     def query(self, q: str, epoch: str | None) -> dict:

@@ -531,3 +531,39 @@ def test_cq_service_thread_ticks(spark, tmp_path):
         stop()
     assert results[0] == {"cq_t": 1}
     assert os.path.isdir(f"{write_dir}__roll_t")
+
+
+def test_admin_show_family_and_kill(gateway):
+    """The admin introspection statements the influx CLI / Chronograf
+    issue: SHOW QUERIES/USERS/SUBSCRIPTIONS return well-formed empty
+    tables (the gateway is synchronous and unauthenticated), SHOW
+    SHARDS reports the points table's real time span as one logical
+    shard, and KILL QUERY acks as a no-op."""
+    base, _ = gateway
+    for stmt, cols in (
+        ("SHOW QUERIES", ["qid", "query", "database", "duration", "status"]),
+        ("SHOW USERS", ["user", "admin"]),
+        (
+            "SHOW SUBSCRIPTIONS",
+            ["retention_policy", "name", "mode", "destinations"],
+        ),
+    ):
+        status, body = _get(f"{base}/query?q={urllib.parse.quote(stmt)}")
+        assert status == 200
+        series = json.loads(body)["results"][0]["series"][0]
+        assert series["columns"] == cols
+        assert series["values"] == []
+
+    status, body = _get(f"{base}/query?q={urllib.parse.quote('SHOW SHARDS')}")
+    assert status == 200
+    series = json.loads(body)["results"][0]["series"][0]
+    row = dict(zip(series["columns"], series["values"][0]))
+    assert row["database"] == "iot" and row["retention_policy"] == "autogen"
+    assert row["start_time"].startswith("2024-01-01T00:00:00")
+    assert row["end_time"] >= row["start_time"]
+
+    status, body = _get(
+        f"{base}/query?q={urllib.parse.quote('KILL QUERY 42')}"
+    )
+    assert status == 200
+    assert json.loads(body)["results"][0] == {"statement_id": 0}
