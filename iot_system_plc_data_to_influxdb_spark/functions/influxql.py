@@ -34,9 +34,12 @@ cos, tan, asin, acos, atan — `abs(value)`, `sqrt(mean(value))`.
 Predictor: holt_winters(agg(field), N, S) — N forecast buckets past
 the last GROUP BY time() bucket per series, additive-seasonal
 Holt-Winters with pinned α/β/γ (InfluxDB's Nelder-Mead fit replaced by
-deterministic constants — documented deviation).
+deterministic constants — documented deviation);
+holt_winters_with_fit() also emits the one-step-ahead fitted value at
+each observed bucket before the forecasts.
 Wildcard aggregates: ``mean(*)`` expands to one output column per
-numeric field, named ``<alias>_<field>`` as InfluxDB does.
+numeric field, named ``<alias>_<field>`` as InfluxDB does;
+``mean(/re/)`` expands to the regex-matched fields only.
 Meta statements (compile_show): SHOW MEASUREMENTS / FIELD KEYS / TAG
 KEYS / TAG VALUES / SERIES / DATABASES / RETENTION POLICIES, each with
 [EXACT] CARDINALITY and LIMIT variants; retention
@@ -227,7 +230,7 @@ _SELECT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"*]+)\s*"
+    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>[\w\"*]+|/[^/]*/)\s*"
     r"(?:,\s*(?P<n>[\d.]+[smhdw]?)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
@@ -658,19 +661,25 @@ def parse(q: str) -> _Query:
                 iarg = _numeric(nm.group("iarg"), ifn) if nm.group("iarg") else None
                 math_fns[len(sel)] = (ofn, _numeric(nm.group("oarg"), ofn))
                 sel.append((ifn, col, alias or ofn, iarg))
-            elif ofn == "holt_winters" and ifn in _AGGS:
+            elif (
+                ofn in ("holt_winters", "holt_winters_with_fit")
+                and ifn in _AGGS
+            ):
                 # holt_winters(mean(value), N, S): predict N buckets
-                # ahead with season length S (0 = no seasonality)
+                # ahead with season length S (0 = no seasonality).
+                # The _with_fit variant also emits the model's
+                # one-step-ahead fitted value at each observed bucket.
                 if nm.group("oarg") is None or nm.group("oarg2") is None:
                     raise InfluxQLError(
-                        "holt_winters() requires (agg(field), N, S)"
+                        f"{ofn}() requires (agg(field), N, S)"
                     )
                 predictor.append(
                     (int(_numeric(nm.group("oarg"), ofn)),
                      int(_numeric(nm.group("oarg2"), ofn)),
-                     len(sel))
+                     len(sel),
+                     ofn == "holt_winters_with_fit")
                 )
-                sel.append((ifn, col, alias or "holt_winters", None))
+                sel.append((ifn, col, alias or ofn, None))
             else:
                 raise InfluxQLError(f"unsupported select item {item!r}")
         elif am:
@@ -711,11 +720,14 @@ def parse(q: str) -> _Query:
             else:
                 n = float(raw_n) if raw_n else None
             arg = _unquote(am.group("arg"))
-            if arg == "*" and fn not in _AGGS:
-                # mean(*) / count(*) … expand to every field column at
-                # compile time; selectors and parameterized aggregates
-                # have no wildcard form in InfluxQL either
-                raise InfluxQLError(f"{fn}(*) is unsupported")
+            if (
+                arg == "*" or (arg.startswith("/") and arg.endswith("/"))
+            ) and fn not in _AGGS:
+                # mean(*) / mean(/re/) … expand to the (regex-matched)
+                # field columns at compile time; selectors and
+                # parameterized aggregates have no wildcard/regex form
+                # in InfluxQL either
+                raise InfluxQLError(f"{fn}({arg}) is unsupported")
             sel.append((fn, arg, alias or fn, n))
         elif re.match(r"^[\w\"*]+$", item):
             sel.append(
@@ -1139,12 +1151,19 @@ def _apply_predictor(df: DataFrame, q: _Query) -> DataFrame:
     level = y₁, trend = 0. Series shorter than 2S (or 2) emit nothing,
     like InfluxDB on insufficient data.
 
+    holt_winters_with_fit() additionally emits the model's one-step-
+    ahead fitted value at every observed bucket the recursion covers
+    (seasonal: buckets S+1..n, fitted = level + trend + seasonal
+    evaluated on the PRE-update state; Holt: buckets 2..n, fitted =
+    level + trend), followed by the same N forecasts — InfluxDB's
+    fitted-curve-plus-forecast dashboard shape.
+
     The buckets per series are GROUP BY time() output — bounded by
     range/every — so the grouped-map fold is small-state per series and
     the heavy lifting (the bucket aggregation) stays native."""
     import pandas as pd
 
-    n_pred, season, idx = q.predictor
+    n_pred, season, idx, with_fit = q.predictor
     alias = q.select[idx][2]
     every = q.group_time_s
     tags = list(q.group_tags)
@@ -1152,8 +1171,13 @@ def _apply_predictor(df: DataFrame, q: _Query) -> DataFrame:
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("time").reset_index(drop=True)
-        ys = [v for v in pdf[alias].tolist() if v is not None]
-        times, vals = [], []
+        pts = [
+            (t, v)
+            for t, v in zip(pdf["time"].tolist(), pdf[alias].tolist())
+            if v is not None
+        ]
+        ys = [v for _, v in pts]
+        times, vals, fc = [], [], []
         s = season
         if s >= 2:
             if len(ys) >= 2 * s:
@@ -1168,26 +1192,34 @@ def _apply_predictor(df: DataFrame, q: _Query) -> DataFrame:
                 seas = [ys[i] - lvl for i in range(s)]
                 for t in range(s, len(ys)):
                     si = t % s
+                    if with_fit:
+                        times.append(pts[t][0])
+                        vals.append(lvl + trd + seas[si])
                     l_new = a * (ys[t] - seas[si]) + (1 - a) * (lvl + trd)
                     trd = b_ * (l_new - lvl) + (1 - b_) * trd
                     lvl = l_new
                     seas[si] = g * (ys[t] - l_new) + (1 - g) * seas[si]
                 for h in range(1, n_pred + 1):
-                    vals.append(lvl + h * trd + seas[(len(ys) + h - 1) % s])
+                    fc.append(lvl + h * trd + seas[(len(ys) + h - 1) % s])
         elif len(ys) >= 2:
             lvl, trd = ys[0], 0.0
-            for y in ys[1:]:
+            for t in range(1, len(ys)):
+                if with_fit:
+                    times.append(pts[t][0])
+                    vals.append(lvl + trd)
+                y = ys[t]
                 l_new = a * y + (1 - a) * (lvl + trd)
                 trd = b_ * (l_new - lvl) + (1 - b_) * trd
                 lvl = l_new
             for h in range(1, n_pred + 1):
-                vals.append(lvl + h * trd)
-        if vals:
+                fc.append(lvl + h * trd)
+        if fc:
             last = pdf["time"].iloc[-1]
-            times = [
+            times = times + [
                 last + pd.Timedelta(seconds=every * h)
                 for h in range(1, n_pred + 1)
             ]
+            vals = vals + fc
         data = {"time": times}
         for tcol in tags:
             data[tcol] = [pdf[tcol].iloc[0]] * len(times)
@@ -1699,9 +1731,15 @@ def compile_influxql(
         )
         q.group_star = False
 
-    if any(fn and c == "*" for fn, c, _a, _n in q.select):
-        # agg(*) — one output column per numeric field column, named
-        # <alias>_<field> exactly as InfluxDB names mean(*) results
+    def _multi_field(c: str) -> bool:
+        # agg(*) wildcard, or agg(/re/) regex field selector —
+        # InfluxDB matches field keys with an unanchored regex search
+        return c == "*" or (len(c) >= 2 and c[0] == "/" and c[-1] == "/")
+
+    if any(fn and _multi_field(c) for fn, c, _a, _n in q.select):
+        # agg(*) / agg(/re/) — one output column per (matching)
+        # numeric field column, named <alias>_<field> exactly as
+        # InfluxDB names mean(*) results
         if q.transforms or q.math_fns or q.scalar_math or q.predictor:
             raise InfluxQLError(
                 "agg(*) cannot combine with transforms, math, or predictors"
@@ -1719,8 +1757,15 @@ def compile_influxql(
             raise InfluxQLError("agg(*) found no numeric field columns")
         expanded = []
         for fn, c, a, n in q.select:
-            if fn and c == "*":
-                expanded.extend((fn, fc, f"{a}_{fc}", n) for fc in fields)
+            if fn and _multi_field(c):
+                matched = fields if c == "*" else [
+                    fc for fc in fields if re.search(c[1:-1], fc)
+                ]
+                if not matched:
+                    raise InfluxQLError(
+                        f"{fn}({c}) matched no numeric field columns"
+                    )
+                expanded.extend((fn, fc, f"{a}_{fc}", n) for fc in matched)
             else:
                 expanded.append((fn, c, a, n))
         q.select = expanded

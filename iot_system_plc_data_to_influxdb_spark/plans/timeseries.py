@@ -1953,6 +1953,107 @@ def b24_influxql_holt_winters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B24d — HOLT_WINTERS_WITH_FIT(): InfluxDB's fitted-curve-plus-
+# forecast dashboard shape. Same pinned-parameter additive-seasonal
+# fold as B24c; additionally emits the one-step-ahead fitted value at
+# every observed bucket the recursion covers (state BEFORE the update
+# at step t: fitted = level + trend + seasonal[t mod S]). The oracle
+# reuses B24c's recursive CTE and reads the fitted value off the
+# recursion state joined to the NEXT observed bucket (rec.t's state
+# predicts bucket rn = t+1), then unions the three forecast rows.
+# --------------------------------------------------------------------------
+@register(
+    "b24_influxql_holt_winters_fit",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT event_type,
+        TIMESTAMP '1970-01-01 00:00:00'
+          + to_seconds(CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT)) AS time,
+        AVG(value) AS y
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-09'
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, time, y,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY time) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS tn,
+        MAX(time) OVER (PARTITION BY event_type) AS last_time
+      FROM b
+    ),
+    wide AS (
+      SELECT event_type, ANY_VALUE(tn) AS tn, ANY_VALUE(last_time) AS last_time,
+        MAX(CASE WHEN rn = 1 THEN y END) AS y1,
+        MAX(CASE WHEN rn = 2 THEN y END) AS y2,
+        MAX(CASE WHEN rn = 3 THEN y END) AS y3,
+        MAX(CASE WHEN rn = 4 THEN y END) AS y4,
+        MAX(CASE WHEN rn = 5 THEN y END) AS y5,
+        MAX(CASE WHEN rn = 6 THEN y END) AS y6,
+        MAX(CASE WHEN rn = 7 THEN y END) AS y7,
+        MAX(CASE WHEN rn = 8 THEN y END) AS y8
+      FROM r GROUP BY event_type
+    ),
+    init AS (
+      SELECT event_type, tn, last_time,
+        l0 AS l,
+        ((((((0.0 + y5) + y6) + y7) + y8) / 4.0) - l0) / 4.0 AS bt,
+        y1 - l0 AS s1, y2 - l0 AS s2, y3 - l0 AS s3, y4 - l0 AS s4
+      FROM (
+        SELECT *, ((((0.0 + y1) + y2) + y3) + y4) / 4.0 AS l0
+        FROM wide WHERE tn >= 8
+      )
+    ),
+    rec AS (
+      SELECT event_type, tn, last_time, 4 AS t, l, bt, s1, s2, s3, s4
+      FROM init
+      UNION ALL
+      SELECT event_type, tn, last_time, t + 1,
+        lnew,
+        0.1 * (lnew - l) + (1 - 0.1) * bt,
+        CASE WHEN si = 0 THEN 0.1 * (y - lnew) + (1 - 0.1) * s1 ELSE s1 END,
+        CASE WHEN si = 1 THEN 0.1 * (y - lnew) + (1 - 0.1) * s2 ELSE s2 END,
+        CASE WHEN si = 2 THEN 0.1 * (y - lnew) + (1 - 0.1) * s3 ELSE s3 END,
+        CASE WHEN si = 3 THEN 0.1 * (y - lnew) + (1 - 0.1) * s4 ELSE s4 END
+      FROM (
+        SELECT j.*, 0.5 * (j.y - j.sold) + (1 - 0.5) * (j.l + j.bt) AS lnew
+        FROM (
+          SELECT rec.*, r.y, rec.t % 4 AS si,
+            CASE rec.t % 4 WHEN 0 THEN rec.s1 WHEN 1 THEN rec.s2
+                           WHEN 2 THEN rec.s3 ELSE rec.s4 END AS sold
+          FROM rec JOIN r
+            ON r.event_type = rec.event_type AND r.rn = rec.t + 1
+        ) j
+      )
+    )
+    SELECT r.time, rec.event_type,
+      rec.l + rec.bt + CASE rec.t % 4 WHEN 0 THEN rec.s1 WHEN 1 THEN rec.s2
+        WHEN 2 THEN rec.s3 ELSE rec.s4 END AS hw
+    FROM rec JOIN r
+      ON r.event_type = rec.event_type AND r.rn = rec.t + 1
+    UNION ALL
+    SELECT
+      last_time + to_seconds(21600 * h) AS time,
+      event_type,
+      l + h * bt + CASE (tn + h - 1) % 4
+        WHEN 0 THEN s1 WHEN 1 THEN s2 WHEN 2 THEN s3 ELSE s4 END AS hw
+    FROM rec CROSS JOIN (VALUES (1), (2), (3)) v(h)
+    WHERE t = tn
+    """,
+    tags=("B24", "B3"),
+)
+def b24_influxql_holt_winters_fit(spark, sf_dir):
+    from ..functions.influxql import compile_statement
+
+    ev = events_between(spark, sf_dir, "2024-01-01", "2024-01-09")
+    return compile_statement(
+        "SELECT holt_winters_with_fit(mean(value), 3, 4) AS hw FROM events "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-09 00:00:00' "
+        "GROUP BY time(6h), event_type",
+        ev,
+    )
+
+
+# --------------------------------------------------------------------------
 # B13c — InfluxQL SAMPLE(field, N) selector: N points per series, time
 # preserved. InfluxDB draws with a reservoir RNG; we rank by
 # md5(epoch-micros) — uniform, value-independent, and deterministic,

@@ -1130,6 +1130,46 @@ def test_holt_winters_validation(points):
         parse("SELECT holt_winters(mean(value), 3, 4) FROM m")
     with pytest.raises(InfluxQLError):
         parse("SELECT holt_winters(mean(value)) FROM m GROUP BY time(1h)")
+    with pytest.raises(InfluxQLError):
+        parse("SELECT holt_winters_with_fit(mean(value)) FROM m GROUP BY time(1h)")
+
+
+def test_holt_winters_with_fit_emits_fitted_then_forecast(spark):
+    """with_fit = the one-step-ahead fitted value at each observed
+    bucket (pre-update model state), then the same N forecasts as the
+    plain predictor — replayed bit-for-bit by a python fold."""
+    import datetime as dtm
+
+    rows = [
+        (dtm.datetime(2024, 1, 1, 0, 0) + dtm.timedelta(hours=i), "a",
+         float((i % 4) + i * 0.1))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, tag string, value double")
+    out = compile_influxql(
+        "SELECT holt_winters_with_fit(mean(value), 2, 4) AS hw FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-02 00:00:00' "
+        "GROUP BY time(1h), tag",
+        df,
+    ).collect()
+    ys = [(i % 4) + i * 0.1 for i in range(12)]
+    a, b, g, s = 0.5, 0.1, 0.1, 4
+    lvl = sum(ys[:4]) / 4.0
+    trd = (sum(ys[4:8]) / 4.0 - lvl) / 4.0
+    seas = [ys[i] - lvl for i in range(4)]
+    exp = []
+    for t in range(4, 12):
+        si = t % s
+        exp.append(lvl + trd + seas[si])
+        l_new = a * (ys[t] - seas[si]) + (1 - a) * (lvl + trd)
+        trd = b * (l_new - lvl) + (1 - b) * trd
+        lvl = l_new
+        seas[si] = g * (ys[t] - l_new) + (1 - g) * seas[si]
+    exp += [lvl + h * trd + seas[(12 + h - 1) % 4] for h in (1, 2)]
+    assert [r["hw"] for r in out] == exp
+    # fitted rows sit AT the observed buckets (5th..12th), forecasts after
+    assert out[0]["time"] == dtm.datetime(2024, 1, 1, 4, 0)
+    assert out[-1]["time"] == dtm.datetime(2024, 1, 1, 13, 0)
 
 
 def test_sample_selector_deterministic(points):
@@ -1265,6 +1305,34 @@ def test_agg_star_expands_numeric_fields(points):
     assert sorted(out2.columns) == ["peak_value", "plc_ip"]
     with pytest.raises(InfluxQLError):
         parse("SELECT top(*, 3) FROM m")
+
+
+def test_agg_regex_field_selector(spark):
+    """mean(/re/) expands to the regex-matched numeric fields only —
+    InfluxDB's multi-field dashboard idiom (unanchored search, like
+    Go's regexp)."""
+    import datetime as dtm
+
+    rows = [
+        (dtm.datetime(2024, 1, 1, 0, m), float(m), float(m * 2), float(m * 3))
+        for m in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, load1 double, load5 double, temp double"
+    )
+    out = compile_influxql(
+        "SELECT mean(/load/) FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(1h)",
+        df,
+    )
+    assert out.columns == ["time", "mean_load1", "mean_load5"]
+    row = out.collect()[0]
+    assert row["mean_load1"] == 1.5 and row["mean_load5"] == 3.0
+    with pytest.raises(InfluxQLError):
+        compile_influxql("SELECT mean(/nomatch/) FROM m", df)
+    with pytest.raises(InfluxQLError):
+        parse("SELECT top(/load/, 3) FROM m")
 
 
 def test_show_series(points, spark):
