@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, tokens
+from ..functions.text import STOPWORDS, shingles, tokens
 
 
 def curate_stream(
@@ -70,6 +70,108 @@ def curate_stream(
     if lang is not None:
         out = out.filter(F.col("predicted_lang") == lang)
     return out
+
+
+def neardup_filter_stream(
+    docs: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    n_hashes: int = 8,
+    bands: int = 4,
+    finalize: str = "1 minute",
+) -> DataFrame:
+    """Streaming NEAR-duplicate ingest filter (B19 × B26): MinHash-LSH
+    dedup as data lands, instead of a nightly batch pass.
+
+    doc stream (ingest_ts, doc_id, text) → survivor stream
+    (window, doc_id, ingest_ts, n_fresh_bands).
+
+    Stages:
+    1. MinHash signature — the identical zero-shuffle recipe as the
+       batch ``b19_minhash_lsh_neardup`` (salted-md5 components min-
+       folded over the un-exploded shingle array; closure factory per
+       component, NOT a ``lambda s, j=j`` default, which pyspark reads
+       as transform's (element, index) form). Map-only, codegen'd.
+    2. LSH band keys — ``bands`` rows per doc, key = md5 of the
+       concatenated signature slice. The explode is map-only.
+    3. ``dropDuplicatesWithinWatermark(["band", "bk"])`` — the FIRST
+       holder of each LSH bucket within the watermark horizon keeps
+       its band row; later arrivals sharing the bucket lose theirs.
+       State is bounded by the watermark, keyed by (band, bk) — at
+       fleet scale this is the state-store shuffle, same key the batch
+       LSH join uses.
+    4. A doc survives iff ALL its bands were fresh (any shared bucket
+       = near-dup candidate = filtered), re-assembled by a windowed
+       count per doc — the second stateful operator; Spark's
+       multi-stateful support chains it after the dedup because both
+       run on the same event-time watermark.
+
+    The survivor stream carries doc_id + ingest_ts, not the payload:
+    at 100 TB the text/bytes stay in the landed table and survivors
+    join back by doc_id — shuffling full documents through two state
+    stores would dominate the cost. Tuning: aggressiveness follows the
+    LSH threshold curve — bands=4 of 2 hashes each ≈ "candidate at
+    sim ≳ 0.5"; raise rows-per-band to demand closer duplicates.
+    """
+    if n_hashes % bands:
+        raise ValueError("n_hashes must divide evenly into bands")
+    rows_per_band = n_hashes // bands
+    arr = (
+        docs.select(
+            "ingest_ts", "doc_id", tokens(F.col("text")).alias("w")
+        )
+        .select(
+            "ingest_ts",
+            "doc_id",
+            F.array_distinct(shingles(F.col("w"))).alias("arr"),
+        )
+    )
+
+    def _component(j: int):
+        salt = F.lit(f"{j}|")
+        return F.array_min(
+            F.transform(
+                F.col("arr"),
+                lambda s: F.substring(F.md5(F.concat(salt, s)), 1, 8),
+            )
+        ).alias(f"h{j}")
+
+    sig = arr.select(
+        "ingest_ts", "doc_id", *[_component(j) for j in range(n_hashes)]
+    )
+    band_rows = sig.select(
+        "ingest_ts",
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.col(f"h{b * rows_per_band + k}")
+                                    for k in range(rows_per_band)
+                                ]
+                            )
+                        ).alias("bk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("ingest_ts", "doc_id", "e.band", "e.bk")
+    fresh = band_rows.withWatermark(
+        "ingest_ts", watermark
+    ).dropDuplicatesWithinWatermark(["band", "bk"])
+    return (
+        fresh.groupBy(F.window("ingest_ts", finalize), "doc_id")
+        .agg(
+            F.min("ingest_ts").alias("ingest_ts"),
+            F.count("*").alias("n_fresh_bands"),
+        )
+        .filter(F.col("n_fresh_bands") == bands)
+    )
 
 
 def chunk_stream(

@@ -607,6 +607,82 @@ def test_streaming_chunking_composes_with_curation(spark):
         assert by_chunk == {0: exp0, 1: exp1}
 
 
+def test_streaming_neardup_filter(spark):
+    """B19 × B26: MinHash-LSH near-dup filtering at ingest. A later
+    doc sharing ANY LSH band bucket with an earlier one (exact copy or
+    near-copy) loses that band row at dropDuplicatesWithinWatermark
+    and fails the all-bands-fresh count; distinct docs keep all four
+    bands and survive."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        neardup_filter_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = (
+        "the quick brown fox jumps over a lazy dog and the day is long "
+        "in the valley of the wind and a river runs to the sea"
+    )
+    other = (
+        "entirely different subject matter about compilers registers "
+        "and garbage collection in modern virtual machine runtimes"
+    )
+    fresh2 = (
+        "a third unrelated report on glacier mass balance and seasonal "
+        "snowfall trends across the northern hemisphere mountains"
+    )
+    near = base + " with a small appended tail"
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ingest_ts timestamp, doc_id bigint, text string"
+        batches = [
+            [("2024-01-01 00:00:01", 1, base), ("2024-01-01 00:00:02", 2, other)],
+            [
+                ("2024-01-01 00:00:11", 3, base),    # exact dup of 1
+                ("2024-01-01 00:00:12", 4, near),    # near-dup of 1
+                ("2024-01-01 00:00:13", 5, fresh2),  # genuinely new
+            ],
+            # watermark pusher: far enough ahead to finalize the
+            # earlier one-minute windows in the no-data flush batch
+            [("2024-01-01 01:00:00", 99, "late window flusher row")],
+        ]
+        import glob
+        import shutil
+
+        t0 = time.time() - 100
+        dst = os.path.join(tmp, "docs")
+        os.makedirs(dst, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "ingest_ts string, doc_id bigint, text string"
+            ).select(F.col("ingest_ts").cast("timestamp"), "doc_id", "text")
+            stage = os.path.join(tmp, f"nstage{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        got = []
+        q = (
+            neardup_filter_stream(stream, watermark="5 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        ids = sorted(r["doc_id"] for r in got)
+        # 3 (exact dup) and 4 (near-dup, shares bands with 1) drop;
+        # 99's 01:00 window is past the last watermark so it stays
+        # unflushed — correct append-mode behavior, not a loss
+        assert ids == [1, 2, 5], ids
+        assert all(r["n_fresh_bands"] == 4 for r in got)
+
+
 def test_dedup_watermark_state_eviction(spark):
     """The bounded-state half of dropDuplicatesWithinWatermark: once
     the watermark moves past a key's event time its dedup state is
