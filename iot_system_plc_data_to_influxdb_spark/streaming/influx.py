@@ -133,11 +133,18 @@ def write_batch_to_influx(
 # no Python UDF in the path.
 #
 # Scope: `measurement[,tag=v...] field=v[,field=v...] [ns_timestamp]`
-# with the \,  \=  '\ ' escape set; integer (``42i``), float, and
-# boolean field values (strings-with-spaces are out of scope, as the
-# reference never writes them).
+# with the \,  \=  '\ ' escape set; integer (``42i``), float, boolean,
+# and double-quoted string field values (spaces/commas/`=` inside the
+# quotes included — Telegraf writes these; embedded escaped quotes
+# ``\"`` inside a string value are the one out-of-scope corner).
 # --------------------------------------------------------------------------
-_SEG_RE = r"^((?:\\.|[^ ])+) ((?:\\.|[^ ])+)(?: (\d+))?$"
+# the field segment admits quoted runs so 'msg="a b",ok=1' is ONE
+# segment; measurements/tags can't be quoted in the protocol
+_SEG_RE = r'^((?:\\.|[^ ])+) ((?:"[^"]*"|\\.|[^ ])+)(?: (\d+))?$'
+
+#: split on commas that sit OUTSIDE double quotes (even count of
+#: quotes in the remainder) and are not escaped
+_FIELD_SPLIT_RE = r'(?<!\\),(?=(?:[^"]*"[^"]*")*[^"]*$)'
 
 
 def _unescape(c: Column) -> Column:
@@ -145,12 +152,17 @@ def _unescape(c: Column) -> Column:
 
 
 def _kv_entries(seg: Column) -> Column:
-    """array of (key, raw_value) structs from 'k=v,k=v' with escapes."""
+    """array of (key, raw_value) structs from 'k=v,k=v' with escapes.
+
+    The value is left RAW (quotes and escapes intact) — the caller
+    decides string-vs-numeric before unescaping, because unescaping a
+    quoted value first would erase the marker that distinguishes
+    ``msg="21.5"`` (string) from ``temp=21.5`` (float)."""
     return F.transform(
-        F.split(seg, r"(?<!\\),"),
+        F.split(seg, _FIELD_SPLIT_RE),
         lambda kv: F.struct(
             _unescape(F.regexp_extract(kv, r"^((?:\\.|[^=])+)=", 1)).alias("k"),
-            _unescape(F.regexp_extract(kv, r"^(?:\\.|[^=])+=(.*)$", 1)).alias("v"),
+            F.regexp_extract(kv, r"^(?:\\.|[^=])+=(.*)$", 1).alias("v"),
         ),
     )
 
@@ -158,15 +170,23 @@ def _kv_entries(seg: Column) -> Column:
 # wire-unit → microseconds multiplier; ns divides instead (a float
 # 0.001 multiply would lose exactness on 1.7e18-scale ns epochs —
 # decimal division keeps every digit)
-_PRECISION_TO_MICROS = {"ns": None, "u": 1, "ms": 1_000, "s": 1_000_000}
+_PRECISION_TO_MICROS = {
+    "ns": None,
+    "u": 1,
+    "ms": 1_000,
+    "s": 1_000_000,
+    "m": 60_000_000,
+    "h": 3_600_000_000,
+}
 
 
 def parse_line_protocol(
     lines: DataFrame, column: str = "line", precision: str = "ns"
 ) -> DataFrame:
     """One row per field per line: (measurement, tags, field, value_raw,
-    value, ts). ``value`` is the numeric reading (ints/bools coerced),
-    ``value_raw`` preserves the wire text. Lines that do not match the
+    value, ts). ``value`` is the numeric reading (ints/bools coerced;
+    null for quoted string fields), ``value_raw`` preserves the wire
+    text (unquoted for string fields). Lines that do not match the
     grammar yield a null measurement — filter or quarantine upstream
     (the A9 null gate applied to ingest).
 
@@ -203,9 +223,17 @@ def parse_line_protocol(
             ),
         ).alias("ts"),
     )
-    raw = F.col("f.v")
+    raw0 = F.col("f.v")
+    # a value wrapped in double quotes is a STRING field: value_raw
+    # carries the unquoted text, numeric value is null (the consumer's
+    # schema keeps readings numeric; string fields ride value_raw)
+    is_str = raw0.rlike(r'^".*"$')
+    raw = F.when(
+        is_str, _unescape(F.expr("substring(f.v, 2, length(f.v)-2)"))
+    ).otherwise(_unescape(raw0))
     value = (
-        F.when(raw.rlike(r"^-?\d+i$"), F.expr("substring(f.v, 1, length(f.v)-1)").try_cast("double"))
+        F.when(is_str, F.lit(None).cast("double"))
+        .when(raw.rlike(r"^-?\d+i$"), F.expr("substring(f.v, 1, length(f.v)-1)").try_cast("double"))
         .when(F.lower(raw).isin("t", "true"), F.lit(1.0))
         .when(F.lower(raw).isin("f", "false"), F.lit(0.0))
         .otherwise(raw.try_cast("double"))

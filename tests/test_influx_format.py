@@ -94,6 +94,37 @@ def test_line_protocol_foreign_lines(spark):
     assert bad  # null-gated, not crashed
 
 
+def test_line_protocol_string_fields_and_precisions(spark):
+    """Telegraf-style quoted string fields: spaces, commas, and '='
+    ride inside the quotes; numeric value is null and value_raw holds
+    the unquoted text. Also the m/h wire precisions."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        parse_line_protocol,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ('ev,host=web1 msg="disk full, on /var x=1",level=3i 1704067200000000000',),
+            ('status note="all ok" 1704067200000000000',),
+        ],
+        "line string",
+    )
+    out = parse_line_protocol(lines).collect()
+    ev = {r["field"]: r for r in out if r["measurement"] == "ev"}
+    assert ev["msg"]["value"] is None
+    assert ev["msg"]["value_raw"] == "disk full, on /var x=1"
+    assert ev["level"]["value"] == 3.0
+    assert ev["msg"]["tags"] == {"host": "web1"}
+    note = [r for r in out if r["measurement"] == "status"][0]
+    assert note["value_raw"] == "all ok" and note["value"] is None
+
+    # minute/hour precision: epoch units scale to the same instant
+    for prec, unit in (("m", 28401120), ("h", 473352)):
+        one = spark.createDataFrame([(f"m v=1 {unit}",)], "line string")
+        r = parse_line_protocol(one, precision=prec).collect()[0]
+        assert r["ts"].year == 2024 and r["ts"].month == 1, (prec, r["ts"])
+
+
 def test_line_protocol_file_stream(spark, tmp_path):
     """Streamed line-protocol files land as parsed points; malformed
     lines are null-gated out."""
