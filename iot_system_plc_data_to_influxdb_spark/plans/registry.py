@@ -72,8 +72,9 @@ CANONICAL: frozenset = frozenset(
         "b3_downsample",
         "b3_influxql_compiled",    # the InfluxQL compiler is first-class
         "b4_hash_aggregate",
-        "b5_approx_distinct",      # rows-only by design (HLL)
-        "b5_distinct_exact",       # hash-checkable twin for B5
+        "b5_hll_deterministic",    # md5-pinned HLL: sketch itself hash-checked
+        "b5_distinct_exact",       # exact twin for B5 (approx_count_distinct
+                                   # variant stays registered, rows-only)
         "b6_grouping_sets",
         "b7_broadcast_star_join",
         "b8_local_supplier_volume",

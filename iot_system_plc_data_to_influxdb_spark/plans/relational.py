@@ -142,10 +142,118 @@ def b5_exact(spark, sf_dir):
 def b5_approx(spark, sf_dir):
     # HyperLogLog++ sketch — the 100 TB path where exact COUNT(DISTINCT)
     # would shuffle every key. rsd 1% ≈ few KB of sketch per group.
+    # Rows-only: Spark's HLL++ register layout is engine-internal, so
+    # no second engine reproduces the estimate — the deterministic
+    # sketch below (b5_hll_deterministic) is the hash-checkable HLL.
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B5b — deterministic HyperLogLog, hash-checked: the sketch itself is
+# pinned to public md5, so BOTH engines build bit-identical registers
+# and the harmonic-mean estimate is an exact-integer computation that
+# hashes equal. Register j of 256 = first byte of md5(key); rank =
+# leading-zero count of the next 52 bits + 1 (all-zero → 53, the
+# "ran off the hash" register value). The per-register MAX is the HLL
+# merge operator — at 100 TB each executor folds its partition into
+# 256 registers map-side (partial_max), the shuffle moves ≤256 rows
+# per task, and sketches from different days/tables merge with the
+# same MAX. The estimate avoids float summation entirely:
+# sum_j 2^-rho_j is accumulated as SUM(1L << (53 - rho)) — exact
+# int64 (≤ 2^61) — so the only double op is one final division of
+# identical exact integers: bit-equal across engines, no rounding
+# tie risk (registry determinism rules). Raw estimate only — the
+# small-range linear-counting branch needs ln(), whose last-ulp
+# behavior is libm-specific; at the tested cardinalities (≥1473 >
+# 2.5·m = 640) InfluxDB-style correction never engages (documented).
+# --------------------------------------------------------------------------
+@register(
+    "b5_hll_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem
+    ),
+    p1 AS (
+      SELECT
+        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+        length(regexp_extract(substr(hx, 3, 13), '^(0*)', 1)) AS z,
+        substr(hx, 3, 13) AS rest
+      FROM h
+    ),
+    p2 AS (SELECT bucket, z, substr(rest, z + 1, 1) AS c FROM p1),
+    rho AS (
+      SELECT bucket,
+        CASE WHEN z = 13 THEN 53
+             ELSE 4 * z + (CASE WHEN c = '1' THEN 3
+                                WHEN c IN ('2', '3') THEN 2
+                                WHEN c IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END) + 1
+        END AS rho
+      FROM p2
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS r FROM rho GROUP BY bucket),
+    tot AS (
+      SELECT CAST(SUM(1::BIGINT << (53 - r)) AS BIGINT)
+           + (256 - CAST(COUNT(*) AS BIGINT)) * 9007199254740992 AS total
+      FROM regs
+    )
+    SELECT 256 AS m,
+      0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992
+        / CAST(total AS DOUBLE) AS n_est
+    FROM tot
+    """,
+    tags=("B5",),
+)
+def b5_hll_deterministic(spark, sf_dir):
+    from ..functions.text import nibble
+
+    hx = F.md5(F.col("l_orderkey").cast("string"))
+    staged = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            (nibble(F.substring(hx, 1, 1)) * 16
+             + nibble(F.substring(hx, 2, 1))).alias("bucket"),
+            F.substring(hx, 3, 13).alias("rest"),
+        )
+        .select(
+            "bucket",
+            F.length(F.regexp_extract("rest", "^(0*)", 1)).alias("z"),
+            "rest",
+        )
+        .select(
+            "bucket", "z", F.expr("substring(rest, z + 1, 1)").alias("c")
+        )
+    )
+    rho = F.when(F.col("z") == 13, F.lit(53)).otherwise(
+        4 * F.col("z")
+        + F.when(F.col("c") == "1", 3)
+        .when(F.col("c").isin("2", "3"), 2)
+        .when(F.col("c").isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    regs = (
+        staged.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    tot = regs.agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 53 - r)"))
+            + (F.lit(256) - F.count("*")) * F.lit(9007199254740992)
+        ).alias("total")
+    )
+    return tot.select(
+        F.lit(256).alias("m"),
+        (
+            F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+            * F.lit(65536.0) * F.lit(9007199254740992.0) / F.col("total")
+        ).alias("n_est"),
     )
 
 

@@ -246,12 +246,30 @@ def test_approx_distinct_error_bound(spark):
     }
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in plans.queries()["b5_approx_distinct"](spark, sf).collect()
+        for r in plans.all_queries()["b5_approx_distinct"](spark, sf).collect()
     }
     assert set(exact) == set(approx)
     for k in exact:
         rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel < 0.05, (k, exact[k], approx[k], rel)
+
+
+def test_hll_deterministic_estimate_accuracy(spark):
+    """b5_hll_deterministic (md5-pinned 256-register HLL) estimates
+    COUNT(DISTINCT l_orderkey) within a conservative multiple of the
+    theoretical 1.04/sqrt(256) ≈ 6.5% rsd at both test scales."""
+    import duckdb
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        est = plans.queries()["b5_hll_deterministic"](spark, sf).collect()[0]
+        assert est["m"] == 256
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT l_orderkey) FROM '{sf}/lineitem.parquet'"
+        ).fetchone()[0]
+        rel = abs(est["n_est"] - exact) / exact
+        assert rel < 0.20, (sf, exact, est["n_est"], rel)
 
 
 def test_wilder_fold_vs_ewm_measurement():
