@@ -62,6 +62,43 @@ def test_line_protocol_round_trip_property(spark, rows):
         assert r["value"] == v
 
 
+_TEXT = st.text(
+    alphabet=st.characters(
+        codec="ascii",
+        min_codepoint=0x20,
+        max_codepoint=0x7E,
+        exclude_characters='\\"',
+    ),
+    max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=10))
+def test_line_protocol_string_field_property(spark, texts):
+    """Quoted string field values survive parsing verbatim — spaces,
+    commas, and '=' inside the quotes included — with numeric value
+    null and value_raw carrying the unquoted text."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.influx import (
+        parse_line_protocol,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            (f'm{i},tag=x k{i}="{txt}" 1704067200000000000',)
+            for i, txt in enumerate(texts)
+        ],
+        "line string",
+    )
+    got = {r["field"]: r for r in parse_line_protocol(lines).collect()}
+    assert set(got) == {f"k{i}" for i in range(len(texts))}
+    for i, txt in enumerate(texts):
+        r = got[f"k{i}"]
+        assert r["value_raw"] == txt, (txt, r["value_raw"])
+        assert r["value"] is None
+        assert r["measurement"] == f"m{i}" and r["tags"] == {"tag": "x"}
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(_ROW, min_size=2, max_size=40),
