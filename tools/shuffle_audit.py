@@ -45,6 +45,7 @@ QUERIES = [
     "b12_influxql_ta_osc",       # claim: same shape, oscillator folds
     "b19_neardup_clusters",      # claim: LSH pairs only; CC is driver union-find here
     "b9_anti_join",              # claim: date filter pushed, anti build side shrunk
+    "b5_hll_deterministic",      # claim: map-side partial_max folds rows into <=256 registers
 ]
 
 UI_PORT = 4047
@@ -167,6 +168,11 @@ def main() -> int:
             "  bytes here (the deduped edge list is broadcast-small, so CC\n"
             "  runs as driver union-find; past the 2M-edge threshold the\n"
             "  star rounds run distributed, see operators/graph.py).\n"
+            "- **b5_hll_deterministic**: the register shuffle — map-side\n"
+            "  partial_max folds every partition into ≤256 (bucket, max\n"
+            "  rho) rows before the exchange, so the sketch's shuffle is\n"
+            "  bounded by m × tasks regardless of input rows: the\n"
+            "  mergeable-sketch scale contract, measured.\n"
             "- Zero disk/memory spill anywhere at this scale.\n"
         )
     print("wrote SHUFFLE.md")
