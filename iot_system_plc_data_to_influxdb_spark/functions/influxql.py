@@ -574,6 +574,12 @@ class _Query:
 
 def parse(q: str) -> _Query:
     q = q.strip().rstrip(";")
+    # Grafana's query builder emits ::field / ::tag disambiguators
+    # (SELECT mean("value"::field) ... GROUP BY "plc_ip"::tag). The
+    # reference data model keeps the two key namespaces disjoint, so
+    # they are pure no-ops — strip them everywhere (a literal '::tag'
+    # inside a WHERE string is the one out-of-scope corner).
+    q = re.sub(r"::(?:field|tag)\b", "", q)
     tz = None
     tzm = _TZ_RE.search(q)
     if tzm:
@@ -612,6 +618,12 @@ def parse(q: str) -> _Query:
     selector3: list = []
 
     def parse_item(item, alias_override=None):
+        if re.fullmatch(r"/[^/]*/", item):
+            # raw regex projection (SELECT /re/ FROM m) — expanded
+            # against the table's columns at compile time; must be
+            # claimed BEFORE the arithmetic parser sees the slashes
+            sel.append((None, item, alias_override or item, None))
+            return
         s3 = _SELECTOR3_RE.match(item)
         if s3:
             fn = s3.group("fn").lower()
@@ -775,7 +787,9 @@ def parse(q: str) -> _Query:
         binops.append((li, ri, bm.group("op"), alias))
 
     for item in items:
-        se = _parse_scalar_expr(item)
+        # a bare /re/ projection would read as division to the scalar
+        # parser — claim it before any arithmetic detection
+        se = None if re.fullmatch(r"/[^/]*/", item) else _parse_scalar_expr(item)
         if se is None:
             bam = _BINOP_AGG_RE.match(item)
             if bam:
@@ -1766,6 +1780,25 @@ def compile_influxql(
                         f"{fn}({c}) matched no numeric field columns"
                     )
                 expanded.extend((fn, fc, f"{a}_{fc}", n) for fc in matched)
+            else:
+                expanded.append((fn, c, a, n))
+        q.select = expanded
+
+    if any(
+        fn is None and c != "*" and _multi_field(c)
+        for fn, c, _a, _n in q.select
+    ):
+        # raw regex projection: SELECT /re/ FROM m — expands to every
+        # matching column, fields AND tags (InfluxDB matches both key
+        # namespaces for bare regex select items)
+        candidates = [c for c, _dt in table.dtypes if c != "ts"]
+        expanded = []
+        for fn, c, a, n in q.select:
+            if fn is None and c != "*" and _multi_field(c):
+                matched = [fc for fc in candidates if re.search(c[1:-1], fc)]
+                if not matched:
+                    raise InfluxQLError(f"SELECT {c} matched no columns")
+                expanded.extend((None, fc, fc, None) for fc in matched)
             else:
                 expanded.append((fn, c, a, n))
         q.select = expanded

@@ -1333,6 +1333,31 @@ def test_agg_regex_field_selector(spark):
         compile_influxql("SELECT mean(/nomatch/) FROM m", df)
     with pytest.raises(InfluxQLError):
         parse("SELECT top(/load/, 3) FROM m")
+    # raw regex projection expands to matching columns (fields + tags)
+    raw = compile_influxql(
+        "SELECT /load/ FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00'",
+        df,
+    )
+    assert raw.columns == ["ts", "load1", "load5"] and raw.count() == 4
+
+
+def test_grafana_type_suffixes_are_stripped(spark):
+    """::field / ::tag disambiguators from Grafana's query builder are
+    no-ops — the same statement compiles with and without them."""
+    import datetime as dtm
+
+    rows = [
+        (dtm.datetime(2024, 1, 1, 0, m), "a", float(m)) for m in range(4)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, tag1 string, value double")
+    out = compile_influxql(
+        'SELECT mean("value"::field) AS mv FROM m '
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        'GROUP BY time(1h), "tag1"::tag',
+        df,
+    ).collect()
+    assert len(out) == 1 and out[0]["mv"] == 1.5 and out[0]["tag1"] == "a"
 
 
 def test_show_series(points, spark):
