@@ -221,7 +221,8 @@ def _agg_expr(fn: str, colname: str, arg: float | None):
 
 _SELECT_RE = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)"
-    r"\s+FROM\s+(?P<from>[\w.\"]+(?:\s*,\s*[\w.\"]+)*|/[^/]*/)"
+    r"\s+FROM\s+(?P<from>(?:\"[^\"]+\"|[\w.])+"
+    r"(?:\s*,\s*(?:\"[^\"]+\"|[\w.])+)*|/[^/]*/)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?"
     r"(?:\s+ORDER\s+BY\s+time\s+(?P<order>ASC|DESC))?"
@@ -2064,7 +2065,7 @@ def compile_influxql(
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+(?P<what>MEASUREMENTS?|FIELD\s+KEYS?|TAG\s+KEYS?"
     r"|TAG\s+VALUES|SERIES|DATABASES|RETENTION\s+POLICIES"
-    r"|QUERIES|USERS|SUBSCRIPTIONS|SHARDS)"
+    r"|QUERIES|USERS|SUBSCRIPTIONS|SHARDS|STATS|DIAGNOSTICS)"
     r"(?:\s+(?P<card>EXACT\s+CARDINALITY|CARDINALITY))?"
     r"(?:\s+ON\s+[\w.\"]+)?"
     r"(?:\s+FROM\s+(?P<from>[\w.\"]+))?"
@@ -2164,6 +2165,29 @@ def _show_base(
             ).alias("end_time"),
             F.lit("").alias("expiry_time"),
             F.lit("").alias("owners"),
+        )
+    if what == "STATS":
+        # real engine statistics, not canned numbers: point count,
+        # series (measurement, field) count, measurement count — all
+        # one aggregate pass over the points table (count-distinct on
+        # two low-cardinality key columns)
+        return points.agg(
+            F.lit("engine").alias("module"),
+            F.count("*").alias("n_points"),
+            F.count_distinct("plc_ip", "alias").alias("n_series"),
+            F.count_distinct("plc_ip").alias("n_measurements"),
+        )
+    if what == "DIAGNOSTICS":
+        import pyspark
+
+        spark = points.sparkSession
+        return spark.createDataFrame(
+            [
+                ("build", "Version", "1.8-compat"),
+                ("build", "Engine", f"pyspark-{pyspark.__version__}"),
+                ("runtime", "Master", spark.sparkContext.master),
+            ],
+            "module string, k string, v string",
         )
     if what == "MEASUREMENTS":
         return df.select(F.col("plc_ip").alias("name")).distinct().orderBy("name")

@@ -567,3 +567,21 @@ def test_admin_show_family_and_kill(gateway):
     )
     assert status == 200
     assert json.loads(body)["results"][0] == {"statement_id": 0}
+
+    # SHOW STATS reports REAL table statistics (one aggregate pass)
+    status, body = _get(f"{base}/query?q={urllib.parse.quote('SHOW STATS')}")
+    assert status == 200
+    series = json.loads(body)["results"][0]["series"][0]
+    row = dict(zip(series["columns"], series["values"][0]))
+    assert row["module"] == "engine"
+    assert row["n_points"] > 0
+    assert 0 < row["n_series"] >= row["n_measurements"] > 0
+
+    status, body = _get(
+        f"{base}/query?q={urllib.parse.quote('SHOW DIAGNOSTICS')}"
+    )
+    assert status == 200
+    series = json.loads(body)["results"][0]["series"][0]
+    vals = {(r[0], r[1]): r[2] for r in series["values"]}
+    assert vals[("build", "Version")] == "1.8-compat"
+    assert vals[("build", "Engine")].startswith("pyspark-")

@@ -1342,6 +1342,15 @@ def test_agg_regex_field_selector(spark):
     assert raw.columns == ["ts", "load1", "load5"] and raw.count() == 4
 
 
+def test_quoted_measurement_names_parse():
+    """Measurement identifiers with spaces parse when double-quoted —
+    Grafana quotes every measurement it emits."""
+    q = parse('SELECT mean(value) FROM "m with space" GROUP BY time(1h)')
+    assert q.measurement == "m with space"
+    q2 = parse('SELECT value FROM db."retention policy"."my m"')
+    assert '"my m"' in q2.measurement
+
+
 def test_grafana_type_suffixes_are_stripped(spark):
     """::field / ::tag disambiguators from Grafana's query builder are
     no-ops — the same statement compiles with and without them."""
