@@ -320,3 +320,43 @@ def b26_stream_stream_join(spark, sf_dir):
         F.col("r_ts").alias("error_ts"),
         F.col("r_value").alias("error_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# B26c/B23 — deadman (silent-series) detection, batch twin of
+# streaming/state.deadman_alerts: keys whose latest event trails the
+# corpus frontier by more than the interval. The streaming path emits
+# the alert when the WATERMARK passes last_ts + interval
+# (EventTimeTimeout, tests/test_streaming.py::
+# test_deadman_alerts_on_silent_series); this batch twin pins the
+# same predicate shape against the oracle. Scale: per-key MAX is a
+# map-side partial aggregate; the frontier is one broadcast scalar —
+# no second full-table pass.
+# --------------------------------------------------------------------------
+@register(
+    "b23_deadman_silent_series",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    last AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)
+    SELECT user_id, last_ts,
+      CAST(FLOOR(epoch(m)) - FLOOR(epoch(last_ts)) AS BIGINT) AS silent_s
+    FROM last CROSS JOIN mx
+    WHERE last_ts < m - INTERVAL 1 DAY
+    """,
+    tags=("B23", "B26"),
+)
+def b23_deadman_silent_series(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    frontier = ev.agg(F.max("ts").alias("m"))
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    return (
+        last.crossJoin(F.broadcast(frontier))
+        .filter(F.col("last_ts") < F.col("m") - F.expr("INTERVAL 1 DAY"))
+        .select(
+            "user_id",
+            "last_ts",
+            (F.unix_timestamp("m") - F.unix_timestamp("last_ts")).alias(
+                "silent_s"
+            ),
+        )
+    )

@@ -64,6 +64,88 @@ def current_value_batch(points: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deadman / heartbeat alerts: the monitoring loop InfluxDB users get
+# from Kapacitor's deadman() — alert when a series goes SILENT. The
+# reference's poll loop can only observe data that arrives; silence is
+# the event-time-timeout case, which is exactly what GroupState's
+# EventTimeTimeout models: every point re-arms the key's timeout at
+# last_ts + interval, and when the WATERMARK passes that deadline with
+# no new data the state times out and emits one alert row. State is
+# one timestamp per live key; an alert clears it, so the next point
+# re-arms a fresh silence episode (one alert per outage, not per
+# batch). Scale: state cardinality = series cardinality, exactly like
+# the A10 current-value table.
+# --------------------------------------------------------------------------
+DEADMAN_OUTPUT = (
+    "plc_ip string, alias string, last_ts timestamp, silent_for_s double"
+)
+DEADMAN_STATE = "last_ts timestamp"
+
+
+def deadman_alerts(
+    points: DataFrame,
+    *,
+    interval: str = "30 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming silent-series detector.
+
+    points (ts, plc_ip, alias, ...) → alert stream
+    (plc_ip, alias, last_ts, silent_for_s), one row per key per
+    silence episode, emitted when the event-time watermark passes
+    last_ts + interval with no newer point for the key.
+    """
+    n, unit = interval.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    interval_ms = int(n) * mult * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (last_ts,) = state.get
+            wm_s = state.getCurrentWatermarkMs() / 1000.0
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "plc_ip": [key[0]],
+                    "alias": [key[1]],
+                    "last_ts": [last_ts],
+                    "silent_for_s": [wm_s - last_ts.timestamp()],
+                }
+            )
+        else:
+            last_ts = state.get[0] if state.exists else None
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts = pdf["ts"].max()
+                if last_ts is None or ts >= last_ts:
+                    last_ts = ts
+            state.update((last_ts,))
+            state.setTimeoutTimestamp(
+                int(last_ts.timestamp() * 1000) + interval_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "plc_ip": pd.Series([], dtype="object"),
+                    "alias": pd.Series([], dtype="object"),
+                    "last_ts": pd.Series([], dtype="datetime64[us]"),
+                    "silent_for_s": pd.Series([], dtype="float64"),
+                }
+            )
+
+    return points.withWatermark("ts", watermark).groupBy(
+        "plc_ip", "alias"
+    ).applyInPandasWithState(
+        fn,
+        outputStructType=DEADMAN_OUTPUT,
+        stateStructType=DEADMAN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
 # Spark-4 native variant: transformWithStateInPandas with a
 # StatefulProcessor. Same semantics as current_value_stream, but on the
 # new arbitrary-state API — typed ValueState survives across

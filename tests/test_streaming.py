@@ -683,6 +683,64 @@ def test_streaming_neardup_filter(spark):
         assert all(r["n_fresh_bands"] == 4 for r in got)
 
 
+def test_deadman_alerts_on_silent_series(spark):
+    """Kapacitor-deadman parity: a series that stops reporting gets ONE
+    alert when the watermark passes last_ts + interval; a still-armed
+    series (recent data) stays quiet."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        deadman_alerts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ts timestamp, plc_ip string, alias string, value double"
+        batches = [
+            [("2024-01-01 00:00:00", "p1", "a", 1.0),
+             ("2024-01-01 00:00:00", "p2", "b", 2.0)],
+            [("2024-01-01 00:01:00", "p2", "b", 3.0)],   # B stays alive
+            [("2024-01-01 00:02:00", "p3", "c", 4.0)],   # watermark pusher
+        ]
+        import glob
+        import shutil
+
+        t0 = time.time() - 100
+        dst = os.path.join(tmp, "pts")
+        os.makedirs(dst, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "ts string, plc_ip string, alias string, value double"
+            ).select(F.col("ts").cast("timestamp"), "plc_ip", "alias", "value")
+            stage = os.path.join(tmp, f"dmstage{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        got = []
+        q = (
+            deadman_alerts(stream, interval="30 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        alerts = {(r["plc_ip"], r["alias"]): r for r in got}
+        # A silent since 00:00:00 → alerted once the watermark reached
+        # 00:01:00; B's last point is 00:01:00, alerted by the final
+        # 00:02:00 watermark; C (the pusher) is still armed — no alert
+        assert set(alerts) == {("p1", "a"), ("p2", "b")}, alerts
+        assert alerts[("p1", "a")]["silent_for_s"] == 60.0
+        assert alerts[("p1", "a")]["last_ts"].strftime("%H:%M:%S") == "00:00:00"
+        assert len(got) == 2  # one alert per silence episode, not per batch
+
+
 def test_dedup_watermark_state_eviction(spark):
     """The bounded-state half of dropDuplicatesWithinWatermark: once
     the watermark moves past a key's event time its dedup state is
