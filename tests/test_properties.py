@@ -369,11 +369,14 @@ _TAIL = st.sampled_from(
 )
 
 
+_FIELD = st.sampled_from(["value", "/val/", '"value"::field'])
+
+
 @st.composite
 def _influxql_query(draw):
     agg = draw(_AGG)
     tr = draw(_TRANSFORM)
-    sel = f"{agg}(value)"
+    sel = f"{agg}({draw(_FIELD)})"
     if tr == "moving_average":
         sel = f"moving_average({sel}, 3)"
     elif tr in _TA_NAMES:
@@ -405,8 +408,26 @@ def _influxql_raw_query(draw):
     return f"SELECT {sel} FROM points {where} {group} {tail}".strip()
 
 
-@settings(max_examples=25, deadline=None)
-@given(st.one_of(_influxql_query(), _influxql_raw_query()))
+@st.composite
+def _influxql_hw_query(draw):
+    # predictor grammar: sole select item, GROUP BY time required;
+    # fill()/tz() combinations must reject TYPED, which this exercises
+    fn = draw(st.sampled_from(["holt_winters", "holt_winters_with_fit"]))
+    season = draw(st.sampled_from([0, 4]))
+    n = draw(st.sampled_from([1, 3]))
+    where = draw(_WHERE)
+    fill = draw(_FILL)
+    tail = draw(_TAIL)
+    return (
+        f"SELECT {fn}(mean(value), {n}, {season}) FROM points {where} "
+        f"GROUP BY time({draw(_BUCKET)}) {fill} {tail}"
+    ).strip()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.one_of(_influxql_query(), _influxql_raw_query(), _influxql_hw_query())
+)
 def test_influxql_compile_grammar_total(spark, q):
     from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
         InfluxQLError,
