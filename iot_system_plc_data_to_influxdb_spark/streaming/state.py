@@ -95,10 +95,16 @@ def deadman_alerts(
     silence episode, emitted when the event-time watermark passes
     last_ts + interval with no newer point for the key.
     """
-    n, unit = interval.split()
-    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600}[unit]
-    interval_ms = int(n) * mult * 1000
+    try:
+        n, unit = interval.split()
+        mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                "hour": 3600, "hours": 3600}[unit]
+        interval_ms = int(n) * mult * 1000
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported deadman interval {interval!r} "
+            "(use 'N seconds|minutes|hours')"
+        )
 
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -121,10 +127,11 @@ def deadman_alerts(
                 ts = pdf["ts"].max()
                 if last_ts is None or ts >= last_ts:
                     last_ts = ts
-            state.update((last_ts,))
-            state.setTimeoutTimestamp(
-                int(last_ts.timestamp() * 1000) + interval_ms
-            )
+            if last_ts is not None:  # all-empty chunks: nothing to arm
+                state.update((last_ts,))
+                state.setTimeoutTimestamp(
+                    int(last_ts.timestamp() * 1000) + interval_ms
+                )
             yield pd.DataFrame(
                 {
                     "plc_ip": pd.Series([], dtype="object"),
