@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "b12_influxql_ta_ema",  # InfluxQL 1.8 TA suite: EMA/DEMA/TEMA/TRIX front door
     "b12_influxql_ta_osc",  # RSI/CMO/KER/KAMA front door, exact-int window terms
     "b18_mixture_epochs",  # fractional repeat-factor mixture materialization
+    "b5_hll_deterministic",  # md5-pinned HLL: bounded register shuffle
+    "b23_deadman_silent_series",  # silent-series detection, broadcast frontier
 ]
 
 
@@ -196,9 +198,15 @@ def main() -> int:
         "sf": float(sf),
     }
     line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1950:
+        # degrade rounding rather than lose the record (round 4's
+        # 5.6 KB line came back `parsed: null`) — full precision is
+        # in BENCH_DETAIL.json either way
+        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1950, (
         f"final bench line {len(line)} chars >= driver's 2000-char capture; "
-        "trim query names or rounding"
+        "trim query names"
     )
     print(line)
     return 0
