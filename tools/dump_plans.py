@@ -39,6 +39,8 @@ HEADLINE = [
     "b9_anti_join",
     "b12_influxql_ta_osc",
     "b22_jpeg_decode",
+    "b5_hll_deterministic",
+    "b23_deadman_silent_series",
 ]
 
 
