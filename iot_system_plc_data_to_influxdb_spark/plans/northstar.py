@@ -3824,3 +3824,43 @@ def b22_video_decode(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_video_frames(_media_payloads_y4m(docs), every=2)
+
+
+# --------------------------------------------------------------------------
+# B18f — per-domain quota cap, MATERIALIZATION twin of
+# b18_source_cap: that query reports per-source keep statistics (its
+# count(*) OVER (PARTITION BY source) forces the full window); this
+# one emits the kept doc list itself — the row set a pipeline actually
+# writes — and because the plan is nothing but row_number() <= N, it
+# compiles to WindowGroupLimit with a PARTIAL pre-shuffle pass
+# (plan-guarded in tests/test_plans_physical.py): a mega-domain ships
+# at most N rows per input partition into the per-source sort, not
+# its whole crawl. Same unbiased md5(doc_id) permutation ordering as
+# the reporting twin, so both engines pick the identical N docs and
+# the keep-list hash-checks.
+# --------------------------------------------------------------------------
+@register(
+    "b18_domain_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked WHERE rk <= 10
+    """,
+    tags=("B18",),
+)
+def b18_domain_cap(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )

@@ -235,3 +235,13 @@ def test_b8_points_bucketed_zero_exchange(spark):
     p = _plan(spark, "b8_points_bucketed")
     assert "Exchange" not in p
     assert "SortMergeJoin" in p
+
+
+def test_b18_domain_cap_partial_window_group_limit(spark):
+    # the per-domain quota must pre-filter to <=N rows per input
+    # partition BEFORE the per-source shuffle (WindowGroupLimit
+    # Partial under the Exchange) — otherwise a mega-domain ships its
+    # whole crawl into one task's sort at 100 TB
+    p = _plan(spark, "b18_domain_cap")
+    pre, _, post = p.partition("Exchange")
+    assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
