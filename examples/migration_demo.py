@@ -96,6 +96,21 @@ def main() -> int:
         print("current values (the reference's m_value cache):")
         engine.current_values(pts).show(truncate=False)
 
+        # monitoring: Kapacitor-deadman parity — which series trail
+        # the acquisition frontier (streaming twin:
+        # streaming/state.deadman_alerts, watermark-driven)
+        from pyspark.sql import functions as F
+
+        print("deadman check (series > 3 s behind the frontier):")
+        frontier = pts.agg(F.max("ts").alias("m"))
+        (
+            pts.groupBy("plc_ip", "alias")
+            .agg(F.max("ts").alias("last_ts"))
+            .crossJoin(F.broadcast(frontier))
+            .filter(F.col("last_ts") < F.col("m") - F.expr("INTERVAL 3 SECONDS"))
+            .select("plc_ip", "alias", "last_ts")
+        ).show(truncate=False)
+
         # 4. CQ rollup + routed query + retention
         rollup = os.path.join(tmp, "rollup")
         n = engine.backfill_rollup(pts, rollup, every="10 seconds")
