@@ -2253,19 +2253,38 @@ def _show_base(
 # --------------------------------------------------------------------------
 _DELETE_RE = re.compile(
     r"^\s*(?:DELETE\s+FROM\s+(?P<from>[\w.\"]+)(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"|DROP\s+SERIES\s+FROM\s+(?P<sfrom>[\w.\"]+)"
+    r"(?:\s+WHERE\s+(?P<swhere>.+?))?"
     r"|DROP\s+MEASUREMENT\s+(?P<drop>[\w.\"]+))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
 def compile_delete(query: str, points: DataFrame) -> DataFrame:
-    """Compile DELETE FROM m [WHERE time/tag conds] or DROP MEASUREMENT
-    m against the points table; returns the surviving rows."""
+    """Compile DELETE FROM m [WHERE time/tag conds], DROP SERIES FROM m
+    [WHERE tag conds], or DROP MEASUREMENT m against the points table;
+    returns the surviving rows. DROP SERIES rejects time conditions
+    exactly as InfluxDB does (series are whole — delete by time with
+    DELETE)."""
     m = _DELETE_RE.match(query.strip().rstrip(";"))
     if not m:
         raise InfluxQLError(f"unparseable DELETE/DROP statement: {query!r}")
     if m.group("drop"):
         return points.filter(F.col("plc_ip") != F.lit(_unquote(m.group("drop"))))
+    if m.group("sfrom"):
+        if m.group("swhere") and any(
+            _TIME_COND_RE.match(c.strip())
+            for c in re.split(
+                r"\s+AND\s+", m.group("swhere"), flags=re.IGNORECASE
+            )
+        ):
+            raise InfluxQLError(
+                "DROP SERIES does not support time conditions"
+            )
+        where = f" WHERE {m.group('swhere')}" if m.group("swhere") else ""
+        return compile_delete(
+            f"DELETE FROM {m.group('sfrom')}{where}", points
+        )
 
     victim = points.filter(F.col("plc_ip") == F.lit(_unquote(m.group("from"))))
     cond = F.lit(True)

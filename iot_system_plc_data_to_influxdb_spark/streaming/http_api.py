@@ -189,7 +189,11 @@ class InfluxAPI:
                 if up.startswith("SHOW"):
                     df = compile_show(stmt, self.get_table(None))
                     name = "measurements" if "MEASUREMENTS" in up else "results"
-                elif up.startswith("DELETE") or up.startswith("DROP MEASUREMENT"):
+                elif (
+                    up.startswith("DELETE")
+                    or up.startswith("DROP MEASUREMENT")
+                    or up.startswith("DROP SERIES")
+                ):
                     kept = compile_delete(stmt, self.get_table(None))
                     if self.write_dir:
                         self._rewrite_points(kept)

@@ -308,6 +308,31 @@ def test_delete_and_drop_measurement(points):
         compile_delete("DELETE FROM m WHERE value > 3", points)
 
 
+def test_drop_series(points):
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_delete,
+    )
+
+    total = points.count()
+    doomed = points.filter(
+        (F.col("plc_ip") == "192.168.0.1") & (F.col("alias") == "temp")
+    ).count()
+    kept = compile_delete(
+        "DROP SERIES FROM \"192.168.0.1\" WHERE alias = 'temp'", points
+    )
+    assert doomed > 0 and kept.count() == total - doomed
+    # whole-measurement series drop
+    n1 = points.filter(F.col("plc_ip") == "192.168.0.1").count()
+    kept2 = compile_delete('DROP SERIES FROM "192.168.0.1"', points)
+    assert kept2.count() == total - n1
+    # InfluxDB parity: series are dropped whole, never by time
+    with pytest.raises(InfluxQLError):
+        compile_delete(
+            "DROP SERIES FROM m WHERE alias = 'x' AND time < '2024-01-01'",
+            points,
+        )
+
+
 def test_limit_offset(points):
     full = compile_influxql(
         "SELECT value FROM points WHERE alias = 'temp' ORDER BY time DESC LIMIT 10",
