@@ -2068,8 +2068,13 @@ _SHOW_RE = re.compile(
     r"|QUERIES|USERS|SUBSCRIPTIONS|SHARDS|STATS|DIAGNOSTICS)"
     r"(?:\s+(?P<card>EXACT\s+CARDINALITY|CARDINALITY))?"
     r"(?:\s+ON\s+[\w.\"]+)?"
+    r"(?:\s+WITH\s+MEASUREMENT\s*(?:=~\s*(?P<mre>/[^/]*/)"
+    r"|=\s*(?P<meq>[\w.\"]+)))?"
     r"(?:\s+FROM\s+(?P<from>[\w.\"]+))?"
-    r"(?:\s+WITH\s+KEY\s*=\s*(?P<key>[\w\"]+))?"
+    r"(?:\s+WITH\s+KEY\s*(?:=~\s*(?P<keyre>/[^/]*/)"
+    r"|=\s*(?P<key>[\w\"]+)"
+    r"|\s*IN\s*\(\s*(?P<keys>[^)]*?)\s*\)))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE,
 )
@@ -2097,11 +2102,51 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
         raise InfluxQLError(f"unparseable SHOW statement: {query!r}")
     what = re.sub(r"\s+", " ", m.group("what").upper())
     what = _SHOW_SINGULAR.get(what, what)
-    frm = m.group("from")
+    frm = m.group("from") or m.group("meq")
     df = points
     if frm:
         df = df.filter(F.col("plc_ip") == F.lit(_unquote(frm)))
-    out = _show_base(what, m.group("key"), df, points)
+    if m.group("mre"):
+        # SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ — Grafana's
+        # measurement template variable
+        df = df.filter(F.col("plc_ip").rlike(m.group("mre")[1:-1]))
+    if m.group("where"):
+        # chained template variables: SHOW TAG VALUES ... WHERE
+        # "othertag" = 'picked' — tag/measurement conditions only
+        # (InfluxDB 1.x rejects field conditions here too)
+        for c in re.split(
+            r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE
+        ):
+            wm = re.match(
+                r'^\s*(?P<k>"[^"]+"|\w+)\s*(?P<op>=~|!~|!=|=)\s*'
+                r"(?:'(?P<v>[^']*)'|(?P<re>/[^/]*/))\s*$",
+                c,
+            )
+            if not wm:
+                raise InfluxQLError(f"unsupported SHOW condition {c!r}")
+            k = _unquote(wm.group("k"))
+            col = (
+                F.col("plc_ip")
+                if k in ("plc_ip", "_measurement")
+                else F.element_at("tags", k)
+                if "tags" in df.columns
+                else F.col(k) if k in df.columns else F.lit(None)
+            )
+            op = wm.group("op")
+            if op in ("=~", "!~"):
+                if wm.group("re") is None:
+                    raise InfluxQLError(f"{op} needs a /regex/ in {c!r}")
+                cond = col.rlike(wm.group("re")[1:-1])
+                df = df.filter(~cond if op == "!~" else cond)
+            else:
+                if wm.group("v") is None:
+                    raise InfluxQLError(f"{op} needs a 'string' in {c!r}")
+                cond = col == F.lit(wm.group("v"))
+                df = df.filter(~cond if op == "!=" else cond)
+    out = _show_base(
+        what, m.group("key"), df, points,
+        keys=m.group("keys"), keyre=m.group("keyre"),
+    )
     if m.group("card"):
         out = out.agg(F.count(F.lit(1)).alias("count"))
     if m.group("limit"):
@@ -2110,7 +2155,8 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
 
 
 def _show_base(
-    what: str, key, df: DataFrame, points: DataFrame
+    what: str, key, df: DataFrame, points: DataFrame,
+    keys: str | None = None, keyre: str | None = None,
 ) -> DataFrame:
     if what == "DATABASES":
         # Grafana's datasource test issues this before anything else
@@ -2227,6 +2273,27 @@ def _show_base(
             )
         return df.select(F.col("plc_ip").alias("tagKey")).filter(F.lit(False))
     # TAG VALUES
+    if keys is not None or keyre is not None:
+        # multi-key (WITH KEY IN (...)) / regex (WITH KEY =~ /re/)
+        # forms: explode the tag map once and filter the key column —
+        # InfluxDB returns (key, value) ordered by key then value
+        if "tags" not in df.columns:
+            return df.select(
+                F.lit("").alias("key"), F.col("plc_ip").alias("value")
+            ).filter(F.lit(False))
+        entries = df.select(F.explode(F.map_entries("tags")).alias("e")).select(
+            F.col("e.key").alias("key"), F.col("e.value").alias("value")
+        )
+        if keys is not None:
+            wanted = [
+                _unquote(k.strip()) for k in keys.split(",") if k.strip()
+            ]
+            if not wanted:
+                raise InfluxQLError("WITH KEY IN (...) needs at least one key")
+            entries = entries.filter(F.col("key").isin(wanted))
+        else:
+            entries = entries.filter(F.col("key").rlike(keyre[1:-1]))
+        return entries.distinct().orderBy("key", "value")
     if not key:
         raise InfluxQLError("SHOW TAG VALUES requires WITH KEY = <key>")
     if "tags" in df.columns:

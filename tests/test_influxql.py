@@ -1408,6 +1408,62 @@ def test_show_series(points, spark):
     assert keys2 == ["192.168.0.1,unit=c", "192.168.0.2,unit=c"]
 
 
+def test_show_templating_variants(points, spark):
+    """Grafana chained template variables: WITH KEY IN / =~, WHERE tag
+    conditions on SHOW, and WITH MEASUREMENT =~ on SHOW MEASUREMENTS."""
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        InfluxQLError,
+        compile_show,
+    )
+
+    tagged = points.withColumn(
+        "tags",
+        F.when(
+            F.col("plc_ip") == "192.168.0.1",
+            F.create_map(F.lit("unit"), F.lit("c"), F.lit("room"), F.lit("a")),
+        ).otherwise(
+            F.create_map(F.lit("unit"), F.lit("bar"), F.lit("room"), F.lit("b"))
+        ),
+    )
+    both = [
+        (r["key"], r["value"])
+        for r in compile_show(
+            'SHOW TAG VALUES WITH KEY IN ("unit", "room")', tagged
+        ).collect()
+    ]
+    assert both == [("room", "a"), ("room", "b"), ("unit", "bar"), ("unit", "c")]
+    rex = [
+        (r["key"], r["value"])
+        for r in compile_show(
+            "SHOW TAG VALUES WITH KEY =~ /uni/", tagged
+        ).collect()
+    ]
+    assert rex == [("unit", "bar"), ("unit", "c")]
+    chained = [
+        r["value"]
+        for r in compile_show(
+            "SHOW TAG VALUES WITH KEY = \"unit\" WHERE \"room\" = 'a'", tagged
+        ).collect()
+    ]
+    assert chained == ["c"]
+    ms = [
+        r["name"]
+        for r in compile_show(
+            "SHOW MEASUREMENTS WITH MEASUREMENT =~ /0\\.2/", tagged
+        ).collect()
+    ]
+    assert ms == ["192.168.0.2"]
+    series = [
+        r["key"]
+        for r in compile_show(
+            "SHOW SERIES WHERE plc_ip = '192.168.0.1'", tagged
+        ).collect()
+    ]
+    assert series == ["192.168.0.1,room=a,unit=c"]
+    with pytest.raises(InfluxQLError):
+        compile_show("SHOW TAG VALUES WITH KEY = \"unit\" WHERE value > 3", tagged)
+
+
 def test_field_arithmetic_aggregate(points):
     """mean(a) / mean(b) — the Grafana efficiency-panel idiom."""
     pts = points.withColumn("other", F.col("value") + 1.0)
