@@ -746,6 +746,14 @@ def parse(q: str) -> _Query:
             sel.append(
                 (None, _unquote(item), alias_override or _unquote(item), None)
             )
+        elif ram := re.match(
+            r'^(?P<c>[\w\"]+)\s+AS\s+(?P<a>\w+)$', item, re.IGNORECASE
+        ):
+            # raw field with alias: SELECT value AS v FROM m
+            sel.append(
+                (None, _unquote(ram.group("c")),
+                 alias_override or ram.group("a"), None)
+            )
         else:
             raise InfluxQLError(f"unsupported select item {item!r}")
 
@@ -2039,7 +2047,11 @@ def compile_influxql(
                 df = df.select(
                     "ts",
                     *q.group_tags,
-                    *[c for c in cols if c != "ts" and c not in q.group_tags],
+                    *[
+                        F.col(c).alias(a)
+                        for _fn, c, a, _n in q.select
+                        if c != "ts" and c not in q.group_tags
+                    ],
                 )
         df = df.orderBy(
             F.col("ts").desc() if q.order_desc else F.col("ts"), *q.group_tags

@@ -2081,3 +2081,19 @@ def test_ta_parse_errors():
     with pytest.raises(InfluxQLError):
         parse("SELECT relative_strength_index(mean(value), 2h) FROM p "
               "GROUP BY time(1m)")  # duration token as period
+
+
+def test_raw_field_alias_and_subquery(spark):
+    """SELECT value AS v (raw alias) also composes with subqueries —
+    the inner alias becomes the outer statement's field name."""
+    import datetime as dtm
+
+    rows = [(dtm.datetime(2024, 1, 1, 0, m), "a", float(m)) for m in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, tag1 string, value double")
+    o1 = compile_influxql("SELECT value AS v FROM m LIMIT 3", df)
+    assert o1.columns == ["ts", "v"] and o1.count() == 3
+    o2 = compile_influxql(
+        "SELECT count(v) AS n FROM (SELECT value AS v FROM m WHERE value > 3)",
+        df,
+    ).collect()
+    assert o2[0]["n"] == 6
