@@ -2092,7 +2092,11 @@ def test_raw_field_alias_and_subquery(spark):
     df = spark.createDataFrame(rows, "ts timestamp, tag1 string, value double")
     o1 = compile_influxql("SELECT value AS v FROM m LIMIT 3", df)
     assert o1.columns == ["ts", "v"] and o1.count() == 3
-    o2 = compile_influxql(
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_statement,
+    )
+
+    o2 = compile_statement(
         "SELECT count(v) AS n FROM (SELECT value AS v FROM m WHERE value > 3)",
         df,
     ).collect()
