@@ -258,6 +258,85 @@ def b5_hll_deterministic(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B5c — Count-Min heavy hitters, the frequency-sketch sibling of the
+# deterministic HLL above and equally hash-checked: d=4 hash rows ×
+# w=256 buckets, bucket_i(x) = first byte of md5(i|x). Cell counts are
+# exact integer sums and the point estimate is MIN over the 4 cells —
+# no floats anywhere, so both engines produce identical estimates (the
+# CMS overestimate guarantee est ≥ exact is asserted in pytest). At
+# 100 TB: the sketch is 1,024 cells built with map-side partial
+# counts (shuffle bounded by 1,024 × tasks, like the HLL registers);
+# cell-wise SUM is the merge operator across days/partitions; the
+# top-k read is a TakeOrderedAndProject over per-key minima, never a
+# global sort.
+# --------------------------------------------------------------------------
+@register(
+    "b5_cms_heavy_hitters",
+    oracle="""
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events),
+    pairs AS (
+      SELECT u, i,
+        (strpos('0123456789abcdef',
+                substr(md5(CAST(i AS VARCHAR) || '|' || u), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(i AS VARCHAR) || '|' || u), 2, 1)) - 1) AS b
+      FROM k CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+    ),
+    cells AS (
+      SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY i, b
+    ),
+    cand AS (SELECT DISTINCT u, i, b FROM pairs),
+    est AS (
+      SELECT u, CAST(MIN(c) AS BIGINT) AS est
+      FROM cand JOIN cells USING (i, b) GROUP BY u
+    ),
+    exact AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS exact_n FROM k GROUP BY u)
+    SELECT u AS user_id, est, exact_n
+    FROM est JOIN exact USING (u)
+    ORDER BY est DESC, u LIMIT 10
+    """,
+    tags=("B5", "B13"),
+)
+def b5_cms_heavy_hitters(spark, sf_dir):
+    from ..functions.text import nibble
+
+    def bucket(i):
+        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("u")))
+        return (
+            nibble(F.substring(h, 1, 1)) * 16 + nibble(F.substring(h, 2, 1))
+        )
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    pairs = ev.select(
+        "u",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("u", "e.i", "e.b")
+    cells = pairs.groupBy("i", "b").agg(F.count("*").alias("c"))
+    cand = pairs.distinct()
+    est = (
+        cand.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("u")
+        .agg(F.min("c").alias("est"))
+    )
+    exact = ev.groupBy("u").agg(F.count("*").alias("exact_n"))
+    return (
+        est.join(exact, "u")
+        .select(F.col("u").alias("user_id"), "est", "exact_n")
+        .orderBy(F.col("est").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # B6 — rollup / cube / grouping sets
 # --------------------------------------------------------------------------
 @register(

@@ -272,6 +272,20 @@ def test_hll_deterministic_estimate_accuracy(spark):
         assert rel < 0.20, (sf, exact, est["n_est"], rel)
 
 
+def test_cms_overestimate_guarantee(spark):
+    """Count-Min point estimates NEVER undercount (est >= exact for
+    every key) and the top-10 ranking tracks true heavy hitters."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = plans.all_queries()["b5_cms_heavy_hitters"](spark, sf).collect()
+        assert len(rows) == 10
+        assert all(r["est"] >= r["exact_n"] for r in rows), rows
+        # with 150 keys in 256 buckets, collisions are few — the
+        # estimate should be within 2x of exact for the top hitters
+        assert all(r["est"] <= 2 * r["exact_n"] for r in rows), rows
+
+
 def test_wilder_fold_vs_ewm_measurement():
     """Fold-vectorization check (recorded measurement): pandas
     ewm(adjust=False) IS bit-equal to the EWMA/DEMA/TEMA oracle tree
