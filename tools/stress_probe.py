@@ -40,6 +40,8 @@ QUERIES = [
     "b18_epoch_shuffle",        # hash-partitioned sort
     "b19_neardup_clusters",     # LSH pairs + adaptive CC (union-find/star rounds)
     "b12_influxql_ta_osc",      # bucket agg + per-series TA folds
+    "b5_hll_deterministic",     # mergeable sketch: shuffle bounded by registers
+    "b5_cms_heavy_hitters",     # mergeable sketch: shuffle bounded by cells
 ]
 
 
