@@ -321,23 +321,34 @@ def b5_cms_heavy_hitters(spark, sf_dir):
         ).alias("e"),
     ).select("u", "e.i", "e.b")
     cells = pairs.groupBy("i", "b").agg(F.count("*").alias("c"))
-    # one keyed shuffle total: the exact per-key counts double as the
-    # candidate-key list; the 4 cell lookups are broadcast joins on
-    # the ≤1,024-row sketch, so the MIN-estimate stage is map-only
-    # (the earlier pairs.distinct() + re-group formulation measured
-    # 154 KB of avoidable shuffle in SHUFFLE.md)
-    est = ev.groupBy("u").agg(F.count("*").alias("exact_n"))
-    for i in range(4):
-        ci = cells.filter(F.col("i") == i).select(
-            F.col("b").alias(f"b{i}"), F.col("c").alias(f"c{i}")
-        )
-        est = est.join(F.broadcast(ci), bucket(i) == F.col(f"b{i}"))
+    # two table scans total (cells + exact), like any sketch-vs-truth
+    # comparison: the exact per-key counts double as the candidate-key
+    # list (no pairs.distinct() — that formulation measured 154 KB of
+    # avoidable shuffle), candidates re-derive their 4 buckets map-side
+    # and look them up in ONE broadcast join against the ≤1,024-row
+    # sketch; the MIN re-group moves 4 rows per candidate key. (A
+    # 4-chained-broadcast variant was measured SLOWER and would scan
+    # the table 5× at scale — each broadcast materializes its subtree.)
+    exact = ev.groupBy("u").agg(F.count("*").alias("exact_n"))
+    cand = exact.select(
+        "u",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("u", "exact_n", "e.i", "e.b")
+    est = (
+        cand.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("u", "exact_n")
+        .agg(F.min("c").alias("est"))
+    )
     return (
-        est.select(
-            F.col("u").alias("user_id"),
-            F.least(*[F.col(f"c{i}") for i in range(4)]).alias("est"),
-            "exact_n",
-        )
+        est.select(F.col("u").alias("user_id"), "est", "exact_n")
         .orderBy(F.col("est").desc(), "user_id")
         .limit(10)
     )
