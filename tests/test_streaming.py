@@ -683,6 +683,78 @@ def test_streaming_neardup_filter(spark):
         assert all(r["n_fresh_bands"] == 4 for r in got)
 
 
+def test_streaming_neardup_state_eviction(spark):
+    """The bounded-state half of the near-dup filter: LSH band state
+    evicts once the watermark passes it, so a near-copy arriving AFTER
+    the horizon is re-admitted — dedup scope = watermark window, which
+    is exactly what keeps state finite at 100 TB (cross-horizon dedup
+    belongs to the batch b19 pass over the landed table)."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        neardup_filter_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = (
+        "the quick brown fox jumps over a lazy dog and the day is long "
+        "in the valley of the wind and a river runs to the sea"
+    )
+    filler = (
+        "unrelated interlude about orbital mechanics and launch windows "
+        "for outer planet transfers in the coming decade"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ingest_ts timestamp, doc_id bigint, text string"
+        batches = [
+            [("2024-01-01 00:00:05", 1, base)],
+            # two watermark-advancing batches: the wm computed from
+            # batch N's data is applied to state cleanup one batch
+            # later, so eviction of doc 1's bands needs a successor
+            [("2024-01-01 00:05:00", 2, filler)],
+            [("2024-01-01 00:06:00", 4, filler + " second movement")],
+            # exact copy of doc 1, but its band state is gone → fresh
+            [("2024-01-01 00:10:00", 3, base)],
+            [("2024-01-01 01:00:00", 99, "window flusher text row")],
+        ]
+        import glob
+        import shutil
+
+        t0 = time.time() - 100
+        dst = os.path.join(tmp, "docs")
+        os.makedirs(dst, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "ingest_ts string, doc_id bigint, text string"
+            ).select(F.col("ingest_ts").cast("timestamp"), "doc_id", "text")
+            stage = os.path.join(tmp, f"nestage{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        got = []
+        q = (
+            neardup_filter_stream(stream, watermark="10 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        ids = sorted(r["doc_id"] for r in got)
+        # doc 3 (copy of 1, past the horizon) SURVIVES — its bucket
+        # state was evicted; contrast test_streaming_neardup_filter
+        # where the same copy within the horizon is dropped. Doc 4
+        # (near-copy of 2, WITHIN the horizon) is dropped — the same
+        # run shows both halves of the contract.
+        assert ids == [1, 2, 3], ids
+
+
 def test_deadman_alerts_on_silent_series(spark):
     """Kapacitor-deadman parity: a series that stops reporting gets ONE
     alert when the watermark passes last_ts + interval; a still-armed
