@@ -94,6 +94,13 @@ def deadman_alerts(
     (plc_ip, alias, last_ts, silent_for_s), one row per key per
     silence episode, emitted when the event-time watermark passes
     last_ts + interval with no newer point for the key.
+
+    Semantic note: GroupState timeouts fire only for keys with NO
+    input rows in the micro-batch, so a key that recovers in the same
+    batch that crossed its deadline never alerts — the outage healed
+    before silence was observed, which is the behavior a deadman
+    wants (tests/test_streaming.py::test_deadman_rearms_after_recovery
+    pins both the episode split and this supersession).
     """
     try:
         n, unit = interval.split()

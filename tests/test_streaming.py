@@ -813,6 +813,69 @@ def test_deadman_alerts_on_silent_series(spark):
         assert len(got) == 2  # one alert per silence episode, not per batch
 
 
+def test_deadman_rearms_after_recovery(spark):
+    """A series that recovers after an alert re-arms: silence → alert,
+    data resumes, silence again → SECOND alert. One alert per episode,
+    and recovery between episodes resets the state machine."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        deadman_alerts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ts timestamp, plc_ip string, alias string, value double"
+        batches = [
+            [("2024-01-01 00:00:00", "p1", "a", 1.0)],
+            [("2024-01-01 00:05:00", "p9", "w", 0.0)],  # wm → 00:05
+            # p1 has no data while the wm stands past its deadline →
+            # episode-1 alert fires here (a recovery in this same
+            # batch would have superseded it — timeouts only fire for
+            # keys with no input in the batch)
+            [("2024-01-01 00:06:00", "p9", "w", 0.0)],
+            [("2024-01-01 00:10:00", "p1", "a", 2.0)],  # recovery, re-arm
+            [("2024-01-01 00:20:00", "p9", "w", 0.0)],  # wm → 00:20
+            [("2024-01-01 01:00:00", "p9", "w", 0.0)],  # episode-2 fire + flush
+        ]
+        import glob
+        import shutil
+
+        t0 = time.time() - 100
+        dst = os.path.join(tmp, "pts")
+        os.makedirs(dst, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "ts string, plc_ip string, alias string, value double"
+            ).select(F.col("ts").cast("timestamp"), "plc_ip", "alias", "value")
+            stage = os.path.join(tmp, f"dmr{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        got = []
+        q = (
+            deadman_alerts(stream, interval="30 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        p1 = sorted(
+            (r["last_ts"].strftime("%H:%M:%S") for r in got
+             if (r["plc_ip"], r["alias"]) == ("p1", "a"))
+        )
+        # one alert per episode: first anchored at 00:00:00, second at
+        # the recovery point 00:10:00
+        assert p1 == ["00:00:00", "00:10:00"], got
+
+
 def test_dedup_watermark_state_eviction(spark):
     """The bounded-state half of dropDuplicatesWithinWatermark: once
     the watermark moves past a key's event time its dedup state is
