@@ -152,6 +152,59 @@ def b5_approx(spark, sf_dir):
     )
 
 
+def _hll_bucket_rho(df, keycol, *carry):
+    """(bucket, rho) per row for the md5-pinned HLL — plus any carried
+    grouping columns (e.g. a day column for windowed register tables)."""
+    from ..functions.text import nibble
+
+    hx = F.md5(F.col(keycol).cast("string"))
+    staged = (
+        df.select(
+            *carry,
+            (nibble(F.substring(hx, 1, 1)) * 16
+             + nibble(F.substring(hx, 2, 1))).alias("bucket"),
+            F.substring(hx, 3, 13).alias("rest"),
+        )
+        .select(
+            *carry,
+            "bucket",
+            F.length(F.regexp_extract("rest", "^(0*)", 1)).alias("z"),
+            "rest",
+        )
+        .select(
+            *carry, "bucket", "z",
+            F.expr("substring(rest, z + 1, 1)").alias("c"),
+        )
+    )
+    rho = F.when(F.col("z") == 13, F.lit(53)).otherwise(
+        4 * F.col("z")
+        + F.when(F.col("c") == "1", 3)
+        .when(F.col("c").isin("2", "3"), 2)
+        .when(F.col("c").isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    return staged.select(*carry, "bucket", rho.alias("rho"))
+
+
+def _hll_estimate(regs):
+    """(m, n_est) from a register table (bucket, r) — exact-int sum,
+    one double division (see b5_hll_deterministic's determinism note)."""
+    tot = regs.agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 53 - r)"))
+            + (F.lit(256) - F.count("*")) * F.lit(9007199254740992)
+        ).alias("total")
+    )
+    return tot.select(
+        F.lit(256).alias("m"),
+        (
+            F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+            * F.lit(65536.0) * F.lit(9007199254740992.0) / F.col("total")
+        ).alias("n_est"),
+    )
+
+
 # --------------------------------------------------------------------------
 # B5b — deterministic HyperLogLog, hash-checked: the sketch itself is
 # pinned to public md5, so BOTH engines build bit-identical registers
@@ -210,51 +263,79 @@ def b5_approx(spark, sf_dir):
     tags=("B5",),
 )
 def b5_hll_deterministic(spark, sf_dir):
-    from ..functions.text import nibble
-
-    hx = F.md5(F.col("l_orderkey").cast("string"))
-    staged = (
-        t(spark, sf_dir, "lineitem")
-        .select(
-            (nibble(F.substring(hx, 1, 1)) * 16
-             + nibble(F.substring(hx, 2, 1))).alias("bucket"),
-            F.substring(hx, 3, 13).alias("rest"),
-        )
-        .select(
-            "bucket",
-            F.length(F.regexp_extract("rest", "^(0*)", 1)).alias("z"),
-            "rest",
-        )
-        .select(
-            "bucket", "z", F.expr("substring(rest, z + 1, 1)").alias("c")
-        )
-    )
-    rho = F.when(F.col("z") == 13, F.lit(53)).otherwise(
-        4 * F.col("z")
-        + F.when(F.col("c") == "1", 3)
-        .when(F.col("c").isin("2", "3"), 2)
-        .when(F.col("c").isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-        + 1
-    )
     regs = (
-        staged.select("bucket", rho.alias("rho"))
+        _hll_bucket_rho(t(spark, sf_dir, "lineitem"), "l_orderkey")
         .groupBy("bucket")
         .agg(F.max("rho").alias("r"))
     )
-    tot = regs.agg(
-        (
-            F.sum(F.expr("shiftleft(1L, 53 - r)"))
-            + (F.lit(256) - F.count("*")) * F.lit(9007199254740992)
-        ).alias("total")
+    return _hll_estimate(regs)
+
+
+# --------------------------------------------------------------------------
+# B5d — windowed HLL register rollup + range merge: the mergeable-
+# sketch claim as a CHECKED query, not prose. Per-DAY register tables
+# (what a CQ would materialize: 256 small rows per day, distinct-count
+# state that never stores keys) are merged over a 10-day range with
+# the register MAX — the HLL merge operator — and the merged estimate
+# is the range's distinct count. tests/test_operators.py additionally
+# asserts the merged estimate EQUALS the direct one-pass sketch over
+# the same range (merge loses nothing — the property that lets 100 TB
+# deployments answer distinct-over-any-range from per-partition
+# sketches without touching raw data twice).
+# --------------------------------------------------------------------------
+@register(
+    "b5_hll_windowed_merge",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             md5(CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+    ),
+    p1 AS (
+      SELECT day,
+        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+        length(regexp_extract(substr(hx, 3, 13), '^(0*)', 1)) AS z,
+        substr(hx, 3, 13) AS rest
+      FROM h
+    ),
+    p2 AS (SELECT day, bucket, z, substr(rest, z + 1, 1) AS c FROM p1),
+    rho AS (
+      SELECT day, bucket,
+        CASE WHEN z = 13 THEN 53
+             ELSE 4 * z + (CASE WHEN c = '1' THEN 3
+                                WHEN c IN ('2', '3') THEN 2
+                                WHEN c IN ('4', '5', '6', '7') THEN 1
+                                ELSE 0 END) + 1
+        END AS rho
+      FROM p2
+    ),
+    daily AS (SELECT day, bucket, MAX(rho) AS r FROM rho GROUP BY day, bucket),
+    regs AS (SELECT bucket, MAX(r) AS r FROM daily GROUP BY bucket),
+    tot AS (
+      SELECT CAST(SUM(1::BIGINT << (53 - r)) AS BIGINT)
+           + (256 - CAST(COUNT(*) AS BIGINT)) * 9007199254740992 AS total
+      FROM regs
     )
-    return tot.select(
-        F.lit(256).alias("m"),
-        (
-            F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-            * F.lit(65536.0) * F.lit(9007199254740992.0) / F.col("total")
-        ).alias("n_est"),
+    SELECT 256 AS m,
+      0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992
+        / CAST(total AS DOUBLE) AS n_est
+    FROM tot
+    """,
+    tags=("B5", "B26"),
+)
+def b5_hll_windowed_merge(spark, sf_dir):
+    ev = events_between(spark, sf_dir, "2024-01-05", "2024-01-15").select(
+        F.to_date("ts").alias("day"), "event_id"
     )
+    daily = (
+        _hll_bucket_rho(ev, "event_id", "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = daily.groupBy("bucket").agg(F.max("r").alias("r"))
+    return _hll_estimate(merged)
 
 
 # --------------------------------------------------------------------------

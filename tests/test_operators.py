@@ -272,6 +272,31 @@ def test_hll_deterministic_estimate_accuracy(spark):
         assert rel < 0.20, (sf, exact, est["n_est"], rel)
 
 
+def test_hll_windowed_merge_equals_direct(spark):
+    """Register MAX is a LOSSLESS merge: per-day register tables merged
+    over the range produce the IDENTICAL estimate as one direct sketch
+    pass over the same rows — the property that lets per-partition
+    sketches answer distinct-over-any-range at 100 TB."""
+    from pyspark.sql import functions as F
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.catalog import events_between
+    from iot_system_plc_data_to_influxdb_spark.plans.relational import (
+        _hll_bucket_rho,
+        _hll_estimate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    merged = plans.all_queries()["b5_hll_windowed_merge"](spark, sf).collect()
+    ev = events_between(spark, sf, "2024-01-05", "2024-01-15")
+    direct = _hll_estimate(
+        _hll_bucket_rho(ev, "event_id")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    ).collect()
+    assert merged[0]["n_est"] == direct[0]["n_est"]
+
+
 def test_cms_overestimate_guarantee(spark):
     """Count-Min point estimates NEVER undercount (est >= exact for
     every key) and the top-10 ranking tracks true heavy hitters."""
