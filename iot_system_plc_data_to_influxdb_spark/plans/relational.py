@@ -436,6 +436,99 @@ def b5_cms_heavy_hitters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B5e — windowed CMS cell rollup + range merge, the frequency-sketch
+# twin of b5_hll_windowed_merge: per-DAY cell tables (what a CQ
+# materializes — ≤1,024 exact-integer rows per day, frequency state
+# that never stores keys) are merged over a 10-day range with cell
+# SUM — the CMS merge operator — and the merged sketch answers the
+# range's heavy hitters. pytest asserts the merged estimates EQUAL
+# the direct one-pass sketch over the same rows (SUM is lossless).
+# --------------------------------------------------------------------------
+@register(
+    "b5_cms_windowed_merge",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS u
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+    ),
+    pairs AS (
+      SELECT day, u, i,
+        (strpos('0123456789abcdef',
+                substr(md5(CAST(i AS VARCHAR) || '|' || u), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef',
+                  substr(md5(CAST(i AS VARCHAR) || '|' || u), 2, 1)) - 1) AS b
+      FROM k CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+    ),
+    daily AS (
+      SELECT day, i, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY day, i, b
+    ),
+    cells AS (SELECT i, b, CAST(SUM(c) AS BIGINT) AS c FROM daily GROUP BY i, b),
+    cand AS (SELECT DISTINCT u, i, b FROM pairs),
+    exact AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS exact_n FROM k GROUP BY u),
+    est AS (
+      SELECT u, CAST(MIN(c) AS BIGINT) AS est
+      FROM cand JOIN cells USING (i, b) GROUP BY u
+    )
+    SELECT u AS user_id, est, exact_n
+    FROM est JOIN exact USING (u)
+    ORDER BY est DESC, u LIMIT 10
+    """,
+    tags=("B5", "B26", "B13"),
+)
+def b5_cms_windowed_merge(spark, sf_dir):
+    from ..functions.text import nibble
+
+    def bucket(i):
+        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("u")))
+        return (
+            nibble(F.substring(h, 1, 1)) * 16 + nibble(F.substring(h, 2, 1))
+        )
+
+    ev = events_between(spark, sf_dir, "2024-01-05", "2024-01-15").select(
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    pairs = ev.select(
+        "day",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("day", "e.i", "e.b")
+    daily = pairs.groupBy("day", "i", "b").agg(F.count("*").alias("c"))
+    cells = daily.groupBy("i", "b").agg(F.sum("c").alias("c"))
+    exact = ev.groupBy("u").agg(F.count("*").alias("exact_n"))
+    cand = exact.select(
+        "u",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("u", "exact_n", "e.i", "e.b")
+    est = (
+        cand.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("u", "exact_n")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.select(F.col("u").alias("user_id"), "est", "exact_n")
+        .orderBy(F.col("est").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # B6 — rollup / cube / grouping sets
 # --------------------------------------------------------------------------
 @register(

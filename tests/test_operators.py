@@ -297,6 +297,61 @@ def test_hll_windowed_merge_equals_direct(spark):
     assert merged[0]["n_est"] == direct[0]["n_est"]
 
 
+def test_cms_windowed_merge_equals_direct(spark):
+    """Cell SUM is a LOSSLESS CMS merge: per-day cell tables summed
+    over the range give identical estimates to one direct pass."""
+    from pyspark.sql import functions as F
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.catalog import events_between
+    from iot_system_plc_data_to_influxdb_spark.functions.text import nibble
+
+    sf = "/root/testdata/sf0.01"
+    merged = {
+        r["user_id"]: (r["est"], r["exact_n"])
+        for r in plans.all_queries()["b5_cms_windowed_merge"](spark, sf).collect()
+    }
+
+    def bucket(i):
+        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("u")))
+        return nibble(F.substring(h, 1, 1)) * 16 + nibble(F.substring(h, 2, 1))
+
+    ev = events_between(spark, sf, "2024-01-05", "2024-01-15").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                  for i in range(4)]
+            )
+        ).alias("e")
+    ).select("e.i", "e.b")
+    cells = {
+        (r["i"], r["b"]): r["c"]
+        for r in pairs.groupBy("i", "b").agg(F.count("*").alias("c")).collect()
+    }
+    for u, (est, exact_n) in merged.items():
+        direct = min(
+            cells[(i, b)]
+            for i, b in (
+                (r["i"], r["b"])
+                for r in spark.createDataFrame([(u,)], "u string")
+                .select(
+                    F.explode(
+                        F.array(
+                            *[F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                              for i in range(4)]
+                        )
+                    ).alias("e")
+                )
+                .select("e.i", "e.b")
+                .collect()
+            )
+        )
+        assert est == direct and est >= exact_n, (u, est, direct, exact_n)
+
+
 def test_cms_overestimate_guarantee(spark):
     """Count-Min point estimates NEVER undercount (est >= exact for
     every key) and the top-10 ranking tracks true heavy hitters."""
