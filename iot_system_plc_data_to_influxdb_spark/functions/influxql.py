@@ -492,6 +492,18 @@ def _unquote(s: str) -> str:
     return s[1:-1] if len(s) >= 2 and s[0] == '"' and s[-1] == '"' else s
 
 
+def _user_regex(pattern: str) -> str:
+    """Validate a user-supplied /regex/ body; a malformed pattern must
+    surface as InfluxQLError (the gateway's per-statement error
+    payload), never a bare re.error or a runtime AnalysisException
+    from rlike."""
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise InfluxQLError(f"invalid regex /{pattern}/: {exc}") from None
+    return pattern
+
+
 def _simple_term(cond: str):
     """Parse one non-time WHERE term into a tagged tuple, or None.
     Shared by the conjunctive path and OR-group disjuncts."""
@@ -1782,7 +1794,7 @@ def compile_influxql(
         for fn, c, a, n in q.select:
             if fn and _multi_field(c):
                 matched = fields if c == "*" else [
-                    fc for fc in fields if re.search(c[1:-1], fc)
+                    fc for fc in fields if re.search(_user_regex(c[1:-1]), fc)
                 ]
                 if not matched:
                     raise InfluxQLError(
@@ -1804,7 +1816,10 @@ def compile_influxql(
         expanded = []
         for fn, c, a, n in q.select:
             if fn is None and c != "*" and _multi_field(c):
-                matched = [fc for fc in candidates if re.search(c[1:-1], fc)]
+                matched = [
+                    fc for fc in candidates
+                    if re.search(_user_regex(c[1:-1]), fc)
+                ]
                 if not matched:
                     raise InfluxQLError(f"SELECT {c} matched no columns")
                 expanded.extend((None, fc, fc, None) for fc in matched)
@@ -2121,14 +2136,21 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
     if m.group("mre"):
         # SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ — Grafana's
         # measurement template variable
-        df = df.filter(F.col("plc_ip").rlike(m.group("mre")[1:-1]))
+        df = df.filter(F.col("plc_ip").rlike(_user_regex(m.group("mre")[1:-1])))
     if m.group("where"):
         # chained template variables: SHOW TAG VALUES ... WHERE
         # "othertag" = 'picked' — tag/measurement conditions only
-        # (InfluxDB 1.x rejects field conditions here too)
+        # (InfluxDB 1.x rejects field conditions here too). A missing
+        # tag compares as the empty string, matching InfluxDB's
+        # missing-tag semantics (so != / !~ keep untagged series).
         for c in re.split(
             r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE
         ):
+            c = c.strip()
+            while c.startswith("(") and c.endswith(")"):
+                c = c[1:-1].strip()
+            # Grafana's builder may suffix ::tag here too
+            c = re.sub(r"::tag\b", "", c)
             wm = re.match(
                 r'^\s*(?P<k>"[^"]+"|\w+)\s*(?P<op>=~|!~|!=|=)\s*'
                 r"(?:'(?P<v>[^']*)'|(?P<re>/[^/]*/))\s*$",
@@ -2140,15 +2162,15 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
             col = (
                 F.col("plc_ip")
                 if k in ("plc_ip", "_measurement")
-                else F.element_at("tags", k)
+                else F.coalesce(F.element_at("tags", k), F.lit(""))
                 if "tags" in df.columns
-                else F.col(k) if k in df.columns else F.lit(None)
+                else F.col(k) if k in df.columns else F.lit("")
             )
             op = wm.group("op")
             if op in ("=~", "!~"):
                 if wm.group("re") is None:
                     raise InfluxQLError(f"{op} needs a /regex/ in {c!r}")
-                cond = col.rlike(wm.group("re")[1:-1])
+                cond = col.rlike(_user_regex(wm.group("re")[1:-1]))
                 df = df.filter(~cond if op == "!~" else cond)
             else:
                 if wm.group("v") is None:
@@ -2304,7 +2326,7 @@ def _show_base(
                 raise InfluxQLError("WITH KEY IN (...) needs at least one key")
             entries = entries.filter(F.col("key").isin(wanted))
         else:
-            entries = entries.filter(F.col("key").rlike(keyre[1:-1]))
+            entries = entries.filter(F.col("key").rlike(_user_regex(keyre[1:-1])))
         return entries.distinct().orderBy("key", "value")
     if not key:
         raise InfluxQLError("SHOW TAG VALUES requires WITH KEY = <key>")

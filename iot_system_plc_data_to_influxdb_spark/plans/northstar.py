@@ -3850,7 +3850,8 @@ def b22_video_decode(spark, sf_dir):
         ) AS rk
       FROM documents
     )
-    SELECT doc_id, source, rk FROM ranked WHERE rk <= 10
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 10
     """,
     tags=("B18",),
 )

@@ -338,6 +338,28 @@ def b5_hll_windowed_merge(spark, sf_dir):
     return _hll_estimate(merged)
 
 
+def _cms_buckets_col():
+    """Exploded (i, b) struct column: the d=4 Count-Min row/bucket
+    pairs of the key column ``u`` — shared by both CMS queries (and
+    reimplemented independently in tests as the checking oracle)."""
+    from ..functions.text import nibble
+
+    def bucket(i):
+        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("u")))
+        return (
+            nibble(F.substring(h, 1, 1)) * 16 + nibble(F.substring(h, 2, 1))
+        )
+
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                for i in range(4)
+            ]
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # B5c — Count-Min heavy hitters, the frequency-sketch sibling of the
 # deterministic HLL above and equally hash-checked: d=4 hash rows ×
@@ -379,28 +401,12 @@ def b5_hll_windowed_merge(spark, sf_dir):
     tags=("B5", "B13"),
 )
 def b5_cms_heavy_hitters(spark, sf_dir):
-    from ..functions.text import nibble
-
-    def bucket(i):
-        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("u")))
-        return (
-            nibble(F.substring(h, 1, 1)) * 16 + nibble(F.substring(h, 2, 1))
-        )
-
     ev = t(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("u")
     )
-    pairs = ev.select(
-        "u",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
-                    for i in range(4)
-                ]
-            )
-        ).alias("e"),
-    ).select("u", "e.i", "e.b")
+    pairs = ev.select("u", _cms_buckets_col().alias("e")).select(
+        "u", "e.i", "e.b"
+    )
     cells = pairs.groupBy("i", "b").agg(F.count("*").alias("c"))
     # two table scans total (cells + exact), like any sketch-vs-truth
     # comparison: the exact per-key counts double as the candidate-key
@@ -412,16 +418,7 @@ def b5_cms_heavy_hitters(spark, sf_dir):
     # the table 5× at scale — each broadcast materializes its subtree.)
     exact = ev.groupBy("u").agg(F.count("*").alias("exact_n"))
     cand = exact.select(
-        "u",
-        "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
-                    for i in range(4)
-                ]
-            )
-        ).alias("e"),
+        "u", "exact_n", _cms_buckets_col().alias("e")
     ).select("u", "exact_n", "e.i", "e.b")
     est = (
         cand.join(F.broadcast(cells), ["i", "b"])
@@ -478,43 +475,18 @@ def b5_cms_heavy_hitters(spark, sf_dir):
     tags=("B5", "B26", "B13"),
 )
 def b5_cms_windowed_merge(spark, sf_dir):
-    from ..functions.text import nibble
-
-    def bucket(i):
-        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("u")))
-        return (
-            nibble(F.substring(h, 1, 1)) * 16 + nibble(F.substring(h, 2, 1))
-        )
-
     ev = events_between(spark, sf_dir, "2024-01-05", "2024-01-15").select(
         F.to_date("ts").alias("day"),
         F.col("user_id").cast("string").alias("u"),
     )
-    pairs = ev.select(
-        "day",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
-                    for i in range(4)
-                ]
-            )
-        ).alias("e"),
-    ).select("day", "e.i", "e.b")
+    pairs = ev.select("day", _cms_buckets_col().alias("e")).select(
+        "day", "e.i", "e.b"
+    )
     daily = pairs.groupBy("day", "i", "b").agg(F.count("*").alias("c"))
     cells = daily.groupBy("i", "b").agg(F.sum("c").alias("c"))
     exact = ev.groupBy("u").agg(F.count("*").alias("exact_n"))
     cand = exact.select(
-        "u",
-        "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
-                    for i in range(4)
-                ]
-            )
-        ).alias("e"),
+        "u", "exact_n", _cms_buckets_col().alias("e")
     ).select("u", "exact_n", "e.i", "e.b")
     est = (
         cand.join(F.broadcast(cells), ["i", "b"])

@@ -114,7 +114,7 @@ def neardup_filter_stream(
     sim ≳ 0.5"; raise rows-per-band to demand closer duplicates.
     """
     if n_hashes % bands:
-        raise ValueError("n_hashes must divide evenly into bands")
+        raise ValueError("bands must divide n_hashes evenly")
     rows_per_band = n_hashes // bands
     arr = (
         docs.select(

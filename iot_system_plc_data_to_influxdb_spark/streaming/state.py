@@ -101,6 +101,11 @@ def deadman_alerts(
     before silence was observed, which is the behavior a deadman
     wants (tests/test_streaming.py::test_deadman_rearms_after_recovery
     pins both the episode split and this supersession).
+
+    Requires a UTC session timezone (this engine's session.py pins it):
+    the epoch math converts naive pandas timestamps with .timestamp(),
+    which reads them as UTC — a non-UTC session would skew deadlines
+    and silent_for_s by the zone offset.
     """
     try:
         n, unit = interval.split()
@@ -136,9 +141,15 @@ def deadman_alerts(
                     last_ts = ts
             if last_ts is not None:  # all-empty chunks: nothing to arm
                 state.update((last_ts,))
-                state.setTimeoutTimestamp(
-                    int(last_ts.timestamp() * 1000) + interval_ms
-                )
+                # a LATE point can put last_ts + interval below the
+                # current watermark; setTimeoutTimestamp rejects
+                # timestamps under the watermark (PySparkValueError,
+                # which would kill the whole query), so clamp — the
+                # timeout then fires in the next batch unless newer
+                # data re-arms it, preserving one-alert-per-episode
+                deadline = int(last_ts.timestamp() * 1000) + interval_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(deadline, wm + 1))
             yield pd.DataFrame(
                 {
                     "plc_ip": pd.Series([], dtype="object"),

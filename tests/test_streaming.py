@@ -813,6 +813,62 @@ def test_deadman_alerts_on_silent_series(spark):
         assert len(got) == 2  # one alert per silence episode, not per batch
 
 
+def test_deadman_survives_late_point(spark):
+    """A buffered/late point whose last_ts + interval already trails
+    the watermark must NOT kill the query (setTimeoutTimestamp rejects
+    sub-watermark deadlines) — the deadline clamps to just past the
+    watermark and the key alerts in a later batch if still silent."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        deadman_alerts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "ts timestamp, plc_ip string, alias string, value double"
+        batches = [
+            # watermark jumps to 00:10:00 immediately
+            [("2024-01-01 00:10:00", "p9", "w", 0.0)],
+            # LATE point: 00:01:00 + 30s interval is far below the
+            # watermark — without clamping this batch crashes
+            [("2024-01-01 00:01:00", "p1", "a", 1.0)],
+            [("2024-01-01 00:20:00", "p9", "w", 0.0)],  # wm push
+            [("2024-01-01 01:00:00", "p9", "w", 0.0)],  # fire + flush
+        ]
+        import glob
+        import shutil
+
+        t0 = time.time() - 100
+        dst = os.path.join(tmp, "pts")
+        os.makedirs(dst, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "ts string, plc_ip string, alias string, value double"
+            ).select(F.col("ts").cast("timestamp"), "plc_ip", "alias", "value")
+            stage = os.path.join(tmp, f"dml{i}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        got = []
+        q = (
+            deadman_alerts(stream, interval="30 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        p1 = [r for r in got if (r["plc_ip"], r["alias"]) == ("p1", "a")]
+        assert len(p1) == 1 and p1[0]["last_ts"].strftime("%H:%M") == "00:01"
+
+
 def test_deadman_rearms_after_recovery(spark):
     """A series that recovers after an alert re-arms: silence → alert,
     data resumes, silence again → SECOND alert. One alert per episode,
