@@ -1462,6 +1462,33 @@ def test_show_templating_variants(points, spark):
     assert series == ["192.168.0.1,room=a,unit=c"]
     with pytest.raises(InfluxQLError):
         compile_show("SHOW TAG VALUES WITH KEY = \"unit\" WHERE value > 3", tagged)
+    # parenthesized + ::tag-suffixed condition (Grafana builder output)
+    chained2 = [
+        r["value"]
+        for r in compile_show(
+            "SHOW TAG VALUES WITH KEY = \"unit\" WHERE (\"room\"::tag = 'b')",
+            tagged,
+        ).collect()
+    ]
+    assert chained2 == ["bar"]
+    # != keeps series that lack the tag entirely (missing tag = '')
+    half = points.withColumn(
+        "tags",
+        F.when(
+            F.col("plc_ip") == "192.168.0.1",
+            F.create_map(F.lit("room"), F.lit("a")),
+        ).otherwise(F.create_map(F.lit("unit"), F.lit("c"))),
+    )
+    ms2 = [
+        r["name"]
+        for r in compile_show(
+            "SHOW MEASUREMENTS WHERE \"room\" != 'a'", half
+        ).collect()
+    ]
+    assert ms2 == ["192.168.0.2"]  # untagged-for-room series retained
+    # malformed regex → typed error, not re.error
+    with pytest.raises(InfluxQLError):
+        compile_show("SHOW TAG VALUES WITH KEY =~ /[/", tagged)
 
 
 def test_field_arithmetic_aggregate(points):
