@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "b18_mixture_epochs",  # fractional repeat-factor mixture materialization
     "b5_hll_deterministic",  # md5-pinned HLL: bounded register shuffle
     "b23_deadman_silent_series",  # silent-series detection, broadcast frontier
+    "b5_cms_heavy_hitters",  # Count-Min cells + broadcast MIN-estimate
 ]
 
 
