@@ -994,3 +994,22 @@ def test_dedup_watermark_state_eviction(spark):
         assert counts["2024-01-01 00:00:05"] == 1
         assert counts["2024-01-01 00:10:00"] == 1
         assert len(seen) == 2
+
+
+def test_streaming_operator_validation_messages():
+    """Typed, direction-correct validation errors (no Spark needed)."""
+    import pytest as _pytest
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        neardup_filter_stream,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        deadman_alerts,
+    )
+
+    with _pytest.raises(ValueError, match="bands must divide n_hashes"):
+        neardup_filter_stream(None, n_hashes=8, bands=3)
+    with _pytest.raises(ValueError, match="unsupported deadman interval"):
+        deadman_alerts(None, interval="30 fortnights")
+    with _pytest.raises(ValueError, match="unsupported deadman interval"):
+        deadman_alerts(None, interval="soon")
