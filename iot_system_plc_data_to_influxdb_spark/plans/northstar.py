@@ -3098,11 +3098,14 @@ def b18_epoch_shuffle(spark, sf_dir):
 # are boilerplate so a trainer can cut the span, not the document.
 # Dataflow: positional 5-grams → cross-doc df aggregate (map-side
 # partials) → positions re-join the duplicated-gram set on the
-# fixed-width md5 key (32 bytes regardless of gram text; the
-# xxhash64-int64 swap proven by b21_boilerplate_hashed applies
-# verbatim at 100 TB) → per-doc ordered window merges starts into
-# maximal spans. Three shuffles total: gram-df, the positions⋈dupset
-# join, and the per-doc window.
+# fixed-width xxhash64 key (8-byte int64 regardless of gram text —
+# the key-width pattern proven by b21_boilerplate_hashed, ~4× narrower
+# shuffle rows than the md5-hex strings this used before) → per-doc
+# ordered window merges starts into maximal spans. Three shuffles
+# total: gram-df, the positions⋈dupset join, and the per-doc window.
+# The gram hash never reaches the output (only doc_id/positions/spans
+# do), so the DuckDB oracle keeps md5 — results are identical absent
+# collisions, exactly as the boilerplate query demonstrates.
 # --------------------------------------------------------------------------
 _B19_SPAN_ORACLE = r"""
     WITH d AS (
@@ -3156,7 +3159,7 @@ def b19_span_dedup(spark, sf_dir):
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size(w) - L),
-                lambda i: F.md5(
+                lambda i: F.xxhash64(
                     F.concat_ws(" ", *[F.get(w, i + k) for k in range(L)])
                 ),
             )

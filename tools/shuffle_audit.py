@@ -47,6 +47,7 @@ QUERIES = [
     "b9_anti_join",              # claim: date filter pushed, anti build side shrunk
     "b5_hll_deterministic",      # claim: map-side partial_max folds rows into <=256 registers
     "b5_cms_heavy_hitters",      # claim: cell counts partial-agg to <=1024 rows/task
+    "b19_span_dedup",            # claim: int64 gram keys through all 3 shuffles (r6 swap)
 ]
 
 UI_PORT = 4047
@@ -85,7 +86,11 @@ def _fmt(n: int) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    queries = QUERIES
+    if "--only" in sys.argv:
+        queries = sys.argv[sys.argv.index("--only") + 1].split(",")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -108,7 +113,7 @@ def main() -> int:
 
     qs = plans.all_queries()
     rows = []
-    for name in QUERIES:
+    for name in queries:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         time.sleep(0.3)  # let the last stages post as COMPLETE
         before = _totals(app_id)
@@ -123,6 +128,8 @@ def main() -> int:
             f"spill {_fmt(delta['diskBytesSpilled'])}"
         )
 
+    if "--only" in sys.argv:
+        return 0  # print-only probe; never overwrite SHUFFLE.md partially
     sf = sf_dir.rstrip("/").split("sf")[-1]
     with open("/root/repo/SHUFFLE.md", "w") as f:
         f.write(
@@ -182,6 +189,13 @@ def main() -> int:
             "  TWO table scans (a 4-chained-broadcast variant shuffled\n"
             "  less but materializes the cells subtree per join — 5 table\n"
             "  scans at scale — rejected).\n"
+            "- **b19_span_dedup**: the round-6 gram-key swap (md5-hex →\n"
+            "  xxhash64 int64) measured 9.2 MB → 3.7 MB total shuffle\n"
+            "  write at sf0.1 (2.5×; the pure key column narrows 4×, the\n"
+            "  doc_id/position columns riding each row dilute the total),\n"
+            "  and wall clock 2.2 → 1.2 s. The hash never reaches the\n"
+            "  output, so the DuckDB oracle keeps md5 and the query stays\n"
+            "  hash-green — same contract as b21_boilerplate_hashed.\n"
             "- Zero disk/memory spill anywhere at this scale.\n"
         )
     print("wrote SHUFFLE.md")
