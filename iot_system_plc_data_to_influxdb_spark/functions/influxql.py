@@ -58,7 +58,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -496,11 +496,51 @@ def _user_regex(pattern: str) -> str:
     """Validate a user-supplied /regex/ body; a malformed pattern must
     surface as InfluxQLError (the gateway's per-statement error
     payload), never a bare re.error or a runtime AnalysisException
-    from rlike."""
+    from rlike.
+
+    Execution is split-engine: measurement/tag regexes run JVM-side
+    via ``rlike`` (java.util.regex), field-name projections Python-side
+    via ``re.search`` — so a pattern must compile under BOTH. Python-
+    only syntax like ``(?P<name>...)`` passes ``re.compile`` but throws
+    a raw Py4J PatternSyntaxException inside a Spark job, escaping the
+    gateway's per-statement error isolation; compiling against the
+    session JVM's Pattern here turns that into a compile-time
+    InfluxQLError. (No active session — plain library use — degrades
+    to the Python-only check.)"""
     try:
         re.compile(pattern)
     except re.error as exc:
         raise InfluxQLError(f"invalid regex /{pattern}/: {exc}") from None
+    # getActiveSession is THREAD-local and the HTTP gateway validates
+    # inside server worker threads — fall back to the process-wide
+    # default session so the JVM check still runs there.
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        try:
+            spark = SparkSession.active()
+        except Exception:
+            spark = None
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+        except Exception:
+            jvm = None  # e.g. Spark Connect: no JVM bridge; rely on re
+        if jvm is not None:
+            try:
+                jvm.java.util.regex.Pattern.compile(pattern)
+            except Exception as exc:
+                # pyspark maps java PatternSyntaxException (an
+                # IllegalArgumentException) to a Python
+                # IllegalArgumentException; raw py4j leaves a
+                # Py4JJavaError with .java_exception. Either way the
+                # only thing this call can choke on is the pattern.
+                name = type(exc).__name__
+                if name in ("IllegalArgumentException", "Py4JJavaError"):
+                    msg = str(exc).splitlines()[0]
+                    raise InfluxQLError(
+                        f"invalid regex /{pattern}/: {msg}"
+                    ) from None
+                raise
     return pattern
 
 
@@ -515,7 +555,14 @@ def _simple_term(cond: str):
         return ("neq", _unquote(nq.group("key")), nq.group("val"))
     rx = _TAG_REGEX_RE.match(cond)
     if rx:
-        return ("re", _unquote(rx.group("key")), rx.group("op"), rx.group("val"))
+        # validate eagerly (Python + JVM) — this pattern executes via
+        # rlike, where a bad pattern would otherwise explode mid-job
+        return (
+            "re",
+            _unquote(rx.group("key")),
+            rx.group("op"),
+            _user_regex(rx.group("val")),
+        )
     fc = _FIELD_COND_RE.match(cond)
     if fc:
         return (
@@ -1662,7 +1709,7 @@ def _apply_regex_measurement(df: DataFrame, q: _Query) -> DataFrame:
         )
     if mcol not in q.group_tags:
         q.group_tags.append(mcol)
-    return df.filter(F.col(mcol).rlike(q.measurement[1:-1]))
+    return df.filter(F.col(mcol).rlike(_user_regex(q.measurement[1:-1])))
 
 
 def _apply_multi_measurement(df: DataFrame, q: _Query) -> DataFrame:
@@ -2310,7 +2357,10 @@ def _show_base(
     if keys is not None or keyre is not None:
         # multi-key (WITH KEY IN (...)) / regex (WITH KEY =~ /re/)
         # forms: explode the tag map once and filter the key column —
-        # InfluxDB returns (key, value) ordered by key then value
+        # InfluxDB returns (key, value) ordered by key then value.
+        # Validate the regex BEFORE the tags-column early-return so a
+        # malformed pattern errors identically on tag-less tables.
+        keyre_pat = _user_regex(keyre[1:-1]) if keyre is not None else None
         if "tags" not in df.columns:
             return df.select(
                 F.lit("").alias("key"), F.col("plc_ip").alias("value")
@@ -2326,7 +2376,7 @@ def _show_base(
                 raise InfluxQLError("WITH KEY IN (...) needs at least one key")
             entries = entries.filter(F.col("key").isin(wanted))
         else:
-            entries = entries.filter(F.col("key").rlike(_user_regex(keyre[1:-1])))
+            entries = entries.filter(F.col("key").rlike(keyre_pat))
         return entries.distinct().orderBy("key", "value")
     if not key:
         raise InfluxQLError("SHOW TAG VALUES requires WITH KEY = <key>")

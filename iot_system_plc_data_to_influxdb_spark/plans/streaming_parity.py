@@ -355,6 +355,11 @@ def b23_deadman_silent_series(spark, sf_dir):
         .select(
             "user_id",
             "last_ts",
+            # Floor-per-endpoint on BOTH engines: Spark unix_timestamp
+            # truncates each timestamp to whole seconds exactly like the
+            # oracle's FLOOR(epoch(..)) per endpoint, so silent_s stays
+            # hash-equal even on sub-second fixtures (pinned by
+            # tests/test_streaming.py::test_deadman_silent_s_subsecond).
             (F.unix_timestamp("m") - F.unix_timestamp("last_ts")).alias(
                 "silent_s"
             ),

@@ -585,3 +585,33 @@ def test_admin_show_family_and_kill(gateway):
     vals = {(r[0], r[1]): r[2] for r in series["values"]}
     assert vals[("build", "Version")] == "1.8-compat"
     assert vals[("build", "Engine")].startswith("pyspark-")
+
+
+def test_python_only_regex_is_inband_error(gateway):
+    """Split-engine regex totality: SHOW/measurement regexes execute
+    JVM-side (rlike), so Python-only syntax like (?P<name>...) compiles
+    under re but would throw a raw Py4J PatternSyntaxException inside a
+    Spark job — escaping per-statement isolation. _user_regex now
+    validates against the session JVM's Pattern too, so such a
+    statement yields an in-band error while its batch-mates still run."""
+    base, _ = gateway
+    q = urllib.parse.quote(
+        'SHOW TAG VALUES WITH KEY =~ /(?P<name>plc.*)/;'
+        "SELECT count(value) FROM points"
+    )
+    status, body = _get(f"{base}/query?q={q}")
+    assert status == 200
+    out = json.loads(body)["results"]
+    assert len(out) == 2
+    assert "error" in out[0] and "invalid regex" in out[0]["error"]
+    assert "series" in out[1] and "error" not in out[1]
+
+
+def test_python_only_regex_in_from_is_inband_error(gateway):
+    """Same contract on the FROM /regex/ path (rlike over plc_ip)."""
+    base, _ = gateway
+    q = urllib.parse.quote("SELECT count(value) FROM /(?P<m>po.*)/")
+    status, body = _get(f"{base}/query?q={q}")
+    assert status == 200
+    out = json.loads(body)["results"]
+    assert "error" in out[0] and "invalid regex" in out[0]["error"]

@@ -1013,3 +1013,52 @@ def test_streaming_operator_validation_messages():
         deadman_alerts(None, interval="30 fortnights")
     with _pytest.raises(ValueError, match="unsupported deadman interval"):
         deadman_alerts(None, interval="soon")
+
+
+def test_deadman_silent_s_subsecond(spark):
+    """Pin the batch-twin's silent_s semantics on SUB-second timestamps:
+    Spark `unix_timestamp(m) - unix_timestamp(last_ts)` floors each
+    endpoint to whole seconds exactly like the oracle's
+    `FLOOR(epoch(m)) - FLOOR(epoch(last_ts))` — NOT floor(m - last_ts),
+    which would differ by 1 when the fractional parts straddle (e.g.
+    .25 - .75 below). The driver fixture happens to be whole-second;
+    this test is the sub-second guarantee the comment at
+    plans/streaming_parity.py cites."""
+    import datetime
+
+    import duckdb
+
+    from iot_system_plc_data_to_influxdb_spark import plans
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            # silent series: fractional .75 last point, frontier at .25
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 0, 750000), 1,
+             "click", 1.0, "{}"),
+            (2, datetime.datetime(2024, 1, 3, 0, 0, 1, 250000), 2,
+             "click", 1.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        got = (
+            plans.all_queries()["b23_deadman_silent_series"](spark, d)
+            .collect()
+        )
+        assert len(got) == 1 and got[0]["user_id"] == 1
+        # floor(frontier) - floor(last) = 172801; floor(diff) would be
+        # 172800 — the two semantics separate on exactly this fixture
+        assert got[0]["silent_s"] == 172801
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(d, 'events.parquet')}/*.parquet'"
+        )
+        oracle = con.sql(
+            plans.all_oracles()["b23_deadman_silent_series"]
+        ).fetchall()
+        assert len(oracle) == 1 and oracle[0][2] == 172801
