@@ -194,6 +194,19 @@ def _numeric(tok: str, fn: str) -> float:
         ) from None
 
 
+def _int_period(tok: str, fn: str) -> int:
+    """Validate an N-period argument as a whole number. InfluxDB 1.x
+    rejects fractional periods for window/TA transforms; truncating
+    ``exponential_moving_average(value, 2.5)`` to period 2 would be a
+    silent wrong answer, so error in-band instead."""
+    v = _numeric(tok, fn)
+    if v != int(v):
+        raise InfluxQLError(
+            f"{fn}() period must be an integer, got {tok!r}"
+        )
+    return int(v)
+
+
 def _percentile_nearest_rank(c, p: float):
     """InfluxDB percentile(): the nearest-rank sample — an actually-
     observed value, no interpolation (deterministic cross-engine,
@@ -492,7 +505,13 @@ def _unquote(s: str) -> str:
     return s[1:-1] if len(s) >= 2 and s[0] == '"' and s[-1] == '"' else s
 
 
-def _user_regex(pattern: str) -> str:
+# patterns the session JVM has already accepted — one Pattern.compile
+# py4j round-trip per DISTINCT pattern, not one per call site (the
+# field-expansion comprehensions used to re-validate per column)
+_JVM_REGEX_OK: set = set()
+
+
+def _user_regex(pattern: str, jvm_side: bool = True) -> str:
     """Validate a user-supplied /regex/ body; a malformed pattern must
     surface as InfluxQLError (the gateway's per-statement error
     payload), never a bare re.error or a runtime AnalysisException
@@ -500,17 +519,21 @@ def _user_regex(pattern: str) -> str:
 
     Execution is split-engine: measurement/tag regexes run JVM-side
     via ``rlike`` (java.util.regex), field-name projections Python-side
-    via ``re.search`` — so a pattern must compile under BOTH. Python-
-    only syntax like ``(?P<name>...)`` passes ``re.compile`` but throws
-    a raw Py4J PatternSyntaxException inside a Spark job, escaping the
-    gateway's per-statement error isolation; compiling against the
-    session JVM's Pattern here turns that into a compile-time
-    InfluxQLError. (No active session — plain library use — degrades
-    to the Python-only check.)"""
+    via ``re.search``. Only the rlike-destined patterns
+    (``jvm_side=True``) must ALSO compile under java.util.regex —
+    Python-only syntax like ``(?P<name>...)`` passes ``re.compile``
+    but would throw a raw Py4J PatternSyntaxException inside a Spark
+    job, escaping the gateway's per-statement error isolation.
+    Field-name projections execute purely in Python, so they keep the
+    wider Python syntax (``jvm_side=False``) — real InfluxDB (Go RE2)
+    accepts ``(?P<name>...)`` there. (No active session — plain
+    library use — degrades to the Python-only check.)"""
     try:
         re.compile(pattern)
     except re.error as exc:
         raise InfluxQLError(f"invalid regex /{pattern}/: {exc}") from None
+    if not jvm_side or pattern in _JVM_REGEX_OK:
+        return pattern
     # getActiveSession is THREAD-local and the HTTP gateway validates
     # inside server worker threads — fall back to the process-wide
     # default session so the JVM check still runs there.
@@ -541,6 +564,9 @@ def _user_regex(pattern: str) -> str:
                         f"invalid regex /{pattern}/: {msg}"
                     ) from None
                 raise
+            if len(_JVM_REGEX_OK) > 4096:
+                _JVM_REGEX_OK.clear()
+            _JVM_REGEX_OK.add(pattern)
     return pattern
 
 
@@ -711,7 +737,7 @@ def parse(q: str) -> _Query:
                 if ofn == "elapsed":
                     raise InfluxQLError("elapsed() takes a field, not an aggregate")
                 iarg = _numeric(nm.group("iarg"), ifn) if nm.group("iarg") else None
-                if ofn in _TA_FNS and int(_numeric(nm.group("oarg"), ofn)) < 1:
+                if ofn in _TA_FNS and _int_period(nm.group("oarg"), ofn) < 1:
                     raise InfluxQLError(f"{ofn}() period must be >= 1")
                 transforms[len(sel)] = (ofn, nm.group("oarg"))
                 sel.append((ifn, col, alias or ofn, iarg))
@@ -760,7 +786,7 @@ def parse(q: str) -> _Query:
             alias = alias_override or am.group("alias")
             if fn in _TRANSFORMS:
                 # transform over the raw series: derivative(value, 1s)
-                if fn in _TA_FNS and int(_numeric(raw_n, fn)) < 1:
+                if fn in _TA_FNS and _int_period(raw_n, fn) < 1:
                     raise InfluxQLError(f"{fn}() period must be >= 1")
                 transforms[len(sel)] = (fn, raw_n)
                 sel.append((None, _unquote(am.group("arg")), alias or fn, None))
@@ -984,9 +1010,11 @@ def parse(q: str) -> _Query:
                     else n * 1000 if unit == "ms"
                     else n * 1_000_000
                 )
+                # epoch literals are absolute UTC instants — the +00:00
+                # keeps them absolute under tz() (normalized at compile)
                 ts = (
                     _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
-                ).strftime("%Y-%m-%d %H:%M:%S.%f")
+                ).strftime("%Y-%m-%d %H:%M:%S.%f") + "+00:00"
                 op = em.group("op")
                 if op in (">", ">="):
                     out.time_lo = (op, ts)
@@ -1132,6 +1160,52 @@ def _epoch_utc(ts: str) -> int:
     )
 
 
+def _normalize_time_bounds(q: _Query) -> None:
+    """Rewrite time bounds onto the query's reference wall-clock.
+
+    InfluxDB's time-literal semantics: a BARE literal is interpreted
+    in the tz() zone (UTC without tz()); an RFC3339 literal with an
+    explicit zone (trailing Z or ±HH:MM) is an absolute instant
+    regardless of tz(). Every downstream consumer (_time_lit, the
+    fill-grid lattice, rollup alignment) treats the stored string as
+    naive reference-zone wall-clock, so explicit-zone literals —
+    including the internally generated now()/epoch bounds, which carry
+    +00:00 — are converted here once. Without this, a Grafana range
+    like ``time < '2024-01-02T00:00:00Z'`` under tz('Europe/Warsaw')
+    was re-shifted by the zone offset and silently dropped the last
+    local-offset hours of data. (A fall-back-ambiguous local result
+    round-trips through to_utc_timestamp to the zone's standard-time
+    choice — inherent to wall-clock bucketing.)"""
+    import datetime as _dt
+
+    for attr in ("time_lo", "time_hi"):
+        b = getattr(q, attr)
+        if not b or not isinstance(b[1], str):
+            continue
+        op, ts = b
+        try:
+            t = _dt.datetime.fromisoformat(ts)
+        except ValueError:
+            continue  # surfaces as an invalid-literal error downstream
+        if t.tzinfo is None:
+            continue
+        if q.tz:
+            try:
+                from zoneinfo import ZoneInfo
+
+                zone = ZoneInfo(q.tz)
+            except Exception:
+                raise InfluxQLError(f"invalid tz {q.tz!r}") from None
+            t = t.astimezone(zone)
+        else:
+            t = t.astimezone(_dt.timezone.utc)
+        setattr(
+            q,
+            attr,
+            (op, t.replace(tzinfo=None).strftime("%Y-%m-%d %H:%M:%S.%f")),
+        )
+
+
 def _resolve_now(q: _Query, now) -> None:
     """Turn ('now', back_s) bounds into concrete literals once, at
     compile time — downstream (pushdown, fill grid, rollup alignment)
@@ -1153,9 +1227,12 @@ def _resolve_now(q: _Query, now) -> None:
                 else:
                     base = now
             _kind, back = b[1]
+            # now() is an absolute UTC instant — mark it so
+            # _normalize_time_bounds maps it onto the tz() wall-clock
+            # instead of re-interpreting it as local
             ts = (base - _dt.timedelta(seconds=back)).strftime(
                 "%Y-%m-%d %H:%M:%S"
-            )
+            ) + "+00:00"
             setattr(q, attr, (b[0], ts))
 
 
@@ -1450,11 +1527,23 @@ def _apply_ta(
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col).reset_index(drop=True)
         for alias, ofn, n in ta_items:
-            xs = [float(v) for v in pdf[alias]]
+            # skip NULL input points (an all-NULL bucket from a multi-
+            # field statement) exactly like _apply_predictor: InfluxDB
+            # feeds a transform only the field's actual points, so a
+            # NULL bucket must not enter the recursion — a NaN there
+            # would poison every subsequent EMA/RSI/KAMA value for the
+            # series. The fold runs over the non-null subsequence and
+            # results land back at those positions; NULL rows stay NULL.
+            vals = pdf[alias].tolist()
+            idxs = [i for i, v in enumerate(vals) if not pd.isna(v)]
+            ys = _ta_fold(ofn, [float(vals[i]) for i in idxs], n)
+            out: list = [None] * len(vals)
+            for i, y in zip(idxs, ys):
+                out[i] = y
             # nullable Float64 so warm-up rows cross Arrow as NULL,
             # not NaN (a NaN would defeat the isNotNull warm filter
             # and hash differently than the oracle's NULL)
-            pdf[alias] = pd.array(_ta_fold(ofn, xs, n), dtype="Float64")
+            pdf[alias] = pd.array(out, dtype="Float64")
         return pdf[cols]
 
     grouped = df.groupBy(*tags) if tags else df.groupBy(F.lit(0).alias("_g"))
@@ -1486,7 +1575,7 @@ def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataF
         if ofn in _TA_FNS:
             if oarg is None:
                 raise InfluxQLError(f"{ofn}() requires a period argument")
-            ta_items.append((alias, ofn, int(_numeric(oarg, ofn))))
+            ta_items.append((alias, ofn, _int_period(oarg, ofn)))
             if ofn != "exponential_moving_average":
                 warm.append(alias)
             continue
@@ -1505,7 +1594,7 @@ def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataF
         elif ofn == "moving_average":
             if oarg is None:
                 raise InfluxQLError("moving_average() requires a window size")
-            n = int(float(oarg))
+            n = _int_period(oarg, ofn)
             frame = w.rowsBetween(-(n - 1), 0)
             res = F.when(F.count(c).over(frame) == n, F.avg(c).over(frame))
             warm.append(alias)
@@ -1798,6 +1887,7 @@ def compile_influxql(
     path."""
     q = parse(query)
     _resolve_now(q, now)
+    _normalize_time_bounds(q)
     table = _apply_regex_measurement(table, q)
     table = _apply_multi_measurement(table, q)
 
@@ -1841,7 +1931,8 @@ def compile_influxql(
         for fn, c, a, n in q.select:
             if fn and _multi_field(c):
                 matched = fields if c == "*" else [
-                    fc for fc in fields if re.search(_user_regex(c[1:-1]), fc)
+                    fc for fc in fields
+                    if re.search(_user_regex(c[1:-1], jvm_side=False), fc)
                 ]
                 if not matched:
                     raise InfluxQLError(
@@ -1865,7 +1956,7 @@ def compile_influxql(
             if fn is None and c != "*" and _multi_field(c):
                 matched = [
                     fc for fc in candidates
-                    if re.search(_user_regex(c[1:-1]), fc)
+                    if re.search(_user_regex(c[1:-1], jvm_side=False), fc)
                 ]
                 if not matched:
                     raise InfluxQLError(f"SELECT {c} matched no columns")
@@ -2206,6 +2297,20 @@ def compile_show(query: str, points: DataFrame) -> DataFrame:
             if not wm:
                 raise InfluxQLError(f"unsupported SHOW condition {c!r}")
             k = _unquote(wm.group("k"))
+            # InfluxDB 1.x rejects FIELD conditions in SHOW ... WHERE
+            # ("fields not supported"); silently resolving a field key
+            # through the tags map would compare against '' and filter
+            # everything — a wrong (empty) template-variable list in
+            # Grafana instead of an error. A non-string column of the
+            # points table is definitionally a field, not a tag.
+            if (
+                k not in ("plc_ip", "_measurement")
+                and dict(df.dtypes).get(k, "string") != "string"
+            ):
+                raise InfluxQLError(
+                    f"SHOW ... WHERE supports tag conditions only; "
+                    f"{k!r} is a field key"
+                )
             col = (
                 F.col("plc_ip")
                 if k in ("plc_ip", "_measurement")

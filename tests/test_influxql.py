@@ -179,6 +179,37 @@ def test_show_meta_queries(points):
         compile_show("SHOW GRANTS FOR admin", points)
 
 
+def test_show_where_field_condition_errors(points):
+    """SHOW ... WHERE on a FIELD key must raise like InfluxDB 1.x
+    ("fields not supported"), not silently resolve through the tags
+    map, compare against '' and return an empty template-variable
+    list to Grafana."""
+    from iot_system_plc_data_to_influxdb_spark.functions.influxql import (
+        compile_show,
+    )
+
+    with pytest.raises(InfluxQLError, match="field key"):
+        compile_show(
+            "SHOW TAG VALUES WITH KEY = \"alias\" WHERE \"value\" = '3'",
+            points,
+        )
+    # tag conditions (string columns / tags-map keys) still compile
+    # and run (the fixture has no tags map, so the listing is empty —
+    # the point is no InfluxQLError)
+    compile_show(
+        "SHOW TAG VALUES WITH KEY = \"alias\" WHERE \"alias\" = 'temp'",
+        points,
+    ).count()
+    # unknown keys keep InfluxDB's missing-tag ''-comparison semantics
+    assert (
+        compile_show(
+            "SHOW TAG VALUES WITH KEY = \"alias\" WHERE \"nosuch\" != ''",
+            points,
+        ).count()
+        == 0
+    )
+
+
 def test_rollup_routing_in_compiler(points, spark, tmp_path):
     """An eligible GROUP BY time() statement routes to the CQ rollup
     (verified via input files) and returns exactly the raw-path
@@ -1367,6 +1398,42 @@ def test_agg_regex_field_selector(spark):
     assert raw.columns == ["ts", "load1", "load5"] and raw.count() == 4
 
 
+def test_field_regex_keeps_python_only_syntax(spark):
+    """Field-name projection regexes execute purely Python-side, so
+    Python-only syntax like (?P<name>...) must keep working there
+    (real InfluxDB's Go RE2 accepts it) — the JVM compile check is
+    scoped to rlike-destined measurement/tag/key patterns only."""
+    import datetime as dtm
+
+    rows = [
+        (dtm.datetime(2024, 1, 1, 0, m), float(m), float(m * 2))
+        for m in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, load1 double, temp double"
+    )
+    out = compile_influxql(
+        "SELECT mean(/(?P<x>load.*)/) FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00' "
+        "GROUP BY time(1h)",
+        df,
+    )
+    assert out.columns == ["time", "mean_load1"]
+    assert out.collect()[0]["mean_load1"] == 1.5
+    raw = compile_influxql(
+        "SELECT /(?P<x>load.*)/ FROM m "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 01:00:00'",
+        df,
+    )
+    assert raw.columns == ["ts", "load1"] and raw.count() == 4
+    # tag/measurement regexes stay JVM-validated: same syntax errors
+    with pytest.raises(InfluxQLError, match="invalid regex"):
+        compile_influxql(
+            "SELECT mean(load1) FROM m WHERE \"host\" =~ /(?P<h>a.*)/",
+            df.withColumn("host", F.lit("a")),
+        )
+
+
 def test_quoted_measurement_names_parse():
     """Measurement identifiers with spaces parse when double-quoted —
     Grafana quotes every measurement it emits."""
@@ -2108,6 +2175,115 @@ def test_ta_parse_errors():
     with pytest.raises(InfluxQLError):
         parse("SELECT relative_strength_index(mean(value), 2h) FROM p "
               "GROUP BY time(1m)")  # duration token as period
+
+
+def test_ta_fractional_period_rejected():
+    """Fractional N must error in-band, not silently truncate to N-1
+    (exponential_moving_average(value, 2.5) used to run as period 2)."""
+    with pytest.raises(InfluxQLError, match="integer"):
+        parse("SELECT exponential_moving_average(mean(value), 2.5) "
+              "FROM p GROUP BY time(1m)")
+    with pytest.raises(InfluxQLError, match="integer"):
+        parse("SELECT relative_strength_index(value, 1.5) FROM p")
+    # whole-number float spellings stay accepted
+    parse("SELECT exponential_moving_average(mean(value), 2.0) FROM p "
+          "GROUP BY time(1m)")
+
+
+def test_ta_moving_average_fractional_window_rejected(points):
+    with pytest.raises(InfluxQLError, match="integer"):
+        compile_influxql(
+            "SELECT moving_average(mean(value), 2.5) FROM points "
+            "GROUP BY time(1m)",
+            points,
+        )
+
+
+def test_ta_null_bucket_does_not_poison_series(spark):
+    """An all-NULL bucket aggregate (multi-field statement where one
+    field has no points in a bucket) must be SKIPPED by the TA fold,
+    like _apply_predictor: the recursion runs over the non-null
+    subsequence and the NULL bucket row stays NULL. A NaN entering the
+    EMA recursion would permanently null every subsequent output."""
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for m in range(10):
+        v2 = None if m in (4, 5) else float((m * 13) % 7) + 1.0
+        rows.append((t0 + dt.timedelta(minutes=m), "a", float(m), v2))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, tag1 string, value double, value2 double"
+    )
+    out = (
+        compile_influxql(
+            "SELECT exponential_moving_average(mean(value2), 3) AS ema, "
+            "mean(value) AS m FROM t GROUP BY time(1m)",
+            df,
+        )
+        .orderBy("time")
+        .collect()
+    )
+    assert len(out) == 10
+    # reference EMA over the 8 non-null buckets, alpha = 2/(3+1)
+    xs = [float((m * 13) % 7) + 1.0 for m in range(10) if m not in (4, 5)]
+    want = []
+    y = None
+    for v in xs:
+        y = v if y is None else 0.5 * v + 0.5 * y
+        want.append(y)
+    got = [r["ema"] for r in out]
+    assert got[4] is None and got[5] is None
+    dense = [g for g in got if g is not None]
+    assert dense == pytest.approx(want, abs=1e-12)
+    # post-gap values are real numbers, not poisoned NULL/NaN
+    assert all(g is not None for g in got[6:])
+
+
+def test_ta_null_bucket_rsi_warmup_counts_non_null_only(spark):
+    """RSI emission index N is measured on the non-null subsequence:
+    with a NULL bucket inside the warm-up, the first RSI value lands
+    at the (N+1)-th NON-NULL bucket, mirroring InfluxDB feeding the
+    transform only the field's actual points."""
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [3.0, None, 5.0, 2.0, 7.0, 4.0, None, 6.0, 1.0, 8.0]
+    for m, v2 in enumerate(vals):
+        rows.append((t0 + dt.timedelta(minutes=m), float(m), v2))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, value double, value2 double"
+    )
+    out = (
+        compile_influxql(
+            "SELECT relative_strength_index(mean(value2), 3) AS rsi, "
+            "mean(value) AS m FROM t GROUP BY time(1m)",
+            df,
+        )
+        .orderBy("time")
+        .collect()
+    )
+    dense = [v for v in vals if v is not None]
+    diffs = [dense[i] - dense[i - 1] for i in range(1, len(dense))]
+    ag = sum(max(d, 0) for d in diffs[:3]) / 3
+    al = sum(max(-d, 0) for d in diffs[:3]) / 3
+    want = [None] * len(dense)
+    want[3] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+    for i in range(4, len(dense)):
+        d = diffs[i - 1]
+        ag = (ag * 2 + max(d, 0)) / 3
+        al = (al * 2 + max(-d, 0)) / 3
+        want[i] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+    # the warm filter drops rows where the (only) transform column is
+    # NULL, so output rows are exactly the buckets with a defined RSI:
+    # the 4th-and-later non-null buckets
+    non_null_pos = [i for i, v in enumerate(vals) if v is not None]
+    want_rows = [
+        (t0 + dt.timedelta(minutes=p), want[j])
+        for j, p in enumerate(non_null_pos)
+        if want[j] is not None
+    ]
+    assert [r["time"] for r in out] == [t for t, _ in want_rows]
+    assert [r["rsi"] for r in out] == pytest.approx(
+        [w for _, w in want_rows], abs=1e-12
+    )
 
 
 def test_raw_field_alias_and_subquery(spark):
