@@ -72,6 +72,50 @@ def df_to_series(
     }
 
 
+def df_to_series_list(
+    df: DataFrame,
+    name: str,
+    epoch: str | None = None,
+    tags: list | None = None,
+    max_rows: int = 10000,
+) -> list:
+    """DataFrame → InfluxDB 'series' LIST. With ``tags`` (the GROUP BY
+    tag columns), rows split into one series object per tag
+    combination, tag values in a 'tags' map and the tag columns removed
+    from 'columns' — the response shape Grafana's InfluxDB datasource
+    requires to label GROUP BY tag panels (one legend entry per
+    series). Without tags, the single-series shape unchanged."""
+    tags = [t for t in (tags or []) if t in df.columns]
+    if not tags:
+        return [df_to_series(df, name, epoch, max_rows)]
+    cols = list(df.columns)
+    for tc in ("time", "ts"):
+        if tc in cols:
+            cols.remove(tc)
+            cols.insert(0, tc)
+            break
+    val_cols = [c for c in cols if c not in tags]
+    rows = df.select(*cols).limit(max_rows).collect()
+    out_cols = ["time" if c == "ts" else c for c in val_cols]
+    groups: dict = {}
+    for row in rows:
+        key = tuple(row[t] for t in tags)
+        groups.setdefault(key, []).append(
+            [_json_cell(row[c], epoch) for c in val_cols]
+        )
+    return [
+        {
+            "name": name,
+            "tags": {t: ("" if v is None else str(v)) for t, v in zip(tags, key)},
+            "columns": out_cols,
+            "values": vals,
+        }
+        for key, vals in sorted(
+            groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+        )
+    ]
+
+
 class InfluxAPI:
     """The engine behind the handler — resolves measurements and owns
     the write path."""
@@ -119,6 +163,7 @@ class InfluxAPI:
             compile_delete,
             compile_show,
             compile_statement,
+            parse,
             parse_drop_cq,
             split_into,
         )
@@ -186,6 +231,7 @@ class InfluxAPI:
                         }
                     )
                     continue
+                series_tags: list = []
                 if up.startswith("SHOW"):
                     df = compile_show(stmt, self.get_table(None))
                     name = "measurements" if "MEASUREMENTS" in up else "results"
@@ -210,10 +256,16 @@ class InfluxAPI:
                         results.append({"statement_id": i})
                         continue
                     name = m or "results"
+                    # GROUP BY tag statements split into one series per
+                    # tag combination (InfluxDB's response shape —
+                    # Grafana labels panel legends from the tags map)
+                    series_tags = parse(stmt_wo).group_tags
                 results.append(
                     {
                         "statement_id": i,
-                        "series": [df_to_series(df, name, epoch)],
+                        "series": df_to_series_list(
+                            df, name, epoch, tags=series_tags
+                        ),
                     }
                 )
             except InfluxQLError as e:
@@ -248,6 +300,15 @@ class InfluxAPI:
 
         from ..functions.influxql import compile_statement, parse
 
+        if not self.write_dir:
+            # the target path is derived from write_dir — without one
+            # the rollup would materialize into a literal
+            # "None__<target>" directory in the CWD
+            raise ValueError(
+                "run_continuous_queries requires the gateway to be "
+                "constructed with a write_dir (CQ rollups materialize "
+                "to <write_dir>__<target>)"
+            )
         appended: dict = {}
         for spec in list(self.continuous_queries.values()):
             q = parse(spec.select)

@@ -487,6 +487,34 @@ def test_cq_resample_window_bounds(spark, tmp_path):
     }
 
 
+def test_cq_tick_without_write_dir_errors(spark, tmp_path):
+    """run_continuous_queries without a write_dir must raise — the
+    target path is <write_dir>__<target>, so a None write_dir used to
+    materialize rollups into a literal 'None__<target>' directory in
+    the CWD."""
+    write_dir = str(tmp_path / "points")
+    spark.createDataFrame(
+        [("2024-03-01T00:10:00", "plc1", "temp", 5.0)],
+        "ts_s string, plc_ip string, alias string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "plc_ip", "alias", "value"
+    ).write.mode("overwrite").parquet(write_dir)
+    api = InfluxAPI(
+        spark, lambda _m: spark.read.parquet(write_dir), write_dir=None
+    )
+    api.query(
+        "CREATE CONTINUOUS QUERY cq_n ON iot BEGIN "
+        "SELECT mean(value) AS m INTO roll_n FROM points "
+        "GROUP BY time(1h) END",
+        None,
+    )
+    with pytest.raises(ValueError, match="write_dir"):
+        api.run_continuous_queries()
+    import os
+
+    assert not any(e.startswith("None__") for e in os.listdir(os.getcwd()))
+
+
 def test_cq_service_thread_ticks(spark, tmp_path):
     """The scheduler thread fires run_continuous_queries on its
     interval and stop() halts it."""
@@ -615,3 +643,126 @@ def test_python_only_regex_in_from_is_inband_error(gateway):
     assert status == 200
     out = json.loads(body)["results"]
     assert "error" in out[0] and "invalid regex" in out[0]["error"]
+
+
+def test_grafana_dashboard_replay_e2e(spark, tmp_path):
+    """The reference's actual user surface is a Grafana dashboard over
+    InfluxDB (reference README.md:98-100). Replay the chained request
+    sequence a dashboard issues on load — datasource check, measurement
+    + tag-key + tag-value templating, field discovery, then the panel
+    SELECTs with tz() and fill() — through the real HTTP gateway,
+    asserting every response's shape. 8 chained requests, one server.
+
+    The points table carries tag columns (for the SELECT compiler) AND
+    the tags map (for SHOW templating) — the engine's dual tag surface.
+    """
+    import datetime as dtm
+
+    write_dir = str(tmp_path / "points")
+    rows = []
+    for h in range(24):
+        for mach in ("m1", "m2"):
+            rows.append(
+                (
+                    dtm.datetime(2024, 1, 1, h),
+                    "plc1",
+                    "temp",
+                    float(h) + (0.5 if mach == "m2" else 0.0),
+                    mach,
+                    {"machine": mach, "line": "A"},
+                )
+            )
+    pts = spark.createDataFrame(
+        rows,
+        "ts timestamp, plc_ip string, alias string, value double, "
+        "machine string, tags map<string,string>",
+    )
+    pts.write.mode("overwrite").parquet(write_dir)
+    api = InfluxAPI(
+        spark, lambda _m: spark.read.parquet(write_dir), write_dir=write_dir
+    )
+    server, _thread, port = serve(api, port=0)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # 1. datasource health check
+        status, _ = _get(f"{base}/ping")
+        assert status == 204
+
+        def q(stmt, extra=""):
+            s, b = _get(
+                f"{base}/query?db=iot&q={urllib.parse.quote(stmt)}{extra}"
+            )
+            assert s == 200
+            return json.loads(b)["results"]
+
+        # 2. measurement template variable
+        r = q("SHOW MEASUREMENTS LIMIT 100")
+        series = r[0]["series"][0]
+        assert series["columns"] == ["name"]
+        assert ["plc1"] in series["values"]
+
+        # 3. tag-key discovery for the ad-hoc filter row
+        r = q('SHOW TAG KEYS FROM "plc1"')
+        keys = [v[0] for v in r[0]["series"][0]["values"]]
+        assert keys == ["line", "machine"]
+
+        # 4. $machine template variable
+        r = q('SHOW TAG VALUES FROM "plc1" WITH KEY = "machine"')
+        vals = r[0]["series"][0]["values"]
+        assert [v[-1] for v in vals] == ["m1", "m2"]
+
+        # 5. field dropdown in the panel editor (the engine's data
+        # model: `alias` is the field key, `value` its value column)
+        r = q('SHOW FIELD KEYS FROM "plc1"')
+        fk = {v[0]: v[1] for v in r[0]["series"][0]["values"]}
+        assert fk == {"temp": "float"}
+
+        # 6. panel 1: windowed mean, tz + fill(null), templated WHERE
+        r = q(
+            "SELECT mean(\"value\") FROM \"plc1\" WHERE \"machine\" = 'm1' "
+            "AND time >= '2024-01-01T00:00:00Z' "
+            "AND time < '2024-01-02T00:00:00Z' "
+            "GROUP BY time(6h) fill(null) tz('Europe/Warsaw')"
+        )
+        s1 = r[0]["series"][0]
+        assert s1["columns"] == ["time", "mean"]
+        # Warsaw is UTC+1 in January: 6h wall-clock buckets start at
+        # 23:00Z, so the UTC day spans 5 buckets
+        assert len(s1["values"]) == 5
+        assert all(len(v) == 2 for v in s1["values"])
+
+        # 7. panel 2: max per machine (GROUP BY tag), fill(0)
+        r = q(
+            "SELECT max(\"value\") FROM \"plc1\" "
+            "WHERE time >= '2024-01-01T00:00:00Z' "
+            "AND time < '2024-01-02T00:00:00Z' "
+            "GROUP BY time(12h), \"machine\" fill(0)",
+            extra="&epoch=ms",
+        )
+        by_tag = {s["tags"]["machine"]: s for s in r[0]["series"]}
+        assert set(by_tag) == {"m1", "m2"}
+        assert [v[1] for v in by_tag["m1"]["values"]] == [11.0, 23.0]
+        assert [v[1] for v in by_tag["m2"]["values"]] == [11.5, 23.5]
+        assert all(
+            isinstance(v[0], int)
+            for s in r[0]["series"]
+            for v in s["values"]
+        )
+
+        # 8. two panels batched in ONE request (Grafana batches panel
+        # refreshes) — each statement gets its own result object
+        r = q(
+            "SELECT count(\"value\") FROM \"plc1\" WHERE "
+            "\"machine\" = 'm2' AND time >= '2024-01-01T00:00:00Z' "
+            "GROUP BY time(12h) fill(none);"
+            "SELECT mean(\"value\") FROM \"plc1\" WHERE "
+            "time >= '2024-01-01T06:00:00Z' GROUP BY time(6h) "
+            "fill(previous)"
+        )
+        assert len(r) == 2
+        c = r[0]["series"][0]
+        assert [v[1] for v in c["values"]] == [12, 12]
+        m = r[1]["series"][0]
+        assert len(m["values"]) == 3 and m["columns"] == ["time", "mean"]
+    finally:
+        server.shutdown()
