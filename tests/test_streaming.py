@@ -1062,3 +1062,42 @@ def test_deadman_silent_s_subsecond(spark):
             plans.all_oracles()["b23_deadman_silent_series"]
         ).fetchall()
         assert len(oracle) == 1 and oracle[0][2] == 172801
+
+
+def test_streaming_state_is_o_keys_not_o_events(spark, tmp_path):
+    """State-store scale contract, asserted from the streaming query
+    progress metrics (stateOperators.numRowsTotal — the numbers a
+    cluster operator watches): deadman state is exactly one row per
+    live series and the near-dup filter's dedup state is exactly
+    bands × distinct docs. Both must be FLAT when the same keys send
+    10× the events, and LINEAR when the key population grows 10× —
+    otherwise a permanent ingest stream grows its state store without
+    bound. tools/streaming_state_probe.py runs the same probes at
+    bench scale for STRESS.md."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from streaming_state_probe import deadman_probe, neardup_probe
+
+    def sub(name):
+        d = tmp_path / name
+        d.mkdir()
+        return str(d)
+
+    # deadman: (K, E) / (K, 10E) / (10K, E)
+    base = deadman_probe(spark, sub("dm_a"), 20, 4, n_batches=2)
+    flood = deadman_probe(spark, sub("dm_b"), 20, 40, n_batches=2)
+    wide = deadman_probe(spark, sub("dm_c"), 200, 4, n_batches=2)
+    assert base == 20  # one state row per live series
+    assert flood == base  # 10x events, identical state
+    assert wide == 10 * base  # 10x keys, 10x state
+
+    # near-dup filter: (D, R) / (D, 10R) / (10D, R)
+    nd_base = neardup_probe(spark, sub("nd_a"), 10, 2)
+    nd_flood = neardup_probe(spark, sub("nd_b"), 10, 20)
+    nd_wide = neardup_probe(spark, sub("nd_c"), 100, 2)
+    assert nd_base["dedup"] == 4 * 10  # bands x distinct docs
+    assert nd_flood["dedup"] == nd_base["dedup"]  # repeats add nothing
+    assert nd_wide["dedup"] == 10 * nd_base["dedup"]
+    # the chained windowed count holds one open-window row per doc
+    assert nd_base["agg"] == 10 and nd_wide["agg"] == 100

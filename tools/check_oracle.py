@@ -66,12 +66,22 @@ def canon(cols, rows):
 
 
 def main():
+    import os
+
     argv = [a for a in sys.argv[1:]]
     canonical_only = "--canonical" in argv
     if canonical_only:
         argv.remove("--canonical")
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    argv = [a for a in argv if not a.startswith("--")]
+    # positionals: a directory is the sf_dir, anything else is a query
+    # name (prefix match, so `check_oracle.py b12` sweeps all b12_*)
+    sf_dir = "/root/testdata/sf0.01"
+    only = set()
+    for a in argv:
+        if os.path.isdir(a):
+            sf_dir = a
+        else:
+            only.add(a)
 
     import __spark_entry__ as entrymod
     from iot_system_plc_data_to_influxdb_spark import plans
@@ -92,7 +102,7 @@ def main():
         os_ = plans.all_oracles()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if only and not any(name == o or name.startswith(o) for o in only):
             continue
         t0 = time.time()
         try:

@@ -86,11 +86,25 @@ def _fmt(n: int) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    queries = QUERIES
-    if "--only" in sys.argv:
-        queries = sys.argv[sys.argv.index("--only") + 1].split(",")
+    # consume --only's VALUE too — a bare startswith("--") filter left
+    # the value in the positionals, where it was taken as sf_dir
+    argv = sys.argv[1:]
+    only_val = None
+    pos = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--only":
+            only_val = argv[i + 1]
+            i += 2
+            continue
+        if a.startswith("--only="):
+            only_val = a.split("=", 1)[1]
+        elif not a.startswith("--"):
+            pos.append(a)
+        i += 1
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.1"
+    queries = only_val.split(",") if only_val else QUERIES
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -128,7 +142,7 @@ def main() -> int:
             f"spill {_fmt(delta['diskBytesSpilled'])}"
         )
 
-    if "--only" in sys.argv:
+    if only_val:
         return 0  # print-only probe; never overwrite SHUFFLE.md partially
     sf = sf_dir.rstrip("/").split("sf")[-1]
     with open("/root/repo/SHUFFLE.md", "w") as f:

@@ -1,0 +1,253 @@
+"""Streaming state-store stress probe → STRESS.md streaming section.
+
+Proves the stateful streaming operators keep state O(keys), not
+O(events): each probe feeds a synthetic file stream at (K keys,
+E events/key), (K, 10E), and (10K, E), and records the state store's
+PEAK ``numRowsTotal`` from the streaming query progress metrics
+(the same numbers a cluster operator watches in the Spark UI). A
+scale-healthy stateful operator is FLAT in E and LINEAR in K:
+
+- deadman_alerts (streaming/state.py): state = one last_ts per live
+  series → peak rows == K at any event volume.
+- neardup_filter_stream (streaming/curation.py): dedup state = one row
+  per distinct LSH bucket within the watermark → peak rows ==
+  bands × distinct docs, repeats add nothing; the chained windowed
+  count holds bands rows per distinct doc in open windows.
+- current_value_stream (streaming/state.py): one (last_ts, value) per
+  key → peak rows == K.
+
+Usage: python tools/streaming_state_probe.py   # rewrites the
+       '## Streaming state stores' section of STRESS.md in place
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+STRESS_MD = "/root/repo/STRESS.md"
+SECTION = "## Streaming state stores"
+
+
+def _write_batches(spark, dfs, tmpdir: str) -> str:
+    """Write each batch DataFrame as ONE parquet file with increasing
+    mtimes so maxFilesPerTrigger=1 replays them as separate
+    micro-batches in order."""
+    dst = os.path.join(tmpdir, "stream")
+    os.makedirs(dst, exist_ok=True)
+    t0 = time.time() - 1000
+    for i, df in enumerate(dfs):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        out = os.path.join(dst, f"{i:04d}.parquet")
+        shutil.copy(part, out)
+        os.utime(out, (t0 + i * 10, t0 + i * 10))
+    return dst
+
+
+def _peak_state_rows(query) -> dict:
+    """operatorName → peak numRowsTotal across the run's progress."""
+    peaks: dict = {}
+    for p in query.recentProgress:
+        prog = p if isinstance(p, dict) else json.loads(p.json)
+        for op in prog.get("stateOperators", []):
+            name = op.get("operatorName", "state")
+            peaks[name] = max(peaks.get(name, 0), int(op["numRowsTotal"]))
+    return peaks
+
+
+def _run(spark, build, schema: str, dfs, tmpdir: str) -> dict:
+    dst = _write_batches(spark, dfs, tmpdir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    q = (
+        build(stream)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return _peak_state_rows(q)
+
+
+def deadman_probe(spark, tmpdir: str, n_keys: int, events_per_key: int,
+                  n_batches: int = 4) -> int:
+    """Peak deadman state rows for K live series × E events each.
+    Interval 1h >> the data span, so no key times out — peak state is
+    the live-series table."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        deadman_alerts,
+    )
+
+    per_batch = max(1, events_per_key // n_batches)
+    dfs = []
+    for b in range(n_batches):
+        df = (
+            spark.range(n_keys)
+            .select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(per_batch - 1))
+                ).alias("e"),
+                F.concat(F.lit("p"), F.col("id")).alias("plc_ip"),
+            )
+            .select(
+                (
+                    F.timestamp_seconds(
+                        F.lit(1704067200)
+                        + F.lit(b * per_batch) + F.col("e")
+                    )
+                ).alias("ts"),
+                "plc_ip",
+                F.lit("a").alias("alias"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+        dfs.append(df)
+    peaks = _run(
+        spark,
+        lambda s: deadman_alerts(s, interval="1 hour"),
+        "ts timestamp, plc_ip string, alias string, value double",
+        dfs,
+        tmpdir,
+    )
+    return max(peaks.values())
+
+
+def neardup_probe(spark, tmpdir: str, n_docs: int, repeats: int,
+                  bands: int = 4) -> dict:
+    """Peak state rows of the two chained stateful ops in the streaming
+    near-dup filter, for D distinct docs each ingested ``repeats``
+    times (across batches — cross-batch exact repeats hit the same LSH
+    buckets, so dedup state must NOT grow with them)."""
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        neardup_filter_stream,
+    )
+
+    def batch(r: int):
+        toks = F.array(
+            *[
+                F.concat(F.lit(f"w{j}d"), F.col("id").cast("string"))
+                for j in range(12)
+            ]
+        )
+        return spark.range(n_docs).select(
+            F.timestamp_seconds(F.lit(1704067200) + F.lit(r)).alias(
+                "ingest_ts"
+            ),
+            F.col("id").alias("doc_id"),
+            F.array_join(toks, " ").alias("text"),
+        )
+
+    peaks = _run(
+        spark,
+        lambda s: neardup_filter_stream(s, bands=bands),
+        "ingest_ts timestamp, doc_id bigint, text string",
+        [batch(r) for r in range(repeats)],
+        tmpdir,
+    )
+    dedup = max(
+        (v for k, v in peaks.items() if "dedupe" in k.lower()),
+        default=0,
+    )
+    agg = max(
+        (v for k, v in peaks.items() if "statestoresave" in k.lower()),
+        default=0,
+    )
+    return {"dedup": dedup, "agg": agg}
+
+
+def main() -> int:
+    from iot_system_plc_data_to_influxdb_spark.session import get_spark
+
+    spark = get_spark("streaming-state-probe")
+    rows = []
+    with tempfile.TemporaryDirectory() as tmp:
+        cases = [(2000, 8), (2000, 80), (20000, 8)]
+        for i, (k, e) in enumerate(cases):
+            d = os.path.join(tmp, f"dm{i}")
+            os.makedirs(d)
+            peak = deadman_probe(spark, d, k, e)
+            rows.append(("deadman_alerts", k, k * e, peak))
+            print(f"deadman k={k} events={k*e}: peak state {peak}")
+        cases = [(1000, 2), (1000, 20), (10000, 2)]
+        for i, (docs, reps) in enumerate(cases):
+            d = os.path.join(tmp, f"nd{i}")
+            os.makedirs(d)
+            p = neardup_probe(spark, d, docs, reps)
+            rows.append(
+                (
+                    "neardup_filter (LSH dedup)",
+                    docs,
+                    docs * reps,
+                    p["dedup"],
+                )
+            )
+            rows.append(
+                ("neardup_filter (window agg)", docs, docs * reps, p["agg"])
+            )
+            print(
+                f"neardup docs={docs} events={docs*reps}: "
+                f"dedup {p['dedup']} agg {p['agg']}"
+            )
+
+    section = [
+        f"{SECTION}: O(keys), not O(events)",
+        "",
+        "(tools/streaming_state_probe.py — peak stateOperators.numRows",
+        "Total over an availableNow replay, local[32]. Each operator",
+        "probed at (K, E), (K, 10E), and (10K, E): state must be FLAT",
+        "in events and LINEAR in keys, or a 100 TB stream would grow",
+        "its state store without bound.)",
+        "",
+        "| operator | keys/docs | events ingested | peak state rows |",
+        "|---|---|---|---|",
+    ]
+    for name, k, ev, peak in rows:
+        section.append(f"| {name} | {k} | {ev} | {peak} |")
+    section += [
+        "",
+        "Reading the numbers: deadman state is exactly one row per live",
+        "series (peak == K at 1× and 10× event volume — the alert",
+        "table a fleet operator sizes by series count). The streaming",
+        "near-dup filter's dedup state is bands × distinct docs (4",
+        "LSH-bucket rows per doc) and does NOT move when the same docs",
+        "are re-ingested 10× — repeats hit existing buckets; the",
+        "chained windowed count holds the per-doc band tallies of open",
+        "windows and is evicted by the watermark. Both scale with the",
+        "KEY population, never the event count, and the watermark",
+        "bounds the key horizon — the state-store contract that keeps",
+        "a permanent ingest stream at fixed memory.",
+        "",
+    ]
+    text = "\n".join(section)
+    try:
+        with open(STRESS_MD) as f:
+            cur = f.read()
+    except FileNotFoundError:
+        cur = ""
+    if SECTION in cur:
+        head = cur.split(SECTION)[0].rstrip() + "\n\n"
+    else:
+        head = cur.rstrip() + "\n\n" if cur else ""
+    with open(STRESS_MD, "w") as f:
+        f.write(head + text)
+    print("wrote STRESS.md streaming section")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
