@@ -3106,6 +3106,16 @@ def b18_epoch_shuffle(spark, sf_dir):
 # The gram hash never reaches the output (only doc_id/positions/spans
 # do), so the DuckDB oracle keeps md5 — results are identical absent
 # collisions, exactly as the boilerplate query demonstrates.
+# Collision bound at target scale: with N distinct 5-grams the expected
+# number of colliding PAIRS is N²/2^65; a collision's only effect is
+# falsely marking one unique gram "cross-doc duplicated", cutting at
+# most one ≥5-token span per affected doc. At 100 TB (~1e10–1e11
+# distinct grams) that is ~3–3000 spurious grams — a ≤3e-8 fraction of
+# the gram population, orders below the noise floor of the boilerplate
+# signal itself. If a pipeline needs exactness beyond that, widen the
+# key to an effective 128 bits with a second seed —
+# struct(xxhash64(g), xxhash64(g, lit(1))) — paying 2× key width; the
+# 64-bit default trades that for the ~4× narrower shuffle.
 # --------------------------------------------------------------------------
 _B19_SPAN_ORACLE = r"""
     WITH d AS (
