@@ -695,14 +695,19 @@ def decode_png(payload: bytes):
 
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ISO/IEC 10918-1), pure numpy/stdlib. The encoder emits
-# JFIF / SOF0 / 4:4:4 with the Annex K Huffman tables; the decoder is a
-# general baseline-sequential reader (tables from the FILE, not assumed:
-# multi-table DQT/DHT markers, restart intervals, grayscale or 3-channel,
-# any 1x1-sampled component layout). Progressive (SOF2) and chroma
-# subsampling raise typed gates. Quantization defaults to all-ones so a
-# block-constant grayscale image round-trips EXACTLY (DC-only blocks are
-# integer-representable through FDCT->quant->dequant->IDCT), which is
-# what makes decode hash-checkable against a closed-form SQL oracle.
+# JFIF / SOF0 with the Annex K Huffman tables at 4:4:4 or 4:2:0 (2x2
+# box-averaged chroma, 16x16 MCUs — the layout camera/phone files use);
+# the decoder is a general baseline-sequential reader (tables from the
+# FILE, not assumed: multi-table DQT/DHT markers, restart intervals,
+# grayscale or 3-channel, any DIVISIBLE sampling layout via the
+# interleaved-MCU walk with replication chroma upsampling). Progressive
+# (SOF2) and non-divisible sampling raise typed gates. Quantization
+# defaults to all-ones so a block-constant grayscale image round-trips
+# EXACTLY (DC-only blocks are integer-representable through
+# FDCT->quant->dequant->IDCT, and grayscale chroma is constant 128 —
+# invariant under box downsample + replication upsample), which is what
+# makes decode hash-checkable against a closed-form SQL oracle at BOTH
+# sampling layouts.
 # ---------------------------------------------------------------------------
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -832,18 +837,28 @@ def _mag_bits(v: int):
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
-def encode_jpeg(pixels, quant=None, restart_interval: int = 0) -> bytes:
-    """numpy (H, W, 3) uint8 RGB → baseline JFIF JPEG (SOF0, 4:4:4,
-    Annex K Huffman tables). ``quant`` is an optional 64-entry
-    zigzag-order quantization list shared by luma and chroma; default
-    all-ones, under which block-constant grayscale content round-trips
-    exactly. ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (the error-resilience feature real camera files
-    use; exercises the decoder's restart path)."""
+def encode_jpeg(
+    pixels, quant=None, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
+    """numpy (H, W, 3) uint8 RGB → baseline JFIF JPEG (SOF0, Annex K
+    Huffman tables). ``quant`` is an optional 64-entry zigzag-order
+    quantization list shared by luma and chroma; default all-ones,
+    under which block-constant grayscale content round-trips exactly
+    (for 4:2:0 too: grayscale chroma is constant 128, invariant under
+    the 2×2 box downsample). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (the error-resilience feature real
+    camera files use; exercises the decoder's restart path).
+    ``subsampling`` is ``"444"`` (1×1 components, 8×8-pixel MCUs) or
+    ``"420"`` (2×2-sampled luma, 2×2 box-averaged chroma, 16×16-pixel
+    MCUs of 4 Y + 1 Cb + 1 Cr blocks — the layout virtually every
+    camera/phone JPEG uses)."""
     import struct
 
     import numpy as np
 
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    s420 = subsampling == "420"
     px = np.asarray(pixels, dtype=np.float64)
     h, w, _ = px.shape
     q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(
@@ -856,11 +871,19 @@ def encode_jpeg(pixels, quant=None, restart_interval: int = 0) -> bytes:
         128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
         128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
     ]
-    # pad to 8x8 multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad to whole-MCU multiples by edge replication (8 px at 4:4:4,
+    # 16 px at 4:2:0 so the downsampled chroma pads to whole blocks)
+    unit = 16 if s420 else 8
+    ph, pw = -(-h // unit) * unit, -(-w // unit) * unit
     planes = [
         np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
     ]
+    if s420:
+        # chroma: 2×2 box average (the conventional JFIF downsample)
+        planes[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
     A = _dct_matrix()
     qz = q[np.argsort(_ZIGZAG)].reshape(8, 8)  # natural-order table
 
@@ -868,48 +891,69 @@ def encode_jpeg(pixels, quant=None, restart_interval: int = 0) -> bytes:
     enc_ac = [_huff_encode_table(*_AC_LUMA), _huff_encode_table(*_AC_CHROMA)]
     bw = _BitWriter()
     pred = [0, 0, 0]
+
+    def put_block(ci: int, block) -> None:
+        tbl = 0 if ci == 0 else 1
+        coef = A @ (block - 128.0) @ A.T
+        qc = np.round(coef / qz).astype(np.int64)
+        zz = qc.flatten()[_ZIGZAG]
+        # DC: differential
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s, extra = _mag_bits(diff)
+        code, ln = enc_dc[tbl][s]
+        bw.put(code, ln)
+        if s:
+            bw.put(extra, s)
+        # AC: run-length of zeros + category
+        run = 0
+        for ac in zz[1:]:
+            v = int(ac)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[tbl][0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s, extra = _mag_bits(v)
+            code, ln = enc_ac[tbl][(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(extra, s)
+            run = 0
+        if run:
+            code, ln = enc_ac[tbl][0x00]  # EOB
+            bw.put(code, ln)
+
     mcu = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for by in range(ph // unit):
+        for bx in range(pw // unit):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()
                 n = mcu // restart_interval - 1
                 bw.out += bytes([0xFF, 0xD0 + n % 8])
                 pred = [0, 0, 0]
             mcu += 1
-            for ci, plane in enumerate(planes):
-                tbl = 0 if ci == 0 else 1
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = A @ (block - 128.0) @ A.T
-                qc = np.round(coef / qz).astype(np.int64)
-                zz = qc.flatten()[_ZIGZAG]
-                # DC: differential
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                s, extra = _mag_bits(diff)
-                code, ln = enc_dc[tbl][s]
-                bw.put(code, ln)
-                if s:
-                    bw.put(extra, s)
-                # AC: run-length of zeros + category
-                run = 0
-                for ac in zz[1:]:
-                    v = int(ac)
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[tbl][0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    s, extra = _mag_bits(v)
-                    code, ln = enc_ac[tbl][(run << 4) | s]
-                    bw.put(code, ln)
-                    bw.put(extra, s)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[tbl][0x00]  # EOB
-                    bw.put(code, ln)
+            if s420:
+                # MCU = 4 luma blocks in raster order, then Cb, Cr
+                Y = planes[0]
+                for v in range(2):
+                    for hh in range(2):
+                        yy, xx = (2 * by + v) * 8, (2 * bx + hh) * 8
+                        put_block(0, Y[yy : yy + 8, xx : xx + 8])
+                for ci in (1, 2):
+                    put_block(
+                        ci,
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ],
+                    )
+            else:
+                for ci, plane in enumerate(planes):
+                    put_block(
+                        ci,
+                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    )
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -923,7 +967,11 @@ def encode_jpeg(pixels, quant=None, restart_interval: int = 0) -> bytes:
     out += seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",  # 3 comps, 1x1, Tq 0/1/1
+        + (
+            b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # Y 2x2, Cb/Cr 1x1
+            if s420
+            else b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"  # all 1x1
+        ),
     )
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
@@ -1003,9 +1051,12 @@ def decode_jpeg(payload: bytes):
 
     General baseline-sequential decoder: quantization and Huffman
     tables are read from the FILE (multi-table markers supported),
-    restart intervals honored, grayscale and 3-component 4:4:4 streams
-    accepted. Progressive (SOF2) and subsampled chroma raise typed
-    NotImplementedError gates."""
+    restart intervals honored, grayscale accepted, and any divisible
+    component sampling layout decoded via the interleaved-MCU walk of
+    spec A.2.3 — 4:4:4, 4:2:0 (the camera default), 4:2:2/4:4:0 —
+    with replication upsampling of subsampled chroma. Progressive
+    (SOF2) and non-divisible sampling raise typed NotImplementedError
+    gates."""
     import struct
 
     import numpy as np
@@ -1061,11 +1112,7 @@ def decode_jpeg(payload: bytes):
             for c in range(ncomp):
                 # components start after precision(1)+h(2)+w(2)+ncomp(1)
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (fw, fh, comps)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG not supported")
@@ -1083,13 +1130,30 @@ def decode_jpeg(payload: bytes):
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
     fw, fh, comps = frame
-    tq_by_cid = dict(comps)
+    tq_by_cid = {cid: tq for cid, _h, _v, tq in comps}
+    # a single-component scan is NON-interleaved per spec A.2.2: the
+    # MCU is one block and sampling factors don't apply (grayscale)
+    if len(scan) == 1:
+        sampling = {scan[0][0]: (1, 1)}
+    else:
+        sampling = {cid: (hc, vc) for cid, hc, vc, _tq in comps}
+    hmax = max(hc for hc, _vc in sampling.values())
+    vmax = max(vc for _hc, vc in sampling.values())
+    for hc, vc in sampling.values():
+        if hc < 1 or vc < 1 or hmax % hc or vmax % vc:
+            raise NotImplementedError(
+                f"non-divisible JPEG sampling factors {hc}x{vc} "
+                f"(max {hmax}x{vmax}) not supported"
+            )
     A = _dct_matrix()
     inv_zig = np.argsort(np.asarray(_ZIGZAG))
 
     br = _BitReader(payload, pos)
-    mx, my = -(-fw // 8), -(-fh // 8)
-    planes = [np.zeros((my * 8, mx * 8)) for _ in scan]
+    mx, my = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    samp = [sampling[cid] for cid, _td, _ta in scan]
+    planes = [
+        np.zeros((my * 8 * vc, mx * 8 * hc)) for hc, vc in samp
+    ]
     pred = [0] * len(scan)
     mcu = 0
     for by in range(my):
@@ -1100,31 +1164,49 @@ def decode_jpeg(payload: bytes):
             for ci, (cid, td, ta) in enumerate(scan):
                 dc_t = htables[(0, td)]
                 ac_t = htables[(1, ta)]
-                zz = np.zeros(64, dtype=np.int64)
-                s = br.decode_huff(dc_t)
-                diff = _extend(br.bits(s), s) if s else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = br.decode_huff(ac_t)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC index overrun")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = (zz * qtables[tq_by_cid[cid]])[inv_zig].reshape(8, 8)
-                block = A.T @ coef @ A + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                hc, vc = samp[ci]
+                # Hc×Vc data units per MCU, raster order (spec A.2.3)
+                for dv in range(vc):
+                    for dh in range(hc):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = br.decode_huff(dc_t)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_huff(ac_t)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coef = (zz * qtables[tq_by_cid[cid]])[
+                            inv_zig
+                        ].reshape(8, 8)
+                        block = A.T @ coef @ A + 128.0
+                        yy = (by * vc + dv) * 8
+                        xx = (bx * hc + dh) * 8
+                        planes[ci][yy : yy + 8, xx : xx + 8] = block
             mcu += 1
 
-    planes = [p[:fh, :fw] for p in planes]
+    # upsample subsampled components by replication (each chroma
+    # sample covers an (vmax/Vc)×(hmax/Hc) pixel tile — exact inverse
+    # of a box downsample on tile-constant content), then crop
+    planes = [
+        (
+            p.repeat(vmax // vc, axis=0).repeat(hmax // hc, axis=1)
+            if (hc, vc) != (hmax, vmax)
+            else p
+        )[:fh, :fw]
+        for p, (hc, vc) in zip(planes, samp)
+    ]
     if len(planes) == 1:
         y = planes[0]
         rgb = np.stack([y, y, y], axis=2)

@@ -3657,10 +3657,14 @@ _B22_JPEG_ORACLE = """
 """
 
 
-def _media_payloads_jpeg(df):
+def _media_payloads_jpeg(df, subsampling="444"):
     """mapInPandas stage: doc_id → real baseline JPEG bytes. Block
     (bx, by) of doc d is the constant gray (31d + 7bx + 13by) % 256;
-    docs with d % 3 == 0 encode with a restart interval of 2."""
+    docs with d % 3 == 0 encode with a restart interval of 2. The same
+    corpus stays exact at 4:2:0 (grayscale chroma is constant 128 —
+    invariant under box downsample + replication upsample — and the
+    8×8-constant luma blocks survive the 16-multiple edge-replication
+    pad), so one oracle covers both sampling layouts."""
     import numpy as np
     import pandas as pd
 
@@ -3679,7 +3683,11 @@ def _media_payloads_jpeg(df):
                 px = np.stack([gray, gray, gray], axis=2)
                 ids.append(d)
                 payloads.append(
-                    encode_jpeg(px, restart_interval=2 if d % 3 == 0 else 0)
+                    encode_jpeg(
+                        px,
+                        restart_interval=2 if d % 3 == 0 else 0,
+                        subsampling=subsampling,
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
@@ -3697,6 +3705,25 @@ def b22_jpeg_decode(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_images(_media_payloads_jpeg(docs))
+
+
+@register("b22_jpeg_420", oracle=_B22_JPEG_ORACLE, tags=("B22",))
+def b22_jpeg_420(spark, sf_dir):
+    """Same corpus, encoded 4:2:0 (2×2-sampled luma, box-averaged
+    chroma, 16×16 MCUs — the layout camera files actually use) and
+    decoded through the general interleaved-MCU walk with replication
+    upsampling (operators/multimodal.py decode_jpeg). Grayscale makes
+    the subsample round trip exact, so the SAME closed-form oracle
+    hash-checks this path — restart markers now per 16×16 MCU."""
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(_media_payloads_jpeg(docs, subsampling="420"))
 
 
 # --------------------------------------------------------------------------

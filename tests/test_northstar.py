@@ -131,6 +131,82 @@ def test_jpeg_lossy_psnr_and_restart():
         assert (out_r == out).all()
 
 
+def test_jpeg_420_block_constant_gray_exact():
+    """4:2:0: grayscale chroma is constant 128 — invariant under the
+    2×2 box downsample and replication upsample — so 8×8-block-
+    constant grayscale round-trips EXACTLY through the subsampled
+    layout too, including non-16-multiple dims (edge-replication pad)
+    and restart markers (now per 16×16 MCU). Distinct luma values
+    inside one MCU pin the 4-blocks-raster-order walk of spec A.2.3."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    for bh, bw in ((1, 1), (2, 3), (1, 3), (3, 5)):
+        g = rng.randint(0, 256, (bh, bw)).astype(np.uint8)
+        gray = g.repeat(8, axis=0).repeat(8, axis=1)
+        px = np.stack([gray, gray, gray], axis=2)
+        for ri in (0, 2):
+            w, h, out = decode_jpeg(
+                encode_jpeg(px, restart_interval=ri, subsampling="420")
+            )
+            assert (w, h) == (bw * 8, bh * 8)
+            assert (out == px).all(), (bh, bw, ri)
+
+
+def test_jpeg_420_lossy_color_psnr():
+    """Color content through 4:2:0 is lossy in chroma by construction;
+    the decode must still land within a few dB of the 4:4:4 path on
+    smooth content (chroma energy concentrated at low frequency) and
+    nowhere near garbage."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        _ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 10 * np.log10(255**2 / mse) if mse else float("inf")
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    px = np.clip(
+        np.stack(
+            [
+                128 + 80 * np.sin(yy / 17.0),
+                128 + 80 * np.cos(xx / 23.0),
+                128 + 60 * np.sin((xx + yy) / 29.0),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    k1 = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+         92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+         100, 103, 99]
+    )
+    q = k1[np.array(_ZIGZAG)]
+    _w, _h, out444 = decode_jpeg(encode_jpeg(px, quant=q))
+    _w, _h, out420 = decode_jpeg(
+        encode_jpeg(px, quant=q, subsampling="420")
+    )
+    p444, p420 = psnr(out444, px), psnr(out420, px)
+    assert p420 > 30
+    assert p444 - p420 < 8  # subsampling cost, not a decode bug
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(px, subsampling="422")
+
+
 def test_jpeg_malformed_fails_fast():
     import numpy as np
     import pytest
