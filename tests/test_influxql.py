@@ -855,6 +855,53 @@ def test_tz_day_buckets(points, spark):
     ].hour == 5
 
 
+def test_tz_explicit_zone_literal_is_absolute(spark):
+    """InfluxDB time-literal semantics under tz(): a BARE literal is a
+    wall-clock instant in the tz() zone, but an RFC3339 literal with an
+    explicit zone (trailing Z / ±HH:MM) is an ABSOLUTE instant
+    regardless of tz(). A Grafana range like time < '...Z' under
+    tz('Europe/Warsaw') used to be re-shifted by the zone offset,
+    silently dropping the last local-offset hour(s) of data."""
+    import datetime as dtm
+
+    df = spark.createDataFrame(
+        [(dtm.datetime(2024, 1, 1, h), float(h)) for h in range(24)],
+        "ts timestamp, value double",
+    )
+    # explicit-Z bound: absolute 12:00 UTC → 12 rows (00:00Z..11:00Z)
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM m "
+        "WHERE time >= '2024-01-01T00:00:00Z' "
+        "AND time < '2024-01-01T12:00:00Z' tz('Europe/Warsaw')",
+        df,
+    ).collect()
+    assert out[0]["n"] == 12
+    # bare bound: 12:00 WARSAW wall-clock == 11:00 UTC → 11 rows
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM m "
+        "WHERE time >= '2024-01-01T00:00:00Z' "
+        "AND time < '2024-01-01 12:00:00' tz('Europe/Warsaw')",
+        df,
+    ).collect()
+    assert out[0]["n"] == 11
+    # explicit numeric offset behaves like Z shifted by that offset:
+    # 12:00+02:00 == 10:00 UTC → 10 rows
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM m "
+        "WHERE time < '2024-01-01T12:00:00+02:00' tz('Europe/Warsaw')",
+        df,
+    ).collect()
+    assert out[0]["n"] == 10
+    # without tz(): explicit-zone literal converts to UTC (identical
+    # result to the bare UTC spelling)
+    out = compile_influxql(
+        "SELECT count(value) AS n FROM m "
+        "WHERE time < '2024-01-01T05:00:00+01:00'",
+        df,
+    ).collect()
+    assert out[0]["n"] == 4
+
+
 def test_tz_with_fill_parses(points):
     # fill()+tz() composes now (DST-aware local grid); the statement
     # must parse cleanly — behavior is covered by the DST tests below
