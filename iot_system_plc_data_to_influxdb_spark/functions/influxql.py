@@ -1579,8 +1579,20 @@ def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataF
             if ofn != "exponential_moving_average":
                 warm.append(alias)
             continue
+        # InfluxDB feeds a transform only the field's actual points, so
+        # NULL input rows (an all-NULL bucket in a multi-field
+        # statement) must be INVISIBLE to the recursion, not poison it:
+        # "previous" means the previous NON-NULL value/timestamp, and
+        # results exist only at non-null input rows. last(ignorenulls)
+        # over the preceding frame degenerates to plain lag() when no
+        # nulls exist, so clean-data plans and hashes are unchanged.
+        prev_frame = w.rowsBetween(Window.unboundedPreceding, -1)
+        prev_v = F.last(c, ignorenulls=True).over(prev_frame)
+        prev_t = F.last(
+            F.when(c.isNotNull(), tcol), ignorenulls=True
+        ).over(prev_frame)
         if ofn in ("difference", "non_negative_difference"):
-            res = c - F.lag(c).over(w)
+            res = F.when(c.isNotNull(), c - prev_v)
             warm.append(alias)
         elif ofn in ("derivative", "non_negative_derivative"):
             # grouped queries default the unit to the bucket width,
@@ -1588,34 +1600,67 @@ def _apply_transforms(df: DataFrame, q: _Query, time_col: str = "time") -> DataF
             # exact integer micros (unix_timestamp would floor seconds
             # and zero out sub-second gaps).
             unit = _duration_s(oarg, float(q.group_time_s or 1))
-            dt = F.unix_micros(tcol) - F.unix_micros(F.lag(tcol).over(w))
-            res = (c - F.lag(c).over(w)) / (dt / F.lit(unit * 1_000_000.0))
+            dt = F.unix_micros(tcol) - F.unix_micros(prev_t)
+            res = F.when(
+                c.isNotNull(),
+                (c - prev_v) / (dt / F.lit(unit * 1_000_000.0)),
+            )
             warm.append(alias)
         elif ofn == "moving_average":
             if oarg is None:
                 raise InfluxQLError("moving_average() requires a window size")
             n = _int_period(oarg, ofn)
-            frame = w.rowsBetween(-(n - 1), 0)
-            res = F.when(F.count(c).over(frame) == n, F.avg(c).over(frame))
+            # frame over the NON-NULL subsequence: rank rows by running
+            # non-null count (ties only on null rows, which built-in
+            # avg/count skip anyway) and take an integer RANGE frame —
+            # on null-free data nn == row_number and this is exactly
+            # the old rowsBetween(-(n-1), 0) frame, bit-identical avg
+            nn = F.count(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            df = df.withColumn(f"_nn_{alias}", nn)
+            w2 = (
+                Window.partitionBy(*q.group_tags)
+                .orderBy(f"_nn_{alias}")
+                .rangeBetween(-(n - 1), 0)
+            )
+            res = F.when(
+                c.isNotNull() & (F.count(c).over(w2) == n),
+                F.avg(c).over(w2),
+            )
             warm.append(alias)
         elif ofn == "cumulative_sum":
-            res = F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            res = F.when(
+                c.isNotNull(),
+                F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
         elif ofn == "elapsed":
             unit = _duration_s(oarg, 1.0)
-            dt = F.unix_micros(tcol) - F.unix_micros(F.lag(tcol).over(w))
-            res = F.floor(dt / F.lit(unit * 1_000_000.0)).cast("bigint")
+            dt = F.unix_micros(tcol) - F.unix_micros(prev_t)
+            res = F.when(
+                c.isNotNull(),
+                F.floor(dt / F.lit(unit * 1_000_000.0)).cast("bigint"),
+            )
             warm.append(alias)
         else:
             raise InfluxQLError(f"unsupported transform {ofn!r}")
         df = df.withColumn(alias, res)
+        if ofn == "moving_average":
+            df = df.drop(f"_nn_{alias}")
         if ofn.startswith("non_negative"):
-            df = df.filter(F.col(alias) >= 0)
+            # InfluxDB omits the negative POINTS of this column; other
+            # select columns on the same row keep their values, so
+            # null-out rather than row-filter (the warm filter below
+            # drops rows where no transform column remains defined)
+            df = df.withColumn(
+                alias, F.when(F.col(alias) >= 0, F.col(alias))
+            )
     if ta_items:
         df = _apply_ta(df, q, ta_items, time_col)
-    if warm:
-        # keep a row if any transformed column produced a value there
-        # (InfluxDB pads shorter-warm-up columns with null, drops rows
-        # where nothing is defined)
+    # keep a row if any transformed column produced a value there
+    # (InfluxDB pads shorter-warm-up columns with null, drops rows
+    # where nothing is defined). Gated on transforms, not just the
+    # warm list: a cumulative_sum-only statement must also drop its
+    # null-input buckets — no input point, no output point.
+    if q.transforms:
         cond = F.lit(False)
         for idx in q.transforms:
             cond = cond | F.col(q.select[idx][2]).isNotNull()

@@ -2246,12 +2246,86 @@ def test_ta_moving_average_fractional_window_rejected(points):
         )
 
 
+def test_transform_null_bucket_skips_like_influx(spark):
+    """difference/derivative/moving_average/cumulative_sum/elapsed over
+    a series with an all-NULL bucket (multi-field statement): InfluxDB
+    feeds a transform only the field's actual points, so 'previous'
+    means the previous NON-NULL point (with ITS timestamp for
+    derivative/elapsed dt) and no output point exists at the null
+    bucket. A row-based lag would emit NULL after every gap instead."""
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [3.0, 7.0, None, None, 4.0, 9.0]
+    for m, v2 in enumerate(vals):
+        rows.append((t0 + dt.timedelta(minutes=m), float(m), v2))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, value double, value2 double"
+    )
+    base = (
+        "SELECT {expr} AS r, mean(value) AS m FROM t GROUP BY time(1m)"
+    )
+
+    def run(expr):
+        out = (
+            compile_influxql(base.format(expr=expr), df)
+            .orderBy("time")
+            .collect()
+        )
+        return {r["time"].minute: r["r"] for r in out}
+
+    # rows where no transform column is defined are dropped (engine's
+    # row-keep contract), so null buckets and warm-ups vanish entirely
+    # — never a poisoned NULL after the gap.
+    # difference: minute 4 diffs against minute 1's value (7.0)
+    assert run("difference(mean(value2))") == {1: 4.0, 4: -3.0, 5: 5.0}
+    # derivative(.., 1m): dt to the previous NON-NULL bucket is 3 min
+    got = run("derivative(mean(value2), 1m)")
+    assert set(got) == {1, 4, 5}
+    assert got[4] == pytest.approx(-1.0)  # (4-7)/3
+    assert got[5] == pytest.approx(5.0)
+    # moving_average(2): m4 averages (7,4) — the last two POINTS
+    got = run("moving_average(mean(value2), 2)")
+    assert set(got) == {1, 4, 5}
+    assert got[1] == pytest.approx(5.0)
+    assert got[4] == pytest.approx(5.5)
+    assert got[5] == pytest.approx(6.5)
+    # cumulative_sum: no output point at null buckets, sum skips them
+    assert run("cumulative_sum(mean(value2))") == {
+        0: 3.0, 1: 10.0, 4: 14.0, 5: 23.0
+    }
+    # elapsed (raw-series form — elapsed() rejects aggregates): 3
+    # minutes from the minute-1 point to the next NON-NULL at minute 4
+    out = (
+        compile_influxql("SELECT elapsed(value2, 1m) AS r FROM t", df)
+        .orderBy("ts")
+        .collect()
+    )
+    assert {r["ts"].minute: r["r"] for r in out} == {1: 1, 4: 3, 5: 1}
+    # non_negative_difference nulls the negative POINT; with a second
+    # transform column defined there the ROW survives (the old
+    # row-filter silently deleted the other column's point too)
+    out = (
+        compile_influxql(
+            "SELECT non_negative_difference(mean(value2)) AS r, "
+            "cumulative_sum(mean(value)) AS cs FROM t GROUP BY time(1m)",
+            df,
+        )
+        .orderBy("time")
+        .collect()
+    )
+    by_min = {r["time"].minute: (r["r"], r["cs"]) for r in out}
+    assert set(by_min) == {0, 1, 2, 3, 4, 5}  # cs defined everywhere
+    assert by_min[4] == (None, 10.0)  # -3 nulled, cumulative kept
+    assert by_min[5] == (5.0, 15.0)
+
+
 def test_ta_null_bucket_does_not_poison_series(spark):
     """An all-NULL bucket aggregate (multi-field statement where one
     field has no points in a bucket) must be SKIPPED by the TA fold,
     like _apply_predictor: the recursion runs over the non-null
-    subsequence and the NULL bucket row stays NULL. A NaN entering the
-    EMA recursion would permanently null every subsequent output."""
+    subsequence; the NULL bucket emits NO point (row-keep contract).
+    A NaN entering the EMA recursion would permanently null every
+    subsequent output."""
     rows = []
     t0 = dt.datetime(2024, 1, 1)
     for m in range(10):
@@ -2269,7 +2343,8 @@ def test_ta_null_bucket_does_not_poison_series(spark):
         .orderBy("time")
         .collect()
     )
-    assert len(out) == 10
+    # the two null buckets emit no point — 8 rows, minutes 4/5 absent
+    assert [r["time"].minute for r in out] == [0, 1, 2, 3, 6, 7, 8, 9]
     # reference EMA over the 8 non-null buckets, alpha = 2/(3+1)
     xs = [float((m * 13) % 7) + 1.0 for m in range(10) if m not in (4, 5)]
     want = []
@@ -2277,12 +2352,9 @@ def test_ta_null_bucket_does_not_poison_series(spark):
     for v in xs:
         y = v if y is None else 0.5 * v + 0.5 * y
         want.append(y)
-    got = [r["ema"] for r in out]
-    assert got[4] is None and got[5] is None
-    dense = [g for g in got if g is not None]
-    assert dense == pytest.approx(want, abs=1e-12)
     # post-gap values are real numbers, not poisoned NULL/NaN
-    assert all(g is not None for g in got[6:])
+    got = [r["ema"] for r in out]
+    assert got == pytest.approx(want, abs=1e-12)
 
 
 def test_ta_null_bucket_rsi_warmup_counts_non_null_only(spark):
