@@ -397,7 +397,9 @@ _NESTED_ITEM_RE = re.compile(
     r"^(?P<ofn>\w+)\s*\(\s*(?P<ifn>\w+)\s*\(\s*(?P<arg>[\w\"]+)\s*"
     r"(?:,\s*(?P<iarg>[\d.]+)\s*)?\)\s*"
     r"(?:,\s*(?P<oarg>[\d.]+(?:[a-wyzµ][\d.a-wyzµ]*)?)\s*)?"
-    r"(?:,\s*(?P<oarg2>\d+)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
+    # [\d.]+ not \d+: a fractional S must reach _int_period for the
+    # specific "must be an integer" error, not the generic parse fail
+    r"(?:,\s*(?P<oarg2>[\d.]+)\s*)?\)(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
 _TIME_COND_RE = re.compile(
@@ -772,8 +774,8 @@ def parse(q: str) -> _Query:
                         f"{ofn}() requires (agg(field), N, S)"
                     )
                 predictor.append(
-                    (int(_numeric(nm.group("oarg"), ofn)),
-                     int(_numeric(nm.group("oarg2"), ofn)),
+                    (_int_period(nm.group("oarg"), ofn),
+                     _int_period(nm.group("oarg2"), ofn),
                      len(sel),
                      ofn == "holt_winters_with_fit")
                 )
@@ -817,6 +819,11 @@ def parse(q: str) -> _Query:
                 n: float | None = _duration_s(raw_n)
             else:
                 n = float(raw_n) if raw_n else None
+                # N-row selectors take whole counts; truncating
+                # top(value, 2.5) to top-2 would be a silent wrong
+                # answer (percentile keeps its fractional p)
+                if fn in ("top", "bottom", "sample") and n is not None:
+                    n = float(_int_period(raw_n, fn))
             arg = _unquote(am.group("arg"))
             if (
                 arg == "*" or (arg.startswith("/") and arg.endswith("/"))

@@ -2237,6 +2237,26 @@ def test_ta_fractional_period_rejected():
           "GROUP BY time(1m)")
 
 
+def test_selector_and_predictor_fractional_n_rejected():
+    """top/bottom/sample N and holt_winters N/S are whole counts —
+    silently truncating 2.5 → 2 was a wrong answer; InfluxDB errors."""
+    for stmt in (
+        "SELECT top(value, 2.5) FROM p",
+        "SELECT bottom(value, 1.5) FROM p",
+        "SELECT sample(value, 3.7) FROM p",
+        "SELECT holt_winters(mean(value), 2.5, 0) FROM p "
+        "WHERE time > '2024-01-01' GROUP BY time(1m)",
+        "SELECT holt_winters(mean(value), 2, 1.5) FROM p "
+        "WHERE time > '2024-01-01' GROUP BY time(1m)",
+    ):
+        with pytest.raises(InfluxQLError, match="integer"):
+            parse(stmt)
+    # whole-number float spellings stay accepted
+    parse("SELECT top(value, 2.0) FROM p")
+    # percentile keeps its fractional p
+    parse("SELECT percentile(value, 99.9) FROM p")
+
+
 def test_ta_moving_average_fractional_window_rejected(points):
     with pytest.raises(InfluxQLError, match="integer"):
         compile_influxql(
