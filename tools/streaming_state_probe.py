@@ -31,6 +31,7 @@ import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -233,18 +234,12 @@ def main() -> int:
         "a permanent ingest stream at fixed memory.",
         "",
     ]
-    text = "\n".join(section)
-    try:
-        with open(STRESS_MD) as f:
-            cur = f.read()
-    except FileNotFoundError:
-        cur = ""
-    if SECTION in cur:
-        head = cur.split(SECTION)[0].rstrip() + "\n\n"
-    else:
-        head = cur.rstrip() + "\n\n" if cur else ""
-    with open(STRESS_MD, "w") as f:
-        f.write(head + text)
+    # bounded section replace (next '## ' heading ends the section) —
+    # a naive split-on-header truncation would delete every section
+    # written after this one (the attribution and CC sections)
+    from stress_attrib import replace_section
+
+    replace_section(STRESS_MD, SECTION, "\n".join(section))
     print("wrote STRESS.md streaming section")
     return 0
 
