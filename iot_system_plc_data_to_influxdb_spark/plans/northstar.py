@@ -3905,3 +3905,71 @@ def b18_domain_cap(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# B21t — spanning sequence packing (concatenate-and-chop, the
+# GPT-pretraining shape): the 100 TB twin of b21_sequence_pack. The
+# greedy variant keeps whole documents and needs a sequential fold per
+# shard (applyInPandas); THIS variant concatenates each shard's token
+# stream in doc_id order and chops it into fixed-budget training
+# sequences, letting documents span a boundary — which is what large
+# pretraining pipelines actually do, and what makes the plan pure
+# window math: ONE hash-partitioned cumulative sum, no UDF, no
+# sequential state. Output is each doc's placement (first/last
+# sequence index + offset), exact integers on both engines. Shards are
+# independent pack streams; at 100 TB the window partitions by shard
+# and never needs a global sort.
+# --------------------------------------------------------------------------
+_PACK_BUDGET, _PACK_SHARDS = 512, 8
+
+_B21_PACK_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+        len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, nt,
+        COALESCE(SUM(nt) OVER (
+          PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS off
+      FROM d
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard, CAST(nt AS INT) AS n_tok,
+      CAST(off // {_PACK_BUDGET} AS INT) AS first_seq,
+      CAST((off + nt - 1) // {_PACK_BUDGET} AS INT) AS last_seq,
+      CAST(off % {_PACK_BUDGET} AS INT) AS start_off
+    FROM c WHERE nt > 0
+"""
+
+
+@register("b21_pack_spanning", oracle=_B21_PACK_ORACLE, tags=("B21",))
+def b21_pack_spanning(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("nt"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.withColumn("off", F.coalesce(F.sum("nt").over(win), F.lit(0)))
+        .filter(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            "shard",
+            F.col("nt").cast("int").alias("n_tok"),
+            F.floor(F.col("off") / _PACK_BUDGET).cast("int").alias(
+                "first_seq"
+            ),
+            F.floor((F.col("off") + F.col("nt") - 1) / _PACK_BUDGET)
+            .cast("int")
+            .alias("last_seq"),
+            (F.col("off") % _PACK_BUDGET).cast("int").alias("start_off"),
+        )
+    )
