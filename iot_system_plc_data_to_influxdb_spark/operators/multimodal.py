@@ -1078,32 +1078,9 @@ def decode_jpeg(payload: bytes):
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT (may hold several tables)
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                i += 1
-                if pq:
-                    vals = np.frombuffer(
-                        body, dtype=">u2", count=64, offset=i
-                    ).astype(np.int64)
-                    i += 128
-                else:
-                    vals = np.frombuffer(
-                        body, dtype=np.uint8, count=64, offset=i
-                    ).astype(np.int64)
-                    i += 64
-                qtables[tq] = vals
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:  # DHT (may hold several tables)
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
-                n = sum(bits)
-                if len(bits) < 16 or i + 17 + n > len(body):
-                    raise ValueError("truncated JPEG DHT segment")
-                vals = list(body[i + 17 : i + 17 + n])
-                htables[(tc, th)] = _huff_decode_table(bits, vals)
-                i += 17 + n
+            _parse_dht(body, htables)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             precision, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
@@ -1114,8 +1091,8 @@ def decode_jpeg(payload: bytes):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (fw, fh, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+        elif marker == 0xC2:  # SOF2 — hand off to the multi-scan path
+            return decode_jpeg_progressive(payload)
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -1196,9 +1173,17 @@ def decode_jpeg(payload: bytes):
                         planes[ci][yy : yy + 8, xx : xx + 8] = block
             mcu += 1
 
-    # upsample subsampled components by replication (each chroma
-    # sample covers an (vmax/Vc)×(hmax/Hc) pixel tile — exact inverse
-    # of a box downsample on tile-constant content), then crop
+    return _jpeg_reconstruct(planes, samp, hmax, vmax, fw, fh)
+
+
+def _jpeg_reconstruct(planes, samp, hmax, vmax, fw: int, fh: int):
+    """Shared decode tail: upsample subsampled components by
+    replication (each chroma sample covers an (vmax/Vc)×(hmax/Hc)
+    pixel tile — exact inverse of a box downsample on tile-constant
+    content), crop to the frame, and convert YCbCr→RGB (BT.601
+    full-range; grayscale replicates the single plane)."""
+    import numpy as np
+
     planes = [
         (
             p.repeat(vmax // vc, axis=0).repeat(hmax // hc, axis=1)
@@ -1221,6 +1206,636 @@ def decode_jpeg(payload: bytes):
             axis=2,
         )
     return fw, fh, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _parse_dqt(body: bytes, qtables: dict) -> None:
+    """DQT segment body → {table_id: 64 zigzag-order int64 values}
+    (a single segment may carry several tables; 8- and 16-bit
+    precisions both accepted)."""
+    import numpy as np
+
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0xF
+        i += 1
+        if pq:
+            vals = np.frombuffer(
+                body, dtype=">u2", count=64, offset=i
+            ).astype(np.int64)
+            i += 128
+        else:
+            vals = np.frombuffer(
+                body, dtype=np.uint8, count=64, offset=i
+            ).astype(np.int64)
+            i += 64
+        qtables[tq] = vals
+
+
+def _parse_dht(body: bytes, htables: dict) -> None:
+    """DHT segment body → {(class, id): canonical decode table}
+    (a single segment may carry several tables)."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0xF
+        bits = list(body[i + 1 : i + 17])
+        n = sum(bits)
+        if len(bits) < 16 or i + 17 + n > len(body):
+            raise ValueError("truncated JPEG DHT segment")
+        vals = list(body[i + 17 : i + 17 + n])
+        htables[(tc, th)] = _huff_decode_table(bits, vals)
+        i += 17 + n
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2, ITU T.81 Annex G): the frame's DCT
+# coefficients arrive over MULTIPLE scans — spectral selection splits
+# the zigzag band, successive approximation delivers coefficient bits
+# most-significant-first — so the decoder accumulates per-component
+# coefficient arrays across scans and runs dequant+IDCT once at the
+# end. This is the layout most web JPEGs use. Everything below is
+# pure numpy/stdlib, spec-derived (T.81 figures G.3-G.7); the scan
+# script mirrors the conventional 10-scan spectral/successive split.
+# --------------------------------------------------------------------------
+
+# Annex K's AC tables carry no EOBn symbols (their only size-0 codes
+# are EOB0 and ZRL), but progressive AC scans need EOB1..EOB14 for
+# end-of-band runs. Encoding therefore uses this fixed full-alphabet
+# AC table: 255 symbols at 8 bits + one at 9 — a valid canonical code
+# whose all-ones prefix stays unused as T.81 C.2 requires.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+# The conventional 3-component progressive scan script: interleaved
+# DC first (Al=1), per-component AC bands coarse-to-fine with an
+# extra successive-approximation level (Al 2→1→0) on luma, DC
+# refinement, then AC refinement per component. Exercises every
+# decoder path: interleaved+non-interleaved walks, EOB runs, ZRL in
+# refinement, multi-level approximation.
+_PROG_SCANS_3 = [
+    ((0, 1, 2), 0, 0, 0, 1),  # DC first, Al=1
+    ((0,), 1, 5, 0, 2),       # Y AC 1-5 first, Al=2
+    ((2,), 1, 63, 0, 1),      # Cr AC first, Al=1
+    ((1,), 1, 63, 0, 1),      # Cb AC first, Al=1
+    ((0,), 6, 63, 0, 2),      # Y AC 6-63 first, Al=2
+    ((0,), 1, 63, 2, 1),      # Y AC refine, Al 2→1
+    ((0, 1, 2), 0, 0, 1, 0),  # DC refine, Al 1→0
+    ((2,), 1, 63, 1, 0),      # Cr AC refine
+    ((1,), 1, 63, 1, 0),      # Cb AC refine
+    ((0,), 1, 63, 1, 0),      # Y AC refine
+]
+
+
+def _jpeg_coef_blocks(pixels, quant=None, subsampling="444"):
+    """RGB pixels → per-component MCU-padded (gh, gw, 64) arrays of
+    zigzag-order quantized DCT coefficients. The per-block float path
+    (A @ (block-128) @ A.T, round, zigzag) is kept IDENTICAL to the
+    baseline encoder's so a baseline and a progressive encode of the
+    same pixels quantize to bit-identical coefficients."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    s420 = subsampling == "420"
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w, _ = px.shape
+    q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(
+        quant, dtype=np.int64
+    )
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    unit = 16 if s420 else 8
+    ph, pw = -(-h // unit) * unit, -(-w // unit) * unit
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    if s420:
+        planes[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
+    A = _dct_matrix()
+    qz = q[np.argsort(_ZIGZAG)].reshape(8, 8)
+    comps = []
+    for p in planes:
+        gh, gw = p.shape[0] // 8, p.shape[1] // 8
+        out = np.zeros((gh, gw, 64), dtype=np.int64)
+        for by in range(gh):
+            for bx in range(gw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = A @ (block - 128.0) @ A.T
+                qc = np.round(coef / qz).astype(np.int64)
+                out[by, bx] = qc.flatten()[_ZIGZAG]
+        comps.append(out)
+    return comps, q, h, w
+
+
+class _ProgACWriter:
+    """Per-scan EOB-run + buffered-correction-bit state for
+    progressive AC encoding (T.81 G.1.2.2-3): the EOBn symbol's
+    appended length bits are followed by every correction bit
+    buffered since the run began, and runs cap at 0x7FFF (EOB14)."""
+
+    def __init__(self, bw: "_BitWriter", table: dict):
+        self.bw = bw
+        self.table = table
+        self.eobrun = 0
+        self.pending: list = []  # correction bits folded into the run
+
+    def sym(self, rs: int) -> None:
+        code, ln = self.table[rs]
+        self.bw.put(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun == 0:
+            return
+        nbits = self.eobrun.bit_length() - 1
+        self.sym(nbits << 4)
+        if nbits:
+            self.bw.put(self.eobrun - (1 << nbits), nbits)
+        for bit in self.pending:
+            self.bw.put(bit, 1)
+        self.eobrun = 0
+        self.pending = []
+
+    def end_block(self, trailing_zeros: bool, br: list) -> None:
+        """Fold a block's unterminated tail into the EOB run."""
+        if trailing_zeros or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels,
+    quant=None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    nscans: int | None = None,
+) -> bytes:
+    """numpy (H, W, 3) uint8 RGB → progressive JFIF JPEG (SOF2).
+
+    Same coefficient math and container conventions as
+    ``encode_jpeg``, but entropy data is delivered over the 10-scan
+    spectral-selection + successive-approximation script in
+    ``_PROG_SCANS_3``. Successive approximation is lossless once all
+    scans are present, so a complete progressive file decodes to
+    exactly the pixels its baseline twin does. ``nscans`` truncates
+    the script after N scans (still a conforming file — progressive
+    streams may end early) for coarse-preview testing;
+    ``restart_interval`` emits DRI + per-scan RSTn markers."""
+    import struct
+
+    coefs, q, h, w = _jpeg_coef_blocks(pixels, quant, subsampling)
+    s420 = subsampling == "420"
+    samp = [(2, 2), (1, 1), (1, 1)] if s420 else [(1, 1)] * 3
+    hmax = vmax = 2 if s420 else 1
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # non-interleaved grids (T.81 A.2.2): ceil(comp size / 8) blocks,
+    # NOT padded to whole MCUs like the interleaved DC-scan walk
+    nb = []
+    for hc, vc in samp:
+        cw, ch = -(-(w * hc) // hmax), -(-(h * vc) // vmax)
+        nb.append((-(-ch // 8), -(-cw // 8)))
+    enc_dc = [_huff_encode_table(*_DC_LUMA), _huff_encode_table(*_DC_CHROMA)]
+    enc_ac = _huff_encode_table(*_AC_PROG)
+    scans = _PROG_SCANS_3 if nscans is None else _PROG_SCANS_3[:nscans]
+
+    chunks = []
+    for comps, ss, se, ah, al in scans:
+        bw = _BitWriter()
+        rst = [0]  # marker counter, shared by the walkers below
+
+        def restart(bw=bw, rst=rst):
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst[0] % 8])
+            rst[0] += 1
+
+        if ss == 0:
+            pred = [0] * len(comps)
+            mcu = 0
+            for by in range(my):
+                for bx in range(mx):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        restart()
+                        pred = [0] * len(comps)
+                    for si, ci in enumerate(comps):
+                        hc, vc = samp[ci]
+                        tbl = enc_dc[0 if ci == 0 else 1]
+                        for dv in range(vc):
+                            for dh in range(hc):
+                                dc = int(coefs[ci][by * vc + dv, bx * hc + dh, 0])
+                                if ah == 0:
+                                    v = dc >> al  # arithmetic point transform
+                                    diff = v - pred[si]
+                                    pred[si] = v
+                                    s, extra = _mag_bits(diff)
+                                    code, ln = tbl[s]
+                                    bw.put(code, ln)
+                                    if s:
+                                        bw.put(extra, s)
+                                else:
+                                    bw.put((dc >> al) & 1, 1)
+                    mcu += 1
+        else:
+            ci = comps[0]
+            nbh, nbw = nb[ci]
+            wtr = _ProgACWriter(bw, enc_ac)
+            blk = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        wtr.flush_eobrun()
+                        restart()
+                    zz = coefs[ci][by, bx]
+                    if ah == 0:
+                        _enc_ac_first_block(wtr, zz, ss, se, al)
+                    else:
+                        _enc_ac_refine_block(wtr, zz, ss, se, al)
+                    blk += 1
+            wtr.flush_eobrun()
+        bw.flush()
+        sos = bytes([len(comps)])
+        for ci in comps:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        chunks.append(
+            struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos + bytes(bw.out)
+        )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(int(q[i]) for i in range(64))
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)
+    out += seg(0xFFDB, b"\x01" + zz_q)
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + (
+            b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+            if s420
+            else b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        ),
+    )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    for tc_th, (bits, vals) in (
+        (0x00, _DC_LUMA),
+        (0x01, _DC_CHROMA),
+        (0x10, _AC_PROG),
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    out += b"".join(chunks)
+    out += b"\xff\xd9"
+    return out
+
+
+def _enc_ac_first_block(wtr: _ProgACWriter, zz, ss: int, se: int, al: int):
+    """One block of an AC first scan (T.81 G.1.2.2): run-length code
+    the point-transformed band, folding an all-zero tail into the
+    shared EOB run."""
+    bw = wtr.bw
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)  # truncate toward 0
+        if t == 0:
+            r += 1
+            continue
+        wtr.flush_eobrun()
+        while r > 15:
+            wtr.sym(0xF0)
+            r -= 16
+        s, extra = _mag_bits(t)
+        wtr.sym((r << 4) | s)
+        bw.put(extra, s)
+        r = 0
+    wtr.end_block(r > 0, [])
+
+
+def _enc_ac_refine_block(wtr: _ProgACWriter, zz, ss: int, se: int, al: int):
+    """One block of an AC refinement scan (T.81 G.1.2.3): correction
+    bits for history-nonzero coefficients, (run, 1) codes for newly
+    significant ones, ZRL only when not foldable into the EOB run."""
+    bw = wtr.bw
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1  # band-relative index of last newly-significant coef
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    r = 0
+    br: list = []  # this block's not-yet-emitted correction bits
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            wtr.flush_eobrun()
+            wtr.sym(0xF0)
+            r -= 16
+            for bit in br:
+                bw.put(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1): emit run + sign + buffered bits
+        wtr.flush_eobrun()
+        wtr.sym((r << 4) | 1)
+        bw.put(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for bit in br:
+            bw.put(bit, 1)
+        br = []
+        r = 0
+    wtr.end_block(r > 0, br)
+
+
+def decode_jpeg_progressive(payload: bytes):
+    """Progressive JPEG (SOF2) → (width, height, (H, W, 3) uint8 RGB).
+
+    Multi-scan decode per T.81 Annex G.2: DC scans (interleaved MCU
+    walk, or non-interleaved for a single-component scan) and
+    single-component AC band scans accumulate into per-component
+    zigzag coefficient arrays — first passes place point-transformed
+    values shifted by Al, refinement passes OR in one bit per
+    coefficient (EOB runs, ZRL skips, and correction-bit interleave
+    per figures G.6/G.7). A stream that ends before the script
+    completes (a truncated download — the format's defining feature
+    is that this still renders) reconstructs from the bits received.
+    Restart markers reset DC predictors and EOB runs per scan."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict = {}
+    htables: dict = {}
+    frame = None
+    sampling = None
+    coefs: list = []
+    grids: list = []
+    dri = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            break  # truncated tail: render what we have
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            _parse_dqt(body, qtables)
+        elif marker == 0xC4:
+            _parse_dht(body, htables)
+        elif marker == 0xC2:  # SOF2
+            precision, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if ncomp == 1:
+                sampling = {comps[0][0]: (1, 1)}
+            else:
+                sampling = {cid: (hc, vc) for cid, hc, vc, _ in comps}
+            hmax = max(hc for hc, _ in sampling.values())
+            vmax = max(vc for _, vc in sampling.values())
+            for hc, vc in sampling.values():
+                if hc < 1 or vc < 1 or hmax % hc or vmax % vc:
+                    raise NotImplementedError(
+                        f"non-divisible JPEG sampling factors {hc}x{vc} "
+                        f"(max {hmax}x{vmax}) not supported"
+                    )
+            mx, my = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+            frame = (fw, fh, comps, hmax, vmax, mx, my)
+            for cid, _hc, _vc, _tq in comps:
+                hc, vc = sampling[cid]
+                cw, ch = -(-(fw * hc) // hmax), -(-(fh * vc) // vmax)
+                grids.append(
+                    (my * vc, mx * hc, -(-ch // 8), -(-cw // 8))
+                )
+                coefs.append(
+                    np.zeros((my * vc, mx * hc, 64), dtype=np.int64)
+                )
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError("non-progressive SOF inside progressive decode")
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG scan before SOF2")
+            ns = body[0]
+            scomps = []
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c : 3 + 2 * c]
+                scomps.append((cid, tt >> 4, tt & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            try:
+                pos = _decode_prog_scan(
+                    payload, pos + 2 + length, frame, sampling, grids,
+                    coefs, htables, scomps, ss, se, ah, al, dri,
+                )
+            except ValueError as exc:
+                if "truncated" in str(exc):
+                    pos = len(payload)  # render the scans received
+                else:
+                    raise
+            continue
+        pos += 2 + length
+    if frame is None:
+        raise ValueError("JPEG missing SOF2")
+    fw, fh, comps, hmax, vmax, mx, my = frame
+    A = _dct_matrix()
+    inv_zig = np.argsort(np.asarray(_ZIGZAG))
+    planes = []
+    samp = []
+    for (cid, _hc, _vc, tq), cz, (gh, gw, _nh, _nw) in zip(
+        comps, coefs, grids
+    ):
+        if tq not in qtables:
+            raise ValueError(f"JPEG missing quantization table {tq}")
+        nat = (cz * qtables[tq][None, None, :])[..., inv_zig].reshape(
+            gh, gw, 8, 8
+        ).astype(np.float64)
+        blocks = np.matmul(np.matmul(A.T, nat), A) + 128.0
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+        samp.append(sampling[cid])
+    return _jpeg_reconstruct(planes, samp, hmax, vmax, fw, fh)
+
+
+def _decode_prog_scan(
+    payload, start, frame, sampling, grids, coefs, htables,
+    scomps, ss, se, ah, al, dri,
+):
+    """Decode one progressive scan's entropy segment starting at
+    ``start``; returns the offset of the next marker. Raises
+    ValueError('truncated...') when bits run out mid-scan."""
+    fw, fh, comps, hmax, vmax, mx, my = frame
+    idx_by_cid = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+    br = _BitReader(payload, start)
+    one = 1 << al
+
+    def refine_nonzero(zz, k):
+        """Correction bit for a history-nonzero coefficient."""
+        if br.bit() and not (int(zz[k]) & one):
+            zz[k] += one if zz[k] > 0 else -one
+
+    if ss == 0:  # DC scan — interleaved unless single-component
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        preds = [0] * len(scomps)
+        if len(scomps) > 1:
+            walk = []
+            for cid, td, _ta in scomps:
+                ci = idx_by_cid[cid]
+                hc, vc = sampling[cid]
+                walk.append((ci, td, hc, vc))
+            mcu = 0
+            for by in range(my):
+                for bx in range(mx):
+                    if dri and mcu and mcu % dri == 0:
+                        br.align_and_expect_rst(mcu // dri - 1)
+                        preds = [0] * len(scomps)
+                    for si, (ci, td, hc, vc) in enumerate(walk):
+                        for dv in range(vc):
+                            for dh in range(hc):
+                                zz = coefs[ci][by * vc + dv, bx * hc + dh]
+                                if ah == 0:
+                                    s = br.decode_huff(htables[(0, td)])
+                                    diff = _extend(br.bits(s), s) if s else 0
+                                    preds[si] += diff
+                                    zz[0] = preds[si] << al
+                                else:
+                                    zz[0] = int(zz[0]) | (br.bit() << al)
+                    mcu += 1
+        else:
+            cid, td, _ta = scomps[0]
+            ci = idx_by_cid[cid]
+            _gh, _gw, nbh, nbw = grids[ci]
+            blk = 0
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if dri and blk and blk % dri == 0:
+                        br.align_and_expect_rst(blk // dri - 1)
+                        preds[0] = 0
+                    zz = coefs[ci][by, bx]
+                    if ah == 0:
+                        s = br.decode_huff(htables[(0, td)])
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[0] += diff
+                        zz[0] = preds[0] << al
+                    else:
+                        zz[0] = int(zz[0]) | (br.bit() << al)
+                    blk += 1
+    else:  # AC band scan — always non-interleaved (T.81 G.1.1)
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _td, ta = scomps[0]
+        ci = idx_by_cid[cid]
+        ac_t = htables[(1, ta)]
+        _gh, _gw, nbh, nbw = grids[ci]
+        eobrun = 0
+        blk = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if dri and blk and blk % dri == 0:
+                    br.align_and_expect_rst(blk // dri - 1)
+                    eobrun = 0
+                blk += 1
+                zz = coefs[ci][by, bx]
+                if ah == 0:  # first pass (figure G.6)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = br.decode_huff(ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC band overrun")
+                        zz[k] = _extend(br.bits(s), s) << al
+                        k += 1
+                else:  # refinement pass (figure G.7)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        for k in range(ss, se + 1):
+                            if zz[k] != 0:
+                                refine_nonzero(zz, k)
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = br.decode_huff(ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # ZRL: skip 16 history-zero positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid refinement magnitude"
+                                )
+                            newval = one if br.bit() else -one
+                        while k <= se:
+                            if zz[k] != 0:
+                                refine_nonzero(zz, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                    else:
+                        continue
+                    # EOB reached: correction bits for the remainder
+                    for kk in range(k, se + 1):
+                        if zz[kk] != 0:
+                            refine_nonzero(zz, kk)
+    # advance to the next marker (skip pad bits and stuffed zeros)
+    p = br.pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if not (0xD0 <= payload[p + 1] <= 0xD7):
+                return p
+        p += 1
+    return n
 
 
 def decode_images(df: DataFrame) -> DataFrame:

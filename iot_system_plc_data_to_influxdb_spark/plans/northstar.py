@@ -3657,7 +3657,7 @@ _B22_JPEG_ORACLE = """
 """
 
 
-def _media_payloads_jpeg(df, subsampling="444"):
+def _media_payloads_jpeg(df, subsampling="444", progressive=False):
     """mapInPandas stage: doc_id → real baseline JPEG bytes. Block
     (bx, by) of doc d is the constant gray (31d + 7bx + 13by) % 256;
     docs with d % 3 == 0 encode with a restart interval of 2. The same
@@ -3668,7 +3668,9 @@ def _media_payloads_jpeg(df, subsampling="444"):
     import numpy as np
     import pandas as pd
 
-    from ..operators.multimodal import encode_jpeg
+    from ..operators.multimodal import encode_jpeg, encode_jpeg_progressive
+
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
 
     def batches(it):
         for pdf in it:
@@ -3683,7 +3685,7 @@ def _media_payloads_jpeg(df, subsampling="444"):
                 px = np.stack([gray, gray, gray], axis=2)
                 ids.append(d)
                 payloads.append(
-                    encode_jpeg(
+                    enc(
                         px,
                         restart_interval=2 if d % 3 == 0 else 0,
                         subsampling=subsampling,
@@ -3724,6 +3726,30 @@ def b22_jpeg_420(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_images(_media_payloads_jpeg(docs, subsampling="420"))
+
+
+@register("b22_jpeg_progressive", oracle=_B22_JPEG_ORACLE, tags=("B22",))
+def b22_jpeg_progressive(spark, sf_dir):
+    """Same corpus, encoded as PROGRESSIVE JPEG (SOF2, T.81 Annex G:
+    spectral-selection + successive-approximation over a 10-scan
+    script — the layout most web JPEGs use) at 4:2:0, and decoded
+    through the multi-scan coefficient-accumulation path
+    (operators/multimodal.py decode_jpeg_progressive). Successive
+    approximation is lossless once all scans land, so the decoded
+    pixels equal the baseline twin's bit-for-bit and the SAME
+    closed-form SQL oracle hash-checks this path; every third doc
+    keeps its restart interval (per-scan RSTn + DC/EOB-run resets)."""
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(
+        _media_payloads_jpeg(docs, subsampling="420", progressive=True)
+    )
 
 
 # --------------------------------------------------------------------------

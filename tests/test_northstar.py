@@ -42,14 +42,16 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_decode_image_dispatch():
-    """BMP/PPM/PNG decode natively and exactly; baseline JPEG decodes
-    natively (lossy — near-exact under all-ones quant); progressive
-    JPEG raises the gate."""
+    """BMP/PPM/PNG decode natively and exactly; baseline AND
+    progressive JPEG decode natively (lossy — near-exact under
+    all-ones quant); a corrupt stream (baseline entropy data behind an
+    SOF2 marker) fails in-band with ValueError, not a crash."""
     import numpy as np
 
     from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
         encode_bmp,
         encode_jpeg,
+        encode_jpeg_progressive,
         encode_png,
         encode_ppm,
     )
@@ -59,12 +61,13 @@ def test_decode_image_dispatch():
         w, h, out = decode_image(enc(px))
         assert (w, h) == (5, 6)
         assert (out == px).all()
-    w, h, out = decode_image(encode_jpeg(px))
-    assert (w, h) == (5, 6)
-    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        w, h, out = decode_image(enc(px))
+        assert (w, h) == (5, 6)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
     blob = bytearray(encode_jpeg(px))
     blob[blob.index(b"\xff\xc0") + 1] = 0xC2  # patch SOF0 → SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):  # baseline SOS is no valid scan script
         decode_image(bytes(blob))
 
 
@@ -223,6 +226,92 @@ def test_jpeg_malformed_fails_fast():
     px = np.zeros((8, 8, 3), dtype=np.uint8)
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(px)[:-30])  # truncated entropy data
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """T.81 Annex G: successive approximation + spectral selection
+    deliver the SAME quantized coefficients as one baseline scan, just
+    spread over 10 scans — so a complete progressive file must decode
+    BIT-IDENTICALLY to its baseline twin, across both sampling
+    layouts, with and without restart markers (which reset DC
+    predictors and EOB runs per scan)."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, (41, 53, 3), dtype=np.uint8)
+    q = [16] * 64
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            base = decode_jpeg(
+                encode_jpeg(px, quant=q, subsampling=sub, restart_interval=ri)
+            )[2]
+            blob = encode_jpeg_progressive(
+                px, quant=q, subsampling=sub, restart_interval=ri
+            )
+            w, h, prog = decode_jpeg(blob)  # dispatches on SOF2
+            assert (w, h) == (53, 41)
+            assert (prog == base).all(), (sub, ri)
+
+
+def test_jpeg_progressive_truncated_scans_coarse_preview():
+    """A progressive stream may end after any scan (that's the
+    format's whole point: coarse image first). Decoding a 4-scan
+    prefix must still produce a full-size image that approximates the
+    original but is strictly worse than the complete 10-scan file."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    q = [16] * 64
+
+    def mse(a):
+        return float(((a.astype(float) - px) ** 2).mean())
+
+    full = decode_jpeg(encode_jpeg_progressive(px, quant=q))[2]
+    prev = None
+    for n in (2, 4, 10):
+        w, h, out = decode_jpeg(encode_jpeg_progressive(px, quant=q, nscans=n))
+        assert (w, h) == (40, 24)
+        if prev is not None:
+            assert mse(out) <= mse(prev)  # each scan refines
+        prev = out
+    assert (prev == full).all()  # nscans=10 is the complete script
+    assert mse(full) < mse(decode_jpeg(
+        encode_jpeg_progressive(px, quant=q, nscans=4)
+    )[2])
+
+
+def test_jpeg_progressive_block_constant_gray_exact():
+    """The b22 oracle property carries over: 8×8-block-constant
+    grayscale under all-ones quant round-trips exactly through the
+    multi-scan path (DC-only content — the AC scans encode pure EOB
+    runs — and refinement bits reassemble the DC value losslessly)."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(13)
+    for sub in ("444", "420"):
+        g = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+        gray = g.repeat(8, axis=0).repeat(8, axis=1)
+        px = np.stack([gray, gray, gray], axis=2)
+        w, h, out = decode_jpeg(encode_jpeg_progressive(px, subsampling=sub))
+        assert (w, h) == (24, 16)
+        assert (out == px).all(), sub
 
 
 def test_png_round_trip_all_filters():
