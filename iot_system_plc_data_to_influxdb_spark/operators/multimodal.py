@@ -61,6 +61,8 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -363,6 +365,226 @@ def decode_ppm(payload: bytes):
         raise NotImplementedError("only 8-bit PPM supported")
     arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     return w, h, arr.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a/89a — palette + LZW (GIF's variable-width variant, a different
+# compression family from PNG's DEFLATE). Pure python/numpy; covers
+# interlaced images (the 4-pass row shuffle) and in-stream CLEAR resets.
+# Reference behavior: the reference delegates all media handling to
+# external systems; this is north-star B22 surface.
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (mcs+1 .. 12 bits) packed
+    LSB-first, CLEAR emitted up-front and again on table overflow at
+    4096 entries. The width bump happens when the NEXT free code no
+    longer fits the current width (encoder counts one table entry
+    ahead of the decoder, hence the classic off-by-one pair with
+    _gif_lzw_decode's ``len(table) == (1 << size) - 1`` rule)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def put(code: int, size: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += size
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh():
+        return {}, eoi + 1, mcs + 1
+
+    table, next_code, size = fresh()
+    put(clear, size)
+    it = iter(int(k) for k in indices)
+    try:
+        current = next(it)
+    except StopIteration:
+        put(eoi, size)
+    else:
+        for k in it:
+            nxt = table.get((current, k))
+            if nxt is not None:
+                current = nxt
+                continue
+            put(current, size)
+            table[(current, k)] = next_code
+            next_code += 1
+            if next_code == (1 << size) and size < 12:
+                size += 1
+            current = k
+            if next_code == 4096:
+                put(clear, size)
+                table, next_code, size = fresh()
+        put(current, size)
+        put(eoi, size)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int):
+    """Inverse of _gif_lzw_encode; tolerates deferred-clear streams
+    (table sits full at 4096 until a CLEAR arrives)."""
+    import numpy as np
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    size = mcs + 1
+    out = bytearray()
+    acc = n_bits = pos = 0
+    prev = None
+    while True:
+        while n_bits < size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        n_bits -= size
+        if code == clear:
+            table = list(base)
+            size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # decoder lags the encoder by one entry: bump one early
+            if len(table) == (1 << size) - 1 and size < 12:
+                size += 1
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError("GIF LZW stream ended short of the pixel count")
+    return np.frombuffer(bytes(out[:n_expected]), dtype=np.uint8)
+
+
+def encode_gif(pixels, interlace: bool = False) -> bytes:
+    """numpy (H, W, 3) uint8 RGB → GIF89a (global color table, one
+    image, real LZW). ``interlace=True`` writes the 4-pass row order.
+    Raises if the image needs more than 256 distinct colors (GIF is
+    palette-indexed; quantization is a separate concern)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs a <=256-color palette, got {len(palette)}")
+    # global color table size is a power of two >= max(palette, 4)
+    bits = max(2, int(len(palette) - 1).bit_length())
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    idx = inverse.astype(np.uint16).reshape(h, w)
+    if interlace:
+        order = [y for start, step in _GIF_INTERLACE_PASSES
+                 for y in range(start, h, step)]
+        idx = idx[order]
+    mcs = bits  # minimum LZW code size = palette bits (>= 2)
+    lzw = _gif_lzw_encode(idx.reshape(-1), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1),
+                       0, 0)
+    out += gct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a → (width, height, (H, W, 3) uint8 RGB): header +
+    screen descriptor, global/local color tables, extension-block
+    skipping, sub-block reassembly, LZW decode, 4-pass deinterlace.
+    First image frame only (animation = repeated image blocks).
+    Malformed/truncated payloads fail in-band with ValueError (never
+    an executor-crashing IndexError from a mapInPandas task)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_body(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or malformed GIF: {exc}") from None
+
+
+def _decode_gif_body(payload: bytes):
+    import struct
+
+    import numpy as np
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            n = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + n])
+            pos += 1 + n
+        idx = _gif_lzw_decode(b"".join(chunks), mcs, w * h).reshape(h, w)
+        if ipacked & 0x40:  # deinterlace
+            order = [y for start, step in _GIF_INTERLACE_PASSES
+                     for y in range(start, h, step)]
+            deint = np.empty_like(idx)
+            deint[order] = idx
+            idx = deint
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("GIF pixel index outside the color table")
+        return w, h, table[idx]
+    raise ValueError("GIF contains no image block")
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:

@@ -3614,6 +3614,56 @@ def b22_image_decode(spark, sf_dir):
     return decode_images(_media_payloads_image(docs))
 
 
+def _media_payloads_gif(df):
+    """mapInPandas stage: doc_id → real GIF89a bytes of the SAME
+    closed-form corpus as _media_payloads_image (pixel constant along
+    x, ≤14 distinct row colors → well inside GIF's 256-color palette).
+    Every third doc writes the 4-pass INTERLACED row order, so the
+    hash-check proves palette indexing, variable-width LZW, and
+    deinterlacing — GIF's LZW is a different compression family from
+    PNG's DEFLATE, so this is not the same code path re-proved."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_gif
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                chan = np.concatenate(
+                    [(3 * d + y) % 256, (2 * d + y) % 256, (d + y) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                px = np.broadcast_to(chan, (h, w, 3)).copy()
+                ids.append(d)
+                payloads.append(encode_gif(px, interlace=d % 3 == 0))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_gif_decode", oracle=_B22_IMG_ORACLE, tags=("B22",))
+def b22_gif_decode(spark, sf_dir):
+    """GIF89a decode (operators/multimodal.py decode_gif): palette +
+    variable-width LZW + interlace, checked against the same
+    closed-form per-channel-sum oracle as b22_image_decode. The
+    reference delegates media entirely (855-LoC ETL, no image path);
+    this is north-star B22 surface."""
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(_media_payloads_gif(docs))
+
+
 # --------------------------------------------------------------------------
 # B22j — REAL baseline JPEG decode (pure numpy/stdlib: marker walk,
 # canonical Huffman decode, dequant, IDCT, YCbCr→RGB — see

@@ -228,6 +228,55 @@ def test_jpeg_malformed_fails_fast():
         decode_jpeg(encode_jpeg(px)[:-30])  # truncated entropy data
 
 
+def test_gif_roundtrip_exact():
+    """GIF is lossless for palette-sized images: encode→decode must be
+    bit-identical across odd sizes, interlaced row order, and an image
+    large enough to force LZW width growth through every code size up
+    to the 4096-entry CLEAR/reset."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w, ncol in ((1, 1, 1), (5, 7, 3), (13, 9, 8), (16, 16, 200)):
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        px = pal[rng.randint(0, ncol, (h, w))]
+        for interlace in (False, True):
+            w2, h2, out = decode_gif(encode_gif(px, interlace=interlace))
+            assert (w2, h2) == (w, h)
+            assert (out == px).all()
+    # 200x300 random grayscale: >4096 LZW codes → in-stream CLEAR reset
+    big = rng.randint(0, 256, (200, 300, 1)).repeat(3, axis=2).astype(np.uint8)
+    for interlace in (False, True):
+        assert (decode_gif(encode_gif(big, interlace=interlace))[2] == big).all()
+    w2, h2, _ = decode_image(encode_gif(big))  # dispatch by magic bytes
+    assert (w2, h2) == (300, 200)
+
+
+def test_gif_malformed_fails_fast():
+    import numpy as np
+    import pytest
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError):
+        decode_gif(b"notagif")
+    px = np.full((6, 6, 3), 9, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_gif(encode_gif(px)[:-4])  # truncated LZW sub-blocks
+    with pytest.raises(ValueError):  # >256 distinct colors is a palette error
+        i = np.arange(257, dtype=np.int64)
+        many = np.stack([i % 256, i // 256, i * 0], axis=1)
+        encode_gif(many.astype(np.uint8).reshape(257, 1, 3))
+
+
 def test_jpeg_progressive_matches_baseline_exactly():
     """T.81 Annex G: successive approximation + spectral selection
     deliver the SAME quantized coefficients as one baseline scan, just
