@@ -587,6 +587,37 @@ def _decode_gif_body(payload: bytes):
     raise ValueError("GIF contains no image block")
 
 
+def resize_bilinear(pixels, out_w: int, out_h: int):
+    """Bilinear image resize with half-pixel centers and edge clamp
+    (the align_corners=False convention of torch/PIL): source coord
+    of output x is (x + 0.5) * (W_in / W_out) - 0.5. Accumulates in
+    float64 and emits uint8 via round-half-up (floor(v + 0.5)) — at
+    exact 2:1 downscale the weights are exactly 0.25 each, so output
+    equals the 2x2 box mean bit-exactly (the SQL-oracle anchor for
+    b22_resize_bilinear). Fully vectorized: one fancy-index gather +
+    weighted sum per axis pair, no per-pixel Python."""
+    import numpy as np
+
+    h, w, c = pixels.shape
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize target must be positive")
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    x0f, y0f = np.floor(xs), np.floor(ys)
+    fx, fy = xs - x0f, ys - y0f
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    x1 = np.minimum(x0f.astype(np.int64) + 1, w - 1).clip(0)
+    y1 = np.minimum(y0f.astype(np.int64) + 1, h - 1).clip(0)
+    p = pixels.astype(np.float64)
+    fy_ = fy[:, None, None]
+    fx_ = fx[None, :, None]
+    top = p[y0][:, x0] * (1 - fx_) + p[y0][:, x1] * fx_
+    bot = p[y1][:, x0] * (1 - fx_) + p[y1][:, x1] * fx_
+    out = top * (1 - fy_) + bot * fy_
+    return np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
+
+
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """numpy int16 mono samples → RIFF/WAVE PCM16."""
     import struct
@@ -2083,6 +2114,46 @@ def decode_images(df: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
+                out["n_px"].append(n)
+                for k, c in zip(("sum_r", "sum_g", "sum_b"), range(3)):
+                    out[k].append(int(sums[c]))
+                for k, c in zip(("mean_r", "mean_g", "mean_b"), range(3)):
+                    out[k].append(float(sums[c]) / n)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, width int, height int, n_px int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
+def decode_resize_images(df: DataFrame, scale: int = 2) -> DataFrame:
+    """Arrow-batched decode → bilinear downscale by ``scale`` → exact
+    per-channel stats of the RESIZED pixels. The interpolation itself
+    is what's under test: a wrong weight, rounding rule, or row/col
+    mix-up shifts the sums away from the closed-form oracle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_px": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_image(bytes(payload))
+                ow, oh = w // scale, h // scale
+                rs = resize_bilinear(px, ow, oh)
+                sums = rs.reshape(-1, rs.shape[2])[:, :3].sum(
+                    axis=0, dtype=np.int64
+                )
+                n = ow * oh
+                out["doc_id"].append(doc_id)
+                out["width"].append(ow)
+                out["height"].append(oh)
                 out["n_px"].append(n)
                 for k, c in zip(("sum_r", "sum_g", "sum_b"), range(3)):
                     out[k].append(int(sums[c]))

@@ -3646,6 +3646,97 @@ def _media_payloads_gif(df):
     return df.mapInPandas(batches, "doc_id bigint, payload binary")
 
 
+# --------------------------------------------------------------------------
+# B22r — bilinear image RESIZE (operators/multimodal.py
+# resize_bilinear): decode → downscale 2:1 → stats of the RESIZED
+# pixels. At exact 2:1 the half-pixel-center bilinear weights are
+# exactly 0.25, so each output pixel is the round-half-up mean of its
+# 2x2 block — with the corpus constant along x that collapses to
+# (row(2y) + row(2y+1) + 1) // 2, a pure-integer closed form DuckDB
+# reproduces (modulo wrap at 255→0 included, both engines evaluate the
+# same expression). Even dims keep every source index in-bounds, so
+# the oracle needs no edge-clamp cases; clamping is pytest-covered.
+# --------------------------------------------------------------------------
+_B22_RESIZE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+        8 + 2 * (doc_id % 5) AS w,
+        8 + 2 * (doc_id % 4) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    ys AS (SELECT unnest(range(0, 7)) AS yy),
+    px AS (
+      SELECT d.doc_id, d.w // 2 AS ow, d.h // 2 AS oh,
+        ((3*d.doc_id + 2*yy) % 256 + (3*d.doc_id + 2*yy + 1) % 256 + 1) // 2 AS r,
+        ((2*d.doc_id + 2*yy) % 256 + (2*d.doc_id + 2*yy + 1) % 256 + 1) // 2 AS g,
+        ((d.doc_id + 2*yy) % 256 + (d.doc_id + 2*yy + 1) % 256 + 1) // 2 AS b
+      FROM d JOIN ys ON yy < d.h // 2
+    )
+    SELECT doc_id,
+      CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+      CAST(ow * oh AS INT) AS n_px,
+      CAST(ow * SUM(r) AS BIGINT) AS sum_r,
+      CAST(ow * SUM(g) AS BIGINT) AS sum_g,
+      CAST(ow * SUM(b) AS BIGINT) AS sum_b,
+      CAST(ow * SUM(r) AS DOUBLE) / (ow * oh) AS mean_r,
+      CAST(ow * SUM(g) AS DOUBLE) / (ow * oh) AS mean_g,
+      CAST(ow * SUM(b) AS DOUBLE) / (ow * oh) AS mean_b
+    FROM px GROUP BY doc_id, ow, oh
+"""
+
+
+def _media_payloads_even(df):
+    """mapInPandas stage: the image corpus on EVEN dims (w = 8+2(d%5),
+    h = 8+2(d%4)), rotating through all four lossless encoders
+    (BMP/PPM/PNG/GIF) so the resize query exercises every decode path
+    upstream of the interpolation."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + 2 * (d % 5), 8 + 2 * (d % 4)
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                chan = np.concatenate(
+                    [(3 * d + y) % 256, (2 * d + y) % 256, (d + y) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                px = np.broadcast_to(chan, (h, w, 3)).copy()
+                ids.append(d)
+                enc = (encode_bmp, encode_ppm, encode_png, encode_gif)[d % 4]
+                payloads.append(enc(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_resize_bilinear", oracle=_B22_RESIZE_ORACLE, tags=("B22",))
+def b22_resize_bilinear(spark, sf_dir):
+    """decode → bilinear 2:1 downscale → exact stats; the brief's
+    'resize' slot of the multimodal pipeline (decode / feature-extract
+    / resize / frame-sample), run as one Arrow-batched mapInPandas
+    stage so pixels never leave the task between decode and resize."""
+    from ..operators.multimodal import decode_resize_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_resize_images(_media_payloads_even(docs), scale=2)
+
+
 @register("b22_gif_decode", oracle=_B22_IMG_ORACLE, tags=("B22",))
 def b22_gif_decode(spark, sf_dir):
     """GIF89a decode (operators/multimodal.py decode_gif): palette +

@@ -257,6 +257,60 @@ def test_gif_roundtrip_exact():
     assert (w2, h2) == (300, 200)
 
 
+def test_resize_bilinear_semantics():
+    """Vectorized bilinear must equal a naive per-pixel reference with
+    the same convention (half-pixel centers, edge clamp, round-half-up)
+    on arbitrary scales; at exact 2:1 it must equal the 2x2 box mean;
+    at 1:1 it is the identity."""
+    import numpy as np
+    import pytest
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        resize_bilinear,
+    )
+
+    def naive(px, ow, oh):
+        h, w, c = px.shape
+        out = np.empty((oh, ow, c), dtype=np.uint8)
+        for y in range(oh):
+            for x in range(ow):
+                xs = (x + 0.5) * (w / ow) - 0.5
+                ys = (y + 0.5) * (h / oh) - 0.5
+                x0, y0 = int(np.floor(xs)), int(np.floor(ys))
+                fx, fy = xs - x0, ys - y0
+                x0c, x1c = min(max(x0, 0), w - 1), min(max(x0 + 1, 0), w - 1)
+                y0c, y1c = min(max(y0, 0), h - 1), min(max(y0 + 1, 0), h - 1)
+                v = (
+                    px[y0c, x0c].astype(float) * (1 - fx) * (1 - fy)
+                    + px[y0c, x1c].astype(float) * fx * (1 - fy)
+                    + px[y1c, x0c].astype(float) * (1 - fx) * fy
+                    + px[y1c, x1c].astype(float) * fx * fy
+                )
+                out[y, x] = np.floor(v + 0.5).clip(0, 255)
+        return out
+
+    rng = np.random.RandomState(3)
+    for (h, w), (oh, ow) in (
+        ((8, 12), (4, 6)),      # exact 2:1
+        ((7, 9), (3, 4)),       # odd dims, truncating 2:1
+        ((5, 5), (5, 5)),       # identity
+        ((4, 6), (9, 5)),       # upscale one axis, downscale the other
+        ((3, 3), (10, 10)),     # heavy upscale → edge clamp on all sides
+    ):
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        got = resize_bilinear(px, ow, oh)
+        assert got.shape == (oh, ow, 3)
+        assert (got == naive(px, ow, oh)).all(), (h, w, oh, ow)
+    px = rng.randint(0, 256, (8, 12, 3), dtype=np.uint8)
+    box = (
+        px.reshape(4, 2, 6, 2, 3).astype(np.int64).sum(axis=(1, 3)) + 2
+    ) // 4  # round-half-up mean of each 2x2 block
+    assert (resize_bilinear(px, 6, 4) == box).all()
+    assert (resize_bilinear(px, 12, 8) == px).all()
+    with pytest.raises(ValueError):
+        resize_bilinear(px, 0, 4)
+
+
 def test_gif_malformed_fails_fast():
     import numpy as np
     import pytest
