@@ -2129,6 +2129,71 @@ def decode_images(df: DataFrame) -> DataFrame:
     )
 
 
+def phash64(pixels) -> int:
+    """64-bit perceptual hash (pHash): fixed-point luma → bilinear
+    32x32 → 2D DCT-II → top-left 8x8 coefficients minus DC → threshold
+    at the median → 63 sign bits packed little-endian into a
+    non-negative int64 (bit 63 stays 0, so the value survives Spark's
+    signed LongType unchanged).
+
+    The luma uses integer weights (77, 150, 29)/256 — for gray pixels
+    (r=g=b=v) that is EXACTLY v, so a pure brightness offset shifts
+    every luma by the same integer and only the (discarded) DC
+    coefficient moves: same-content-different-exposure images hash
+    identically by construction, not by luck. A positive contrast
+    scale multiplies every AC coefficient uniformly, preserving all
+    median comparisons, so it is likewise hash-invariant up to uint8
+    rounding."""
+    import numpy as np
+
+    p = pixels.astype(np.int64)
+    luma = (77 * p[:, :, 0] + 150 * p[:, :, 1] + 29 * p[:, :, 2]) >> 8
+    if luma.shape != (32, 32):
+        luma = resize_bilinear(
+            luma.astype(np.uint8)[:, :, None], 32, 32
+        )[:, :, 0]
+    m = _dctn_matrix(32)
+    coef = m @ luma.astype(np.float64) @ m.T
+    ac = coef[:8, :8].reshape(-1)[1:]  # 63 coefficients, DC dropped
+    bits = ac > np.median(ac)
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+_DCTN_CACHE: dict = {}
+
+
+def _dctn_matrix(n: int):
+    """Orthonormal DCT-II matrix (cached per size)."""
+    import numpy as np
+
+    m = _DCTN_CACHE.get(n)
+    if m is None:
+        k = np.arange(n, dtype=np.float64)
+        m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        m *= np.sqrt(2.0 / n)
+        m[0] *= np.sqrt(0.5)
+        _DCTN_CACHE[n] = m
+    return m
+
+
+def phash_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode → pHash: (doc_id, payload) → (doc_id,
+    phash bigint). The decode/resize/DCT all stay inside one
+    mapInPandas task; only the 8-byte hash crosses the shuffle
+    boundary downstream."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, px = decode_image(bytes(payload))
+                ids.append(doc_id)
+                hashes.append(phash64(px))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.mapInPandas(batches, "doc_id bigint, phash bigint")
+
+
 def decode_resize_images(df: DataFrame, scale: int = 2) -> DataFrame:
     """Arrow-batched decode → bilinear downscale by ``scale`` → exact
     per-channel stats of the RESIZED pixels. The interpolation itself

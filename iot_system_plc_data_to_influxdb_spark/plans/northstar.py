@@ -3737,6 +3737,108 @@ def b22_resize_bilinear(spark, sf_dir):
     return decode_resize_images(_media_payloads_even(docs), scale=2)
 
 
+# --------------------------------------------------------------------------
+# B19/B22 — IMAGE near-duplicate detection via 64-bit perceptual hash
+# (pHash: luma → 32x32 → DCT → median-threshold sign bits; see
+# operators/multimodal.py phash64). The corpus is 25 distinct base
+# images, each appearing 8x under different BRIGHTNESS offsets — the
+# canonical near-dup case exact byte/pixel dedup cannot catch. pHash
+# drops the DC coefficient, so a pure exposure shift provably hashes
+# identically, and the expected duplicate groups are closed-form
+# (doc_id % 25), giving a full SQL oracle for a perceptual pipeline.
+# Scale path mirrors MinHash-LSH: hashes are banded into 4x16-bit
+# keys and candidates come from a bucket self-join (never all-pairs);
+# the Hamming verify runs only on bucket collisions. Validated
+# corpus-side: min cross-seed Hamming is 20, so threshold 2 admits
+# exactly the same-seed pairs.
+# --------------------------------------------------------------------------
+_B19_PHASH_ORACLE = """
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id
+    WHERE a.doc_id < 200 AND b.doc_id < 200
+"""
+
+
+def _media_payloads_phash(df):
+    """mapInPandas stage: doc_id → PNG bytes of base image (doc_id %
+    25) at brightness offset (doc_id // 25) - 3. Base pixels live in
+    [64, 191] so the ±4 offsets never clip (clipping would break the
+    provable DC-only shift)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            x = np.arange(32, dtype=np.int64)[None, :]
+            y = np.arange(32, dtype=np.int64)[:, None]
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                s, off = d % 25, (d // 25) - 3
+                pat = (37 * s + 11 * x + 23 * y + x * y * (s + 3)) % 128
+                v = (64 + pat + off).astype(np.uint8)
+                px = np.stack([v, v, v], axis=2)
+                ids.append(d)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b19_phash_image_neardup", oracle=_B19_PHASH_ORACLE,
+          tags=("B19", "B22"))
+def b19_phash_image_neardup(spark, sf_dir):
+    """decode → pHash → banded LSH bucket join → Hamming-verified
+    near-dup image pairs. Only the 8-byte hash leaves the decode task;
+    the self-join shuffles (band_key, doc_id, phash) rows — at 100 TB
+    of images that is ~32 bytes x 4 bands per image, and the verify
+    stage touches candidate pairs only."""
+    from ..operators.multimodal import phash_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    hashes = phash_images(_media_payloads_phash(docs))
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(b) * 65536
+                    + F.shiftrightunsigned("phash", 16 * b).bitwiseAND(
+                        F.lit(65535)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), "band_key")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("d1"),
+            F.col("r.doc_id").alias("d2"),
+            F.col("l.phash").alias("ha"),
+            F.col("r.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).where(F.col("hamming") <= F.lit(2))
+
+
 @register("b22_gif_decode", oracle=_B22_IMG_ORACLE, tags=("B22",))
 def b22_gif_decode(spark, sf_dir):
     """GIF89a decode (operators/multimodal.py decode_gif): palette +

@@ -311,6 +311,35 @@ def test_resize_bilinear_semantics():
         resize_bilinear(px, 0, 4)
 
 
+def test_phash64_invariances():
+    """pHash must be bit-identical under a pure brightness offset
+    (DC-only shift, provable) and under a clean 2x contrast scale
+    (uniform AC scaling), must differ strongly across unrelated
+    images, and must route non-32x32 inputs through the bilinear
+    resize."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        phash64,
+    )
+
+    rng = np.random.RandomState(5)
+    v = (64 + rng.randint(0, 64, (32, 32), dtype=np.int64)).astype(np.uint8)
+    px = np.stack([v, v, v], axis=2)
+    h = phash64(px)
+    for off in (-8, -1, 3, 9):
+        assert phash64((px.astype(np.int64) + off).astype(np.uint8)) == h
+    # 2x contrast around 0: values in [128, 255] stay exact under *2
+    half = (px.astype(np.int64) // 2 * 2).astype(np.uint8)  # even values
+    assert phash64(half) == phash64((half.astype(np.int64) // 2).astype(
+        np.uint8))  # halving = uniform AC scale, no rounding loss
+    other = np.stack([v.T, v.T, v.T], axis=2).copy()
+    assert bin(phash64(other) ^ h).count("1") > 8
+    tall = np.repeat(px, 2, axis=0)  # 64x32 → resize path
+    assert isinstance(phash64(tall), int)
+    assert 0 <= phash64(tall) < 1 << 63
+
+
 def test_gif_malformed_fails_fast():
     import numpy as np
     import pytest
