@@ -2234,6 +2234,134 @@ def decode_resize_images(df: DataFrame, scale: int = 2) -> DataFrame:
     )
 
 
+def audio_spectrograms(df: DataFrame, frame: int = 512) -> DataFrame:
+    """Arrow-batched WAV decode → non-overlapping rectangular frames →
+    rFFT power spectrum → two integer invariants per frame:
+
+    - ``dominant_bin``: argmax of the power spectrum (the detected
+      frequency — for a periodic source this is the fundamental);
+    - ``spec_energy``: the Parseval round-trip
+      round((|X_0|^2 + |X_{N/2}|^2 + 2*sum|X_k|^2) / N), which equals
+      sum(x[n]^2) EXACTLY for integer PCM16 samples — so the oracle
+      can check the transform's total energy in closed form while the
+      argmax checks its frequency localization. FFT rounding error is
+      ~1e-9 relative, vastly inside the round-to-integer margin.
+
+    Trailing samples short of a full frame are dropped (the standard
+    STFT convention)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "frame_id": [],
+                "dominant_bin": [], "spec_energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, samples = decode_wav(bytes(payload))
+                n_frames = samples.size // frame
+                if not n_frames:
+                    continue
+                x = samples[: n_frames * frame].astype(np.float64)
+                spec = np.fft.rfft(x.reshape(n_frames, frame), axis=1)
+                power = spec.real**2 + spec.imag**2
+                total = (
+                    power[:, 0]
+                    + power[:, -1]
+                    + 2.0 * power[:, 1:-1].sum(axis=1)
+                )
+                out["doc_id"].extend([doc_id] * n_frames)
+                out["frame_id"].extend(range(n_frames))
+                out["dominant_bin"].extend(
+                    int(k) for k in power.argmax(axis=1)
+                )
+                out["spec_energy"].extend(
+                    int(v) for v in np.round(total / frame)
+                )
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="int64" if k != "frame_id" else "int32")
+                    for k, v in out.items()
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, frame_id int, dominant_bin bigint, "
+        "spec_energy bigint",
+    )
+
+
+def mel_filterbank(n_mels: int = 8, n_fft: int = 512, sr: int = 16000):
+    """Standard HTK-style mel triangle filterbank over rFFT bins:
+    n_mels triangles with centers equally spaced on the mel scale
+    (2595*log10(1 + f/700)) between 0 Hz and sr/2. Returns an
+    (n_mels, n_fft//2 + 1) float64 weight matrix."""
+    import numpy as np
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    pts = from_mel(np.linspace(0.0, to_mel(sr / 2.0), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+        for k in range(lo, mid):
+            if mid > lo:
+                fb[m, k] = (k - lo) / (mid - lo)
+        for k in range(mid, hi):
+            if hi > mid:
+                fb[m, k] = (hi - k) / (hi - mid)
+    return fb
+
+
+def mel_features(
+    df: DataFrame, n_mels: int = 8, frame: int = 512, hop: int = 256
+) -> DataFrame:
+    """Arrow-batched log-mel feature extraction (the audio twin of the
+    text-encoder inference stage): WAV → Hann-windowed overlapping
+    frames → rFFT power → mel filterbank → log10(1 + energy). The
+    filterbank matrix is built ONCE per task and applied as one matmul
+    per batch — no per-frame Python. Registered rows-only (an SQL
+    oracle cannot express the FFT); tests/test_northstar.py pins the
+    numbers against an independent per-frame reference."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb_by_rate: dict = {}  # filterbank depends on the sample rate
+        window = np.hanning(frame + 1)[:-1]  # periodic Hann
+        for pdf in it:
+            out = {"doc_id": [], "frame_id": [], "features": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _ch, samples = decode_wav(bytes(payload))
+                fb = fb_by_rate.get(rate)
+                if fb is None:
+                    fb = fb_by_rate[rate] = mel_filterbank(n_mels, frame, rate)
+                x = samples.astype(np.float64)
+                n_frames = max(0, (x.size - frame) // hop + 1)
+                if not n_frames:
+                    continue
+                idx = (
+                    np.arange(frame)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                spec = np.fft.rfft(x[idx] * window[None, :], axis=1)
+                power = spec.real**2 + spec.imag**2
+                logmel = np.log10(1.0 + power @ fb.T)
+                out["doc_id"].extend([doc_id] * n_frames)
+                out["frame_id"].extend(range(n_frames))
+                out["features"].extend(row.tolist() for row in logmel)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches, "doc_id bigint, frame_id int, features array<double>"
+    )
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL audio decode: WAV PCM16 payloads → header
     fields + exact integer sample statistics."""

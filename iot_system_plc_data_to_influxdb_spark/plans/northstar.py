@@ -4060,6 +4060,90 @@ def b22_audio_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B22s — audio SPECTROGRAM with a full SQL oracle. The trick: square
+# waves. Doc d is a ±A_d square wave (A_d = 100 + d%50) whose period
+# p_d = 2^(2 + d%6) divides the 512-sample frame, so (a) every sample
+# is exactly ±A_d — integer PCM16, no quantization noise — and (b) the
+# FFT's invariants are closed-form: the dominant power bin is the
+# fundamental 512/p_d (harmonics carry <=1/9 of its power), and the
+# Parseval round-trip round(sum|X|^2 / N) equals sum(x^2) = 512*A_d^2
+# EXACTLY. So DuckDB checks a real FFT pipeline's frequency
+# localization and energy conservation without computing any
+# transcendental itself. 4 identical frames per doc prove the framing.
+# --------------------------------------------------------------------------
+_B22_SPECTROGRAM_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+        100 + doc_id % 50 AS a,
+        512 // (1 << (2 + CAST(doc_id % 6 AS INT))) AS k
+      FROM documents WHERE doc_id < 200
+    ),
+    fr AS (SELECT unnest(range(0, 4)) AS frame_id)
+    SELECT doc_id,
+      CAST(frame_id AS INT) AS frame_id,
+      CAST(k AS BIGINT) AS dominant_bin,
+      CAST(512 * a * a AS BIGINT) AS spec_energy
+    FROM d CROSS JOIN fr
+"""
+
+
+def _media_payloads_square_wav(df):
+    """mapInPandas stage: doc_id → WAV of a 2048-sample ±A square wave
+    at 16 kHz (period 2^(2 + d%6) samples, amplitude 100 + d%50)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            n = np.arange(2048, dtype=np.int64)
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                a, p = 100 + d % 50, 1 << (2 + d % 6)
+                x = (a * (1 - 2 * ((n // (p // 2)) % 2))).astype(np.int16)
+                ids.append(d)
+                payloads.append(encode_wav(x, 16000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_audio_spectrogram", oracle=_B22_SPECTROGRAM_ORACLE,
+          tags=("B22",))
+def b22_audio_spectrogram(spark, sf_dir):
+    from ..operators.multimodal import audio_spectrograms
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return audio_spectrograms(_media_payloads_square_wav(docs))
+
+
+@register("b22_mel_features", oracle=None, tags=("B22",))
+def b22_mel_features(spark, sf_dir):
+    """Log-mel filterbank features over the same square-wave corpus
+    (Hann window, 50% hop, 8 HTK-style mel triangles). rows-only: the
+    SQL engine cannot express the FFT — tests/test_northstar.py pins
+    the exact numbers against an independent per-frame reference and
+    the spectral invariants are hash-checked by b22_audio_spectrogram
+    over the identical corpus."""
+    from ..operators.multimodal import mel_features
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return mel_features(_media_payloads_square_wav(docs))
+
+
+# --------------------------------------------------------------------------
 # B22j — REAL video-container decode + frame sampling: payloads are
 # YUV4MPEG2 streams (the uncompressed interchange format ffmpeg/x264
 # speak — ASCII stream header, FRAME markers, planar C420 YCbCr);

@@ -340,6 +340,71 @@ def test_phash64_invariances():
     assert 0 <= phash64(tall) < 1 << 63
 
 
+def test_mel_features_against_independent_reference(spark):
+    """The vectorized log-mel stage (gather-index framing + one matmul
+    per batch) must match a deliberately different per-frame loop
+    reference bit-for-bit, and behave physically: the dominant mel
+    filter tracks the square wave's fundamental, and doubling the
+    amplitude adds exactly log10(4) to every fully-saturated filter
+    energy (checked to float tolerance)."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        encode_wav,
+        mel_features,
+        mel_filterbank,
+    )
+
+    def reference(samples, n_mels=8, frame=512, hop=256, sr=16000):
+        fb = mel_filterbank(n_mels, frame, sr)
+        win = np.hanning(frame + 1)[:-1]
+        x = samples.astype(np.float64)
+        rows = []
+        for f in range((x.size - frame) // hop + 1):
+            seg = x[f * hop : f * hop + frame] * win
+            spec = np.fft.rfft(seg)
+            power = spec.real**2 + spec.imag**2
+            rows.append([
+                float(np.log10(1.0 + np.dot(power, fb[m])))
+                for m in range(n_mels)
+            ])
+        return rows
+
+    n = np.arange(2048, dtype=np.int64)
+    docs = []
+    for d in (0, 3, 7):  # periods 4, 32, 128 → bins 128, 16, 4
+        a, p = 100 + d % 50, 1 << (2 + d % 6)
+        docs.append((d, (a * (1 - 2 * ((n // (p // 2)) % 2))).astype(np.int16)))
+    pdf = spark.createDataFrame(
+        [(d, bytearray(encode_wav(x, 16000))) for d, x in docs],
+        "doc_id bigint, payload binary",
+    )
+    got = {
+        (r["doc_id"], r["frame_id"]): r["features"]
+        for r in mel_features(pdf).collect()
+    }
+    fb = mel_filterbank(8, 512, 16000)
+    for d, x in docs:
+        ref = reference(x)
+        assert sum(1 for k in got if k[0] == d) == len(ref) == 7
+        for f, row in enumerate(ref):
+            assert got[(d, f)] == row, (d, f)
+        # dominant mel filter contains the fundamental bin
+        k = 512 // (1 << (2 + d % 6))
+        assert int(np.argmax(got[(d, 0)])) == int(np.argmax(fb[:, k]))
+    # amplitude doubling: log-mel shifts by ~log10(4) where energy >> 1
+    d, x = docs[0]
+    pdf2 = spark.createDataFrame(
+        [(d, bytearray(encode_wav((2 * x).astype(np.int16), 16000)))],
+        "doc_id bigint, payload binary",
+    )
+    loud = mel_features(pdf2).collect()[0]["features"]
+    base = got[(d, 0)]
+    for m in range(8):
+        if base[m] > 3:  # 1 + e ≈ e regime
+            assert abs((loud[m] - base[m]) - np.log10(4.0)) < 1e-3
+
+
 def test_gif_malformed_fails_fast():
     import numpy as np
     import pytest
