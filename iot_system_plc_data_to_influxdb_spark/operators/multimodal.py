@@ -6,17 +6,23 @@ typed metadata; decode / feature-extraction runs as Arrow-batched
 
 Decode support has two tiers:
 
-- **Real byte-level decode** for the uncompressed container formats —
-  24bpp BMP (header/offset/row-padding/bottom-up/BGR), binary PPM
-  (P6 grammar incl. comments), RIFF/WAVE PCM16 (proper chunk walk) —
-  implemented in pure struct/numpy below and hash-checked against
-  closed-form SQL oracles (b22_image_decode / b22_audio_decode).
-- **Codec-gated**: compressed formats (JPEG/PNG/MP4) need an image/
-  audio library not present in this container; ``decode_image``
-  raises the documented NotImplementedError for those, and
-  ``extract_features`` computes a deterministic byte histogram so the
-  Spark-side plumbing — schema, batch shape, partition behavior — is
-  still real and tested (tests/test_northstar.py).
+- **Real byte-level decode**, pure struct/numpy/stdlib-zlib,
+  hash-checked against closed-form SQL oracles: 24bpp BMP
+  (offset/padding/bottom-up/BGR), binary PPM (P6 grammar incl.
+  comments), PNG (DEFLATE + all five row filters), GIF87a/89a
+  (palette + variable-width LZW + interlace), baseline JPEG at 4:4:4
+  and 4:2:0 (Huffman/dequant/IDCT/YCbCr, restart markers), progressive
+  JPEG (T.81 Annex G spectral selection + successive approximation),
+  RIFF/WAVE PCM16 (proper chunk walk), and Y4M C444 video. On top of
+  decode: bilinear resize, 64-bit perceptual hash (pHash), rFFT
+  spectrograms, and log-mel filterbank features.
+- **Codec-gated**: formats that genuinely need an external codec
+  library (H.264/VP9, 12-bit JPEG, non-8-bit PPM, non-C420/C444 Y4M)
+  raise a documented NotImplementedError next to a working sibling
+  path, and ``extract_features`` computes a deterministic byte
+  histogram so the Spark-side plumbing — schema, batch shape,
+  partition behavior — is still real and tested
+  (tests/test_northstar.py).
 """
 
 from __future__ import annotations
