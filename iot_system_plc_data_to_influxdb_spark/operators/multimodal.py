@@ -2240,6 +2240,62 @@ def decode_resize_images(df: DataFrame, scale: int = 2) -> DataFrame:
     )
 
 
+def resample_linear(samples, sr_in: int, sr_out: int):
+    """Linear-interpolation sample-rate conversion: output sample i
+    sits at source position i * sr_in / sr_out (origin-aligned, the
+    convention of soxr/librosa's 'linear'), interpolated between its
+    two source neighbors with the tail clamped to the last sample.
+    int16 in → int16 out via round-half-up (floor(v + 0.5)), so exact
+    integer ratios stay closed-form: at 2x upsampling even outputs
+    copy the source and odd outputs are (a + b + 1) // 2 in floor
+    semantics — the SQL-oracle anchor for b22_audio_resample."""
+    import numpy as np
+
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError("sample rates must be positive")
+    n = samples.size
+    if n == 0:
+        return samples.astype(np.int16)
+    n_out = n * sr_out // sr_in
+    pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    i0 = np.floor(pos).astype(np.int64)
+    frac = pos - i0
+    i0 = np.clip(i0, 0, n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    x = samples.astype(np.float64)
+    v = x[i0] * (1.0 - frac) + x[i1] * frac
+    return np.floor(v + 0.5).clip(-32768, 32767).astype(np.int16)
+
+
+def resample_audio(df: DataFrame, sr_out: int) -> DataFrame:
+    """Arrow-batched WAV decode → linear resample to ``sr_out`` →
+    exact integer stats of the RESAMPLED signal (the interpolation is
+    what's under test)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "sum_amp": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _ch, samples = decode_wav(bytes(payload))
+                rs = resample_linear(samples, rate, sr_out)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(sr_out)
+                out["n_samples"].append(int(rs.size))
+                out["sum_amp"].append(int(rs.astype(np.int64).sum()))
+                out["peak"].append(int(rs.max()) if rs.size else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, sample_rate int, n_samples int, "
+        "sum_amp bigint, peak int",
+    )
+
+
 def audio_spectrograms(df: DataFrame, frame: int = 512) -> DataFrame:
     """Arrow-batched WAV decode → non-overlapping rectangular frames →
     rFFT power spectrum → two integer invariants per frame:

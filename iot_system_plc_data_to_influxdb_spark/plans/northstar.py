@@ -4060,6 +4060,65 @@ def b22_audio_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B22q — audio RESAMPLING (operators/multimodal.py resample_linear):
+# decode → linear-interpolation rate conversion to 16 kHz → exact
+# stats of the RESAMPLED signal. The corpus rates are 1000*(8+m) Hz
+# (m = doc_id % 8), so every source position is an exact multiple of
+# 1/16 — binary-exact in float64 — and each output sample has the
+# pure-integer closed form (a*(16-k) + b*k + 8) // 16 in FLOOR
+# semantics. DuckDB's // truncates toward zero on negatives, so the
+# oracle shifts by +32768 (divisible by 16) to stay non-negative
+# before dividing.
+# --------------------------------------------------------------------------
+_B22_RESAMPLE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n, 8 + doc_id % 8 AS m
+      FROM documents WHERE doc_id < 200
+    ),
+    jx AS (SELECT unnest(range(0, 256)) AS j),
+    o AS (
+      SELECT d.doc_id, d.n, j,
+        (j * m) // 16 AS i0,
+        (j * m) % 16 AS k
+      FROM d JOIN jx ON j < (d.n * 16) // m
+    ),
+    amp AS (
+      SELECT doc_id, j, k,
+        (7 * doc_id + 31 * i0) % 2048 - 1024 AS a,
+        (7 * doc_id + 31 * LEAST(i0 + 1, n - 1)) % 2048 - 1024 AS b
+      FROM o
+    ),
+    res AS (
+      SELECT doc_id,
+        (a * (16 - k) + b * k + 8 + 32768) // 16 - 2048 AS v
+      FROM amp
+    )
+    SELECT doc_id,
+      CAST(16000 AS INT) AS sample_rate,
+      CAST(COUNT(*) AS INT) AS n_samples,
+      CAST(SUM(v) AS BIGINT) AS sum_amp,
+      CAST(MAX(v) AS INT) AS peak
+    FROM res GROUP BY doc_id
+"""
+
+
+@register("b22_audio_resample", oracle=_B22_RESAMPLE_ORACLE, tags=("B22",))
+def b22_audio_resample(spark, sf_dir):
+    """WAV decode → linear resample to 16 kHz → exact integer stats,
+    over the b22_audio_decode corpus (8 distinct source rates, all
+    with binary-exact interpolation positions)."""
+    from ..operators.multimodal import resample_audio
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return resample_audio(_media_payloads_wav(docs), sr_out=16000)
+
+
+# --------------------------------------------------------------------------
 # B22s — audio SPECTROGRAM with a full SQL oracle. The trick: square
 # waves. Doc d is a ±A_d square wave (A_d = 100 + d%50) whose period
 # p_d = 2^(2 + d%6) divides the 512-sample frame, so (a) every sample

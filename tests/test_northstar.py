@@ -340,6 +340,48 @@ def test_phash64_invariances():
     assert 0 <= phash64(tall) < 1 << 63
 
 
+def test_resample_linear_semantics():
+    """Identity at equal rates; exact 2x up keeps every source sample
+    and inserts floor-semantics midpoints (round-half-up works on
+    NEGATIVE values too); integer-downsample picks exact source
+    positions; arbitrary ratios match a naive per-sample reference."""
+    import numpy as np
+    import pytest
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        resample_linear,
+    )
+
+    x = np.array([-7, -6, -1, 0, 5, 100, -32768, 32767], dtype=np.int16)
+    assert (resample_linear(x, 8000, 8000) == x).all()
+    up = resample_linear(x, 8000, 16000)
+    assert up.size == 16
+    assert (up[::2] == x).all()
+    mid = [(int(a) + int(b) + 1) // 2 for a, b in zip(x, x[1:])]
+    assert up[1:-1:2].tolist() == mid  # floor((a+b)/2 + .5), incl. negatives
+    assert up[-1] == x[-1]  # tail clamp
+    down = resample_linear(up, 16000, 8000)
+    assert (down == x).all()
+
+    def naive(x, si, so):
+        n_out = x.size * so // si
+        out = []
+        for j in range(n_out):
+            p = j * si / so
+            i0 = min(int(np.floor(p)), x.size - 1)
+            i1 = min(i0 + 1, x.size - 1)
+            v = x[i0] * (1 - (p - np.floor(p))) + x[i1] * (p - np.floor(p))
+            out.append(int(np.floor(v + 0.5)))
+        return out
+
+    rng = np.random.RandomState(9)
+    y = rng.randint(-1024, 1024, 200).astype(np.int16)
+    for si, so in ((9000, 16000), (16000, 7000), (44100, 16000)):
+        assert resample_linear(y, si, so).tolist() == naive(y, si, so)
+    with pytest.raises(ValueError):
+        resample_linear(y, 0, 8000)
+
+
 def test_mel_features_against_independent_reference(spark):
     """The vectorized log-mel stage (gather-index framing + one matmul
     per batch) must match a deliberately different per-frame loop
