@@ -2200,6 +2200,44 @@ def phash_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, "doc_id bigint, phash bigint")
 
 
+def scene_changes(df: DataFrame, threshold: int = 30) -> DataFrame:
+    """Arrow-batched video scene-cut detection: decode the Y4M stream,
+    then for every consecutive frame pair emit the exact integer SAD
+    (sum of absolute luma differences over all pixels) and flag a cut
+    where mean absolute difference exceeds ``threshold`` (i.e.
+    sad > threshold * n_px — integer compare, no float). The whole
+    frame walk stays inside one mapInPandas task; only (doc, frame)
+    stat rows come out."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "frame_idx": [], "sad": [],
+                "n_px": [], "is_cut": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _fps, frames = decode_y4m(bytes(payload))
+                if len(frames) < 2:
+                    continue
+                stack = np.stack(frames).astype(np.int64)
+                sads = np.abs(stack[1:] - stack[:-1]).sum(axis=(1, 2))
+                n = w * h
+                out["doc_id"].extend([doc_id] * sads.size)
+                out["frame_idx"].extend(range(1, len(frames)))
+                out["sad"].extend(int(s) for s in sads)
+                out["n_px"].extend([n] * sads.size)
+                out["is_cut"].extend(
+                    int(s > threshold * n) for s in sads
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, sad bigint, n_px int, is_cut int",
+    )
+
+
 def decode_resize_images(df: DataFrame, scale: int = 2) -> DataFrame:
     """Arrow-batched decode → bilinear downscale by ``scale`` → exact
     per-channel stats of the RESIZED pixels. The interpolation itself

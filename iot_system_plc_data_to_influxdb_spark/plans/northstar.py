@@ -4279,6 +4279,87 @@ def b22_video_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B22v — video SCENE-CHANGE detection (operators/multimodal.py
+# scene_changes): per consecutive frame pair, the exact integer SAD
+# over all pixels, and an integer-compare cut flag (sad > 30 * n_px).
+# The corpus simulates shots: luma(f, y) = (base_f + 3y) % 200 with
+# base advancing by 1 per frame inside a 4-frame shot and jumping by
+# 40 at shot boundaries — so within-shot mean|diff| stays far below
+# the threshold and boundary frames far above it, and every SAD is a
+# closed-form SQL sum over (frame, row). Modulo wraps (both in base
+# %180 and in luma %200) are evaluated identically by both engines,
+# so no wrap case needs special pleading.
+# --------------------------------------------------------------------------
+_B22_SCENE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 8 + 2 * (doc_id % 4) AS w, 6 + 2 * (doc_id % 3) AS h
+      FROM documents WHERE doc_id < 120
+    ),
+    fi AS (SELECT unnest(range(1, 12)) AS f),
+    yy AS (SELECT unnest(range(0, 10)) AS y),
+    diff AS (
+      SELECT d.doc_id, f, d.w, d.h,
+        ABS(
+          ((7 * d.doc_id + 40 * (f // 4) + f) % 180 + 3 * y) % 200
+          - ((7 * d.doc_id + 40 * ((f - 1) // 4) + (f - 1)) % 180 + 3 * y)
+            % 200
+        ) AS ad
+      FROM d JOIN fi ON true JOIN yy ON y < d.h
+    )
+    SELECT doc_id,
+      CAST(f AS INT) AS frame_idx,
+      CAST(w * SUM(ad) AS BIGINT) AS sad,
+      CAST(w * h AS INT) AS n_px,
+      CAST(CASE WHEN w * SUM(ad) > 30 * w * h THEN 1 ELSE 0 END AS INT)
+        AS is_cut
+    FROM diff GROUP BY doc_id, f, w, h
+"""
+
+
+def _media_payloads_y4m_shots(df):
+    """mapInPandas stage: doc_id → Y4M of 12 frames in 4-frame shots;
+    luma(f, y) = ((7d + 40*(f//4) + f) % 180 + 3y) % 200, constant
+    along x."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_y4m
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + 2 * (d % 4), 6 + 2 * (d % 3)
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    np.broadcast_to(
+                        ((7 * d + 40 * (f // 4) + f) % 180 + 3 * y) % 200,
+                        (h, w),
+                    ).astype(np.uint8)
+                    for f in range(12)
+                ]
+                ids.append(d)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_scene_changes", oracle=_B22_SCENE_ORACLE, tags=("B22",))
+def b22_scene_changes(spark, sf_dir):
+    from ..operators.multimodal import scene_changes
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return scene_changes(_media_payloads_y4m_shots(docs))
+
+
+# --------------------------------------------------------------------------
 # B18f — per-domain quota cap, MATERIALIZATION twin of
 # b18_source_cap: that query reports per-source keep statistics (its
 # count(*) OVER (PARTITION BY source) forces the full window); this

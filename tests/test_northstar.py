@@ -340,6 +340,31 @@ def test_phash64_invariances():
     assert 0 <= phash64(tall) < 1 << 63
 
 
+def test_scene_changes_flags_shot_boundaries(spark):
+    """A synthetic clip with two hard cuts must flag exactly the cut
+    frames: slow per-frame drift (+1 luma) stays under the mean-abs-
+    diff threshold, a +100 jump exceeds it, and the SAD values are
+    exact integers."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        encode_y4m,
+        scene_changes,
+    )
+
+    bases = [10, 11, 12, 120, 121, 20, 21]  # cuts at frames 3 and 5
+    frames = [np.full((6, 8), b, dtype=np.uint8) for b in bases]
+    pdf = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(frames)))], "doc_id bigint, payload binary"
+    )
+    rows = {r["frame_idx"]: r for r in scene_changes(pdf).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    for f, r in rows.items():
+        expect_sad = abs(bases[f] - bases[f - 1]) * 48
+        assert r["sad"] == expect_sad and r["n_px"] == 48
+        assert r["is_cut"] == (1 if f in (3, 5) else 0)
+
+
 def test_resample_linear_semantics():
     """Identity at equal rates; exact 2x up keeps every source sample
     and inserts floor-semantics midpoints (round-half-up works on
