@@ -94,6 +94,14 @@ BENCH_QUERIES = [
     "b5_hll_deterministic",  # md5-pinned HLL: bounded register shuffle
     "b23_deadman_silent_series",  # silent-series detection, broadcast frontier
     "b5_cms_heavy_hitters",  # Count-Min cells + broadcast MIN-estimate
+    "b22_jpeg_progressive",  # T.81 Annex G multi-scan decode at 4:2:0
+    "b22_gif_decode",  # palette + variable-width LZW + interlace
+    "b22_resize_bilinear",  # fused decode→bilinear 2:1→stats
+    "b19_phash_image_neardup",  # perceptual-hash image dedup, banded LSH
+    "b22_audio_spectrogram",  # rFFT invariants (dominant bin + Parseval)
+    "b22_mel_features",  # Hann + rFFT + mel filterbank matmul
+    "b22_audio_resample",  # linear-interp rate conversion to 16 kHz
+    "b22_scene_changes",  # per-frame-pair SAD + integer cut flag
 ]
 
 
