@@ -501,6 +501,137 @@ def b5_cms_windowed_merge(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B5f — deterministic BLOOM FILTER, completing the mergeable-sketch
+# trio (HLL = MAX-merge, CMS = SUM-merge, Bloom = OR-merge). m = 4096
+# bits as 128 x 32-bit words in BIGINTs (bit 31 max — no signed-shift
+# edge in either engine), k = 3 positions from non-overlapping 3-hex-
+# char slices of md5(key) — the same engine-pinned hashing recipe as
+# the HLL/CMS, so DuckDB rebuilds the identical sketch bit-for-bit.
+# The query is the classic 100 TB USE of a Bloom filter: build over
+# the fact side's key set (512-byte aggregate — the bit_or partial
+# combines map-side), broadcast it, and pre-screen a probe table
+# before any join; the exact semi-join runs alongside so the output
+# exhibits the contract (bloom_hit >= has_orders: no false negatives,
+# measured-FP false positives). tests/test_operators.py bounds the FP
+# rate and proves OR-merge losslessness.
+# --------------------------------------------------------------------------
+_BLOOM_M, _BLOOM_WORD, _BLOOM_K = 4096, 32, 3
+
+
+def _bloom_pos_sql(col: str, j: int) -> str:
+    """DuckDB: position j = int of md5 hex chars [1+3j, 3+3j] (12 bits
+    < m = 4096)."""
+    nib = (
+        "(strpos('0123456789abcdef', "
+        f"substr(md5(CAST({col} AS VARCHAR)), {{c}}, 1)) - 1)"
+    )
+    return (
+        f"({nib.format(c=1 + 3 * j)} * 256 "
+        f"+ {nib.format(c=2 + 3 * j)} * 16 "
+        f"+ {nib.format(c=3 + 3 * j)})"
+    )
+
+
+def _bloom_pos_col(col) -> "F.Column":
+    """Spark: the k positions as an array column (same md5 slices)."""
+    hx = F.md5(F.col(col).cast("string"))
+    return F.array(
+        *[
+            F.conv(F.substring(hx, 1 + 3 * j, 3), 16, 10).cast("int")
+            for j in range(_BLOOM_K)
+        ]
+    )
+
+
+_B5_BLOOM_ORACLE = (
+    """
+    WITH pos AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('o_custkey', j)} AS pos FROM orders"
+        for j in range(_BLOOM_K)
+    )
+    + """
+    ),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS w
+      FROM pos GROUP BY 1
+    ),
+    cpos AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT c_custkey, {_bloom_pos_sql('c_custkey', j)} AS pos "
+        "FROM customer"
+        for j in range(_BLOOM_K)
+    )
+    + """
+    ),
+    probe AS (
+      SELECT c_custkey,
+        MIN(CASE WHEN (w >> CAST(pos % 32 AS INT)) & 1 = 1
+                 THEN 1 ELSE 0 END) AS bloom_hit
+      FROM cpos LEFT JOIN words ON words.word = cpos.pos // 32
+      GROUP BY c_custkey
+    )
+    SELECT p.c_custkey,
+      CAST(p.bloom_hit AS INT) AS bloom_hit,
+      CAST(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        AS has_orders
+    FROM probe p
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON o.o_custkey = p.c_custkey
+    """
+)
+
+
+@register("b5_bloom_membership", oracle=_B5_BLOOM_ORACLE, tags=("B5",))
+def b5_bloom_membership(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    build = (
+        orders.select(F.explode(_bloom_pos_col("o_custkey")).alias("pos"))
+        .select(
+            (F.col("pos") / _BLOOM_WORD).cast("int").alias("word"),
+            F.expr(f"shiftleft(1L, pos % {_BLOOM_WORD})").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    cpos = cust.select(
+        "c_custkey", F.explode(_bloom_pos_col("c_custkey")).alias("pos")
+    )
+    probe = (
+        cpos.join(
+            F.broadcast(build),
+            (F.col("pos") / _BLOOM_WORD).cast("int") == F.col("word"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.when(
+                F.expr(f"shiftright(w, pos % {_BLOOM_WORD}) & 1") == 1, 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("hit").alias("bloom_hit"))
+    )
+    seen = orders.select("o_custkey").distinct()
+    return probe.join(
+        seen, probe.c_custkey == seen.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.col("bloom_hit").cast("int").alias("bloom_hit"),
+        F.when(F.col("o_custkey").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("has_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B6 — rollup / cube / grouping sets
 # --------------------------------------------------------------------------
 @register(

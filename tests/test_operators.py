@@ -396,3 +396,60 @@ def test_wilder_fold_vs_ewm_measurement():
     diff = np.max(np.abs(np.array(wilder_loop) - wilder_ewm.to_numpy()))
     assert diff > 0  # NOT bit-equal -> the RSI loop must stay
     assert diff < 1e-10  # but numerically tiny (documentation, not a bug)
+
+
+def test_bloom_membership_contract(spark):
+    """The deterministic Bloom filter must have ZERO false negatives
+    (bloom_hit >= has_orders on every row), a false-positive rate
+    within 2x the theoretical (1 - e^(-kn/m))^k, and OR-merge must be
+    LOSSLESS: per-shard bloom words bit_or-merged equal the one-pass
+    bloom bit-for-bit (the property that lets per-partition filters
+    combine at 100 TB without touching raw keys twice)."""
+    import math
+
+    import duckdb
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.catalog import t
+    from iot_system_plc_data_to_influxdb_spark.plans.relational import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _BLOOM_WORD,
+        _bloom_pos_col,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = plans.all_queries()["b5_bloom_membership"](spark, sf).collect()
+    assert rows
+    fn = [r for r in rows if r["has_orders"] == 1 and r["bloom_hit"] == 0]
+    assert not fn, f"false negatives: {fn[:3]}"
+    absent = [r for r in rows if r["has_orders"] == 0]
+    if absent:
+        fp = sum(r["bloom_hit"] for r in absent) / len(absent)
+        n = duckdb.sql(
+            f"SELECT count(DISTINCT o_custkey) FROM '{sf}/orders.parquet'"
+        ).fetchone()[0]
+        theo = (1.0 - math.exp(-_BLOOM_K * n / _BLOOM_M)) ** _BLOOM_K
+        assert fp <= max(2.0 * theo, 0.02), (fp, theo)
+
+    def words(df, key):
+        out = (
+            df.select(F.explode(_bloom_pos_col(key)).alias("pos"))
+            .select(
+                (F.col("pos") / _BLOOM_WORD).cast("int").alias("word"),
+                F.expr(f"shiftleft(1L, pos % {_BLOOM_WORD})").alias("bit"),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("bit").alias("w"))
+            .collect()
+        )
+        return {r["word"]: r["w"] for r in out}
+
+    orders = t(spark, sf, "orders")
+    direct = words(orders, "o_custkey")
+    shard_a = words(orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey")
+    shard_b = words(orders.filter(F.col("o_orderkey") % 2 == 1), "o_custkey")
+    merged = dict(shard_a)
+    for k, v in shard_b.items():
+        merged[k] = merged.get(k, 0) | v
+    assert merged == direct
