@@ -598,25 +598,37 @@ def b5_bloom_membership(spark, sf_dir):
         .groupBy("word")
         .agg(F.bit_or("bit").alias("w"))
     )
-    cpos = cust.select(
-        "c_custkey", F.explode(_bloom_pos_col("c_custkey")).alias("pos")
+    # Probe stays MAP-ONLY: no explode + re-group on the probe key
+    # (that would shuffle the big table by its own key just to AND the
+    # bits back together). Instead, one broadcast join per hash
+    # function against the 128-row word table — k tiny hash joins, the
+    # probe never moves.
+    probe = cust.select(
+        "c_custkey", _bloom_pos_col("c_custkey").alias("ps")
     )
-    probe = (
-        cpos.join(
-            F.broadcast(build),
-            (F.col("pos") / _BLOOM_WORD).cast("int") == F.col("word"),
+    hits = []
+    for j in range(_BLOOM_K):
+        bj = F.broadcast(
+            build.select(
+                F.col("word").alias(f"word{j}"), F.col("w").alias(f"w{j}")
+            )
+        )
+        probe = probe.join(
+            bj,
+            (F.col("ps")[j] / _BLOOM_WORD).cast("int") == F.col(f"word{j}"),
             "left",
         )
-        .select(
-            "c_custkey",
+        hits.append(
             F.when(
-                F.expr(f"shiftright(w, pos % {_BLOOM_WORD}) & 1") == 1, 1
-            )
-            .otherwise(0)
-            .alias("hit"),
+                F.expr(
+                    f"shiftright(w{j}, ps[{j}] % {_BLOOM_WORD}) & 1"
+                )
+                == 1,
+                1,
+            ).otherwise(0)
         )
-        .groupBy("c_custkey")
-        .agg(F.min("hit").alias("bloom_hit"))
+    probe = probe.select(
+        "c_custkey", F.least(*hits).alias("bloom_hit")
     )
     seen = orders.select("o_custkey").distinct()
     return probe.join(

@@ -245,3 +245,14 @@ def test_b18_domain_cap_partial_window_group_limit(spark):
     p = _plan(spark, "b18_domain_cap")
     pre, _, post = p.partition("Exchange")
     assert "WindowGroupLimit" in pre and "WindowGroupLimit" in post
+
+
+def test_b5_bloom_probe_is_broadcast_only(spark):
+    """The bloom probe side must stay map-only: every word lookup is a
+    BroadcastHashJoin against the 128-row filter — the probe table is
+    never exchanged by its own key (no explode + re-group)."""
+    p = _plan(spark, "b5_bloom_membership")
+    assert p.count("BroadcastHashJoin") >= 3  # k word joins (+ truth join)
+    # the only acceptable exchanges: the 128-word bit_or aggregate and
+    # the DISTINCT truth side — never a hashpartitioning on c_custkey
+    assert "hashpartitioning(c_custkey" not in p

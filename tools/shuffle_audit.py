@@ -48,6 +48,8 @@ QUERIES = [
     "b5_hll_deterministic",      # claim: map-side partial_max folds rows into <=256 registers
     "b5_cms_heavy_hitters",      # claim: cell counts partial-agg to <=1024 rows/task
     "b19_span_dedup",            # claim: int64 gram keys through all 3 shuffles (r6 swap)
+    "b5_bloom_membership",       # claim: 512-byte filter aggregate, broadcast probe
+    "b19_phash_image_neardup",   # claim: 8-byte hashes only cross the band self-join
 ]
 
 UI_PORT = 4047
