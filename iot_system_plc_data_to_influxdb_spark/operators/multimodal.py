@@ -2200,6 +2200,59 @@ def phash_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, "doc_id bigint, phash bigint")
 
 
+def augment_images(df: DataFrame, crop=(8, 8)) -> DataFrame:
+    """Arrow-batched training-data AUGMENTATION: decode, then apply
+    the per-row deterministic pipeline horizontal-flip (``flip`` = 1)
+    → ``rot`` CCW quarter-turns → center crop to ``crop`` (h, w), and
+    emit exact integer channel sums of the result PLUS the top-left
+    quadrant sum — a position-sensitive invariant, so a wrong flip
+    axis, rotation direction, or crop offset shifts the numbers even
+    when the whole-image sum wouldn't. Input: (doc_id, payload, flip,
+    rot)."""
+    import numpy as np
+
+    ch, cw = crop
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "out_w": [], "out_h": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "tl_r": [], "tl_g": [],
+            }
+            for doc_id, payload, flip, rot in zip(
+                pdf["doc_id"], pdf["payload"], pdf["flip"], pdf["rot"]
+            ):
+                _w, _h, px = decode_image(bytes(payload))
+                if int(flip):
+                    px = px[:, ::-1]
+                px = np.rot90(px, int(rot) % 4)
+                h2, w2 = px.shape[:2]
+                if h2 < ch or w2 < cw:
+                    raise ValueError(
+                        f"crop {crop} exceeds post-rotation dims {(h2, w2)}"
+                    )
+                top, left = (h2 - ch) // 2, (w2 - cw) // 2
+                cp = px[top : top + ch, left : left + cw].astype(np.int64)
+                sums = cp.sum(axis=(0, 1))
+                tl = cp[: ch // 2, : cw // 2].sum(axis=(0, 1))
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(cw)
+                out["out_h"].append(ch)
+                for k, c in zip(("sum_r", "sum_g", "sum_b"), range(3)):
+                    out[k].append(int(sums[c]))
+                out["tl_r"].append(int(tl[0]))
+                out["tl_g"].append(int(tl[1]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, out_w int, out_h int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, "
+        "tl_r bigint, tl_g bigint",
+    )
+
+
 def scene_changes(df: DataFrame, threshold: int = 30) -> DataFrame:
     """Arrow-batched video scene-cut detection: decode the Y4M stream,
     then for every consecutive frame pair emit the exact integer SAD

@@ -3738,6 +3738,120 @@ def b22_resize_bilinear(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B22a — image AUGMENTATION (operators/multimodal.py augment_images):
+# flip → rot90(k) → center crop, the standard training-data aug chain,
+# with per-doc deterministic choices (flip = d%2, rot = d%4). The
+# corpus pattern depends on BOTH x and y, and the checked stats
+# include a top-left-QUADRANT sum — position-sensitive, so a wrong
+# flip axis, rotation direction (np.rot90 is CCW), or off-center crop
+# moves the hash even where a whole-image sum would not. The oracle
+# replays the exact index algebra: flip x→w-1-x, the four verified
+# rot90 coordinate maps, and the (dim-8)//2 crop window.
+# --------------------------------------------------------------------------
+_B22_AUGMENT_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+        8 + 2 * (doc_id % 5) AS w,
+        8 + 2 * (doc_id % 4) AS h,
+        doc_id % 2 AS flip,
+        CAST(doc_id % 4 AS INT) AS rot
+      FROM documents WHERE doc_id < 200
+    ),
+    xs AS (SELECT unnest(range(0, 16)) AS x),
+    ys AS (SELECT unnest(range(0, 14)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, d.rot, x, y,
+        CASE WHEN d.flip = 1 THEN d.w - 1 - x ELSE x END AS x1,
+        (3 * d.doc_id + 2 * x + 5 * y) % 256 AS r,
+        (2 * d.doc_id + 3 * x + y) % 256 AS g,
+        (d.doc_id + x + 4 * y) % 256 AS b
+      FROM d JOIN xs ON x < d.w JOIN ys ON y < d.h
+    ),
+    rotated AS (
+      SELECT doc_id, r, g, b,
+        CASE rot WHEN 0 THEN y WHEN 1 THEN w - 1 - x1
+                 WHEN 2 THEN h - 1 - y ELSE x1 END AS rr,
+        CASE rot WHEN 0 THEN x1 WHEN 1 THEN y
+                 WHEN 2 THEN w - 1 - x1 ELSE h - 1 - y END AS cc,
+        CASE WHEN rot IN (1, 3) THEN w ELSE h END AS h2,
+        CASE WHEN rot IN (1, 3) THEN h ELSE w END AS w2
+      FROM px
+    ),
+    cropped AS (
+      SELECT doc_id, r, g, b,
+        rr - (h2 - 8) // 2 AS oy,
+        cc - (w2 - 8) // 2 AS ox
+      FROM rotated
+      WHERE rr >= (h2 - 8) // 2 AND rr < (h2 - 8) // 2 + 8
+        AND cc >= (w2 - 8) // 2 AND cc < (w2 - 8) // 2 + 8
+    )
+    SELECT doc_id,
+      CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+      CAST(SUM(r) AS BIGINT) AS sum_r,
+      CAST(SUM(g) AS BIGINT) AS sum_g,
+      CAST(SUM(b) AS BIGINT) AS sum_b,
+      CAST(SUM(CASE WHEN oy < 4 AND ox < 4 THEN r ELSE 0 END) AS BIGINT)
+        AS tl_r,
+      CAST(SUM(CASE WHEN oy < 4 AND ox < 4 THEN g ELSE 0 END) AS BIGINT)
+        AS tl_g
+    FROM cropped GROUP BY doc_id
+"""
+
+
+def _media_payloads_aug(df):
+    """mapInPandas stage: the 2-D (x AND y dependent) corpus on even
+    dims, alternating BMP/PPM, plus the per-doc aug spec columns."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp, encode_ppm
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads, flips, rots = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + 2 * (d % 5), 8 + 2 * (d % 4)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (3 * d + 2 * x + 5 * y) % 256,
+                        (2 * d + 3 * x + y) % 256,
+                        (d + x + 4 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                ids.append(d)
+                payloads.append((encode_bmp, encode_ppm)[d % 2](px))
+                flips.append(d % 2)
+                rots.append(d % 4)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "payload": payloads,
+                    "flip": flips, "rot": rots,
+                }
+            )
+
+    return df.mapInPandas(
+        batches, "doc_id bigint, payload binary, flip int, rot int"
+    )
+
+
+@register("b22_augmentations", oracle=_B22_AUGMENT_ORACLE, tags=("B22",))
+def b22_augmentations(spark, sf_dir):
+    from ..operators.multimodal import augment_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return augment_images(_media_payloads_aug(docs), crop=(8, 8))
+
+
+# --------------------------------------------------------------------------
 # B19/B22 — IMAGE near-duplicate detection via 64-bit perceptual hash
 # (pHash: luma → 32x32 → DCT → median-threshold sign bits; see
 # operators/multimodal.py phash64). The corpus is 25 distinct base

@@ -340,6 +340,45 @@ def test_phash64_invariances():
     assert 0 <= phash64(tall) < 1 << 63
 
 
+def test_augment_images_semantics(spark):
+    """flip is horizontal, rot90 is CCW, crop is centered: on a 10x12
+    marker image with a single bright pixel the augmented quadrant
+    sums land exactly where hand-derived coordinates say; an oversized
+    crop raises in-band."""
+    import numpy as np
+    import pytest
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        augment_images,
+        encode_bmp,
+    )
+
+    px = np.zeros((10, 12, 3), dtype=np.uint8)
+    px[1, 2, 0] = 200  # marker near the top-left
+    def run(flip, rot, crop=(8, 8)):
+        pdf = spark.createDataFrame(
+            [(1, bytearray(encode_bmp(px)), flip, rot)],
+            "doc_id bigint, payload binary, flip int, rot int",
+        )
+        return augment_images(pdf, crop=crop).collect()[0]
+
+    # no-op aug: marker (1,2) → crop offset top=1,left=2 → (0,0): in TL
+    r = run(0, 0)
+    assert (r["sum_r"], r["tl_r"]) == (200, 200)
+    # flip: x 2→9; crop → (0, 7): right half, outside TL
+    r = run(1, 0)
+    assert (r["sum_r"], r["tl_r"]) == (200, 0)
+    # rot90 CCW once (no flip): (y,x)=(1,2) → (r,c)=(12-1-2, 1)=(9,1);
+    # dims (12,10) → top=2,left=1 → (7,0): bottom-left, outside TL
+    r = run(0, 1)
+    assert (r["sum_r"], r["tl_r"]) == (200, 0)
+    # rot twice: (1,2) → (8,9); top=1,left=2 → (7,7) in-crop, not TL
+    r = run(0, 2)
+    assert (r["sum_r"], r["tl_r"]) == (200, 0)
+    with pytest.raises(Exception):  # crop larger than post-rot dims
+        run(0, 0, crop=(11, 8))
+
+
 def test_scene_changes_flags_shot_boundaries(spark):
     """A synthetic clip with two hard cuts must flag exactly the cut
     frames: slow per-frame drift (+1 luma) stays under the mean-abs-
