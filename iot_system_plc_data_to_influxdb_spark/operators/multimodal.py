@@ -642,10 +642,13 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """RIFF/WAVE PCM → (sample_rate, channels, numpy int16 samples).
+    """RIFF/WAVE → (sample_rate, channels, numpy int16 samples).
 
     Walks the chunk list properly (fmt may be followed by LIST/fact
-    chunks before data; chunks are word-aligned)."""
+    chunks before data; chunks are word-aligned). Handles PCM16
+    (format 1) natively and IMA ADPCM (format 0x11, 4-bit compressed)
+    via the integer state machine below; other formats raise the
+    documented gate."""
     import struct
 
     import numpy as np
@@ -653,8 +656,9 @@ def decode_wav(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    sample_rate = channels = bits = None
-    samples = None
+    sample_rate = channels = bits = audio_fmt = None
+    n_samples = None
+    data = None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = pos + 8
@@ -663,17 +667,140 @@ def decode_wav(payload: bytes):
                 "<HHI", payload, body
             )
             bits = struct.unpack_from("<H", payload, body + 14)[0]
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt == 0x11 and size >= 20:
+                (n_samples,) = struct.unpack_from("<H", payload, body + 18)
+            if audio_fmt not in (1, 0x11) or (audio_fmt == 1 and bits != 16):
                 raise NotImplementedError(
-                    f"only PCM16 supported (fmt={audio_fmt}, bits={bits})"
+                    f"only PCM16 and IMA-ADPCM supported "
+                    f"(fmt={audio_fmt}, bits={bits})"
                 )
         elif cid == b"data":
-            samples = np.frombuffer(payload, dtype="<i2", count=size // 2,
-                                    offset=body)
+            data = payload[body : body + size]
         pos = body + size + (size % 2)  # chunks are word-aligned
-    if sample_rate is None or samples is None:
+    if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    return sample_rate, channels, samples
+    if audio_fmt == 1:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        return sample_rate, channels, samples
+    return sample_rate, channels, _ima_adpcm_decode_block(data, n_samples)
+
+
+# IMA/DVI ADPCM reference tables (public T.811 / IMA spec constants)
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_code(sample: int, pred: int, idx: int):
+    """One IMA ADPCM encode step: returns (4-bit code, new pred, new
+    idx). The encoder reconstructs exactly like the decoder, so both
+    sides track identical integer state (the property the recursive-
+    CTE oracle replays)."""
+    step = _IMA_STEP[idx]
+    diff = sample - pred
+    code = 0
+    if diff < 0:
+        code = 8
+        diff = -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    return code, *_ima_reconstruct(code, pred, idx)
+
+
+def _ima_reconstruct(code: int, pred: int, idx: int):
+    """Shared encode/decode state update for one 4-bit code."""
+    step = _IMA_STEP[idx]
+    diffq = step >> 3
+    if code & 4:
+        diffq += step
+    if code & 2:
+        diffq += step >> 1
+    if code & 1:
+        diffq += step >> 2
+    pred = pred - diffq if code & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[code & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_decode_block(data: bytes, n_samples=None):
+    """One IMA ADPCM block: 4-byte header (predictor int16, step index
+    u8, reserved u8) then packed nibbles, LOW nibble first. Sample 0
+    IS the header predictor (standard block layout)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4:
+        raise ValueError("truncated ADPCM block header")
+    pred, idx, _res = struct.unpack_from("<hBB", data, 0)
+    if idx > 88:
+        raise ValueError(f"ADPCM step index {idx} out of range")
+    out = [pred]
+    limit = n_samples if n_samples is not None else 1 + 2 * (len(data) - 4)
+    for byte in data[4:]:
+        for code in (byte & 0x0F, byte >> 4):
+            if len(out) >= limit:
+                break
+            pred, idx = _ima_reconstruct(code, pred, idx)
+            out.append(pred)
+    if n_samples is not None and len(out) < n_samples:
+        raise ValueError("ADPCM data short of declared sample count")
+    return np.asarray(out, dtype=np.int16)
+
+
+def encode_wav_adpcm(samples, sample_rate: int = 8000,
+                     step_index: int = 0) -> bytes:
+    """numpy int16 mono samples → RIFF/WAVE IMA-ADPCM (format 0x11),
+    one block: header carries sample 0 as the initial predictor and
+    ``step_index``; remaining samples compress to 4-bit codes (low
+    nibble first). The fmt extension carries samplesPerBlock so odd
+    counts round-trip exactly."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.size == 0:
+        raise ValueError("need at least one sample")
+    pred, idx = int(samples[0]), int(step_index)
+    if not 0 <= idx <= 88:
+        raise ValueError("step index must be in [0, 88]")
+    nibbles = []
+    for s in samples[1:]:
+        code, pred, idx = _ima_step_code(int(s), pred, idx)
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    body = bytearray(struct.pack("<hBB", int(samples[0]), step_index, 0))
+    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+        body.append(lo | (hi << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        (sample_rate * len(body)) // max(1, samples.size),  # nominal rate
+        len(body), 4, 2, samples.size,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 # --------------------------------------------------------------------------

@@ -4174,6 +4174,139 @@ def b22_audio_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B22p — COMPRESSED audio decode: IMA ADPCM (WAV format 0x11, the
+# classic 4-bit telephony/game codec — pure integer state machine, no
+# external codec lib needed). The corpus samples are closed-form, so
+# the DuckDB oracle replays the ENTIRE encode→reconstruct state
+# machine as a recursive CTE (the same pattern as the EWMA/Holt fold
+# oracles): per step, the 3-bit magnitude search against the step
+# table, the diffq reconstruction with >>1/>>2/>>3 shifts, the ±32767
+# predictor clamp, and the [0, 88] index clamp. Any divergence in the
+# table, clamping, or nibble handling breaks the hash on 200 docs x
+# up to 127 steps.
+# --------------------------------------------------------------------------
+_IMA_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,"
+    "60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,"
+    "307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,"
+    "1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,"
+    "4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,"
+    "13899,15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+_B22_ADPCM_ORACLE = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+        CAST(64 + doc_id % 64 AS INT) AS n,
+        CAST(doc_id % 89 AS INT) AS idx0,
+        CAST((7 * doc_id) % 2048 - 1024 AS INT) AS s0,
+        CAST(8000 + (doc_id % 8) * 1000 AS INT) AS rate
+      FROM documents WHERE doc_id < 200
+    ),
+    st AS (
+      SELECT doc_id, n, rate, 0 AS i, s0 AS pred, idx0 AS idx,
+             CAST(s0 AS BIGINT) AS cum, s0 AS peak
+      FROM d
+      UNION ALL
+      SELECT doc_id, n, rate, i, pred2 AS pred, idx2 AS idx,
+             cum + pred2, GREATEST(peak, pred2)
+      FROM (
+        SELECT *,
+          CASE WHEN sgn THEN GREATEST(-32768, pred - dq)
+               ELSE LEAST(32767, pred + dq) END AS pred2,
+          LEAST(88, GREATEST(0,
+            idx + [-1,-1,-1,-1,2,4,6,8][mag + 1])) AS idx2
+        FROM (
+          SELECT *,
+            (step // 8)
+            + CASE WHEN b4 THEN step ELSE 0 END
+            + CASE WHEN b2 THEN step // 2 ELSE 0 END
+            + CASE WHEN b1 THEN step // 4 ELSE 0 END AS dq,
+            (CASE WHEN b4 THEN 4 ELSE 0 END
+             + CASE WHEN b2 THEN 2 ELSE 0 END
+             + CASE WHEN b1 THEN 1 ELSE 0 END) AS mag
+          FROM (
+            SELECT *, ad3 >= step // 4 AS b1
+            FROM (
+              SELECT *, ad2 >= step // 2 AS b2,
+                ad2 - CASE WHEN ad2 >= step // 2
+                           THEN step // 2 ELSE 0 END AS ad3
+              FROM (
+                SELECT *, ad >= step AS b4,
+                  ad - CASE WHEN ad >= step THEN step ELSE 0 END AS ad2
+                FROM (
+                  SELECT doc_id, n, rate, i + 1 AS i, pred, idx, cum,
+                    peak,
+                    {_IMA_STEP_SQL}[idx + 1] AS step,
+                    ((7 * doc_id + 31 * (i + 1)) % 2048 - 1024) - pred
+                      AS diff,
+                    ((7 * doc_id + 31 * (i + 1)) % 2048 - 1024) - pred
+                      < 0 AS sgn,
+                    ABS(((7 * doc_id + 31 * (i + 1)) % 2048 - 1024)
+                      - pred) AS ad
+                  FROM st WHERE i + 1 < n
+                ) q1
+              ) q2
+            ) q3
+          ) q4
+        ) q5
+      ) q6
+    )
+    SELECT doc_id,
+      rate AS sample_rate,
+      1 AS channels,
+      CAST(n AS INT) AS n_samples,
+      CAST(cum AS BIGINT) AS sum_amp,
+      CAST(peak AS INT) AS peak
+    FROM st WHERE i = n - 1
+"""
+
+
+def _media_payloads_adpcm(df):
+    """mapInPandas stage: doc_id → IMA-ADPCM WAV of the same
+    closed-form sample sequence as the PCM corpus, initial step index
+    doc_id % 89 (covers the whole step table across the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav_adpcm
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((7 * d + 31 * i) % 2048 - 1024).astype(np.int16)
+                ids.append(d)
+                payloads.append(
+                    encode_wav_adpcm(
+                        samples, 8000 + (d % 8) * 1000, step_index=d % 89
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_adpcm_decode", oracle=_B22_ADPCM_ORACLE, tags=("B22",))
+def b22_adpcm_decode(spark, sf_dir):
+    """IMA-ADPCM WAV decode → exact integer stats of the RECONSTRUCTED
+    samples (cites the stateful-fold oracle pattern of the EWMA/Holt
+    queries — here the state is (predictor, step index))."""
+    from ..operators.multimodal import decode_audio
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_audio(_media_payloads_adpcm(docs))
+
+
+# --------------------------------------------------------------------------
 # B22q — audio RESAMPLING (operators/multimodal.py resample_linear):
 # decode → linear-interpolation rate conversion to 16 kHz → exact
 # stats of the RESAMPLED signal. The corpus rates are 1000*(8+m) Hz

@@ -404,6 +404,49 @@ def test_scene_changes_flags_shot_boundaries(spark):
         assert r["is_cut"] == (1 if f in (3, 5) else 0)
 
 
+def test_ima_adpcm_layout_and_roundtrip():
+    """Pins the wire layout (block header <pred:int16><idx:u8><0:u8>,
+    LOW nibble first, samplesPerBlock in the fmt extension) against a
+    hand-built byte fixture, and the state machine against a manual
+    simulation; ADPCM must track a smooth signal within a few steps
+    after warm-up."""
+    import struct
+
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        _ima_adpcm_decode_block,
+        _ima_reconstruct,
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    # hand-built block: pred0=100, idx0=0 (step 7), codes [2, 9]
+    # code 2: dq = 7>>3 + 7>>1 = 3 → pred 103, idx += index[2] = -1 → 0
+    # code 9: dq = 0 + 7>>2 = 1, sign → pred 102, idx += index[1] = -1 → 0
+    block = struct.pack("<hBB", 100, 0, 0) + bytes([2 | (9 << 4)])
+    assert _ima_adpcm_decode_block(block).tolist() == [100, 103, 102]
+    assert _ima_reconstruct(2, 100, 0) == (103, 0)
+
+    # encoder writes exactly that layout for the equivalent input
+    blob = encode_wav_adpcm(np.array([100, 103, 102], dtype=np.int16), 9000)
+    rate, ch, dec = decode_wav(blob)
+    assert (rate, ch) == (9000, 1)
+    assert dec.tolist() == [100, 103, 102]  # this sequence is exactly
+    # representable from (pred 100, step 7)
+    i = blob.index(b"data")
+    assert blob[i + 8 : i + 8 + len(block)] == block  # exact wire layout
+
+    # odd sample counts round-trip via samplesPerBlock (no pad sample)
+    x = np.array([0, 50, -80, 120], dtype=np.int16)
+    assert decode_wav(encode_wav_adpcm(x, 8000, 30))[2].size == 4
+
+    t = np.arange(400)
+    sine = (600 * np.sin(t / 15)).astype(np.int16)
+    _, _, rec = decode_wav(encode_wav_adpcm(sine, 8000, 25))
+    assert np.abs(rec.astype(int) - sine.astype(int)).max() <= 40
+
+
 def test_resample_linear_semantics():
     """Identity at equal rates; exact 2x up keeps every source sample
     and inserts floor-semantics midpoints (round-half-up works on
