@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "b22_mel_features",  # Hann + rFFT + mel filterbank matmul
     "b22_audio_resample",  # linear-interp rate conversion to 16 kHz
     "b22_scene_changes",  # per-frame-pair SAD + integer cut flag
+    "b22_adpcm_decode",  # 4-bit IMA-ADPCM state-machine decode
+    "b22_augmentations",  # flip/rot90/center-crop aug chain
+    "b5_bloom_membership",  # OR-mergeable bloom build + broadcast probe
 ]
 
 

@@ -669,9 +669,11 @@ def decode_wav(payload: bytes):
             bits = struct.unpack_from("<H", payload, body + 14)[0]
             if audio_fmt == 0x11 and size >= 20:
                 (n_samples,) = struct.unpack_from("<H", payload, body + 18)
-            if audio_fmt not in (1, 0x11) or (audio_fmt == 1 and bits != 16):
+            if audio_fmt not in (1, 0x07, 0x11) or (
+                audio_fmt == 1 and bits != 16
+            ):
                 raise NotImplementedError(
-                    f"only PCM16 and IMA-ADPCM supported "
+                    f"only PCM16, mu-law, and IMA-ADPCM supported "
                     f"(fmt={audio_fmt}, bits={bits})"
                 )
         elif cid == b"data":
@@ -682,6 +684,9 @@ def decode_wav(payload: bytes):
     if audio_fmt == 1:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         return sample_rate, channels, samples
+    if audio_fmt == 0x07:  # G.711 mu-law: one code byte per sample
+        codes = np.frombuffer(data, dtype=np.uint8)
+        return sample_rate, channels, mulaw_decode(codes)
     return sample_rate, channels, _ima_adpcm_decode_block(data, n_samples)
 
 
@@ -2456,6 +2461,58 @@ def decode_resize_images(df: DataFrame, scale: int = 2) -> DataFrame:
         "sum_r bigint, sum_g bigint, sum_b bigint, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+_MULAW_BIAS, _MULAW_CLIP = 0x84, 32635
+
+
+def mulaw_encode(samples):
+    """G.711 μ-law compression: int16 → uint8 codes (sign, 3-bit
+    exponent = position of the leading bit above the bias, 4-bit
+    mantissa, ones-complemented). Pure integer, vectorized."""
+    import numpy as np
+
+    x = samples.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    x = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent: highest set bit of x>>7 (x is in [132, 32767+132])
+    exp = np.zeros_like(x)
+    for e in range(7, 0, -1):
+        exp = np.where((x >> (e + 7)) > 0, np.maximum(exp, e), exp)
+    mant = (x >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(codes):
+    """G.711 μ-law expansion: uint8 codes → int16 samples (exact
+    inverse of the quantized representation)."""
+    import numpy as np
+
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(sign > 0, -x, x).astype(np.int16)
+
+
+def encode_wav_mulaw(samples, sample_rate: int = 8000) -> bytes:
+    """numpy int16 mono samples → RIFF/WAVE G.711 μ-law (format 0x07,
+    8 bits per sample)."""
+    import struct
+
+    import numpy as np
+
+    codes = mulaw_encode(np.asarray(samples, dtype=np.int16)).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 0x07, 1, sample_rate, sample_rate, 1, 8
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\x00" if len(codes) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def resample_linear(samples, sr_in: int, sr_out: int):

@@ -4307,6 +4307,94 @@ def b22_adpcm_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B22o — G.711 μ-law decode (WAV format 0x07 — the telephony
+# companding codec; one code byte per sample, no state). Every
+# encode/decode step is pure integer (sign/exponent/mantissa,
+# ones-complement), so the oracle re-derives the reconstructed value
+# per closed-form sample: exponent by threshold CASE, mantissa by
+# shift/mask, expansion by ((8*mant + 132) << e) - 132.
+# --------------------------------------------------------------------------
+_B22_MULAW_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+        8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (SELECT unnest(range(0, 128)) AS i),
+    s AS (
+      SELECT d.doc_id, d.n, d.rate,
+        (7 * d.doc_id + 31 * i) % 2048 - 1024 AS a
+      FROM d JOIN idx ON i < d.n
+    ),
+    enc AS (
+      SELECT doc_id, n, rate, a < 0 AS sgn,
+        LEAST(ABS(a), 32635) + 132 AS x
+      FROM s
+    ),
+    ex AS (
+      SELECT *, CASE WHEN x >= 16384 THEN 7 WHEN x >= 8192 THEN 6
+                     WHEN x >= 4096 THEN 5 WHEN x >= 2048 THEN 4
+                     WHEN x >= 1024 THEN 3 WHEN x >= 512 THEN 2
+                     WHEN x >= 256 THEN 1 ELSE 0 END AS e
+      FROM enc
+    ),
+    rec AS (
+      SELECT doc_id, n, rate,
+        CASE WHEN sgn THEN -(((x // (1 << (e + 3))) % 16 * 8 + 132)
+                             * (1 << e) - 132)
+             ELSE ((x // (1 << (e + 3))) % 16 * 8 + 132)
+                  * (1 << e) - 132 END AS v
+      FROM ex
+    )
+    SELECT doc_id,
+      CAST(rate AS INT) AS sample_rate,
+      1 AS channels,
+      CAST(n AS INT) AS n_samples,
+      CAST(SUM(v) AS BIGINT) AS sum_amp,
+      CAST(MAX(v) AS INT) AS peak
+    FROM rec GROUP BY doc_id, n, rate
+"""
+
+
+def _media_payloads_mulaw(df):
+    """mapInPandas stage: doc_id → G.711 μ-law WAV of the closed-form
+    PCM sample sequence."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav_mulaw
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((7 * d + 31 * i) % 2048 - 1024).astype(np.int16)
+                ids.append(d)
+                payloads.append(
+                    encode_wav_mulaw(samples, 8000 + (d % 8) * 1000)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_mulaw_decode", oracle=_B22_MULAW_ORACLE, tags=("B22",))
+def b22_mulaw_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_audio
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_audio(_media_payloads_mulaw(docs))
+
+
+# --------------------------------------------------------------------------
 # B22q — audio RESAMPLING (operators/multimodal.py resample_linear):
 # decode → linear-interpolation rate conversion to 16 kHz → exact
 # stats of the RESAMPLED signal. The corpus rates are 1000*(8+m) Hz

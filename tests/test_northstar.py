@@ -447,6 +447,39 @@ def test_ima_adpcm_layout_and_roundtrip():
     assert np.abs(rec.astype(int) - sine.astype(int)).max() <= 40
 
 
+def test_mulaw_codec_properties():
+    """G.711 spot values (0 → 0xFF, -1 → 0x7F, decode(0xFF) = 0), code
+    idempotence (encode(decode(c)) == c for all codes except the
+    negative-zero alias 0x7F), bounded quantization error, and the WAV
+    format-7 container round trip."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_mulaw,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    assert mulaw_encode(np.array([0], dtype=np.int16))[0] == 0xFF
+    assert mulaw_encode(np.array([-1], dtype=np.int16))[0] == 0x7F
+    assert mulaw_decode(np.array([0xFF], dtype=np.uint8))[0] == 0
+    codes = np.arange(256, dtype=np.uint8)
+    rt = mulaw_encode(mulaw_decode(codes))
+    assert (rt[codes != 0x7F] == codes[codes != 0x7F]).all()
+    assert rt[0x7F] == 0xFF  # negative zero folds to positive zero
+
+    x = np.arange(-32768, 32768, 7, dtype=np.int64).astype(np.int16)
+    rec = mulaw_decode(mulaw_encode(x))
+    err = np.abs(rec.astype(int) - np.clip(x.astype(int), -32635, 32635))
+    # error ≤ half the segment step (2^(e+3)/... ≤ 512) + bias effects
+    assert err.max() <= 1024
+
+    rate, ch, dec = decode_wav(encode_wav_mulaw(x[:33], 11000))
+    assert (rate, ch, dec.size) == (11000, 1, 33)
+    assert (dec == rec[:33]).all()
+
+
 def test_resample_linear_semantics():
     """Identity at equal rates; exact 2x up keeps every source sample
     and inserts floor-semantics midpoints (round-half-up works on
