@@ -2332,6 +2332,58 @@ def phash_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, "doc_id bigint, phash bigint")
 
 
+def equalize_hist(channel):
+    """Per-channel histogram equalization in EXACT integer math:
+    out(v) = round_half_up((cdf(v) - cdf_min) * 255 / (n - cdf_min)),
+    computed as ((cdf - cdf_min) * 510 + den) // (2 * den) so both
+    engines agree bit-for-bit (no float rounding). A constant channel
+    (den = 0) maps to 0."""
+    import numpy as np
+
+    flat = channel.reshape(-1).astype(np.int64)
+    cnt = np.bincount(flat, minlength=256)
+    cdf = np.cumsum(cnt)
+    cdf_min = int(cnt[flat.min()]) if flat.size else 0
+    den = int(flat.size) - cdf_min
+    if den <= 0:
+        return np.zeros_like(channel)
+    lut = ((cdf - cdf_min) * 510 + den) // (2 * den)
+    return lut[flat].reshape(channel.shape).astype(np.uint8)
+
+
+def equalize_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode → per-channel histogram equalization →
+    exact integer stats of the equalized image (contrast
+    normalization, the preprocessing twin of augment_images)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_px": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_image(bytes(payload))
+                eq = np.stack(
+                    [equalize_hist(px[:, :, c]) for c in range(3)], axis=2
+                ).astype(np.int64)
+                sums = eq.reshape(-1, 3).sum(axis=0)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                for k, c in zip(("sum_r", "sum_g", "sum_b"), range(3)):
+                    out[k].append(int(sums[c]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, width int, height int, n_px int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
 def augment_images(df: DataFrame, crop=(8, 8)) -> DataFrame:
     """Arrow-batched training-data AUGMENTATION: decode, then apply
     the per-row deterministic pipeline horizontal-flip (``flip`` = 1)

@@ -3838,6 +3838,82 @@ def _media_payloads_aug(df):
     )
 
 
+# --------------------------------------------------------------------------
+# B22e — histogram EQUALIZATION (contrast normalization): per-channel
+# cdf remap in exact integer math (round-half-up as
+# ((cdf-cdf_min)*510 + den) // (2*den)), so the DuckDB oracle rebuilds
+# the per-(doc, channel) histogram with a window cumsum and reproduces
+# every remapped pixel bit-for-bit. Runs over the 2-D aug corpus via
+# its BMP/PPM payload stage.
+# --------------------------------------------------------------------------
+_B22_EQUALIZE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+        8 + 2 * (doc_id % 5) AS w,
+        8 + 2 * (doc_id % 4) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    xs AS (SELECT unnest(range(0, 16)) AS x),
+    ys AS (SELECT unnest(range(0, 14)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, ch.c,
+        CASE ch.c WHEN 0 THEN (3 * d.doc_id + 2 * x + 5 * y) % 256
+                  WHEN 1 THEN (2 * d.doc_id + 3 * x + y) % 256
+                  ELSE (d.doc_id + x + 4 * y) % 256 END AS v
+      FROM d
+      JOIN xs ON x < d.w JOIN ys ON y < d.h
+      CROSS JOIN (VALUES (0), (1), (2)) ch(c)
+    ),
+    cnt AS (
+      SELECT doc_id, w, h, c, v, COUNT(*) AS n FROM px
+      GROUP BY doc_id, w, h, c, v
+    ),
+    cdf AS (
+      SELECT *,
+        SUM(n) OVER (PARTITION BY doc_id, c ORDER BY v) AS cum,
+        FIRST_VALUE(n) OVER (PARTITION BY doc_id, c ORDER BY v)
+          AS cdf_min
+      FROM cnt
+    ),
+    mapped AS (
+      SELECT doc_id, w, h, c,
+        n * (((cum - cdf_min) * 510 + (w * h - cdf_min))
+             // (2 * (w * h - cdf_min))) AS contrib
+      FROM cdf
+    )
+    SELECT doc_id,
+      CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(w * h AS INT) AS n_px,
+      CAST(SUM(CASE WHEN c = 0 THEN contrib ELSE 0 END) AS BIGINT)
+        AS sum_r,
+      CAST(SUM(CASE WHEN c = 1 THEN contrib ELSE 0 END) AS BIGINT)
+        AS sum_g,
+      CAST(SUM(CASE WHEN c = 2 THEN contrib ELSE 0 END) AS BIGINT)
+        AS sum_b
+    FROM mapped GROUP BY doc_id, w, h
+"""
+
+
+@register("b22_hist_equalize", oracle=_B22_EQUALIZE_ORACLE, tags=("B22",))
+def b22_hist_equalize(spark, sf_dir):
+    """decode → per-channel histogram equalization → exact stats; the
+    aug-corpus channels are x+y dependent so the cdf remap is
+    non-trivial per doc (each channel has a distinct value histogram).
+    Corpus dims are never constant-channel, so the den > 0 branch is
+    the one checked; the den = 0 edge is pytest-pinned."""
+    from ..operators.multimodal import equalize_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return equalize_images(
+        _media_payloads_aug(docs).select("doc_id", "payload")
+    )
+
+
 @register("b22_augmentations", oracle=_B22_AUGMENT_ORACLE, tags=("B22",))
 def b22_augmentations(spark, sf_dir):
     from ..operators.multimodal import augment_images

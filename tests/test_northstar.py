@@ -447,6 +447,29 @@ def test_ima_adpcm_layout_and_roundtrip():
     assert np.abs(rec.astype(int) - sine.astype(int)).max() <= 40
 
 
+def test_equalize_hist_semantics():
+    """Equalization stretches a low-contrast ramp to full range
+    (max 255, min 0 with the standard cdf formula), is idempotent-ish
+    on an already-uniform histogram (identity up to rounding), and
+    maps a CONSTANT channel to 0 (den = 0 edge)."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        equalize_hist,
+    )
+
+    # 16 distinct values 100..115, uniform histogram → full stretch
+    ramp = np.repeat(np.arange(100, 116, dtype=np.uint8), 16).reshape(16, 16)
+    eq = equalize_hist(ramp)
+    assert int(eq.min()) == 0 + (510 * 0 + 240) // 480  # first bucket → 0
+    assert int(eq.max()) == 255
+    # uniform 0..255 already equalized → identity up to rounding ±1
+    full = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert np.abs(equalize_hist(full).astype(int) - full.astype(int)).max() <= 1
+    const = np.full((8, 8), 42, dtype=np.uint8)
+    assert (equalize_hist(const) == 0).all()
+
+
 def test_mulaw_codec_properties():
     """G.711 spot values (0 → 0xFF, -1 → 0x7F, decode(0xFF) = 0), code
     idempotence (encode(decode(c)) == c for all codes except the
