@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "b22_adpcm_decode",  # 4-bit IMA-ADPCM state-machine decode
     "b22_augmentations",  # flip/rot90/center-crop aug chain
     "b5_bloom_membership",  # OR-mergeable bloom build + broadcast probe
+    "b22_mulaw_decode",  # G.711 companding decode
+    "b22_hist_equalize",  # per-channel cdf remap
 ]
 
 

@@ -210,3 +210,71 @@ def chunk_stream(
             "predicted_lang",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B22 × B29 — streaming SCENE-CHANGE detection on camera ingest: the
+# stateful twin of plans/northstar.py b22_scene_changes. Each camera
+# key retains exactly ONE previous frame (luma bytes) in the state
+# store; every arriving frame emits its exact integer SAD against that
+# retained frame and a cut flag, then replaces it. State is O(cameras
+# x frame size), independent of stream length — the same bounded-state
+# argument as the A10 current-value table, with frames instead of
+# floats. Frames are processed in frame_idx order within a batch;
+# late/replayed frames (idx <= last seen) are dropped deterministically
+# rather than corrupting the diff chain.
+# --------------------------------------------------------------------------
+
+SCENE_OUTPUT = (
+    "camera string, frame_idx int, sad bigint, n_px int, is_cut int"
+)
+SCENE_STATE = "prev binary, last_idx int, w int, h int"
+
+
+def scene_change_stream(frames: DataFrame, threshold: int = 30) -> DataFrame:
+    """frames (camera string, frame_idx int, w int, h int, luma binary)
+    → per-frame (sad, n_px, is_cut) vs the camera's retained previous
+    frame. The first frame of a camera emits nothing (no predecessor),
+    matching the batch operator's frame_idx >= 1 output."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        camera = key[0]
+        rows = pd.concat(list(pdfs)).sort_values("frame_idx")
+        if state.exists:
+            prev_b, last_idx, w, h = state.get
+            prev = np.frombuffer(prev_b, dtype=np.uint8).astype(np.int64)
+        else:
+            prev, last_idx, w, h = None, -1, None, None
+        out = {"camera": [], "frame_idx": [], "sad": [], "n_px": [],
+               "is_cut": []}
+        for _, r in rows.iterrows():
+            idx = int(r["frame_idx"])
+            if idx <= last_idx:
+                continue  # late or replayed frame: drop, keep the chain
+            cur = np.frombuffer(bytes(r["luma"]), dtype=np.uint8).astype(
+                np.int64
+            )
+            w, h = int(r["w"]), int(r["h"])
+            if prev is not None and prev.size == cur.size:
+                sad = int(np.abs(cur - prev).sum())
+                n = w * h
+                out["camera"].append(camera)
+                out["frame_idx"].append(idx)
+                out["sad"].append(sad)
+                out["n_px"].append(n)
+                out["is_cut"].append(int(sad > threshold * n))
+            prev, last_idx = cur, idx
+        if prev is not None:
+            state.update((prev.astype(np.uint8).tobytes(), last_idx, w, h))
+        yield pd.DataFrame(out)
+
+    return frames.groupBy("camera").applyInPandasWithState(
+        update,
+        outputStructType=SCENE_OUTPUT,
+        stateStructType=SCENE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1101,3 +1101,77 @@ def test_streaming_state_is_o_keys_not_o_events(spark, tmp_path):
     assert nd_wide["dedup"] == 10 * nd_base["dedup"]
     # the chained windowed count holds one open-window row per doc
     assert nd_base["agg"] == 10 and nd_wide["agg"] == 100
+
+
+def test_streaming_scene_change_matches_batch(spark):
+    """B22 x B29: the stateful streaming scene-cut detector must emit
+    the SAME (sad, is_cut) sequence as the batch operator over the
+    identical frames, with the diff chain surviving the micro-batch
+    boundary (state carries exactly one previous frame per camera),
+    and late/replayed frames dropped deterministically."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        scene_change_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    w, h = 6, 4
+    bases = {"camA": [10, 11, 150, 151], "camB": [50, 50, 50, 200]}
+
+    def luma(b):
+        return bytearray(np.full(h * w, b, dtype=np.uint8).tobytes())
+
+    # batch 0: first two frames per camera; batch 1: the rest + a
+    # replay of camA frame 0 (must be dropped, not re-diffed)
+    batches = [
+        [(cam, i, w, h, luma(v))
+         for cam, vs in bases.items() for i, v in enumerate(vs[:2])],
+        [(cam, i, w, h, luma(v))
+         for cam, vs in bases.items() for i, v in list(enumerate(vs))[2:]]
+        + [("camA", 0, w, h, luma(99))],
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        sch = "camera string, frame_idx int, w int, h int, luma binary"
+        dst = os.path.join(tmp, "frames")
+        os.makedirs(dst, exist_ok=True)
+        t0 = time.time() - 100
+        for i, rows in enumerate(batches):
+            stage = os.path.join(tmp, f"sstage{i}")
+            spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            out = os.path.join(dst, f"{i:04d}.parquet")
+            shutil.copy(part, out)
+            os.utime(out, (t0 + i * 10, t0 + i * 10))
+
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dst)
+        )
+        got = []
+        q = (
+            scene_change_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    res = {(r["camera"], r["frame_idx"]): (r["sad"], r["is_cut"])
+           for r in got}
+    n = w * h
+    expect = {}
+    for cam, vs in bases.items():
+        for i in range(1, len(vs)):
+            sad = abs(vs[i] - vs[i - 1]) * n
+            expect[(cam, i)] = (sad, int(sad > 30 * n))
+    assert res == expect, (res, expect)
+    # the cross-batch diff (frame 2 vs frame 1) proves state carried
+    # the retained frame over the micro-batch boundary
+    assert res[("camA", 2)][1] == 1 and res[("camB", 3)][1] == 1
+    assert res[("camA", 1)][1] == 0 and res[("camB", 1)][1] == 0
