@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "b22_augmentations",  # flip/rot90/center-crop aug chain
     "b5_bloom_membership",  # OR-mergeable bloom build + broadcast probe
     "b22_mulaw_decode",  # G.711 companding decode
+    "b22_alaw_decode",  # A-law twin (format 6)
     "b22_hist_equalize",  # per-channel cdf remap
 ]
 

@@ -669,11 +669,11 @@ def decode_wav(payload: bytes):
             bits = struct.unpack_from("<H", payload, body + 14)[0]
             if audio_fmt == 0x11 and size >= 20:
                 (n_samples,) = struct.unpack_from("<H", payload, body + 18)
-            if audio_fmt not in (1, 0x07, 0x11) or (
+            if audio_fmt not in (1, 0x06, 0x07, 0x11) or (
                 audio_fmt == 1 and bits != 16
             ):
                 raise NotImplementedError(
-                    f"only PCM16, mu-law, and IMA-ADPCM supported "
+                    f"only PCM16, A-law, mu-law, and IMA-ADPCM supported "
                     f"(fmt={audio_fmt}, bits={bits})"
                 )
         elif cid == b"data":
@@ -684,6 +684,9 @@ def decode_wav(payload: bytes):
     if audio_fmt == 1:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         return sample_rate, channels, samples
+    if audio_fmt == 0x06:  # G.711 A-law: one code byte per sample
+        codes = np.frombuffer(data, dtype=np.uint8)
+        return sample_rate, channels, alaw_decode(codes)
     if audio_fmt == 0x07:  # G.711 mu-law: one code byte per sample
         codes = np.frombuffer(data, dtype=np.uint8)
         return sample_rate, channels, mulaw_decode(codes)
@@ -2546,6 +2549,56 @@ def mulaw_decode(codes):
     mant = u & 0x0F
     x = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
     return np.where(sign > 0, -x, x).astype(np.int16)
+
+
+def alaw_encode(samples):
+    """G.711 A-law compression: int16 → uint8 codes (13-bit magnitude,
+    segment/mantissa, XOR 0x55 bit inversion; sign bit SET means
+    non-negative — A-law's polarity is the opposite of μ-law's)."""
+    import numpy as np
+
+    x = samples.astype(np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    ax = np.minimum(np.abs(x) >> 3, 4095)  # 13-bit magnitude
+    exp = np.zeros_like(ax)
+    for e in range(7, 0, -1):
+        exp = np.where((ax >> (e + 4)) > 0, np.maximum(exp, e), exp)
+    mant = np.where(exp == 0, ax >> 1, (ax >> exp) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def alaw_decode(codes):
+    """G.711 A-law expansion: uint8 codes → int16 samples."""
+    import numpy as np
+
+    u = codes.astype(np.int64) ^ 0x55
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    y = np.where(
+        exp == 0, (mant << 1) + 1, ((mant | 0x10) << exp) + (1 << (exp - 1))
+    )
+    y = y << 3
+    return np.where(sign > 0, y, -y).astype(np.int16)
+
+
+def encode_wav_alaw(samples, sample_rate: int = 8000) -> bytes:
+    """numpy int16 mono samples → RIFF/WAVE G.711 A-law (format 0x06,
+    8 bits per sample)."""
+    import struct
+
+    import numpy as np
+
+    codes = alaw_encode(np.asarray(samples, dtype=np.int16)).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 0x06, 1, sample_rate, sample_rate, 1, 8
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+        + (b"\x00" if len(codes) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def encode_wav_mulaw(samples, sample_rate: int = 8000) -> bytes:

@@ -4457,6 +4457,89 @@ def _media_payloads_mulaw(df):
     return df.mapInPandas(batches, "doc_id bigint, payload binary")
 
 
+# A-law twin (WAV format 0x06): same per-sample integer re-derivation,
+# A-law's 13-bit magnitude, XOR-0x55 inversion, and inverted sign
+# polarity (sign bit SET = non-negative).
+_B22_ALAW_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+        8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (SELECT unnest(range(0, 128)) AS i),
+    s AS (
+      SELECT d.doc_id, d.n, d.rate,
+        (7 * d.doc_id + 31 * i) % 2048 - 1024 AS a
+      FROM d JOIN idx ON i < d.n
+    ),
+    enc AS (
+      SELECT doc_id, n, rate, a >= 0 AS pos,
+        LEAST(ABS(a) // 8, 4095) AS ax
+      FROM s
+    ),
+    ex AS (
+      SELECT *, CASE WHEN ax >= 2048 THEN 7 WHEN ax >= 1024 THEN 6
+                     WHEN ax >= 512 THEN 5 WHEN ax >= 256 THEN 4
+                     WHEN ax >= 128 THEN 3 WHEN ax >= 64 THEN 2
+                     WHEN ax >= 32 THEN 1 ELSE 0 END AS e
+      FROM enc
+    ),
+    rec AS (
+      SELECT doc_id, n, rate,
+        CASE WHEN pos THEN 1 ELSE -1 END * 8 *
+        CASE WHEN e = 0 THEN (ax // 2) * 2 + 1
+             ELSE ((ax // (1 << e)) % 16 + 16) * (1 << e)
+                  + (1 << (e - 1)) END AS v
+      FROM ex
+    )
+    SELECT doc_id,
+      CAST(rate AS INT) AS sample_rate,
+      1 AS channels,
+      CAST(n AS INT) AS n_samples,
+      CAST(SUM(v) AS BIGINT) AS sum_amp,
+      CAST(MAX(v) AS INT) AS peak
+    FROM rec GROUP BY doc_id, n, rate
+"""
+
+
+def _media_payloads_alaw(df):
+    """mapInPandas stage: doc_id → G.711 A-law WAV of the closed-form
+    PCM sample sequence."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav_alaw
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((7 * d + 31 * i) % 2048 - 1024).astype(np.int16)
+                ids.append(d)
+                payloads.append(
+                    encode_wav_alaw(samples, 8000 + (d % 8) * 1000)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_alaw_decode", oracle=_B22_ALAW_ORACLE, tags=("B22",))
+def b22_alaw_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_audio
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_audio(_media_payloads_alaw(docs))
+
+
 @register("b22_mulaw_decode", oracle=_B22_MULAW_ORACLE, tags=("B22",))
 def b22_mulaw_decode(spark, sf_dir):
     from ..operators.multimodal import decode_audio

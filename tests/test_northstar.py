@@ -447,6 +447,32 @@ def test_ima_adpcm_layout_and_roundtrip():
     assert np.abs(rec.astype(int) - sine.astype(int)).max() <= 40
 
 
+def test_alaw_codec_properties():
+    """A-law: silence encodes to the standard 0xD5 byte, EVERY code is
+    idempotent (encode(decode(c)) == c for all 256 — A-law has no
+    negative-zero alias), quantization error is bounded by half the
+    top-segment step, and the WAV format-6 container round-trips."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    assert alaw_encode(np.array([0], dtype=np.int16))[0] == 0xD5
+    codes = np.arange(256, dtype=np.uint8)
+    assert (alaw_encode(alaw_decode(codes)) == codes).all()
+    x = np.arange(-32768, 32768, 11, dtype=np.int64).astype(np.int16)
+    rec = alaw_decode(alaw_encode(x))
+    err = np.abs(rec.astype(int) - np.clip(x.astype(int), -32760, 32760))
+    assert err.max() <= 512
+    rate, ch, dec = decode_wav(encode_wav_alaw(x[:21], 12000))
+    assert (rate, ch, dec.size) == (12000, 1, 21)
+    assert (dec == rec[:21]).all()
+
+
 def test_equalize_hist_semantics():
     """Equalization stretches a low-contrast ramp to full range
     (max 255, min 0 with the standard cdf formula), is idempotent-ish

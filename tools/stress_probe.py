@@ -42,6 +42,7 @@ QUERIES = [
     "b12_influxql_ta_osc",      # bucket agg + per-series TA folds
     "b5_hll_deterministic",     # mergeable sketch: shuffle bounded by registers
     "b5_cms_heavy_hitters",     # mergeable sketch: shuffle bounded by cells
+    "b5_bloom_membership",      # 512-byte filter build over 10x orders keys
 ]
 
 
