@@ -256,3 +256,22 @@ def test_b5_bloom_probe_is_broadcast_only(spark):
     # the only acceptable exchanges: the 128-word bit_or aggregate and
     # the DISTINCT truth side — never a hashpartitioning on c_custkey
     assert "hashpartitioning(c_custkey" not in p
+
+
+def test_media_pipelines_map_only_after_fanout(spark):
+    """Every media decode/analysis query must compile to: one
+    deliberate fan-out Exchange (the repartition on doc_id) and
+    nothing else — no aggregation or join exchange sneaking in. The
+    map-only claim in SCALE.md, held in the compiled plan."""
+    for name in (
+        "b22_image_decode", "b22_gif_decode", "b22_jpeg_decode",
+        "b22_jpeg_420", "b22_jpeg_progressive", "b22_resize_bilinear",
+        "b22_hist_equalize", "b22_augmentations", "b22_audio_decode",
+        "b22_mulaw_decode", "b22_alaw_decode", "b22_adpcm_decode",
+        "b22_audio_resample", "b22_audio_spectrogram",
+        "b22_mel_features", "b22_video_decode", "b22_scene_changes",
+    ):
+        p = _plan(spark, name, mode="simple")
+        n_exchange = p.count("Exchange")
+        assert n_exchange <= 1, (name, n_exchange)
+        assert "SortMergeJoin" not in p and "HashAggregate" not in p, name
