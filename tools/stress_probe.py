@@ -142,7 +142,18 @@ def main() -> int:
         rows.append((name, t1, t10, ratio))
         print(f"{name}: 1x {t1:.2f}s  10x {t10:.2f}s  ratio {ratio:.1f}")
 
-    with open("/root/repo/STRESS.md", "w") as f:
+    # BOUNDED section replace: everything at/after the manual-sections
+    # marker is hand-curated evidence (streaming state rows, ratio
+    # attribution, CC star-round probe) this tool must never clobber —
+    # the same lesson the streaming state probe learned in round 7.
+    MARKER = "<!-- MANUAL SECTIONS BELOW — stress_probe.py must not touch -->"
+    path = "/root/repo/STRESS.md"
+    tail = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        if MARKER in existing:
+            tail = existing[existing.index(MARKER):]
+    with open(path, "w") as f:
         f.write(
             "# 10× stress probe (tools/stress_probe.py)\n\n"
             f"sf0.1 tables replicated {REPS}× with shifted keys (×10 rows,\n"
@@ -160,6 +171,8 @@ def main() -> int:
             "under the data growth factor mean no plan goes super-linear in\n"
             "this regime.\n"
         )
+        if tail:
+            f.write("\n" + tail)
     print("wrote STRESS.md")
 
     if "--keep" not in sys.argv:
