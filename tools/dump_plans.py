@@ -41,6 +41,9 @@ HEADLINE = [
     "b22_jpeg_decode",
     "b5_hll_deterministic",
     "b23_deadman_silent_series",
+    "b5_bloom_membership",       # bloom build agg + broadcast word-joins
+    "b19_phash_image_neardup",   # decode fan-out + banded self-join
+    "b22_resize_bilinear",       # map-only media chain after one fan-out
 ]
 
 
