@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "b22_mulaw_decode",  # G.711 companding decode
     "b22_alaw_decode",  # A-law twin (format 6)
     "b22_hist_equalize",  # per-channel cdf remap
+    "b19_cdc_chunk_dedup",  # Gear content-defined chunking storage dedup
 ]
 
 

@@ -4960,3 +4960,155 @@ def b21_pack_spanning(spark, sf_dir):
             (F.col("off") % _PACK_BUDGET).cast("int").alias("start_off"),
         )
     )
+
+
+# B19cdc — content-defined chunking dedup (operators/cdc.py): the
+# storage-dedup primitive for opaque BINARY columns. Blobs are built
+# from a shared 16-block pool plus DOC-UNIQUE blocks (block b, byte
+# j = (37b + 11j) mod 256; doc d places block 16+d at every 4th slot
+# and block (7d + 3s) mod 16 elsewhere, 16 slots x 256 B = 4096 B), so
+# identical 256-byte regions recur across docs at DIFFERENT offsets —
+# exactly the overlap fixed-size blocking cannot dedup and CDC can —
+# while the unique slots keep the duplicate ratio away from 1. Gear
+# boundaries on a 6-bit mask (avg chunk 64 B), max chunk 512 B.
+#
+# The oracle replays the ENTIRE pipeline with NO self-join: the
+# windowed-sum identity h_i & 63 == (sum_{k<6} GEAR[b_{i-k}] << k) & 63
+# lets each byte SCATTER its term to positions i..i+5 (byt x 6 rows),
+# one GROUP BY recovers the masked hash per position. The GEAR
+# constants mod 64 come from the same md5 hex both engines compute,
+# chunk identity is md5 over dash-joined decimal bytes (the ord-replay
+# convention of the b22 oracles), and the first-occurrence rule is a
+# deterministic ROW_NUMBER over (doc_id, chunk_ord).
+# --------------------------------------------------------------------------
+_B19_CDC_ORACLE = """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    g AS (
+      SELECT v,
+        ((strpos('0123456789abcdef',
+                 substr(md5(CAST(v AS VARCHAR)), 15, 1)) - 1) * 16
+         + strpos('0123456789abcdef',
+                  substr(md5(CAST(v AS VARCHAR)), 16, 1)) - 1) % 64 AS g6
+      FROM range(0, 256) t(v)
+    ),
+    pos AS (SELECT unnest(range(0, 4096)) AS i),
+    byt AS (
+      SELECT d.doc_id, pos.i,
+        (37 * (CASE WHEN (pos.i // 256) % 4 = 3 THEN 16 + d.doc_id
+               ELSE (7 * d.doc_id + 3 * (pos.i // 256)) % 16 END)
+         + 11 * (pos.i % 256)) % 256 AS v
+      FROM d, pos
+    ),
+    hh AS (
+      SELECT b.doc_id, b.i + k.k AS i, SUM(g.g6 * (1 << k.k)) % 64 AS h6
+      FROM byt b
+      CROSS JOIN range(0, 6) k(k)
+      JOIN g ON g.v = b.v
+      WHERE b.i + k.k < 4096
+      GROUP BY b.doc_id, b.i + k.k
+    ),
+    starts AS (
+      SELECT doc_id, 0 AS s FROM d
+      UNION ALL
+      SELECT doc_id, i + 1 AS s FROM hh WHERE h6 = 0 AND i < 4095
+    ),
+    gaps AS (
+      SELECT doc_id, s,
+        COALESCE(LEAD(s) OVER (PARTITION BY doc_id ORDER BY s), 4096) AS e
+      FROM starts
+    ),
+    sub AS (
+      SELECT gp.doc_id, gp.s + 512 * t.t AS s2
+      FROM gaps gp CROSS JOIN range(0, 8) t(t)
+      WHERE gp.s + 512 * t.t < gp.e
+    ),
+    bc AS (
+      SELECT b.doc_id, b.i, b.v,
+        COUNT(m.s2) OVER (PARTITION BY b.doc_id ORDER BY b.i) - 1 AS cid
+      FROM byt b LEFT JOIN sub m ON m.doc_id = b.doc_id AND m.s2 = b.i
+    ),
+    content AS (
+      SELECT doc_id, cid, COUNT(*) AS clen,
+        md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY i)) AS chash
+      FROM bc GROUP BY doc_id, cid
+    ),
+    occ AS (
+      SELECT doc_id, cid, clen, chash,
+        ROW_NUMBER() OVER (PARTITION BY chash ORDER BY doc_id, cid) AS rn
+      FROM content
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(clen) AS BIGINT) AS n_bytes,
+      CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_chunks,
+      CAST(SUM(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT)
+        AS dup_bytes,
+      CAST(SUM(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS DOUBLE)
+        / SUM(clen) AS dup_ratio
+    FROM occ GROUP BY doc_id
+"""
+
+
+def _media_payloads_blocks(df):
+    """mapInPandas stage: doc_id -> a 4096-byte blob, 16 slots of 256
+    bytes from a SHARED 16-block pool except every 4th slot, which is a
+    doc-unique block (closed form above) — real cross-doc duplicate
+    regions at varying offsets plus genuinely novel content, the
+    workload content-defined chunking exists for."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        s = np.arange(16)
+        j = np.arange(256)[None, :]
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blocks = np.where(s % 4 == 3, 16 + d, (7 * d + 3 * s) % 16)
+                px = ((37 * blocks[:, None] + 11 * j) % 256).astype(np.uint8)
+                ids.append(d)
+                payloads.append(px.reshape(-1).tobytes())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b19_cdc_chunk_dedup", oracle=_B19_CDC_ORACLE, tags=("B19", "B22"))
+def b19_cdc_chunk_dedup(spark, sf_dir):
+    """Gear-CDC chunk the blob corpus, then per-doc dedup accounting:
+    an occurrence is a duplicate iff an identical chunk appeared
+    earlier in (doc_id, chunk_ord) order, so ``dup_bytes`` is exactly
+    the storage a chunk store would NOT write again. Plan: map-only
+    chunking, ONE hash exchange on chunk_hash for the first-occurrence
+    rank (per-hash groups are tiny — copies of one chunk — so the sort
+    inside each window partition is bounded), one exchange for the
+    per-doc rollup."""
+    from ..operators.cdc import cdc_chunks
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    chunks = cdc_chunks(_media_payloads_blocks(docs))
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_ord")
+    occ = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("n_bytes"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("rn") > 1, F.col("chunk_len")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_bytes"),
+        )
+        .withColumn("dup_ratio", F.col("dup_bytes") / F.col("n_bytes"))
+    )

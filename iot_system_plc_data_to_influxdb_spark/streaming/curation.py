@@ -278,3 +278,65 @@ def scene_change_stream(frames: DataFrame, threshold: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_dedup_stream(
+    blobs: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    mask_bits: int = 6,
+    max_chunk: int = 512,
+) -> DataFrame:
+    """Blob stream (ingest_ts, doc_id, payload) → the chunk rows a
+    chunk store would actually WRITE: the streaming twin of
+    b19_cdc_chunk_dedup (plans/northstar.py). Each blob is Gear-chunked
+    map-side (operators/cdc.py — position-independent boundaries, so
+    chunking needs no cross-batch state), then
+    ``dropDuplicatesWithinWatermark(["chunk_hash"])`` keeps only
+    first-seen chunk content: a re-uploaded or lightly edited blob
+    contributes only its genuinely novel byte ranges downstream.
+
+    State is one row per DISTINCT chunk hash within the watermark —
+    O(unique content), not O(stream) — and the only exchange carries
+    ~60 B chunk metadata per chunk, never payload bytes (the same
+    scale contract as the batch operator, SCALE.md). Emission is
+    immediate (dedup is not a windowed aggregate), so novel chunks
+    land in the store within the triggering micro-batch."""
+    from ..operators.cdc import chunk_hash, chunk_spans
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ts, ids, ords, lens, hashes = [], [], [], [], []
+            for ingest_ts, doc_id, payload in zip(
+                pdf["ingest_ts"], pdf["doc_id"], pdf["payload"]
+            ):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for ordn, (s, e) in enumerate(
+                    chunk_spans(data, mask_bits, max_chunk)
+                ):
+                    ts.append(ingest_ts)
+                    ids.append(int(doc_id))
+                    ords.append(ordn)
+                    lens.append(e - s)
+                    hashes.append(chunk_hash(data[s:e]))
+            yield pd.DataFrame(
+                {
+                    "ingest_ts": pd.Series(ts, dtype="datetime64[us]"),
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_ord": pd.Series(ords, dtype="int32"),
+                    "chunk_len": pd.Series(lens, dtype="int32"),
+                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    chunks = blobs.select("ingest_ts", "doc_id", "payload").mapInPandas(
+        batches,
+        "ingest_ts timestamp, doc_id bigint, chunk_ord int, "
+        "chunk_len int, chunk_hash string",
+    )
+    return chunks.withWatermark(
+        "ingest_ts", watermark
+    ).dropDuplicatesWithinWatermark(["chunk_hash"])

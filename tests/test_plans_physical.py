@@ -275,3 +275,19 @@ def test_media_pipelines_map_only_after_fanout(spark):
         n_exchange = p.count("Exchange")
         assert n_exchange <= 1, (name, n_exchange)
         assert "SortMergeJoin" not in p and "HashAggregate" not in p, name
+
+def test_b19_cdc_chunk_dedup_exchanges_carry_metadata_only(spark):
+    """CDC dedup's scale contract (SCALE.md): the payload column dies
+    inside the chunking mapInPandas — every Exchange after the fan-out
+    moves only ~60 B chunk-metadata rows. Three exchanges total: the
+    deliberate doc_id fan-out, the chunk_hash partitioning for the
+    first-occurrence window, and the doc_id rollup."""
+    p = _plan(spark, "b19_cdc_chunk_dedup", mode="simple")
+    assert p.count("Exchange") <= 3, p.count("Exchange")
+    for line in p.splitlines():
+        if "hashpartitioning(chunk_hash" in line or (
+            "hashpartitioning(doc_id" in line and "rangepartitioning" not in line
+        ):
+            assert "payload" not in line, line
+    # the window sort is per-hash-partition, never a global sort
+    assert "rangepartitioning" not in p, "global sort leaked into the plan"
