@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "b22_alaw_decode",  # A-law twin (format 6)
     "b22_hist_equalize",  # per-channel cdf remap
     "b19_cdc_chunk_dedup",  # Gear content-defined chunking storage dedup
+    "b21_importance_resample",  # DSIR-shaped data selection, exact quartile
 ]
 
 

@@ -2827,6 +2827,59 @@ _B21_LM_ORACLE = r"""
 """.replace("{fit}", sql_round_ratio("p.matched", "p.n_bigrams", 4))
 
 
+def _exact_ntile(spark, scored, score_col, n, bucket_col, out_cols):
+    """Replicate NTILE(n) OVER (ORDER BY score DESC, doc_id) EXACTLY
+    without a global sort: scores are low-cardinality fixed-point
+    ratios, so a score histogram (one small keyed agg; the driver gets
+    one scalar row per DISTINCT score) yields every score group's
+    cumulative rank offset. Groups entirely inside a bucket get their
+    label from a broadcast lookup (map-only); only the ≤ n-1
+    boundary-straddling score groups need a within-score row_number
+    (partitioned window, tiny). The single-partition NTILE twin
+    (b21_lm_bigram_fit_ntile) is the correctness baseline."""
+    hist = sorted(
+        scored.groupBy(score_col).agg(F.count("*").alias("cnt")).collect(),
+        key=lambda r: -r[score_col],
+    )
+    total = sum(r["cnt"] for r in hist)
+    base, rem = divmod(total, n)
+    cuts = []
+    acc = 0
+    for i in range(1, n):
+        acc += base + (1 if rem >= i else 0)
+        cuts.append(acc)
+    lookup, start = [], 0
+    for r in hist:
+        end = start + r["cnt"]
+        bucket = None
+        for i, c in enumerate([0] + cuts):
+            hi = cuts[i] if i < len(cuts) else total
+            if start >= c and end <= hi:
+                bucket = i + 1
+                break
+        lookup.append((r[score_col], start, bucket))
+        start = end
+    lut = F.broadcast(
+        spark.createDataFrame(
+            lookup, f"{score_col} double, _start bigint, _bucket int"
+        )
+    )
+    joined = scored.join(lut, score_col, "left")
+    inside = joined.filter(F.col("_bucket").isNotNull()).withColumn(
+        bucket_col, F.col("_bucket")
+    )
+    straddle_rank = Window.partitionBy(score_col).orderBy("doc_id")
+    rk = F.col("_start") + F.row_number().over(straddle_rank)
+    expr = F.lit(n)
+    for i, c in enumerate(reversed(cuts)):
+        expr = F.when(rk <= F.lit(c), n - 1 - i).otherwise(expr)
+    straddle = joined.filter(F.col("_bucket").isNull()).withColumn(
+        bucket_col, expr
+    )
+    cols = out_cols + [bucket_col]
+    return inside.select(*cols).unionByName(straddle.select(*cols))
+
+
 @register("b21_lm_bigram_fit", oracle=_B21_LM_ORACLE, tags=("B21",))
 def b21_lm_bigram_fit(spark, sf_dir):
     docs = (
@@ -2873,54 +2926,10 @@ def b21_lm_bigram_fit(spark, sf_dir):
             ),
         )
     )
-    scored = scored.persist()
-    # exact NTILE(3) via score histogram: ranks are contiguous per
-    # score under (fit_score DESC, doc_id) order, so a score's bucket
-    # is fully determined by its cumulative-count offset unless the
-    # score group straddles a tercile boundary.
-    hist = sorted(
-        scored.groupBy("fit_score").agg(F.count("*").alias("cnt")).collect(),
-        key=lambda r: -r["fit_score"],
+    cols = ["doc_id", "lang", "n_bigrams", "matched", "fit_score"]
+    return _exact_ntile(
+        spark, scored.persist(), "fit_score", 3, "ppl_bucket", cols
     )
-    total = sum(r["cnt"] for r in hist)
-    base, rem = divmod(total, 3)
-    b1 = base + (1 if rem >= 1 else 0)
-    b2 = b1 + base + (1 if rem >= 2 else 0)
-    lookup, start = [], 0
-    for r in hist:
-        end = start + r["cnt"]
-        if end <= b1:
-            bucket = 1
-        elif start >= b2:
-            bucket = 3
-        elif start >= b1 and end <= b2:
-            bucket = 2
-        else:
-            bucket = None  # straddles a boundary — resolve per-row
-        lookup.append((r["fit_score"], start, bucket))
-        start = end
-    lut = F.broadcast(
-        spark.createDataFrame(
-            lookup, "fit_score double, _start bigint, _bucket int"
-        )
-    )
-    joined = scored.join(lut, "fit_score", "left")
-    inside = joined.filter(F.col("_bucket").isNotNull()).withColumn(
-        "ppl_bucket", F.col("_bucket")
-    )
-    straddle_rank = Window.partitionBy("fit_score").orderBy("doc_id")
-    straddle = (
-        joined.filter(F.col("_bucket").isNull())
-        .withColumn("_rk", F.col("_start") + F.row_number().over(straddle_rank))
-        .withColumn(
-            "ppl_bucket",
-            F.when(F.col("_rk") <= b1, 1)
-            .when(F.col("_rk") <= b2, 2)
-            .otherwise(3),
-        )
-    )
-    cols = ["doc_id", "lang", "n_bigrams", "matched", "fit_score", "ppl_bucket"]
-    return inside.select(*cols).unionByName(straddle.select(*cols))
 
 
 @register("b21_lm_bigram_fit_ntile", oracle=_B21_LM_ORACLE, tags=("B21",))
@@ -5112,3 +5121,114 @@ def b19_cdc_chunk_dedup(spark, sf_dir):
         )
         .withColumn("dup_ratio", F.col("dup_bytes") / F.col("n_bytes"))
     )
+
+
+# --------------------------------------------------------------------------
+# B21q — importance resampling for data selection (DSIR-shaped, after
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling", arXiv:2302.03169): score every raw document by how much
+# its hashed-unigram distribution looks like a TARGET slice (here the
+# lang='en' sub-corpus), then keep the top quartile. DSIR uses
+# log-likelihood ratios of hashed n-gram bucket probabilities; this
+# engine uses FIXED-POINT ratio weights instead of logs —
+# w[b] = (target_count[b]+1) * 1e6 div (raw_count[b]+B), add-one
+# smoothed — because integer div is bit-identical across engines while
+# float log sums are not. Same shape, exact determinism.
+#
+# Scale: both distribution vectors are B=256 buckets — two tiny keyed
+# aggregations with map-side partials (the shuffle carries ≤ B rows per
+# task), joined driver-free and broadcast into the probe. Scoring is
+# one explode + broadcast join + per-doc agg; quartile selection reuses
+# the score-histogram exact-NTILE (no global sort). Nothing grows with
+# corpus size except the map work.
+# --------------------------------------------------------------------------
+_B21_IMPORTANCE_ORACLE = (
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, lang, """
+    + _H16_SQL.replace("{t}", "t")
+    + r""" % 256 AS b
+      FROM (SELECT doc_id, lang, unnest(w) AS t FROM d)
+    ),
+    tcnt AS (
+      SELECT b, COUNT(*) AS tc FROM bt WHERE lang = 'en' GROUP BY b
+    ),
+    rcnt AS (SELECT b, COUNT(*) AS rc FROM bt GROUP BY b),
+    wt AS (
+      SELECT r.b,
+        (COALESCE(t.tc, 0) + 1) * 1000000 // (r.rc + 256) AS w
+      FROM rcnt r LEFT JOIN tcnt t USING (b)
+    ),
+    per_doc AS (
+      SELECT bt.doc_id, bt.lang,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(wt.w) AS BIGINT) AS w_sum
+      FROM bt JOIN wt USING (b) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tokens, w_sum, {imp} AS imp_score
+      FROM per_doc
+    )
+    SELECT doc_id, lang, n_tokens, w_sum, imp_score,
+      CAST(NTILE(4) OVER (ORDER BY imp_score DESC, doc_id) AS INT)
+        AS imp_bucket,
+      CAST(NTILE(4) OVER (ORDER BY imp_score DESC, doc_id) = 1
+        AS BOOLEAN) AS selected
+    FROM scored
+""".replace("{imp}", sql_round_ratio("w_sum", "n_tokens", 4))
+)
+
+
+@register(
+    "b21_importance_resample", oracle=_B21_IMPORTANCE_ORACLE, tags=("B21",)
+)
+def b21_importance_resample(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", "lang", tokens(F.col("text")).alias("w"))
+    )
+    bt = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.col("w")).alias("t"),
+    ).select(
+        "doc_id", "lang", F.pmod(token_hash16(F.col("t")), F.lit(256)).alias("b")
+    )
+    tcnt = (
+        bt.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    rcnt = bt.groupBy("b").agg(F.count("*").alias("rc"))
+    wt = rcnt.join(tcnt, "b", "left").select(
+        "b",
+        F.expr("(coalesce(tc, 0) + 1) * 1000000 div (rc + 256)").alias("w"),
+    )
+    scored = (
+        bt.join(F.broadcast(wt), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("w_sum"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "w_sum",
+            round_ratio(F.col("w_sum"), F.col("n_tokens"), 4).alias(
+                "imp_score"
+            ),
+        )
+    )
+    cols = ["doc_id", "lang", "n_tokens", "w_sum", "imp_score"]
+    bucketed = _exact_ntile(
+        spark, scored.persist(), "imp_score", 4, "imp_bucket", cols
+    )
+    return bucketed.withColumn("selected", F.col("imp_bucket") == 1)
