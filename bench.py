@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "b22_hist_equalize",  # per-channel cdf remap
     "b19_cdc_chunk_dedup",  # Gear content-defined chunking storage dedup
     "b21_importance_resample",  # DSIR-shaped data selection, exact quartile
+    "b21_gopher_rules",  # Gopher quality gate, exact-integer predicates
 ]
 
 

@@ -5232,3 +5232,107 @@ def b21_importance_resample(spark, sf_dir):
         spark, scored.persist(), "imp_score", 4, "imp_bucket", cols
     )
     return bucketed.withColumn("selected", F.col("imp_bucket") == 1)
+
+
+# --------------------------------------------------------------------------
+# B21r — Gopher rule filter (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446,
+# table A1): the classic pre-training quality gate as EXACT-INTEGER
+# predicates — every ratio bound is cross-multiplied (10*(symbols) <=
+# n_words instead of symbols/n_words <= 0.1) so no float compare can
+# diverge between engines. Rules covered: word count in [50, 100k],
+# mean word length in [3, 10], symbol-to-word ratio (#, ...) <= 0.1,
+# >= 80% of words contain an alphabetic character, >= 2 stopword hits.
+# (The duplicate-n-gram fractions of the same table live in
+# b21_repetition_signals; line-level bullet/ellipsis rules apply to
+# multi-line crawl text and evaluate trivially on this corpus.)
+# Map-only: one projection over the un-exploded token array, zero
+# shuffles — the filter runs at scan speed on any corpus size.
+# --------------------------------------------------------------------------
+_B21_GOPHER_ORACLE = (
+    _DOCS_CTE
+    + f"""
+    , raw AS (SELECT doc_id, text FROM documents)
+    , m AS (
+      SELECT d.doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+          AS BIGINT) AS total_len,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          AS BIGINT) AS alpha_words,
+        CAST(len(list_filter(w, x -> x IN ({_STOP_SQL})))
+          AS BIGINT) AS stop_hits,
+        CAST(length(raw.text) - length(replace(raw.text, '#', ''))
+          AS BIGINT)
+        + CAST((length(raw.text) - length(replace(raw.text, '...', '')))
+          // 3 AS BIGINT) AS symbol_hits
+      FROM d JOIN raw USING (doc_id)
+    )
+    SELECT doc_id, n_words, total_len, alpha_words, stop_hits,
+      symbol_hits,
+      ((2 * total_len * 10000 + n_words) // (2 * n_words)) / 10000.0
+        AS mean_word_len,
+      CAST(
+        n_words BETWEEN 50 AND 100000
+        AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+        AND 10 * symbol_hits <= n_words
+        AND 10 * alpha_words >= 8 * n_words
+        AND stop_hits >= 2
+      AS BOOLEAN) AS passes
+    FROM m
+    """
+)
+
+
+@register("b21_gopher_rules", oracle=_B21_GOPHER_ORACLE, tags=("B21",))
+def b21_gopher_rules(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("_w")
+    )
+    w = F.col("_w")
+    txt = F.col("text")
+    m = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(w, F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("alpha_words"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+        .cast("bigint")
+        .alias("stop_hits"),
+        (
+            (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
+            + F.floor(
+                (
+                    F.length(txt)
+                    - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+                )
+                / 3
+            )
+        )
+        .cast("bigint")
+        .alias("symbol_hits"),
+    )
+    nw = F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "total_len",
+        "alpha_words",
+        "stop_hits",
+        "symbol_hits",
+        round_ratio(F.col("total_len"), nw, 4).alias("mean_word_len"),
+        (
+            nw.between(50, 100000)
+            & (F.col("total_len") >= 3 * nw)
+            & (F.col("total_len") <= 10 * nw)
+            & (10 * F.col("symbol_hits") <= nw)
+            & (10 * F.col("alpha_words") >= 8 * nw)
+            & (F.col("stop_hits") >= 2)
+        ).alias("passes"),
+    )

@@ -50,6 +50,8 @@ QUERIES = [
     "b19_span_dedup",            # claim: int64 gram keys through all 3 shuffles (r6 swap)
     "b5_bloom_membership",       # claim: 512-byte filter aggregate, broadcast probe
     "b19_phash_image_neardup",   # claim: 8-byte hashes only cross the band self-join
+    "b19_cdc_chunk_dedup",       # claim: exchanges carry 60 B chunk metadata, never payloads
+    "b21_importance_resample",   # claim: 256-bucket vectors partial-agg; probe is broadcast
 ]
 
 UI_PORT = 4047
