@@ -207,3 +207,50 @@ def test_cdc_dedup_stream_writes_only_novel_chunks(spark, tmp_path):
     n4 = sum(1 for d, _ in got_pairs if d == 4)
     data_c = np.frombuffer(blob_c, dtype=np.uint8)
     assert 0 < n4 < len(chunk_spans(data_c, 6, 512))
+
+
+# -- hypothesis properties (no Spark) --------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_BLOB = st.binary(min_size=0, max_size=6000)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_BLOB)
+def test_property_spans_partition_any_payload(blob):
+    data = np.frombuffer(blob, dtype=np.uint8)
+    spans = chunk_spans(data, 6, 512)
+    if len(data) == 0:
+        assert spans == []
+        return
+    assert spans[0][0] == 0 and spans[-1][1] == len(data)
+    assert all(e0 == s1 for (_, e0), (s1, _) in zip(spans, spans[1:]))
+    assert all(1 <= e - s <= 512 for s, e in spans)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_BLOB, st.binary(min_size=1, max_size=64))
+def test_property_edit_divergence_is_bounded(blob, prefix):
+    """THE content-defined guarantee, as a hard bound: gear state
+    spans exactly mask_bits bytes, so after prepending arbitrary
+    bytes, every GEAR BOUNDARY at offset >= mask_bits past the splice
+    exists in both streams (shifted by the prefix length) — divergence
+    is confined to a bounded neighborhood of the edit, it never
+    propagates to the whole stream the way fixed-size blocking does.
+    (Stated on raw boundaries, not final spans: max-chunk stride
+    splits inside a gap that STRADDLES the splice legitimately shift —
+    that subdivision is relative to the gap start by design.)"""
+    data = np.frombuffer(blob, dtype=np.uint8)
+    if len(data) < 64:
+        return
+    pre = np.frombuffer(prefix, dtype=np.uint8)
+    combined = np.concatenate([pre, data])
+    hm_a = gear_mask_values(data, 6)
+    hm_b = gear_mask_values(combined, 6)
+    cuts_a = {int(i) + 1 for i in np.nonzero(hm_a[:-1] == 0)[0] if i + 1 >= 6}
+    cuts_b = {
+        int(i) + 1 - len(pre)
+        for i in np.nonzero(hm_b[:-1] == 0)[0]
+        if i + 1 - len(pre) >= 6
+    }
+    assert cuts_a == cuts_b
