@@ -138,6 +138,57 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # HOST CALIBRATION — fixed reference work, identical every round,
+    # so cross-round query deltas are attributable: if calib_jvm
+    # doubles between rounds, the host halved, not the plans. (Round-7
+    # finding: a fresh VM showed ~45 MB/s first-touch page faults and
+    # ~2x slower warm CPU than round 6's host; without a yardstick
+    # that reads as a blanket plan regression.) JVM probe: pure
+    # codegen agg over range(), no IO/shuffle. Python probe: warm
+    # numpy reduction (Arrow-path proxy). Both min-of-3 after warm-up.
+    def _calibrate():
+        import numpy as np
+
+        def jvm_once():
+            t0 = time.perf_counter()
+            # bounded terms: ANSI mode (Spark 4 default) faults a
+            # long-overflowing sum
+            spark.range(200_000_000).selectExpr(
+                "sum(id % 1048576) as s"
+            ).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        jvm_once()
+        calib_jvm = min(jvm_once() for _ in range(3))
+        arr = np.arange(50_000_000, dtype=np.uint64)
+        int(arr.sum())  # first touch outside the timed window
+
+        def py_once():
+            t0 = time.perf_counter()
+            int((arr * np.uint64(2654435761)).sum())
+            return time.perf_counter() - t0
+
+        py_once()
+        calib_py = min(py_once() for _ in range(3))
+
+        # cold-page probe: a FRESH 512 MB buffer every time, so each
+        # run pays first-touch page faults — the resource that actually
+        # degraded on the round-7 VM (45 MB/s faults, warm CPU fine).
+        # Shuffle writes / Arrow buffers / JVM heap growth pay this
+        # rate; queries that allocate big fresh buffers track calib_alloc,
+        # pure-codegen queries track calib_jvm.
+        def alloc_once():
+            t0 = time.perf_counter()
+            buf = np.empty(512 * 1024 * 1024, dtype=np.uint8)
+            buf[::4096] = 1  # touch every page
+            del buf
+            return time.perf_counter() - t0
+
+        calib_alloc = min(alloc_once() for _ in range(3))
+        return round(calib_jvm, 3), round(calib_py, 3), round(calib_alloc, 3)
+
+    calib_jvm, calib_py, calib_alloc = _calibrate()
+
     timings: dict[str, float] = {}
     median: dict[str, float] = {}
     stddev: dict[str, float] = {}
@@ -203,6 +254,8 @@ def main() -> int:
             "host-phase" if runs[-1] > 2 * runs[0] + 0.25 else "ok"
         )
 
+    calib_end = _calibrate()  # bracket the suite: detect mid-run drift
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {
         "metric": "headline_query_wall_clock_total",
@@ -215,6 +268,10 @@ def main() -> int:
         "host_phase_flag": drift,
         "runs": all_runs,
         "warmup": warmups,
+        "calib_jvm_s": calib_jvm,
+        "calib_py_s": calib_py,
+        "calib_alloc_s": calib_alloc,
+        "calib_end_jvm_py_alloc_s": list(calib_end),
         "sf": float(sf),
     }
     # Full per-run detail goes to a side file + a non-final stdout line;
@@ -237,6 +294,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "calib": [calib_jvm, calib_py, calib_alloc],
         "sf": float(sf),
     }
     line = json.dumps(out, separators=(",", ":"))
