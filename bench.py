@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "b19_cdc_chunk_dedup",  # Gear content-defined chunking storage dedup
     "b21_importance_resample",  # DSIR-shaped data selection, exact quartile
     "b21_gopher_rules",  # Gopher quality gate, exact-integer predicates
+    "b18_temperature_sampling",  # sqrt-temperature language rebalancing
 ]
 
 

@@ -159,6 +159,35 @@ class IoTEngine:
 
         head = _re.match(r"\s*(\w+)", query)
         verb = head.group(1).upper() if head else ""
+        if verb == "EXPLAIN":
+            # InfluxQL 1.x EXPLAIN / EXPLAIN ANALYZE: one plan line per
+            # row, like the real endpoint's QUERY PLAN column — except
+            # the plan shown is the COMPILED SPARK PLAN, which is the
+            # honest answer for this engine. ANALYZE executes the
+            # statement to completion first (noop sink), so the
+            # formatted plan it returns reflects AQE's final shape.
+            m = _re.match(
+                r"\s*EXPLAIN(?P<an>\s+ANALYZE)?\s+(?P<inner>.+)$",
+                query,
+                _re.IGNORECASE | _re.DOTALL,
+            )
+            inner_df = self.influxql(
+                m.group("inner"), table,
+                rollup=rollup, rollup_every_s=rollup_every_s,
+            )
+            analyze = m.group("an") is not None
+            if analyze:
+                inner_df.write.format("noop").mode("overwrite").save()
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                inner_df.explain("formatted" if analyze else "simple")
+            lines = [
+                (ln,) for ln in buf.getvalue().splitlines() if ln.strip()
+            ]
+            return self.spark.createDataFrame(lines, "`QUERY PLAN` string")
         if verb == "SHOW":
             if _re.match(
                 r"\s*SHOW\s+CONTINUOUS\s+QUERIES", query, _re.IGNORECASE

@@ -5336,3 +5336,87 @@ def b21_gopher_rules(spark, sf_dir):
             & (F.col("stop_hits") >= 2)
         ).alias("passes"),
     )
+
+
+# --------------------------------------------------------------------------
+# B18t — temperature sampling across languages (the multilingual
+# rebalancing step of mBERT/XLM-R-style corpora, alpha = 0.5): the
+# post-selection language distribution is proportional to n_lang^0.5,
+# so low-resource languages keep everything and high-resource ones
+# down-sample by sqrt(n_min / n_lang). alpha = 0.5 is chosen
+# deliberately — sqrt is IEEE-754 CORRECTLY ROUNDED (unlike pow), so
+# floor(2^24 * sqrt(n_min/n_lang)) is bit-identical across engines and
+# the whole selection stays hash-checkable. Selection is md5-uniform
+# per doc (replayable, re-ingestion-stable, like b18_hash_sample_mix).
+#
+# Scale: one tiny per-lang count (map-side partials), an O(langs)
+# broadcast lookup, then a map-only predicate — the corpus is never
+# shuffled at all.
+# --------------------------------------------------------------------------
+_B18_TEMP_ORACLE = """
+    WITH d AS (SELECT doc_id, lang FROM documents),
+    lc AS (SELECT lang, COUNT(*) AS n_lang FROM d GROUP BY lang),
+    l2 AS (SELECT lang, n_lang, MIN(n_lang) OVER () AS n_min FROM lc),
+    lut AS (
+      SELECT lang, CAST(n_lang AS BIGINT) AS n_lang,
+        CAST(FLOOR(16777216 * SQRT(CAST(n_min AS DOUBLE) / n_lang))
+          AS BIGINT) AS keep_threshold
+      FROM l2
+    ),
+    h AS (
+      SELECT doc_id, lang,
+        md5('ts1|' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM d
+    ),
+    u AS (
+      SELECT doc_id, lang,
+        CAST(
+          (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 1048576
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 65536
+          + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)
+        AS BIGINT) AS u
+      FROM h
+    )
+    SELECT u.doc_id, u.lang, lut.n_lang, lut.keep_threshold, u.u,
+      CAST(u.u < lut.keep_threshold AS BOOLEAN) AS kept
+    FROM u JOIN lut USING (lang)
+"""
+
+
+@register("b18_temperature_sampling", oracle=_B18_TEMP_ORACLE, tags=("B18",))
+def b18_temperature_sampling(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    lc = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    lmin = lc.agg(F.min("n_lang").alias("n_min"))
+    lut = (
+        lc.crossJoin(F.broadcast(lmin))
+        .select(
+            "lang",
+            "n_lang",
+            F.floor(
+                F.lit(16777216)
+                * F.sqrt(F.col("n_min").cast("double") / F.col("n_lang"))
+            )
+            .cast("bigint")
+            .alias("keep_threshold"),
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ts1|"), F.col("doc_id"))), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(lut), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_lang",
+            "keep_threshold",
+            u.alias("u"),
+            (u < F.col("keep_threshold")).alias("kept"),
+        )
+    )

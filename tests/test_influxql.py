@@ -2443,3 +2443,29 @@ def test_raw_field_alias_and_subquery(spark):
         df,
     ).collect()
     assert o2[0]["n"] == 6
+
+
+def test_explain_statement_returns_plan_rows(spark, points):
+    """InfluxQL EXPLAIN: one plan line per row in a QUERY PLAN column
+    (the 1.x endpoint shape); the plan shown is the compiled Spark
+    plan. EXPLAIN ANALYZE executes first and returns the formatted
+    post-AQE plan."""
+    from iot_system_plc_data_to_influxdb_spark.api import IoTEngine
+
+    engine = IoTEngine(spark)
+    out = engine.influxql(
+        "EXPLAIN SELECT mean(value) AS m FROM points "
+        "WHERE time >= '2024-01-01' GROUP BY time(1h)",
+        points,
+    )
+    assert out.columns == ["QUERY PLAN"]
+    text = "\n".join(r["QUERY PLAN"] for r in out.collect())
+    assert "Physical Plan" in text and "HashAggregate" in text
+
+    out2 = engine.influxql(
+        "EXPLAIN ANALYZE SELECT count(value) AS n FROM points", points
+    )
+    text2 = "\n".join(r["QUERY PLAN"] for r in out2.collect())
+    assert "Physical Plan" in text2
+    # formatted mode includes the operator detail sections
+    assert "(1) Scan" in text2 or "Scan ExistingRDD" in text2
