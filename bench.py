@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "b21_importance_resample",  # DSIR-shaped data selection, exact quartile
     "b21_gopher_rules",  # Gopher quality gate, exact-integer predicates
     "b18_temperature_sampling",  # sqrt-temperature language rebalancing
+    "b22_pcm24_decode",  # 24-bit PCM pro-audio layout decode
 ]
 
 

@@ -641,14 +641,40 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     )
 
 
+def encode_wav_pcm24(samples, sample_rate: int = 8000) -> bytes:
+    """numpy int32 mono samples in [-2^23, 2^23) → RIFF/WAVE PCM24
+    (format 1, bits=24, blockAlign=3 — the pro-audio layout). 3-byte
+    little-endian two's complement per sample."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.size and (s.min() < -(1 << 23) or s.max() >= (1 << 23)):
+        raise ValueError("PCM24 samples out of 24-bit range")
+    u = (s & 0xFFFFFF).astype("<u4")
+    b4 = u.view(np.uint8).reshape(-1, 4) if s.size else (
+        np.zeros((0, 4), dtype=np.uint8)
+    )
+    data = b4[:, :3].tobytes()  # drop the high zero byte of each u32
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 3, 3, 24)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
 def decode_wav(payload: bytes):
-    """RIFF/WAVE → (sample_rate, channels, numpy int16 samples).
+    """RIFF/WAVE → (sample_rate, channels, numpy integer samples).
 
     Walks the chunk list properly (fmt may be followed by LIST/fact
-    chunks before data; chunks are word-aligned). Handles PCM16
-    (format 1) natively and IMA ADPCM (format 0x11, 4-bit compressed)
-    via the integer state machine below; other formats raise the
-    documented gate."""
+    chunks before data; chunks are word-aligned). Handles PCM16 and
+    PCM24 (format 1) natively and IMA ADPCM (format 0x11, 4-bit
+    compressed) via the integer state machine below; other formats
+    raise the documented gate."""
     import struct
 
     import numpy as np
@@ -670,17 +696,24 @@ def decode_wav(payload: bytes):
             if audio_fmt == 0x11 and size >= 20:
                 (n_samples,) = struct.unpack_from("<H", payload, body + 18)
             if audio_fmt not in (1, 0x06, 0x07, 0x11) or (
-                audio_fmt == 1 and bits != 16
+                audio_fmt == 1 and bits not in (16, 24)
             ):
                 raise NotImplementedError(
-                    f"only PCM16, A-law, mu-law, and IMA-ADPCM supported "
-                    f"(fmt={audio_fmt}, bits={bits})"
+                    f"only PCM16/24, A-law, mu-law, and IMA-ADPCM "
+                    f"supported (fmt={audio_fmt}, bits={bits})"
                 )
         elif cid == b"data":
             data = payload[body : body + size]
         pos = body + size + (size % 2)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if audio_fmt == 1 and bits == 24:
+        # 3-byte little-endian two's complement → sign-extended int32
+        raw = np.frombuffer(data, dtype=np.uint8, count=(len(data) // 3) * 3)
+        tri = raw.reshape(-1, 3).astype(np.int64)
+        u = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        samples = (u - ((u >> 23) << 24)).astype(np.int32)
+        return sample_rate, channels, samples
     if audio_fmt == 1:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         return sample_rate, channels, samples

@@ -5420,3 +5420,72 @@ def b18_temperature_sampling(spark, sf_dir):
             (u < F.col("keep_threshold")).alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B22pcm24 — 24-bit PCM decode (WAV format 1, bits=24, blockAlign=3 —
+# the pro-audio capture layout). The engine packs/unpacks 3-byte
+# little-endian two's complement; the corpus sweeps the full 24-bit
+# range in closed form, so a wrong byte order, sign extension, or
+# stride breaks the hash. Same map-only decode_audio stage as PCM16 —
+# the format dispatch is inside the chunk walk, not a separate plan.
+# --------------------------------------------------------------------------
+_B22_PCM24_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+        8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (SELECT unnest(range(0, 128)) AS i),
+    s AS (
+      SELECT d.doc_id, d.n, d.rate,
+        (131071 * d.doc_id + 65537 * i) % 16777216 - 8388608 AS amp
+      FROM d JOIN idx ON i < d.n
+    )
+    SELECT doc_id,
+      CAST(rate AS INT) AS sample_rate,
+      1 AS channels,
+      CAST(n AS INT) AS n_samples,
+      CAST(SUM(amp) AS BIGINT) AS sum_amp,
+      CAST(MAX(amp) AS INT) AS peak
+    FROM s GROUP BY doc_id, n, rate
+"""
+
+
+def _media_payloads_pcm24(df):
+    """mapInPandas stage: doc_id → PCM24 WAV; amplitudes sweep the
+    whole 24-bit signed range (closed form above)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_wav_pcm24
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = (131071 * d + 65537 * i) % 16777216 - 8388608
+                ids.append(d)
+                payloads.append(
+                    encode_wav_pcm24(samples, 8000 + (d % 8) * 1000)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_pcm24_decode", oracle=_B22_PCM24_ORACLE, tags=("B22",))
+def b22_pcm24_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_audio
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_audio(_media_payloads_pcm24(docs))

@@ -1596,3 +1596,34 @@ def test_mixture_epochs_invariants(spark):
              for r in b18_mixture_epochs(spark, sf).collect()}
     assert again == {(r["source"], r["epoch"], r["n_docs"], r["n_shards"])
                      for r in rows}
+
+
+def test_pcm24_roundtrip_full_range():
+    """PCM24 encode→decode is the identity over the full 24-bit signed
+    range, including both extremes and the sign-bit boundary — a wrong
+    byte order, stride, or sign extension fails here before the oracle
+    sees it."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm24,
+    )
+
+    x = np.array(
+        [-8388608, -8388607, -1, 0, 1, 0x7FFFFF, -0x800000 + 12345,
+         4242424, -4242424],
+        dtype=np.int64,
+    )
+    rate, ch, dec = decode_wav(encode_wav_pcm24(x, 44100))
+    assert (rate, ch) == (44100, 1)
+    assert dec.dtype == np.int32 and (dec.astype(np.int64) == x).all()
+    # out-of-range rejects rather than silently wrapping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_wav_pcm24(np.array([1 << 23]), 8000)
+    # empty payload decodes to zero samples
+    assert decode_wav(encode_wav_pcm24(np.array([], dtype=np.int64), 8000))[
+        2
+    ].size == 0
