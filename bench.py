@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "b21_gopher_rules",  # Gopher quality gate, exact-integer predicates
     "b18_temperature_sampling",  # sqrt-temperature language rebalancing
     "b22_pcm24_decode",  # 24-bit PCM pro-audio layout decode
+    "b22_stereo_decode",  # interleaved 2-channel deinterleave + per-lane stats
 ]
 
 

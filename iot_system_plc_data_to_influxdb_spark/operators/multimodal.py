@@ -624,14 +624,19 @@ def resize_bilinear(pixels, out_w: int, out_h: int):
     return np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
 
 
-def encode_wav(samples, sample_rate: int = 8000) -> bytes:
-    """numpy int16 mono samples → RIFF/WAVE PCM16."""
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """numpy int16 samples → RIFF/WAVE PCM16. For ``channels > 1`` the
+    input is already interleaved frame-major (L R L R ...), the RIFF
+    on-disk order."""
     import struct
 
     import numpy as np
 
     data = np.asarray(samples, dtype="<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * 2 * channels, 2 * channels, 16,
+    )
     return (
         struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
         + struct.pack("<4sI", b"fmt ", len(fmt))
@@ -2834,6 +2839,39 @@ def mel_features(
 
     return df.mapInPandas(
         batches, "doc_id bigint, frame_id int, features array<double>"
+    )
+
+
+def decode_audio_channels(df: DataFrame) -> DataFrame:
+    """Arrow-batched MULTI-CHANNEL audio decode: interleaved RIFF PCM
+    → per-channel exact integer statistics. Deinterleave is a numpy
+    stride slice (samples[c::channels]) — no copy of the payload, no
+    shuffle; one row out per (doc, channel) so downstream per-channel
+    analysis (balance, phase checks, channel drop) stays relational."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "sample_rate": [], "channel": [],
+                "n_samples": [], "sum_amp": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                for c in range(ch):
+                    lane = samples[c::ch]
+                    out["doc_id"].append(doc_id)
+                    out["sample_rate"].append(rate)
+                    out["channel"].append(c)
+                    out["n_samples"].append(lane.size)
+                    out["sum_amp"].append(int(lane.astype(np.int64).sum()))
+                    out["peak"].append(int(lane.max()) if lane.size else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, sample_rate int, channel int, n_samples int, "
+        "sum_amp bigint, peak int",
     )
 
 

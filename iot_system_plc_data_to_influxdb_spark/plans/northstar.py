@@ -5489,3 +5489,83 @@ def b22_pcm24_decode(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_audio(_media_payloads_pcm24(docs))
+
+
+# --------------------------------------------------------------------------
+# B22st — STEREO PCM decode with per-channel stats: real capture files
+# are interleaved multi-channel, and per-channel statistics (balance,
+# dead-channel detection) need the deinterleave to be provably right.
+# Left lane = even frames of one closed form, right = another, so a
+# swapped or off-by-one deinterleave breaks the hash on every doc.
+# One row per (doc, channel) keeps the downstream analysis relational.
+# --------------------------------------------------------------------------
+_B22_STEREO_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 48 + doc_id % 48 AS n,
+        8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (SELECT unnest(range(0, 96)) AS i),
+    s AS (
+      SELECT d.doc_id, d.n, d.rate, idx.i,
+        (11 * d.doc_id + 17 * i) % 4096 - 2048 AS amp_l,
+        (5 * d.doc_id + 13 * i) % 4096 - 2048 AS amp_r
+      FROM d JOIN idx ON i < d.n
+    ),
+    lanes AS (
+      SELECT doc_id, rate, n, 0 AS channel, amp_l AS amp FROM s
+      UNION ALL
+      SELECT doc_id, rate, n, 1 AS channel, amp_r AS amp FROM s
+    )
+    SELECT doc_id,
+      CAST(rate AS INT) AS sample_rate,
+      CAST(channel AS INT) AS channel,
+      CAST(n AS INT) AS n_samples,
+      CAST(SUM(amp) AS BIGINT) AS sum_amp,
+      CAST(MAX(amp) AS INT) AS peak
+    FROM lanes GROUP BY doc_id, rate, n, channel
+"""
+
+
+def _media_payloads_stereo(df):
+    """mapInPandas stage: doc_id → interleaved 2-channel PCM16 WAV
+    (closed forms above; left and right differ so lane swaps are
+    detectable)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_wav
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 48 + d % 48
+                i = np.arange(n, dtype=np.int64)
+                left = (11 * d + 17 * i) % 4096 - 2048
+                right = (5 * d + 13 * i) % 4096 - 2048
+                inter = np.empty(2 * n, dtype=np.int16)
+                inter[0::2] = left
+                inter[1::2] = right
+                ids.append(d)
+                payloads.append(
+                    encode_wav(inter, 8000 + (d % 8) * 1000, channels=2)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_stereo_decode", oracle=_B22_STEREO_ORACLE, tags=("B22",))
+def b22_stereo_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_audio_channels
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_audio_channels(_media_payloads_stereo(docs))
