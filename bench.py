@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "b18_temperature_sampling",  # sqrt-temperature language rebalancing
     "b22_pcm24_decode",  # 24-bit PCM pro-audio layout decode
     "b22_stereo_decode",  # interleaved 2-channel deinterleave + per-lane stats
+    "b22_video_retime",  # mixed-fps clips -> fixed 4 fps, exact index math
 ]
 
 

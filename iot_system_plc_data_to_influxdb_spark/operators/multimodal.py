@@ -2901,3 +2901,46 @@ def decode_audio(df: DataFrame) -> DataFrame:
         "doc_id bigint, sample_rate int, channels int, n_samples int, "
         "sum_amp bigint, peak int",
     )
+
+
+def retime_video(df: DataFrame, target_fps: int = 4) -> DataFrame:
+    """Frame-rate conversion by nearest-frame selection (the uniform
+    resample every training pipeline runs before fixed-fps models):
+    output frame k of a clip at source rate S covers time k/T, so it
+    takes source frame round_half_up(k*S/T) = (2kS + T) // (2T),
+    clamped to the last frame; n_out = ceil(nf*T/S) preserves clip
+    duration. All index math is exact integers — no float timestamps —
+    which is what makes the whole retime SQL-replayable. Map-only like
+    every other media stage: decode and retime never leave the task."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = target_fps
+        for pdf in it:
+            out = {
+                "doc_id": [], "out_idx": [], "src_idx": [],
+                "width": [], "height": [], "src_fps": [],
+                "sum_luma": [], "max_luma": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, fps, frames = decode_y4m(bytes(payload))
+                nf = len(frames)
+                n_out = (nf * T + fps - 1) // fps
+                for k in range(n_out):
+                    src = min(nf - 1, (2 * k * fps + T) // (2 * T))
+                    fr = frames[src]
+                    out["doc_id"].append(doc_id)
+                    out["out_idx"].append(k)
+                    out["src_idx"].append(src)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["src_fps"].append(fps)
+                    out["sum_luma"].append(int(fr.astype(np.int64).sum()))
+                    out["max_luma"].append(int(fr.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, out_idx int, src_idx int, width int, height int, "
+        "src_fps int, sum_luma bigint, max_luma int",
+    )

@@ -5569,3 +5569,87 @@ def b22_stereo_decode(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_audio_channels(_media_payloads_stereo(docs))
+
+
+# --------------------------------------------------------------------------
+# B22rt — video frame-rate conversion (operators/multimodal.py
+# retime_video): clips arrive at mixed source rates (2..8 fps in this
+# corpus, from the Y4M F-token) and are resampled to a fixed 4 fps by
+# nearest-frame selection. Index math is exact rational —
+# src = (2kS + T) // (2T) round-half-up, n_out = ceil(nf·T/S) — so the
+# ENTIRE retime (which source frame lands at each output slot,
+# including duplication when upsampling and drops when downsampling)
+# replays in SQL, with the per-frame luma stats proving the right
+# frame bytes were picked, not just the right count.
+# --------------------------------------------------------------------------
+_B22_RETIME_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 8 + 2 * (doc_id % 4) AS w, 6 + 2 * (doc_id % 3) AS h,
+             4 + doc_id % 5 AS nf, 2 + doc_id % 7 AS s
+      FROM documents WHERE doc_id < 120
+    ),
+    ks AS (SELECT unnest(range(0, 32)) AS k),
+    o AS (
+      SELECT d.doc_id, d.w, d.h, d.nf, d.s, ks.k,
+        LEAST(d.nf - 1, (2 * ks.k * d.s + 4) // 8) AS src
+      FROM d JOIN ks ON ks.k < (d.nf * 4 + d.s - 1) // d.s
+    ),
+    yy AS (SELECT unnest(range(0, 10)) AS y),
+    px AS (
+      SELECT o.doc_id, o.k, o.src, o.w, o.h, o.s,
+        (o.doc_id + 2 * o.src + yy.y) % 256 AS lum
+      FROM o JOIN yy ON yy.y < o.h
+    )
+    SELECT doc_id,
+      CAST(k AS INT) AS out_idx,
+      CAST(src AS INT) AS src_idx,
+      CAST(w AS INT) AS width,
+      CAST(h AS INT) AS height,
+      CAST(s AS INT) AS src_fps,
+      CAST(w * SUM(lum) AS BIGINT) AS sum_luma,
+      CAST(MAX(lum) AS INT) AS max_luma
+    FROM px GROUP BY doc_id, k, src, w, h, s
+"""
+
+
+def _media_payloads_y4m_rates(df):
+    """mapInPandas stage: the b22_video_decode corpus at MIXED source
+    frame rates (F token = 2 + doc_id % 7)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_y4m
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + 2 * (d % 4), 6 + 2 * (d % 3)
+                nf = 4 + d % 5
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    np.broadcast_to(
+                        (d + 2 * f + y) % 256, (h, w)
+                    ).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                ids.append(d)
+                payloads.append(encode_y4m(frames, fps=2 + d % 7))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_video_retime", oracle=_B22_RETIME_ORACLE, tags=("B22",))
+def b22_video_retime(spark, sf_dir):
+    from ..operators.multimodal import retime_video
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return retime_video(_media_payloads_y4m_rates(docs), target_fps=4)

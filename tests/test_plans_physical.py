@@ -271,6 +271,7 @@ def test_media_pipelines_map_only_after_fanout(spark):
         "b22_pcm24_decode", "b22_stereo_decode",
         "b22_audio_resample", "b22_audio_spectrogram",
         "b22_mel_features", "b22_video_decode", "b22_scene_changes",
+        "b22_video_retime",
     ):
         p = _plan(spark, name, mode="simple")
         n_exchange = p.count("Exchange")
