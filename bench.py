@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "b22_pcm24_decode",  # 24-bit PCM pro-audio layout decode
     "b22_stereo_decode",  # interleaved 2-channel deinterleave + per-lane stats
     "b22_video_retime",  # mixed-fps clips -> fixed 4 fps, exact index math
+    "b22_png_palette",  # indexed-color PNG (PLTE + filters on index bytes)
 ]
 
 

@@ -1037,6 +1037,59 @@ def encode_png(pixels) -> bytes:
     )
 
 
+def encode_png_palette(pixels) -> bytes:
+    """numpy (H, W, 3) uint8 with ≤256 distinct colors → a real
+    INDEXED-COLOR PNG (color type 3): PLTE palette chunk + 8-bit index
+    scanlines. The same y % 5 filter cycle as encode_png, applied to
+    the index bytes (PNG filters operate on bytes regardless of color
+    type), so the round-trip covers every filter on the palette path
+    too."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("palette PNG wants (H, W, 3) input")
+    flat = px.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    idx = inverse.reshape(h, w).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        row = idx[y].astype(np.int32)
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        ul = np.zeros_like(row)
+        ul[1:] = prev[:-1]
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth(left, prev, ul)
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes):
     """PNG → (width, height, (H, W, 3|4) uint8).
 
@@ -1056,6 +1109,7 @@ def decode_png(payload: bytes):
     pos = len(_PNG_SIG)
     ihdr = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -1065,6 +1119,10 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -1075,17 +1133,19 @@ def decode_png(payload: bytes):
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
     if (
         depth != 8
-        or color_type not in (2, 6)
+        or color_type not in (2, 3, 6)
         or comp != 0
         or filt_method != 0
         or interlace != 0
     ):
         raise NotImplementedError(
-            "only 8-bit non-interlaced truecolor(+alpha) PNG is "
-            f"supported (depth={depth}, color={color_type}, "
+            "only 8-bit non-interlaced truecolor(+alpha)/indexed PNG "
+            f"is supported (depth={depth}, color={color_type}, "
             f"interlace={interlace})"
         )
-    ch = 3 if color_type == 2 else 4
+    if color_type == 3 and plte is None:
+        raise ValueError("indexed PNG missing PLTE chunk")
+    ch = {2: 3, 3: 1, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = 1 + w * ch
     if len(raw) != stride * h:
@@ -1122,6 +1182,11 @@ def decode_png(payload: bytes):
         row = row % 256
         out[y] = row
         prev = row
+    if color_type == 3:
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return w, h, plte[idx]
     return w, h, out.astype(np.uint8)
 
 

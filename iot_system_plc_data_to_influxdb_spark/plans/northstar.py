@@ -5653,3 +5653,80 @@ def b22_video_retime(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return retime_video(_media_payloads_y4m_rates(docs), target_fps=4)
+
+
+# --------------------------------------------------------------------------
+# B22pal — INDEXED-COLOR PNG decode (color type 3, the web-crawl
+# palette variant): DEFLATE scanlines of 8-bit palette indices + a
+# PLTE chunk, decoded through the same CRC-verified chunk walk and all
+# five filter reconstructions as truecolor PNG, then the palette
+# lookup. The corpus is the standard closed-form image set (≤14
+# distinct row colors — comfortably inside one palette), so the same
+# stats oracle proves the palette path end-to-end; a wrong index map,
+# filter-on-index handling, or PLTE ordering breaks the hash.
+# --------------------------------------------------------------------------
+_B22_PNGPAL_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    ys AS (SELECT unnest(range(0, 14)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+        (3 * d.doc_id + y) % 256 AS r,
+        (2 * d.doc_id + y) % 256 AS g,
+        (d.doc_id + y) % 256 AS b
+      FROM d JOIN ys ON y < d.h
+    )
+    SELECT doc_id,
+      CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(w * h AS INT) AS n_px,
+      CAST(w * SUM(r) AS BIGINT) AS sum_r,
+      CAST(w * SUM(g) AS BIGINT) AS sum_g,
+      CAST(w * SUM(b) AS BIGINT) AS sum_b,
+      CAST(w * SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+      CAST(w * SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+      CAST(w * SUM(b) AS DOUBLE) / (w * h) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
+def _media_payloads_png_palette(df):
+    """mapInPandas stage: the standard image corpus as indexed-color
+    PNG (palette built from the image's distinct colors)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_png_palette
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                chan = np.concatenate(
+                    [(3 * d + y) % 256, (2 * d + y) % 256, (d + y) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                px = np.broadcast_to(chan, (h, w, 3)).copy()
+                ids.append(d)
+                payloads.append(encode_png_palette(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_png_palette", oracle=_B22_PNGPAL_ORACLE, tags=("B22",))
+def b22_png_palette(spark, sf_dir):
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(_media_payloads_png_palette(docs))

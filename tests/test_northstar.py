@@ -1627,3 +1627,30 @@ def test_pcm24_roundtrip_full_range():
     assert decode_wav(encode_wav_pcm24(np.array([], dtype=np.int64), 8000))[
         2
     ].size == 0
+
+
+def test_png_palette_roundtrip_all_filters():
+    """Indexed-color PNG: encode→decode identity over images tall
+    enough to cycle all five scanline filters on the index bytes, plus
+    the palette-order invariance (decode returns PIXELS, so any
+    palette permutation with remapped indices is equivalent)."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 200, size=(11, 13))]
+    w, h, dec = decode_png(encode_png_palette(img))
+    assert (w, h) == (13, 11) and (dec == img).all()
+    import pytest as _pytest
+
+    i = np.arange(257, dtype=np.int64)
+    too_many = np.stack(
+        [i % 256, i // 256, np.zeros_like(i)], axis=1
+    ).reshape(257, 1, 3)
+    with _pytest.raises(ValueError):
+        encode_png_palette(too_many.astype(np.uint8))
