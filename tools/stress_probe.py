@@ -43,6 +43,8 @@ QUERIES = [
     "b5_hll_deterministic",     # mergeable sketch: shuffle bounded by registers
     "b5_cms_heavy_hitters",     # mergeable sketch: shuffle bounded by cells
     "b5_bloom_membership",      # 512-byte filter build over 10x orders keys
+    "b21_importance_resample",  # 10x tokens into fixed 256-bucket vectors
+    "b18_temperature_sampling", # 10x docs, O(langs) lookup stays constant
 ]
 
 
