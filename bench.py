@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "b22_stereo_decode",  # interleaved 2-channel deinterleave + per-lane stats
     "b22_video_retime",  # mixed-fps clips -> fixed 4 fps, exact index math
     "b22_png_palette",  # indexed-color PNG (PLTE + filters on index bytes)
+    "b22_png_gray",  # grayscale PNG -> replicated RGB contract
 ]
 
 

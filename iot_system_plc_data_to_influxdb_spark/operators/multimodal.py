@@ -1090,6 +1090,48 @@ def encode_png_palette(pixels) -> bytes:
     )
 
 
+def encode_png_gray(pixels) -> bytes:
+    """numpy (H, W) uint8 luma → a real GRAYSCALE PNG (color type 0,
+    8-bit) — the screenshot/scanned-document variant. Same y % 5
+    filter cycle over the 1-byte-per-pixel scanlines."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        row = px[y].astype(np.int32)
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        ul = np.zeros_like(row)
+        ul[1:] = prev[:-1]
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:
+            filt = row - _paeth(left, prev, ul)
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes):
     """PNG → (width, height, (H, W, 3|4) uint8).
 
@@ -1133,19 +1175,19 @@ def decode_png(payload: bytes):
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
     if (
         depth != 8
-        or color_type not in (2, 3, 6)
+        or color_type not in (0, 2, 3, 6)
         or comp != 0
         or filt_method != 0
         or interlace != 0
     ):
         raise NotImplementedError(
-            "only 8-bit non-interlaced truecolor(+alpha)/indexed PNG "
-            f"is supported (depth={depth}, color={color_type}, "
+            "only 8-bit non-interlaced gray/truecolor(+alpha)/indexed "
+            f"PNG is supported (depth={depth}, color={color_type}, "
             f"interlace={interlace})"
         )
     if color_type == 3 and plte is None:
         raise ValueError("indexed PNG missing PLTE chunk")
-    ch = {2: 3, 3: 1, 6: 4}[color_type]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = 1 + w * ch
     if len(raw) != stride * h:
@@ -1187,6 +1229,10 @@ def decode_png(payload: bytes):
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
         return w, h, plte[idx]
+    if color_type == 0:
+        # grayscale → replicated RGB, so every consumer sees one
+        # uniform (H, W, 3) shape regardless of source color type
+        return w, h, np.repeat(out.astype(np.uint8), 3, axis=2)
     return w, h, out.astype(np.uint8)
 
 

@@ -5730,3 +5730,74 @@ def b22_png_palette(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_images(_media_payloads_png_palette(docs))
+
+
+# --------------------------------------------------------------------------
+# B22gray — GRAYSCALE PNG decode (color type 0, the screenshot /
+# scanned-document variant): 1-byte-per-pixel DEFLATE scanlines
+# through the same CRC chunk walk and five filter reconstructions,
+# expanded to replicated RGB so every image consumer sees one uniform
+# (H, W, 3) shape. luma = (5d + 7y) % 256 constant along x — the
+# replicate-to-RGB contract makes sum_r = sum_g = sum_b a CHECKED
+# equality, not an assumption.
+# --------------------------------------------------------------------------
+_B22_PNGGRAY_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    ys AS (SELECT unnest(range(0, 14)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, (5 * d.doc_id + 7 * y) % 256 AS lum
+      FROM d JOIN ys ON y < d.h
+    )
+    SELECT doc_id,
+      CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(w * h AS INT) AS n_px,
+      CAST(w * SUM(lum) AS BIGINT) AS sum_r,
+      CAST(w * SUM(lum) AS BIGINT) AS sum_g,
+      CAST(w * SUM(lum) AS BIGINT) AS sum_b,
+      CAST(w * SUM(lum) AS DOUBLE) / (w * h) AS mean_r,
+      CAST(w * SUM(lum) AS DOUBLE) / (w * h) AS mean_g,
+      CAST(w * SUM(lum) AS DOUBLE) / (w * h) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
+def _media_payloads_png_gray(df):
+    """mapInPandas stage: grayscale PNG corpus, luma (5d + 7y) % 256
+    constant along x."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_png_gray
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                y = np.arange(h, dtype=np.int64)[:, None]
+                img = np.broadcast_to(
+                    (5 * d + 7 * y) % 256, (h, w)
+                ).astype(np.uint8)
+                ids.append(d)
+                payloads.append(encode_png_gray(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_png_gray", oracle=_B22_PNGGRAY_ORACLE, tags=("B22",))
+def b22_png_gray(spark, sf_dir):
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(_media_payloads_png_gray(docs))

@@ -1654,3 +1654,18 @@ def test_png_palette_roundtrip_all_filters():
     ).reshape(257, 1, 3)
     with _pytest.raises(ValueError):
         encode_png_palette(too_many.astype(np.uint8))
+
+
+def test_png_gray_roundtrip():
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, size=(11, 13), dtype=np.uint8)
+    w, h, dec = decode_png(encode_png_gray(img))
+    assert (w, h) == (13, 11)
+    assert (dec == np.repeat(img[:, :, None], 3, axis=2)).all()

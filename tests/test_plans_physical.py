@@ -264,7 +264,7 @@ def test_media_pipelines_map_only_after_fanout(spark):
     nothing else — no aggregation or join exchange sneaking in. The
     map-only claim in SCALE.md, held in the compiled plan."""
     for name in (
-        "b22_image_decode", "b22_png_palette", "b22_gif_decode", "b22_jpeg_decode",
+        "b22_image_decode", "b22_png_palette", "b22_png_gray", "b22_gif_decode", "b22_jpeg_decode",
         "b22_jpeg_420", "b22_jpeg_progressive", "b22_resize_bilinear",
         "b22_hist_equalize", "b22_augmentations", "b22_audio_decode",
         "b22_mulaw_decode", "b22_alaw_decode", "b22_adpcm_decode",
