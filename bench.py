@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "b22_video_retime",  # mixed-fps clips -> fixed 4 fps, exact index math
     "b22_png_palette",  # indexed-color PNG (PLTE + filters on index bytes)
     "b22_png_gray",  # grayscale PNG -> replicated RGB contract
+    "b22_float32_decode",  # IEEE float32 WAV (format 3)
+    "b22_video_c444",  # full-res-chroma Y4M byte budget
 ]
 
 

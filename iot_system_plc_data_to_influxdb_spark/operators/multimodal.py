@@ -672,6 +672,24 @@ def encode_wav_pcm24(samples, sample_rate: int = 8000) -> bytes:
     )
 
 
+def encode_wav_float32(samples, sample_rate: int = 8000) -> bytes:
+    """numpy samples → RIFF/WAVE IEEE float (format 3, bits=32) — the
+    DAW/export layout. Little-endian float32 per sample."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, sample_rate, sample_rate * 4, 4, 32)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
 def decode_wav(payload: bytes):
     """RIFF/WAVE → (sample_rate, channels, numpy integer samples).
 
@@ -700,18 +718,24 @@ def decode_wav(payload: bytes):
             bits = struct.unpack_from("<H", payload, body + 14)[0]
             if audio_fmt == 0x11 and size >= 20:
                 (n_samples,) = struct.unpack_from("<H", payload, body + 18)
-            if audio_fmt not in (1, 0x06, 0x07, 0x11) or (
+            if audio_fmt not in (1, 3, 0x06, 0x07, 0x11) or (
                 audio_fmt == 1 and bits not in (16, 24)
-            ):
+            ) or (audio_fmt == 3 and bits != 32):
                 raise NotImplementedError(
-                    f"only PCM16/24, A-law, mu-law, and IMA-ADPCM "
-                    f"supported (fmt={audio_fmt}, bits={bits})"
+                    f"only PCM16/24, float32, A-law, mu-law, and "
+                    f"IMA-ADPCM supported (fmt={audio_fmt}, bits={bits})"
                 )
         elif cid == b"data":
             data = payload[body : body + size]
         pos = body + size + (size % 2)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if audio_fmt == 3:
+        # IEEE float32; integer-valued samples (within 2^24) survive
+        # the float round-trip exactly, which is what makes the stats
+        # oracle-checkable on the synthetic corpus
+        samples = np.frombuffer(data, dtype="<f4", count=len(data) // 4)
+        return sample_rate, channels, samples
     if audio_fmt == 1 and bits == 24:
         # 3-byte little-endian two's complement → sign-extended int32
         raw = np.frombuffer(data, dtype=np.uint8, count=(len(data) // 3) * 3)
@@ -859,17 +883,25 @@ def encode_wav_adpcm(samples, sample_rate: int = 8000,
 # --------------------------------------------------------------------------
 
 
-def encode_y4m(frames, fps: int = 25) -> bytes:
-    """list of (H, W) uint8 luma frames → YUV4MPEG2 C420jpeg bytes
-    (chroma planes constant 128 — grayscale video)."""
+def encode_y4m(frames, fps: int = 25, c444: bool = False) -> bytes:
+    """list of (H, W) uint8 luma frames → YUV4MPEG2 bytes (chroma
+    planes constant 128 — grayscale video). Default C420jpeg
+    (subsampled chroma, 1.5·W·H per frame); ``c444`` writes full-res
+    chroma (C444, 3·W·H per frame) — the other byte-budget branch of
+    the decoder's colorspace dispatch."""
     import numpy as np
 
     first = np.asarray(frames[0], dtype=np.uint8)
     h, w = first.shape
-    if h % 2 or w % 2:
-        raise ValueError("C420 needs even dimensions")
-    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
-    chroma = b"\x80" * ((w // 2) * (h // 2) * 2)
+    if c444:
+        cs = "C444"
+        chroma = b"\x80" * (w * h * 2)
+    else:
+        if h % 2 or w % 2:
+            raise ValueError("C420 needs even dimensions")
+        cs = "C420jpeg"
+        chroma = b"\x80" * ((w // 2) * (h // 2) * 2)
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 {cs}\n".encode()
     body = b"".join(
         b"FRAME\n" + np.asarray(f, dtype=np.uint8).tobytes() + chroma
         for f in frames

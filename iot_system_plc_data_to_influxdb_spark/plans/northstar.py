@@ -5801,3 +5801,147 @@ def b22_png_gray(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_images(_media_payloads_png_gray(docs))
+
+
+# --------------------------------------------------------------------------
+# B22f32 — IEEE float32 WAV decode (format 3, the DAW/export layout),
+# completing the WAV format family (PCM16/24, float32, A-law, mu-law,
+# IMA-ADPCM). The corpus amplitudes are INTEGERS within float32's
+# exact range (|amp| < 2^24), so the float round-trip is lossless and
+# the same integer stats oracle applies — proving the format-3 fmt
+# parsing and 4-byte stride without a float-replay oracle.
+# --------------------------------------------------------------------------
+_B22_F32_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+        8000 + (doc_id % 8) * 1000 AS rate
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (SELECT unnest(range(0, 128)) AS i),
+    s AS (
+      SELECT d.doc_id, d.n, d.rate,
+        (131071 * d.doc_id + 65537 * i) % 16777216 - 8388608 AS amp
+      FROM d JOIN idx ON i < d.n
+    )
+    SELECT doc_id,
+      CAST(rate AS INT) AS sample_rate,
+      1 AS channels,
+      CAST(n AS INT) AS n_samples,
+      CAST(SUM(amp) AS BIGINT) AS sum_amp,
+      CAST(MAX(amp) AS INT) AS peak
+    FROM s GROUP BY doc_id, n, rate
+"""
+
+
+def _media_payloads_float32(df):
+    """mapInPandas stage: the PCM24 corpus as IEEE float32 WAV
+    (integer-valued floats — exactly representable)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_wav_float32
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = (131071 * d + 65537 * i) % 16777216 - 8388608
+                ids.append(d)
+                payloads.append(
+                    encode_wav_float32(samples, 8000 + (d % 8) * 1000)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_float32_decode", oracle=_B22_F32_ORACLE, tags=("B22",))
+def b22_float32_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_audio
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_audio(_media_payloads_float32(docs))
+
+
+# --------------------------------------------------------------------------
+# B22c444 — Y4M C444 decode: the full-resolution-chroma byte budget
+# (3·W·H per frame vs C420's 1.5·W·H). Same luma corpus as
+# b22_video_decode but sampled every frame, so a decoder that budgets
+# frames with the wrong colorspace stride desynchronizes immediately
+# and every later frame's stats break the hash.
+# --------------------------------------------------------------------------
+_B22_C444_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 8 + 2 * (doc_id % 4) AS w, 6 + 2 * (doc_id % 3) AS h,
+             4 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 120
+    ),
+    fi AS (SELECT unnest(range(0, 8)) AS f),
+    yy AS (SELECT unnest(range(0, 10)) AS y),
+    px AS (
+      SELECT d.doc_id, fi.f, d.w, d.h, d.nf,
+        (d.doc_id + 2 * fi.f + yy.y) % 256 AS lum
+      FROM d
+      JOIN fi ON fi.f < d.nf
+      JOIN yy ON yy.y < d.h
+    )
+    SELECT doc_id,
+      CAST(f AS INT) AS frame_idx,
+      CAST(w AS INT) AS width,
+      CAST(h AS INT) AS height,
+      CAST(nf AS INT) AS n_frames,
+      CAST(w * SUM(lum) AS BIGINT) AS sum_luma,
+      CAST(MAX(lum) AS INT) AS max_luma
+    FROM px GROUP BY doc_id, f, w, h, nf
+"""
+
+
+def _media_payloads_y4m_c444(df):
+    """mapInPandas stage: the b22_video_decode corpus as C444."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_y4m
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + 2 * (d % 4), 6 + 2 * (d % 3)
+                nf = 4 + d % 5
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    np.broadcast_to(
+                        (d + 2 * f + y) % 256, (h, w)
+                    ).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                ids.append(d)
+                payloads.append(encode_y4m(frames, c444=True))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_video_c444", oracle=_B22_C444_ORACLE, tags=("B22",))
+def b22_video_c444(spark, sf_dir):
+    from ..operators.multimodal import decode_video_frames
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_video_frames(_media_payloads_y4m_c444(docs), every=1)

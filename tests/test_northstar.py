@@ -1669,3 +1669,36 @@ def test_png_gray_roundtrip():
     w, h, dec = decode_png(encode_png_gray(img))
     assert (w, h) == (13, 11)
     assert (dec == np.repeat(img[:, :, None], 3, axis=2)).all()
+
+
+def test_float32_wav_roundtrip():
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_float32,
+    )
+
+    x = np.array([-8388608, -1, 0, 1, 8388607, 424242], dtype=np.int64)
+    rate, ch, dec = decode_wav(encode_wav_float32(x, 22050))
+    assert (rate, ch) == (22050, 1)
+    assert (dec.astype(np.int64) == x).all()
+
+
+def test_y4m_c444_roundtrip():
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = [
+        (np.arange(35, dtype=np.int64).reshape(5, 7) * k % 256).astype(
+            np.uint8
+        )
+        for k in (1, 3)
+    ]
+    w, h, fps, dec = decode_y4m(encode_y4m(frames, fps=9, c444=True))
+    assert (w, h, fps) == (7, 5, 9)
+    assert len(dec) == 2 and all((a == b).all() for a, b in zip(dec, frames))

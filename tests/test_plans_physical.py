@@ -268,7 +268,8 @@ def test_media_pipelines_map_only_after_fanout(spark):
         "b22_jpeg_420", "b22_jpeg_progressive", "b22_resize_bilinear",
         "b22_hist_equalize", "b22_augmentations", "b22_audio_decode",
         "b22_mulaw_decode", "b22_alaw_decode", "b22_adpcm_decode",
-        "b22_pcm24_decode", "b22_stereo_decode",
+        "b22_pcm24_decode", "b22_stereo_decode", "b22_float32_decode",
+        "b22_video_c444",
         "b22_audio_resample", "b22_audio_spectrogram",
         "b22_mel_features", "b22_video_decode", "b22_scene_changes",
         "b22_video_retime",
