@@ -88,3 +88,49 @@ def simhash16(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
 def stopword_hits(words: Column) -> Column:
     """Number of tokens that are function words (language-ID signal)."""
     return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+
+
+def gopher_stats(txt: Column, words: Column) -> dict:
+    """The Gopher table-A1 rule signals (arXiv:2112.11446) as native
+    Columns — shared by the batch query (plans/northstar.py
+    b21_gopher_rules) and the streaming ingest gate
+    (streaming/curation.py gopher_filter_stream) so the two can never
+    drift. Every ratio bound is cross-multiplied into exact integer
+    space; the `passes` predicate is the conjunction of: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (#/ellipsis) <= 0.1, >= 80% alphabetic words, >= 2 stopword hits."""
+    n_words = F.size(words).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda x: x.rlike("[a-z]"))
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.filter(words, lambda x: x.isin(*STOPWORDS))
+    ).cast("bigint")
+    symbol_hits = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
+        + F.floor(
+            (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit(""))))
+            / 3
+        )
+    ).cast("bigint")
+    passes = (
+        n_words.between(50, 100000)
+        & (total_len >= 3 * n_words)
+        & (total_len <= 10 * n_words)
+        & (10 * symbol_hits <= n_words)
+        & (10 * alpha_words >= 8 * n_words)
+        & (stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "total_len": total_len,
+        "alpha_words": alpha_words,
+        "stop_hits": stop_hits,
+        "symbol_hits": symbol_hits,
+        "passes": passes,
+    }

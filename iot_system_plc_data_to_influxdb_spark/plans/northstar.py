@@ -5286,39 +5286,19 @@ _B21_GOPHER_ORACLE = (
 
 @register("b21_gopher_rules", oracle=_B21_GOPHER_ORACLE, tags=("B21",))
 def b21_gopher_rules(spark, sf_dir):
+    from ..functions.text import gopher_stats
+
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "text", tokens(F.col("text")).alias("_w")
     )
-    w = F.col("_w")
-    txt = F.col("text")
+    g = gopher_stats(F.col("text"), F.col("_w"))
     m = docs.select(
         "doc_id",
-        F.size(w).cast("bigint").alias("n_words"),
-        F.aggregate(
-            F.transform(w, F.length),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("total_len"),
-        F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
-        .cast("bigint")
-        .alias("alpha_words"),
-        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-        .cast("bigint")
-        .alias("stop_hits"),
-        (
-            (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
-            + F.floor(
-                (
-                    F.length(txt)
-                    - F.length(F.replace(txt, F.lit("..."), F.lit("")))
-                )
-                / 3
-            )
-        )
-        .cast("bigint")
-        .alias("symbol_hits"),
+        *[g[k].alias(k) for k in
+          ("n_words", "total_len", "alpha_words", "stop_hits",
+           "symbol_hits")],
+        g["passes"].alias("passes"),
     )
-    nw = F.col("n_words")
     return m.select(
         "doc_id",
         "n_words",
@@ -5326,15 +5306,10 @@ def b21_gopher_rules(spark, sf_dir):
         "alpha_words",
         "stop_hits",
         "symbol_hits",
-        round_ratio(F.col("total_len"), nw, 4).alias("mean_word_len"),
-        (
-            nw.between(50, 100000)
-            & (F.col("total_len") >= 3 * nw)
-            & (F.col("total_len") <= 10 * nw)
-            & (10 * F.col("symbol_hits") <= nw)
-            & (10 * F.col("alpha_words") >= 8 * nw)
-            & (F.col("stop_hits") >= 2)
-        ).alias("passes"),
+        round_ratio(F.col("total_len"), F.col("n_words"), 4).alias(
+            "mean_word_len"
+        ),
+        "passes",
     )
 
 

@@ -340,3 +340,18 @@ def cdc_dedup_stream(
     return chunks.withWatermark(
         "ingest_ts", watermark
     ).dropDuplicatesWithinWatermark(["chunk_hash"])
+
+
+def gopher_filter_stream(docs: DataFrame) -> DataFrame:
+    """The Gopher rule gate (functions/text.gopher_stats — the SAME
+    Column expressions as the batch b21_gopher_rules query, so batch
+    and stream can never drift) applied at ingest. Stateless native
+    projection + filter: no watermark, no state store, whole-stage
+    codegen end to end."""
+    from ..functions.text import gopher_stats
+
+    w = tokens(F.col("text"))
+    g = gopher_stats(F.col("text"), w)
+    return docs.withColumns(
+        {k: g[k] for k in ("n_words", "stop_hits", "passes")}
+    ).filter(F.col("passes"))

@@ -1175,3 +1175,62 @@ def test_streaming_scene_change_matches_batch(spark):
     # the retained frame over the micro-batch boundary
     assert res[("camA", 2)][1] == 1 and res[("camB", 3)][1] == 1
     assert res[("camA", 1)][1] == 0 and res[("camB", 1)][1] == 0
+
+
+def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
+    """gopher_filter_stream uses the IDENTICAL Column expressions as
+    the batch b21_gopher_rules query (functions/text.gopher_stats), so
+    the kept-document set must be equal row-for-row."""
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.functions.text import (
+        gopher_stats,
+        tokens,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        gopher_filter_stream,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks on "
+        "through the quiet green valley where a small river bends past "
+        "old stone houses and the evening light settles over the fields "
+        "while people gather to talk about the long day behind them "
+        "and children play near the gate until the stars come out over "
+        "the hills"
+    )
+    rows = [
+        (1, good),                      # passes every rule
+        (2, "short doc"),               # fails word count
+        (3, good + " ####" * 40),       # fails symbol ratio
+        (4, ("zz9 " * 60).strip()),     # fails stopword + alpha rules
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    batch_kept = sorted(
+        r.doc_id
+        for r in df.select(
+            "doc_id", gopher_stats(F.col("text"), tokens(F.col("text")))["passes"].alias("p")
+        ).filter("p").collect()
+    )
+
+    src = str(tmp_path / "gdocs")
+    os.makedirs(src, exist_ok=True)
+    stage = str(tmp_path / "gstage")
+    df.coalesce(1).write.parquet(stage)
+    shutil.copy(
+        glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+        os.path.join(src, "0000.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    got = []
+    q = (
+        gopher_filter_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, b: got.extend(d.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in got) == batch_kept == [1]
+    assert all(r.passes for r in got)
