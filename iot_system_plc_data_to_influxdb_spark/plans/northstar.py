@@ -5920,3 +5920,80 @@ def b22_video_c444(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_video_frames(_media_payloads_y4m_c444(docs), every=1)
+
+
+# --------------------------------------------------------------------------
+# B19cont — CONTAINMENT near-dup (asymmetric |A∩B| / |A|): Jaccard
+# misses a small document quoted verbatim inside a much larger one
+# (the union term dilutes it), which is exactly the snippet-reuse /
+# quotation case a dedup pipeline wants to catch. Scored over the same
+# inverted-shingle candidate pairs as the Jaccard baseline (documented
+# quadratic correctness baseline — banded MinHash-LSH remains the
+# scale path); the ≥ 0.7 threshold is CROSS-MULTIPLIED
+# (10·i ≥ 7·n_small) so no float compare can diverge between engines.
+# Output: (contained, container) ordered smaller-set-first, lower
+# doc_id on ties.
+# --------------------------------------------------------------------------
+_B19_CONTAIN_ORACLE = (
+    _DOCS_CTE
+    + """
+    , inter AS (
+      SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS i
+      FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    scored AS (
+      SELECT
+        CASE WHEN sb.n < sa.n THEN d2 ELSE d1 END AS contained,
+        CASE WHEN sb.n < sa.n THEN d1 ELSE d2 END AS container,
+        i, LEAST(sa.n, sb.n) AS n_small
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+    )
+    SELECT contained, container,
+      CAST(i AS BIGINT) AS n_shared,
+      CAST(n_small AS BIGINT) AS n_small,
+      ((2 * i * 10000 + n_small) // (2 * n_small)) / 10000.0
+        AS containment
+    FROM scored WHERE 10 * i >= 7 * n_small
+    """
+)
+
+
+@register(
+    "b19_containment_neardup", oracle=_B19_CONTAIN_ORACLE, tags=("B19",)
+)
+def b19_containment_neardup(spark, sf_dir):
+    sh = _doc_shingles(spark, sf_dir).cache()
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.s") == F.col("s2.s"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(F.col("s1.doc_id").alias("d1"), F.col("s2.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    joined = inter.join(
+        sizes.alias("sa"), F.col("sa.doc_id") == F.col("d1")
+    ).join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("d2"))
+    swap = F.col("sb.n") < F.col("sa.n")
+    n_small = F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        joined.select(
+            F.when(swap, F.col("d2")).otherwise(F.col("d1")).alias(
+                "contained"
+            ),
+            F.when(swap, F.col("d1")).otherwise(F.col("d2")).alias(
+                "container"
+            ),
+            F.col("i").cast("bigint").alias("n_shared"),
+            n_small.cast("bigint").alias("n_small"),
+            round_ratio(F.col("i"), n_small, 4).alias("containment"),
+        )
+        .filter(10 * F.col("n_shared") >= 7 * F.col("n_small"))
+    )
