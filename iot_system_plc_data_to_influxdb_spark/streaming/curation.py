@@ -355,3 +355,53 @@ def gopher_filter_stream(docs: DataFrame) -> DataFrame:
     return docs.withColumns(
         {k: g[k] for k in ("n_words", "stop_hits", "passes")}
     ).filter(F.col("passes"))
+
+
+def importance_filter_stream(
+    docs: DataFrame,
+    weights: dict,
+    *,
+    min_score: float,
+) -> DataFrame:
+    """DSIR-style importance scoring at ingest — the train-batch /
+    serve-stream split: ``weights`` is the {bucket: fixed-point weight}
+    table the batch job fits (the wt stage of plans/northstar.py
+    b21_importance_resample — 256 entries), carried as a MAP LITERAL in
+    the plan (the b21_classifier_score pattern) and folded over the
+    un-exploded token array, so scoring is a stateless map-only
+    projection — no aggregation, no watermark, true append stream.
+    Each doc's fixed-point ``imp_score`` must clear ``min_score``.
+    (The batch job's exact-quartile NTILE needs the full corpus; a
+    stream uses the threshold that quartile implies — recompute it per
+    model refresh.)"""
+    from ..functions.text import token_hash16
+
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    w = tokens(F.col("text"))
+    wsum = F.aggregate(
+        F.transform(
+            w,
+            lambda t: F.coalesce(
+                F.element_at(wmap, F.pmod(token_hash16(t), F.lit(256))),
+                F.lit(0),
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from ..plans._exact import round_ratio
+
+    nt = F.size(w).cast("bigint")
+    scored = docs.withColumns(
+        {
+            "n_tokens": nt,
+            "w_sum": wsum,
+            # the SAME pmod-based exact rounding as the batch query —
+            # a double-division floor can cross an integer boundary on
+            # near-integer quotients and disagree with it
+            "imp_score": round_ratio(wsum, nt, 4),
+        }
+    )
+    return scored.filter(F.col("imp_score") >= F.lit(min_score))

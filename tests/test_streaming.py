@@ -1234,3 +1234,69 @@ def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(r.doc_id for r in got) == batch_kept == [1]
     assert all(r.passes for r in got)
+
+
+def test_streaming_importance_gate_matches_batch(spark, tmp_path):
+    """Train-batch / serve-stream: the weight table fitted exactly as
+    b21_importance_resample's wt stage, carried as a map literal into
+    the stream; per-doc imp_score must equal the batch query's score
+    for every doc (same md5 buckets, same fixed-point rounding)."""
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.plans import all_queries
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        importance_filter_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["doc_id"]: r["imp_score"]
+        for r in all_queries()["b21_importance_resample"](spark, sf).collect()
+    }
+
+    # refit the weight table exactly as the batch query does
+    from iot_system_plc_data_to_influxdb_spark.catalog import t as read_t
+    from iot_system_plc_data_to_influxdb_spark.functions.text import (
+        token_hash16,
+        tokens,
+    )
+
+    docs = read_t(spark, sf, "documents").select(
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("w")
+    )
+    bt = docs.select(
+        "doc_id", "lang", F.explode("w").alias("t")
+    ).select("doc_id", "lang", F.pmod(token_hash16(F.col("t")), F.lit(256)).alias("b"))
+    tcnt = bt.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("tc"))
+    rcnt = bt.groupBy("b").agg(F.count("*").alias("rc"))
+    wt = {
+        int(r["b"]): int(r["w"])
+        for r in rcnt.join(tcnt, "b", "left")
+        .selectExpr("b", "(coalesce(tc, 0) + 1) * 1000000 div (rc + 256) as w")
+        .collect()
+    }
+
+    src = str(tmp_path / "idocs")
+    os.makedirs(src, exist_ok=True)
+    stage = str(tmp_path / "istage")
+    read_t(spark, sf, "documents").select("doc_id", "text").limit(
+        40
+    ).coalesce(1).write.parquet(stage)
+    shutil.copy(
+        glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+        os.path.join(src, "0000.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    got = []
+    q = (
+        importance_filter_stream(stream, wt, min_score=0.0)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, b: got.extend(d.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(got) == 40
+    for r in got:
+        assert r.imp_score == batch[r.doc_id], (r.doc_id, r.imp_score)
