@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "b22_png_gray",  # grayscale PNG -> replicated RGB contract
     "b22_float32_decode",  # IEEE float32 WAV (format 3)
     "b22_video_c444",  # full-res-chroma Y4M byte budget
+    "b23_alert_episodes",  # sustained-threshold alert runs (FOR semantics)
 ]
 
 

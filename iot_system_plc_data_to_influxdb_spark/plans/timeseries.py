@@ -2326,3 +2326,67 @@ def b3_influxql_into(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# B23e — sustained-threshold alert episodes (the Grafana/Kapacitor
+# "alert WHEN value > T FOR n samples" semantics the reference's users
+# configure on top of InfluxDB): a point-wise threshold breach is not
+# an alert; an alert EPISODE is a maximal run of consecutive breaching
+# samples, reported once with its span and peak. Classic
+# gaps-and-islands — two ranking windows per series partition (never a
+# global sort), identical shape in both engines. The ≥ 3-sample gate
+# is the FOR clause: flapping single-point spikes stay silent.
+# --------------------------------------------------------------------------
+_B23_EPISODE_ORACLE = """
+    WITH f AS (
+      SELECT event_type, ts, event_id, value,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY ts, event_id
+        ) AS rn_all
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY ts, event_id
+        ) AS rn_flag
+      FROM f WHERE value > 80.0
+    ),
+    runs AS (
+      SELECT event_type, ts, value, rn_all - rn_flag AS grp
+      FROM flagged
+    )
+    SELECT event_type,
+      MIN(ts) AS start_ts,
+      MAX(ts) AS end_ts,
+      CAST(COUNT(*) AS BIGINT) AS n_points,
+      MAX(value) AS peak
+    FROM runs GROUP BY event_type, grp
+    HAVING COUNT(*) >= 3
+"""
+
+
+@register("b23_alert_episodes", oracle=_B23_EPISODE_ORACLE, tags=("B23",))
+def b23_alert_episodes(spark, sf_dir):
+    ev = events_between(spark, sf_dir)
+    w_all = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    f = ev.select(
+        "event_type", "ts", "event_id", "value",
+        F.row_number().over(w_all).alias("rn_all"),
+    )
+    flagged = f.filter(F.col("value") > 80.0).withColumn(
+        "rn_flag", F.row_number().over(w_all)
+    )
+    return (
+        flagged.withColumn("grp", F.col("rn_all") - F.col("rn_flag"))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count("*").cast("bigint").alias("n_points"),
+            F.max("value").alias("peak"),
+        )
+        .filter(F.col("n_points") >= 3)
+        .drop("grp")
+    )
