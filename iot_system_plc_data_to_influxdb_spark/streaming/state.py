@@ -233,3 +233,70 @@ def current_value_stream_tws(points: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="None",
     )
+
+
+THRESHOLD_OUTPUT = (
+    "event_type string, alert_ts timestamp, n_points int, peak double"
+)
+THRESHOLD_STATE = "run_len int, alerted boolean, peak double"
+
+
+def threshold_alerts(
+    events: DataFrame,
+    *,
+    threshold: float,
+    n_for: int = 3,
+) -> DataFrame:
+    """Streaming sustained-threshold alerting — the live twin of the
+    batch b23_alert_episodes query (plans/timeseries.py): per series
+    (event_type), a run of >= n_for consecutive breaching samples
+    raises ONE alert at the sample that completes the run; the run —
+    and the alert latch — reset on the first non-breaching sample, so
+    the next episode alerts again (Kapacitor's stateChangesOnly).
+
+    State is (run_len, alerted, peak) per key — O(series), not
+    O(events) — carried by GroupState with no timeout (nothing expires:
+    a silent series simply keeps its run). Samples are processed in
+    (ts) order within each micro-batch; cross-batch continuation is
+    exactly what the batch operator cannot do and the test pins (a run
+    split 2+1 across batches still alerts on the third sample)."""
+
+    def fn(key, pdfs, state: GroupState):
+        run_len, alerted, peak = (
+            state.get if state.exists else (0, False, float("-inf"))
+        )
+        out_ts, out_n, out_peak = [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for _, row in pdf.sort_values("ts").iterrows():
+                v = float(row["value"])
+                if v > threshold:
+                    run_len += 1
+                    peak = max(peak, v)
+                    if run_len >= n_for and not alerted:
+                        alerted = True
+                        out_ts.append(row["ts"])
+                        out_n.append(run_len)
+                        out_peak.append(peak)
+                else:
+                    run_len, alerted, peak = 0, False, float("-inf")
+        state.update((run_len, alerted, peak))
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series(
+                    [key[0]] * len(out_ts), dtype="object"
+                ),
+                "alert_ts": pd.Series(out_ts, dtype="datetime64[us]"),
+                "n_points": pd.Series(out_n, dtype="int32"),
+                "peak": pd.Series(out_peak, dtype="float64"),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=THRESHOLD_OUTPUT,
+        stateStructType=THRESHOLD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1300,3 +1300,70 @@ def test_streaming_importance_gate_matches_batch(spark, tmp_path):
     assert len(got) == 40
     for r in got:
         assert r.imp_score == batch[r.doc_id], (r.doc_id, r.imp_score)
+
+
+def test_streaming_threshold_alerts_cross_batch_episodes(spark, tmp_path):
+    """Live FOR-semantics alerting: a breach run split 2+1 across
+    micro-batches still alerts on the third sample (state carries the
+    run), exactly one alert per episode, and recovery re-arms the
+    latch for the next episode."""
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        threshold_alerts,
+    )
+
+    sch = "ts timestamp, event_type string, value double"
+    batches = [
+        [  # run of 2 for A (no alert yet); B stays low
+            ("2024-01-01 00:00:01", "A", 90.0),
+            ("2024-01-01 00:00:02", "A", 95.0),
+            ("2024-01-01 00:00:03", "B", 10.0),
+        ],
+        [  # third breach completes the run -> alert; then recovery;
+           # then a fresh 3-run -> second alert
+            ("2024-01-01 00:00:11", "A", 99.0),
+            ("2024-01-01 00:00:12", "A", 10.0),
+            ("2024-01-01 00:00:13", "A", 85.0),
+            ("2024-01-01 00:00:14", "A", 86.0),
+            ("2024-01-01 00:00:15", "A", 87.0),
+            ("2024-01-01 00:00:16", "A", 88.0),  # still same episode
+        ],
+    ]
+    dst = str(tmp_path / "tev")
+    os.makedirs(dst, exist_ok=True)
+    t0 = time.time() - 100
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+        stage = str(tmp_path / f"tstage{i}")
+        df.coalesce(1).write.parquet(stage)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(dst, f"{i:04d}.parquet"),
+        )
+        os.utime(os.path.join(dst, f"{i:04d}.parquet"), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    got = []
+    q = (
+        threshold_alerts(stream, threshold=80.0, n_for=3)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, b: got.extend(d.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    alerts = sorted(
+        (r.event_type, str(r.alert_ts), r.n_points, r.peak) for r in got
+    )
+    assert alerts == [
+        ("A", "2024-01-01 00:00:11", 3, 99.0),   # 2+1 across batches
+        ("A", "2024-01-01 00:00:15", 3, 87.0),   # re-armed episode
+    ], alerts
