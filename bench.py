@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "b22_float32_decode",  # IEEE float32 WAV (format 3)
     "b22_video_c444",  # full-res-chroma Y4M byte budget
     "b23_alert_episodes",  # sustained-threshold alert runs (FOR semantics)
+    "b27_funnel_stages",  # ordered view->click->purchase conversion funnel
 ]
 
 

@@ -365,3 +365,80 @@ def b23_deadman_silent_series(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B27f — funnel-stage analysis (the ordered-sequence companion to
+# session windows): per user, the earliest view, the first click
+# STRICTLY AFTER that view, and the first purchase strictly after that
+# click — the classic conversion funnel where ordering matters (a
+# purchase before the click does not count). Three small keyed
+# aggregates chained by broadcast-friendly equi-joins on user_id; no
+# window over the full event stream, no global sort.
+# --------------------------------------------------------------------------
+_B27_FUNNEL_ORACLE = """
+    WITH u1 AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u1.t_view
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT u1.user_id, u1.t_view, u2.t_click, u3.t_purchase,
+      CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+                WHEN u2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS INT) AS stage
+    FROM u1
+    LEFT JOIN u2 ON u2.user_id = u1.user_id
+    LEFT JOIN u3 ON u3.user_id = u1.user_id
+"""
+
+
+@register("b27_funnel_stages", oracle=_B27_FUNNEL_ORACLE, tags=("B27",))
+def b27_funnel_stages(spark, sf_dir):
+    from ..catalog import events_between
+
+    ev = events_between(spark, sf_dir).select("user_id", "event_type", "ts")
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        u1.join(u2, "user_id", "left")
+        .join(u3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
