@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "b22_video_c444",  # full-res-chroma Y4M byte budget
     "b23_alert_episodes",  # sustained-threshold alert runs (FOR semantics)
     "b27_funnel_stages",  # ordered view->click->purchase conversion funnel
+    "b27_retention_cohorts",  # signup-week cohorts x week-offset retention
 ]
 
 

@@ -442,3 +442,75 @@ def b27_funnel_stages(spark, sf_dir):
             .alias("stage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B27r — retention cohorts (the aggregate companion of the funnel):
+# users cohorted by their first 'signup' week, activity bucketed by
+# whole weeks since the cohort week, retention = active / cohort size
+# in exact fixed-point. date_trunc('week') is Monday-start in both
+# engines; the week offset is pure integer day arithmetic. Shape: one
+# tiny cohort aggregate, one fact-side distinct over (cohort, k,
+# user), one small join — nothing wider than the user dimension.
+# --------------------------------------------------------------------------
+_B27_RETENTION_ORACLE = """
+    WITH c AS (
+      SELECT user_id,
+        date_trunc('week', MIN(ts)) AS cw
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    sizes AS (SELECT cw, COUNT(*) AS n_cohort FROM c GROUP BY cw),
+    act AS (
+      SELECT DISTINCT c.cw, c.user_id,
+        CAST(date_diff('day', c.cw, date_trunc('week', e.ts)) // 7
+          AS INT) AS week_k
+      FROM events e JOIN c USING (user_id)
+      WHERE date_trunc('week', e.ts) >= c.cw
+    ),
+    r AS (
+      SELECT cw, week_k, COUNT(*) AS n_active FROM act GROUP BY cw, week_k
+    )
+    SELECT CAST(r.cw AS TIMESTAMP) AS cohort_week, r.week_k,
+      CAST(r.n_active AS BIGINT) AS n_active,
+      CAST(s.n_cohort AS BIGINT) AS n_cohort,
+      ((2 * r.n_active * 10000 + s.n_cohort) // (2 * s.n_cohort))
+        / 10000.0 AS retention
+    FROM r JOIN sizes s USING (cw)
+"""
+
+
+@register("b27_retention_cohorts", oracle=_B27_RETENTION_ORACLE, tags=("B27",))
+def b27_retention_cohorts(spark, sf_dir):
+    from ..catalog import events_between
+    from ._exact import round_ratio
+
+    ev = events_between(spark, sf_dir).select("user_id", "event_type", "ts")
+    c = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    sizes = c.groupBy("cw").agg(F.count("*").alias("n_cohort"))
+    act = (
+        ev.join(c, "user_id")
+        .withColumn("aw", F.date_trunc("week", F.col("ts")))
+        .filter(F.col("aw") >= F.col("cw"))
+        .select(
+            "cw",
+            "user_id",
+            F.floor(
+                F.datediff(F.col("aw"), F.col("cw")) / 7
+            ).cast("int").alias("week_k"),
+        )
+        .distinct()
+    )
+    r = act.groupBy("cw", "week_k").agg(F.count("*").alias("n_active"))
+    return r.join(sizes, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        "week_k",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        round_ratio(F.col("n_active"), F.col("n_cohort"), 4).alias(
+            "retention"
+        ),
+    )
