@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "b23_alert_episodes",  # sustained-threshold alert runs (FOR semantics)
     "b27_funnel_stages",  # ordered view->click->purchase conversion funnel
     "b27_retention_cohorts",  # signup-week cohorts x week-offset retention
+    "b23_mad_outliers",  # robust MAD anomaly gate, exact integer cents
 ]
 
 

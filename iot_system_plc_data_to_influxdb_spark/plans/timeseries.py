@@ -2390,3 +2390,120 @@ def b23_alert_episodes(spark, sf_dir):
         .filter(F.col("n_points") >= 3)
         .drop("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# B23f — robust anomaly via MEDIAN ABSOLUTE DEVIATION: the z-score
+# detector (b23_anomaly_zscore) is itself skewed by the outliers it
+# hunts; MAD is the standard robust alternative. Both medians use the
+# same discrete rank-at-ceil formulation as b23_percentiles (no
+# interpolation-convention drift) and every comparison runs in exact
+# integer cents — the 3x-MAD outlier gate is 'dev > 3*mad_cents', an
+# int compare. Two per-series ranking windows; nothing global.
+# --------------------------------------------------------------------------
+_B23_MAD_ORACLE = """
+    WITH c AS (
+      SELECT event_type, event_id,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r1 AS (
+      SELECT event_type, event_id, cents,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT event_type, MAX(n) AS n,
+        MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+            THEN cents END) AS med_cents
+      FROM r1 GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, c.event_id,
+        ABS(c.cents - m.med_cents) AS d,
+        m.med_cents, m.n
+      FROM c JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, d, med_cents, n,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY d, event_id) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, MAX(med_cents) AS med_cents, MAX(n) AS n,
+        MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+            THEN d END) AS mad_cents
+      FROM r2 GROUP BY event_type
+    )
+    SELECT d.event_type,
+      CAST(MAX(d.n) AS BIGINT) AS n,
+      CAST(MAX(d.med_cents) AS DOUBLE) / 100 AS median,
+      CAST(MAX(m.mad_cents) AS DOUBLE) / 100 AS mad,
+      CAST(SUM(CASE WHEN d.d > 3 * m.mad_cents THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+"""
+
+
+@register("b23_mad_outliers", oracle=_B23_MAD_ORACLE, tags=("B23",))
+def b23_mad_outliers(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wc = Window.partitionBy("event_type")
+    r1 = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("med_cents"),
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+        "med_cents",
+        "n",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
+    r2 = dev.select(
+        "event_type", "d", "n",
+        F.row_number().over(w2).alias("rn"),
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                F.col("d"),
+            )
+        ).alias("mad_cents")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            (F.max("med_cents").cast("double") / 100).alias("median"),
+            (F.max("mad_cents").cast("double") / 100).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
