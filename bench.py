@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "b27_funnel_stages",  # ordered view->click->purchase conversion funnel
     "b27_retention_cohorts",  # signup-week cohorts x week-offset retention
     "b23_mad_outliers",  # robust MAD anomaly gate, exact integer cents
+    "b23_cusum_drift",  # CUSUM via running-sum-minus-running-min windows
 ]
 
 

@@ -2507,3 +2507,100 @@ def b23_mad_outliers(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B23g — one-sided CUSUM drift detection (Page 1954): the standard
+# SPC change detector S_i = max(0, S_{i-1} + (x_i - k)) looks like a
+# sequential fold, but it has a closed WINDOW form —
+# S_i = C_i - min_{j<=i} C_j with C the running sum of (x - k) — so
+# it compiles to two per-series window functions instead of a
+# per-row recurrence (the same de-recursion trick as the two-pass
+# watermark max). Everything in exact integer cents: k is the per-
+# series discrete median (reuses the rank-at-ceil idiom), the drift
+# flag S > h an integer compare. At 100 TB this is two windows inside
+# one per-series partition — no fold UDF, full codegen.
+# --------------------------------------------------------------------------
+_B23_CUSUM_ORACLE = """
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 40
+    ),
+    r1 AS (
+      SELECT event_type, event_id, ts, cents,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT event_type,
+        MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+            THEN cents END) AS k
+      FROM r1 GROUP BY event_type
+    ),
+    cum AS (
+      SELECT c.event_type, c.event_id, c.ts,
+        SUM(c.cents - m.k) OVER (
+          PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+      FROM c JOIN med m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, event_id, ts,
+        csum - MIN(csum) OVER (
+          PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cents
+      FROM cum
+    )
+    SELECT event_type, event_id, ts,
+      CAST(s_cents AS BIGINT) AS s_cents,
+      CAST(s_cents > 500000 AS BOOLEAN) AS drift
+    FROM s WHERE s_cents > 250000
+"""
+
+
+@register("b23_cusum_drift", oracle=_B23_CUSUM_ORACLE, tags=("B23",))
+def b23_cusum_drift(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wc = Window.partitionBy("event_type")
+    r1 = ev.select(
+        "event_type", "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("k")
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "ts",
+        F.sum(F.col("cents") - F.col("k")).over(wt).alias("csum"),
+    )
+    s = cum.select(
+        "event_type", "event_id", "ts",
+        (F.col("csum") - F.min("csum").over(wt)).alias("s_cents"),
+    )
+    return s.filter(F.col("s_cents") > 250000).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.col("s_cents").cast("bigint").alias("s_cents"),
+        (F.col("s_cents") > 500000).alias("drift"),
+    )
