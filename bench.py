@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "b27_retention_cohorts",  # signup-week cohorts x week-offset retention
     "b23_mad_outliers",  # robust MAD anomaly gate, exact integer cents
     "b23_cusum_drift",  # CUSUM via running-sum-minus-running-min windows
+    "b24_seasonal_decompose",  # additive trend/seasonal split, exact cents
 ]
 
 

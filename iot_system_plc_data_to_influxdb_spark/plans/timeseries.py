@@ -2604,3 +2604,96 @@ def b23_cusum_drift(spark, sf_dir):
         F.col("s_cents").cast("bigint").alias("s_cents"),
         (F.col("s_cents") > 500000).alias("drift"),
     )
+
+
+# --------------------------------------------------------------------------
+# B24d — classical additive seasonal decomposition (the moving-average
+# method STL generalizes): daily per-series totals split into
+# TREND (centered 7-day moving average, full windows only) +
+# SEASONAL (mean detrended deviation per day-of-week) + residual.
+# Exactness: the trend is carried as the INTEGER 7-day window sum
+# (trend = sum/7 happens once, at output), the detrended series is
+# 7·daily − trend_sum (still integer cents), and the seasonal means
+# go through round_ratio. Day-of-week is epoch-day mod 7 — Spark's
+# dayofweek() and DuckDB's differ on which day is 0, integer day
+# arithmetic does not. Shape: one keyed daily aggregate + one
+# 7-row-bounded window + one tiny (series × 7) aggregate.
+# --------------------------------------------------------------------------
+_B24_DECOMP_ORACLE = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, cents,
+        SUM(cents) OVER w7 AS tsum,
+        COUNT(*) OVER w7 AS nw,
+        date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7 AS dow
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full7 AS (
+      SELECT *, 7 * cents - tsum AS det FROM tr WHERE nw = 7
+    ),
+    seas AS (
+      SELECT event_type, dow,
+        CAST(SUM(det) AS BIGINT) AS det_sum,
+        CAST(COUNT(*) AS BIGINT) AS det_n
+      FROM full7 GROUP BY 1, 2
+    )
+    SELECT f.event_type, f.day,
+      CAST(f.cents AS DOUBLE) / 100 AS daily_total,
+      CAST(f.tsum AS DOUBLE) / 700 AS trend,
+      (CASE WHEN s.det_sum >= 0
+        THEN ((2 * s.det_sum * 10000 + 700 * s.det_n)
+              // (2 * 700 * s.det_n)) / 10000.0
+        ELSE -((2 * (-s.det_sum) * 10000 + 700 * s.det_n)
+              // (2 * 700 * s.det_n)) / 10000.0 END) AS seasonal
+    FROM full7 f JOIN seas s
+      ON s.event_type = f.event_type AND s.dow = f.dow
+"""
+
+
+@register("b24_seasonal_decompose", oracle=_B24_DECOMP_ORACLE, tags=("B24",))
+def b24_seasonal_decompose(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("tsum"),
+        F.count("*").over(w7).alias("nw"),
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1970-01-01")), F.lit(7)
+        ).alias("dow"),
+    )
+    full7 = tr.filter(F.col("nw") == 7).withColumn(
+        "det", 7 * F.col("cents") - F.col("tsum")
+    )
+    seas = full7.groupBy("event_type", "dow").agg(
+        F.sum("det").cast("bigint").alias("det_sum"),
+        F.count("*").cast("bigint").alias("det_n"),
+    )
+    return full7.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        (F.col("cents").cast("double") / 100).alias("daily_total"),
+        (F.col("tsum").cast("double") / 700).alias("trend"),
+        round_ratio_signed(
+            F.col("det_sum"), 700 * F.col("det_n"), 4
+        ).alias("seasonal"),
+    )
