@@ -125,6 +125,11 @@ BENCH_QUERIES = [
     "b23_mad_outliers",  # robust MAD anomaly gate, exact integer cents
     "b23_cusum_drift",  # CUSUM via running-sum-minus-running-min windows
     "b24_seasonal_decompose",  # additive trend/seasonal split, exact cents
+    "b23_acf",  # autocorrelation lags 1-3, discretized-mean exact ints
+    "b23_changepoint",  # mean-shift argmax |n*Ck - k*Sn|, all-int64
+    "b24_theil_sen",  # median-of-pairwise-slopes robust trend
+    "b27_event_transitions",  # per-user Markov bigram transition matrix
+    "b18_stratified_sample",  # exact k-per-stratum md5-ordered sample
 ]
 
 

@@ -5997,3 +5997,65 @@ def b19_containment_neardup(spark, sf_dir):
         )
         .filter(10 * F.col("n_shared") >= 7 * F.col("n_small"))
     )
+
+
+# --------------------------------------------------------------------------
+# B18s — exact stratified sampling: the FIXED-BUDGET companion of
+# b18_hash_sample_mix (rate-based) and b18_temperature_sampling
+# (distribution-based) — exactly min(k, n) docs per (lang, source)
+# stratum, selected as the k smallest md5 keys, so the sample is
+# deterministic, engine-independent, and STABLE UNDER APPENDS in the
+# reservoir sense (a new doc displaces at most one member). Shape at
+# 100 TB: the window shuffle carries only (doc_id, lang, source, 32-
+# byte key) — column-pruned at the scan — keyed by stratum; strata
+# are (langs x sources), far wider than executor count, so no skew.
+# The documented scale refinement when k << n_stratum: broadcast the
+# per-stratum counts and pre-filter on a loose key prefix before the
+# exact window (keeps the shuffle O(k) per stratum); the final
+# row_number pass is unchanged, so the plan stays exact.
+# --------------------------------------------------------------------------
+_B18_STRAT_ORACLE = """
+    WITH keyed AS (
+      SELECT doc_id, lang, source,
+        md5('strat1|' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, lang, source, hk,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang, source ORDER BY hk, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY lang, source) AS n_stratum
+      FROM keyed
+    )
+    SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn,
+      CAST(n_stratum AS BIGINT) AS n_stratum
+    FROM rk WHERE rn <= 5
+"""
+
+
+@register("b18_stratified_sample", oracle=_B18_STRAT_ORACLE, tags=("B18",))
+def b18_stratified_sample(spark, sf_dir):
+    keyed = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.concat(F.lit("strat1|"), F.col("doc_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    w = Window.partitionBy("lang", "source").orderBy("hk", "doc_id")
+    wc = Window.partitionBy("lang", "source")
+    rk = keyed.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_stratum"),
+    )
+    return rk.filter(F.col("rn") <= 5).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.col("n_stratum").cast("bigint").alias("n_stratum"),
+    )

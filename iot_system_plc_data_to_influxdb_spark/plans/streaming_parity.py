@@ -514,3 +514,66 @@ def b27_retention_cohorts(spark, sf_dir):
             "retention"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B27t — first-order Markov transition matrix over per-user event
+# sequences (the "what do users do next" companion of the funnel):
+# each user's events ordered by (ts, event_id) yield (from, to)
+# bigrams via lag; counts roll up globally and the conditional
+# probability P(to | from) is a rounded ratio of exact integers.
+# Shape at 100 TB: ONE keyed shuffle on user_id for the per-user
+# ordering window (users are numerous => no skew), then a tiny
+# (|types|^2)-row aggregate with map-side partials. No driver
+# collection, no global window.
+# --------------------------------------------------------------------------
+_B27_TRANSITIONS_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS from_event
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_event, event_type AS to_event, COUNT(*) AS n
+      FROM s WHERE from_event IS NOT NULL
+      GROUP BY from_event, event_type
+    ),
+    tot AS (
+      SELECT from_event, SUM(n) AS n_from FROM pairs GROUP BY from_event
+    )
+    SELECT p.from_event, p.to_event,
+      CAST(p.n AS BIGINT) AS n_transitions,
+      CAST(t.n_from AS BIGINT) AS n_from,
+      ((2 * p.n * 10000 + t.n_from) // (2 * t.n_from)) / 10000.0 AS p
+    FROM pairs p JOIN tot t USING (from_event)
+"""
+
+
+@register(
+    "b27_event_transitions", oracle=_B27_TRANSITIONS_ORACLE, tags=("B27",)
+)
+def b27_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ._exact import round_ratio
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("from_event"),
+    )
+    pairs = (
+        s.filter(F.col("from_event").isNotNull())
+        .groupBy("from_event", F.col("event_type").alias("to_event"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("from_event").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "from_event").select(
+        "from_event",
+        "to_event",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.col("n_from").cast("bigint").alias("n_from"),
+        round_ratio(F.col("n"), F.col("n_from"), 4).alias("p"),
+    )

@@ -2697,3 +2697,348 @@ def b24_seasonal_decompose(spark, sf_dir):
             F.col("det_sum"), 700 * F.col("det_n"), 4
         ).alias("seasonal"),
     )
+
+
+# --------------------------------------------------------------------------
+# B23h — autocorrelation function (lags 1..3) per series: the
+# seasonality probe behind b24_seasonal_decompose's fixed 7-day
+# period — ACF tells you WHICH period to decompose on. Exactness:
+# the series mean is DISCRETIZED to integer cents (round-half-up of
+# sum/count — documented deviation from the real-valued mean; the
+# error is < 0.005 cents and identical in both engines), so every
+# deviation, lagged product, and sum-of-squares is int64 and
+# order-independent; the final acf is a rounded ratio of two exact
+# integers. Magnitude: |dev| <= ~5.6e4 cents, so sum of dev^2 over
+# 2e4 rows <= ~6.4e13 and the round_ratio numerator stays < 2^63.
+# Shape at 100 TB: one keyed shuffle per series for the ordering
+# window (lag products), one tiny per-series aggregate — the three
+# lags ride the SAME window pass, not three.
+# --------------------------------------------------------------------------
+_B23_ACF_ORACLE = """
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, CAST(SUM(cents) AS BIGINT) AS s,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+        (2 * s + n) // (2 * n) AS mean_c
+      FROM st
+    ),
+    d AS (
+      SELECT c.event_type, m.n, c.cents - m.mean_c AS dev,
+        LAG(c.cents - m.mean_c, 1) OVER w AS d1,
+        LAG(c.cents - m.mean_c, 2) OVER w AS d2,
+        LAG(c.cents - m.mean_c, 3) OVER w AS d3
+      FROM c JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY c.event_type ORDER BY c.ts, c.event_id)
+    ),
+    agg AS (
+      SELECT event_type, MAX(n) AS n,
+        CAST(SUM(dev * dev) AS BIGINT) AS den,
+        CAST(SUM(dev * d1) AS BIGINT) AS n1,
+        CAST(SUM(dev * d2) AS BIGINT) AS n2,
+        CAST(SUM(dev * d3) AS BIGINT) AS n3
+      FROM d GROUP BY event_type
+    ),
+    stacked AS (
+      SELECT event_type, n, 1 AS lag, n1 AS num, den FROM agg
+      UNION ALL
+      SELECT event_type, n, 2 AS lag, n2 AS num, den FROM agg
+      UNION ALL
+      SELECT event_type, n, 3 AS lag, n3 AS num, den FROM agg
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, n,
+      (CASE WHEN num >= 0
+        THEN ((2 * num * 10000 + den) // (2 * den)) / 10000.0
+        ELSE -((2 * (-num) * 10000 + den) // (2 * den)) / 10000.0
+       END) AS acf
+    FROM stacked
+"""
+
+
+@register("b23_acf", oracle=_B23_ACF_ORACLE, tags=("B23",))
+def b23_acf(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    # round-half-up(s/n) entirely in int64 (s >= 0: value >= 0)
+    tw = 2 * F.col("s") + F.col("n")
+    m = st.select(
+        "event_type",
+        "n",
+        ((tw - F.pmod(tw, 2 * F.col("n"))) / (2 * F.col("n")))
+        .cast("bigint")
+        .alias("mean_c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dev = F.col("cents") - F.col("mean_c")
+    d = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "n",
+        dev.alias("dev"),
+        F.lag(dev, 1).over(w).alias("d1"),
+        F.lag(dev, 2).over(w).alias("d2"),
+        F.lag(dev, 3).over(w).alias("d3"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den"),
+        F.sum(F.col("dev") * F.col("d1")).cast("bigint").alias("n1"),
+        F.sum(F.col("dev") * F.col("d2")).cast("bigint").alias("n2"),
+        F.sum(F.col("dev") * F.col("d3")).cast("bigint").alias("n3"),
+    )
+    stacked = agg.select(
+        "event_type",
+        "n",
+        "den",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("lag"), F.col("n1").alias("num")),
+                F.struct(F.lit(2).alias("lag"), F.col("n2").alias("num")),
+                F.struct(F.lit(3).alias("lag"), F.col("n3").alias("num")),
+            )
+        ).alias("e"),
+    )
+    return stacked.select(
+        "event_type",
+        F.col("e.lag").cast("int").alias("lag"),
+        "n",
+        round_ratio_signed(F.col("e.num"), F.col("den"), 4).alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B23i — single mean-shift changepoint per series (the CUSUM-style
+# offline estimator): k* = argmax_k |n*C_k - k*S_n| over the ordered
+# prefix sums — the scaled statistic keeps everything in int64
+# (n*C_k <= 2e4 * 1.1e9 ~ 2.3e13), no division until the two segment
+# means at output (rounded ratios of exact integers). Candidates are
+# restricted to k < n (a split needs a non-empty right segment); the
+# argmax tie-breaks to the EARLIEST k, so the winner is unique and
+# hash-stable. Shape: one per-series ordering window (prefix sums +
+# row_number), one argmax via rank-1 filter — two window passes over
+# one keyed shuffle, full codegen, no fold UDF.
+# --------------------------------------------------------------------------
+_B23_CHANGEPOINT_ORACLE = """
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, event_id, ts,
+        ROW_NUMBER() OVER w AS k,
+        SUM(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+        SUM(cents) OVER (PARTITION BY event_type) AS sn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    d AS (
+      SELECT event_type, event_id, ts, k, ck, sn, n,
+        ABS(n * ck - k * sn) AS dk
+      FROM p WHERE k < n
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY dk DESC, k) AS rk
+      FROM d
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      CAST(k AS BIGINT) AS k_star, ts AS ts_star,
+      CAST(dk AS BIGINT) AS d_max,
+      ((2 * ck * 10000 + 100 * k) // (2 * 100 * k)) / 10000.0
+        AS mean_before,
+      ((2 * (sn - ck) * 10000 + 100 * (n - k))
+        // (2 * 100 * (n - k))) / 10000.0 AS mean_after
+    FROM r WHERE rk = 1
+"""
+
+
+@register("b23_changepoint", oracle=_B23_CHANGEPOINT_ORACLE, tags=("B23",))
+def b23_changepoint(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wt = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("event_type")
+    p = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.row_number().over(wo).alias("k"),
+        F.sum("cents").over(wt).alias("ck"),
+        F.sum("cents").over(wp).alias("sn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    d = p.filter(F.col("k") < F.col("n")).withColumn(
+        "dk", F.abs(F.col("n") * F.col("ck") - F.col("k") * F.col("sn"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("dk").desc(), F.col("k")
+    )
+    r = d.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") == 1)
+    return r.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_star"),
+        F.col("ts").alias("ts_star"),
+        F.col("dk").cast("bigint").alias("d_max"),
+        round_ratio(F.col("ck"), 100 * F.col("k"), 4).alias("mean_before"),
+        round_ratio(
+            F.col("sn") - F.col("ck"), 100 * (F.col("n") - F.col("k")), 4
+        ).alias("mean_after"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B24e — Theil-Sen robust trend (median of pairwise slopes) per
+# series, the outlier-immune twin of b24_forecast_trend's least
+# squares. The O(B^2) pair join runs over HOURLY TOTALS, not raw
+# points — B is bounded by the time range / bucket width (720 buckets
+# for the 30-day fixture => ~2.6e5 pairs per series), so at 100 TB
+# the pair count is UNCHANGED; the only part that scales with data
+# volume is the bucketing aggregate (one keyed shuffle, map-side
+# partials). Exactness: each slope is ONE IEEE division of two exact
+# int64s ((cents_j - cents_i) / (hours_j - hours_i)) — identical
+# doubles in both engines, no float sums anywhere; medians use the
+# discrete rank-at-ceil idiom with (slope, hi, hj) tie-break, and the
+# intercept reuses the SELECTED median slope (a broadcast scalar per
+# series), so intercept candidates are again single products and
+# subtractions of identical doubles.
+# --------------------------------------------------------------------------
+_B24_THEILSEN_ORACLE = """
+    WITH b AS (
+      SELECT event_type,
+        date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                  date_trunc('hour', ts)) AS hr,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT b1.event_type, b1.hr AS hi, b2.hr AS hj,
+        CAST(b2.cents - b1.cents AS DOUBLE)
+          / CAST(b2.hr - b1.hr AS DOUBLE) AS slope
+      FROM b b1 JOIN b b2
+        ON b1.event_type = b2.event_type AND b1.hr < b2.hr
+    ),
+    rs AS (
+      SELECT event_type, slope,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY slope, hi, hj) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pr
+    ),
+    med AS (
+      SELECT event_type, MAX(np) AS n_pairs,
+        MAX(CASE WHEN rn = CAST(CEIL(0.5 * np) AS BIGINT)
+            THEN slope END) AS slope
+      FROM rs GROUP BY event_type
+    ),
+    ic AS (
+      SELECT b.event_type,
+        CAST(b.cents AS DOUBLE) - m.slope * CAST(b.hr AS DOUBLE) AS icpt,
+        b.hr,
+        ROW_NUMBER() OVER (PARTITION BY b.event_type
+          ORDER BY CAST(b.cents AS DOUBLE)
+            - m.slope * CAST(b.hr AS DOUBLE), b.hr) AS rn,
+        COUNT(*) OVER (PARTITION BY b.event_type) AS nb
+      FROM b JOIN med m USING (event_type)
+    )
+    SELECT i.event_type,
+      CAST(MAX(i.nb) AS BIGINT) AS n_buckets,
+      CAST(MAX(m.n_pairs) AS BIGINT) AS n_pairs,
+      MAX(m.slope) AS slope_cents_per_hour,
+      MAX(CASE WHEN i.rn = CAST(CEIL(0.5 * i.nb) AS BIGINT)
+          THEN i.icpt END) AS intercept_cents
+    FROM ic i JOIN med m USING (event_type)
+    GROUP BY i.event_type
+"""
+
+
+@register("b24_theil_sen", oracle=_B24_THEILSEN_ORACLE, tags=("B24",))
+def b24_theil_sen(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        ).cast("bigint").alias("hr"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    b1 = b.select(
+        "event_type", F.col("hr").alias("hi"), F.col("cents").alias("ci")
+    )
+    b2 = b.select(
+        "event_type", F.col("hr").alias("hj"), F.col("cents").alias("cj")
+    )
+    pr = b1.join(b2, "event_type").filter(F.col("hi") < F.col("hj")).select(
+        "event_type",
+        "hi",
+        "hj",
+        (
+            (F.col("cj") - F.col("ci")).cast("double")
+            / (F.col("hj") - F.col("hi")).cast("double")
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "hi", "hj")
+    wp = Window.partitionBy("event_type")
+    rs = pr.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).alias("np"),
+    )
+    med = rs.groupBy("event_type").agg(
+        F.max("np").alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("np")).cast("bigint"),
+                F.col("slope"),
+            )
+        ).alias("slope"),
+    )
+    icpt_expr = F.col("cents").cast("double") - F.col("slope") * F.col(
+        "hr"
+    ).cast("double")
+    wi = Window.partitionBy("event_type").orderBy(icpt_expr, "hr")
+    ic = b.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "slope",
+        icpt_expr.alias("icpt"),
+        F.row_number().over(wi).alias("rn"),
+        F.count("*").over(wp).alias("nb"),
+    )
+    return ic.groupBy("event_type").agg(
+        F.max("nb").cast("bigint").alias("n_buckets"),
+        F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        F.max("slope").alias("slope_cents_per_hour"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("nb")).cast("bigint"),
+                F.col("icpt"),
+            )
+        ).alias("intercept_cents"),
+    )
