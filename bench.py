@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "b24_theil_sen",  # median-of-pairwise-slopes robust trend
     "b27_event_transitions",  # per-user Markov bigram transition matrix
     "b18_stratified_sample",  # exact k-per-stratum md5-ordered sample
+    "b27_top_paths",  # sessionized first-3-event path counts
+    "b5_kmv_distinct",  # K-Minimum-Values sketch, lossless top-k merge
 ]
 
 

@@ -1370,3 +1370,85 @@ def b8_q5(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B5g — K-Minimum-Values distinct sketch (the third mergeable sketch
+# next to HLL and CMS, and the one that also supports set
+# INTERSECTION estimates via the inclusion-exclusion of merged kth
+# values — why real pipelines carry KMV alongside HLL). State = the
+# k = 256 smallest md5 values over DISTINCT keys; estimate =
+# (k-1) * 2^48 / kth_value(first 12 hex digits). Merge = union +
+# re-top-k, and the merge is LOSSLESS by construction: the global k
+# smallest of a union of per-partition k-smallest lists IS the global
+# k smallest (tests/test_operators.py pins merged == direct).
+# Deterministic end-to-end: md5 hex compares identically as a string
+# in both engines, the 48-bit kth value is exact int64, and the
+# estimate is ONE division of two identically-rounded doubles.
+# Shape at 100 TB: per-partition top-k heads (TakeOrdered — no global
+# sort), k·partitions rows to the final merge, independent of input
+# rows: the mergeable-sketch scale contract again.
+# --------------------------------------------------------------------------
+_B5_KMV_ORACLE = """
+    WITH h AS (
+      SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem
+    ),
+    topk AS (SELECT hx FROM h ORDER BY hx LIMIT 256),
+    agg AS (
+      SELECT MAX(hx) AS kth, CAST(COUNT(*) AS BIGINT) AS k_used FROM topk
+    ),
+    u AS (
+      SELECT k_used, kth,
+        CAST(
+          (strpos('0123456789abcdef', substr(kth, 1, 1)) - 1) * 17592186044416
+        + (strpos('0123456789abcdef', substr(kth, 2, 1)) - 1) * 1099511627776
+        + (strpos('0123456789abcdef', substr(kth, 3, 1)) - 1) * 68719476736
+        + (strpos('0123456789abcdef', substr(kth, 4, 1)) - 1) * 4294967296
+        + (strpos('0123456789abcdef', substr(kth, 5, 1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(kth, 6, 1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(kth, 7, 1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(kth, 8, 1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(kth, 9, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(kth, 10, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(kth, 11, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(kth, 12, 1)) - 1) * 1
+        AS BIGINT) AS kth_u
+      FROM agg
+    )
+    SELECT CAST(256 AS BIGINT) AS k, k_used, kth_u,
+      CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+           ELSE CAST(71776119061217280 AS DOUBLE) / CAST(kth_u AS DOUBLE)
+      END AS n_est
+    FROM u
+"""
+
+
+@register("b5_kmv_distinct", oracle=_B5_KMV_ORACLE, tags=("B5",))
+def b5_kmv_distinct(spark, sf_dir):
+    h = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.md5(F.col("l_orderkey").cast("string")).alias("hx"))
+        .distinct()
+    )
+    topk = h.orderBy("hx").limit(256)
+    agg = topk.agg(
+        F.max("hx").alias("kth"),
+        F.count("*").cast("bigint").alias("k_used"),
+    )
+    u = agg.select(
+        "k_used",
+        F.conv(F.substring("kth", 1, 12), 16, 10).cast("bigint").alias(
+            "kth_u"
+        ),
+    )
+    return u.select(
+        F.lit(256).cast("bigint").alias("k"),
+        "k_used",
+        "kth_u",
+        F.when(
+            F.col("k_used") < 256, F.col("k_used").cast("double")
+        ).otherwise(
+            F.lit(71776119061217280).cast("double")
+            / F.col("kth_u").cast("double")
+        ).alias("n_est"),
+    )

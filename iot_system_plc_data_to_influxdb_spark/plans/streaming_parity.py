@@ -569,11 +569,111 @@ def b27_event_transitions(spark, sf_dir):
         .groupBy("from_event", F.col("event_type").alias("to_event"))
         .agg(F.count("*").alias("n"))
     )
-    tot = pairs.groupBy("from_event").agg(F.sum("n").alias("n_from"))
-    return pairs.join(F.broadcast(tot), "from_event").select(
+    # row totals as an unordered window over the |types|^2-row
+    # aggregate (a groupBy+join re-executes the whole upstream window
+    # subtree — two full scans; this is one scan, one fact shuffle)
+    wn = Window.partitionBy("from_event")
+    return pairs.withColumn("n_from", F.sum("n").over(wn)).select(
         "from_event",
         "to_event",
         F.col("n").cast("bigint").alias("n_transitions"),
         F.col("n_from").cast("bigint").alias("n_from"),
         round_ratio(F.col("n"), F.col("n_from"), 4).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B27p — sessionized top-paths: the navigation-analysis companion of
+# the session window (b27_session_window) and the transition matrix
+# (b27_event_transitions) — sessions cut at 30-min inactivity gaps,
+# each session reduced to its first three events as an ordered path
+# string, paths counted corpus-wide with an exact share. Gap tests run
+# on integer MICROSECONDS (unix_micros/epoch_us — engines agree; a
+# seconds-floor would misclassify sub-second gaps, the deadman
+# lesson). Path assembly sorts (ts, event_id, type) STRUCTS inside the
+# group — the unique event_id makes collect order irrelevant. Shape at
+# 100 TB: one user_id-keyed window pass (sessionize + rank), one
+# (user, session) aggregate, then a path aggregate whose output is
+# bounded by |types|^3 — the totals join broadcasts one row.
+# --------------------------------------------------------------------------
+_B27_PATHS_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s
+    ),
+    rk AS (
+      SELECT user_id, sid, event_type, ts, event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id, sid
+          ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sid,
+        string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+      FROM rk WHERE rn <= 3 GROUP BY user_id, sid
+    ),
+    pc AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path),
+    tot AS (SELECT SUM(n) AS n_total FROM pc)
+    SELECT pc.path, CAST(pc.n AS BIGINT) AS n_sessions,
+      CAST(t.n_total AS BIGINT) AS n_total,
+      ((2 * pc.n * 10000 + t.n_total) // (2 * t.n_total)) / 10000.0
+        AS share
+    FROM pc, tot t
+"""
+
+
+@register("b27_top_paths", oracle=_B27_PATHS_ORACLE, tags=("B27",))
+def b27_top_paths(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ._exact import round_ratio
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    s = ev.withColumn(
+        "new_s",
+        F.when(gap > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = s.withColumn("sid", F.sum("new_s").over(wc))
+    wr = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    rk = sess.withColumn("rn", F.row_number().over(wr))
+    paths = (
+        rk.filter(F.col("rn") <= 3)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                "->",
+            ).alias("path")
+        )
+    )
+    pc = paths.groupBy("path").agg(F.count("*").alias("n"))
+    tot = pc.agg(F.sum("n").alias("n_total"))
+    return pc.join(F.broadcast(tot)).select(
+        "path",
+        F.col("n").cast("bigint").alias("n_sessions"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        round_ratio(F.col("n"), F.col("n_total"), 4).alias("share"),
     )

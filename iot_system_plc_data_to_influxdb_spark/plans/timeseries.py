@@ -2770,28 +2770,24 @@ def b23_acf(spark, sf_dir):
         "ts",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    st = ev.groupBy("event_type").agg(
-        F.sum("cents").cast("bigint").alias("s"),
-        F.count("*").cast("bigint").alias("n"),
-    )
-    # round-half-up(s/n) entirely in int64 (s >= 0: value >= 0)
-    tw = 2 * F.col("s") + F.col("n")
-    m = st.select(
-        "event_type",
-        "n",
-        ((tw - F.pmod(tw, 2 * F.col("n"))) / (2 * F.col("n")))
-        .cast("bigint")
-        .alias("mean_c"),
-    )
+    # per-series totals as UNORDERED windows on the SAME event_type
+    # exchange the lag windows need — one scan, one shuffle (the
+    # groupBy+broadcast-join formulation scanned events twice)
+    wp = Window.partitionBy("event_type")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    dev = F.col("cents") - F.col("mean_c")
-    d = ev.join(F.broadcast(m), "event_type").select(
+    s = F.sum("cents").over(wp).cast("bigint")
+    n = F.count("*").over(wp).cast("bigint")
+    # round-half-up(s/n) entirely in int64 (s >= 0: value >= 0)
+    tw = 2 * s + n
+    mean_c = ((tw - F.pmod(tw, 2 * n)) / (2 * n)).cast("bigint")
+    dev = F.col("cents") - mean_c
+    d = ev.select(
         "event_type",
-        "n",
+        n.alias("n"),
         dev.alias("dev"),
-        F.lag(dev, 1).over(w).alias("d1"),
-        F.lag(dev, 2).over(w).alias("d2"),
-        F.lag(dev, 3).over(w).alias("d3"),
+        (F.lag("cents", 1).over(w) - mean_c).alias("d1"),
+        (F.lag("cents", 2).over(w) - mean_c).alias("d2"),
+        (F.lag("cents", 3).over(w) - mean_c).alias("d3"),
     )
     agg = d.groupBy("event_type").agg(
         F.max("n").alias("n"),
@@ -2986,7 +2982,8 @@ def b24_theil_sen(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
-    )
+    ).cache()  # tiny (series x hours); referenced by b1, b2, and ic —
+    # without the cache each reference rescans the full fact table
     b1 = b.select(
         "event_type", F.col("hr").alias("hi"), F.col("cents").alias("ci")
     )

@@ -453,3 +453,49 @@ def test_bloom_membership_contract(spark):
     for k, v in shard_b.items():
         merged[k] = merged.get(k, 0) | v
     assert merged == direct
+
+
+def test_kmv_estimate_accuracy_and_lossless_merge(spark):
+    """b5_kmv_distinct: (1) the (k-1)*2^48/kth estimate lands within a
+    conservative multiple of the theoretical 1/sqrt(k-2) ~ 6.3% rsd;
+    (2) the merge is LOSSLESS by construction — the global 256 smallest
+    hashes of a union of per-partition 256-smallest lists equal the
+    global 256 smallest computed in one pass, so merged estimate ==
+    direct estimate exactly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.catalog import t as read_t
+
+    sf = "/root/testdata/sf0.01"
+    est = plans.all_queries()["b5_kmv_distinct"](spark, sf).collect()[0]
+    assert est["k"] == 256 and est["k_used"] == 256
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey) FROM '{sf}/lineitem.parquet'"
+    ).fetchone()[0]
+    rel = abs(est["n_est"] - exact) / exact
+    assert rel < 0.20, (exact, est["n_est"], rel)
+
+    # merge: per-returnflag partial top-256 lists, unioned, re-top-k'd
+    li = read_t(spark, sf, "lineitem").select(
+        "l_returnflag", F.md5(F.col("l_orderkey").cast("string")).alias("hx")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("hx")
+    partials = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 256)
+        .select("hx")
+        .distinct()  # same key can rank <=256 in several shards
+    )
+    merged_kth = (
+        partials.orderBy("hx").limit(256).agg(F.max("hx")).collect()[0][0]
+    )
+    direct_kth = (
+        li.select("hx").distinct().orderBy("hx").limit(256)
+        .agg(F.max("hx")).collect()[0][0]
+    )
+    assert merged_kth == direct_kth

@@ -52,6 +52,11 @@ QUERIES = [
     "b19_phash_image_neardup",   # claim: 8-byte hashes only cross the band self-join
     "b19_cdc_chunk_dedup",       # claim: exchanges carry 60 B chunk metadata, never payloads
     "b21_importance_resample",   # claim: 256-bucket vectors partial-agg; probe is broadcast
+    "b23_acf",                   # claim: one per-series window shuffle, 3 lags one pass
+    "b23_changepoint",           # claim: one keyed shuffle feeds all windows
+    "b24_theil_sen",             # claim: pair join over tiny hourly buckets only
+    "b27_event_transitions",     # claim: one user_id window + |types|^2 aggregate
+    "b18_stratified_sample",     # claim: window carries pruned 4-col projection
 ]
 
 UI_PORT = 4047
@@ -214,6 +219,18 @@ def main() -> int:
             "  and wall clock 2.2 → 1.2 s. The hash never reaches the\n"
             "  output, so the DuckDB oracle keeps md5 and the query stays\n"
             "  hash-green — same contract as b21_boilerplate_hashed.\n"
+            "- **b24_theil_sen**'s 17.7 MB is the materialized PAIR SET\n"
+            "  (~2.6e5 slopes x 5 series) crossing into the median-\n"
+            "  ranking window — bounded by (time range / bucket width)^2,\n"
+            "  NOT by data volume: at 100 TB the same 30-day/hourly query\n"
+            "  moves the same 17.7 MB; only the (cached, map-side-partial)\n"
+            "  bucketing aggregate sees more input.\n"
+            "- **b23_acf / b23_changepoint / b27_event_transitions** each\n"
+            "  move ~1.7-1.9 MB: the single keyed window shuffle of the\n"
+            "  pruned fact projection (type/ts/id/cents) — one exchange\n"
+            "  feeds every window in the plan (totals ride unordered\n"
+            "  window frames on the same exchange, no groupBy+join\n"
+            "  re-scan).\n"
             "- Zero disk/memory spill anywhere at this scale.\n"
         )
     print("wrote SHUFFLE.md")

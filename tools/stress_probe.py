@@ -45,6 +45,10 @@ QUERIES = [
     "b5_bloom_membership",      # 512-byte filter build over 10x orders keys
     "b21_importance_resample",  # 10x tokens into fixed 256-bucket vectors
     "b18_temperature_sampling", # 10x docs, O(langs) lookup stays constant
+    "b23_changepoint",          # per-series windows: series 10x DEEPER (type card fixed)
+    "b27_event_transitions",    # per-user window: 10x user cardinality, healthy keys
+    "b24_theil_sen",            # pair set FIXED by time range; only bucketing sees 10x
+    "b18_stratified_sample",    # top-5-per-stratum window over 10x stratum depth
 ]
 
 
