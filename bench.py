@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "b18_stratified_sample",  # exact k-per-stratum md5-ordered sample
     "b27_top_paths",  # sessionized first-3-event path counts
     "b5_kmv_distinct",  # K-Minimum-Values sketch, lossless top-k merge
+    "b12_bollinger",  # 20-row MA +/- 2-sigma bands, exact int window sums
+    "b27_rolling_active_users",  # DAU/WAU/stickiness via day-spine join
 ]
 
 

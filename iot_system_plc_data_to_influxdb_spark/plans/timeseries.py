@@ -3039,3 +3039,148 @@ def b24_theil_sen(spark, sf_dir):
             )
         ).alias("intercept_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# B12k — Bollinger bands (20-row MA ± 2σ) per series: the classic
+# volatility envelope, emitted only at full windows like InfluxDB's
+# moving_average warm-up rule. Exactness: the window mean and the
+# variance numerator (n·Σx² − (Σx)², ≤ ~1.2e12 in cents²) are exact
+# int64 window sums; each of mean, variance, and σ is then ONE IEEE
+# operation chain on identical doubles (division, division, sqrt —
+# sqrt is correctly rounded per IEEE-754, unlike pow), so both engines
+# produce bit-identical bands with no rounding helper needed. Shape:
+# one per-series keyed window, 20-row bounded frame, full codegen.
+# --------------------------------------------------------------------------
+_B12_BOLLINGER_ORACLE = """
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 40
+    ),
+    w AS (
+      SELECT event_type, event_id, ts, cents,
+        SUM(cents) OVER w20 AS s,
+        SUM(cents * cents) OVER w20 AS q,
+        COUNT(*) OVER w20 AS n
+      FROM c
+      WINDOW w20 AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, ts,
+      CAST(cents AS DOUBLE) / 100 AS price,
+      CAST(s AS DOUBLE) / (100 * n) AS ma,
+      CAST(s AS DOUBLE) / (100 * n)
+        + 2 * SQRT(CAST(n * q - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+          / 100 AS upper_band,
+      CAST(s AS DOUBLE) / (100 * n)
+        - 2 * SQRT(CAST(n * q - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+          / 100 AS lower_band
+    FROM w WHERE n = 20
+"""
+
+
+@register("b12_bollinger", oracle=_B12_BOLLINGER_ORACLE, tags=("B12",))
+def b12_bollinger(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w20 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    w = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "cents",
+        F.sum("cents").over(w20).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w20).alias("q"),
+        F.count("*").over(w20).alias("n"),
+    ).filter(F.col("n") == 20)
+    ma = F.col("s").cast("double") / (100 * F.col("n"))
+    sd = (
+        F.sqrt(
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        )
+        / 100
+    )
+    return w.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("cents").cast("double") / 100).alias("price"),
+        ma.alias("ma"),
+        (ma + 2 * sd).alias("upper_band"),
+        (ma - 2 * sd).alias("lower_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B27u — rolling active users (DAU / trailing-7-day WAU / stickiness):
+# the standard engagement rollup. The exact path here aggregates the
+# DEDUPED (day, user) table — |days| x |users| rows, already orders of
+# magnitude under the event count — then counts each trailing window
+# via a 30-row broadcast day-spine range join (never a window over raw
+# events). The 100 TB path swaps the exact trailing count for the
+# per-day MERGEABLE sketch tables this repo already proves lossless /
+# bounded (b5_hll_windowed_merge, b5_kmv_distinct): distinct-over-
+# any-range from per-day state without a second raw scan. Stickiness
+# DAU/WAU is a rounded ratio of exact integers.
+# --------------------------------------------------------------------------
+_B27_RAU_ORACLE = """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u
+        ON u.day >= d.day - INTERVAL 6 DAY AND u.day <= d.day
+      GROUP BY d.day
+    )
+    SELECT d.day, CAST(a.dau AS BIGINT) AS dau,
+      CAST(w.wau AS BIGINT) AS wau,
+      ((2 * a.dau * 10000 + w.wau) // (2 * w.wau)) / 10000.0
+        AS stickiness
+    FROM days d JOIN dau a USING (day) JOIN wau w USING (day)
+"""
+
+
+@register("b27_rolling_active_users", oracle=_B27_RAU_ORACLE, tags=("B27",))
+def b27_rolling_active_users(spark, sf_dir):
+    du = (
+        t(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            round_ratio(F.col("dau"), F.col("wau"), 4).alias("stickiness"),
+        )
+    )
