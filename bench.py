@@ -312,27 +312,49 @@ def main() -> int:
     ) as f:
         json.dump(detail, f, indent=1)
     print("DETAIL " + json.dumps({"median": median, "stddev": stddev}))
+    print(final_line(timings, [calib_jvm, calib_py, calib_alloc], float(sf)))
+    return 0
+
+
+def final_line(timings: dict, calib: list, sf: float) -> str:
+    """The ONE stdout line the driver parses — must stay under its
+    2,000-char capture. Degrades in steps: 2-dp per-query dict →
+    1-dp → slowest-queries-only with a `queries_elided` count (the
+    full per-query record is always in BENCH_DETAIL.json, which the
+    round verdicts read). `value` is ALWAYS the full-suite total."""
     out = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
-        "calib": [calib_jvm, calib_py, calib_alloc],
-        "sf": float(sf),
+        "calib": calib,
+        "sf": sf,
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) >= 1950:
         # degrade rounding rather than lose the record (round 4's
-        # 5.6 KB line came back `parsed: null`) — full precision is
-        # in BENCH_DETAIL.json either way
+        # 5.6 KB line came back `parsed: null`)
         out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1950:
+        # >100 queries no longer fit at any rounding: keep the slowest
+        # queries the budget allows and say how many were elided.
+        ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict = {}
+        for k, v in ranked:
+            trial = dict(out, queries={**kept, k: round(v, 2)})
+            trial["queries_elided"] = len(timings) - len(kept) - 1
+            if len(json.dumps(trial, separators=(",", ":"))) >= 1900:
+                break
+            kept[k] = round(v, 2)
+        out["queries"] = dict(sorted(kept.items()))
+        out["queries_elided"] = len(timings) - len(kept)
         line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1950, (
         f"final bench line {len(line)} chars >= driver's 2000-char capture; "
         "trim query names"
     )
-    print(line)
-    return 0
+    return line
 
 
 if __name__ == "__main__":

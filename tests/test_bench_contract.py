@@ -1,0 +1,53 @@
+"""bench.py's driver contract: the final stdout line must parse as
+JSON and fit the driver's 2,000-char capture window at ANY suite size
+— round 7 grew the headline set past 100 queries, where per-query
+dicts no longer fit at any rounding and the line must degrade to
+slowest-queries-only with an honest `queries_elided` count."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+
+
+def test_final_line_small_suite_keeps_every_query():
+    timings = {f"q{i}": 0.5 + i / 100 for i in range(20)}
+    line = bench.final_line(timings, [1.0, 1.0, 1.0], 0.1)
+    out = json.loads(line)
+    assert len(line) < 1950
+    assert set(out["queries"]) == set(timings)
+    assert "queries_elided" not in out
+    assert out["value"] == round(sum(timings.values()), 2)
+
+
+def test_final_line_large_suite_elides_but_keeps_total_and_slowest():
+    # 160 long-named queries cannot fit at any rounding
+    timings = {
+        f"b27_some_extremely_long_operator_name_{i:03d}": 0.1 + i / 50
+        for i in range(160)
+    }
+    line = bench.final_line(timings, [1.0, 1.0, 1.0], 0.1)
+    out = json.loads(line)
+    assert len(line) < 1950
+    assert out["queries_elided"] == len(timings) - len(out["queries"])
+    assert out["queries_elided"] > 0
+    # the total is the FULL suite, not just the kept queries
+    assert out["value"] == round(sum(timings.values()), 2)
+    # kept queries are the slowest ones
+    kept_min = min(out["queries"].values())
+    elided_max = max(
+        v for k, v in timings.items() if k not in out["queries"]
+    )
+    assert kept_min >= round(elided_max, 2) - 0.01
+
+
+def test_headline_set_is_registered():
+    """Every BENCH_QUERIES name resolves in the full registry."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    missing = set(bench.BENCH_QUERIES) - set(plans.all_queries())
+    assert missing == set(), missing

@@ -44,6 +44,10 @@ HEADLINE = [
     "b5_bloom_membership",       # bloom build agg + broadcast word-joins
     "b19_phash_image_neardup",   # decode fan-out + banded self-join
     "b22_resize_bilinear",       # map-only media chain after one fan-out
+    "b23_changepoint",           # one keyed shuffle feeds all windows + rank-1
+    "b24_theil_sen",             # cached bucket agg + bounded pair join
+    "b5_kmv_distinct",           # TakeOrdered top-k: mergeable-sketch shape
+    "b27_rolling_active_users",  # day-spine broadcast range join
 ]
 
 
