@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "b5_kmv_distinct",  # K-Minimum-Values sketch, lossless top-k merge
     "b12_bollinger",  # 20-row MA +/- 2-sigma bands, exact int window sums
     "b27_rolling_active_users",  # DAU/WAU/stickiness via day-spine join
+    "b21_winnow_fingerprints",  # MOSS winnowing: per-doc window min
+    "b19_winnow_neardup",  # shared rare fingerprints, df-gated pairs
 ]
 
 

@@ -6059,3 +6059,248 @@ def b18_stratified_sample(spark, sf_dir):
         F.col("rn").cast("bigint").alias("rn"),
         F.col("n_stratum").cast("bigint").alias("n_stratum"),
     )
+
+
+# --------------------------------------------------------------------------
+# B21w — winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+# MOSS algorithm): per document, hash every 3-word shingle IN POSITION
+# ORDER, slide a w = 4 window over the hash sequence, and keep the
+# minimum hash of each full window — the classic guarantee that any
+# shared substring of >= w + 2 words produces at least one shared
+# fingerprint, at ~2/(w+1) the density of the full gram set. This is
+# the position-robust complement of b21_fingerprint's rolling hash
+# (which shifts wholesale on any edit). md5 hex compares identically
+# as a string in both engines, so the window MIN replays exactly;
+# density is a rounded ratio of exact integers. Docs with < 4 grams
+# have no full window and report zero fingerprints (left join keeps
+# the row). Shape at 100 TB: map-only shingle+hash, ONE per-doc
+# ordered window (doc_id keys are maximally fine-grained), two
+# per-doc aggregates — no cross-doc shuffle at all.
+# --------------------------------------------------------------------------
+_B21_WINNOW_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+        unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, i,
+        md5(concat_ws(' ', w[i], w[i + 1], w[i + 2])) AS hx
+      FROM pos
+    ),
+    wins AS (
+      SELECT doc_id, i,
+        MIN(hx) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+        COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS nw
+      FROM h
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE nw = 4
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+      FROM fps GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM h GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.n_grams,
+      COALESCE(p.n_fingerprints, 0) AS n_fingerprints,
+      ((2 * COALESCE(p.n_fingerprints, 0) * 10000 + g.n_grams)
+        // (2 * g.n_grams)) / 10000.0 AS density
+    FROM grams g LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _winnow_hashes(spark, sf_dir):
+    """(doc_id, i, hx): md5 per 3-gram shingle IN POSITION ORDER.
+
+    NOT explode(shingles(...)): the shingle transform() is a
+    higher-order function, which Spark evaluates INTERPRETED (outside
+    whole-stage codegen) — measured ~8 s at sf0.1 for 260k lambda
+    evals, vs 0.6 s for the plain posexplode of the word array. Here
+    the positional grams come from lead() windows over the exploded
+    words instead: concat_ws skips the NULL leads past the doc end
+    (same rule as the oracle's out-of-range w[i+k]), and the lead
+    window shares the (doc_id) exchange AND (i) sort the winnowing
+    window downstream needs anyway — one shuffle, one sort, full
+    codegen end-to-end."""
+    w = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("i0", "wd"))
+    )
+    wo = Window.partitionBy("doc_id").orderBy("i0")
+    wc = Window.partitionBy("doc_id")
+    return (
+        w.select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),
+            F.concat_ws(
+                " ",
+                "wd",
+                F.lead("wd", 1).over(wo),
+                F.lead("wd", 2).over(wo),
+            ).alias("s"),
+            F.count("*").over(wc).alias("n"),
+        )
+        .filter(F.col("i") <= F.greatest(F.col("n") - 2, F.lit(1)))
+        .select("doc_id", "i", F.md5("s").alias("hx"))
+    )
+
+
+@register("b21_winnow_fingerprints", oracle=_B21_WINNOW_ORACLE, tags=("B21",))
+def b21_winnow_fingerprints(spark, sf_dir):
+    # h feeds BOTH the winnowing branch and the per-doc gram totals —
+    # cache it once (same reuse contract as b19_minhash's shingles)
+    h = _winnow_hashes(spark, sf_dir).cache()
+    w4 = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    wins = h.select(
+        "doc_id",
+        F.min("hx").over(w4).alias("fp"),
+        F.count("*").over(w4).alias("nw"),
+    )
+    fps = wins.filter(F.col("nw") == 4).select("doc_id", "fp").distinct()
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fingerprints")
+    )
+    grams = h.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    return grams.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_fingerprints"), F.lit(0)).alias(
+            "n_fingerprints"
+        ),
+        round_ratio(
+            F.coalesce(F.col("n_fingerprints"), F.lit(0)),
+            F.col("n_grams"),
+            4,
+        ).alias("density"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B19w — winnowed-fingerprint near-dup pairs (what MOSS actually
+# reports): documents sharing >= 2 winnowed fingerprints, scored by
+# the shared count over the smaller doc's fingerprint set (containment
+# direction, like b19_containment_neardup). The corpus-frequency gate
+# (fingerprints present in > 8 docs are boilerplate, dropped before
+# the self-join) is the same hot-key bound as span-dedup/boilerplate:
+# the pair join is sized by genuinely-shared rare fingerprints, never
+# by corpus size x hot-gram frequency. Shape: b21's per-doc winnowing
+# (map + one per-doc window), a gram-df aggregate, then a self-join on
+# the surviving fingerprint keys.
+# --------------------------------------------------------------------------
+_B19_WINNOW_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w,
+        unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id, i,
+        md5(concat_ws(' ', w[i], w[i + 1], w[i + 2])) AS hx
+      FROM pos
+    ),
+    wins AS (
+      SELECT doc_id, i,
+        MIN(hx) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+        COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS nw
+      FROM h
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE nw = 4),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 8
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.d1, p.d2, CAST(p.shared AS BIGINT) AS shared,
+      ((2 * p.shared * 10000 + least(s1.n_fp, s2.n_fp))
+        // (2 * least(s1.n_fp, s2.n_fp))) / 10000.0 AS containment
+    FROM pairs p
+    JOIN sizes s1 ON s1.doc_id = p.d1
+    JOIN sizes s2 ON s2.doc_id = p.d2
+"""
+
+
+@register("b19_winnow_neardup", oracle=_B19_WINNOW_ORACLE, tags=("B19",))
+def b19_winnow_neardup(spark, sf_dir):
+    h = _winnow_hashes(spark, sf_dir)
+    w4 = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    fps = (
+        h.select(
+            "doc_id",
+            F.min("hx").over(w4).alias("fp"),
+            F.count("*").over(w4).alias("nw"),
+        )
+        .filter(F.col("nw") == 4)
+        .select("doc_id", "fp")
+        .distinct()
+        .cache()  # winnowing pass feeds df gate, sizes, and both join sides
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 8))
+        .select("fp")
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.join(rare, "fp").select("fp", F.col("doc_id").alias("d1"))
+    b = fps.select("fp", F.col("doc_id").alias("d2"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("d1"),
+                                     F.col("n_fp").alias("n1"))), "d1")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("d2"),
+                                     F.col("n_fp").alias("n2"))), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.col("shared").cast("bigint").alias("shared"),
+            round_ratio(
+                F.col("shared"), F.least(F.col("n1"), F.col("n2")), 4
+            ).alias("containment"),
+        )
+    )
