@@ -53,15 +53,49 @@ _DOCS_CTE = r"""
 """
 
 
+def _exploded_grams(with_w, n: int = 3, out: str = "s"):
+    """(doc_id, gram string) rows from a frame carrying a `w` word
+    array — WITHOUT explode(shingles(...)): transform() is a
+    higher-order function Spark evaluates interpreted, outside
+    whole-stage codegen (measured ~7x slower cold at sf0.1, and the
+    interpreted-vs-codegen CPU gap is what dominates a 100 TB gram
+    stage where every task is cold). arrays_zip + slice are plain
+    codegen'd expressions: position i zips (w[i], w[i+1], ..),
+    concat_ws skips the NULLs past the doc end (same short-doc rule
+    as shingles()), and the position filter reproduces shingles()'
+    max(len-n+1, 1) emission count. Output strings are byte-identical
+    to the old form (exceptAll-verified both directions) — every
+    downstream oracle is unchanged. Stays MAP-ONLY: no window, no
+    shuffle before the consumer's own aggregation."""
+    zipped = F.arrays_zip(
+        F.col("w").alias("g0"),
+        *[
+            F.expr(f"slice(w, {k + 1}, size(w))").alias(f"g{k}")
+            for k in range(1, n)
+        ],
+    )
+    z = with_w.select(
+        "doc_id",
+        F.size("w").alias("_nw"),
+        F.posexplode(zipped).alias("_i0", "_st"),
+    )
+    return z.filter(
+        F.col("_i0") <= F.greatest(F.col("_nw") - n, F.lit(0))
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.col(f"_st.g{k}") for k in range(n)]
+        ).alias(out),
+    )
+
+
 def _doc_shingles(spark, sf_dir):
     # documents arrives as one small file = one input partition; fan out
     # before the (CPU-heavy) shingle/hash work so it parallelizes.
     docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    return (
+    return _exploded_grams(
         docs.select("doc_id", tokens(F.col("text")).alias("w"))
-        .select("doc_id", F.explode(shingles(F.col("w"))).alias("s"))
-        .distinct()
-    )
+    ).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -1248,8 +1282,8 @@ def b21_decontaminate(spark, sf_dir):
 )
 def b21_repetition_signals(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    grams = docs.select("doc_id", tokens(F.col("text")).alias("w")).select(
-        "doc_id", F.explode(shingles(F.col("w"), 2)).alias("g")
+    grams = _exploded_grams(
+        docs.select("doc_id", tokens(F.col("text")).alias("w")), 2, "g"
     )
     freq = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     stats = freq.groupBy("doc_id").agg(
