@@ -49,6 +49,8 @@ QUERIES = [
     "b27_event_transitions",    # per-user window: 10x user cardinality, healthy keys
     "b24_theil_sen",            # pair set FIXED by time range; only bucketing sees 10x
     "b18_stratified_sample",    # top-5-per-stratum window over 10x stratum depth
+    "b21_winnow_fingerprints",  # codegen gram build + per-doc winnow window
+    "b19_winnow_neardup",       # df-gated fingerprint self-join (replicas token-disjoint)
 ]
 
 
