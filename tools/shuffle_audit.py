@@ -57,6 +57,8 @@ QUERIES = [
     "b24_theil_sen",             # claim: pair join over tiny hourly buckets only
     "b27_event_transitions",     # claim: one user_id window + |types|^2 aggregate
     "b18_stratified_sample",     # claim: window carries pruned 4-col projection
+    "b21_winnow_fingerprints",   # claim: one per-doc window shuffle, map-only grams
+    "b19_winnow_neardup",        # claim: pair join sized by rare shared fingerprints
 ]
 
 UI_PORT = 4047
@@ -231,6 +233,13 @@ def main() -> int:
             "  feeds every window in the plan (totals ride unordered\n"
             "  window frames on the same exchange, no groupBy+join\n"
             "  re-scan).\n"
+            "- **b21_winnow_fingerprints** shows ZERO shuffle on the warm\n"
+            "  (measured) run: the positional-gram table is cached already\n"
+            "  hash(doc_id)-partitioned by its winnowing window, so every\n"
+            "  downstream aggregate reuses that layout; its 18.6 MB 'input'\n"
+            "  is the cache read. b19_winnow_neardup's 3.2 MB is the rare-\n"
+            "  fingerprint self-join — df-gated, sized by genuinely shared\n"
+            "  fingerprints rather than corpus grams.\n"
             "- Zero disk/memory spill anywhere at this scale.\n"
         )
     print("wrote SHUFFLE.md")
