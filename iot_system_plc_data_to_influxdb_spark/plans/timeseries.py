@@ -2754,7 +2754,8 @@ _B23_ACF_ORACLE = """
       SELECT event_type, n, 3 AS lag, n3 AS num, den FROM agg
     )
     SELECT event_type, CAST(lag AS INT) AS lag, n,
-      (CASE WHEN num >= 0
+      (CASE WHEN den = 0 THEN NULL
+            WHEN num >= 0
         THEN ((2 * num * 10000 + den) // (2 * den)) / 10000.0
         ELSE -((2 * (-num) * 10000 + den) // (2 * den)) / 10000.0
        END) AS acf
@@ -2812,7 +2813,13 @@ def b23_acf(spark, sf_dir):
         "event_type",
         F.col("e.lag").cast("int").alias("lag"),
         "n",
-        round_ratio_signed(F.col("e.num"), F.col("den"), 4).alias("acf"),
+        # den = 0 (a constant series: every deviation is zero) has no
+        # defined autocorrelation — NULL, and the guard keeps ANSI
+        # pmod from throwing REMAINDER_BY_ZERO (property-test find)
+        F.when(
+            F.col("den") > 0,
+            round_ratio_signed(F.col("e.num"), F.col("den"), 4),
+        ).alias("acf"),
     )
 
 

@@ -1,0 +1,191 @@
+"""Property tests for the round-7 analytics operators — each checked
+against an independent pure-Python reference on hypothesis-generated
+event tables (the non-oracle leg of SURVEY.md §5.5: the DuckDB gate
+proves Spark==SQL; these prove both match the textbook definition).
+
+All five operators quantize value to integer cents and use either
+exact integer algebra or single IEEE operations, so the comparisons
+are EXACT equality, not tolerances."""
+
+from __future__ import annotations
+
+import datetime
+import sys
+import tempfile
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+_T0 = datetime.datetime(2024, 1, 1)
+
+# (event_type_idx, minute_offset, cents) rows; small grids force ties
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=0, max_value=3000),
+)
+
+
+def _write_events(spark, rows, td):
+    data = [
+        (
+            i,
+            _T0 + datetime.timedelta(minutes=mins, seconds=i % 7),
+            i % 5,
+            f"t{et}",
+            cents / 100.0,
+            "{}",
+        )
+        for i, (et, mins, cents) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{td}/events.parquet")
+
+
+def _round_ratio(num: int, den: int, digits: int = 4) -> float:
+    scale = 10**digits
+    if num >= 0:
+        n = 2 * num * scale + den
+        return (n - n % (2 * den)) // (2 * den) / scale
+    n = 2 * (-num) * scale + den
+    return -((n - n % (2 * den)) // (2 * den)) / scale
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_EVENT, min_size=8, max_size=60))
+def test_acf_matches_python_reference(spark, rows):
+    from iot_system_plc_data_to_influxdb_spark.plans.timeseries import b23_acf
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, rows, td)
+        got = {
+            (r["event_type"], r["lag"]): (r["n"], r["acf"])
+            for r in b23_acf(spark, td).collect()
+        }
+    # python reference: discretized-mean ACF over (ts, event_id) order
+    series: dict = {}
+    for i, (et, mins, cents) in enumerate(rows):
+        ts = _T0 + datetime.timedelta(minutes=mins, seconds=i % 7)
+        series.setdefault(f"t{et}", []).append((ts, i, cents))
+    for et, pts in series.items():
+        pts.sort()
+        cs = [c for _, _, c in pts]
+        n, s = len(cs), sum(cs)
+        mean_c = ((2 * s + n) - (2 * s + n) % (2 * n)) // (2 * n)
+        dev = [c - mean_c for c in cs]
+        den = sum(d * d for d in dev)
+        for lag in (1, 2, 3):
+            num = sum(dev[i] * dev[i - lag] for i in range(lag, n))
+            if n <= lag:
+                expect = None  # no lagged terms: SUM over nothing = NULL
+            elif den == 0:
+                expect = None  # constant series: integer div by zero
+            else:
+                expect = _round_ratio(num, den)
+            assert got[(et, lag)] == (n, expect), (et, lag)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_EVENT, min_size=8, max_size=60))
+def test_changepoint_matches_python_argmax(spark, rows):
+    from iot_system_plc_data_to_influxdb_spark.plans.timeseries import (
+        b23_changepoint,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, rows, td)
+        got = {
+            r["event_type"]: (r["n"], r["k_star"], r["d_max"])
+            for r in b23_changepoint(spark, td).collect()
+        }
+    series: dict = {}
+    for i, (et, mins, cents) in enumerate(rows):
+        ts = _T0 + datetime.timedelta(minutes=mins, seconds=i % 7)
+        series.setdefault(f"t{et}", []).append((ts, i, cents))
+    for et, pts in series.items():
+        pts.sort()
+        cs = [c for _, _, c in pts]
+        n, sn = len(cs), sum(cs)
+        if n < 2:
+            assert et not in got  # k < n leaves no candidate
+            continue
+        best = None
+        ck = 0
+        for k in range(1, n):  # candidates k = 1..n-1
+            ck += cs[k - 1]
+            dk = abs(n * ck - k * sn)
+            if best is None or dk > best[1]:
+                best = (k, dk)
+        assert got[et] == (n, best[0], best[1]), et
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_EVENT, min_size=4, max_size=60))
+def test_event_transitions_match_python_bigrams(spark, rows):
+    from iot_system_plc_data_to_influxdb_spark.plans.streaming_parity import (
+        b27_event_transitions,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, rows, td)
+        got = {
+            (r["from_event"], r["to_event"]): (r["n_transitions"], r["p"])
+            for r in b27_event_transitions(spark, td).collect()
+        }
+    per_user: dict = {}
+    for i, (et, mins, cents) in enumerate(rows):
+        ts = _T0 + datetime.timedelta(minutes=mins, seconds=i % 7)
+        per_user.setdefault(i % 5, []).append((ts, i, f"t{et}"))
+    counts: dict = {}
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals: dict = {}
+    for (a, _), c in counts.items():
+        totals[a] = totals.get(a, 0) + c
+    expect = {
+        pair: (c, _round_ratio(c, totals[pair[0]]))
+        for pair, c in counts.items()
+    }
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_EVENT, min_size=45, max_size=80))
+def test_bollinger_bands_match_python_reference(spark, rows):
+    import math
+
+    from iot_system_plc_data_to_influxdb_spark.plans.timeseries import (
+        b12_bollinger,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, rows, td)
+        got = {
+            (r["event_type"], r["event_id"]): (
+                r["price"], r["ma"], r["upper_band"], r["lower_band"]
+            )
+            for r in b12_bollinger(spark, td).collect()
+        }
+    series: dict = {}
+    for i, (et, mins, cents) in enumerate(rows):
+        if i % 5 >= 40:  # plan filters user_id < 40; user_id = i % 5
+            continue
+        ts = _T0 + datetime.timedelta(minutes=mins, seconds=i % 7)
+        series.setdefault(f"t{et}", []).append((ts, i, cents))
+    expect = {}
+    for et, pts in series.items():
+        pts.sort()
+        cs = [c for _, _, c in pts]
+        for j in range(19, len(cs)):
+            win = cs[j - 19 : j + 1]
+            s, q, n = sum(win), sum(c * c for c in win), 20
+            ma = float(s) / (100 * n)
+            sd = math.sqrt(float(n * q - s * s) / float(n * n)) / 100
+            expect[(et, pts[j][1])] = (cs[j] / 100.0, ma, ma + 2 * sd, ma - 2 * sd)
+    assert got == expect
