@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "b27_rolling_active_users",  # DAU/WAU/stickiness via day-spine join
     "b21_winnow_fingerprints",  # MOSS winnowing: per-doc window min
     "b19_winnow_neardup",  # shared rare fingerprints, df-gated pairs
+    "b27_rfm_segments",  # RFM user segmentation, exact rank quintiles
 ]
 
 

@@ -677,3 +677,100 @@ def b27_top_paths(spark, sf_dir):
         F.col("n_total").cast("bigint").alias("n_total"),
         round_ratio(F.col("n"), F.col("n_total"), 4).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# B27m — RFM segmentation (recency / frequency / monetary), the
+# classic user-value rollup: per user, days since last purchase
+# (integer day math vs the corpus max day — no wall clock, so the
+# query replays bit-for-bit), purchase count, and cents total; each
+# dimension scored 1-5 by exact rank quintiles. NTILE(5) itself is
+# engine-ambiguous on ties, so the score is floor((rank-1)*5/n)+1
+# over a (metric, user_id)-ordered ROW_NUMBER — a unique tie-break
+# making the quintile assignment deterministic everywhere (the same
+# idiom as the LM-fit exact-NTILE). Shape at 100 TB: one user-keyed
+# aggregate (map-side partials), then three rank windows over the
+# USER table — orders of magnitude smaller than events.
+# --------------------------------------------------------------------------
+_B27_RFM_ORACLE = """
+    WITH p AS (
+      SELECT user_id,
+        MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+        CAST(COUNT(*) AS BIGINT) AS f,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(last_day) AS h FROM p),
+    base AS (
+      SELECT p.user_id,
+        CAST(date_diff('day', p.last_day, horizon.h) AS BIGINT) AS r_days,
+        p.f, p.m_cents,
+        COUNT(*) OVER () AS n,
+        ROW_NUMBER() OVER (ORDER BY date_diff('day', p.last_day, horizon.h) DESC,
+                           p.user_id) AS rr,
+        ROW_NUMBER() OVER (ORDER BY p.f, p.user_id) AS rf,
+        ROW_NUMBER() OVER (ORDER BY p.m_cents, p.user_id) AS rm
+      FROM p, horizon
+    )
+    SELECT user_id, r_days, f,
+      CAST(m_cents AS DOUBLE) / 100 AS monetary,
+      CAST((rr - 1) * 5 // n + 1 AS INT) AS r_score,
+      CAST((rf - 1) * 5 // n + 1 AS INT) AS f_score,
+      CAST((rm - 1) * 5 // n + 1 AS INT) AS m_score
+    FROM base
+"""
+
+
+@register("b27_rfm_segments", oracle=_B27_RFM_ORACLE, tags=("B27",))
+def b27_rfm_segments(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date(F.date_trunc("day", "ts"))).alias("last_day"),
+            F.count("*").cast("bigint").alias("f"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+    )
+    horizon = p.agg(F.max("last_day").alias("h"))
+    base = p.join(F.broadcast(horizon)).withColumn(
+        "r_days", F.datediff(F.col("h"), F.col("last_day")).cast("bigint")
+    )
+    # the user table is the window input — small; single-partition
+    # global ranks are fine here and exactly mirror the oracle. At
+    # true scale, swap for the histogram-cutpoint exact-NTILE helper.
+    wn = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rr = Window.orderBy(F.col("r_days").desc(), "user_id")
+    rf = Window.orderBy("f", "user_id")
+    rm = Window.orderBy("m_cents", "user_id")
+    scored = base.select(
+        "user_id",
+        "r_days",
+        "f",
+        "m_cents",
+        F.count("*").over(wn).alias("n"),
+        F.row_number().over(rr).alias("rr"),
+        F.row_number().over(rf).alias("rf"),
+        F.row_number().over(rm).alias("rm"),
+    )
+    sc = lambda c: (  # noqa: E731
+        ((F.col(c) - 1) * 5 - F.pmod((F.col(c) - 1) * 5, F.col("n")))
+        / F.col("n")
+        + 1
+    ).cast("int")
+    return scored.select(
+        "user_id",
+        "r_days",
+        "f",
+        (F.col("m_cents").cast("double") / 100).alias("monetary"),
+        sc("rr").alias("r_score"),
+        sc("rf").alias("f_score"),
+        sc("rm").alias("m_score"),
+    )
