@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "b21_winnow_fingerprints",  # MOSS winnowing: per-doc window min
     "b19_winnow_neardup",  # shared rare fingerprints, df-gated pairs
     "b27_rfm_segments",  # RFM user segmentation, exact rank quintiles
+    "b22_tiff_decode",  # stripped RGB TIFF, both byte orders
 ]
 
 

@@ -73,6 +73,8 @@ def decode_image(payload: bytes):
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return decode_tiff(payload)
     raise NotImplementedError(
         "video codec decode requires a library not present in this "
         "environment; BMP, PPM, PNG, and baseline JPEG decode natively"
@@ -3087,3 +3089,128 @@ def retime_video(df: DataFrame, target_fps: int = 4) -> DataFrame:
         "doc_id bigint, out_idx int, src_idx int, width int, height int, "
         "src_fps int, sum_luma bigint, max_luma int",
     )
+
+
+# --------------------------------------------------------------------------
+# TIFF (baseline, uncompressed, stripped) — the scanned-document /
+# pro-photo format a real crawl corpus carries alongside PNG/JPEG.
+# Full spec-level IFD walk in BOTH byte orders ("II" little- and "MM"
+# big-endian), SHORT/LONG entry types with the inline-vs-offset value
+# rule (count*size <= 4 lives left-justified in the value field), and
+# multi-strip reassembly (RowsPerStrip < height forces it). Only
+# Compression=1 decodes; LZW/PackBits raise the documented gate like
+# the other codec families.
+# --------------------------------------------------------------------------
+def encode_tiff(pixels, big_endian: bool = False) -> bytes:
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    bo = ">" if big_endian else "<"
+    import struct
+
+    rows_per_strip = 4
+    strips = [
+        px[y : y + rows_per_strip].tobytes()
+        for y in range(0, h, rows_per_strip)
+    ]
+    n = len(strips)
+    # layout: 8-byte header | strip data | BitsPerSample block |
+    # strip offset/count arrays (if n > 1) | IFD
+    pos = 8
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    bits_off = pos
+    pos += 6  # 3 SHORTs
+    if n > 1:
+        so_off, pos = pos, pos + 4 * n
+        sc_off, pos = pos, pos + 4 * n
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        return struct.pack(bo + "HHI", tag, typ, count) + value
+
+    def inline_short(v):
+        return struct.pack(bo + "HH", v, 0)
+
+    def inline_long(v):
+        return struct.pack(bo + "I", v)
+
+    entries = [
+        entry(256, 4, 1, inline_long(w)),            # ImageWidth
+        entry(257, 4, 1, inline_long(h)),            # ImageLength
+        entry(258, 3, 3, inline_long(bits_off)),     # BitsPerSample ->
+        entry(259, 3, 1, inline_short(1)),           # Compression none
+        entry(262, 3, 1, inline_short(2)),           # Photometric RGB
+        entry(                                        # StripOffsets
+            273, 4, n,
+            inline_long(offs[0] if n == 1 else so_off),
+        ),
+        entry(277, 3, 1, inline_short(3)),           # SamplesPerPixel
+        entry(278, 4, 1, inline_long(rows_per_strip)),
+        entry(                                        # StripByteCounts
+            279, 4, n,
+            inline_long(len(strips[0]) if n == 1 else sc_off),
+        ),
+    ]
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    out += struct.pack(bo + "I", ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack(bo + "HHH", 8, 8, 8)
+    if n > 1:
+        for o in offs:
+            out += struct.pack(bo + "I", o)
+        for s in strips:
+            out += struct.pack(bo + "I", len(s))
+    out += struct.pack(bo + "H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(bo + "I", 0)  # next-IFD terminator
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"II\x2a\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00\x2a":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue  # types this profile never writes (RATIONAL etc.)
+        fmt = "H" if typ == 3 else "I"
+        if count * size <= 4:
+            vals = struct.unpack_from(bo + fmt * count, payload, base + 8)
+        else:
+            (off,) = struct.unpack_from(bo + "I", payload, base + 8)
+            vals = struct.unpack_from(bo + fmt * count, payload, off)
+        tags[tag] = list(vals)
+    if tags.get(259, [1])[0] != 1:
+        raise NotImplementedError(
+            "compressed TIFF (LZW/PackBits) requires codec tables not "
+            "in scope; Compression=1 decodes natively"
+        )
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, [3])[0]
+    if spp != 3 or tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+        raise NotImplementedError("only 8-bit RGB TIFF in this profile")
+    data = bytearray()
+    for off, cnt in zip(tags[273], tags[279]):
+        data += payload[off : off + cnt]
+    px = np.frombuffer(bytes(data), dtype=np.uint8)[: h * w * 3]
+    return w, h, px.reshape(h, w, 3)

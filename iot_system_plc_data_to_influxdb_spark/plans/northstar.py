@@ -6338,3 +6338,84 @@ def b19_winnow_neardup(spark, sf_dir):
             ).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B22tif — TIFF decode (uncompressed stripped RGB, BOTH byte orders):
+# the scanned-document / pro-photo format of a real crawl. Odd doc_ids
+# encode big-endian ("MM"), even little-endian ("II"), so one corpus
+# exercises the full IFD byte-order matrix plus the inline-vs-offset
+# value rule and multi-strip reassembly (RowsPerStrip=4 < height).
+# Same closed-form row-constant colors as the other image corpora —
+# the stats oracle proves the decode; a wrong strip order, endian
+# read, or offset table breaks the hash.
+# --------------------------------------------------------------------------
+_B22_TIFF_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 9 + doc_id % 8 AS w, 6 + doc_id % 9 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    ys AS (SELECT unnest(range(0, 14)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+        (5 * d.doc_id + y) % 256 AS r,
+        (3 * d.doc_id + 2 * y) % 256 AS g,
+        (2 * d.doc_id + 3 * y) % 256 AS b
+      FROM d JOIN ys ON y < d.h
+    )
+    SELECT doc_id,
+      CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(w * h AS INT) AS n_px,
+      CAST(w * SUM(r) AS BIGINT) AS sum_r,
+      CAST(w * SUM(g) AS BIGINT) AS sum_g,
+      CAST(w * SUM(b) AS BIGINT) AS sum_b,
+      CAST(w * SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+      CAST(w * SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+      CAST(w * SUM(b) AS DOUBLE) / (w * h) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
+def _media_payloads_tiff(df):
+    """mapInPandas stage: the closed-form image corpus as uncompressed
+    stripped TIFF, alternating byte order by doc parity."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_tiff
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 8, 6 + d % 9
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                chan = np.concatenate(
+                    [
+                        (5 * d + y) % 256,
+                        (3 * d + 2 * y) % 256,
+                        (2 * d + 3 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                px = np.broadcast_to(chan, (h, w, 3)).copy()
+                ids.append(d)
+                payloads.append(encode_tiff(px, big_endian=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_tiff_decode", oracle=_B22_TIFF_ORACLE, tags=("B22",))
+def b22_tiff_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(_media_payloads_tiff(docs))

@@ -1702,3 +1702,50 @@ def test_y4m_c444_roundtrip():
     w, h, fps, dec = decode_y4m(encode_y4m(frames, fps=9, c444=True))
     assert (w, h, fps) == (7, 5, 9)
     assert len(dec) == 2 and all((a == b).all() for a, b in zip(dec, frames))
+
+
+def test_tiff_roundtrip_both_byte_orders():
+    """TIFF encode→decode is exact for both 'II' and 'MM' byte orders,
+    single- and multi-strip (RowsPerStrip=4), including the
+    inline-vs-offset IFD value rule exercised by the strip tables."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(7)
+    for big_endian in (False, True):
+        for h, w in ((3, 5), (4, 4), (13, 9)):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            w2, h2, out = decode_tiff(encode_tiff(px, big_endian=big_endian))
+            assert (w2, h2) == (w, h)
+            assert (out == px).all()
+
+
+def test_tiff_compressed_gate():
+    """Compression != 1 raises the documented NotImplementedError gate
+    instead of silently mis-decoding."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_tiff(px))
+    # patch the Compression entry's value (tag 259, SHORT 1) to 5 (LZW)
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", payload, base)
+        if tag == 259:
+            struct.pack_into("<H", payload, base + 8, 5)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(payload))
