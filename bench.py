@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "b19_winnow_neardup",  # shared rare fingerprints, df-gated pairs
     "b27_rfm_segments",  # RFM user segmentation, exact rank quintiles
     "b22_tiff_decode",  # stripped RGB TIFF, both byte orders
+    "b23_hampel",  # rolling-median outlier filter, 7-row windows
 ]
 
 

@@ -3191,3 +3191,94 @@ def b27_rolling_active_users(spark, sf_dir):
             round_ratio(F.col("dau"), F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B23j — Hampel filter (rolling-median outlier detection): the
+# LOCAL robust twin of b23_mad_outliers' global gate — a 7-row
+# centered window per series, outlier when |x - med7| > 3 * MAD7,
+# replacement value = the window median (what the filter exists for).
+# Exactness: medians come from sorting the 7-element integer-cents
+# window list and taking element 4 — discrete, no interpolation —
+# and the 3x-MAD gate is an integer compare. The 7-element
+# list/sort/transform HOFs are the SMALL-ARRAY case the SCALE.md HOF
+# policy allows: the interpreted constant is per-window O(7), dwarfed
+# by the one per-series keyed window shuffle (the corpus-element-hot
+# gram stages are where HOFs are banned). Full windows only, like
+# moving_average warm-up.
+# --------------------------------------------------------------------------
+_B23_HAMPEL_ORACLE = """
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 40
+    ),
+    w AS (
+      SELECT event_type, event_id, ts, cents,
+        list(cents) OVER w7 AS win,
+        COUNT(*) OVER w7 AS nw
+      FROM c
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    m AS (
+      SELECT event_type, event_id, ts, cents,
+        list_sort(win)[4] AS med
+      FROM w WHERE nw = 7
+    ),
+    h AS (
+      SELECT m.*, list_sort(list_transform(w.win,
+          x -> abs(x - m.med)))[4] AS mad
+      FROM m JOIN w USING (event_type, event_id)
+    )
+    SELECT event_type, event_id, ts,
+      CAST(cents AS DOUBLE) / 100 AS value,
+      CAST(med AS DOUBLE) / 100 AS med7,
+      CAST(mad AS DOUBLE) / 100 AS mad7
+    FROM h
+    WHERE abs(cents - med) > 3 * mad
+"""
+
+
+@register("b23_hampel", oracle=_B23_HAMPEL_ORACLE, tags=("B23",))
+def b23_hampel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    w = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "cents",
+        F.collect_list("cents").over(w7).alias("win"),
+        F.count("*").over(w7).alias("nw"),
+    ).filter(F.col("nw") == 7)
+    med = F.element_at(F.sort_array(F.col("win")), 4)
+    m = w.select("event_type", "event_id", "ts", "cents", "win", med.alias("med"))
+    mad = F.element_at(
+        F.sort_array(
+            F.transform(F.col("win"), lambda x: F.abs(x - F.col("med")))
+        ),
+        4,
+    )
+    h = m.select(
+        "event_type", "event_id", "ts", "cents", "med", mad.alias("mad")
+    )
+    return h.filter(
+        F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad")
+    ).select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("cents").cast("double") / 100).alias("value"),
+        (F.col("med").cast("double") / 100).alias("med7"),
+        (F.col("mad").cast("double") / 100).alias("mad7"),
+    )
