@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "b27_rfm_segments",  # RFM user segmentation, exact rank quintiles
     "b22_tiff_decode",  # stripped RGB TIFF, both byte orders
     "b23_hampel",  # rolling-median outlier filter, 7-row windows
+    "b19_fuzzy_match",  # blocked Levenshtein entity resolution
 ]
 
 

@@ -1452,3 +1452,85 @@ def b5_kmv_distinct(spark, sf_dir):
             / F.col("kth_u").cast("double")
         ).alias("n_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# B19f — blocked fuzzy (edit-distance) matching: the entity-resolution
+# staple — dirty probe strings matched to a reference table by
+# Levenshtein distance, with a BLOCKING key so the candidate set is a
+# bucket, never the cross product (the same never-all-pairs rule as
+# the LSH dedup family). Probes are built from the reference itself by
+# a deterministic last-two-character swap (identical string algebra in
+# both engines), blocks share the 4-digit suffix prefix, the match is
+# the (distance, key) argmin, and Levenshtein is the standard DP both
+# engines implement identically over ASCII — exact integers
+# throughout. At 100 TB the block key bounds the join exactly like a
+# band key: cost = sum of block_size x probes_in_block, not N x M.
+# --------------------------------------------------------------------------
+_B19_FUZZY_ORACLE = """
+    WITH probes AS (
+      SELECT c_custkey AS probe_key,
+        substr(c_name, 1, length(c_name) - 2)
+          || substr(c_name, length(c_name), 1)
+          || substr(c_name, length(c_name) - 1, 1) AS probe_name,
+        substr(c_name, 10, 4) AS blk
+      FROM customer WHERE c_custkey % 700 = 3
+    ),
+    cand AS (
+      SELECT p.probe_key, p.probe_name,
+        c.c_custkey AS match_key, c.c_name AS match_name,
+        CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
+      FROM probes p JOIN customer c ON substr(c.c_name, 10, 4) = p.blk
+      WHERE levenshtein(p.probe_name, c.c_name) <= 3
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_key ORDER BY dist, match_key) AS rk
+      FROM cand
+    )
+    SELECT probe_key, probe_name, match_key, match_name, dist
+    FROM best WHERE rk = 1
+"""
+
+
+@register("b19_fuzzy_match", oracle=_B19_FUZZY_ORACLE, tags=("B19", "B16"))
+def b19_fuzzy_match(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ln = F.length("c_name")
+    swapped = F.concat(
+        F.expr("substr(c_name, 1, length(c_name) - 2)"),
+        F.expr("substr(c_name, length(c_name), 1)"),
+        F.expr("substr(c_name, length(c_name) - 1, 1)"),
+    )
+    probes = cust.filter(F.col("c_custkey") % 700 == 3).select(
+        F.col("c_custkey").alias("probe_key"),
+        swapped.alias("probe_name"),
+        F.substring("c_name", 10, 4).alias("blk"),
+    )
+    from pyspark.sql import Window
+
+    cand = (
+        F.broadcast(probes)
+        .join(
+            cust.withColumn("blk", F.substring("c_name", 10, 4)), "blk"
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("probe_name"), F.col("c_name")).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("dist") <= 3)
+    )
+    wr = Window.partitionBy("probe_key").orderBy("dist", "c_custkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("c_custkey").alias("match_key"),
+            F.col("c_name").alias("match_name"),
+            "dist",
+        )
+    )
