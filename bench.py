@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "b22_tiff_decode",  # stripped RGB TIFF, both byte orders
     "b23_hampel",  # rolling-median outlier filter, 7-row windows
     "b19_fuzzy_match",  # blocked Levenshtein entity resolution
+    "b27_attribution",  # last-touch purchase attribution, one window
 ]
 
 

@@ -774,3 +774,77 @@ def b27_rfm_segments(spark, sf_dir):
         sc("rf").alias("f_score"),
         sc("rm").alias("m_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# B27a — last-touch attribution: every purchase attributed to the SAME
+# user's most recent preceding 'view' (the marketing-analytics asof
+# join, expressed as conditional last(ignorenulls) over the per-user
+# event stream — one keyed window pass, no self-join, the same
+# de-recursion idiom as gap-fill). Purchases with no preceding view
+# stay unattributed (NULL columns kept, like a left asof join); the
+# attribution lag is exact integer microseconds.
+# --------------------------------------------------------------------------
+_B27_ATTRIBUTION_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id, value,
+        LAST(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+          OVER w AS view_event_id,
+        LAST(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+          OVER w AS view_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+      CAST(ROUND(value * 100) AS BIGINT) AS amount_cents,
+      view_event_id, view_ts,
+      CAST(CASE WHEN view_ts IS NOT NULL
+        THEN epoch_us(ts) - epoch_us(view_ts) END AS BIGINT)
+        AS lag_us
+    FROM s WHERE event_type = 'purchase'
+"""
+
+
+@register(
+    "b27_attribution", oracle=_B27_ATTRIBUTION_ORACLE, tags=("B27", "B11")
+)
+def b27_attribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("view_event_id"),
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+    )
+    return s.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("amount_cents"),
+        "view_event_id",
+        "view_ts",
+        F.when(
+            F.col("view_ts").isNotNull(),
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("view_ts")),
+        )
+        .cast("bigint")
+        .alias("lag_us"),
+    )
