@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "b23_hampel",  # rolling-median outlier filter, 7-row windows
     "b19_fuzzy_match",  # blocked Levenshtein entity resolution
     "b27_attribution",  # last-touch purchase attribution, one window
+    "b21_vocab_overlap",  # source-pair vocabulary Jaccard matrix
+    "b21_vocab_growth",  # Heaps-law cumulative vocabulary curve
 ]
 
 

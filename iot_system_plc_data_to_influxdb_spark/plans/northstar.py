@@ -6419,3 +6419,147 @@ def b22_tiff_decode(spark, sf_dir):
         .repartition(32, "doc_id")
     )
     return decode_images(_media_payloads_tiff(docs))
+
+
+# --------------------------------------------------------------------------
+# B21v — source vocabulary overlap (the dataset-card "how similar are
+# my sources" matrix): exact Jaccard |Va ∩ Vb| / |Va ∪ Vb| between
+# every source pair's token vocabularies, computed from the inverted
+# (token → source) index — the intersection sizes come from one
+# self-join keyed on token (bounded by shared-vocabulary size, the
+# same inverted-index rule as the shingle dedups), never from
+# comparing corpora pairwise. Exact integers end-to-end.
+# --------------------------------------------------------------------------
+_B21_VOCAB_OVERLAP_ORACLE = r"""
+    WITH v AS (
+      SELECT DISTINCT source,
+        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.s1, i.s2, CAST(i.i AS BIGINT) AS n_shared,
+      CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2,
+      ((2 * i.i * 10000 + (x.n + y.n - i.i))
+        // (2 * (x.n + y.n - i.i))) / 10000.0 AS jaccard
+    FROM inter i
+    JOIN sizes x ON x.source = i.s1
+    JOIN sizes y ON y.source = i.s2
+"""
+
+
+@register(
+    "b21_vocab_overlap", oracle=_B21_VOCAB_OVERLAP_ORACLE, tags=("B21",)
+)
+def b21_vocab_overlap(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    v = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .distinct()
+        .cache()  # inverted index feeds sizes and both join sides
+    )
+    sizes = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("s1"), "tok")
+    b = v.select(F.col("source").alias("s2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("s1"),
+                                     F.col("n").alias("n1"))), "s1")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("s2"),
+                                     F.col("n").alias("n2"))), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("i").cast("bigint").alias("n_shared"),
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            round_ratio(
+                F.col("i"), F.col("n1") + F.col("n2") - F.col("i"), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B21h — vocabulary growth curve (Heaps' law audit): cumulative
+# distinct-token count vs cumulative token count over the corpus in
+# doc_id order — the dataset-card plot that shows whether a corpus is
+# still contributing new vocabulary or has gone repetitive. NEW tokens
+# are attributed to the doc where they FIRST appear (min doc_id per
+# token — one aggregate over the inverted index), then two running
+# sums over the per-doc totals. Exact integers; the running windows
+# order by doc_id over the PER-DOC table (corpus-size / doc-length
+# rows), and at 100 TB the curve would be checkpointed per shard and
+# prefix-summed like the watermark two-pass — documented, not needed
+# at the per-doc table's scale.
+# --------------------------------------------------------------------------
+_B21_VOCAB_GROWTH_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok
+      GROUP BY doc_id
+    ),
+    firsts AS (
+      SELECT MIN(doc_id) AS doc_id, tk FROM tok GROUP BY tk
+    ),
+    new_per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+      CAST(SUM(p.n_tok) OVER w AS BIGINT) AS cum_tokens,
+      CAST(SUM(COALESCE(n.n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM per_doc p LEFT JOIN new_per_doc n USING (doc_id)
+    WINDOW w AS (ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("b21_vocab_growth", oracle=_B21_VOCAB_GROWTH_ORACLE, tags=("B21",))
+def b21_vocab_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    ).cache()  # feeds both the per-doc totals and the first-seen agg
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    new_per_doc = (
+        tok.groupBy("tk")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
