@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "b27_attribution",  # last-touch purchase attribution, one window
     "b21_vocab_overlap",  # source-pair vocabulary Jaccard matrix
     "b21_vocab_growth",  # Heaps-law cumulative vocabulary curve
+    "b20_embedding_audit",  # per-label norm/dim/zero-vector QA
 ]
 
 

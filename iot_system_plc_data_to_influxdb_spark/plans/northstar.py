@@ -6563,3 +6563,61 @@ def b21_vocab_growth(spark, sf_dir):
             .alias("cum_vocab"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B20a — embedding-quality audit: the QA gate every pipeline runs
+# BEFORE spending compute on ANN/semantic stages — per label: vector
+# count, dimension bounds (a ragged dim means a broken producer),
+# zero-vector count (cosine is undefined there), and the norm²
+# distribution (min/max/sum). Norms ride the exact-decimal dot product
+# (functions/vectors.py): component-rounded DECIMAL products summed
+# order-independently, ONE cast to double per output — bit-identical
+# in both engines. Map-only per vector + one tiny per-label aggregate.
+# --------------------------------------------------------------------------
+_B20_AUDIT_ORACLE = """
+    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    terms AS (
+      SELECT e.vec_id, e.label, len(e.embedding) AS dim,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS d
+      FROM embeddings e CROSS JOIN pos
+    ),
+    norms AS (
+      SELECT vec_id, label, MAX(dim) AS dim,
+        SUM(d * d) AS n2
+      FROM terms GROUP BY vec_id, label
+    )
+    SELECT label,
+      CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      CAST(MIN(dim) AS INT) AS min_dim,
+      CAST(MAX(dim) AS INT) AS max_dim,
+      CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_zero_vectors,
+      CAST(MIN(n2) AS DOUBLE) AS min_norm2,
+      CAST(MAX(n2) AS DOUBLE) AS max_norm2,
+      CAST(SUM(n2) AS DOUBLE) AS sum_norm2
+    FROM norms GROUP BY label
+"""
+
+
+@register("b20_embedding_audit", oracle=_B20_AUDIT_ORACLE, tags=("B20",))
+def b20_embedding_audit(spark, sf_dir):
+    from ..functions.vectors import norm2_exact
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        norm2_exact(F.col("embedding")).alias("n2"),
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.min("dim").cast("int").alias("min_dim"),
+        F.max("dim").cast("int").alias("max_dim"),
+        F.sum(F.when(F.col("n2") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_vectors"),
+        F.min("n2").cast("double").alias("min_norm2"),
+        F.max("n2").cast("double").alias("max_norm2"),
+        F.sum("n2").cast("double").alias("sum_norm2"),
+    )
