@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "b21_vocab_overlap",  # source-pair vocabulary Jaccard matrix
     "b21_vocab_growth",  # Heaps-law cumulative vocabulary curve
     "b20_embedding_audit",  # per-label norm/dim/zero-vector QA
+    "b24_segmented_trend",  # changepoint split + per-segment LSQ
 ]
 
 

@@ -3282,3 +3282,141 @@ def b23_hampel(spark, sf_dir):
         (F.col("med").cast("double") / 100).alias("med7"),
         (F.col("mad").cast("double") / 100).alias("mad7"),
     )
+
+
+# --------------------------------------------------------------------------
+# B24f — segmented trend: the structural-break model that composes two
+# proven idioms — the mean-shift changepoint (b23_changepoint's
+# all-int64 argmax picks k* per series) splits each series into
+# before/after segments, and each segment gets b24_forecast_trend's
+# exact-decimal least squares (one double division per coefficient on
+# identical operands). This is the "did the trend CHANGE at the
+# break" question a plain global fit can't answer. Shape: one keyed
+# window pass for k*, a broadcast of the 5-row breakpoint table back
+# onto the fact, then a per-(series, segment) aggregate with map-side
+# partials.
+# --------------------------------------------------------------------------
+_B24_SEGTREND_ORACLE = """
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        CAST(CAST(FLOOR(epoch(ts)) AS BIGINT)
+          - epoch(TIMESTAMP '2024-01-01') AS DECIMAL(9,0)) AS x
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, event_id,
+        ROW_NUMBER() OVER w AS k,
+        SUM(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+        SUM(cents) OVER (PARTITION BY event_type) AS sn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    r AS (
+      SELECT event_type, k AS k_star, ROW_NUMBER() OVER (
+        PARTITION BY event_type
+        ORDER BY ABS(n * ck - k * sn) DESC, k) AS rk
+      FROM p WHERE k < n
+    ),
+    brk AS (SELECT event_type, k_star FROM r WHERE rk = 1),
+    seg AS (
+      SELECT c.event_type,
+        CAST(CASE WHEN p.k <= b.k_star THEN 0 ELSE 1 END AS INT)
+          AS segment,
+        c.x, CAST(c.cents AS DECIMAL(9,0)) AS y
+      FROM c
+      JOIN p ON p.event_type = c.event_type AND p.event_id = c.event_id
+      JOIN brk b ON b.event_type = c.event_type
+    ),
+    agg AS (
+      SELECT event_type, segment,
+        CAST(COUNT(*) AS DECIMAL(9,0)) AS n,
+        CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+        CAST(SUM(y) AS DECIMAL(19,0)) AS sy,
+        CAST(SUM(x * y) AS DECIMAL(28,0)) AS sxy,
+        CAST(SUM(x * x) AS DECIMAL(28,0)) AS sxx
+      FROM seg GROUP BY event_type, segment
+    )
+    SELECT event_type, segment, CAST(n AS BIGINT) AS n_points,
+      ROUND(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        AS slope_cents_per_us,
+      ROUND((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) / 100, 4) AS intercept_value
+    FROM agg
+"""
+
+
+@register("b24_segmented_trend", oracle=_B24_SEGTREND_ORACLE, tags=("B24",))
+def b24_segmented_trend(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        ).cast("decimal(9,0)").alias("x"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wt = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("event_type")
+    p = ev.select(
+        "event_type",
+        "event_id",
+        "x",
+        "cents",
+        F.row_number().over(wo).alias("k"),
+        F.sum("cents").over(wt).alias("ck"),
+        F.sum("cents").over(wp).alias("sn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("n") * F.col("ck") - F.col("k") * F.col("sn")).desc(),
+        F.col("k"),
+    )
+    brk = (
+        p.filter(F.col("k") < F.col("n"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("k").alias("k_star"))
+    )
+    seg = p.join(F.broadcast(brk), "event_type").select(
+        "event_type",
+        F.when(F.col("k") <= F.col("k_star"), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("segment"),
+        "x",
+        F.col("cents").cast("decimal(9,0)").alias("y"),
+    )
+    agg = seg.groupBy("event_type", "segment").agg(
+        F.count("*").cast("decimal(9,0)").alias("n"),
+        F.sum("x").cast("decimal(19,0)").alias("sx"),
+        F.sum("y").cast("decimal(19,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(28,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(28,0)").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / 100
+    )
+    return agg.select(
+        "event_type",
+        "segment",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(F.lit(1e6) * slope, 6).alias("slope_cents_per_us"),
+        F.round(intercept, 4).alias("intercept_value"),
+    )
