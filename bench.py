@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "b21_vocab_growth",  # Heaps-law cumulative vocabulary curve
     "b20_embedding_audit",  # per-label norm/dim/zero-vector QA
     "b24_segmented_trend",  # changepoint split + per-segment LSQ
+    "b23_gap_report",  # inter-event outage gaps, exact micros
+    "b27_ltv_curve",  # cohort cumulative-revenue LTV curve
 ]
 
 

@@ -848,3 +848,95 @@ def b27_attribution(spark, sf_dir):
         .cast("bigint")
         .alias("lag_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# B27l — cohort LTV curve (the revenue companion of the retention
+# matrix): users cohorted by signup week, purchase revenue bucketed by
+# whole weeks since the cohort week, CUMULATIVE revenue per cohort
+# user at each offset — the lifetime-value curve growth teams read.
+# Revenue sums in exact integer cents, the running sum per cohort over
+# a tiny (cohorts x offsets) table, per-user LTV as a rounded ratio.
+# --------------------------------------------------------------------------
+_B27_LTV_ORACLE = """
+    WITH c AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    sizes AS (SELECT cw, COUNT(*) AS n_cohort FROM c GROUP BY cw),
+    rev AS (
+      SELECT c.cw,
+        CAST(date_diff('day', c.cw, date_trunc('week', e.ts)) // 7
+          AS INT) AS week_k,
+        CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND date_trunc('week', e.ts) >= c.cw
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cw, week_k,
+        CAST(SUM(cents) OVER (PARTITION BY cw ORDER BY week_k
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_cents
+      FROM rev
+    )
+    SELECT CAST(m.cw AS TIMESTAMP) AS cohort_week, m.week_k,
+      CAST(s.n_cohort AS BIGINT) AS n_cohort,
+      CAST(m.cum_cents AS DOUBLE) / 100 AS cum_revenue,
+      ((2 * m.cum_cents * 10000 + 100 * s.n_cohort)
+        // (2 * 100 * s.n_cohort)) / 10000.0 AS ltv_per_user
+    FROM cum m JOIN sizes s USING (cw)
+"""
+
+
+@register("b27_ltv_curve", oracle=_B27_LTV_ORACLE, tags=("B27",))
+def b27_ltv_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ._exact import round_ratio
+
+    ev = t(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    sizes = c.groupBy("cw").agg(F.count("*").alias("n_cohort"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .withColumn("aw", F.date_trunc("week", "ts"))
+        .filter(F.col("aw") >= F.col("cw"))
+        .groupBy(
+            "cw",
+            F.floor(F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wc = (
+        Window.partitionBy("cw")
+        .orderBy("week_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cw",
+        "week_k",
+        F.sum("cents").over(wc).cast("bigint").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cw").select(
+        F.col("cw").alias("cohort_week"),
+        "week_k",
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        (F.col("cum_cents").cast("double") / 100).alias("cum_revenue"),
+        round_ratio(
+            F.col("cum_cents"), 100 * F.col("n_cohort"), 4
+        ).alias("ltv_per_user"),
+    )

@@ -3420,3 +3420,44 @@ def b24_segmented_trend(spark, sf_dir):
         F.round(F.lit(1e6) * slope, 6).alias("slope_cents_per_us"),
         F.round(intercept, 4).alias("intercept_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# B23k — historical gap report per series: every inter-event gap over
+# the threshold, with its exact integer-microsecond span (the
+# RETROSPECTIVE twin of the deadman alert, which only watches the
+# live tail — a maintenance review wants every outage last month).
+# One lag over the per-series ordering window; sub-second exactness
+# via unix_micros, the same lesson as the deadman floor fix.
+# --------------------------------------------------------------------------
+_B23_GAPS_ORACLE = """
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+        LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+          AS prev_ts
+      FROM events
+    )
+    SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+      CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+    FROM s
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > 600000000
+"""
+
+
+@register("b23_gap_report", oracle=_B23_GAPS_ORACLE, tags=("B23",))
+def b23_gap_report(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    return s.filter(
+        F.col("prev_ts").isNotNull() & (gap > 600_000_000)
+    ).select(
+        "event_type",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        gap.cast("bigint").alias("gap_us"),
+    )
