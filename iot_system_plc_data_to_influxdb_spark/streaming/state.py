@@ -300,3 +300,59 @@ def threshold_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTR_OUTPUT = (
+    "user_id bigint, purchase_event_id bigint, purchase_ts timestamp, "
+    "view_event_id bigint, view_ts timestamp, lag_us bigint"
+)
+ATTR_STATE = "view_ts timestamp, view_event_id bigint"
+
+
+def _attr_update(
+    key,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Last-touch attribution fold: per user, carry the most recent
+    'view' (ts, event_id) across micro-batches; each 'purchase' emits
+    one attribution row against the view state at that point of the
+    (ts, event_id)-ordered walk. On ordered input this is exactly the
+    batch twin (plans/streaming_parity.b27_attribution)."""
+    view_ts, view_id = state.get if state.exists else (None, None)
+    out = {
+        "user_id": [], "purchase_event_id": [], "purchase_ts": [],
+        "view_event_id": [], "view_ts": [], "lag_us": [],
+    }
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"])
+        for _, r in rows.iterrows():
+            if r["event_type"] == "view":
+                if view_ts is None or r["ts"] >= view_ts:
+                    view_ts, view_id = r["ts"], int(r["event_id"])
+            elif r["event_type"] == "purchase":
+                out["user_id"].append(int(key[0]))
+                out["purchase_event_id"].append(int(r["event_id"]))
+                out["purchase_ts"].append(r["ts"])
+                out["view_event_id"].append(view_id)
+                out["view_ts"].append(view_ts)
+                out["lag_us"].append(
+                    None
+                    if view_ts is None
+                    else (r["ts"] - view_ts).value // 1000
+                )
+    state.update((view_ts, view_id))
+    yield pd.DataFrame(out)
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution: state = last view per user,
+    one output row per purchase as it arrives (append semantics)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attr_update,
+        outputStructType=ATTR_OUTPUT,
+        stateStructType=ATTR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1367,3 +1367,68 @@ def test_streaming_threshold_alerts_cross_batch_episodes(spark, tmp_path):
         ("A", "2024-01-01 00:00:11", 3, 99.0),   # 2+1 across batches
         ("A", "2024-01-01 00:00:15", 3, 87.0),   # re-armed episode
     ], alerts
+
+
+def test_attribution_stream_matches_batch_twin(spark):
+    """Streaming last-touch attribution == the batch window query on
+    the same events, with the view state carried ACROSS micro-batches
+    (file 1 ends on a view; file 2's purchase must attribute to it)."""
+    import datetime
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        attribution_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, mins, user, typ, val=10.0):
+        return (i, t0 + datetime.timedelta(minutes=mins), user, typ, val, "{}")
+
+    sch = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    batch1 = [
+        ev(1, 0, 1, "view"),
+        ev(2, 5, 1, "purchase", 25.0),   # -> view 1
+        ev(3, 7, 1, "view"),
+        ev(4, 0, 2, "purchase", 5.0),    # no view yet -> unattributed
+    ]
+    batch2 = [
+        ev(5, 12, 1, "purchase", 7.0),   # -> view 3 (state across batch)
+        ev(6, 13, 2, "view"),
+        ev(7, 15, 2, "purchase", 9.0),   # -> view 6
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/in"
+        spark.createDataFrame(batch1, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        spark.createDataFrame(batch2, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        rows = []
+        q = (
+            attribution_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r["purchase_event_id"]: (r["view_event_id"], r["lag_us"])
+        for r in rows
+    }
+    # NOTE: file-stream batch order can interleave, but each user's
+    # events here arrive in ts order per batch and across batches, so
+    # the expected attribution is deterministic.
+    assert got[2] == (1, 5 * 60 * 1_000_000)
+    assert got[4] == (None, None)
+    assert got[5] == (3, 5 * 60 * 1_000_000)
+    assert got[7] == (6, 2 * 60 * 1_000_000)
