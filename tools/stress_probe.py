@@ -51,6 +51,8 @@ QUERIES = [
     "b18_stratified_sample",    # top-5-per-stratum window over 10x stratum depth
     "b21_winnow_fingerprints",  # codegen gram build + per-doc winnow window
     "b19_winnow_neardup",       # df-gated fingerprint self-join (replicas token-disjoint)
+    "b21_vocab_overlap",        # token-keyed self-join; 10x token-disjoint vocab
+    "b27_ltv_curve",            # cohort x offset rollup over 10x users
 ]
 
 
