@@ -294,3 +294,31 @@ def test_b19_cdc_chunk_dedup_exchanges_carry_metadata_only(spark):
             assert "payload" not in line, line
     # the window sort is per-hash-partition, never a global sort
     assert "rangepartitioning" not in p, "global sort leaked into the plan"
+
+
+def test_round7_analytics_single_fact_exchange(spark):
+    """The per-series analytics ops compile to ONE hash exchange over
+    the fact projection — every window in the plan rides it (totals as
+    unordered frames on the same shuffle, no groupBy+join re-scan)."""
+    for name in ("b23_acf", "b23_changepoint", "b18_stratified_sample"):
+        p = _plan(spark, name, mode="simple")
+        n_ex = p.count("Exchange hashpartitioning")
+        assert n_ex == 1, (name, n_ex)
+        assert p.count("Scan parquet") + p.count("FileScan") <= 2, name
+
+
+def test_round7_small_side_broadcasts(spark):
+    """Breakpoint / day-spine / size tables broadcast back onto the
+    fact — a sort-merge join here would shuffle the corpus twice."""
+    for name in ("b24_segmented_trend", "b27_rolling_active_users",
+                 "b19_fuzzy_match"):
+        p = _plan(spark, name, mode="simple")
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+
+
+def test_attribution_is_one_window_no_self_join(spark):
+    """Last-touch attribution must stay the conditional-last window
+    form: one user_id exchange, zero joins."""
+    p = _plan(spark, "b27_attribution", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
