@@ -189,3 +189,75 @@ def test_bollinger_bands_match_python_reference(spark, rows):
             sd = math.sqrt(float(n * q - s * s) / float(n * n)) / 100
             expect[(et, pts[j][1])] = (cs[j] / 100.0, ma, ma + 2 * sd, ma - 2 * sd)
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_EVENT, min_size=10, max_size=60))
+def test_theil_sen_matches_python_median_of_slopes(spark, rows):
+    from iot_system_plc_data_to_influxdb_spark.plans.timeseries import (
+        b24_theil_sen,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, rows, td)
+        got = {
+            r["event_type"]: (
+                r["n_buckets"], r["n_pairs"], r["slope_cents_per_hour"]
+            )
+            for r in b24_theil_sen(spark, td).collect()
+        }
+    buckets: dict = {}
+    for i, (et, mins, cents) in enumerate(rows):
+        ts = _T0 + datetime.timedelta(minutes=mins, seconds=i % 7)
+        hr = int(ts.replace(minute=0, second=0, microsecond=0).timestamp()
+                 ) // 3600
+        buckets.setdefault(f"t{et}", {}).setdefault(hr, 0)
+        buckets[f"t{et}"][hr] += cents
+    for et, b in buckets.items():
+        hrs = sorted(b)
+        pairs = [
+            ((b[hj] - b[hi]) / float(hj - hi), hi, hj)
+            for i, hi in enumerate(hrs)
+            for hj in hrs[i + 1 :]
+        ]
+        if not pairs:
+            assert et not in got  # single bucket: no slope defined
+            continue
+        pairs.sort()
+        np_, nb = len(pairs), len(hrs)
+        med = pairs[(np_ + 1) // 2 - 1][0]  # rank-at-ceil(0.5 n)
+        assert got[et] == (nb, np_, med), et
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=40, unique=True))
+def test_stratified_sample_is_k_smallest_md5(spark, doc_ids):
+    import hashlib
+    import tempfile as tf
+
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b18_stratified_sample,
+    )
+
+    with tf.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, "x", f"l{d % 2}", f"s{d % 3}", 1) for d in doc_ids],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            (r["lang"], r["source"]): set()
+            for r in b18_stratified_sample(spark, td).collect()
+        }
+        for r in b18_stratified_sample(spark, td).collect():
+            got[(r["lang"], r["source"])].add(r["doc_id"])
+    strata: dict = {}
+    for d in doc_ids:
+        key = (f"l{d % 2}", f"s{d % 3}")
+        hk = hashlib.md5(f"strat1|{d}".encode()).hexdigest()
+        strata.setdefault(key, []).append((hk, d))
+    for key, members in strata.items():
+        members.sort()
+        expect = {d for _, d in members[:5]}
+        assert got.get(key, set()) == expect, key
