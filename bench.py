@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "b24_segmented_trend",  # changepoint split + per-segment LSQ
     "b23_gap_report",  # inter-event outage gaps, exact micros
     "b27_ltv_curve",  # cohort cumulative-revenue LTV curve
+    "b12_stochastic_k",  # range-position oscillator, exact ints
 ]
 
 

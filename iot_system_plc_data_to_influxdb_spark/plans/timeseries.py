@@ -3461,3 +3461,79 @@ def b23_gap_report(spark, sf_dir):
         F.col("ts").alias("gap_end"),
         gap.cast("bigint").alias("gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# B12s — stochastic oscillator %K (14-row window): where the price
+# sits inside its recent range, the range-position companion of the
+# Bollinger envelope — %K = 100·(x − min14)/(max14 − min14). Exact:
+# window min/max are integer cents, %K a rounded ratio of exact
+# integers; a FLAT window (max == min) has no defined range position
+# and yields NULL (the guard the ACF property test taught — ANSI mod
+# by zero throws, and both engines must agree on the degenerate
+# case). Full windows only.
+# --------------------------------------------------------------------------
+_B12_STOCH_ORACLE = """
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 40
+    ),
+    w AS (
+      SELECT event_type, event_id, ts, cents,
+        MIN(cents) OVER w14 AS lo,
+        MAX(cents) OVER w14 AS hi,
+        COUNT(*) OVER w14 AS nw
+      FROM c
+      WINDOW w14 AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, ts,
+      CAST(cents AS DOUBLE) / 100 AS price,
+      CAST(lo AS DOUBLE) / 100 AS low14,
+      CAST(hi AS DOUBLE) / 100 AS high14,
+      CASE WHEN hi = lo THEN NULL
+        ELSE ((2 * 100 * (cents - lo) * 10000 + (hi - lo))
+              // (2 * (hi - lo))) / 10000.0 END AS pct_k
+    FROM w WHERE nw = 14
+"""
+
+
+@register("b12_stochastic_k", oracle=_B12_STOCH_ORACLE, tags=("B12",))
+def b12_stochastic_k(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    w = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "cents",
+        F.min("cents").over(w14).alias("lo"),
+        F.max("cents").over(w14).alias("hi"),
+        F.count("*").over(w14).alias("nw"),
+    ).filter(F.col("nw") == 14)
+    return w.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("cents").cast("double") / 100).alias("price"),
+        (F.col("lo").cast("double") / 100).alias("low14"),
+        (F.col("hi").cast("double") / 100).alias("high14"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            round_ratio(
+                100 * (F.col("cents") - F.col("lo")),
+                F.col("hi") - F.col("lo"),
+                4,
+            ),
+        ).alias("pct_k"),
+    )
