@@ -148,7 +148,22 @@ BENCH_QUERIES = [
     "b23_gap_report",  # inter-event outage gaps, exact micros
     "b27_ltv_curve",  # cohort cumulative-revenue LTV curve
     "b12_stochastic_k",  # range-position oscillator, exact ints
+    "b22_tiff_lzw",  # TIFF LZW (early-change, MSB) + PackBits + predictor
+    "b24_theil_sen_sampled",  # K-bucket hash-sampled Theil-Sen, O(K^2)
 ]
+
+# Work-size notes: when a query's corpus GROWS between rounds, its raw
+# timing delta is growth-of-work, not regression — recorded here so the
+# per-round BENCH_DETAIL carries the attribution next to the number.
+# (Round-7 lesson: b22_jpeg_decode gained the 4:2:0 + progressive
+# corpora and its +60% read as a slowdown until the work growth was
+# traced by hand.)
+QUERY_WORK_NOTES = {
+    "b22_jpeg_decode": "200 baseline 4:4:4 JPEGs (unchanged since r6)",
+    "b22_jpeg_progressive": "150 progressive 4:2:0 JPEGs (new in r7)",
+    "b22_tiff_lzw": "200 TIFFs: LZW+pred/LZW/PackBits x both endians "
+                    "(new in r8)",
+}
 
 
 def main() -> int:
@@ -166,6 +181,16 @@ def main() -> int:
 
     from iot_system_plc_data_to_influxdb_spark import plans
     from iot_system_plc_data_to_influxdb_spark.session import get_spark
+
+    # Snapshot the PRIOR round's detail record (before we overwrite it)
+    # for the calib-normalized regression gate below.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev: dict = {}
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        pass
 
     spark = get_spark("bench")
     qs = plans.all_queries()  # bench set spans canonical + variants
@@ -293,6 +318,30 @@ def main() -> int:
 
     calib_end = _calibrate()  # bracket the suite: detect mid-run drift
 
+    # CALIB-NORMALIZED REGRESSION GATE (round-7 verdict #1): raw
+    # cross-round deltas conflate host drift with plan changes; dividing
+    # each timing by the same-run calib_jvm yardstick cancels the host.
+    # A query is flagged only when its normalized time grew >1.25x vs
+    # the prior round's normalized time — a real plan/code regression,
+    # not a slower VM. (calib_jvm is the yardstick for all queries: it
+    # tracks the JVM/CPU phase every query pays; the py/alloc probes
+    # stay in the record for manual attribution of Arrow/alloc-bound
+    # outliers.)
+    queries_norm = {
+        k: round(v / calib_jvm, 3) for k, v in timings.items()
+    }
+    regressions: dict[str, float] = {}
+    prev_calib = (prev.get("calib_jvm_s") or 0) if prev else 0
+    prev_q = prev.get("queries", {}) if prev else {}
+    if prev_calib > 0:
+        for k, v_now in timings.items():
+            v_prev = prev_q.get(k)
+            if not v_prev or v_prev <= 0:
+                continue  # new query this round: nothing to compare
+            ratio = (v_now / calib_jvm) / (v_prev / prev_calib)
+            if ratio > 1.25:
+                regressions[k] = round(ratio, 2)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {
         "metric": "headline_query_wall_clock_total",
@@ -309,6 +358,10 @@ def main() -> int:
         "calib_py_s": calib_py,
         "calib_alloc_s": calib_alloc,
         "calib_end_jvm_py_alloc_s": list(calib_end),
+        "queries_norm": queries_norm,  # timing / calib_jvm, unitless
+        "prev_calib_jvm_s": prev_calib,
+        "normalized_regressions_gt_1p25": regressions,
+        "work_notes": QUERY_WORK_NOTES,
         "sf": float(sf),
     }
     # Full per-run detail goes to a side file + a non-final stdout line;
@@ -326,11 +379,20 @@ def main() -> int:
     ) as f:
         json.dump(detail, f, indent=1)
     print("DETAIL " + json.dumps({"median": median, "stddev": stddev}))
-    print(final_line(timings, [calib_jvm, calib_py, calib_alloc], float(sf)))
+    print(
+        final_line(
+            timings,
+            [calib_jvm, calib_py, calib_alloc],
+            float(sf),
+            n_reg=len(regressions) if prev_calib > 0 else None,
+        )
+    )
     return 0
 
 
-def final_line(timings: dict, calib: list, sf: float) -> str:
+def final_line(
+    timings: dict, calib: list, sf: float, n_reg=None
+) -> str:
     """The ONE stdout line the driver parses — must stay under its
     2,000-char capture. Degrades in steps: 2-dp per-query dict →
     1-dp → slowest-queries-only with a `queries_elided` count (the
@@ -344,6 +406,10 @@ def final_line(timings: dict, calib: list, sf: float) -> str:
         "calib": calib,
         "sf": sf,
     }
+    if n_reg is not None:
+        # count of queries whose calib-normalized time grew >1.25x vs
+        # the prior round (full map in BENCH_DETAIL.json)
+        out["norm_reg"] = n_reg
     line = json.dumps(out, separators=(",", ":"))
     if len(line) >= 1950:
         # degrade rounding rather than lose the record (round 4's

@@ -3092,16 +3092,194 @@ def retime_video(df: DataFrame, target_fps: int = 4) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TIFF (baseline, uncompressed, stripped) — the scanned-document /
-# pro-photo format a real crawl corpus carries alongside PNG/JPEG.
-# Full spec-level IFD walk in BOTH byte orders ("II" little- and "MM"
-# big-endian), SHORT/LONG entry types with the inline-vs-offset value
-# rule (count*size <= 4 lives left-justified in the value field), and
-# multi-strip reassembly (RowsPerStrip < height forces it). Only
-# Compression=1 decodes; LZW/PackBits raise the documented gate like
-# the other codec families.
+# TIFF (stripped RGB; Compression = 1 none / 5 LZW / 32773 PackBits) —
+# the scanned-document / pro-photo format a real crawl corpus carries
+# alongside PNG/JPEG. Full spec-level IFD walk in BOTH byte orders
+# ("II" little- and "MM" big-endian), SHORT/LONG entry types with the
+# inline-vs-offset value rule (count*size <= 4 lives left-justified in
+# the value field), and multi-strip reassembly (RowsPerStrip < height
+# forces it). TIFF-variant LZW (MSB-first bit packing + the spec's
+# "early change" width bump — one code earlier than GIF's LSB-first
+# variant) and the horizontal-differencing Predictor (tag 317 = 2) are
+# implemented per strip; PackBits is the spec's run-length scheme.
 # --------------------------------------------------------------------------
-def encode_tiff(pixels, big_endian: bool = False) -> bytes:
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW over an 8-bit byte stream: ClearCode=256,
+    EOI=257, first table entry 258, code widths 9..12 bits packed
+    MSB-first, and the TIFF spec's *early change*: the encoder widens
+    when the next free code reaches 2^width - 1 (one step before the
+    GIF variant would). The table clears at 4095 so 12 bits always
+    suffice. Self-consistent with _tiff_lzw_decode (decoder lags one
+    entry, so its bump threshold is 2^width - 2)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = n_bits = 0
+
+    def put(code: int, size: int):
+        nonlocal acc, n_bits
+        acc = (acc << size) | code
+        n_bits += size
+        while n_bits >= 8:
+            out.append((acc >> (n_bits - 8)) & 0xFF)
+            n_bits -= 8
+        acc &= (1 << n_bits) - 1
+
+    table: dict = {}
+    next_code, size = 258, 9
+    put(CLEAR, size)
+    it = iter(data)
+    current = next(it, None)
+    if current is None:
+        put(EOI, size)
+    else:
+        for k in it:
+            nxt = table.get((current, k))
+            if nxt is not None:
+                current = nxt
+                continue
+            put(current, size)
+            table[(current, k)] = next_code
+            next_code += 1
+            if next_code == (1 << size) - 1 and size < 12:
+                size += 1  # early change
+            elif next_code == 4095:
+                put(CLEAR, size)
+                table, next_code, size = {}, 258, 9
+            current = k
+        put(current, size)
+        put(EOI, size)
+    if n_bits:
+        out.append((acc << (8 - n_bits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of _tiff_lzw_encode. MSB-first reads; the decoder's
+    table is one entry behind the encoder's, so the early-change bump
+    fires at len(table) == 2^width - 2."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    size = 9
+    out = bytearray()
+    acc = n_bits = pos = 0
+    prev = None
+    while True:
+        while n_bits < size:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            n_bits += 8
+        code = (acc >> (n_bits - size)) & ((1 << size) - 1)
+        n_bits -= size
+        acc &= (1 << n_bits) - 1
+        if code == CLEAR:
+            table = list(base)
+            size = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad TIFF LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << size) - 2 and size < 12:
+                size += 1  # early change, decoder lags one entry
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise ValueError("TIFF LZW stream ended short of the byte count")
+    return bytes(out[:n_expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF Compression=32773): header n in 0..127
+    copies n+1 literal bytes; n in -1..-127 (two's complement 255..129)
+    repeats the next byte 1-n times; -128 is a no-op the encoder never
+    emits."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run starting at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))  # two's-complement negative
+            out.append(data[i])
+            i = j
+            continue
+        # literal stretch: until a run of >= 3 starts (2-byte runs are
+        # cheaper folded into the literal) or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if (
+                j + 2 < n
+                and data[j] == data[j + 1] == data[j + 2]
+            ):
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, n_expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < n_expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < n_expected:
+        raise ValueError("PackBits stream ended short of the byte count")
+    return bytes(out[:n_expected])
+
+
+def _predict_rows(strip: bytes, w: int, spp: int):
+    """Horizontal differencing (TIFF Predictor=2) applied per row,
+    per sample channel, mod 256 — the transform that makes LZW bite on
+    smooth photographic gradients."""
+    import numpy as np
+
+    a = np.frombuffer(strip, dtype=np.uint8).reshape(-1, w, spp)
+    d = a.astype(np.int16)
+    d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
+    return (d % 256).astype(np.uint8).tobytes()
+
+
+def _unpredict_rows(strip: bytes, w: int, spp: int):
+    """Inverse of _predict_rows: cumulative sum mod 256 across each
+    row's columns, per channel."""
+    import numpy as np
+
+    a = np.frombuffer(strip, dtype=np.uint8).reshape(-1, w, spp)
+    return (
+        np.cumsum(a.astype(np.int64), axis=1) % 256
+    ).astype(np.uint8).tobytes()
+
+
+def encode_tiff(
+    pixels,
+    big_endian: bool = False,
+    compression: int = 1,
+    predictor: bool = False,
+) -> bytes:
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -3109,11 +3287,22 @@ def encode_tiff(pixels, big_endian: bool = False) -> bytes:
     bo = ">" if big_endian else "<"
     import struct
 
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor and compression != 5:
+        raise ValueError("Predictor=2 only pairs with LZW in this profile")
+
     rows_per_strip = 4
-    strips = [
-        px[y : y + rows_per_strip].tobytes()
-        for y in range(0, h, rows_per_strip)
-    ]
+    strips = []
+    for y in range(0, h, rows_per_strip):
+        raw = px[y : y + rows_per_strip].tobytes()
+        if predictor:
+            raw = _predict_rows(raw, w, 3)
+        if compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
     n = len(strips)
     # layout: 8-byte header | strip data | BitsPerSample block |
     # strip offset/count arrays (if n > 1) | IFD
@@ -3142,7 +3331,7 @@ def encode_tiff(pixels, big_endian: bool = False) -> bytes:
         entry(256, 4, 1, inline_long(w)),            # ImageWidth
         entry(257, 4, 1, inline_long(h)),            # ImageLength
         entry(258, 3, 3, inline_long(bits_off)),     # BitsPerSample ->
-        entry(259, 3, 1, inline_short(1)),           # Compression none
+        entry(259, 3, 1, inline_short(compression)),  # Compression
         entry(262, 3, 1, inline_short(2)),           # Photometric RGB
         entry(                                        # StripOffsets
             273, 4, n,
@@ -3155,6 +3344,8 @@ def encode_tiff(pixels, big_endian: bool = False) -> bytes:
             inline_long(len(strips[0]) if n == 1 else sc_off),
         ),
     ]
+    if predictor:
+        entries.append(entry(317, 3, 1, inline_short(2)))  # Predictor
     out = bytearray()
     out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
     out += struct.pack(bo + "I", ifd_off)
@@ -3200,17 +3391,42 @@ def decode_tiff(payload: bytes):
             (off,) = struct.unpack_from(bo + "I", payload, base + 8)
             vals = struct.unpack_from(bo + fmt * count, payload, off)
         tags[tag] = list(vals)
-    if tags.get(259, [1])[0] != 1:
+    missing = [t for t in (256, 257, 273, 279) if t not in tags]
+    if missing:
+        raise ValueError(
+            f"TIFF IFD lacks required tag(s) {missing} "
+            "(ImageWidth/ImageLength/StripOffsets/StripByteCounts) — "
+            "truncated file or unsupported entry types"
+        )
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            "compressed TIFF (LZW/PackBits) requires codec tables not "
-            "in scope; Compression=1 decodes natively"
+            f"TIFF Compression={comp} not in this profile "
+            "(1=none, 5=LZW, 32773=PackBits decode natively)"
         )
     w, h = tags[256][0], tags[257][0]
     spp = tags.get(277, [3])[0]
     if spp != 3 or tags.get(258, [8, 8, 8]) != [8, 8, 8]:
         raise NotImplementedError("only 8-bit RGB TIFF in this profile")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF Predictor={predictor} unsupported")
+    rows_per_strip = tags.get(278, [h])[0]
     data = bytearray()
+    rows_left = h
     for off, cnt in zip(tags[273], tags[279]):
-        data += payload[off : off + cnt]
+        rows = min(rows_per_strip, rows_left)
+        rows_left -= rows
+        n_raw = rows * w * spp
+        raw = payload[off : off + cnt]
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw, n_raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, n_raw)
+        else:
+            raw = raw[:n_raw]
+        if predictor == 2:
+            raw = _unpredict_rows(raw, w, spp)
+        data += raw
     px = np.frombuffer(bytes(data), dtype=np.uint8)[: h * w * 3]
     return w, h, px.reshape(h, w, 3)

@@ -5234,15 +5234,20 @@ def b21_importance_resample(spark, sf_dir):
     ).select(
         "doc_id", "lang", F.pmod(token_hash16(F.col("t")), F.lit(256)).alias("b")
     )
-    tcnt = (
-        bt.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").alias("tc"))
-    )
-    rcnt = bt.groupBy("b").agg(F.count("*").alias("rc"))
-    wt = rcnt.join(tcnt, "b", "left").select(
-        "b",
-        F.expr("(coalesce(tc, 0) + 1) * 1000000 div (rc + 256)").alias("w"),
+    # Both distribution vectors in ONE pass over the exploded relation:
+    # rc = total bucket count, tc = target-slice (lang='en') bucket count
+    # via a conditional count. One shuffle instead of two full scans +
+    # a join (the old two-agg formulation scanned `bt` twice).
+    wt = (
+        bt.groupBy("b")
+        .agg(
+            F.count("*").alias("rc"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+        )
+        .select(
+            "b",
+            F.expr("(coalesce(tc, 0) + 1) * 1000000 div (rc + 256)").alias("w"),
+        )
     )
     scored = (
         bt.join(F.broadcast(wt), "b")
@@ -6421,6 +6426,67 @@ def b22_tiff_decode(spark, sf_dir):
     return decode_images(_media_payloads_tiff(docs))
 
 
+def _media_payloads_tiff_compressed(df):
+    """mapInPandas stage: the same closed-form corpus as compressed
+    TIFF — compression cycles by doc_id % 3 (LZW + Predictor=2, plain
+    LZW, PackBits) and byte order alternates by doc_id // 3 % 2, so one
+    corpus exercises the full compression × predictor × endian matrix."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import encode_tiff
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 8, 6 + d % 9
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                chan = np.concatenate(
+                    [
+                        (5 * d + y) % 256,
+                        (3 * d + 2 * y) % 256,
+                        (2 * d + 3 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                px = np.broadcast_to(chan, (h, w, 3)).copy()
+                comp, pred = [(5, True), (5, False), (32773, False)][d % 3]
+                ids.append(d)
+                payloads.append(
+                    encode_tiff(
+                        px,
+                        big_endian=bool((d // 3) % 2),
+                        compression=comp,
+                        predictor=pred,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_tiff_lzw", oracle=_B22_TIFF_ORACLE, tags=("B22",))
+def b22_tiff_lzw(spark, sf_dir):
+    """TIFF LZW / PackBits decode: same pixel stats oracle as the
+    uncompressed twin — a wrong early-change width, mis-lagged decoder
+    table, bad predictor sum, or broken PackBits run breaks the hash.
+    The TIFF-variant LZW packs codes MSB-first with the spec's
+    early-change bump (unlike the GIF decoder elsewhere in this repo,
+    which is LSB-first and bumps one code later)."""
+    from ..operators.multimodal import decode_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return decode_images(_media_payloads_tiff_compressed(docs))
+
+
 # --------------------------------------------------------------------------
 # B21v — source vocabulary overlap (the dataset-card "how similar are
 # my sources" matrix): exact Jaccard |Va ∩ Vb| / |Va ∪ Vb| between
@@ -6576,7 +6642,10 @@ def b21_vocab_growth(spark, sf_dir):
 # in both engines. Map-only per vector + one tiny per-label aggregate.
 # --------------------------------------------------------------------------
 _B20_AUDIT_ORACLE = """
-    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    WITH pos AS (
+      SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i
+    ),
     terms AS (
       SELECT e.vec_id, e.label, len(e.embedding) AS dim,
         CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS d

@@ -127,12 +127,14 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):
             raise ValueError(f"duplicate query name {name!r}")
 
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
             # DuckDB treats timestamps as naive; pin Spark to UTC so
             # string→timestamp literals and date_trunc/window bucketing
             # agree with the oracle regardless of the host timezone.
+            # Extra kwargs (tuning knobs like max_buckets/k) pass
+            # through for tests; the driver only uses (spark, sf_dir).
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kw)
 
         _REGISTRY[name] = Declared(name, wrapped, oracle, tags)
         return wrapped

@@ -1496,7 +1496,6 @@ _B19_FUZZY_ORACLE = """
 @register("b19_fuzzy_match", oracle=_B19_FUZZY_ORACLE, tags=("B19", "B16"))
 def b19_fuzzy_match(spark, sf_dir):
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    ln = F.length("c_name")
     swapped = F.concat(
         F.expr("substr(c_name, 1, length(c_name) - 2)"),
         F.expr("substr(c_name, length(c_name), 1)"),

@@ -2977,8 +2977,44 @@ _B24_THEILSEN_ORACLE = """
 """
 
 
+class ScaleGuardError(ValueError):
+    """A query's bounded-cost precondition failed: running it anyway
+    would build a plan whose cost is quadratic (or worse) in a
+    quantity the caller let grow unbounded. Raised at plan-build time,
+    before any large job is submitted."""
+
+
+# Theil-Sen's pair join is O(B²) per series over B time buckets. The
+# hourly fixture window keeps B ≈ 720 (≈2.6e5 pairs); this cap rejects
+# a call whose time range would explode that — 4096 buckets is ~8.4M
+# pairs per series (~200 MB of slope rows), the most a sane exact run
+# should pay. Past the cap, use b24_theil_sen_sampled (k-bucket
+# deterministic subsample, constant cost at any range).
+THEIL_SEN_MAX_BUCKETS = 4096
+
+
+def _theil_sen_guard(b, max_buckets: int):
+    """Bounded action: one count over the cached (series × bucket)
+    relation — O(series) rows — rejecting an unbounded time range
+    before the quadratic pair join is ever submitted."""
+    row = (
+        b.groupBy("event_type")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    mx = row["mx"] or 0
+    if mx > max_buckets:
+        raise ScaleGuardError(
+            f"Theil-Sen pair join would be O(B²) with B={mx} buckets in "
+            f"one series (cap {max_buckets}, ~{max_buckets * (max_buckets - 1) // 2} "
+            "pairs); narrow the time range, widen the bucket, or use "
+            "b24_theil_sen_sampled"
+        )
+
+
 @register("b24_theil_sen", oracle=_B24_THEILSEN_ORACLE, tags=("B24",))
-def b24_theil_sen(spark, sf_dir):
+def b24_theil_sen(spark, sf_dir, max_buckets: int = THEIL_SEN_MAX_BUCKETS):
     ev = t(spark, sf_dir, "events")
     b = ev.groupBy(
         "event_type",
@@ -2991,6 +3027,14 @@ def b24_theil_sen(spark, sf_dir):
         .alias("cents")
     ).cache()  # tiny (series x hours); referenced by b1, b2, and ic —
     # without the cache each reference rescans the full fact table
+    _theil_sen_guard(b, max_buckets)
+    return _theil_sen_from_buckets(b)
+
+
+def _theil_sen_from_buckets(b):
+    """Median-of-pairwise-slopes + median intercept over an
+    (event_type, hr, cents) bucket relation. Pair join is O(B²) per
+    series — callers bound B (guard or subsample) before calling."""
     b1 = b.select(
         "event_type", F.col("hr").alias("hi"), F.col("cents").alias("ci")
     )
@@ -3046,6 +3090,105 @@ def b24_theil_sen(spark, sf_dir):
             )
         ).alias("intercept_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# B24e' — SAMPLED Theil-Sen: the unbounded-range escape hatch for the
+# ScaleGuardError above. Instead of all B buckets, each series keeps
+# its K=32 smallest-md5 buckets — a DETERMINISTIC hash subsample (the
+# same salted-md5-rank idiom as b18_stratified_sample), so the result
+# is bit-identical across engines and re-runs and the pair join is
+# K(K-1)/2 = 496 pairs per series at ANY time range. This is the
+# classic sampled Theil-Sen (median of slopes over a random pair
+# subset converges to the same estimator); hash sampling the BUCKETS
+# (not the pairs) keeps cost K² while staying oracle-expressible.
+# --------------------------------------------------------------------------
+_B24_THEILSEN_SAMPLED_ORACLE = """
+    WITH ball AS (
+      SELECT event_type,
+        date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                  date_trunc('hour', ts)) AS hr,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, hr, cents FROM (
+        SELECT event_type, hr, cents,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY md5(event_type || '|' || CAST(hr AS VARCHAR)), hr
+          ) AS srn
+        FROM ball
+      ) WHERE srn <= 32
+    ),
+    pr AS (
+      SELECT b1.event_type, b1.hr AS hi, b2.hr AS hj,
+        CAST(b2.cents - b1.cents AS DOUBLE)
+          / CAST(b2.hr - b1.hr AS DOUBLE) AS slope
+      FROM b b1 JOIN b b2
+        ON b1.event_type = b2.event_type AND b1.hr < b2.hr
+    ),
+    rs AS (
+      SELECT event_type, slope,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY slope, hi, hj) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pr
+    ),
+    med AS (
+      SELECT event_type, MAX(np) AS n_pairs,
+        MAX(CASE WHEN rn = CAST(CEIL(0.5 * np) AS BIGINT)
+            THEN slope END) AS slope
+      FROM rs GROUP BY event_type
+    ),
+    ic AS (
+      SELECT b.event_type,
+        CAST(b.cents AS DOUBLE) - m.slope * CAST(b.hr AS DOUBLE) AS icpt,
+        b.hr,
+        ROW_NUMBER() OVER (PARTITION BY b.event_type
+          ORDER BY CAST(b.cents AS DOUBLE)
+            - m.slope * CAST(b.hr AS DOUBLE), b.hr) AS rn,
+        COUNT(*) OVER (PARTITION BY b.event_type) AS nb
+      FROM b JOIN med m USING (event_type)
+    )
+    SELECT i.event_type,
+      CAST(MAX(i.nb) AS BIGINT) AS n_buckets,
+      CAST(MAX(m.n_pairs) AS BIGINT) AS n_pairs,
+      MAX(m.slope) AS slope_cents_per_hour,
+      MAX(CASE WHEN i.rn = CAST(CEIL(0.5 * i.nb) AS BIGINT)
+          THEN i.icpt END) AS intercept_cents
+    FROM ic i JOIN med m USING (event_type)
+    GROUP BY i.event_type
+"""
+
+
+@register(
+    "b24_theil_sen_sampled",
+    oracle=_B24_THEILSEN_SAMPLED_ORACLE,
+    tags=("B24",),
+)
+def b24_theil_sen_sampled(spark, sf_dir, k: int = 32):
+    ev = t(spark, sf_dir, "events")
+    ball = ev.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        ).cast("bigint").alias("hr"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wk = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat_ws("|", "event_type", F.col("hr").cast("string"))),
+        "hr",
+    )
+    b = (
+        ball.withColumn("srn", F.row_number().over(wk))
+        .filter(F.col("srn") <= k)
+        .drop("srn")
+        .cache()  # K rows per series; feeds both pair sides + intercept
+    )
+    return _theil_sen_from_buckets(b)
 
 
 # --------------------------------------------------------------------------

@@ -209,8 +209,13 @@ def test_theil_sen_matches_python_median_of_slopes(spark, rows):
     buckets: dict = {}
     for i, (et, mins, cents) in enumerate(rows):
         ts = _T0 + datetime.timedelta(minutes=mins, seconds=i % 7)
-        hr = int(ts.replace(minute=0, second=0, microsecond=0).timestamp()
-                 ) // 3600
+        # UTC-pin the epoch: naive .timestamp() uses the host timezone,
+        # which on a fractional-offset host (+05:30) would shift hour
+        # buckets relative to Spark's UTC-pinned date_trunc('hour').
+        hr = int(
+            ts.replace(minute=0, second=0, microsecond=0,
+                       tzinfo=datetime.timezone.utc).timestamp()
+        ) // 3600
         buckets.setdefault(f"t{et}", {}).setdefault(hr, 0)
         buckets[f"t{et}"][hr] += cents
     for et, b in buckets.items():
@@ -261,3 +266,66 @@ def test_stratified_sample_is_k_smallest_md5(spark, doc_ids):
         members.sort()
         expect = {d for _, d in members[:5]}
         assert got.get(key, set()) == expect, key
+
+
+def test_theil_sen_scale_guard_rejects_unbounded_range(spark):
+    """The O(B²) pair join is gated: a series whose bucket count
+    exceeds max_buckets raises ScaleGuardError at plan-build time
+    instead of submitting a quadratic join."""
+    import pytest
+
+    from iot_system_plc_data_to_influxdb_spark.plans.timeseries import (
+        ScaleGuardError,
+        b24_theil_sen,
+    )
+
+    # 6 distinct hourly buckets in one series
+    rows = [(0, 60 * h, 100) for h in range(6)]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, rows, td)
+        with pytest.raises(ScaleGuardError, match="B=6"):
+            b24_theil_sen(spark, td, max_buckets=4)
+        # at or under the cap the plan builds and runs
+        assert b24_theil_sen(spark, td, max_buckets=6).count() == 1
+
+
+def test_theil_sen_sampled_matches_python_on_md5_subset(spark):
+    """The sampled variant keeps each series' K smallest-md5 hourly
+    buckets, then medians slopes over that subset — checked against a
+    pure-Python replay of the same hash ranking and pair median."""
+    import hashlib
+
+    from iot_system_plc_data_to_influxdb_spark.plans.timeseries import (
+        b24_theil_sen_sampled,
+    )
+
+    rows = [(i % 2, 60 * (i * 7 % 97), (i * 131) % 3000) for i in range(80)]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(spark, rows, td)
+        got = {
+            r["event_type"]: (
+                r["n_buckets"], r["n_pairs"], r["slope_cents_per_hour"]
+            )
+            for r in b24_theil_sen_sampled(spark, td, k=5).collect()
+        }
+    buckets: dict = {}
+    for i, (et, mins, cents) in enumerate(rows):
+        ts = _T0 + datetime.timedelta(minutes=mins, seconds=i % 7)
+        hr = int(
+            ts.replace(minute=0, second=0, microsecond=0,
+                       tzinfo=datetime.timezone.utc).timestamp()
+        ) // 3600
+        buckets.setdefault(f"t{et}", {}).setdefault(hr, 0)
+        buckets[f"t{et}"][hr] += cents
+    for et, b in buckets.items():
+        ranked = sorted(
+            b, key=lambda h: (hashlib.md5(f"{et}|{h}".encode()).hexdigest(), h)
+        )[:5]
+        hrs = sorted(ranked)
+        pairs = sorted(
+            (b[hj] - b[hi]) / float(hj - hi)
+            for i, hi in enumerate(hrs)
+            for hj in hrs[i + 1 :]
+        )
+        med = pairs[(len(pairs) + 1) // 2 - 1]
+        assert got[et] == (len(hrs), len(pairs), med), et

@@ -1724,9 +1724,60 @@ def test_tiff_roundtrip_both_byte_orders():
             assert (out == px).all()
 
 
+def test_tiff_compressed_roundtrip():
+    """LZW (with and without Predictor=2 horizontal differencing) and
+    PackBits strips decode back to the exact pixels in both byte
+    orders, multi-strip included."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in ((3, 5), (4, 4), (13, 9)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for big_endian in (False, True):
+            for comp, pred in ((5, False), (5, True), (32773, False)):
+                w2, h2, out = decode_tiff(
+                    encode_tiff(
+                        px,
+                        big_endian=big_endian,
+                        compression=comp,
+                        predictor=pred,
+                    )
+                )
+                assert (w2, h2) == (w, h)
+                assert (out == px).all()
+
+
+def test_tiff_lzw_early_change_and_clear():
+    """The TIFF-variant LZW corner cases: the early-change width bump
+    (9→10 at code 511, not 512) and the table clear at 4095 both
+    round-trip — a long low-entropy stream forces several clears."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    long = bytes(rng.integers(0, 256, size=120_000, dtype=np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(long), len(long)) == long
+    runs = bytes(
+        np.repeat(rng.integers(0, 3, size=4000), 9).astype(np.uint8)
+    )
+    assert _tiff_lzw_decode(_tiff_lzw_encode(runs), len(runs)) == runs
+    assert _tiff_lzw_decode(_tiff_lzw_encode(b""), 0) == b""
+
+
 def test_tiff_compressed_gate():
-    """Compression != 1 raises the documented NotImplementedError gate
-    instead of silently mis-decoding."""
+    """Compression codes outside {1, 5, 32773} raise the documented
+    NotImplementedError gate instead of silently mis-decoding, and a
+    missing required tag raises a descriptive ValueError (not a bare
+    KeyError)."""
     import struct
 
     import numpy as np
@@ -1739,13 +1790,27 @@ def test_tiff_compressed_gate():
 
     px = np.zeros((4, 4, 3), dtype=np.uint8)
     payload = bytearray(encode_tiff(px))
-    # patch the Compression entry's value (tag 259, SHORT 1) to 5 (LZW)
+    # patch the Compression entry's value (tag 259, SHORT 1) to 7
+    # (JPEG-in-TIFF — genuinely out of profile now that 5/32773 decode)
     (ifd_off,) = struct.unpack_from("<I", payload, 4)
     (n,) = struct.unpack_from("<H", payload, ifd_off)
     for i in range(n):
         base = ifd_off + 2 + 12 * i
         (tag,) = struct.unpack_from("<H", payload, base)
         if tag == 259:
-            struct.pack_into("<H", payload, base + 8, 5)
-    with pytest.raises(NotImplementedError):
+            struct.pack_into("<H", payload, base + 8, 7)
+    with pytest.raises(NotImplementedError, match="Compression=7"):
+        decode_tiff(bytes(payload))
+
+    # retype ImageWidth (tag 256) to RATIONAL so the IFD walk skips it:
+    # the decoder must gate with ValueError, not crash with KeyError
+    payload = bytearray(encode_tiff(px))
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", payload, base)
+        if tag == 256:
+            struct.pack_into("<H", payload, base + 2, 5)  # RATIONAL
+    with pytest.raises(ValueError, match="required tag"):
         decode_tiff(bytes(payload))
