@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "b12_stochastic_k",  # range-position oscillator, exact ints
     "b22_tiff_lzw",  # TIFF LZW (early-change, MSB) + PackBits + predictor
     "b24_theil_sen_sampled",  # K-bucket hash-sampled Theil-Sen, O(K^2)
+    "b19_url_dedup",  # URL canonicalization + canonical-key dedup
+    "b23_alert_transitions",  # ok<->alert edges via per-series LAG
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw
@@ -320,25 +322,41 @@ def main() -> int:
 
     # CALIB-NORMALIZED REGRESSION GATE (round-7 verdict #1): raw
     # cross-round deltas conflate host drift with plan changes; dividing
-    # each timing by the same-run calib_jvm yardstick cancels the host.
+    # each timing by the same-run calib yardstick cancels the host.
     # A query is flagged only when its normalized time grew >1.25x vs
     # the prior round's normalized time — a real plan/code regression,
-    # not a slower VM. (calib_jvm is the yardstick for all queries: it
-    # tracks the JVM/CPU phase every query pays; the py/alloc probes
-    # stay in the record for manual attribution of Arrow/alloc-bound
-    # outliers.)
+    # not a slower VM. Yardstick = min(start, end) of the JVM probe:
+    # the round-8 bracket experiment (STRESS.md "Round-7 drift
+    # attribution") showed the START probe partly measures JIT-cold
+    # state (r7: start 0.271 vs end 0.087) while the END probe is the
+    # steady state — min() is the stable host-speed estimate. The
+    # py/alloc probes stay in the record for manual attribution of
+    # Arrow/alloc-bound outliers.
+    calib_eff = min(calib_jvm, calib_end[0])
     queries_norm = {
-        k: round(v / calib_jvm, 3) for k, v in timings.items()
+        k: round(v / calib_eff, 3) for k, v in timings.items()
     }
     regressions: dict[str, float] = {}
-    prev_calib = (prev.get("calib_jvm_s") or 0) if prev else 0
+    prev_calib = 0.0
+    if prev:
+        prev_calib = prev.get("calib_jvm_eff") or 0
+        if not prev_calib:
+            # older detail records: reconstruct eff from the brackets
+            pend = prev.get("calib_end_jvm_py_alloc_s") or [0]
+            cands = [c for c in (prev.get("calib_jvm_s"), pend[0]) if c]
+            prev_calib = min(cands) if cands else 0
     prev_q = prev.get("queries", {}) if prev else {}
     if prev_calib > 0:
         for k, v_now in timings.items():
             v_prev = prev_q.get(k)
             if not v_prev or v_prev <= 0:
                 continue  # new query this round: nothing to compare
-            ratio = (v_now / calib_jvm) / (v_prev / prev_calib)
+            if v_now < 0.3 and v_prev < 0.3:
+                # sub-0.3s queries are scheduling-noise-bound (the
+                # back-to-back experiment measured 2.2x run-to-run
+                # swings on them); a ratio there is not evidence
+                continue
+            ratio = (v_now / calib_eff) / (v_prev / prev_calib)
             if ratio > 1.25:
                 regressions[k] = round(ratio, 2)
 
@@ -358,7 +376,8 @@ def main() -> int:
         "calib_py_s": calib_py,
         "calib_alloc_s": calib_alloc,
         "calib_end_jvm_py_alloc_s": list(calib_end),
-        "queries_norm": queries_norm,  # timing / calib_jvm, unitless
+        "queries_norm": queries_norm,  # timing / calib_jvm_eff, unitless
+        "calib_jvm_eff": calib_eff,
         "prev_calib_jvm_s": prev_calib,
         "normalized_regressions_gt_1p25": regressions,
         "work_notes": QUERY_WORK_NOTES,

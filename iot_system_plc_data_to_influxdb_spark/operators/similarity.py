@@ -130,6 +130,38 @@ def knn_lsh_bucketed(
     )
 
 
+def ivf_centroids(emb: DataFrame, n_cells: int = 8) -> list:
+    """The deterministic coarse quantizer shared by the batch IVF
+    query and the streaming router: the first ``n_cells`` vectors by
+    id (at production scale, k-means centroids computed offline).
+    Returns driver-side [(cell, [floats])] sorted by cell — O(n_cells)
+    rows, the one intentionally tiny collect in this family."""
+    return sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < n_cells).collect()
+    )
+
+
+def ivf_cell_assignments(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmax cosine,
+    ties to the smallest cell): broadcast centroids × corpus, one
+    per-vector window — the batch leg the streaming router must match."""
+    scored = emb.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
 def knn_ivf(
     emb: DataFrame,
     probe_vec_id: int,
@@ -147,31 +179,16 @@ def knn_ivf(
     data — partition pruning, same as the LSH variant.
     """
     spark = emb.sparkSession
-    cents = [
-        (int(r["vec_id"]), r["embedding"])
-        for r in emb.filter(F.col("vec_id") < n_cells).collect()
-    ]
-    cent_df = F.broadcast(
-        spark.createDataFrame(cents, "cell int, cvec array<float>")
-    )
+    cents = ivf_centroids(emb, n_cells)
+    cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
     # assign: argmax over cells of cosine(embedding, centroid)
-    scored = (
-        emb.crossJoin(cent_df)
-        .select(
-            "vec_id",
-            "embedding",
-            "cell",
-            cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
-        )
+    scored = emb.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
+    assigned = ivf_cell_assignments(emb, cent_df)
     probe_cells = [
         int(r["cell"])
         for r in scored.filter(F.col("vec_id") == probe_vec_id)

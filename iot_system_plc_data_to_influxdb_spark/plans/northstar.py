@@ -5234,15 +5234,24 @@ def b21_importance_resample(spark, sf_dir):
     ).select(
         "doc_id", "lang", F.pmod(token_hash16(F.col("t")), F.lit(256)).alias("b")
     )
-    # Both distribution vectors in ONE pass over the exploded relation:
-    # rc = total bucket count, tc = target-slice (lang='en') bucket count
-    # via a conditional count. One shuffle instead of two full scans +
-    # a join (the old two-agg formulation scanned `bt` twice).
+    # Collapse the exploded relation ONCE into per-(doc, bucket) counts;
+    # everything downstream aggregates the compact btc instead of raw
+    # tokens. Because docs is hash-partitioned by doc_id, grouping on
+    # (doc_id, lang, b) is satisfied in place — the explode+count runs
+    # with NO exchange, and the two consumers share the identical
+    # subtree so the physical planner reuses it. wt then shuffles only
+    # ≤256 rows per task (rc = Σcnt, tc = conditional Σcnt — both
+    # distribution vectors in one aggregation, r7 verdict #2), and the
+    # per-doc score is Σ(w·cnt) on the doc_id-partitioned btc — again
+    # exchange-free. Net: one explode pass, one tiny shuffle.
+    btc = bt.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("cnt"))
     wt = (
-        bt.groupBy("b")
+        btc.groupBy("b")
         .agg(
-            F.count("*").alias("rc"),
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+            F.sum("cnt").alias("rc"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)
+            ).alias("tc"),
         )
         .select(
             "b",
@@ -5250,11 +5259,11 @@ def b21_importance_resample(spark, sf_dir):
         )
     )
     scored = (
-        bt.join(F.broadcast(wt), "b")
+        btc.join(F.broadcast(wt), "b")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum("w").cast("bigint").alias("w_sum"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("w") * F.col("cnt")).cast("bigint").alias("w_sum"),
         )
         .select(
             "doc_id",
@@ -6689,4 +6698,171 @@ def b20_embedding_audit(spark, sf_dir):
         F.min("n2").cast("double").alias("min_norm2"),
         F.max("n2").cast("double").alias("max_norm2"),
         F.sum("n2").cast("double").alias("sum_norm2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B19u — URL canonicalization + dedup: the stage every crawl pipeline
+# runs BEFORE content dedup — the same page arrives under scheme/host
+# case variants, default ports, trailing /index.html, tracking params
+# (utm_*, ref, fbclid) in shuffled order, and fragments. Canonical key:
+# lower(scheme) '://' lower(host minus www. minus the scheme's default
+# port) + path minus trailing /index.html and trailing slash + the
+# kept query params sorted. The corpus synthesizes one messy URL per
+# doc, closed-form in doc_id (the media-corpus pattern), so dedup
+# groups are enumerable in SQL and the whole operator hash-checks.
+# Scale: canonicalization is map-only string algebra (regexp + array
+# ops, all codegen); the only shuffle keys the canonical URL — a
+# fine-grained key, the same cardinality profile as content hashes.
+# --------------------------------------------------------------------------
+_B19_URL_SYNTH_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END)
+    || CAST(doc_id % 7 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.COM' ELSE '.com' END)
+    || (CASE WHEN doc_id % 4 = 0 AND doc_id % 2 = 0 THEN ':80'
+             WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id % 5 AS VARCHAR)
+    || (CASE WHEN doc_id % 6 = 0 THEN '/index.html'
+             WHEN doc_id % 6 = 3 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+                  || '&ref=tw'
+             ELSE '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                  || '&utm_campaign=x' END)
+    || (CASE WHEN doc_id % 5 = 2 THEN '#sec' ELSE '' END)
+"""
+
+_B19_URL_ORACLE = (
+    r"""
+    WITH raw AS (
+      SELECT doc_id, """
+    + _B19_URL_SYNTH_SQL
+    + r""" AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url,
+        scheme || '://'
+        || regexp_replace(
+             CASE WHEN scheme = 'http'
+                  THEN regexp_replace(hostport, ':80$', '')
+                  ELSE regexp_replace(hostport, ':443$', '') END,
+             '^www\.', '')
+        || regexp_replace(
+             regexp_replace(path, '/index\.html$', ''), '/$', '')
+        || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+      FROM (
+        SELECT *,
+          array_to_string(
+            list_sort(list_filter(string_split(query, '&'),
+              x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')
+                        OR starts_with(x, 'fbclid=')))), '&') AS kept
+        FROM parts
+      )
+    )
+    SELECT doc_id, url, canon_url,
+      CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dup,
+      CAST(doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+        AS BOOLEAN) AS is_canonical
+    FROM canon
+"""
+)
+
+
+@register("b19_url_dedup", oracle=_B19_URL_ORACLE, tags=("B19", "B21"))
+def b19_url_dedup(spark, sf_dir):
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+        F.when((d % 4 == 0) & (d % 2 == 0), F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 5).cast("string"),
+        F.when(d % 6 == 0, F.lit("/index.html"))
+        .when(d % 6 == 3, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (d % 10).cast("string"),
+                F.lit("&ref=tw"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?id="),
+                (d % 10).cast("string"),
+                F.lit("&utm_campaign=x"),
+            )
+        ),
+        F.when(d % 5 == 2, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    raw = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, "doc_id")
+        .withColumn("url", url)
+    )
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(
+        F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+    )
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    host = F.regexp_replace(
+        F.when(
+            scheme == "http", F.regexp_replace(hostport, r":80$", "")
+        ).otherwise(F.regexp_replace(hostport, r":443$", "")),
+        r"^www\.",
+        "",
+    )
+    cpath = F.regexp_replace(
+        F.regexp_replace(path, r"/index\.html$", ""), r"/$", ""
+    )
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: ~(
+                    x.startswith("utm_")
+                    | x.startswith("ref=")
+                    | x.startswith("fbclid=")
+                ),
+            )
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "doc_id",
+        "url",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            cpath,
+            F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+        ).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        F.count("*").over(w).cast("bigint").alias("n_dup"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )

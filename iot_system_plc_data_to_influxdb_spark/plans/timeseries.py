@@ -2393,6 +2393,65 @@ def b23_alert_episodes(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B23e' — alert STATE TRANSITIONS (the notification edge): episodes
+# (above) answer "which outages happened"; a pager needs the EDGES —
+# fire once when a series crosses into alert, once when it recovers,
+# and stay silent while the state holds. One LAG per series partition;
+# the first observation of a series sets its initial state without
+# firing (no lag row). The streaming twin
+# (streaming/state.alert_transition_stream) carries last-level state
+# across micro-batches so the same edges emit online —
+# batch ≡ stream pinned in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+_B23_TRANSITION_ORACLE = """
+    WITH lv AS (
+      SELECT event_type, ts, event_id, value,
+        CASE WHEN value > 80.0 THEN 1 ELSE 0 END AS level,
+        LAG(CASE WHEN value > 80.0 THEN 1 ELSE 0 END) OVER (
+          PARTITION BY event_type ORDER BY ts, event_id
+        ) AS prev_level
+      FROM events
+    )
+    SELECT event_type, ts, event_id, value,
+      CASE WHEN prev_level = 1 THEN 'alert' ELSE 'ok' END AS from_state,
+      CASE WHEN level = 1 THEN 'alert' ELSE 'ok' END AS to_state
+    FROM lv
+    WHERE prev_level IS NOT NULL AND level <> prev_level
+"""
+
+
+@register(
+    "b23_alert_transitions", oracle=_B23_TRANSITION_ORACLE, tags=("B23",)
+)
+def b23_alert_transitions(spark, sf_dir):
+    ev = events_between(spark, sf_dir)
+    level = F.when(F.col("value") > 80.0, 1).otherwise(0)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lv = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        level.alias("level"),
+        F.lag(level).over(w).alias("prev_level"),
+    )
+    st = lambda c: F.when(F.col(c) == 1, F.lit("alert")).otherwise(  # noqa: E731
+        F.lit("ok")
+    )
+    return lv.filter(
+        F.col("prev_level").isNotNull()
+        & (F.col("level") != F.col("prev_level"))
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        st("prev_level").alias("from_state"),
+        st("level").alias("to_state"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B23f — robust anomaly via MEDIAN ABSOLUTE DEVIATION: the z-score
 # detector (b23_anomaly_zscore) is itself skewed by the outliers it
 # hunts; MAD is the standard robust alternative. Both medians use the

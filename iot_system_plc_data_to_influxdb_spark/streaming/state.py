@@ -356,3 +356,73 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Alert state transitions (B23e'): the streaming notification edge.
+# State = (last_level, last_ts, last_event_id) per series; each batch
+# walks its rows in (ts, event_id) order, fires one row per level
+# CHANGE (ok→alert, alert→ok), and stays silent while the state holds
+# — the exact semantics of the batch LAG query
+# (plans/timeseries.b23_alert_transitions), with the lag carried
+# across micro-batch boundaries by the state store. The first
+# observation of a series ever sets its initial state without firing.
+# Late/replayed rows (at or before the watermark position already
+# consumed, i.e. (ts, event_id) <= state) are dropped deterministically
+# — the scene_change_stream rule. State is O(series), like deadman.
+# --------------------------------------------------------------------------
+ALERT_OUTPUT = (
+    "event_type string, ts timestamp, event_id bigint, value double, "
+    "from_state string, to_state string"
+)
+ALERT_STATE = "last_level int, last_ts timestamp, last_event_id bigint"
+
+ALERT_THRESHOLD = 80.0
+
+
+def _alert_update(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_level, last_ts, last_id = (
+        state.get if state.exists else (None, None, None)
+    )
+    out = {
+        "event_type": [], "ts": [], "event_id": [], "value": [],
+        "from_state": [], "to_state": [],
+    }
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"])
+        for _, r in rows.iterrows():
+            ts, eid = r["ts"], int(r["event_id"])
+            if last_ts is not None and (
+                ts < last_ts or (ts == last_ts and eid <= last_id)
+            ):
+                continue  # replay / out-of-order: already consumed
+            level = 1 if float(r["value"]) > ALERT_THRESHOLD else 0
+            if last_level is not None and level != last_level:
+                out["event_type"].append(key[0])
+                out["ts"].append(ts)
+                out["event_id"].append(eid)
+                out["value"].append(float(r["value"]))
+                out["from_state"].append(
+                    "alert" if last_level == 1 else "ok"
+                )
+                out["to_state"].append("alert" if level == 1 else "ok")
+            last_level, last_ts, last_id = level, ts, eid
+    state.update((last_level, last_ts, last_id))
+    yield pd.DataFrame(out)
+
+
+def alert_transition_stream(events: DataFrame) -> DataFrame:
+    """Streaming ok↔alert edge detector: one row per state change,
+    silence while the state holds (append semantics)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _alert_update,
+        outputStructType=ALERT_OUTPUT,
+        stateStructType=ALERT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

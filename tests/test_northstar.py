@@ -1814,3 +1814,41 @@ def test_tiff_compressed_gate():
             struct.pack_into("<H", payload, base + 2, 5)  # RATIONAL
     with pytest.raises(ValueError, match="required tag"):
         decode_tiff(bytes(payload))
+
+
+def test_tiff_lzw_packbits_property_roundtrip():
+    """Hypothesis: TIFF-variant LZW and PackBits round-trip arbitrary
+    byte streams — uniform noise, low-entropy runs, and boundary
+    lengths (0, 1, 127, 128, 129 literal/run edges for PackBits; code
+    width bumps for LZW)."""
+    from hypothesis import given, settings, strategies as st
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=4000))
+    def roundtrip(data):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+        assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+    roundtrip()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(1, 300)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def runs_roundtrip(spec):
+        data = b"".join(bytes([b]) * n for b, n in spec)
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+        assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+    runs_roundtrip()

@@ -322,3 +322,32 @@ def test_attribution_is_one_window_no_self_join(spark):
     p = _plan(spark, "b27_attribution", mode="simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_url_dedup_single_canonical_exchange(spark):
+    """URL canonicalization is map-only string algebra; the only
+    exchange keys the canonical URL for the dedup window. A second
+    exchange would mean the synth/parse stages shuffled raw strings."""
+    p = _plan(spark, "b19_url_dedup", mode="simple")
+    assert p.count("Exchange hashpartitioning") <= 2  # repartition + window
+    assert "Join" not in p
+    # one physical scan ("FileScan parquet" double-matches both needles)
+    assert p.count("Scan parquet") + p.count("FileScan") <= 2
+
+
+def test_importance_resample_reuses_bucket_counts(spark):
+    """The round-8 rework: per-(doc, bucket) counts are computed once
+    and REUSED by both the weight table and the per-doc score — the
+    formatted plan must carry ReusedExchange nodes, and the weight
+    side must broadcast back (no fact-fact shuffle join)."""
+    p = _plan(spark, "b21_importance_resample")
+    assert "ReusedExchange" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_alert_transitions_single_series_exchange(spark):
+    """The LAG edge detector rides ONE per-series exchange — the same
+    single-window contract as the other B23 per-series ops."""
+    p = _plan(spark, "b23_alert_transitions", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p

@@ -1432,3 +1432,132 @@ def test_attribution_stream_matches_batch_twin(spark):
     assert got[4] == (None, None)
     assert got[5] == (3, 5 * 60 * 1_000_000)
     assert got[7] == (6, 2 * 60 * 1_000_000)
+
+
+def test_streaming_ivf_cell_assignment_matches_batch(spark, tmp_path):
+    """B20 × B26: ivf_assign_stream routes each vector to the SAME
+    cell the batch coarse quantizer assigns (argmax exact-decimal
+    cosine, ties to the smallest cell), across micro-batch boundaries,
+    with a shuffle-free stateless plan — so streamed vectors can land
+    pre-partitioned by the cell the ANN probe prunes on."""
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.catalog import t
+    from iot_system_plc_data_to_influxdb_spark.operators.similarity import (
+        ivf_cell_assignments,
+        ivf_centroids,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        ivf_assign_stream,
+    )
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_centroids(emb, n_cells=8)
+    cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
+    batch = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in ivf_cell_assignments(emb, cent_df).collect()
+    }
+    assert len(set(batch.values())) > 1  # fixture spreads over cells
+
+    # stream the same vectors in two micro-batches
+    rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"])) for r in emb.collect()
+    )
+    halves = [rows[: len(rows) // 2], rows[len(rows) // 2 :]]
+    sch = "vec_id bigint, embedding array<float>"
+    dst = os.path.join(str(tmp_path), "vecs")
+    os.makedirs(dst, exist_ok=True)
+    for i, half in enumerate(halves):
+        stage = os.path.join(str(tmp_path), f"stage{i}")
+        spark.createDataFrame(half, sch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(dst, f"{i:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    routed = ivf_assign_stream(stream, cents)
+    got = []
+    q = (
+        routed.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    res = {int(r["vec_id"]): int(r["cell"]) for r in got}
+    assert res == batch
+    # every emitted sim is a valid cosine and the plan carried it
+    assert all(-1.0 <= r["cell_sim"] <= 1.0 for r in got)
+
+
+def test_streaming_alert_transitions_match_batch(spark, tmp_path):
+    """B23 × B29: alert_transition_stream fires the SAME ok↔alert
+    edges as the batch LAG query, with the last-level state carried
+    across the micro-batch boundary (an edge whose two sides land in
+    different batches must still fire exactly once) and replayed rows
+    dropped deterministically."""
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.state import (
+        alert_transition_stream,
+    )
+
+    import datetime
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def row(et, i, v):
+        return (et, t0 + datetime.timedelta(seconds=10 * i), i, float(v))
+
+    # tA: ok ok ALERT ALERT ok — edge at i=2 crosses the batch split
+    # tB: ALERT ok ALERT — first obs sets state silently (no edge at i=0)
+    batch0 = [row("tA", 0, 10), row("tA", 1, 20), row("tB", 0, 95),
+              row("tB", 1, 5)]
+    batch1 = [row("tA", 2, 99), row("tA", 3, 98), row("tA", 4, 11),
+              row("tB", 2, 97),
+              row("tA", 1, 85)]  # replay of (tA, i=1): must be dropped
+    sch = "event_type string, ts timestamp, event_id bigint, value double"
+    dst = os.path.join(str(tmp_path), "alerts")
+    os.makedirs(dst, exist_ok=True)
+    for i, rows in enumerate([batch0, batch1]):
+        stage = os.path.join(str(tmp_path), f"astage{i}")
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(dst, f"{i:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    got = []
+    q = (
+        alert_transition_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    res = sorted(
+        (r["event_type"], int(r["event_id"]), r["from_state"], r["to_state"])
+        for r in got
+    )
+    # batch reference: LAG over the union MINUS the replay row
+    assert res == [
+        ("tA", 2, "ok", "alert"),     # fired across the batch boundary
+        ("tA", 4, "alert", "ok"),
+        ("tB", 1, "alert", "ok"),
+        ("tB", 2, "ok", "alert"),
+    ]
