@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "b24_theil_sen_sampled",  # K-bucket hash-sampled Theil-Sen, O(K^2)
     "b19_url_dedup",  # URL canonicalization + canonical-key dedup
     "b23_alert_transitions",  # ok<->alert edges via per-series LAG
+    "b19_pagerank",  # 3 fixed-point power iterations, co-partitioned joins
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -53,6 +53,16 @@ def main() -> int:
         f"{chunks.count()} training chunks (50-token windows, stride 40)"
     )
 
+    urls = qs["b19_url_dedup"](spark, SF_DIR)
+    pr = qs["b19_pagerank"](spark, SF_DIR)
+    n_alias = urls.filter("NOT is_canonical").count()
+    top = pr.orderBy(pr["rank_fp"].desc()).first()
+    print(
+        f"crawl front-door: {n_alias} URL aliases collapse onto canonical "
+        f"keys before any fetch; PageRank frontier head = doc "
+        f"{top['doc_id']} (rank {top['rank_fp']/1e6:.3f})"
+    )
+
     pairs = qs["b19_minhash_lsh_neardup"](spark, SF_DIR)
     clusters = qs["b19_neardup_clusters"](spark, SF_DIR)
     print(

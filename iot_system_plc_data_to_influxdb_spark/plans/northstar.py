@@ -6812,51 +6812,16 @@ def b19_url_dedup(spark, sf_dir):
         ),
         F.when(d % 5 == 2, F.lit("#sec")).otherwise(F.lit("")),
     )
+    from ..functions.url import canonical_url
+
     raw = (
         t(spark, sf_dir, "documents")
         .select("doc_id")
         .repartition(32, "doc_id")
         .withColumn("url", url)
     )
-    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
-    hostport = F.lower(
-        F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
-    )
-    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract("url", r"\?([^#]*)", 1)
-    host = F.regexp_replace(
-        F.when(
-            scheme == "http", F.regexp_replace(hostport, r":80$", "")
-        ).otherwise(F.regexp_replace(hostport, r":443$", "")),
-        r"^www\.",
-        "",
-    )
-    cpath = F.regexp_replace(
-        F.regexp_replace(path, r"/index\.html$", ""), r"/$", ""
-    )
-    kept = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(query, "&"),
-                lambda x: ~(
-                    x.startswith("utm_")
-                    | x.startswith("ref=")
-                    | x.startswith("fbclid=")
-                ),
-            )
-        ),
-        "&",
-    )
     canon = raw.select(
-        "doc_id",
-        "url",
-        F.concat(
-            scheme,
-            F.lit("://"),
-            host,
-            cpath,
-            F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
-        ).alias("canon_url"),
+        "doc_id", "url", canonical_url(F.col("url")).alias("canon_url")
     )
     w = Window.partitionBy("canon_url")
     return canon.select(
@@ -6865,4 +6830,133 @@ def b19_url_dedup(spark, sf_dir):
         "canon_url",
         F.count("*").over(w).cast("bigint").alias("n_dup"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B19w — PageRank (3 unrolled power iterations, fixed-point): crawl
+# frontier prioritization — rank pages by link structure before
+# spending fetch/compute budget, the classic companion to URL dedup in
+# a crawl pipeline. The synthetic link graph is closed-form in doc_id
+# ((7i+1)%N, (13i+2)%N, and (5i+3)%N for every third doc, self-loops
+# dropped, multi-edges kept identically by both engines), so the whole
+# computation hash-checks. Arithmetic is FIXED-POINT MILLIONTHS with
+# integer division at both the share split (r div out_deg) and the
+# damping step ((85·contrib) div 100) — no float accumulates anywhere,
+# so iteration order cannot produce engine drift. Dangling mass is
+# dropped and no-inlink nodes take the bare teleport term — identical
+# conventions in the SQL unroll.
+#
+# Scale: each iteration is one join rank⋈links + one dst aggregation.
+# The rank and adjacency relations are both keyed by doc id: at 100 TB
+# you bucket BOTH by id so every iteration's join is co-partitioned
+# (zero exchange; the dst agg is the one real shuffle per round) — the
+# same layout argument as b8_bucketed. Unrolling 3 rounds keeps the
+# lineage static; a production run checkpoints between rounds.
+# --------------------------------------------------------------------------
+_B19_PAGERANK_ORACLE = """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    docs AS (SELECT doc_id FROM documents),
+    links AS (
+      SELECT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst FROM docs, n
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 2) % n.n FROM docs, n
+        UNION ALL
+        SELECT doc_id, (doc_id * 5 + 3) % n.n FROM docs, n
+        WHERE doc_id % 3 = 0
+      ) WHERE src <> dst
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM links GROUP BY src),
+    r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
+    c1 AS (
+      SELECT l.dst AS doc_id, SUM(r0.r // deg.d) AS c
+      FROM links l JOIN deg USING (src) JOIN r0 ON r0.doc_id = l.src
+      GROUP BY l.dst
+    ),
+    r1 AS (
+      SELECT d.doc_id,
+        CAST(150000 + (85 * COALESCE(c1.c, 0)) // 100 AS BIGINT) AS r
+      FROM docs d LEFT JOIN c1 USING (doc_id)
+    ),
+    c2 AS (
+      SELECT l.dst AS doc_id, SUM(r1.r // deg.d) AS c
+      FROM links l JOIN deg USING (src) JOIN r1 ON r1.doc_id = l.src
+      GROUP BY l.dst
+    ),
+    r2 AS (
+      SELECT d.doc_id,
+        CAST(150000 + (85 * COALESCE(c2.c, 0)) // 100 AS BIGINT) AS r
+      FROM docs d LEFT JOIN c2 USING (doc_id)
+    ),
+    c3 AS (
+      SELECT l.dst AS doc_id, SUM(r2.r // deg.d) AS c
+      FROM links l JOIN deg USING (src) JOIN r2 ON r2.doc_id = l.src
+      GROUP BY l.dst
+    ),
+    r3 AS (
+      SELECT d.doc_id,
+        CAST(150000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
+      FROM docs d LEFT JOIN c3 USING (doc_id)
+    )
+    SELECT r3.doc_id,
+      CAST(COALESCE(deg.d, 0) AS BIGINT) AS out_deg,
+      r3.r AS rank_fp
+    FROM r3 LEFT JOIN deg ON deg.src = r3.doc_id
+"""
+
+
+@register("b19_pagerank", oracle=_B19_PAGERANK_ORACLE, tags=("B19", "B21"))
+def b19_pagerank(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, "doc_id")
+        .cache()  # vertex set: reused by the link build + every round
+    )
+    n = docs.count()  # one scalar action; N parameterizes the graph
+    d = F.col("doc_id")
+    links = (
+        docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst"))
+        .unionAll(docs.select(d.alias("src"), ((d * 13 + 2) % n).alias("dst")))
+        .unionAll(
+            docs.filter(d % 3 == 0).select(
+                d.alias("src"), ((d * 5 + 3) % n).alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    deg = links.groupBy("src").agg(F.count("*").alias("deg"))
+    adj = (
+        links.join(deg, "src")
+        .select("src", "dst", "deg")
+        .repartition(32, "src")
+        .cache()  # adjacency with out-degree: reused by all 3 rounds
+    )
+    rank = docs.select("doc_id", F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(3):
+        contrib = (
+            adj.join(rank, adj["src"] == rank["doc_id"])
+            .select("dst", F.expr("r div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        rank = docs.join(
+            contrib, docs["doc_id"] == contrib["dst"], "left"
+        ).select(
+            "doc_id",
+            (
+                F.lit(150_000)
+                + F.expr("85 * coalesce(c, 0) div 100")
+            ).cast("bigint").alias("r"),
+        ).cache()  # O(N) rows: without this, round k replays rounds
+        # 1..k-1's joins inside its own lineage (1+2+3 round-units of
+        # work instead of 3) — the in-process stand-in for the
+        # between-rounds checkpoint a production run takes
+    return rank.join(
+        deg, rank["doc_id"] == deg["src"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("out_deg"),
+        F.col("r").alias("rank_fp"),
     )

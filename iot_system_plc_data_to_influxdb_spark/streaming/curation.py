@@ -458,3 +458,24 @@ def ivf_assign_stream(vectors: DataFrame, centroids: list) -> DataFrame:
     return vectors.withColumns(
         {"cell": best["cell"], "cell_sim": best["sim"]}
     )
+
+
+def url_dedup_stream(
+    pages: DataFrame, *, watermark: str = "10 minutes"
+) -> DataFrame:
+    """URL-canonical dedup at ingest: the streaming leg of
+    plans/northstar.b19_url_dedup, built on the SHARED
+    functions/url.canonical_url expressions (batch and stream cannot
+    drift). Canonicalization is a stateless map; the dedup is
+    dropDuplicatesWithinWatermark on the canonical key — the same
+    watermark-bounded state the content-hash dedup uses, keyed by the
+    canonical URL instead, so a page re-crawled under a tracking-param
+    or www-variant alias within the window is dropped before any
+    fetch/decode spend. State is O(distinct canonical URLs inside the
+    watermark), not O(stream)."""
+    from ..functions.url import canonical_url
+
+    canon = pages.withColumn("canon_url", canonical_url(F.col("url")))
+    return canon.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["canon_url"]
+    )

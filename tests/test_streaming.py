@@ -1561,3 +1561,70 @@ def test_streaming_alert_transitions_match_batch(spark, tmp_path):
         ("tB", 1, "alert", "ok"),
         ("tB", 2, "ok", "alert"),
     ]
+
+
+def test_streaming_url_dedup_matches_batch_canonical_keys(spark, tmp_path):
+    """B19 × B26: url_dedup_stream keeps exactly one page per
+    canonical URL (batch reference: the shared canonical_url
+    expression), across micro-batches — a www/tracking-param alias
+    arriving in a LATER batch than its original is dropped by the
+    canonical-key state."""
+    import datetime
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.functions.url import (
+        canonical_url,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        url_dedup_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime.datetime(2024, 3, 1)
+    batch0 = [
+        (1, t0, "http://site.com/p/1?id=1"),
+        (2, t0, "https://other.com/a"),
+    ]
+    batch1 = [
+        # alias of page 1: scheme case + www + default port + utm
+        (3, t0 + datetime.timedelta(seconds=30),
+         "HTTP://WWW.Site.COM:80/p/1?utm_source=x&id=1"),
+        (4, t0 + datetime.timedelta(seconds=40), "https://new.com/b"),
+    ]
+    sch = "page_id bigint, ts timestamp, url string"
+    dst = os.path.join(str(tmp_path), "pages")
+    os.makedirs(dst, exist_ok=True)
+    for i, rows in enumerate([batch0, batch1]):
+        stage = os.path.join(str(tmp_path), f"ustage{i}")
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(dst, f"{i:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    got = []
+    q = (
+        url_dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    kept = sorted(int(r["page_id"]) for r in got)
+    assert kept == [1, 2, 4]  # the later-batch alias (3) was dropped
+
+    # batch reference agrees on the canonical keys
+    all_rows = spark.createDataFrame(batch0 + batch1, sch)
+    keys = {
+        int(r["page_id"]): r["k"]
+        for r in all_rows.select(
+            "page_id", canonical_url(F.col("url")).alias("k")
+        ).collect()
+    }
+    assert keys[1] == keys[3] and len({keys[1], keys[2], keys[4]}) == 3
