@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "b19_url_dedup",  # URL canonicalization + canonical-key dedup
     "b23_alert_transitions",  # ok<->alert edges via per-series LAG
     "b19_pagerank",  # 3 fixed-point power iterations, co-partitioned joins
+    "b5_quantile_sketch",  # mergeable log2-octave percentile sketch
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -10,6 +10,7 @@ precision; every ranking carries a unique tie-break.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import events_between, t
@@ -1533,3 +1534,193 @@ def b19_fuzzy_match(spark, sf_dir):
             "dist",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B5q — mergeable QUANTILE sketch (log2-octave buckets with 4 linear
+# sub-buckets — the DDSketch shape with EXACT integer bucketing, so it
+# hash-checks): completes the sketch family (HLL distinct, CMS
+# frequency, Bloom membership, KMV distinct) with the percentile
+# member. Bucket of cents >= 1: e = floor(log2) derived from the
+# BINARY-STRING LENGTH (length(bin(x)) - 1 — exact in both engines,
+# unlike float log2 at boundaries), sub = the next two bits
+# ((x >> (e-2)) & 3), lower bound lb = (4+sub)·2^(e-2) (= sub for
+# e < 2). Relative bucket width ≤ 1/(4+sub) ≤ 25% — the standard
+# relative-error quantile-sketch guarantee. A quantile is answered by
+# the smallest bucket whose cumulative count reaches ceil(q·n): one
+# MIN(CASE...) aggregation over the sketch rows, everything int64.
+#
+# Scale: the sketch is a keyed aggregate bounded by
+# series × ~4·log2(max_cents) rows (≤ ~60/series at any corpus size);
+# merge = bucket-count SUM, proven lossless by the windowed-merge twin
+# below — per-partition sketches answer any-range percentiles without
+# touching raw data twice, the same operational story as b5_hll.
+# --------------------------------------------------------------------------
+_B5_QSKETCH_CTE = """
+    c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ROUND(value * 100) >= 1 {extra_where}
+    ),
+    b AS (
+      SELECT event_type,
+        length(bin(cents)) - 1 AS e,
+        (cents >> greatest(length(bin(cents)) - 3, 0)) & 3 AS sub
+      FROM c
+    ),
+    sk AS (
+      SELECT event_type, e, sub, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, e, sub, cnt,
+        CASE WHEN e >= 2 THEN (4 + sub) << (e - 2) ELSE sub END AS lb,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY e, sub) AS cum_n,
+        SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM sk
+    )
+    SELECT event_type,
+      CAST(MAX(n) AS BIGINT) AS n,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      CAST(MIN(CASE WHEN cum_n >= CEIL(0.50 * n) THEN lb END) AS BIGINT)
+        AS p50_cents,
+      CAST(MIN(CASE WHEN cum_n >= CEIL(0.90 * n) THEN lb END) AS BIGINT)
+        AS p90_cents,
+      CAST(MIN(CASE WHEN cum_n >= CEIL(0.99 * n) THEN lb END) AS BIGINT)
+        AS p99_cents
+    FROM cum GROUP BY event_type
+"""
+
+_B5_QSKETCH_ORACLE = "WITH " + _B5_QSKETCH_CTE.format(extra_where="")
+
+_B5_QSKETCH_MERGE_ORACLE = """
+    WITH c0 AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE ROUND(value * 100) >= 1
+        AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+    ),
+    daily AS (
+      SELECT event_type, day, e, sub, COUNT(*) AS cnt FROM (
+        SELECT event_type, day,
+          length(bin(cents)) - 1 AS e,
+          (cents >> greatest(length(bin(cents)) - 3, 0)) & 3 AS sub
+        FROM c0
+      ) GROUP BY 1, 2, 3, 4
+    ),
+    sk AS (
+      SELECT event_type, e, sub, SUM(cnt) AS cnt
+      FROM daily GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, e, sub, cnt,
+        CASE WHEN e >= 2 THEN (4 + sub) << (e - 2) ELSE sub END AS lb,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY e, sub) AS cum_n,
+        SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM sk
+    )
+    SELECT event_type,
+      CAST(MAX(n) AS BIGINT) AS n,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      CAST(MIN(CASE WHEN cum_n >= CEIL(0.50 * n) THEN lb END) AS BIGINT)
+        AS p50_cents,
+      CAST(MIN(CASE WHEN cum_n >= CEIL(0.90 * n) THEN lb END) AS BIGINT)
+        AS p90_cents,
+      CAST(MIN(CASE WHEN cum_n >= CEIL(0.99 * n) THEN lb END) AS BIGINT)
+        AS p99_cents
+    FROM cum GROUP BY event_type
+"""
+
+
+def _qsketch_buckets(df):
+    """(event_type, cents>=1) → exact log2-octave bucket columns.
+    SQL-expr shifts: pyspark's F.shiftright only takes a literal bit
+    count, but the count here is a column (the octave)."""
+    e = F.expr("length(bin(cents)) - 1")
+    sub = F.expr(
+        "shiftright(cents, greatest(length(bin(cents)) - 3, 0)) & 3"
+    )
+    return df.select("event_type", *_extra_qsketch_cols(df), e.alias("e"),
+                     sub.alias("sub"))
+
+
+def _extra_qsketch_cols(df):
+    return [c for c in ("day",) if c in df.columns]
+
+
+def _qsketch_quantiles(sk):
+    """Sketch rows (event_type, e, sub, cnt) → per-series quantiles."""
+    lb = F.expr(
+        "CASE WHEN e >= 2 THEN shiftleft(4 + sub, e - 2) ELSE sub END"
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("e", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    cum = sk.select(
+        "event_type",
+        "cnt",
+        lb.alias("lb"),
+        F.sum("cnt").over(wo).alias("cum_n"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+
+    def pick(q, name):
+        return F.min(
+            F.when(
+                F.col("cum_n") >= F.ceil(q * F.col("n")), F.col("lb")
+            )
+        ).cast("bigint").alias(name)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        pick(0.50, "p50_cents"),
+        pick(0.90, "p90_cents"),
+        pick(0.99, "p99_cents"),
+    )
+
+
+@register(
+    "b5_quantile_sketch", oracle=_B5_QSKETCH_ORACLE, tags=("B5", "B23")
+)
+def b5_quantile_sketch(spark, sf_dir):
+    c = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .filter(F.col("cents") >= 1)
+    )
+    sk = _qsketch_buckets(c).groupBy("event_type", "e", "sub").agg(
+        F.count("*").alias("cnt")
+    )
+    return _qsketch_quantiles(sk)
+
+
+@register(
+    "b5_quantile_windowed_merge",
+    oracle=_B5_QSKETCH_MERGE_ORACLE,
+    tags=("B5", "B23"),
+)
+def b5_quantile_windowed_merge(spark, sf_dir):
+    """Per-DAY sketch tables (what a CQ materializes) merged over a
+    10-day range with bucket-count SUM — the sketch's merge operator —
+    then the same quantile extraction. tests/test_operators.py asserts
+    the merged answer EQUALS the direct one-pass sketch over the same
+    range: merge loses nothing, so any-range percentiles come from
+    per-partition sketches without a second raw scan."""
+    ev = events_between(spark, sf_dir, "2024-01-05", "2024-01-15").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).filter(F.col("cents") >= 1)
+    daily = _qsketch_buckets(ev).groupBy(
+        "event_type", "day", "e", "sub"
+    ).agg(F.count("*").alias("cnt"))
+    merged = daily.groupBy("event_type", "e", "sub").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return _qsketch_quantiles(merged)

@@ -499,3 +499,68 @@ def test_kmv_estimate_accuracy_and_lossless_merge(spark):
         .agg(F.max("hx")).collect()[0][0]
     )
     assert merged_kth == direct_kth
+
+
+def test_quantile_sketch_error_bound_and_lossless_merge(spark):
+    """B5q: (1) every sketch percentile is the LOWER BOUND of the
+    bucket holding the exact rank-ceil(q·n) order statistic, so
+    est <= exact <= est + est/4 + 1 (the 4-sub-bucket octave width);
+    (2) merging per-day sketches with bucket-count SUM reproduces the
+    direct one-pass sketch exactly."""
+    import math
+
+    from iot_system_plc_data_to_influxdb_spark import plans
+    from iot_system_plc_data_to_influxdb_spark.catalog import (
+        events_between,
+        t,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    qs = plans.all_queries()
+    sk = {
+        r["event_type"]: r
+        for r in qs["b5_quantile_sketch"](spark, sf).collect()
+    }
+    # exact order statistics per series
+    rows = (
+        t(spark, sf, "events")
+        .selectExpr(
+            "event_type", "CAST(ROUND(value * 100) AS BIGINT) AS cents"
+        )
+        .filter("cents >= 1")
+        .collect()
+    )
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(int(r["cents"]))
+    assert set(series) == set(sk)
+    for et, cs in series.items():
+        cs.sort()
+        n = len(cs)
+        assert sk[et]["n"] == n
+        for q, col in ((0.50, "p50_cents"), (0.90, "p90_cents"),
+                       (0.99, "p99_cents")):
+            exact = cs[math.ceil(q * n) - 1]
+            est = sk[et][col]
+            assert est <= exact <= est + est // 4 + 1, (et, q, est, exact)
+
+    # lossless merge: direct sketch over the window == windowed merge
+    from iot_system_plc_data_to_influxdb_spark.plans.relational import (
+        _qsketch_buckets,
+        _qsketch_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    ev = events_between(spark, sf, "2024-01-05", "2024-01-15").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).filter("cents >= 1")
+    direct = _qsketch_quantiles(
+        _qsketch_buckets(ev).groupBy("event_type", "e", "sub").agg(
+            F.count("*").alias("cnt")
+        )
+    )
+    merged = qs["b5_quantile_windowed_merge"](spark, sf)
+    d = {r["event_type"]: r.asDict() for r in direct.collect()}
+    m = {r["event_type"]: r.asDict() for r in merged.collect()}
+    assert d == m

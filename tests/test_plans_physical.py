@@ -351,3 +351,14 @@ def test_alert_transitions_single_series_exchange(spark):
     p = _plan(spark, "b23_alert_transitions", mode="simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_quantile_sketch_is_partial_final_bounded_agg(spark):
+    """The sketch build must be a partial+final aggregate (map-side
+    combine bounds the shuffle at series × ~60 bucket rows) with no
+    join anywhere; quantile extraction rides one window exchange."""
+    p = _plan(spark, "b5_quantile_sketch")
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "Join" not in p
+    simple = _plan(spark, "b5_quantile_sketch", mode="simple")
+    assert simple.count("Exchange hashpartitioning") <= 2  # agg + window

@@ -53,6 +53,10 @@ QUERIES = [
     "b19_winnow_neardup",       # df-gated fingerprint self-join (replicas token-disjoint)
     "b21_vocab_overlap",        # token-keyed self-join; 10x token-disjoint vocab
     "b27_ltv_curve",            # cohort x offset rollup over 10x users
+    "b5_quantile_sketch",       # sketch shuffle bounded by series x buckets
+    "b19_url_dedup",            # map-only canonicalization + canon-key window
+    "b19_pagerank",             # 3 join+agg rounds over a 10x-node graph
+    "b23_alert_transitions",    # per-series LAG window over 10x-deep series
 ]
 
 
