@@ -48,6 +48,11 @@ HEADLINE = [
     "b24_theil_sen",             # cached bucket agg + bounded pair join
     "b5_kmv_distinct",           # TakeOrdered top-k: mergeable-sketch shape
     "b27_rolling_active_users",  # day-spine broadcast range join
+    "b19_url_dedup",             # map-only canonicalization + canon window
+    "b19_pagerank",              # co-partitioned join+agg rounds
+    "b5_quantile_sketch",        # partial+final sketch agg + rank window
+    "b21_importance_resample",   # ReusedExchange over per-(doc,b) counts
+    "b23_alert_transitions",     # one per-series LAG exchange
 ]
 
 
