@@ -66,9 +66,13 @@ def main() -> int:
     show("Autocorrelation (lags 1-3)", "b23_acf", spark, 9)
     show("Gap report", "b23_gap_report", spark, 3)
 
+    show("Alert transitions (ok↔alert edges)", "b23_alert_transitions",
+         spark, 5)
+
     # 5. sketches
     show("HLL distinct estimate", "b5_hll_deterministic", spark, 1)
     show("KMV distinct estimate", "b5_kmv_distinct", spark, 1)
+    show("Quantile sketch p50/p90/p99", "b5_quantile_sketch", spark, 5)
 
     print("\nall analytics stages ran; every query above is oracle-checked")
     return 0

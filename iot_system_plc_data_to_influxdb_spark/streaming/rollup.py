@@ -264,3 +264,39 @@ def route_downsample(
             spark.read.parquet(rollup_path), f"{query_every_s} seconds"
         )
     return batch_downsample(points, f"{query_every_s} seconds")
+
+
+# --------------------------------------------------------------------------
+# Windowed QUANTILE-SKETCH materialization (B5q × B26): the CQ leg of
+# plans/relational.b5_quantile_sketch. Each event-time window
+# materializes the per-series log2-octave bucket counts — the SAME
+# exact bucketing expressions as the batch sketch (shared via
+# _qsketch_bucket_exprs below), finalized when the watermark passes.
+# Range queries then MERGE materialized windows with bucket-count SUM
+# and extract percentiles (plans/relational._qsketch_quantiles) — the
+# b5_quantile_windowed_merge dataflow, fed by a stream instead of a
+# nightly batch. State is bounded: windows × series × ≤~60 buckets.
+# --------------------------------------------------------------------------
+def quantile_sketch_stream(
+    events: DataFrame,
+    *,
+    every: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """event stream (ts, event_type, value) → append stream of
+    finalized (window, event_type, e, sub, cnt) sketch rows."""
+    c = events.select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).filter(F.col("cents") >= 1)
+    e = F.expr("length(bin(cents)) - 1")
+    sub = F.expr(
+        "shiftright(cents, greatest(length(bin(cents)) - 3, 0)) & 3"
+    )
+    return (
+        c.select("ts", "event_type", e.alias("e"), sub.alias("sub"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", every), "event_type", "e", "sub")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )

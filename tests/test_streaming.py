@@ -1628,3 +1628,91 @@ def test_streaming_url_dedup_matches_batch_canonical_keys(spark, tmp_path):
         ).collect()
     }
     assert keys[1] == keys[3] and len({keys[1], keys[2], keys[4]}) == 3
+
+
+def test_streaming_quantile_sketch_merges_to_batch_percentiles(
+    spark, tmp_path
+):
+    """B5q × B26: the windowed sketch stream materializes per-window
+    bucket counts whose MERGE (bucket-count SUM) reproduces the batch
+    one-pass sketch's percentiles over the same rows — the CQ-fed
+    version of b5_quantile_windowed_merge's losslessness."""
+    import datetime
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from iot_system_plc_data_to_influxdb_spark.plans.relational import (
+        _qsketch_buckets,
+        _qsketch_quantiles,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        quantile_sketch_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (f"t{i % 3}", t0 + datetime.timedelta(seconds=17 * i),
+         ((i * 131) % 3000) / 100.0)
+        for i in range(200)
+    ]
+    sch = "event_type string, ts timestamp, value double"
+    # sentinels a day ahead advance the watermark past every real
+    # window so append mode finalizes them all; their own (distant)
+    # window never finalizes and they are excluded from the batch side
+    sentinels = [
+        (f"t{k}", t0 + datetime.timedelta(days=1), 1.0) for k in range(3)
+    ]
+    halves = [rows[:100], rows[100:] + sentinels]
+    dst = os.path.join(str(tmp_path), "qsk")
+    os.makedirs(dst, exist_ok=True)
+    for i, half in enumerate(halves):
+        stage = os.path.join(str(tmp_path), f"qstage{i}")
+        spark.createDataFrame(half, sch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(dst, f"{i:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    got = []
+    q = (
+        quantile_sketch_stream(stream, every="1 minute",
+                               watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert got, "no finalized sketch windows"
+
+    # merge the materialized windows and extract percentiles
+    merged_rows = spark.createDataFrame(
+        [(r["event_type"], int(r["e"]), int(r["sub"]), int(r["cnt"]))
+         for r in got],
+        "event_type string, e int, sub int, cnt bigint",
+    ).groupBy("event_type", "e", "sub").agg(SF.sum("cnt").alias("cnt"))
+    merged = {
+        r["event_type"]: r.asDict()
+        for r in _qsketch_quantiles(merged_rows).collect()
+    }
+
+    # batch one-pass sketch over the identical rows
+    all_rows = spark.createDataFrame(rows, sch).select(
+        "event_type",
+        SF.round(SF.col("value") * 100).cast("bigint").alias("cents"),
+    ).filter("cents >= 1")
+    direct = {
+        r["event_type"]: r.asDict()
+        for r in _qsketch_quantiles(
+            _qsketch_buckets(all_rows)
+            .groupBy("event_type", "e", "sub")
+            .agg(SF.count("*").alias("cnt"))
+        ).collect()
+    }
+    assert merged == direct
