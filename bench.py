@@ -322,45 +322,45 @@ def main() -> int:
 
     calib_end = _calibrate()  # bracket the suite: detect mid-run drift
 
-    # CALIB-NORMALIZED REGRESSION GATE (round-7 verdict #1): raw
-    # cross-round deltas conflate host drift with plan changes; dividing
-    # each timing by the same-run calib yardstick cancels the host.
-    # A query is flagged only when its normalized time grew >1.25x vs
-    # the prior round's normalized time — a real plan/code regression,
-    # not a slower VM. Yardstick = min(start, end) of the JVM probe:
-    # the round-8 bracket experiment (STRESS.md "Round-7 drift
-    # attribution") showed the START probe partly measures JIT-cold
-    # state (r7: start 0.271 vs end 0.087) while the END probe is the
-    # steady state — min() is the stable host-speed estimate. The
-    # py/alloc probes stay in the record for manual attribution of
-    # Arrow/alloc-bound outliers.
+    # MEDIAN-RATIO REGRESSION GATE (round-7 verdict #1, method revised
+    # round 8): raw cross-round deltas conflate host drift with plan
+    # changes. The first cut divided by the calib probe, but the probe
+    # itself swings 0.07-0.58 s between brackets of one run — noisier
+    # than the queries it was meant to deflate (one run flagged 109/131
+    # "regressions" off a 2x calib asymmetry). The robust yardstick is
+    # the SUITE: host drift is uniform (the round-8 back-to-back
+    # experiment showed the r7 +20% shifted every query together), so
+    # normalize each query's now/prev ratio by the MEDIAN ratio across
+    # the suite — drift moves the median, real code regressions stick
+    # out above it. Thresholds are calibrated to the measured
+    # false-positive floor: two identical-code full runs back-to-back
+    # produced above-median ratios up to ~1.4 on sub-second queries
+    # (min-of-5 sampling does not fully tame them), so a flag needs
+    # >2x above median at any size, or >1.5x when both rounds spent
+    # >= 1 s on the query (where timings are stable). The calib probes
+    # stay in the record for manual attribution.
     calib_eff = min(calib_jvm, calib_end[0])
     queries_norm = {
         k: round(v / calib_eff, 3) for k, v in timings.items()
     }
     regressions: dict[str, float] = {}
-    prev_calib = 0.0
-    if prev:
-        prev_calib = prev.get("calib_jvm_eff") or 0
-        if not prev_calib:
-            # older detail records: reconstruct eff from the brackets
-            pend = prev.get("calib_end_jvm_py_alloc_s") or [0]
-            cands = [c for c in (prev.get("calib_jvm_s"), pend[0]) if c]
-            prev_calib = min(cands) if cands else 0
     prev_q = prev.get("queries", {}) if prev else {}
-    if prev_calib > 0:
-        for k, v_now in timings.items():
-            v_prev = prev_q.get(k)
-            if not v_prev or v_prev <= 0:
-                continue  # new query this round: nothing to compare
-            if v_now < 0.3 and v_prev < 0.3:
-                # sub-0.3s queries are scheduling-noise-bound (the
-                # back-to-back experiment measured 2.2x run-to-run
-                # swings on them); a ratio there is not evidence
+    ratios = {
+        k: timings[k] / prev_q[k]
+        for k in timings
+        if prev_q.get(k, 0) > 0
+    }
+    med_ratio = 0.0
+    if len(ratios) >= 5:  # need a population for the median to mean much
+        srt = sorted(ratios.values())
+        med_ratio = srt[len(srt) // 2]
+        for k, r in ratios.items():
+            if timings[k] < 0.3 and prev_q[k] < 0.3:
                 continue
-            ratio = (v_now / calib_eff) / (v_prev / prev_calib)
-            if ratio > 1.25:
-                regressions[k] = round(ratio, 2)
+            rn = r / med_ratio
+            big = timings[k] >= 1.0 and prev_q[k] >= 1.0
+            if rn > 2.0 or (big and rn > 1.5):
+                regressions[k] = round(rn, 2)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {
@@ -380,7 +380,7 @@ def main() -> int:
         "calib_end_jvm_py_alloc_s": list(calib_end),
         "queries_norm": queries_norm,  # timing / calib_jvm_eff, unitless
         "calib_jvm_eff": calib_eff,
-        "prev_calib_jvm_s": prev_calib,
+        "median_ratio_vs_prev": round(med_ratio, 3),
         "normalized_regressions_gt_1p25": regressions,
         "work_notes": QUERY_WORK_NOTES,
         "sf": float(sf),
@@ -405,7 +405,7 @@ def main() -> int:
             timings,
             [calib_jvm, calib_py, calib_alloc],
             float(sf),
-            n_reg=len(regressions) if prev_calib > 0 else None,
+            n_reg=len(regressions) if med_ratio > 0 else None,
         )
     )
     return 0
