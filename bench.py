@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "b23_alert_transitions",  # ok<->alert edges via per-series LAG
     "b19_pagerank",  # 3 fixed-point power iterations, co-partitioned joins
     "b5_quantile_sketch",  # mergeable log2-octave percentile sketch
+    "b18_kcenter_coreset",  # farthest-point diversity coreset, exact argmax
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

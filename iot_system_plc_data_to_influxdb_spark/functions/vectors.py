@@ -33,6 +33,19 @@ def norm2_exact(a: Column) -> Column:
     return dot_exact(a, a)
 
 
+def dist2_exact(a: Column, b: Column) -> Column:
+    """Exact-decimal squared L2 distance: SUM((da-db)²) over the
+    7-decimal-rounded components — order-independent and bit-identical
+    across engines, so distance ARGMAX/ARGMIN decisions (k-center,
+    k-means assignment) can never flip on accumulation order."""
+    diffs = F.zip_with(a, b, lambda x, y: _dec(x) - _dec(y))
+    return F.aggregate(
+        diffs,
+        F.lit(0).cast(_ACC),
+        lambda acc, d: (acc + d * d).cast(_ACC),
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity as DOUBLE (deterministic cross-engine)."""
     return dot_exact(a, b).cast("double") / F.sqrt(

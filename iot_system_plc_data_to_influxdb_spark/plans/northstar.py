@@ -6960,3 +6960,110 @@ def b19_pagerank(spark, sf_dir):
         F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("out_deg"),
         F.col("r").alias("rank_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# B18k — k-CENTER CORESET (farthest-point / Gonzalez 2-approx
+# sampling): the diversity-selection dual of the b18 samplers — pick K
+# points so every vector is close to a representative, the standard
+# coreset for "train on a diverse subset" and for seeding k-means.
+# Greedy: start at the smallest vec_id, then K-1 rounds of "the point
+# farthest (max-min exact-decimal squared L2) from the chosen set",
+# ties to the smallest vec_id. dist2_exact keeps every comparison in
+# DECIMAL, so the argmax can never flip on accumulation order and the
+# whole selection hash-checks against an unrolled-CTE SQL replay.
+#
+# Scale: each round is one broadcast(centers)×corpus distance map +
+# one global max — K-1 tiny driver actions over O(N·K·d) decimal work,
+# the same bounded-collect contract as the k-means/BPE trainers. The
+# min-dist column of round r-1 could be carried forward to make each
+# round O(N·d) (classic Gonzalez); at K=4 the rebuild keeps the plan
+# stateless and the oracle simple.
+# --------------------------------------------------------------------------
+_KC_K = 4
+
+
+def _kcenter_oracle(k: int) -> str:
+    dec = "CAST(ROUND(CAST({src}.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7))"
+    rounds = []
+    for r in range(1, k):
+        cs = " UNION ALL ".join(
+            ["SELECT vid FROM c0"]
+            + [f"SELECT vid FROM p{j}" for j in range(1, r)]
+        )
+        rounds.append(f"""
+    cs{r} AS ({cs}),
+    d{r} AS (
+      SELECT v.vec_id, ce.vec_id AS cvid,
+        SUM(({dec.format(src='v')} - {dec.format(src='ce')})
+          * ({dec.format(src='v')} - {dec.format(src='ce')})) AS d2
+      FROM e v
+      CROSS JOIN pos
+      JOIN cs{r} ON TRUE
+      JOIN e ce ON ce.vec_id = cs{r}.vid
+      GROUP BY v.vec_id, ce.vec_id
+    ),
+    m{r} AS (
+      SELECT vec_id, MIN(d2) AS mind FROM d{r} GROUP BY vec_id
+    ),
+    p{r} AS (
+      SELECT vec_id AS vid, mind FROM m{r}
+      ORDER BY mind DESC, vec_id LIMIT 1
+    )""")
+    finals = " UNION ALL ".join(
+        ["SELECT 0 AS sel_round, vid AS vec_id, "
+         "CAST(NULL AS DOUBLE) AS radius2 FROM c0"]
+        + [
+            f"SELECT {r}, vid, CAST(mind AS DOUBLE) FROM p{r}"
+            for r in range(1, k)
+        ]
+    )
+    return f"""
+    WITH pos AS (
+      SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i
+    ),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT MIN(vec_id) AS vid FROM e),
+    {','.join(rounds)}
+    {finals}
+    """
+
+
+@register(
+    "b18_kcenter_coreset", oracle=_kcenter_oracle(_KC_K), tags=("B18", "B20")
+)
+def b18_kcenter_coreset(spark, sf_dir, k: int = _KC_K):
+    from ..functions.vectors import dist2_exact
+
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(32, "vec_id")
+        .cache()  # scanned once per round; O(N) rows
+    )
+    c0 = emb.agg(F.min("vec_id")).first()[0]
+    center_ids = [int(c0)]
+    out = [(0, int(c0), None)]
+    for r in range(1, k):
+        cdf = emb.filter(F.col("vec_id").isin(center_ids)).select(
+            F.col("vec_id").alias("cvid"), F.col("embedding").alias("ce")
+        )
+        top = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                dist2_exact(F.col("embedding"), F.col("ce")).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind"))
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", F.col("mind").cast("double").alias("mind"))
+            .first()
+        )
+        center_ids.append(int(top["vec_id"]))
+        out.append((r, int(top["vec_id"]), float(top["mind"])))
+    return spark.createDataFrame(
+        out, "sel_round int, vec_id bigint, radius2 double"
+    )

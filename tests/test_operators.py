@@ -564,3 +564,39 @@ def test_quantile_sketch_error_bound_and_lossless_merge(spark):
     d = {r["event_type"]: r.asDict() for r in direct.collect()}
     m = {r["event_type"]: r.asDict() for r in merged.collect()}
     assert d == m
+
+
+def test_kcenter_coreset_matches_python_gonzalez(spark):
+    """B18k: the farthest-point selection equals a pure-Python greedy
+    Gonzalez replay in exact integer 1e-7-units arithmetic — same
+    seed (min vec_id), same max-min argmax, same tie-break."""
+    from iot_system_plc_data_to_influxdb_spark import plans
+    from iot_system_plc_data_to_influxdb_spark.catalog import t
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["sel_round"], r["vec_id"], r["radius2"])
+        for r in plans.all_queries()["b18_kcenter_coreset"](spark, sf)
+        .orderBy("sel_round")
+        .collect()
+    ]
+    vecs = {
+        int(r["vec_id"]): [round(float(x) * 1e7) for x in r["embedding"]]
+        for r in t(spark, sf, "embeddings").collect()
+    }
+    centers = [min(vecs)]
+    expect = [(0, centers[0], None)]
+    for r in range(1, 4):
+        best = None
+        for vid, v in vecs.items():
+            mind = min(
+                sum((a - b) ** 2 for a, b in zip(v, vecs[c]))
+                for c in centers
+            )
+            if best is None or mind > best[0] or (
+                mind == best[0] and vid < best[1]
+            ):
+                best = (mind, vid)
+        centers.append(best[1])
+        expect.append((r, best[1], best[0] / 1e14))
+    assert got == expect

@@ -15,9 +15,10 @@ python tools/check_oracle.py /root/testdata/sf0.01
 echo "=== 4/6 headline bench (sf0.1) ==="
 python bench.py
 
-echo "=== 5/6 scale probes (scaling + stress + shuffle + ingest) ==="
+echo "=== 5/6 scale probes (scaling + stress + media + shuffle + ingest) ==="
 python tools/scaling_probe.py
 python tools/stress_probe.py
+python tools/media_stress_probe.py
 python tools/shuffle_audit.py
 python tools/ingest_probe.py
 
