@@ -329,3 +329,85 @@ def test_theil_sen_sampled_matches_python_on_md5_subset(spark):
         )
         med = pairs[(len(pairs) + 1) // 2 - 1]
         assert got[et] == (len(hrs), len(pairs), med), et
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),                       # scheme https?
+            st.booleans(),                       # WWW prefix
+            st.booleans(),                       # case-mangle host
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.lists(st.integers(0, 9), min_size=0, max_size=3),  # path segs
+            st.booleans(),                       # /index.html suffix
+            st.booleans(),                       # trailing slash
+            st.lists(
+                st.sampled_from(
+                    ["id=1", "id=2", "q=x", "utm_source=a",
+                     "utm_campaign=b", "ref=tw", "fbclid=z"]
+                ),
+                min_size=0, max_size=4, unique=True,
+            ),
+            st.booleans(),                       # fragment
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_url_canonicalization_matches_python_reference(spark, specs):
+    """functions/url.canonical_url (the expression shared by the batch
+    dedup query and the streaming ingest filter) equals an independent
+    pure-Python canonicalizer on component-fuzzed URLs."""
+    from iot_system_plc_data_to_influxdb_spark.functions.url import (
+        canonical_url,
+    )
+    from pyspark.sql import functions as F
+
+    def build(spec):
+        https, www, mangle, port, segs, index, slash, params, frag = spec
+        scheme = "https" if https else ("HTTP" if mangle else "http")
+        host = ("WWW." if www and mangle else "www." if www else "")
+        host += "Example.COM" if mangle else "example.com"
+        path = "".join(f"/s{n}" for n in segs)
+        if index:
+            path += "/index.html"
+        elif slash:
+            path += "/"
+        q = ("?" + "&".join(params)) if params else ""
+        f_ = "#frag" if frag else ""
+        return f"{scheme}://{host}{port}{path}{q}{f_}"
+
+    def canon_py(url):
+        import re
+
+        m = re.match(r"^([A-Za-z]+)://([^/?#]+)([^?#]*)", url)
+        scheme, hostport, path = (
+            m.group(1).lower(), m.group(2).lower(), m.group(3)
+        )
+        default = ":80" if scheme == "http" else ":443"
+        if hostport.endswith(default):
+            hostport = hostport[: -len(default)]
+        if hostport.startswith("www."):
+            hostport = hostport[4:]
+        path = re.sub(r"/index\.html$", "", path)
+        path = re.sub(r"/$", "", path)
+        qm = re.search(r"\?([^#]*)", url)
+        kept = sorted(
+            p for p in (qm.group(1).split("&") if qm else [])
+            if p
+            and not p.startswith("utm_")
+            and not p.startswith("ref=")
+            and not p.startswith("fbclid=")
+        )
+        return f"{scheme}://{hostport}{path}" + (
+            "?" + "&".join(kept) if kept else ""
+        )
+
+    urls = [build(s) for s in specs]
+    got = [
+        r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(canonical_url(F.col("url")).alias("c"))
+        .collect()
+    ]
+    assert got == [canon_py(u) for u in urls]
