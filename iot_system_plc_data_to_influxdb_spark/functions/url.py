@@ -7,7 +7,12 @@ drift — the gopher_stats pattern. Rules (the standard crawl-pipeline
 canonical form):
 
 - scheme and host lowercased; leading ``www.`` stripped
-- the scheme's default port stripped (``:80`` for http, ``:443`` https)
+- the scheme's OWN default port stripped (``:80`` only when the scheme
+  is http, ``:443`` only when https; other schemes keep their port —
+  ``ftp://host:443/x`` is NOT the same page as ``ftp://host/x``)
+- inputs that don't match ``scheme://host`` at all canonicalize to
+  NULL (they can't be a fetchable page key; merging them under a
+  garbage ``://``-prefixed key would conflate distinct junk)
 - trailing ``/index.html`` and trailing slash stripped from the path
 - tracking params dropped (``utm_*``, ``ref``, ``fbclid``), survivors
   sorted for order-independence
@@ -29,9 +34,9 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     host = F.regexp_replace(
-        F.when(
-            scheme == "http", F.regexp_replace(hostport, r":80$", "")
-        ).otherwise(F.regexp_replace(hostport, r":443$", "")),
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport),
         r"^www\.",
         "",
     )
@@ -51,10 +56,15 @@ def canonical_url(url: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        cpath,
-        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    return F.when(
+        url.rlike(r"^[A-Za-z]+://[^/?#]"),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            cpath,
+            F.when(kept == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), kept)
+            ),
+        ),
     )

@@ -181,17 +181,19 @@ def knn_ivf(
     spark = emb.sparkSession
     cents = ivf_centroids(emb, n_cells)
     cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
-    # assign: argmax over cells of cosine(embedding, centroid)
-    scored = emb.crossJoin(F.broadcast(cent_df)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
-    )
     assigned = ivf_cell_assignments(emb, cent_df)
+    # probe-cell ranking scores ONLY the probe vector against the
+    # centroids (one row × n_cells), never the whole corpus — the
+    # corpus-wide centroid crossJoin runs exactly once, inside
+    # ivf_cell_assignments (ADVICE r8: the refactor had duplicated it).
     probe_cells = [
         int(r["cell"])
-        for r in scored.filter(F.col("vec_id") == probe_vec_id)
+        for r in emb.filter(F.col("vec_id") == probe_vec_id)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "cell",
+            cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), "cell")
         .limit(n_probe_cells)
         .collect()

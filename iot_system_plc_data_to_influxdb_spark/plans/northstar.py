@@ -368,7 +368,8 @@ def b19_simhash(spark, sf_dir):
 # the bucketed-LSH variant is b20_knn_lsh's machinery)
 # --------------------------------------------------------------------------
 _B19_COSINE_ORACLE = """
-    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     terms AS (
       SELECT a.vec_id AS v1, b.vec_id AS v2,
         CAST(ROUND(CAST(a.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
@@ -409,7 +410,8 @@ def b19_cosine(spark, sf_dir):
 # --------------------------------------------------------------------------
 _B20_ORACLE = """
     WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
-    pos AS (SELECT unnest(range(1, 65)) AS i),
+    pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     terms AS (
       SELECT e.vec_id,
         CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
@@ -457,7 +459,8 @@ def b20_brute(spark, sf_dir):
 # cosine re-derives in SQL. The proj sign test tolerates SUM-order
 # float drift (|proj| ≫ 1e-13 always).
 _B20_LSH_ORACLE = """
-    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     planes AS (SELECT unnest(range(0, 8)) AS j),
     signs AS (
       SELECT j, i,
@@ -772,7 +775,8 @@ def b22_pipeline(spark, sf_dir):
 # (identical doubles both engines → identical argmax), probe searches
 # its 2 nearest cells.
 _B20_IVF_ORACLE = """
-    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     cents AS (
       SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
       FROM embeddings WHERE vec_id < 8
@@ -1127,7 +1131,8 @@ _B20_MULTI_ORACLE = """
       SELECT vec_id AS probe_id, embedding AS pe
       FROM embeddings WHERE vec_id < 8
     ),
-    pos AS (SELECT unnest(range(1, 65)) AS i),
+    pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     terms AS (
       SELECT p.probe_id, e.vec_id,
         CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
@@ -1376,7 +1381,8 @@ def b21_pii_redaction(spark, sf_dir):
 @register(
     "b20_embedding_quantization",
     oracle="""
-    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     d AS (
       SELECT e.vec_id, pos.i,
         CAST(CAST(ROUND(CAST(e.embedding[pos.i] AS DOUBLE), 7)
@@ -2062,7 +2068,8 @@ def b22_frame_sample(spark, sf_dir):
 # scaling b20_knn_bruteforce/b20_embedding_quantization already use.
 # --------------------------------------------------------------------------
 _KMEANS_EXACT_CTE = """
-    WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     qv AS (
       SELECT e.vec_id,
         list_transform(e.embedding, v ->
@@ -6756,7 +6763,9 @@ _B19_URL_ORACLE = (
         || regexp_replace(
              CASE WHEN scheme = 'http'
                   THEN regexp_replace(hostport, ':80$', '')
-                  ELSE regexp_replace(hostport, ':443$', '') END,
+                  WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END,
              '^www\.', '')
         || regexp_replace(
              regexp_replace(path, '/index\.html$', ''), '/$', '')

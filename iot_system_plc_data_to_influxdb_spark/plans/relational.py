@@ -1633,14 +1633,16 @@ _B5_QSKETCH_MERGE_ORACLE = """
 
 def _qsketch_buckets(df):
     """(event_type, cents>=1) → exact log2-octave bucket columns.
-    SQL-expr shifts: pyspark's F.shiftright only takes a literal bit
-    count, but the count here is a column (the octave)."""
-    e = F.expr("length(bin(cents)) - 1")
-    sub = F.expr(
-        "shiftright(cents, greatest(length(bin(cents)) - 3, 0)) & 3"
+    The bucket expressions are shared with the streaming CQ leg via
+    functions/qsketch.py — batch and stream cannot drift."""
+    from ..functions.qsketch import qsketch_octave, qsketch_sub
+
+    return df.select(
+        "event_type",
+        *_extra_qsketch_cols(df),
+        qsketch_octave().alias("e"),
+        qsketch_sub().alias("sub"),
     )
-    return df.select("event_type", *_extra_qsketch_cols(df), e.alias("e"),
-                     sub.alias("sub"))
 
 
 def _extra_qsketch_cols(df):
@@ -1649,9 +1651,9 @@ def _extra_qsketch_cols(df):
 
 def _qsketch_quantiles(sk):
     """Sketch rows (event_type, e, sub, cnt) → per-series quantiles."""
-    lb = F.expr(
-        "CASE WHEN e >= 2 THEN shiftleft(4 + sub, e - 2) ELSE sub END"
-    )
+    from ..functions.qsketch import qsketch_lower_bound
+
+    lb = qsketch_lower_bound()
     wo = (
         Window.partitionBy("event_type")
         .orderBy("e", "sub")
@@ -1666,19 +1668,24 @@ def _qsketch_quantiles(sk):
         F.sum("cnt").over(wp).alias("n"),
     )
 
-    def pick(q, name):
-        return F.min(
-            F.when(
-                F.col("cum_n") >= F.ceil(q * F.col("n")), F.col("lb")
-            )
-        ).cast("bigint").alias(name)
+    def pick(pct, name):
+        # rank = ceil(pct% of n) in EXACT integer arithmetic:
+        # (pct*n + 99) div 100 == ceil(pct*n/100) for positive n —
+        # matches the oracle's DECIMAL CEIL(0.xx * n) at any n, where
+        # a DOUBLE product would round off past ~2^53 (ADVICE r8).
+        rank = F.expr(f"({pct} * n + 99) div 100")
+        return (
+            F.min(F.when(F.col("cum_n") >= rank, F.col("lb")))
+            .cast("bigint")
+            .alias(name)
+        )
 
     return cum.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("n_buckets"),
-        pick(0.50, "p50_cents"),
-        pick(0.90, "p90_cents"),
-        pick(0.99, "p99_cents"),
+        pick(50, "p50_cents"),
+        pick(90, "p90_cents"),
+        pick(99, "p99_cents"),
     )
 
 

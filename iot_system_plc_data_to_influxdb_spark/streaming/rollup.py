@@ -270,8 +270,8 @@ def route_downsample(
 # Windowed QUANTILE-SKETCH materialization (B5q × B26): the CQ leg of
 # plans/relational.b5_quantile_sketch. Each event-time window
 # materializes the per-series log2-octave bucket counts — the SAME
-# exact bucketing expressions as the batch sketch (shared via
-# _qsketch_bucket_exprs below), finalized when the watermark passes.
+# exact bucketing expressions as the batch sketch (imported from
+# functions/qsketch.py), finalized when the watermark passes.
 # Range queries then MERGE materialized windows with bucket-count SUM
 # and extract percentiles (plans/relational._qsketch_quantiles) — the
 # b5_quantile_windowed_merge dataflow, fed by a stream instead of a
@@ -285,15 +285,15 @@ def quantile_sketch_stream(
 ) -> DataFrame:
     """event stream (ts, event_type, value) → append stream of
     finalized (window, event_type, e, sub, cnt) sketch rows."""
+    from ..functions.qsketch import qsketch_octave, qsketch_sub
+
     c = events.select(
         "ts",
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     ).filter(F.col("cents") >= 1)
-    e = F.expr("length(bin(cents)) - 1")
-    sub = F.expr(
-        "shiftright(cents, greatest(length(bin(cents)) - 3, 0)) & 3"
-    )
+    e = qsketch_octave()
+    sub = qsketch_sub()
     return (
         c.select("ts", "event_type", e.alias("e"), sub.alias("sub"))
         .withWatermark("ts", watermark)

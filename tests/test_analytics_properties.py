@@ -365,7 +365,13 @@ def test_url_canonicalization_matches_python_reference(spark, specs):
 
     def build(spec):
         https, www, mangle, port, segs, index, slash, params, frag = spec
-        scheme = "https" if https else ("HTTP" if mangle else "http")
+        # fold a couple of deterministic off-grid schemes into the fuzz
+        # space: ftp keeps its :443/:80 (per-scheme default-port rule)
+        if port == ":8080" and index and https:
+            scheme = "FTP" if mangle else "ftp"
+            port = ":443"
+        else:
+            scheme = "https" if https else ("HTTP" if mangle else "http")
         host = ("WWW." if www and mangle else "www." if www else "")
         host += "Example.COM" if mangle else "example.com"
         path = "".join(f"/s{n}" for n in segs)
@@ -381,11 +387,14 @@ def test_url_canonicalization_matches_python_reference(spark, specs):
         import re
 
         m = re.match(r"^([A-Za-z]+)://([^/?#]+)([^?#]*)", url)
+        if m is None:
+            return None
         scheme, hostport, path = (
             m.group(1).lower(), m.group(2).lower(), m.group(3)
         )
-        default = ":80" if scheme == "http" else ":443"
-        if hostport.endswith(default):
+        # per-scheme default port only; other schemes keep their port
+        default = {"http": ":80", "https": ":443"}.get(scheme)
+        if default and hostport.endswith(default):
             hostport = hostport[: -len(default)]
         if hostport.startswith("www."):
             hostport = hostport[4:]
@@ -404,6 +413,9 @@ def test_url_canonicalization_matches_python_reference(spark, specs):
         )
 
     urls = [build(s) for s in specs]
+    # scheme-less / malformed inputs must canonicalize to NULL, never
+    # to a '://'-prefixed garbage key that merges distinct junk
+    urls += ["example.com/p/1", "not a url", "://host/x", ""]
     got = [
         r["c"]
         for r in spark.createDataFrame([(u,) for u in urls], "url string")

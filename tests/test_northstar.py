@@ -1852,3 +1852,55 @@ def test_tiff_lzw_packbits_property_roundtrip():
         assert _packbits_decode(_packbits_encode(data), len(data)) == data
 
     runs_roundtrip()
+
+
+def test_embedding_audit_catches_ragged_dims(spark, tmp_path):
+    """Round-8 verdict #3: a corpus with dim != 64 — including RAGGED
+    dims, the exact broken-producer case the audit exists to catch —
+    must (a) surface as a min_dim != max_dim anomaly in the audit
+    output, and (b) hash-match between the Spark query and the DuckDB
+    oracle, whose dim bound is now derived from the data instead of
+    the old hardcoded unnest(range(1, 65)) that silently truncated
+    wider vectors into a mystery hash mismatch."""
+    import duckdb
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    sys_path_dir = "/root/repo/tools"
+    import sys
+
+    if sys_path_dir not in sys.path:
+        sys.path.insert(0, sys_path_dir)
+    from check_oracle import canon
+
+    # ragged corpus: label 'ok' fixed 72-dim (wider than the old 64
+    # cap), label 'ragged' mixes 72- and 40-dim vectors
+    rows = []
+    for i in range(6):
+        rows.append((i, "ok", [float((i + j) % 5) / 4 for j in range(72)]))
+    for i in range(6, 10):
+        d = 72 if i % 2 == 0 else 40
+        rows.append((i, "ragged", [float((i * j) % 7) / 8 for j in range(d)]))
+    spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    sdf = plans.all_queries()["b20_embedding_audit"](spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    by_label = {r[0]: r for r in srows}
+    # the audit CATCHES the raggedness: dim bounds disagree
+    assert by_label["ragged"][2] == 40 and by_label["ragged"][3] == 72
+    assert by_label["ok"][2] == by_label["ok"][3] == 72
+
+    con = duckdb.connect()
+    # spark wrote a parquet DIRECTORY; duckdb needs the part-file glob
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    res = con.sql(plans.all_oracles()["b20_embedding_audit"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert canon(sdf.columns, srows) == canon(dcols, drows)
