@@ -168,6 +168,10 @@ QUERY_WORK_NOTES = {
     "b22_jpeg_progressive": "150 progressive 4:2:0 JPEGs (new in r7)",
     "b22_tiff_lzw": "200 TIFFs: LZW+pred/LZW/PackBits x both endians "
                     "(new in r8)",
+    "b24_theil_sen": "includes the pre-submission scale guard's bounded "
+                     "O(series) count (~0.1-0.3 s); r9 merged the guard "
+                     "job with the rank-metadata computation and cut the "
+                     "pair window to one pass",
 }
 
 

@@ -3055,14 +3055,17 @@ THEIL_SEN_MAX_BUCKETS = 4096
 def _theil_sen_guard(b, max_buckets: int):
     """Bounded action: one count over the cached (series × bucket)
     relation — O(series) rows — rejecting an unbounded time range
-    before the quadratic pair join is ever submitted."""
-    row = (
-        b.groupBy("event_type")
-        .count()
-        .agg(F.max("count").alias("mx"))
-        .first()
-    )
-    mx = row["mx"] or 0
+    before the quadratic pair join is ever submitted. Returns the
+    per-series bucket counts so the caller can REUSE the guard's own
+    job output as the rank metadata (round-8 verdict #6: the guard's
+    answer and the query's n_pairs/median ranks come from the same
+    tiny relation — one job serves both)."""
+    counts = {
+        r["event_type"]: int(r["n"])
+        for r in b.groupBy("event_type").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    mx = max(counts.values(), default=0)
     if mx > max_buckets:
         raise ScaleGuardError(
             f"Theil-Sen pair join would be O(B²) with B={mx} buckets in "
@@ -3070,6 +3073,7 @@ def _theil_sen_guard(b, max_buckets: int):
             "pairs); narrow the time range, widen the bucket, or use "
             "b24_theil_sen_sampled"
         )
+    return counts
 
 
 @register("b24_theil_sen", oracle=_B24_THEILSEN_ORACLE, tags=("B24",))
@@ -3086,45 +3090,79 @@ def b24_theil_sen(spark, sf_dir, max_buckets: int = THEIL_SEN_MAX_BUCKETS):
         .alias("cents")
     ).cache()  # tiny (series x hours); referenced by b1, b2, and ic —
     # without the cache each reference rescans the full fact table
-    _theil_sen_guard(b, max_buckets)
-    return _theil_sen_from_buckets(b)
+    counts = _theil_sen_guard(b, max_buckets)
+    # rank metadata from the guard's OWN collected counts (exact
+    # Python ints — ceil(x/2) == (x+1)//2): the main plan carries it
+    # as a literal broadcast instead of re-aggregating b
+    meta = b.sparkSession.createDataFrame(
+        [
+            (et, nb, nb * (nb - 1) // 2,
+             (nb * (nb - 1) // 2 + 1) // 2, (nb + 1) // 2)
+            for et, nb in sorted(counts.items())
+        ],
+        "event_type string, nb bigint, n_pairs bigint, "
+        "mrank bigint, brank bigint",
+    )
+    return _theil_sen_from_buckets(b, meta)
 
 
-def _theil_sen_from_buckets(b):
+def _theil_sen_from_buckets(b, meta=None):
     """Median-of-pairwise-slopes + median intercept over an
     (event_type, hr, cents) bucket relation. Pair join is O(B²) per
-    series — callers bound B (guard or subsample) before calling."""
+    series — callers bound B (guard or subsample) before calling.
+
+    Ranks come CLOSED-FORM from the bucket counts (n_pairs =
+    B(B-1)/2, median rank = ceil(n/2) in exact integer arithmetic),
+    so the O(B²) pair relation pays exactly ONE window pass
+    (row_number for the order statistic) — the old count(*)-over-
+    partition second pass over the pair rows is gone (round-8
+    verdict #6: it roughly doubled the windowed bytes for a value
+    derivable from the tiny per-series bucket counts). A caller that
+    already counted the buckets (the scale guard) passes the ranks in
+    as ``meta`` and the plan skips the re-aggregation entirely."""
+    if meta is None:
+        meta = b.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("nb")
+        ).select(
+            "event_type",
+            "nb",
+            F.expr("nb * (nb - 1) div 2").alias("n_pairs"),
+            # ceil(x/2) == (x+1) div 2 for non-negative integers —
+            # exact, matching the oracle's CEIL(0.5*n) DECIMAL rank
+            F.expr("(nb * (nb - 1) div 2 + 1) div 2").alias("mrank"),
+            F.expr("(nb + 1) div 2").alias("brank"),
+        )
+    # left side fans out over 32 tasks so the O(B²) pair GENERATION is
+    # parallel (the cached bucket relation AQE-coalesces to ~1
+    # partition; without the repartition one task emits all ~6.5M
+    # pairs); the right side is a broadcast of the same tiny relation
     b1 = b.select(
         "event_type", F.col("hr").alias("hi"), F.col("cents").alias("ci")
-    )
+    ).repartition(32)
     b2 = b.select(
         "event_type", F.col("hr").alias("hj"), F.col("cents").alias("cj")
     )
-    pr = b1.join(b2, "event_type").filter(F.col("hi") < F.col("hj")).select(
+    # the pair rows carry ONLY (event_type, slope): the order
+    # statistic at rank mrank is a VALUE pick, so tie order among
+    # equal slopes cannot change the result — no need to shuffle the
+    # (hi, hj) tie-break columns through the O(B²) window sort
+    pr = b1.join(
+        F.broadcast(b2), "event_type"
+    ).filter(F.col("hi") < F.col("hj")).select(
         "event_type",
-        "hi",
-        "hj",
         (
             (F.col("cj") - F.col("ci")).cast("double")
             / (F.col("hj") - F.col("hi")).cast("double")
         ).alias("slope"),
     )
-    wr = Window.partitionBy("event_type").orderBy("slope", "hi", "hj")
-    wp = Window.partitionBy("event_type")
-    rs = pr.select(
-        "event_type",
-        "slope",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wp).alias("np"),
-    )
-    med = rs.groupBy("event_type").agg(
-        F.max("np").alias("n_pairs"),
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(0.5 * F.col("np")).cast("bigint"),
-                F.col("slope"),
-            )
-        ).alias("slope"),
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    med = (
+        pr.select(
+            "event_type", "slope", F.row_number().over(wr).alias("rn")
+        )
+        .join(F.broadcast(meta), "event_type")
+        .filter(F.col("rn") == F.col("mrank"))
+        .select("event_type", "nb", "n_pairs", "brank", "slope")
     )
     icpt_expr = F.col("cents").cast("double") - F.col("slope") * F.col(
         "hr"
@@ -3132,21 +3170,19 @@ def _theil_sen_from_buckets(b):
     wi = Window.partitionBy("event_type").orderBy(icpt_expr, "hr")
     ic = b.join(F.broadcast(med), "event_type").select(
         "event_type",
+        "nb",
         "n_pairs",
+        "brank",
         "slope",
         icpt_expr.alias("icpt"),
         F.row_number().over(wi).alias("rn"),
-        F.count("*").over(wp).alias("nb"),
     )
     return ic.groupBy("event_type").agg(
         F.max("nb").cast("bigint").alias("n_buckets"),
         F.max("n_pairs").cast("bigint").alias("n_pairs"),
         F.max("slope").alias("slope_cents_per_hour"),
         F.max(
-            F.when(
-                F.col("rn") == F.ceil(0.5 * F.col("nb")).cast("bigint"),
-                F.col("icpt"),
-            )
+            F.when(F.col("rn") == F.col("brank"), F.col("icpt"))
         ).alias("intercept_cents"),
     )
 
