@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "b19_pagerank",  # 3 fixed-point power iterations, co-partitioned joins
     "b5_quantile_sketch",  # mergeable log2-octave percentile sketch
     "b18_kcenter_coreset",  # farthest-point diversity coreset, exact argmax
+    "b19_substring_dedup",  # anchor-banded maximal shared verbatim spans
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -1904,3 +1904,33 @@ def test_embedding_audit_catches_ragged_dims(spark, tmp_path):
     con.close()
     assert sorted(sdf.columns) == sorted(dcols)
     assert canon(sdf.columns, srows) == canon(dcols, drows)
+
+
+def test_substring_dedup_finds_maximal_shared_spans(spark, tmp_path):
+    """b19_substring_dedup on a crafted corpus: two docs share one
+    verbatim 9-token span (one maximal island of 5 consecutive
+    5-grams) and a separate 5-token span; an unrelated doc shares
+    nothing. Expected inventory computed by hand."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    span9 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    span5 = "one two three four five"
+    rows = [
+        (0, f"{span9} xq1 xq2 xq3 {span5} xq4", "en", "s0"),
+        (1, f"yq1 yq2 {span9} yq3 yq4 yq5 {span5}", "en", "s0"),
+        (2, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10", "en", "s0"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_spans"], r["max_span_tok"], r["total_span_tok"]
+        )
+        for r in plans.all_queries()["b19_substring_dedup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # one pair, two maximal spans: 9 tokens and 5 tokens
+    assert got == {(0, 1): (2, 9, 14)}
