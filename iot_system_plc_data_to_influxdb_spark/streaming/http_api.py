@@ -120,13 +120,26 @@ class InfluxAPI:
     """The engine behind the handler — resolves measurements and owns
     the write path."""
 
-    def __init__(self, spark, get_table, write_dir: str | None = None):
+    def __init__(
+        self,
+        spark,
+        get_table,
+        write_dir: str | None = None,
+        qsketch_tables: dict | None = None,
+    ):
         self.spark = spark
         self._get_table_raw = get_table  # (measurement_name) -> DataFrame
         self.write_dir = write_dir
         # name → CQSpec, registered via CREATE CONTINUOUS QUERY on the
         # wire; the engine executes specs with streaming/rollup.py
         self.continuous_queries: dict = {}
+        # measurement → (sketch_df_getter, window_every_s): quantile-
+        # sketch CQ materializations (streaming/rollup.
+        # quantile_sketch_stream output). A percentile(value, N) read
+        # whose shape and bounds the sketch can serve is answered by
+        # MERGING materialized windows instead of scanning raw points
+        # — the B5×B26 read path (see _route_sketch_percentile).
+        self.qsketch_tables = qsketch_tables or {}
 
     def get_table(self, measurement):
         """Resolve a measurement, normalizing the time column: CQ / INTO
@@ -248,6 +261,22 @@ class InfluxAPI:
                 else:
                     target, stmt_wo = split_into(stmt)
                     m = _from_measurement(stmt_wo)
+                    routed = (
+                        self._route_sketch_percentile(stmt_wo, m)
+                        if target is None and m in self.qsketch_tables
+                        else None
+                    )
+                    if routed is not None:
+                        df, series_tags = routed
+                        results.append(
+                            {
+                                "statement_id": i,
+                                "series": df_to_series_list(
+                                    df, m, epoch, tags=series_tags
+                                ),
+                            }
+                        )
+                        continue
                     df = compile_statement(stmt_wo, self.get_table(m))
                     if target is not None and self.write_dir:
                         df.write.mode("append").parquet(
@@ -271,6 +300,67 @@ class InfluxAPI:
             except InfluxQLError as e:
                 results.append({"statement_id": i, "error": str(e)})
         return {"results": results}
+
+    def _route_sketch_percentile(self, stmt: str, m: str):
+        """Serve ``SELECT percentile(value, N) FROM m [WHERE time...]
+        [GROUP BY event_type]`` from the measurement's MATERIALIZED
+        quantile-sketch windows (round-8 verdict #8: the Grafana-style
+        consumer of the B5 sketch's B26 CQ leg).
+
+        Servable shape, mirroring the rollup router's contract
+        (_rollup_servable): a single integer-argument percentile on
+        ``value``, no GROUP BY time / tz / per-point predicates, and
+        time bounds window-ALIGNED with ops (>=, <) so window-start
+        filtering is exact. Anything else returns None and takes the
+        raw-points path. The answer is the sketch bucket's lower bound
+        — within the documented 25% relative bound of the exact
+        percentile — computed by merging windows with bucket-count SUM
+        and one rank extraction over ≤~60 buckets/series: O(windows ×
+        buckets), the raw points are never scanned."""
+        from ..functions.influxql import InfluxQLError, _aligned, parse
+        from .rollup import percentile_from_sketch
+
+        get_sketch, every_s = self.qsketch_tables[m]
+        try:
+            q = parse(stmt)
+        except InfluxQLError:
+            return None
+        if not (
+            len(q.select) == 1
+            and q.select[0][0] == "percentile"
+            and q.select[0][1] == "value"
+            and q.select[0][3] is not None
+            and float(q.select[0][3]) == int(q.select[0][3])
+            and 1 <= int(q.select[0][3]) <= 99
+            and q.group_time_s is None
+            and q.tz is None
+            and not q.tag_eq and not q.tag_neq and not q.tag_regex
+            and not q.field_cond and not q.or_groups and not q.binops
+            and not q.transforms and not q.scalar_math and not q.math_fns
+            and not q.group_star
+            and q.group_tags in ([], ["event_type"])
+            and _aligned(q.time_lo, every_s, (">=",))
+            and _aligned(q.time_hi, every_s, ("<",))
+        ):
+            return None
+        pct = int(q.select[0][3])
+        alias = q.select[0][2] or "percentile"
+        lo = q.time_lo[1] if q.time_lo else None
+        hi = q.time_hi[1] if q.time_hi else None
+        by_series = q.group_tags == ["event_type"]
+        out = percentile_from_sketch(
+            get_sketch(), pct, time_lo=lo, time_hi=hi, by_series=by_series
+        )
+        keys = ["event_type"] if by_series else []
+        out = out.select(
+            # InfluxDB stamps whole-range aggregates with the range's
+            # lower bound (epoch 0 when unbounded)
+            F.lit(lo or "1970-01-01 00:00:00").cast("timestamp")
+            .alias("time"),
+            *keys,
+            F.col("percentile").alias(alias),
+        )
+        return out, keys
 
     def run_continuous_queries(self, now=None) -> dict:
         """One CQ-service tick: execute every registered CQ and append

@@ -300,3 +300,63 @@ def quantile_sketch_stream(
         .groupBy(F.window("ts", every), "event_type", "e", "sub")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+
+
+def percentile_from_sketch(
+    sketch: DataFrame,
+    pct: int,
+    time_lo=None,
+    time_hi=None,
+    by_series: bool = True,
+) -> DataFrame:
+    """Answer an InfluxQL ``percentile(value, pct)`` from MATERIALIZED
+    quantile-sketch windows instead of raw points — the Grafana-style
+    consumer of quantile_sketch_stream's CQ output (round-8 verdict
+    #8, tying B5 to B26).
+
+    ``sketch`` is the (window, event_type, e, sub, cnt) table the CQ
+    materializes. Windows inside [time_lo, time_hi) MERGE with
+    bucket-count SUM (the sketch's lossless merge operator), then one
+    rank extraction over ≤~60 buckets per series answers the query —
+    the raw points are never touched, so a dashboard percentile over
+    any range costs O(windows × buckets), not a corpus scan. The
+    answer is the bucket LOWER BOUND in value units: within 25% below
+    the exact percentile (bucket width / lower bound = 1/(4+sub) ≤
+    1/4), the documented sketch bound asserted in the gateway e2e
+    test."""
+    from ..functions.qsketch import qsketch_lower_bound
+
+    w = sketch
+    if time_lo is not None:
+        w = w.filter(F.col("window.start") >= F.lit(time_lo))
+    if time_hi is not None:
+        w = w.filter(F.col("window.start") < F.lit(time_hi))
+    keys = ["event_type"] if by_series else []
+    merged = w.groupBy(*keys, "e", "sub").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    from pyspark.sql import Window as W
+
+    part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    wo = part.orderBy("e", "sub").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = merged.select(
+        *keys,
+        "cnt",
+        qsketch_lower_bound().alias("lb"),
+        F.sum("cnt").over(wo).alias("cum_n"),
+        F.sum("cnt").over(part.orderBy().rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).alias("n"),
+    )
+    # exact integer rank: ceil(pct% of n) == (pct*n + 99) div 100
+    rank = F.expr(f"({pct} * n + 99) div 100")
+    agg = cum.groupBy(*keys).agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            F.min(F.when(F.col("cum_n") >= rank, F.col("lb")))
+            .cast("double") / 100.0
+        ).alias("percentile"),
+    )
+    return agg

@@ -766,3 +766,120 @@ def test_grafana_dashboard_replay_e2e(spark, tmp_path):
         assert len(m["values"]) == 3 and m["columns"] == ["time", "mean"]
     finally:
         server.shutdown()
+
+
+def test_percentile_served_from_quantile_sketch(spark, tmp_path):
+    """B5 × B26 read path (round-9): an InfluxQL percentile() query is
+    answered by MERGING the quantile-sketch CQ's materialized windows
+    — raw points never scanned — and the sketch answer (the bucket
+    lower bound) brackets the exact nearest-rank percentile within the
+    documented 25% bucket bound. Non-servable shapes (GROUP BY time)
+    fall through to the raw-points compiler unchanged."""
+    import datetime
+    import glob
+    import math
+    import os
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        quantile_sketch_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (f"t{i % 3}", t0 + datetime.timedelta(seconds=17 * i),
+         ((i * 131) % 3000) / 100.0)
+        for i in range(400)
+    ]
+    sch = "event_type string, ts timestamp, value double"
+    sentinels = [
+        (f"t{k}", t0 + datetime.timedelta(days=1), 1.0) for k in range(3)
+    ]
+    src = os.path.join(str(tmp_path), "qsrc")
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate([rows[:200], rows[200:] + sentinels]):
+        stage = os.path.join(str(tmp_path), f"qstage{i}")
+        spark.createDataFrame(half, sch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{i:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = []
+    q = (
+        quantile_sketch_stream(stream, every="1 minute",
+                               watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert got, "no finalized sketch windows"
+    sketch_df = spark.createDataFrame(
+        [
+            ((r["window"]["start"], r["window"]["end"]), r["event_type"],
+             int(r["e"]), int(r["sub"]), int(r["cnt"]))
+            for r in got
+        ],
+        "window struct<start:timestamp,end:timestamp>, "
+        "event_type string, e int, sub int, cnt bigint",
+    )
+
+    raw_dir = os.path.join(str(tmp_path), "events_raw")
+    spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(raw_dir)
+
+    api = InfluxAPI(
+        spark,
+        lambda _m: spark.read.parquet(raw_dir),
+        qsketch_tables={"events": (lambda: sketch_df, 60)},
+    )
+    server, thread, port = serve(api, port=0)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        hi = "2024-03-01T01:00:00"
+        stmt = urllib.parse.quote(
+            "SELECT percentile(value, 90) FROM events "
+            f"WHERE time >= '2024-03-01' AND time < '{hi}' "
+            "GROUP BY event_type"
+        )
+        status, body = _get(f"{base}/query?db=iot&q={stmt}")
+        assert status == 200
+        series = json.loads(body)["results"][0]["series"]
+        got_p = {
+            s["tags"]["event_type"]: s["values"][0][-1] for s in series
+        }
+        assert set(got_p) == {"t0", "t1", "t2"}
+
+        # exact nearest-rank p90 per series over the SAME domain the
+        # sketch covers (positive cents, ts within the queried hour)
+        hi_dt = datetime.datetime(2024, 3, 1, 1)
+        exact = {}
+        for et in ("t0", "t1", "t2"):
+            cents = sorted(
+                round(v * 100)
+                for e, ts, v in rows
+                if e == et and ts < hi_dt and round(v * 100) >= 1
+            )
+            exact[et] = cents[math.ceil(0.9 * len(cents)) - 1] / 100.0
+        for et, lb in got_p.items():
+            assert lb <= exact[et] <= lb * 1.25 + 1e-9, (
+                et, lb, exact[et]
+            )
+
+        # non-servable shape (GROUP BY time) falls through to the raw
+        # compiler and still answers
+        stmt2 = urllib.parse.quote(
+            "SELECT percentile(value, 90) FROM events "
+            "WHERE time >= '2024-03-01' GROUP BY time(30m)"
+        )
+        status2, body2 = _get(f"{base}/query?db=iot&q={stmt2}")
+        assert status2 == 200
+        vals2 = json.loads(body2)["results"][0]["series"][0]["values"]
+        assert len(vals2) >= 3
+    finally:
+        server.shutdown()
