@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "b5_quantile_sketch",  # mergeable log2-octave percentile sketch
     "b18_kcenter_coreset",  # farthest-point diversity coreset, exact argmax
     "b19_substring_dedup",  # anchor-banded maximal shared verbatim spans
+    "b19_triangle_count",  # degree-oriented wedge join, O(sqrt(m)) fan-out
+    "b21_unicode_normalize",  # NFC + control strip, Arrow pandas-UDF path
+    "b25_zorder_zonemap",  # bit-interleaved layout zone maps + box pruning
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -7257,3 +7257,323 @@ def b19_substring_dedup(spark, sf_dir):
         F.max("n_tok").cast("int").alias("max_span_tok"),
         F.sum("n_tok").cast("bigint").alias("total_span_tok"),
     )
+
+
+# --------------------------------------------------------------------------
+# B19t — TRIANGLE COUNTING over the crawl link graph (the PageRank
+# companion): per-page triangle participation — the standard local
+# clustering signal for spam-farm/link-ring detection before spending
+# crawl budget (a page whose neighborhood is a clique is a ring; a
+# hub's neighborhood is sparse). Same closed-form doc_id link graph as
+# b19_pagerank, so the oracle enumerates the identical triangles.
+#
+# Spark shape — DEGREE-ORDERED orientation (the MapReduce-classic
+# Cohen / Suri-Vassilvitskii scheme): orient every undirected edge
+# from its lower-(degree, id) endpoint to the higher, so each
+# vertex's OUT-neighborhood is O(sqrt(m)) even for celebrity hubs —
+# the wedge self-join fans out per out-neighborhood, never per raw
+# degree, which is what makes the plan survive a power-law graph at
+# 100 TB. Each triangle is counted exactly once at its rank-lowest
+# apex; the closing check is one join against the canonical edge set.
+# The DuckDB oracle skips the orientation (it only changes WHERE the
+# triangle is found, not the set) and enumerates a < b < c directly.
+# --------------------------------------------------------------------------
+_B19_TRIANGLE_ORACLE = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 5 + 3) % nn.n FROM documents, nn
+      WHERE doc_id % 3 = 0
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    vx AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM vx GROUP BY 1
+"""
+
+
+@register("b19_triangle_count", oracle=_B19_TRIANGLE_ORACLE, tags=("B19",))
+def b19_triangle_count(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, "doc_id")
+        .cache()
+    )
+    n = docs.count()
+    d = F.col("doc_id")
+    raw = (
+        docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst"))
+        .unionAll(docs.select(d.alias("src"), ((d * 13 + 2) % n).alias("dst")))
+        .unionAll(
+            docs.filter(d % 3 == 0).select(
+                d.alias("src"), ((d * 5 + 3) % n).alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e = raw.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct().cache()  # canonical undirected edges: reused 3x below
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("dg"))
+    )
+    # orient from the lower-(degree, id) endpoint: out-neighborhoods
+    # bounded O(sqrt(m)) — the wedge join's fan-out bound
+    ed = e.join(
+        deg.select(F.col("x").alias("u"), F.col("dg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("x").alias("v"), F.col("dg").alias("dv")), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = oe.select(F.col("s"), F.col("t").alias("t1"))
+    o2 = oe.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = o1.join(o2, "s").filter(F.col("t1") < F.col("t2"))
+    tri = wedges.join(
+        e,
+        (F.col("u") == F.least("t1", "t2"))
+        & (F.col("v") == F.greatest("t1", "t2")),
+    ).select("s", "t1", "t2")
+    vx = (
+        tri.select(F.col("s").alias("doc_id"))
+        .unionAll(tri.select(F.col("t1").alias("doc_id")))
+        .unionAll(tri.select(F.col("t2").alias("doc_id")))
+    )
+    return vx.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tri")
+    )
+
+
+# --------------------------------------------------------------------------
+# B21u — UNICODE NORMALIZATION (NFC) + control-char strip + whitespace
+# collapse: the first cleaning pass of every crawl pipeline — web text
+# arrives with decomposed accents (e + U+0301 vs the precomposed
+# codepoint), stray C0 control bytes, and tab/space runs; dedup keys
+# and tokenizers need ONE canonical byte form first (a decomposed and
+# a precomposed copy of the same page must hash identically). The
+# corpus synthesizes the mess closed-form in doc_id; non-ASCII and
+# control codepoints are constructed EXPLICITLY (chr() in SQL,
+# backslash escapes in Python) so no ambiguous bytes live in source.
+#
+# Spark side is an Arrow-batched pandas UDF (Python unicodedata NFC —
+# Spark has no native NFC; the one legitimate slow-path case: a
+# stateless per-row string map, vectorized per batch, zero shuffle).
+# DuckDB oracle uses its native nfc_normalize — two INDEPENDENT NFC
+# implementations agreeing byte-for-byte is the point of the check.
+# Whitespace collapses with an EXPLICIT ASCII class ([ tab nl ff cr]+)
+# in both engines: Python's backslash-s is Unicode-aware, RE2's is
+# not — the documented cross-engine trap this query pins.
+# --------------------------------------------------------------------------
+_B21_UNINORM_SYNTH = (
+    "text || CASE doc_id % 4"
+    " WHEN 1 THEN ' cafe' || chr(769) || '  menu'"
+    " WHEN 2 THEN ' ctl' || chr(7) || 'x' || chr(9) || 'tab'"
+    " WHEN 3 THEN '  twice  spaced '"
+    " ELSE '' END"
+)
+
+_B21_UNINORM_ORACLE = (
+    r"""
+    WITH raw AS (
+      SELECT doc_id, """
+    + _B21_UNINORM_SYNTH
+    + r""" AS dirty FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, dirty,
+        trim(regexp_replace(
+          regexp_replace(
+            nfc_normalize(dirty),
+            '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '[ \t\n\f\r]+', ' ', 'g')) AS clean_text
+      FROM raw
+    )
+    SELECT doc_id, clean_text,
+      CAST(length(dirty) AS BIGINT) AS n_chars_before,
+      CAST(length(clean_text) AS BIGINT) AS n_chars_after,
+      CAST(dirty <> clean_text AS BOOLEAN) AS changed
+    FROM cleaned
+"""
+)
+
+
+@register("b21_unicode_normalize", oracle=_B21_UNINORM_ORACLE, tags=("B21",))
+def b21_unicode_normalize(spark, sf_dir):
+    from ..functions.normalize import nfc_clean
+
+    d = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 1, F.lit(" cafe\u0301  menu"))
+        .when(d % 4 == 2, F.lit(" ctl\x07x\ttab"))
+        .when(d % 4 == 3, F.lit("  twice  spaced "))
+        .otherwise(F.lit("")),
+    )
+    raw = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", dirty.alias("dirty"))
+    )
+    out = raw.select(
+        "doc_id", "dirty", nfc_clean(F.col("dirty")).alias("clean_text")
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.length("dirty").cast("bigint").alias("n_chars_before"),
+        F.length("clean_text").cast("bigint").alias("n_chars_after"),
+        (F.col("dirty") != F.col("clean_text")).alias("changed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B25z — Z-ORDER zone maps: multi-dimensional clustering for file
+# skipping — the layout decision that makes BOTH "one series, any
+# time" and "all series, narrow time" dashboards cheap on a 100 TB
+# points table. A time-only sort gives perfect time zone maps but
+# every file spans every series (a series predicate prunes nothing);
+# interleaving the bits of (series rank, time bucket) into one sort
+# key bounds BOTH dimensions' min/max per equal-size shard. The query
+# materializes the zone map itself — per shard: row count + min/max of
+# each dimension — plus, per shard, whether a canonical box predicate
+# (series rank 2, time buckets [4, 8)) must read it; at scale the same
+# zone map drives parquet row-group / file skipping via
+# repartitionByRange(zvalue) + sortWithinPartitions at write time
+# (operators/retention.py's compaction hook). Bit interleave is pure
+# integer arithmetic ((x div 2^i) % 2 terms), generated once per
+# engine dialect so both engines compute the identical z-value.
+# --------------------------------------------------------------------------
+_Z_BITS = 4
+_Z_SHARDS = 16
+_Z_BOX_S = 2          # canonical probe box: series rank == 2,
+_Z_BOX_H = (4, 8)     # time buckets [4, 8) of 16
+
+
+def _z_interleave(scol: str, hcol: str, divop: str) -> str:
+    """z = bit-interleave of two _Z_BITS-wide ints; ``divop`` is the
+    engine's integer-division token ('div' Spark, '//' DuckDB)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({scol}) {divop} {2 ** i}) % 2) * {2 * 4 ** i}")
+        terms.append(f"((({hcol}) {divop} {2 ** i}) % 2) * {4 ** i}")
+    return " + ".join(terms)
+
+
+_B25_ZORDER_ORACLE = f"""
+    WITH b AS (
+      SELECT event_type,
+        date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                  date_trunc('hour', ts)) AS hr
+      FROM events
+    ),
+    sdim AS (
+      SELECT event_type,
+        CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS s
+      FROM (SELECT DISTINCT event_type FROM b)
+    ),
+    hb AS (SELECT MIN(hr) AS hmin, MAX(hr) AS hmax FROM b),
+    q AS (
+      SELECT sdim.s,
+        ((b.hr - hb.hmin) * {_Z_SHARDS}) // (hb.hmax - hb.hmin + 1) AS h
+      FROM b JOIN sdim USING (event_type) CROSS JOIN hb
+    ),
+    z AS (SELECT s, h, {_z_interleave('s', 'h', '//')} AS zv FROM q),
+    zone AS (
+      SELECT zv // {_Z_SHARDS} AS shard,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(MIN(s) AS BIGINT) AS s_min, CAST(MAX(s) AS BIGINT) AS s_max,
+        CAST(MIN(h) AS BIGINT) AS h_min, CAST(MAX(h) AS BIGINT) AS h_max
+      FROM z GROUP BY 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_rows,
+      s_min, s_max, h_min, h_max,
+      CAST(
+        s_min <= {_Z_BOX_S} AND {_Z_BOX_S} <= s_max
+        AND h_min < {_Z_BOX_H[1]} AND h_max >= {_Z_BOX_H[0]}
+        AS BOOLEAN) AS box_must_read
+    FROM zone
+"""
+
+
+@register("b25_zorder_zonemap", oracle=_B25_ZORDER_ORACLE, tags=("B25", "B1"))
+def b25_zorder_zonemap(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        ).cast("bigint").alias("hr"),
+    )
+    sdim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.dense_rank().over(Window.orderBy("event_type")) - 1
+            ).cast("bigint").alias("s"),
+        )
+    )
+    hb = ev.agg(
+        F.min("hr").alias("hmin"), F.max("hr").alias("hmax")
+    )
+    q = (
+        ev.join(F.broadcast(sdim), "event_type")
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "s",
+            F.expr(
+                f"((hr - hmin) * {_Z_SHARDS}) div (hmax - hmin + 1)"
+            ).alias("h"),
+        )
+    )
+    z = q.select("s", "h", F.expr(_z_interleave("s", "h", "div")).alias("zv"))
+    zone = z.groupBy(
+        F.expr(f"zv div {_Z_SHARDS}").cast("bigint").alias("shard")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("s").cast("bigint").alias("s_min"),
+        F.max("s").cast("bigint").alias("s_max"),
+        F.min("h").cast("bigint").alias("h_min"),
+        F.max("h").cast("bigint").alias("h_max"),
+    )
+    lo, hi = _Z_BOX_H
+    return zone.select(
+        "shard",
+        "n_rows",
+        "s_min",
+        "s_max",
+        "h_min",
+        "h_max",
+        (
+            (F.col("s_min") <= _Z_BOX_S)
+            & (F.lit(_Z_BOX_S) <= F.col("s_max"))
+            & (F.col("h_min") < hi)
+            & (F.col("h_max") >= lo)
+        ).alias("box_must_read"),
+    )
