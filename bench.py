@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "b19_triangle_count",  # degree-oriented wedge join, O(sqrt(m)) fan-out
     "b21_unicode_normalize",  # NFC + control strip, Arrow pandas-UDF path
     "b25_zorder_zonemap",  # bit-interleaved layout zone maps + box pruning
+    "b23_profile_anomaly",  # hour-of-day profile gate, broadcast probe
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -3775,3 +3775,137 @@ def b12_stochastic_k(spark, sf_dir):
             ),
         ).alias("pct_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# B12m — MACD (Moving Average Convergence/Divergence): the one classic
+# TA-suite member the EMA family lacked — macd = EMA12 − EMA26 of the
+# series, signal = EMA9 OF THE MACD (a chained recursion), histogram =
+# macd − signal. Cross-engine determinism rides the b12_ewma
+# precedent: pandas ewm(adjust=False) and the recursive-CTE oracle
+# apply the same IEEE-754 fold (αv + (1−α)acc; float + is
+# commutative, and α = 2/(span+1) is one identical double division in
+# both engines). Spark shape: one applyInPandas per series — the
+# sequential-recurrence family's documented Arrow path (B30), grouped
+# by series so 100 TB parallelizes across series.
+# --------------------------------------------------------------------------
+_B12_MACD_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 10
+    ),
+    r12 AS (
+      SELECT user_id, rn, value AS e FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+        (2.0 / 13.0) * s.value + (1 - 2.0 / 13.0) * r.e
+      FROM seq s JOIN r12 r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ),
+    r26 AS (
+      SELECT user_id, rn, value AS e FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+        (2.0 / 27.0) * s.value + (1 - 2.0 / 27.0) * r.e
+      FROM seq s JOIN r26 r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ),
+    m AS (
+      SELECT s.user_id, s.event_id, s.ts, s.rn, a.e - b.e AS macd
+      FROM seq s
+      JOIN r12 a ON a.user_id = s.user_id AND a.rn = s.rn
+      JOIN r26 b ON b.user_id = s.user_id AND b.rn = s.rn
+    ),
+    r9 AS (
+      SELECT user_id, rn, macd AS sg FROM m WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+        (2.0 / 10.0) * s.macd + (1 - 2.0 / 10.0) * r.sg
+      FROM m s JOIN r9 r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT m.user_id, m.event_id, m.ts, m.macd, r9.sg AS signal,
+      m.macd - r9.sg AS histogram
+    FROM m JOIN r9 ON r9.user_id = m.user_id AND r9.rn = m.rn
+"""
+
+
+@register("b12_macd", oracle=_B12_MACD_ORACLE, tags=("B12", "B30"))
+def b12_macd(spark, sf_dir):
+    import pandas as pd
+
+    def macd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        e12 = pdf["value"].ewm(span=12, adjust=False).mean()
+        e26 = pdf["value"].ewm(span=26, adjust=False).mean()
+        pdf["macd"] = e12 - e26
+        pdf["signal"] = pdf["macd"].ewm(span=9, adjust=False).mean()
+        pdf["histogram"] = pdf["macd"] - pdf["signal"]
+        return pdf[["user_id", "event_id", "ts", "macd", "signal",
+                    "histogram"]]
+
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            macd,
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "macd double, signal double, histogram double",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B23p — HOUR-OF-DAY PROFILE anomaly gate: industrial series are
+# periodic — "is this value anomalous?" must mean "versus this hour's
+# NORMAL", not versus the global mean (a nightly idle value is normal
+# at 03:00 and an outage signature at 14:00). Profile = per
+# (event_type, hour-of-day) sum/count in exact integer cents; a
+# reading is anomalous iff |value − profile_mean| > 50% of the
+# profile mean, cross-multiplied to integers (|cents·n − sum|·2 >
+# |sum|) so both engines decide identically. One aggregate builds the
+# 24·series-row profile (broadcastable at any corpus size); the gate
+# is a map-only probe — the b21_gopher_rules shape applied to B23.
+# --------------------------------------------------------------------------
+_B23_PROFILE_ORACLE = """
+    WITH c AS (
+      SELECT event_type,
+        CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    prof AS (
+      SELECT event_type, hod,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(cents) AS BIGINT) AS s
+      FROM c GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.hod, p.n,
+      CAST(SUM(CASE WHEN ABS(c.cents * p.n - p.s) * 2 > ABS(p.s)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM c JOIN prof p USING (event_type, hod)
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("b23_profile_anomaly", oracle=_B23_PROFILE_ORACLE, tags=("B23",))
+def b23_profile_anomaly(spark, sf_dir):
+    c = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    prof = c.groupBy("event_type", "hod").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    joined = c.join(F.broadcast(prof), ["event_type", "hod"])
+    return joined.groupBy("event_type", "hod", "n").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("cents") * F.col("n") - F.col("s")) * 2
+                > F.abs(F.col("s")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_anomalies")
+    )
