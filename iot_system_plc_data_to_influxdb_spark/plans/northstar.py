@@ -1482,6 +1482,181 @@ def b20_embedding_quantization(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B20j — JOHNSON-LINDENSTRAUSS RANDOM PROJECTION + distance-
+# preservation audit: project the 64-dim embedding column to 16 dims
+# with a deterministic ±1 sign matrix (Achlioptas' database-friendly
+# JL construction — sign(k,i) from md5 parity, no RNG state, so any
+# executor/engine regenerates the identical matrix), then verify on a
+# deterministic 1/37 id-sample that pairwise squared distances are
+# preserved within the JL band. The dimensionality-reduction step
+# every embedding pipeline wants before clustering/ANN at 100 TB: 4x
+# less shuffle per vector, with a measured per-pair certificate that
+# the geometry survived.
+#
+# Exactness: components quantize to integer 1e-7 units (the
+# b20_embedding_quantization scaling), so projections are BIGINT sums
+# (order-independent), original d2 fits BIGINT, and projected d2 runs
+# in DECIMAL(38,0)/HUGEINT — every output column bit-agrees across
+# engines including the in_band flag. E[d2_proj] = 16 * d2_orig for
+# ±1 signs, so the band check is the exact integer comparison
+# 8*d2_orig <= d2_proj <= 24*d2_orig (ratio 0.5..1.5 of expectation).
+#
+# Scale shape: the projection itself is MAP-ONLY over the un-exploded
+# array (16 integer folds per row — no shuffle, no explode); only the
+# AUDIT joins, and it joins a deterministic O(N/37) id-sample against
+# itself — a production run audits a fixed-size panel (the pair count
+# is quadratic in the sample, so the sample fraction shrinks as the
+# corpus grows; the projection path itself is linear).
+# --------------------------------------------------------------------------
+_JL_DIMS = 16
+_JL_SAMPLE_MOD = 37
+
+_B20_JL_ORACLE = f"""
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
+    s AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_JL_SAMPLE_MOD} = 0
+    ),
+    d AS (
+      SELECT s.vec_id, pos.i - 1 AS i,
+        CAST(CAST(ROUND(CAST(s.embedding[pos.i] AS DOUBLE), 7)
+             AS DECIMAL(9,7)) * 10000000 AS BIGINT) AS q
+      FROM s CROSS JOIN pos WHERE pos.i <= len(s.embedding)
+    ),
+    sgn AS (
+      SELECT ks.k, di.i,
+        (strpos('0123456789abcdef',
+                substr(md5('jl' || ks.k || '_' || di.i), 1, 1)) % 2)
+          * 2 - 1 AS sg
+      FROM (SELECT unnest(range(0, {_JL_DIMS})) AS k) ks,
+           (SELECT DISTINCT i FROM d) di
+    ),
+    p AS (
+      SELECT d.vec_id, sgn.k, SUM(d.q * sgn.sg) AS pv
+      FROM d JOIN sgn ON sgn.i = d.i GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    ),
+    od AS (
+      SELECT pr.va, pr.vb,
+        SUM((da.q - db.q) * (da.q - db.q)) AS d2_orig
+      FROM pairs pr
+      JOIN d da ON da.vec_id = pr.va
+      JOIN d db ON db.vec_id = pr.vb AND db.i = da.i
+      GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT pr.va, pr.vb,
+        SUM(CAST(pa.pv - pb.pv AS HUGEINT)
+            * CAST(pa.pv - pb.pv AS HUGEINT)) AS d2_proj
+      FROM pairs pr
+      JOIN p pa ON pa.vec_id = pr.va
+      JOIN p pb ON pb.vec_id = pr.vb AND pb.k = pa.k
+      GROUP BY 1, 2
+    )
+    SELECT od.va, od.vb,
+      CAST(od.d2_orig AS BIGINT) AS d2_orig,
+      CAST(pd.d2_proj AS DECIMAL(38,0)) AS d2_proj,
+      CAST(pd.d2_proj >= 8 * CAST(od.d2_orig AS HUGEINT)
+           AND pd.d2_proj <= 24 * CAST(od.d2_orig AS HUGEINT)
+           AS BOOLEAN) AS in_band
+    FROM od JOIN pd ON pd.va = od.va AND pd.vb = od.vb
+"""
+
+
+@register("b20_jl_projection", oracle=_B20_JL_ORACLE, tags=("B20",))
+def b20_jl_projection(spark, sf_dir):
+    xi = lambda x: (  # noqa: E731 — the shared 1e-7 integer scaling
+        F.round(x.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
+    ).cast("bigint")
+
+    def sign(k, i):
+        """±1 from md5('jl{k}_{i}') hex-digit parity (Achlioptas)."""
+        return (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"jl{k}_"), i.cast("string"))), 1, 1
+                ),
+            )
+            % 2
+        ) * 2 - 1
+
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _JL_SAMPLE_MOD == 0)
+        .select(
+            "vec_id", F.transform("embedding", lambda x: xi(x)).alias("q")
+        )
+    )
+    def proj_k(k):
+        # bind k at definition time; the lambda itself must stay
+        # 2-argument for zip_with's arity check
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.sequence(F.lit(0), F.size("q") - 1),
+                lambda x, i: x * sign(k, i).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+
+    # map-only projection: 16 integer folds over the un-exploded array
+    proj = emb.select(
+        "vec_id",
+        "q",
+        F.array(*[proj_k(k) for k in range(_JL_DIMS)]).alias("p"),
+    ).localCheckpoint()  # tiny sampled relation, reused on both sides
+    # of the pair self-join below — materialize once
+    a = proj.select(
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    d2_orig = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    d2_proj = F.aggregate(
+        F.zip_with(
+            F.col("pa"),
+            F.col("pb"),
+            lambda x, y: ((x - y).cast(dec) * (x - y).cast(dec)).cast(dec),
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + x).cast(dec),
+    )
+    out = pairs.select(
+        "va",
+        "vb",
+        d2_orig.alias("d2_orig"),
+        d2_proj.alias("d2_proj"),
+    )
+    return out.select(
+        "va",
+        "vb",
+        "d2_orig",
+        "d2_proj",
+        (
+            (F.col("d2_proj") >= F.col("d2_orig").cast(dec) * 8)
+            & (F.col("d2_proj") <= F.col("d2_orig").cast(dec) * 24)
+        ).alias("in_band"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B21j — sequence packing: concatenate documents (in deterministic
 # doc_id order, per language shard) into fixed-capacity context
 # windows, opening a new bin whenever the next document would overflow.

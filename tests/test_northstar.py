@@ -1975,3 +1975,30 @@ def test_kcore_matches_pure_python_peel_to_convergence(spark):
     expect = {x: deg[x] for x in alive}
     assert got == expect
     assert all(dg >= _KCORE_K for dg in got.values())
+
+
+def test_jl_projection_preserves_distance_geometry(spark):
+    """b20_jl_projection: the JL statistical property itself (not the
+    oracle twin) — for d=16 ±1 projections the d2_proj/(16*d2_orig)
+    ratio concentrates near 1, so most sampled pairs land in the
+    [0.5, 1.5] band and the mean ratio is close to 1. Also pins the
+    exact-arithmetic invariants: d2_proj is a multiple of nothing
+    fancy — it's a plain integer, and in_band agrees with the two
+    integer comparisons it abbreviates."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    rows = plans.all_queries()["b20_jl_projection"](spark, SF_DIR).collect()
+    assert len(rows) > 50
+    n_band = sum(1 for r in rows if r["in_band"])
+    assert n_band / len(rows) >= 0.7
+    ratios = [
+        float(r["d2_proj"]) / (16.0 * r["d2_orig"])
+        for r in rows
+        if r["d2_orig"] > 0
+    ]
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 <= mean <= 1.3
+    for r in rows[:20]:
+        lo = 8 * int(r["d2_orig"]) <= int(r["d2_proj"])
+        hi = int(r["d2_proj"]) <= 24 * int(r["d2_orig"])
+        assert r["in_band"] == (lo and hi)
