@@ -2883,6 +2883,87 @@ def b23_acf(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B23x — CROSS-correlation lag scan between series (the ACF's
+# two-signal sibling): for every ordered pair of event-type series,
+# the raw lagged co-movement score at lags 0..6 hours — "do errors
+# follow clicks an hour later?" — the standard lead/lag discovery
+# pass before building a causal/forecast model, and for PLC signals
+# the "valve opens N minutes after pump starts" detector.
+#
+# Exactness: per-(series, hour-bucket) integer cent sums (the b23_acf
+# quantization), then score(a, b, L) = Σ_t qa(t)·qb(t+L) with every
+# product cast to DECIMAL(38)/HUGEINT before accumulation — bucket
+# sums grow with corpus scale, and int64 products would overflow
+# around sf10; the raw (unnormalized) score is emitted because a
+# normalized correlation divides two transcendental magnitudes the
+# engines would round differently, while the ARGMAX structure over
+# lags — the thing the analyst reads — is identical either way.
+#
+# Scale shape: one keyed aggregation to hour buckets (events
+# collapse ~3600:1 before anything joins), then ONE bucket-aligned
+# equi-join per lag set — the small lag relation broadcasts and
+# pre-explodes the left side 7x, the join key is the well-distributed
+# bucket id (never the 5-value event_type), and the pair filter
+# et_a < et_b prunes the self and mirror pairs before aggregation.
+# Cost: O(buckets x lags), independent of raw event count.
+# --------------------------------------------------------------------------
+_XCORR_LAGS = 7  # lags 0..6 hours
+
+_B23_XCORR_ORACLE = f"""
+    WITH s AS (
+      SELECT event_type AS et,
+        CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS b,
+        CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    ser AS (SELECT et, b, SUM(cents) AS q FROM s GROUP BY 1, 2),
+    lags AS (SELECT unnest(range(0, {_XCORR_LAGS})) AS lag),
+    j AS (
+      SELECT a.et AS et_a, c.et AS et_b, lags.lag,
+        CAST(a.q AS HUGEINT) * c.q AS p
+      FROM ser a CROSS JOIN lags
+      JOIN ser c ON c.b = a.b + lags.lag AND a.et < c.et
+    )
+    SELECT et_a, et_b, CAST(lag AS BIGINT) AS lag,
+      CAST(SUM(p) AS DECIMAL(38,0)) AS score,
+      CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM j GROUP BY 1, 2, 3
+"""
+
+
+@register("b23_xcorr", oracle=_B23_XCORR_ORACLE, tags=("B23",))
+def b23_xcorr(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("b"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ser = s.groupBy("et", "b").agg(F.sum("cents").alias("q"))
+    lags = spark.range(0, _XCORR_LAGS).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = ser.select(
+        F.col("et").alias("et_a"), F.col("b").alias("ba"), F.col("q").alias("qa")
+    ).crossJoin(F.broadcast(lags))
+    c = ser.select(
+        F.col("et").alias("et_b"), F.col("b").alias("bb"), F.col("q").alias("qb")
+    )
+    dec = "decimal(38,0)"
+    j = a.join(
+        c,
+        (F.col("bb") == F.col("ba") + F.col("lag"))
+        & (F.col("et_a") < F.col("et_b")),
+    )
+    return j.groupBy("et_a", "et_b", "lag").agg(
+        F.sum((F.col("qa").cast(dec) * F.col("qb").cast(dec)).cast(dec))
+        .cast(dec)
+        .alias("score"),
+        F.count("*").cast("bigint").alias("n_overlap"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B23i — single mean-shift changepoint per series (the CUSUM-style
 # offline estimator): k* = argmax_k |n*C_k - k*S_n| over the ordered
 # prefix sums — the scaled statistic keeps everything in int64

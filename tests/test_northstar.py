@@ -2002,3 +2002,37 @@ def test_jl_projection_preserves_distance_geometry(spark):
         lo = 8 * int(r["d2_orig"]) <= int(r["d2_proj"])
         hi = int(r["d2_proj"]) <= 24 * int(r["d2_orig"])
         assert r["in_band"] == (lo and hi)
+
+
+def test_xcorr_detects_planted_lag(spark, tmp_path):
+    """b23_xcorr on a crafted two-series corpus: series 'bb' is series
+    'aa' shifted forward by exactly 2 hours, so for the ordered pair
+    (aa, bb) the lag-2 score must strictly dominate every other lag
+    (a positive spiky pattern aligns perfectly only at its true
+    shift)."""
+    import datetime
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    # spiky positive pattern — autocorrelation at nonzero shift is low
+    pat = [9.0, 1.0, 1.0, 7.0, 1.0, 2.0, 1.0, 8.0, 1.0, 1.0, 5.0, 1.0,
+           1.0, 1.0, 6.0, 1.0, 2.0, 1.0, 1.0, 9.0, 1.0, 1.0, 1.0, 4.0]
+    rows = []
+    for h, v in enumerate(pat):
+        rows.append((2 * h, t0 + datetime.timedelta(hours=h), 0, "aa", v, "{}"))
+        rows.append(
+            (2 * h + 1, t0 + datetime.timedelta(hours=h + 2), 0, "bb", v, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = plans.all_queries()["b23_xcorr"](spark, str(tmp_path)).collect()
+    scores = {r["lag"]: int(r["score"]) for r in out}
+    assert set(scores) == set(range(7))
+    best = max(scores, key=lambda L: (scores[L], -L))
+    assert best == 2
+    assert all(scores[2] > s for L, s in scores.items() if L != 2)
