@@ -3200,6 +3200,125 @@ def b21_lm_bigram_fit_ntile(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B21pp — PERPLEXITY in exact integer BITS: true log-domain LM scoring
+# with zero cross-engine drift. b21_lm_bigram_fit buckets by raw match
+# counts because "log-prob sums are not cross-engine reproducible" —
+# this operator closes that gap: the add-one-smoothed bigram surprisal
+# −log2 p(w2|w1) = log2(c1+V) − log2(c2+1) is REPLACED by its
+# bit-length bound bits(c1+V) − bits(c2+1), where bits(n) =
+# length(bin(n)) = floor(log2 n)+1 — an exact INTEGER within 1 bit of
+# the real surprisal per term, additive across a document exactly like
+# a real log-prob (the thing the tercile fit-score is not). CCNet
+# filters on mean per-token perplexity; avg_bits_x100 is that
+# statistic, exact.
+#
+# Scale shape: one gram aggregate builds the bigram model c2 (map-side
+# partials), the left-context totals c1 derive from c2 by a second
+# SMALL aggregate over the model (never re-scanning the corpus), and V
+# is one scalar distinct-count broadcast with the model join. Scoring
+# joins doc bigram OCCURRENCE GROUPS (doc_id, bigram, multiplicity) —
+# the collapsed relation, not raw positions — against the model, so
+# the join input is bounded by distinct-bigrams-per-doc. At 100 TB the
+# model gets a frequency floor / count-count cap exactly like the
+# b21_lm_bigram_fit top-K; the bit-length algebra is unchanged.
+# --------------------------------------------------------------------------
+_B21_PPL_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    d2 AS (SELECT * FROM d WHERE len(w) >= 2),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d2)
+    ),
+    e AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY 1, 2, 3
+    ),
+    c2 AS (SELECT w1, w2, SUM(m) AS c2 FROM e GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    vv AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest(w) AS tok FROM d
+      )
+    ),
+    scored AS (
+      SELECT e.doc_id,
+        SUM(e.m) AS n_bigrams,
+        SUM(e.m * (length(bin(c1.c1 + vv.v)) - length(bin(c2.c2 + 1))))
+          AS total_bits
+      FROM e
+      JOIN c2 ON c2.w1 = e.w1 AND c2.w2 = e.w2
+      JOIN c1 ON c1.w1 = e.w1
+      CROSS JOIN vv
+      GROUP BY 1
+    )
+    SELECT doc_id,
+      CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      CAST(total_bits AS BIGINT) AS total_bits,
+      {avg} AS avg_bits_x100
+    FROM scored
+""".replace(
+    "{avg}", sql_round_ratio("total_bits * 100", "n_bigrams", 0)
+)
+
+
+@register("b21_perplexity_bits", oracle=_B21_PPL_ORACLE, tags=("B21",))
+def b21_perplexity_bits(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+    )
+    w = F.col("w")
+    d2 = docs.filter(F.size(w) >= 2)
+    bg = d2.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.struct(
+                    F.get(w, i).alias("w1"), F.get(w, i + 1).alias("w2")
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # per-doc occurrence groups: the corpus collapses ONCE, everything
+    # downstream aggregates the compact relation
+    e = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    c2 = e.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vv = docs.select(F.explode(w).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731 — floor(log2 n)+1
+    scored = (
+        e.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("m")
+                * (bits(F.col("c1") + F.col("v")) - bits(F.col("c2") + 1))
+            )
+            .cast("bigint")
+            .alias("total_bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        round_ratio(F.col("total_bits") * 100, F.col("n_bigrams"), 0).alias(
+            "avg_bits_x100"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # B21o — linear quality-classifier inference (fastText-shaped): score
 # each document with a hashed-unigram linear model — weight(token) =
 # h16(md5(token)) % 2001 − 1000, a deterministic stand-in for trained

@@ -2036,3 +2036,64 @@ def test_xcorr_detects_planted_lag(spark, tmp_path):
     best = max(scores, key=lambda L: (scores[L], -L))
     assert best == 2
     assert all(scores[2] > s for L, s in scores.items() if L != 2)
+
+
+def test_perplexity_bits_matches_pure_python_and_bounds_surprisal(
+    spark, tmp_path
+):
+    """b21_perplexity_bits vs an independent pure-Python replay on a
+    crafted corpus, plus the analytic guarantee: the integer bit score
+    is within 1 bit PER TERM of the real add-one-smoothed surprisal
+    sum (bits(n) = floor(log2 n)+1 brackets log2 n)."""
+    import math
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    rows = [
+        (0, "the cat sat on the mat", "en", "s0"),
+        (1, "the cat ran", "en", "s0"),
+        (2, "a dog sat on a log on a bog", "en", "s0"),
+        (3, "single", "en", "s0"),  # < 2 tokens: no output row
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    toks = {i: txt.split() for i, txt, _l, _s in rows}
+    vocab = {w for ws in toks.values() for w in ws}
+    c2: dict = {}
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict = {}
+    for (a, _b), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+    V = len(vocab)
+    expect = {}
+    for i, ws in toks.items():
+        if len(ws) < 2:
+            continue
+        bits = sum(
+            (c1[a] + V).bit_length() - (c2[(a, b)] + 1).bit_length()
+            for a, b in zip(ws, ws[1:])
+        )
+        expect[i] = (len(ws) - 1, bits)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["total_bits"])
+        for r in plans.all_queries()["b21_perplexity_bits"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expect
+
+    # the 1-bit-per-term bracket vs the real smoothed surprisal
+    for i, ws in toks.items():
+        if len(ws) < 2:
+            continue
+        real = sum(
+            math.log2(c1[a] + V) - math.log2(c2[(a, b)] + 1)
+            for a, b in zip(ws, ws[1:])
+        )
+        n_terms = len(ws) - 1
+        assert abs(got[i][1] - real) <= 2 * n_terms
