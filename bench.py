@@ -160,6 +160,11 @@ BENCH_QUERIES = [
     "b21_unicode_normalize",  # NFC + control strip, Arrow pandas-UDF path
     "b25_zorder_zonemap",  # bit-interleaved layout zone maps + box pruning
     "b23_profile_anomaly",  # hour-of-day profile gate, broadcast probe
+    "b19_kcore",  # bounded-round peeling, per-round localCheckpoint
+    "b20_jl_projection",  # ±1 JL projection + pair distance audit
+    "b23_xcorr",  # cross-correlation lag scan, bucket-aligned joins
+    "b21_perplexity_bits",  # integer bit-length LM surprisal scoring
+    "b25_compaction_plan",  # metadata-only next-fit file bin-packing
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

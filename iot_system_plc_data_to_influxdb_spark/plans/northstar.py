@@ -1567,11 +1567,24 @@ _B20_JL_ORACLE = f"""
 """
 
 
-@register("b20_jl_projection", oracle=_B20_JL_ORACLE, tags=("B20",))
-def b20_jl_projection(spark, sf_dir):
+def _jl_quantize(df):
+    """(vec_id, q: array<bigint>) — components in 1e-7 integer units."""
     xi = lambda x: (  # noqa: E731 — the shared 1e-7 integer scaling
         F.round(x.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
     ).cast("bigint")
+    return df.select(
+        "vec_id", F.transform("embedding", lambda x: xi(x)).alias("q")
+    )
+
+
+def _jl_project(df):
+    """Append p: array<bigint> — the _JL_DIMS ±1-signed projections.
+
+    MAP-ONLY by construction: 16 integer folds over the un-exploded
+    `q` array — no explode, no join, no shuffle (plan-guarded in
+    tests/test_plans_physical.py). This is the leg that runs over the
+    FULL corpus at 100 TB; the pair audit in b20_jl_projection runs
+    over a deterministic sample."""
 
     def sign(k, i):
         """±1 from md5('jl{k}_{i}') hex-digit parity (Achlioptas)."""
@@ -1585,13 +1598,6 @@ def b20_jl_projection(spark, sf_dir):
             % 2
         ) * 2 - 1
 
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % _JL_SAMPLE_MOD == 0)
-        .select(
-            "vec_id", F.transform("embedding", lambda x: xi(x)).alias("q")
-        )
-    )
     def proj_k(k):
         # bind k at definition time; the lambda itself must stay
         # 2-argument for zip_with's arity check
@@ -1605,12 +1611,22 @@ def b20_jl_projection(spark, sf_dir):
             lambda a, x: a + x,
         )
 
-    # map-only projection: 16 integer folds over the un-exploded array
-    proj = emb.select(
+    return df.select(
         "vec_id",
         "q",
         F.array(*[proj_k(k) for k in range(_JL_DIMS)]).alias("p"),
-    ).localCheckpoint()  # tiny sampled relation, reused on both sides
+    )
+
+
+@register("b20_jl_projection", oracle=_B20_JL_ORACLE, tags=("B20",))
+def b20_jl_projection(spark, sf_dir):
+    emb = _jl_quantize(
+        t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % _JL_SAMPLE_MOD == 0
+        )
+    )
+    proj = _jl_project(emb).localCheckpoint()  # tiny sampled relation,
+    # reused on both sides
     # of the pair self-join below — materialize once
     a = proj.select(
         F.col("vec_id").alias("va"),

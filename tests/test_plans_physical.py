@@ -362,3 +362,30 @@ def test_quantile_sketch_is_partial_final_bounded_agg(spark):
     assert "Join" not in p
     simple = _plan(spark, "b5_quantile_sketch", mode="simple")
     assert simple.count("Exchange hashpartitioning") <= 2  # agg + window
+
+
+def test_b20_jl_projection_leg_is_map_only(spark):
+    """The full-corpus JL projection leg (quantize + 16 signed folds)
+    must compile to a single map stage: scan → project, zero Exchange,
+    zero explode/generate — that is its 100 TB contract. (The pair
+    AUDIT in b20_jl_projection joins a sample and is allowed to
+    shuffle; this guards the leg that touches every vector.)"""
+    import contextlib
+    import io
+
+    from iot_system_plc_data_to_influxdb_spark.catalog import t
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _jl_project,
+        _jl_quantize,
+    )
+
+    df = _jl_project(_jl_quantize(t(spark, SF_DIR, "embeddings")))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode — folds over the array
+    # and the projection actually computes: 16 bigint outputs
+    row = df.limit(1).collect()[0]
+    assert len(row["p"]) == 16

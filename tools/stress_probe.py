@@ -57,6 +57,14 @@ QUERIES = [
     "b19_url_dedup",            # map-only canonicalization + canon-key window
     "b19_pagerank",             # 3 join+agg rounds over a 10x-node graph
     "b23_alert_transitions",    # per-series LAG window over 10x-deep series
+    "b19_kcore",                # bounded-round peel over a 10x-node graph
+    "b23_xcorr",                # bucket-aligned lag joins over 10x events
+    "b21_perplexity_bits",      # bigram model + probe over 10x tokens
+    "b25_compaction_plan",      # metadata window over 10x (day,hour,type) files
+    # b20_jl_projection is NOT probed: the embeddings table is copied
+    # verbatim (not replicated), and its audit leg is deliberately
+    # sample-quadratic — the linear projection leg is plan-guarded
+    # map-only instead (tests/test_plans_physical.py)
 ]
 
 
