@@ -2097,3 +2097,45 @@ def test_perplexity_bits_matches_pure_python_and_bounds_surprisal(
         )
         n_terms = len(ws) - 1
         assert abs(got[i][1] - real) <= 2 * n_terms
+
+
+def test_label_propagation_matches_pure_python_sync_lpa(spark):
+    """b19_label_propagation vs an independent pure-Python synchronous
+    LPA run to the same R=4 horizon with the same (count desc, label
+    asc) tie-break — label-for-label equality, plus community_size
+    consistency with the labeling itself."""
+    from collections import Counter, defaultdict
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _KCORE_PRIMES,
+        _LPA_ROUNDS,
+    )
+
+    rows = plans.all_queries()["b19_label_propagation"](
+        spark, SF_DIR
+    ).collect()
+    got = {r["doc_id"]: r["label"] for r in rows}
+
+    n = t(spark, SF_DIR, "documents").count()
+    nbr = defaultdict(set)
+    for i in range(n):
+        for j, p in enumerate(_KCORE_PRIMES, start=1):
+            if i % 7 >= j:
+                dst = (i * p + j) % n
+                if dst != i:
+                    nbr[i].add(dst)
+                    nbr[dst].add(i)
+    lab = {x: x for x in nbr}
+    for _ in range(_LPA_ROUNDS):
+        nxt = {}
+        for x, ys in nbr.items():
+            cnt = Counter(lab[y] for y in ys)
+            best = min(cnt, key=lambda L: (-cnt[L], L))
+            nxt[x] = best
+        lab = nxt
+    assert got == lab
+
+    sizes = Counter(lab.values())
+    for r in rows:
+        assert r["community_size"] == sizes[r["label"]]
