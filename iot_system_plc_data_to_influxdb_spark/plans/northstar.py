@@ -1673,6 +1673,110 @@ def b20_jl_projection(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B20r — RADIUS (range) SEARCH with provably-sound IVF cell pruning:
+# the "all neighbors within distance R" dual of top-k ANN — the shape
+# dedup-by-distance, near-field audit, and density estimation need
+# (top-k can miss in-radius points past k; radius search can't). The
+# plan assigns every vector to its nearest of 8 deterministic
+# centroids (exact-DECIMAL argmin, ties to the smallest cell), keeps
+# per-cell max member-to-centroid d², and scans ONLY cells where
+# d²(probe, centroid) <= 2R² + 2r²_cell — the SQUARED triangle
+# inequality (d(p,c) <= d(p,x)+d(x,c) ⇒ d²(p,c) <= 2d²(p,x)+2d²(x,c)),
+# sound with zero square roots, so the pruning decision itself is an
+# exact DECIMAL comparison that cannot drift engines. The oracle is
+# deliberately the BRUTE-FORCE scan: the correctness gate therefore
+# PROVES the pruned plan returns exactly the un-pruned answer.
+#
+# Honesty note: on this near-uniform synthetic corpus the cells are
+# wide (r²_cell ~ corpus diameter), so the bound keeps most cells at
+# test scale — pruning power is a property of the DATA's cluster
+# structure. tests/test_northstar.py plants a genuinely clustered
+# fixture and proves cells ARE pruned there while results still match
+# brute force. At 100 TB the corpus is laid out partitioned by cell,
+# so every kept/pruned decision is partition pruning.
+# --------------------------------------------------------------------------
+_RADIUS_R2 = "1.6"  # squared-distance radius (DECIMAL literal)
+_RADIUS_CELLS = 8
+_RADIUS_PROBE = 0
+
+_B20_RADIUS_ORACLE = f"""
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
+    pe AS (SELECT embedding AS p FROM embeddings
+           WHERE vec_id = {_RADIUS_PROBE}),
+    d AS (
+      SELECT e.vec_id,
+        CAST(ROUND(CAST(e.embedding[pos.i] AS DOUBLE), 7)
+             AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(p.p[pos.i] AS DOUBLE), 7)
+             AS DECIMAL(9,7)) AS db
+      FROM embeddings e CROSS JOIN pe p CROSS JOIN pos
+      WHERE pos.i <= len(e.embedding)
+    ),
+    dd AS (
+      SELECT vec_id, SUM((da - db) * (da - db)) AS d2 FROM d GROUP BY 1
+    )
+    SELECT vec_id, CAST(d2 AS DECIMAL(30,14)) AS d2
+    FROM dd WHERE vec_id <> {_RADIUS_PROBE} AND d2 <= {_RADIUS_R2}
+"""
+
+
+def _radius_search(emb, r2_lit: str = _RADIUS_R2):
+    """The pruned radius-search plan over an (vec_id, embedding)
+    frame — shared by the registered query and the clustered-fixture
+    pruning test (which also inspects the kept-cell set)."""
+    from ..functions.vectors import dist2_exact
+
+    cent = emb.filter(F.col("vec_id") < _RADIUS_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        dist2_exact(F.col("embedding"), F.col("cvec")).alias("dc2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dc2").asc(), "cell")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell", "dc2")
+    )
+    stats = assigned.groupBy("cell").agg(F.max("dc2").alias("r2cell"))
+    probe = emb.filter(F.col("vec_id") == _RADIUS_PROBE).select(
+        F.col("embedding").alias("pe")
+    )
+    r2 = F.expr(f"CAST({r2_lit} AS DECIMAL(30,14))")
+    kept = (
+        cent.crossJoin(F.broadcast(probe))
+        .select("cell", dist2_exact(F.col("cvec"), F.col("pe")).alias("pc2"))
+        .join(stats, "cell")
+        .filter(F.col("pc2") <= 2 * r2 + 2 * F.col("r2cell"))
+        .select("cell")
+    )
+    hits = (
+        assigned.join(F.broadcast(kept), "cell")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            dist2_exact(F.col("embedding"), F.col("pe")).alias("d2"),
+        )
+        .filter((F.col("vec_id") != _RADIUS_PROBE) & (F.col("d2") <= r2))
+    )
+    return hits, kept
+
+
+@register("b20_radius_search", oracle=_B20_RADIUS_ORACLE, tags=("B20",))
+def b20_radius_search(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hits, _kept = _radius_search(emb)
+    return hits.select(
+        "vec_id", F.col("d2").cast("decimal(30,14)").alias("d2")
+    )
+
+
+# --------------------------------------------------------------------------
 # B21j — sequence packing: concatenate documents (in deterministic
 # doc_id order, per language shard) into fixed-capacity context
 # windows, opening a new bin whenever the next document would overflow.

@@ -2139,3 +2139,59 @@ def test_label_propagation_matches_pure_python_sync_lpa(spark):
     sizes = Counter(lab.values())
     for r in rows:
         assert r["community_size"] == sizes[r["label"]]
+
+
+def test_radius_search_prunes_clustered_cells_and_matches_brute_force(
+    spark,
+):
+    """_radius_search on a planted 3-cluster corpus: the squared
+    triangle-inequality bound must PRUNE every cell whose cluster is
+    far from the probe (the pruning-power the uniform sf corpus can't
+    show), while the hit set still equals a pure-Python brute-force
+    scan — pruning is sound AND effective on clustered data."""
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _radius_search,
+    )
+
+    centers = {"A": (0.0, 0.0, 0.0, 0.0),
+               "B": (10.0, 0.0, 0.0, 0.0),
+               "C": (0.0, 10.0, 0.0, 0.0)}
+
+    def jit(center, k):
+        # deterministic small jitter, exactly representable at 7 dp
+        return tuple(c + ((k * 13 + d * 7) % 5) * 0.01
+                     for d, c in enumerate(center))
+
+    rows = []
+    # first 8 ids are the centroids: 0..2 in A (0 is the probe),
+    # 3..5 in B, 6..7 in C
+    for vid, cl in enumerate(["A", "A", "A", "B", "B", "B", "C", "C"]):
+        rows.append((vid, list(jit(centers[cl], vid)), 0))
+    vid = 8
+    for cl, n in (("A", 20), ("B", 20), ("C", 20)):
+        for k in range(n):
+            rows.append((vid, list(jit(centers[cl], vid)), 0))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+    hits_df, kept_df = _radius_search(emb.select("vec_id", "embedding"))
+    kept = {r["cell"] for r in kept_df.collect()}
+    hits = {r["vec_id"]: float(r["d2"]) for r in hits_df.collect()}
+
+    # far clusters' cells pruned, probe's cluster kept
+    assert 0 in kept
+    assert kept <= {0, 1, 2}
+
+    # brute force in pure python (same 7-dp quantization)
+    probe = [round(x, 7) for x in rows[0][1]]
+    expect = {}
+    for r_vid, vec, _l in rows[1:]:
+        q = [round(x, 7) for x in vec]
+        d2 = sum((a - b) ** 2 for a, b in zip(q, probe))
+        if d2 <= 1.6:
+            expect[r_vid] = d2
+    assert set(hits) == set(expect)
+    for v, d2 in hits.items():
+        assert abs(d2 - expect[v]) < 1e-9
