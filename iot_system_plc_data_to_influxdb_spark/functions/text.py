@@ -134,3 +134,15 @@ def gopher_stats(txt: Column, words: Column) -> dict:
         "symbol_hits": symbol_hits,
         "passes": passes,
     }
+
+
+def surprisal_bits(den: Column, num: Column) -> Column:
+    """Integer bit-length surprisal bound: bits(den) − bits(num) where
+    bits(n) = length(bin(n)) = floor(log2 n)+1 — within 1 bit of the
+    real −log2(num/den) per term and EXACT integer arithmetic, so
+    log-domain LM scores hash identically across engines. Shared by
+    the batch b21_perplexity_bits query and
+    streaming/curation.surprisal_stream (one expression tree — the
+    batch and stream legs cannot drift). Both operands must be >= 1
+    (callers pass c1+V and c2+1)."""
+    return (F.length(F.bin(den)) - F.length(F.bin(num))).cast("bigint")

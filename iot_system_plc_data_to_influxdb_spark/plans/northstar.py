@@ -3412,7 +3412,9 @@ def b21_perplexity_bits(spark, sf_dir):
     vv = docs.select(F.explode(w).alias("tok")).agg(
         F.count_distinct("tok").alias("v")
     )
-    bits = lambda c: F.length(F.bin(c))  # noqa: E731 — floor(log2 n)+1
+    from ..functions.text import surprisal_bits  # shared with the
+    # streaming leg (curation.surprisal_stream) — one expression tree
+
     scored = (
         e.join(c2, ["w1", "w2"])
         .join(c1, "w1")
@@ -3422,7 +3424,7 @@ def b21_perplexity_bits(spark, sf_dir):
             F.sum("m").cast("bigint").alias("n_bigrams"),
             F.sum(
                 F.col("m")
-                * (bits(F.col("c1") + F.col("v")) - bits(F.col("c2") + 1))
+                * surprisal_bits(F.col("c1") + F.col("v"), F.col("c2") + 1)
             )
             .cast("bigint")
             .alias("total_bits"),

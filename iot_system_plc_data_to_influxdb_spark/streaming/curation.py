@@ -479,3 +479,51 @@ def url_dedup_stream(
     return canon.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["canon_url"]
     )
+
+
+def surprisal_stream(
+    docs: DataFrame, c2_model: DataFrame, c1_model: DataFrame, v: int
+) -> DataFrame:
+    """Per-bigram LM surprisal tagging at ingest — the streaming leg
+    of plans/northstar.b21_perplexity_bits (same
+    functions/text.surprisal_bits expression tree, so batch and
+    stream can never drift).
+
+    The train-batch / serve-stream split: ``c2_model`` (w1, w2, c2)
+    and ``c1_model`` (w1, c1) are the bigram/left-context count tables
+    the nightly batch job fits, ``v`` its vocabulary size. The stream
+    explodes each arriving doc into bigrams (stateless) and
+    STREAM-STATIC left-joins the model — NOVEL bigrams (the thing a
+    stream sees that the training corpus didn't) fall back to count 0,
+    i.e. maximum surprisal bits(c1+V), exactly what add-one smoothing
+    prescribes. Emits one (doc_id, w1, w2, bits) row per bigram
+    occurrence in APPEND mode with zero state store — per-doc
+    aggregation is the batch consumer's job (the b21 query); keeping
+    the stream stateless is what lets it run at ingest rate.
+    """
+    from ..functions.text import surprisal_bits, tokens
+
+    w = tokens(F.col("text"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.struct(
+                    F.get(w, i).alias("w1"), F.get(w, i + 1).alias("w2")
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    joined = bg.join(c2_model, ["w1", "w2"], "left").join(
+        c1_model, "w1", "left"
+    )
+    return joined.select(
+        "doc_id",
+        "w1",
+        "w2",
+        surprisal_bits(
+            F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(v)),
+            F.coalesce(F.col("c2"), F.lit(0)) + 1,
+        ).alias("bits"),
+    )

@@ -1716,3 +1716,86 @@ def test_streaming_quantile_sketch_merges_to_batch_percentiles(
         ).collect()
     }
     assert merged == direct
+
+
+def test_streaming_surprisal_sums_to_batch_perplexity_bits(
+    spark, tmp_path
+):
+    """B21pp × B26: surprisal_stream tags each arriving bigram with
+    the shared surprisal_bits expression; summing the streamed rows
+    per doc reproduces the batch b21_perplexity_bits totals exactly
+    (model = the same corpus the batch query fits), across
+    micro-batch boundaries. A novel bigram in a later batch gets the
+    add-one fallback bits(c1+V) rather than a join miss."""
+    import glob
+    import shutil
+    from collections import Counter
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.streaming.curation import (
+        surprisal_stream,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat", "en", "s0"),
+        (1, "the cat ran far", "en", "s0"),
+        (2, "a dog sat on a log", "en", "s1"),
+        (3, "the dog ran on the mat", "en", "s1"),
+    ]
+    dsch = "doc_id bigint, text string, lang string, source string"
+    spark.createDataFrame(docs, dsch).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    batch = {
+        r["doc_id"]: (r["n_bigrams"], r["total_bits"])
+        for r in plans.all_queries()["b21_perplexity_bits"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # fit the model in pure python (the nightly-batch stand-in)
+    toks = {i: txt.split() for i, txt, _l, _s in docs}
+    c2 = Counter(
+        (a, b) for ws in toks.values() for a, b in zip(ws, ws[1:])
+    )
+    c1 = Counter()
+    for (a, _b), c in c2.items():
+        c1[a] += c
+    vocab = {w for ws in toks.values() for w in ws}
+    c2_df = spark.createDataFrame(
+        [(a, b, c) for (a, b), c in c2.items()], "w1 string, w2 string, c2 bigint"
+    )
+    c1_df = spark.createDataFrame(
+        list(c1.items()), "w1 string, c1 bigint"
+    )
+
+    # stream the same docs in 2 micro-batches
+    dst = os.path.join(str(tmp_path), "stream_in")
+    os.makedirs(dst, exist_ok=True)
+    for i, half in enumerate([docs[:2], docs[2:]]):
+        stage = os.path.join(str(tmp_path), f"sstage{i}")
+        spark.createDataFrame(half, dsch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(dst, f"{i:04d}.parquet"))
+    stream = (
+        spark.readStream.schema(dsch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    got = []
+    q = (
+        surprisal_stream(stream, c2_df, c1_df, len(vocab))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    sums: dict = {}
+    counts: dict = {}
+    for r in got:
+        sums[r["doc_id"]] = sums.get(r["doc_id"], 0) + r["bits"]
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    streamed = {d: (counts[d], sums[d]) for d in sums}
+    assert streamed == batch
