@@ -7747,7 +7747,10 @@ def b19_triangle_count(spark, sf_dir):
     )
     e = raw.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct().cache()  # canonical undirected edges: reused 3x below
+    ).localCheckpoint()  # canonical undirected edges: reused 3x below;
+    # eager checkpoint (not cache) so the docs scan-fragment cache can
+    # be released immediately — see _varied_link_graph's hygiene note
+    docs.unpersist()
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
@@ -7900,7 +7903,7 @@ def _varied_link_graph(spark, sf_dir):
             d.alias("src"), ((d * p + j) % n).alias("dst")
         )
         raw = leg if raw is None else raw.unionAll(leg)
-    return (
+    e = (
         raw.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"),
@@ -7908,8 +7911,16 @@ def _varied_link_graph(spark, sf_dir):
         )
         .distinct()
         .repartition(32, "u")
-        .localCheckpoint()
+        .localCheckpoint()  # eager: edges are materialized past here
     )
+    # release the scan-fragment cache NOW: a cached
+    # `documents.select(doc_id).repartition(32)` lingering in the
+    # CacheManager gets substituted into ANY later plan over the same
+    # table and injects its exchange there (observed: b19_url_dedup's
+    # plan guard counting a third hashpartitioning when a graph query
+    # ran first in the same session)
+    docs.unpersist()
+    return e
 
 
 @register("b19_kcore", oracle=_kcore_oracle(), tags=("B19",))

@@ -59,6 +59,13 @@ QUERIES = [
     "b18_stratified_sample",     # claim: window carries pruned 4-col projection
     "b21_winnow_fingerprints",   # claim: one per-doc window shuffle, map-only grams
     "b19_winnow_neardup",        # claim: pair join sized by rare shared fingerprints
+    "b19_kcore",                 # claim: per-round exchanges sized by the shrinking subgraph
+    "b19_label_propagation",     # claim: per-round join+agg linear in edges, O(V) label state
+    "b23_xcorr",                 # claim: events collapse ~3600:1 before any join
+    "b21_perplexity_bits",       # claim: corpus collapses once to occurrence groups
+    "b25_compaction_plan",       # claim: exchanges carry file METADATA only
+    "b20_radius_search",         # claim: centroids/kept-cells broadcast; corpus never shuffles
+    "b20_jl_projection",         # claim: projection map-only; only the pair audit exchanges
 ]
 
 UI_PORT = 4047
