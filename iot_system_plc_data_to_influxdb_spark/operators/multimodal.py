@@ -3430,3 +3430,71 @@ def decode_tiff(payload: bytes):
         data += raw
     px = np.frombuffer(bytes(data), dtype=np.uint8)[: h * w * 3]
     return w, h, px.reshape(h, w, 3)
+
+
+def vad_segments(
+    df: DataFrame, frame: int = 16, threshold: int = 100_000
+) -> DataFrame:
+    """Energy-based voice-activity detection over WAV payloads: decode
+    (the decode_wav chunk walk), frame into ``frame``-sample windows,
+    gate each frame on exact integer energy (sum of squared
+    amplitudes) >= ``threshold``, and merge consecutive active frames
+    into segments — the trim-silence / speech-extent pass every audio
+    training pipeline runs before feature extraction.
+
+    One Arrow-batched pass, map-only like every media stage (the
+    islands merge is per-doc-local, so it never leaves the task).
+    Emits one row per ACTIVE segment: frame extent, exact energy sum,
+    and the peak single-frame energy. All integers — SQL-replayable.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "seg_idx": [], "start_frame": [],
+                "end_frame": [], "n_frames": [], "energy_sum": [],
+                "peak_energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, samples = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                n = s.size
+                if n == 0:
+                    continue
+                nf = (n + frame - 1) // frame
+                padded = np.zeros(nf * frame, dtype=np.int64)
+                padded[:n] = s
+                energies = (padded * padded).reshape(nf, frame).sum(axis=1)
+                active = energies >= threshold
+                seg_idx = 0
+                f = 0
+                while f < nf:
+                    if not active[f]:
+                        f += 1
+                        continue
+                    start = f
+                    while f < nf and active[f]:
+                        f += 1
+                    seg = energies[start:f]
+                    out["doc_id"].append(doc_id)
+                    out["seg_idx"].append(seg_idx)
+                    out["start_frame"].append(start)
+                    out["end_frame"].append(f - 1)
+                    out["n_frames"].append(f - start)
+                    out["energy_sum"].append(int(seg.sum()))
+                    out["peak_energy"].append(int(seg.max()))
+                    seg_idx += 1
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "seg_idx", "start_frame", "end_frame",
+                    "n_frames", "energy_sum", "peak_energy",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        "doc_id bigint, seg_idx int, start_frame int, end_frame int, "
+        "n_frames int, energy_sum bigint, peak_energy bigint",
+    )

@@ -4716,6 +4716,101 @@ def b22_audio_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B22v — VOICE-ACTIVITY DETECTION (energy-gated silence trimming):
+# decode WAV → 16-sample frame energies (exact integer sum of
+# squares) → threshold gate → consecutive active frames merged into
+# segments. The trim-silence pass audio pipelines run before feature
+# extraction (and for PLC acoustics, the "machine running vs idle"
+# segmenter). The corpus plants silence closed-form: every third
+# 16-sample frame carries low-amplitude hiss ((7d+31i) % 32, energy
+# <= 16·31² ≈ 15k) and the rest the full sawtooth (energy >= ~330k by
+# the arithmetic-sequence bound), so the 100k threshold separates
+# them with margin AND the quiet frames are genuinely nonzero — the
+# gate is a real energy comparison, not a zero test. The whole
+# decode→frame→gate→merge runs in ONE Arrow-batched map-only pass
+# (operators/multimodal.vad_segments); the islands merge is
+# per-doc-local so it never leaves the task. Oracle replays synth →
+# energies → gaps-and-islands in SQL.
+# --------------------------------------------------------------------------
+_B22_VAD_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (SELECT unnest(range(0, 128)) AS i),
+    s AS (
+      SELECT d.doc_id, i, i // 16 AS f,
+        CASE WHEN (i // 16) % 3 = 0
+             THEN (7 * d.doc_id + 31 * i) % 32
+             ELSE (7 * d.doc_id + 31 * i) % 2048 - 1024 END AS amp
+      FROM d JOIN idx ON i < d.n
+    ),
+    fr AS (
+      SELECT doc_id, f, SUM(amp * amp) AS energy
+      FROM s GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT doc_id, f, energy,
+        f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      FROM fr WHERE energy >= 100000
+    ),
+    seg AS (
+      SELECT doc_id, grp,
+        MIN(f) AS start_frame, MAX(f) AS end_frame,
+        COUNT(*) AS n_frames, SUM(energy) AS energy_sum,
+        MAX(energy) AS peak_energy
+      FROM act GROUP BY 1, 2
+    )
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY start_frame) - 1 AS INT) AS seg_idx,
+      CAST(start_frame AS INT) AS start_frame,
+      CAST(end_frame AS INT) AS end_frame,
+      CAST(n_frames AS INT) AS n_frames,
+      CAST(energy_sum AS BIGINT) AS energy_sum,
+      CAST(peak_energy AS BIGINT) AS peak_energy
+    FROM seg
+"""
+
+
+def _media_payloads_wav_vad(df):
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_wav
+
+    def batches(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                loud = (7 * d + 31 * i) % 2048 - 1024
+                hiss = (7 * d + 31 * i) % 32
+                quiet = (i // 16) % 3 == 0
+                samples = np.where(quiet, hiss, loud).astype(np.int16)
+                ids.append(d)
+                payloads.append(encode_wav(samples, 8000 + (d % 8) * 1000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(batches, "doc_id bigint, payload binary")
+
+
+@register("b22_audio_vad", oracle=_B22_VAD_ORACLE, tags=("B22",))
+def b22_audio_vad(spark, sf_dir):
+    from ..operators.multimodal import vad_segments
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(32, "doc_id")
+    )
+    return vad_segments(_media_payloads_wav_vad(docs))
+
+
+# --------------------------------------------------------------------------
 # B22p — COMPRESSED audio decode: IMA ADPCM (WAV format 0x11, the
 # classic 4-bit telephony/game codec — pure integer state machine, no
 # external codec lib needed). The corpus samples are closed-form, so

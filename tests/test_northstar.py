@@ -2195,3 +2195,39 @@ def test_radius_search_prunes_clustered_cells_and_matches_brute_force(
     assert set(hits) == set(expect)
     for v, d2 in hits.items():
         assert abs(d2 - expect[v]) < 1e-9
+
+
+def test_vad_segments_geometry_and_threshold(spark):
+    """operators/multimodal.vad_segments on a crafted waveform: two
+    loud bursts separated by true silence, a quiet (sub-threshold but
+    nonzero) hiss burst that must NOT open a segment, and a partial
+    final frame that must still close the last segment correctly."""
+    import numpy as np
+
+    from iot_system_plc_data_to_influxdb_spark.operators.multimodal import (
+        encode_wav,
+        vad_segments,
+    )
+
+    frame = 16
+    loud = np.full(frame, 400, dtype=np.int16)     # energy 2.56M
+    hiss = np.full(frame, 20, dtype=np.int16)      # energy 6400 < 100k
+    silence = np.zeros(frame, dtype=np.int16)
+    # frames: loud loud | silence | hiss | silence | loud(partial 8)
+    samples = np.concatenate(
+        [loud, loud, silence, hiss, silence, np.full(8, 500, dtype=np.int16)]
+    )
+    payload = encode_wav(samples, 8000)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    rows = sorted(
+        vad_segments(df).collect(), key=lambda r: r["seg_idx"]
+    )
+    assert [
+        (r["seg_idx"], r["start_frame"], r["end_frame"], r["n_frames"])
+        for r in rows
+    ] == [(0, 0, 1, 2), (1, 5, 5, 1)]
+    assert rows[0]["energy_sum"] == 2 * 16 * 400 * 400
+    assert rows[0]["peak_energy"] == 16 * 400 * 400
+    assert rows[1]["energy_sum"] == 8 * 500 * 500  # padded frame
