@@ -3441,6 +3441,146 @@ def b21_perplexity_bits(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B21rk — RAKE keyword extraction (Rose et al. 2010, Rapid Automatic
+# Keyword Extraction): candidate phrases are the maximal runs of
+# non-stopword tokens (stopwords are the delimiters), each word is
+# scored degree/frequency over ITS document's candidates (degree =
+# summed length of the phrases it appears in — favors words that live
+# in long collocations), and a phrase scores the sum of its words'
+# scores; top-5 phrases per doc. The standard cheap topic-tagger for
+# corpus curation — what you label shards with before mixture
+# sampling. All arithmetic exact: word scores are half-up-rounded
+# integer ratios x100 (the _exact.py pmod formula INLINE as integers
+# so phrase sums stay integers), and the phrase ranking tie-breaks on
+# the phrase text.
+#
+# Scale shape: everything is doc-local — one explode to (doc, pos,
+# tok), islands via one per-doc running-sum window, word stats one
+# (doc, word) aggregate, phrase build one (doc, island) aggregate,
+# ranking one per-doc window. Keyed shuffles only, all on doc-salted
+# keys; nothing global, no model, no broadcast.
+# --------------------------------------------------------------------------
+_B21_RAKE_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok,
+        CASE WHEN w[i] IN ({_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d)
+    ),
+    isl AS (
+      SELECT doc_id, pos, tok, is_stop,
+        SUM(is_stop) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pos
+    ),
+    cand AS (SELECT doc_id, island, pos, tok FROM isl WHERE is_stop = 0),
+    ph AS (
+      SELECT doc_id, island,
+        string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        COUNT(*) AS plen
+      FROM cand GROUP BY 1, 2
+    ),
+    ws AS (
+      SELECT c.doc_id, c.tok,
+        COUNT(*) AS freq, SUM(ph.plen) AS deg
+      FROM cand c JOIN ph ON ph.doc_id = c.doc_id AND ph.island = c.island
+      GROUP BY 1, 2
+    ),
+    wscore AS (
+      SELECT doc_id, tok,
+        (2 * 100 * deg + freq) // (2 * freq) AS score100
+      FROM ws
+    ),
+    pscore AS (
+      SELECT c.doc_id, c.island, SUM(s.score100) AS score
+      FROM cand c
+      JOIN wscore s ON s.doc_id = c.doc_id AND s.tok = c.tok
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p.doc_id, ph.phrase, p.score,
+        ROW_NUMBER() OVER (
+          PARTITION BY p.doc_id ORDER BY p.score DESC, ph.phrase) AS rk
+      FROM pscore p
+      JOIN ph ON ph.doc_id = p.doc_id AND ph.island = p.island
+    )
+    SELECT doc_id, phrase, CAST(score AS BIGINT) AS score,
+      CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 5
+"""
+
+
+@register("b21_rake_keywords", oracle=_B21_RAKE_ORACLE, tags=("B21",))
+def b21_rake_keywords(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode("w").alias("pos", "tok"),
+    ).withColumn(
+        "is_stop", F.col("tok").isin(*STOPWORDS).cast("int")
+    )
+    wisl = Window.partitionBy("doc_id").orderBy("pos")
+    cand = (
+        pos.withColumn("island", F.sum("is_stop").over(wisl))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "island", "pos", "tok")
+    )
+    ph = cand.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    ws = (
+        cand.join(ph.select("doc_id", "island", "plen"), ["doc_id", "island"])
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    # half-up integer ratio x100, kept as an INTEGER so phrase sums
+    # stay exact (round_ratio's final /scale would hand back doubles)
+    num = 2 * 100 * F.col("deg") + F.col("freq")
+    wscore = ws.select(
+        "doc_id",
+        "tok",
+        ((num - F.pmod(num, 2 * F.col("freq"))) / (2 * F.col("freq")))
+        .cast("bigint")
+        .alias("score100"),
+    )
+    pscore = (
+        cand.join(wscore, ["doc_id", "tok"])
+        .groupBy("doc_id", "island")
+        .agg(F.sum("score100").alias("score"))
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase")
+    )
+    return (
+        pscore.join(ph.select("doc_id", "island", "phrase"), ["doc_id", "island"])
+        .withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc_id",
+            "phrase",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # B21o — linear quality-classifier inference (fastText-shaped): score
 # each document with a hashed-unigram linear model — weight(token) =
 # h16(md5(token)) % 2001 − 1000, a deterministic stand-in for trained

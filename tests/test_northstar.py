@@ -2231,3 +2231,31 @@ def test_vad_segments_geometry_and_threshold(spark):
     assert rows[0]["energy_sum"] == 2 * 16 * 400 * 400
     assert rows[0]["peak_energy"] == 16 * 400 * 400
     assert rows[1]["energy_sum"] == 8 * 500 * 500  # padded frame
+
+
+def test_rake_keywords_degree_frequency_semantics(spark, tmp_path):
+    """b21_rake_keywords on a hand-computed document: stopwords split
+    candidates, word score = round(100·degree/frequency), phrase score
+    sums its words — 'deep neural network' must outrank 'deep
+    learning' because its words carry higher collocation degree."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    text = "deep learning of the deep neural network and the network"
+    spark.createDataFrame(
+        [(0, text, "en", "s0")],
+        "doc_id bigint, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = sorted(
+        plans.all_queries()["b21_rake_keywords"](
+            spark, str(tmp_path)
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    # deep: freq 2, deg 5 -> 250 | learning: 1,2 -> 200
+    # neural: 1,3 -> 300 | network: 2,4 -> 200
+    assert [(r["phrase"], r["score"], r["rank"]) for r in rows] == [
+        ("deep neural network", 750, 1),
+        ("deep learning", 450, 2),
+        ("network", 200, 3),
+    ]
