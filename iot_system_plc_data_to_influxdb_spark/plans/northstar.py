@@ -7755,6 +7755,167 @@ def b18_kcenter_coreset(spark, sf_dir, k: int = _KC_K):
 
 
 # --------------------------------------------------------------------------
+# B20m — MMR DIVERSE RE-RANKING (maximal marginal relevance,
+# Carbonell & Goldstein 1998): re-rank the retriever's top-C pool so
+# the final top-k balances relevance against redundancy — the search/
+# RAG-side twin of the k-center coreset (same greedy max-min skeleton,
+# plus a relevance term): rank 1 = most relevant (min exact d² to the
+# probe, tie smallest id); each later rank maximizes
+# min_{s∈selected} d²(c, s) − d²(c, probe) — λ=0.5 MMR with both
+# terms scaled ×2, so the entire selection argmax runs in exact
+# DECIMAL and can never flip on accumulation order.
+#
+# Scale shape: the POOL is the retriever's top-C (one TakeOrdered over
+# the corpus — the only corpus-sized stage); the greedy then runs on
+# C rows with the k-center incremental-state pattern (carry min-d²-to-
+# selected forward, join only the newest pick, localCheckpoint per
+# round, k−1 bounded 1-row driver actions). At 100 TB C stays ~1e3 —
+# re-ranking cost is independent of corpus size by construction.
+# --------------------------------------------------------------------------
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_PROBE = 0
+
+
+def _mmr_oracle(k: int = _MMR_K, c: int = _MMR_POOL) -> str:
+    dec = "CAST(ROUND(CAST({src}.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7))"
+    parts = [f"""
+    WITH pos AS (
+      SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i
+    ),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    pr AS (SELECT embedding FROM e WHERE vec_id = {_MMR_PROBE}),
+    dp AS (
+      SELECT v.vec_id,
+        SUM(({dec.format(src='v')} - {dec.format(src='pr')})
+          * ({dec.format(src='v')} - {dec.format(src='pr')})) AS d2p
+      FROM e v CROSS JOIN pr CROSS JOIN pos
+      WHERE v.vec_id <> {_MMR_PROBE}
+      GROUP BY v.vec_id
+    ),
+    pool AS (
+      SELECT dp.vec_id, dp.d2p, e.embedding
+      FROM dp JOIN e USING (vec_id)
+      ORDER BY dp.d2p, dp.vec_id LIMIT {c}
+    ),
+    pd AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+        SUM(({dec.format(src='a')} - {dec.format(src='b')})
+          * ({dec.format(src='a')} - {dec.format(src='b')})) AS d2
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      CROSS JOIN pos
+      GROUP BY 1, 2
+    ),
+    s1 AS (
+      SELECT vec_id, d2p FROM pool ORDER BY d2p, vec_id LIMIT 1
+    )"""]
+    for r in range(2, k + 1):
+        prev_m = f"m{r - 1}" if r > 2 else None
+        if r == 2:
+            parts.append(f""",
+    m2 AS (
+      SELECT p.vec_id, p.d2p, pd.d2 AS mind
+      FROM pool p
+      JOIN pd ON pd.va = p.vec_id
+      JOIN s1 ON pd.vb = s1.vec_id
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM s1)
+    ),
+    s2 AS (
+      SELECT vec_id, d2p FROM m2
+      ORDER BY (mind - d2p) DESC, vec_id LIMIT 1
+    )""")
+        else:
+            parts.append(f""",
+    m{r} AS (
+      SELECT m.vec_id, m.d2p, LEAST(m.mind, pd.d2) AS mind
+      FROM {prev_m} m
+      JOIN pd ON pd.va = m.vec_id
+      JOIN s{r - 1} ON pd.vb = s{r - 1}.vec_id
+      WHERE m.vec_id NOT IN (SELECT vec_id FROM s{r - 1})
+    ),
+    s{r} AS (
+      SELECT vec_id, d2p FROM m{r}
+      ORDER BY (mind - d2p) DESC, vec_id LIMIT 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, CAST(d2p AS DOUBLE) AS d2_probe "
+        f"FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n    " + finals)
+    return "".join(parts)
+
+
+@register("b20_mmr_rerank", oracle=_mmr_oracle(), tags=("B20",))
+def b20_mmr_rerank(spark, sf_dir):
+    from ..functions.vectors import dist2_exact
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probe = emb.filter(F.col("vec_id") == _MMR_PROBE).select(
+        F.col("embedding").alias("pe")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != _MMR_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "embedding",
+            dist2_exact(F.col("embedding"), F.col("pe")).alias("d2p"),
+        )
+        .orderBy("d2p", "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint()  # C rows: every greedy round runs on this
+    )
+    first = pool.orderBy("d2p", "vec_id").limit(1).first()
+    sel = [(1, int(first["vec_id"]), float(first["d2p"]))]
+    state = None  # (vec_id, d2p, mind): min d2 to any selected pick
+    for r in range(2, _MMR_K + 1):
+        newest = pool.filter(F.col("vec_id") == sel[-1][1]).select(
+            F.col("embedding").alias("se")
+        )
+        d_new = (
+            pool.filter(
+                ~F.col("vec_id").isin([v for _r, v, _d in sel])
+            )
+            .crossJoin(F.broadcast(newest))
+            .select(
+                "vec_id",
+                "d2p",
+                dist2_exact(F.col("embedding"), F.col("se")).alias("d2"),
+            )
+        )
+        if state is None:
+            new_state = d_new.select(
+                "vec_id", "d2p", F.col("d2").alias("mind")
+            )
+        else:
+            new_state = (
+                state.filter(F.col("vec_id") != sel[-1][1])
+                .join(d_new.select("vec_id", "d2"), "vec_id")
+                .select(
+                    "vec_id", "d2p", F.least("mind", "d2").alias("mind")
+                )
+            )
+        new_state = new_state.localCheckpoint(eager=True)
+        top = (
+            new_state.orderBy(
+                (F.col("mind") - F.col("d2p")).desc(), "vec_id"
+            )
+            .limit(1)
+            .select("vec_id", F.col("d2p").cast("double").alias("d2p"))
+            .first()
+        )
+        state = new_state
+        sel.append((r, int(top["vec_id"]), float(top["d2p"])))
+    # pool embeddings joined back are no longer needed; emit the
+    # k-row selection (bounded driver data, the k-center contract)
+    return spark.createDataFrame(
+        sel, "rank int, vec_id bigint, d2_probe double"
+    )
+
+
+# --------------------------------------------------------------------------
 # B19s — SUBSTRING-level exact dedup (suffix/ngram-anchor family): the
 # one canonical LLM-dedup family the registry lacked (round-8 verdict
 # #5) — find maximal VERBATIM shared token spans between document

@@ -2259,3 +2259,29 @@ def test_rake_keywords_degree_frequency_semantics(spark, tmp_path):
         ("deep learning", 450, 2),
         ("network", 200, 3),
     ]
+
+
+def test_mmr_rerank_diversifies_near_duplicate_results(spark, tmp_path):
+    """b20_mmr_rerank on a planted pool: two near-duplicates of the
+    most relevant hit must be DEMOTED below genuinely diverse (if less
+    relevant) items — plain relevance order would be [1,2,5,3,4];
+    MMR must produce [1,3,4,2,5]."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0], 0),    # probe
+        (1, [1.0, 0.0, 0.0, 0.0], 0),    # most relevant
+        (2, [1.01, 0.0, 0.0, 0.0], 0),   # near-dup of 1
+        (3, [0.0, 1.2, 0.0, 0.0], 0),    # diverse
+        (4, [0.0, 0.0, 1.3, 0.0], 0),    # diverse
+        (5, [1.02, 0.0, 0.0, 0.0], 0),   # near-dup of 1
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    rows = sorted(
+        plans.all_queries()["b20_mmr_rerank"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["vec_id"] for r in rows] == [1, 3, 4, 2, 5]
