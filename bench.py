@@ -165,6 +165,11 @@ BENCH_QUERIES = [
     "b23_xcorr",  # cross-correlation lag scan, bucket-aligned joins
     "b21_perplexity_bits",  # integer bit-length LM surprisal scoring
     "b25_compaction_plan",  # metadata-only next-fit file bin-packing
+    "b19_label_propagation",  # 4-round sync LPA, per-round checkpoint
+    "b20_radius_search",  # sqrt-free triangle-bound cell pruning
+    "b22_audio_vad",  # decode + frame-energy gate + islands, map-only
+    "b21_rake_keywords",  # stopword-island phrases, doc-local shuffles
+    "b20_mmr_rerank",  # top-C pool + k-1 bounded greedy rounds
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

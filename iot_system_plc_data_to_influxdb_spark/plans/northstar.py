@@ -8293,12 +8293,24 @@ def _varied_link_graph(spark, sf_dir):
     )
     n = docs.count()
     d = F.col("doc_id")
-    raw = None
-    for j, p in enumerate(_KCORE_PRIMES, start=1):
-        leg = docs.filter(d % 7 >= j).select(
-            d.alias("src"), ((d * p + j) % n).alias("dst")
+    # ONE generator pass instead of a 6-way unionAll: explode the
+    # (prime, j) table per row and gate on the out-degree rule — the
+    # same edges, 32 tasks instead of 6x32 (the union build's 192-task
+    # stage dominated the query's wall clock at sf0.1)
+    gens = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.lit(j).alias("j"))
+            for j, p in enumerate(_KCORE_PRIMES, start=1)
+        ]
+    )
+    raw = (
+        docs.select(d, F.explode(gens).alias("g"))
+        .filter(d % 7 >= F.col("g.j"))
+        .select(
+            d.alias("src"),
+            ((d * F.col("g.p") + F.col("g.j")) % n).alias("dst"),
         )
-        raw = leg if raw is None else raw.unionAll(leg)
+    )
     e = (
         raw.filter(F.col("src") != F.col("dst"))
         .select(

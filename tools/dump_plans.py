@@ -53,6 +53,11 @@ HEADLINE = [
     "b5_quantile_sketch",        # partial+final sketch agg + rank window
     "b21_importance_resample",   # ReusedExchange over per-(doc,b) counts
     "b23_alert_transitions",     # one per-series LAG exchange
+    "b23_xcorr",                 # bucket collapse + broadcast lag set + bucket join
+    "b21_perplexity_bits",       # one gram collapse; model aggs derive from it
+    "b25_compaction_plan",       # file-metadata agg + one per-day window
+    "b21_rake_keywords",         # doc-local islands/aggs, keyed exchanges only
+    "b20_radius_search",         # broadcast centroids/kept-cells; corpus unshuffled
 ]
 
 
