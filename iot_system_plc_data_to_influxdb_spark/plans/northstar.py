@@ -7755,6 +7755,167 @@ def b18_kcenter_coreset(spark, sf_dir, k: int = _KC_K):
 
 
 # --------------------------------------------------------------------------
+# B19cal — MINHASH CALIBRATION AUDIT: for every LSH candidate pair,
+# the sketch's similarity estimate (matching signature components,
+# 0..8) NEXT TO the exact shingle-set Jaccard it estimates — the
+# measurement that tells an operator whether the k=8/4-band
+# configuration is calibrated for THIS corpus before trusting it at
+# 100 TB (E[matches/k] = J; a corpus whose candidates show matches/k
+# systematically above exact J needs more bands/rows, one below is
+# over-verifying). The audit-query pattern of b20_embedding_audit
+# applied to the dedup sketch family: every column exact — component
+# equality is string equality on md5 prefixes, Jaccard is the
+# cross-multiplied integer ratio in basis points.
+#
+# Scale shape: identical to b19_minhash_lsh_neardup (this IS its
+# dataflow with the verify threshold removed and the signature
+# comparison added): map-only signatures, banded candidates, exact
+# verification only on candidate pairs. The calibration join adds one
+# broadcast-sized signature lookup per pair side.
+# --------------------------------------------------------------------------
+_B19_MH_CAL_ORACLE = (
+    _DOCS_CTE
+    + """
+    , mh AS (
+      SELECT doc_id,
+    """
+    + _MINHASH_COMPONENTS
+    + """
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bk FROM mh
+      UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM mh
+      UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM mh
+      UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM mh
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT c.d1, c.d2,
+        (CASE WHEN ma.h0 = mb.h0 THEN 1 ELSE 0 END
+         + CASE WHEN ma.h1 = mb.h1 THEN 1 ELSE 0 END
+         + CASE WHEN ma.h2 = mb.h2 THEN 1 ELSE 0 END
+         + CASE WHEN ma.h3 = mb.h3 THEN 1 ELSE 0 END
+         + CASE WHEN ma.h4 = mb.h4 THEN 1 ELSE 0 END
+         + CASE WHEN ma.h5 = mb.h5 THEN 1 ELSE 0 END
+         + CASE WHEN ma.h6 = mb.h6 THEN 1 ELSE 0 END
+         + CASE WHEN ma.h7 = mb.h7 THEN 1 ELSE 0 END) AS mh_matches
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.d1
+      JOIN mh mb ON mb.doc_id = c.d2
+    ),
+    inter AS (
+      SELECT c.d1, c.d2, count(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.d1
+      JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+      GROUP BY c.d1, c.d2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT m.d1 AS d1, m.d2 AS d2,
+      CAST(m.mh_matches AS INT) AS mh_matches,
+      CAST(COALESCE(inter.i, 0) AS BIGINT) AS n_inter,
+      CAST(sa.n + sb.n - COALESCE(inter.i, 0) AS BIGINT) AS n_union,
+      CAST((2 * COALESCE(inter.i, 0) * 10000
+            + (sa.n + sb.n - COALESCE(inter.i, 0)))
+           // (2 * (sa.n + sb.n - COALESCE(inter.i, 0))) AS BIGINT)
+        AS jac_bp
+    FROM m
+    LEFT JOIN inter ON inter.d1 = m.d1 AND inter.d2 = m.d2
+    JOIN sizes sa ON sa.doc_id = m.d1
+    JOIN sizes sb ON sb.doc_id = m.d2
+    """
+)
+
+
+@register(
+    "b19_minhash_calibration", oracle=_B19_MH_CAL_ORACLE, tags=("B19",)
+)
+def b19_minhash_calibration(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(F.col("w"))).alias("arr"),
+        )
+    )
+
+    def _component(j: int):
+        salt = F.lit(f"{j}|")
+        return F.array_min(
+            F.transform(
+                F.col("arr"),
+                lambda s: F.substring(F.md5(F.concat(salt, s)), 1, 8),
+            )
+        ).alias(f"h{j}")
+
+    sig = docs.select(
+        "doc_id", "arr", *[_component(j) for j in range(8)]
+    ).localCheckpoint()  # scanned by bands + both pair sides
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                        ).alias("bk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bk")
+    cand = (
+        bands.select(F.col("doc_id").alias("d1"), "band", "bk")
+        .join(
+            bands.select(F.col("doc_id").alias("d2"), "band", "bk"),
+            ["band", "bk"],
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("d1"),
+        F.col("arr").alias("arr_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("d2"),
+        F.col("arr").alias("arr_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(8)],
+    )
+    j = cand.join(a, "d1").join(b, "d2")
+    matches = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(8)
+    )
+    i = F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint")
+    union = (
+        F.size("arr_a").cast("bigint") + F.size("arr_b").cast("bigint") - i
+    )
+    num = 2 * i * 10000 + union
+    return j.select(
+        "d1",
+        "d2",
+        matches.cast("int").alias("mh_matches"),
+        i.alias("n_inter"),
+        union.alias("n_union"),
+        ((num - F.pmod(num, 2 * union)) / (2 * union))
+        .cast("bigint")
+        .alias("jac_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B20m — MMR DIVERSE RE-RANKING (maximal marginal relevance,
 # Carbonell & Goldstein 1998): re-rank the retriever's top-C pool so
 # the final top-k balances relevance against redundancy — the search/

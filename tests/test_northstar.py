@@ -2285,3 +2285,27 @@ def test_mmr_rerank_diversifies_near_duplicate_results(spark, tmp_path):
         key=lambda r: r["rank"],
     )
     assert [r["vec_id"] for r in rows] == [1, 3, 4, 2, 5]
+
+
+def test_minhash_calibration_estimator_brackets_exact_jaccard(spark):
+    """b19_minhash_calibration: on the sf corpus's candidate pairs the
+    k=8 sketch estimate (matches/8) must track exact Jaccard — mean
+    absolute calibration error under 2000 bp (k=8 has std ~J(1-J)/√8
+    per pair; the MEAN over pairs concentrates much tighter), and the
+    exact columns must be internally consistent (0 ≤ inter ≤ union,
+    jac_bp = round(10000·inter/union))."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    rows = plans.all_queries()["b19_minhash_calibration"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) >= 10
+    errs = []
+    for r in rows:
+        assert 0 <= r["n_inter"] <= r["n_union"]
+        num = 2 * r["n_inter"] * 10000 + r["n_union"]
+        assert r["jac_bp"] == (num - num % (2 * r["n_union"])) // (
+            2 * r["n_union"]
+        )
+        errs.append(abs(r["mh_matches"] * 1250 - r["jac_bp"]))
+    assert sum(errs) / len(errs) < 2000
