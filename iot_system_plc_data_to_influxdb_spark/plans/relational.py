@@ -153,57 +153,13 @@ def b5_approx(spark, sf_dir):
     )
 
 
-def _hll_bucket_rho(df, keycol, *carry):
-    """(bucket, rho) per row for the md5-pinned HLL — plus any carried
-    grouping columns (e.g. a day column for windowed register tables)."""
-    from ..functions.text import nibble
-
-    hx = F.md5(F.col(keycol).cast("string"))
-    staged = (
-        df.select(
-            *carry,
-            (nibble(F.substring(hx, 1, 1)) * 16
-             + nibble(F.substring(hx, 2, 1))).alias("bucket"),
-            F.substring(hx, 3, 13).alias("rest"),
-        )
-        .select(
-            *carry,
-            "bucket",
-            F.length(F.regexp_extract("rest", "^(0*)", 1)).alias("z"),
-            "rest",
-        )
-        .select(
-            *carry, "bucket", "z",
-            F.expr("substring(rest, z + 1, 1)").alias("c"),
-        )
-    )
-    rho = F.when(F.col("z") == 13, F.lit(53)).otherwise(
-        4 * F.col("z")
-        + F.when(F.col("c") == "1", 3)
-        .when(F.col("c").isin("2", "3"), 2)
-        .when(F.col("c").isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-        + 1
-    )
-    return staged.select(*carry, "bucket", rho.alias("rho"))
-
-
-def _hll_estimate(regs):
-    """(m, n_est) from a register table (bucket, r) — exact-int sum,
-    one double division (see b5_hll_deterministic's determinism note)."""
-    tot = regs.agg(
-        (
-            F.sum(F.expr("shiftleft(1L, 53 - r)"))
-            + (F.lit(256) - F.count("*")) * F.lit(9007199254740992)
-        ).alias("total")
-    )
-    return tot.select(
-        F.lit(256).alias("m"),
-        (
-            F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-            * F.lit(65536.0) * F.lit(9007199254740992.0) / F.col("total")
-        ).alias("n_est"),
-    )
+# Register construction + estimate live ONCE in functions/hll.py —
+# shared with the streaming CQ leg (streaming/rollup.
+# hll_register_stream), the same drift-proofing functions/qsketch.py
+# got in round 9: one expression tree, batch and stream cannot
+# diverge.
+from ..functions.hll import hll_bucket_rho as _hll_bucket_rho  # noqa: E402
+from ..functions.hll import hll_estimate as _hll_estimate  # noqa: E402
 
 
 # --------------------------------------------------------------------------

@@ -360,3 +360,30 @@ def percentile_from_sketch(
         ).alias("percentile"),
     )
     return agg
+
+
+def hll_register_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    *,
+    every: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed HLL register CQ — the distinct-count member of the
+    sketch-CQ family (quantile_sketch_stream is the percentile one):
+    event stream → append stream of finalized (window, bucket, r)
+    register rows, 256 small rows per window that never store keys.
+    Registers are built with the SAME functions/hll.hll_bucket_rho
+    expression tree as the batch b5_hll_* queries (the qsketch
+    drift-proofing pattern), and windows MERGE with the register MAX
+    — so a dashboard answers "distinct <key> over any range" from
+    materialized windows without touching raw data, and the merge is
+    provably the batch sketch (pinned in test_streaming)."""
+    from ..functions.hll import hll_bucket_rho
+
+    staged = hll_bucket_rho(events, key, "ts")
+    return (
+        staged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", every), "bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )

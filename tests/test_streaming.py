@@ -1799,3 +1799,85 @@ def test_streaming_surprisal_sums_to_batch_perplexity_bits(
         counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
     streamed = {d: (counts[d], sums[d]) for d in sums}
     assert streamed == batch
+
+
+def test_streaming_hll_registers_merge_to_batch_sketch(spark, tmp_path):
+    """B5 × B26: hll_register_stream's per-window register rows,
+    merged with the register MAX across windows, must equal the batch
+    one-pass register table over the same rows — and therefore give
+    the identical distinct-count estimate. Two micro-batches, so the
+    merge crosses a batch boundary."""
+    import datetime
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.functions.hll import (
+        hll_bucket_rho,
+        hll_estimate,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        hll_register_stream,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    # 900 distinct keys: above the ~2.5m small-range cutoff where the
+    # raw HLL estimator (no LinearCounting correction — matching the
+    # batch query exactly) is in its calibrated regime
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=2 * i), i)
+        for i in range(900)
+    ]
+    # watermark flush: a far-future DUPLICATE of user 0 — pushes the
+    # watermark past every real window so append mode emits them all,
+    # while changing no register (same key, register MAX absorbs it)
+    rows.append((9000, t0 + datetime.timedelta(hours=2), 0))
+    sch = "event_id bigint, ts timestamp, user_id bigint"
+    dst = os.path.join(str(tmp_path), "hll_in")
+    os.makedirs(dst, exist_ok=True)
+    for i, half in enumerate([rows[:450], rows[450:]]):
+        stage = os.path.join(str(tmp_path), f"hstage{i}")
+        spark.createDataFrame(half, sch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(dst, f"{i:04d}.parquet"))
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    got = []
+    q = (
+        hll_register_stream(stream, "user_id", every="1 minute")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len({r["window"] for r in got}) > 1  # multiple windows closed
+
+    merged: dict = {}
+    for r in got:
+        merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["r"])
+
+    batch_df = spark.createDataFrame(rows, sch)
+    batch = {
+        r["bucket"]: r["r"]
+        for r in hll_bucket_rho(batch_df, "user_id")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+        .collect()
+    }
+    assert merged == batch
+
+    merged_df = spark.createDataFrame(
+        [(b, r) for b, r in merged.items()], "bucket int, r int"
+    )
+    est_m = hll_estimate(merged_df).first()["n_est"]
+    est_b = hll_estimate(
+        spark.createDataFrame(
+            [(b, r) for b, r in batch.items()], "bucket int, r int"
+        )
+    ).first()["n_est"]
+    assert est_m == est_b
+    # 900 distinct users; HLL(256) raw-estimator error ~1.04/sqrt(256)
+    assert abs(est_m - 900) / 900 < 0.25
