@@ -295,26 +295,11 @@ def b5_hll_windowed_merge(spark, sf_dir):
     return _hll_estimate(merged)
 
 
-def _cms_buckets_col():
-    """Exploded (i, b) struct column: the d=4 Count-Min row/bucket
-    pairs of the key column ``u`` — shared by both CMS queries (and
-    reimplemented independently in tests as the checking oracle)."""
-    from ..functions.text import nibble
-
-    def bucket(i):
-        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("u")))
-        return (
-            nibble(F.substring(h, 1, 1)) * 16 + nibble(F.substring(h, 2, 1))
-        )
-
-    return F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
-                for i in range(4)
-            ]
-        )
-    )
+# The d=4 x 256 bucket mapping lives ONCE in functions/cms.py —
+# shared with the streaming CQ leg (streaming/rollup.cms_cell_stream),
+# same drift-proofing as functions/hll.py and functions/qsketch.py
+# (tests reimplement it independently as the checking oracle).
+from ..functions.cms import cms_buckets_col as _cms_buckets_col  # noqa: E402
 
 
 # --------------------------------------------------------------------------

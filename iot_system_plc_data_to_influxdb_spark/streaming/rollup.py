@@ -387,3 +387,34 @@ def hll_register_stream(
         .groupBy(F.window("ts", every), "bucket")
         .agg(F.max("rho").cast("int").alias("r"))
     )
+
+
+def cms_cell_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    *,
+    every: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed Count-Min cell CQ — the frequency member of the
+    sketch-CQ family (quantile_sketch_stream = percentiles,
+    hll_register_stream = distinct counts): event stream → append
+    stream of finalized (window, i, b, c) cell rows, ≤1,024
+    exact-integer rows per window that never store keys. Cells hash
+    through the SAME functions/cms.cms_buckets_col expression tree as
+    the batch b5_cms_* queries; windows MERGE with cell SUM — the CMS
+    merge — so range heavy-hitter queries answer from materialized
+    windows (merge == batch one-pass sketch pinned in
+    test_streaming)."""
+    from ..functions.cms import cms_buckets_col
+
+    staged = events.select(
+        "ts", F.col(key).cast("string").alias("u")
+    ).select("ts", cms_buckets_col().alias("e")).select(
+        "ts", "e.i", "e.b"
+    )
+    return (
+        staged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", every), "i", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )

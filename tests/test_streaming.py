@@ -1881,3 +1881,73 @@ def test_streaming_hll_registers_merge_to_batch_sketch(spark, tmp_path):
     assert est_m == est_b
     # 900 distinct users; HLL(256) raw-estimator error ~1.04/sqrt(256)
     assert abs(est_m - 900) / 900 < 0.25
+
+
+def test_streaming_cms_cells_merge_to_batch_sketch(spark, tmp_path):
+    """B5 × B26: cms_cell_stream's per-window cells, merged with the
+    cell SUM across windows, must equal the batch one-pass cell table
+    over the same rows — the CMS merge is lossless and the stream
+    shares the batch bucket expressions. Two micro-batches; the
+    watermark-flush row's own window never emits, so (unlike the HLL
+    test's register-neutral duplicate) it is simply absent from both
+    sides of the comparison."""
+    import datetime
+    import glob
+    import shutil
+    from collections import Counter
+
+    from iot_system_plc_data_to_influxdb_spark.functions.cms import (
+        cms_buckets_col,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.rollup import (
+        cms_cell_stream,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=2 * i), (i * 13) % 50)
+        for i in range(600)
+    ]
+    # watermark flush row: far future, emits all real windows; its own
+    # window stays open so it never lands in the output
+    flush = (9000, t0 + datetime.timedelta(hours=2), 0)
+    sch = "event_id bigint, ts timestamp, user_id bigint"
+    dst = os.path.join(str(tmp_path), "cms_in")
+    os.makedirs(dst, exist_ok=True)
+    for i, half in enumerate([rows[:300], rows[300:] + [flush]]):
+        stage = os.path.join(str(tmp_path), f"cstage{i}")
+        spark.createDataFrame(half, sch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(dst, f"{i:04d}.parquet"))
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    got = []
+    q = (
+        cms_cell_stream(stream, "user_id", every="1 minute")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len({r["window"] for r in got}) > 1
+
+    merged = Counter()
+    for r in got:
+        merged[(r["i"], r["b"])] += r["c"]
+
+    batch_df = spark.createDataFrame(rows, sch).select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    batch = {
+        (r["i"], r["b"]): r["c"]
+        for r in batch_df.select(cms_buckets_col().alias("e"))
+        .select("e.i", "e.b")
+        .groupBy("i", "b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert dict(merged) == batch
