@@ -423,3 +423,71 @@ def test_url_canonicalization_matches_python_reference(spark, specs):
         .collect()
     ]
     assert got == [canon_py(u) for u in urls]
+
+
+# ---- round-9 operators -------------------------------------------------
+
+_WORDS = ["the", "a", "of", "to", "deep", "net", "graph", "spark", "x1"]
+_DOC = st.lists(
+    st.integers(min_value=0, max_value=len(_WORDS) - 1),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=6))
+def test_rake_matches_python_reference(spark, docs_idx):
+    """b21_rake_keywords vs a pure-Python RAKE on hypothesis-generated
+    documents over a mixed stopword/content alphabet — exact equality
+    of the full top-5 table (phrases, integer scores, ranks)."""
+    import tempfile
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    stop = {"the", "a", "of", "to"}  # subset of functions/text.STOPWORDS
+    docs = [" ".join(_WORDS[i] for i in d) for d in docs_idx]
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "en", "s") for i, t in enumerate(docs)],
+            "doc_id bigint, text string, lang string, source string",
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        got = {
+            (r["doc_id"], r["rank"]): (r["phrase"], r["score"])
+            for r in plans.all_queries()["b21_rake_keywords"](
+                spark, td
+            ).collect()
+        }
+
+    expect = {}
+    for i, text in enumerate(docs):
+        toks = text.split()
+        phrases, cur = [], []
+        for w in toks:
+            if w in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            continue
+        freq: dict = {}
+        deg: dict = {}
+        for ph in phrases:
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ph)
+        score100 = {
+            w: (2 * 100 * deg[w] + freq[w]) // (2 * freq[w]) for w in freq
+        }
+        scored = sorted(
+            ((sum(score100[w] for w in ph), " ".join(ph)) for ph in phrases),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rk, (sc, ph) in enumerate(scored[:5], start=1):
+            expect[(i, rk)] = (ph, sc)
+    assert got == expect
