@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "b22_audio_vad",  # decode + frame-energy gate + islands, map-only
     "b21_rake_keywords",  # stopword-island phrases, doc-local shuffles
     "b20_mmr_rerank",  # top-C pool + k-1 bounded greedy rounds
+    "b19_minhash_calibration",  # sketch-vs-exact audit on LSH candidates
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -2452,7 +2452,7 @@ def _exact_kmeans_assignments(spark, sf_dir, K=8):
         F.lit(1).cast("bigint").alias("n"),
     )
 
-    def assign(cent):
+    def scored_against(cent):
         # map-only: centroid stats broadcast, exact-integer numerator
         # folded over the un-exploded array, double ratio for the argmin
         num = F.aggregate(
@@ -2466,9 +2466,13 @@ def _exact_kmeans_assignments(spark, sf_dir, K=8):
             lambda acc, term: acc + term,
         )
         ratio = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+        return v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "x", "cluster", ratio.alias("r")
+        )
+
+    def assign(cent):
         return (
-            v.crossJoin(F.broadcast(cent))
-            .select("vec_id", "x", "cluster", ratio.alias("r"))
+            scored_against(cent)
             .groupBy("vec_id", "x")
             .agg(F.min_by("cluster", F.struct("r", "cluster")).alias("cluster"))
         )
@@ -2486,12 +2490,15 @@ def _exact_kmeans_assignments(spark, sf_dir, K=8):
         .select("cluster", F.col("ds.s").alias("sx"), "n")
     )
     a2 = assign(cent1)
-    return v, a2
+    # third element: the FULL iteration-2 score relation (vec, cluster,
+    # r vs every cent1 centroid) — a2 is its per-vec argmin; the margin
+    # audit (b20_cluster_margin) reads the non-winning rows too
+    return v, a2, scored_against(cent1)
 
 
 @register("b20_kmeans_exact_replay", oracle=_B20_KMEANS_EXACT_ORACLE, tags=("B20",))
 def b20_kmeans_exact_replay(spark, sf_dir):
-    v, a2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
+    v, a2, _s2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
     return (
         a2.join(v.select("vec_id", F.element_at("x", 1).alias("x1")), "vec_id")
         .groupBy("cluster")
@@ -2501,6 +2508,88 @@ def b20_kmeans_exact_replay(spark, sf_dir):
             F.min("vec_id").alias("rep_vec"),
         )
         .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# B20cm — CLUSTER ASSIGNMENT-MARGIN AUDIT: per cluster, how close its
+# members sit to the SECOND-nearest centroid — margin = d²(second) −
+# d²(own) ≥ 0 (own is the argmin by construction). The stability/QA
+# companion to b20_kmeans_exact_replay: a cluster full of near-zero
+# margins is a boundary blob whose membership flips under any data
+# drift — exactly the clusters SemDeDup should NOT trust for
+# within-cluster-only dedup, and the k-means-health check an operator
+# reads before re-using cached centroids on a refreshed 100 TB corpus.
+#
+# Determinism without exact-decimal aggregation of distances: each
+# (vec, centroid) score r is an exact-HUGEINT numerator over one
+# double division — IDENTICAL doubles in both engines — and the audit
+# only ever takes MIN/MAX of (identical) doubles and argmins with
+# (margin, vec_id) tie-breaks, all order-independent. No double SUM
+# ever happens, so nothing depends on accumulation order.
+#
+# Scale shape: reuses the b20_kmeans_exact_replay dataflow (broadcast
+# centroid stats, map-only scoring) plus one per-vec 8-row argmin/
+# arg-second window and one per-cluster aggregate.
+# --------------------------------------------------------------------------
+_B20_MARGIN_ORACLE = (
+    _KMEANS_EXACT_CTE
+    + """,
+    own AS (
+      SELECT s2.vec_id, s2.cluster, s2.r
+      FROM s2 JOIN a2 USING (vec_id, cluster)
+    ),
+    oth AS (
+      SELECT s2.vec_id, MIN(s2.r) AS r2
+      FROM s2 JOIN a2 ON a2.vec_id = s2.vec_id
+        AND a2.cluster <> s2.cluster
+      GROUP BY s2.vec_id
+    ),
+    m AS (
+      SELECT own.vec_id, own.cluster, oth.r2 - own.r AS margin
+      FROM own JOIN oth USING (vec_id)
+    ),
+    rk AS (
+      SELECT vec_id, cluster, margin,
+        ROW_NUMBER() OVER (
+          PARTITION BY cluster ORDER BY margin, vec_id) AS t
+      FROM m
+    )
+    SELECT m.cluster,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      MIN(m.margin) AS min_margin,
+      MAX(m.margin) AS max_margin,
+      MIN(CASE WHEN rk.t = 1 THEN rk.vec_id END) AS tightest_vec
+    FROM m JOIN rk ON rk.vec_id = m.vec_id AND rk.cluster = m.cluster
+    GROUP BY m.cluster
+"""
+)
+
+
+@register("b20_cluster_margin", oracle=_B20_MARGIN_ORACLE, tags=("B20",))
+def b20_cluster_margin(spark, sf_dir):
+    _v, a2, s2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
+    own = s2.join(a2.select("vec_id", "cluster"), ["vec_id", "cluster"]).select(
+        "vec_id", "cluster", "r"
+    )
+    oth = (
+        s2.join(
+            a2.select("vec_id", F.col("cluster").alias("own_c")), "vec_id"
+        )
+        .filter(F.col("cluster") != F.col("own_c"))
+        .groupBy("vec_id")
+        .agg(F.min("r").alias("r2"))
+    )
+    m = own.join(oth, "vec_id").select(
+        "vec_id", "cluster", (F.col("r2") - F.col("r")).alias("margin")
+    )
+    return m.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("margin").alias("min_margin"),
+        F.max("margin").alias("max_margin"),
+        F.min_by("vec_id", F.struct("margin", "vec_id")).alias(
+            "tightest_vec"
+        ),
     )
 
 
@@ -3029,7 +3118,7 @@ _B19_SEMDEDUP_ORACLE = (
 
 @register("b19_semdedup", oracle=_B19_SEMDEDUP_ORACLE, tags=("B19", "B20"))
 def b19_semdedup(spark, sf_dir):
-    v, a2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
+    v, a2, _s2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
 
     def int_dot(a, b):
         # exact int64 dot: |x| ≤ 1e8 for any embedding component under

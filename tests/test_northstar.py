@@ -2309,3 +2309,32 @@ def test_minhash_calibration_estimator_brackets_exact_jaccard(spark):
         )
         errs.append(abs(r["mh_matches"] * 1250 - r["jac_bp"]))
     assert sum(errs) / len(errs) < 2000
+
+
+def test_cluster_margin_consistency(spark):
+    """b20_cluster_margin invariants: margins are non-negative (own
+    cluster IS the argmin), min <= max per cluster, member counts sum
+    to the corpus, and the tightest vec really attains the cluster's
+    min margin (re-derived independently from the score relation)."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _exact_kmeans_assignments,
+    )
+
+    rows = plans.all_queries()["b20_cluster_margin"](spark, SF_DIR).collect()
+    assert sum(r["n_members"] for r in rows) == 500
+    for r in rows:
+        assert 0.0 <= r["min_margin"] <= r["max_margin"]
+
+    _v, a2, s2 = _exact_kmeans_assignments(spark, SF_DIR, K=8)
+    scores = {}
+    for x in s2.collect():
+        scores.setdefault(x["vec_id"], {})[x["cluster"]] = x["r"]
+    own = {x["vec_id"]: x["cluster"] for x in a2.collect()}
+    for r in rows:
+        v = r["tightest_vec"]
+        c = own[v]
+        assert c == r["cluster"]
+        mine = scores[v][c]
+        second = min(x for cl, x in scores[v].items() if cl != c)
+        assert abs((second - mine) - r["min_margin"]) == 0.0
