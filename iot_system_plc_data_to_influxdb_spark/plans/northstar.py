@@ -2512,6 +2512,174 @@ def b20_kmeans_exact_replay(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B20ar — ANN RECALL@10 AUDIT (IVF vs exact ground truth, batch of
+# probes): for a deterministic probe panel, run the brute-force top-10
+# AND the IVF(2-of-8-cells) top-10 in ONE query and emit per-probe
+# recall — the evaluation harness every ANN deployment runs before
+# trusting the index, expressed as a query (the b19_minhash_calibration
+# pattern applied to the similarity family). recall_bp is an exact
+# integer (overlap × 1000); rankings are (cosine desc, vec_id) with
+# the exact-decimal cosine, so both engines rank identically.
+#
+# Scale shape: unlike the single-probe knn_ivf (which collects its
+# probe cells driver-side), the batch-of-probes formulation is pure
+# DataFrame end to end — probes broadcast against the corpus ONCE for
+# ground truth, cell routing is a broadcast 5x8 ranking, and IVF
+# candidates are one semi-join-shaped cell filter; zero driver
+# actions. This IS the production recall-eval shape: ground truth on
+# a small panel amortizes one corpus pass over all probes.
+# --------------------------------------------------------------------------
+_ANN_PROBE_MOD = 111
+
+_B20_ANN_RECALL_ORACLE = f"""
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
+    probes AS (
+      SELECT vec_id AS pid, embedding AS pv FROM embeddings
+      WHERE vec_id % {_ANN_PROBE_MOD} = 0
+    ),
+    bf_terms AS (
+      SELECT p.pid, e.vec_id,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(p.pv[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM embeddings e CROSS JOIN probes p CROSS JOIN pos
+      WHERE e.vec_id <> p.pid
+    ),
+    sim AS (
+      SELECT pid, vec_id,
+        CAST(SUM(da * db) AS DOUBLE)
+          / SQRT(CAST(SUM(da * da) AS DOUBLE)
+                 * CAST(SUM(db * db) AS DOUBLE)) AS cs
+      FROM bf_terms GROUP BY 1, 2
+    ),
+    bf AS (
+      SELECT pid, vec_id FROM (
+        SELECT pid, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY cs DESC, vec_id) AS rk
+        FROM sim) WHERE rk <= 10
+    ),
+    cents AS (
+      SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    aterms AS (
+      SELECT e.vec_id, c.cell,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(c.cvec[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM embeddings e CROSS JOIN cents c CROSS JOIN pos
+    ),
+    asim AS (
+      SELECT vec_id, cell,
+        CAST(SUM(da * db) AS DOUBLE)
+          / SQRT(CAST(SUM(da * da) AS DOUBLE)
+                 * CAST(SUM(db * db) AS DOUBLE)) AS sim
+      FROM aterms GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell) AS rk
+        FROM asim) WHERE rk = 1
+    ),
+    pcells AS (
+      SELECT a.vec_id AS pid, a.cell FROM (
+        SELECT vec_id, cell,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell) AS rk
+        FROM asim WHERE vec_id % {_ANN_PROBE_MOD} = 0) a
+      WHERE a.rk <= 2
+    ),
+    ivf AS (
+      SELECT pid, vec_id FROM (
+        SELECT s.pid, s.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY s.pid
+                             ORDER BY s.cs DESC, s.vec_id) AS rk
+        FROM sim s
+        JOIN assigned a ON a.vec_id = s.vec_id
+        JOIN pcells pc ON pc.pid = s.pid AND pc.cell = a.cell
+      ) WHERE rk <= 10
+    )
+    SELECT bf.pid AS pid,
+      CAST(COUNT(*) AS BIGINT) AS n_truth,
+      CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_overlap,
+      CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           * 1000 AS BIGINT) AS recall_bp
+    FROM bf
+    LEFT JOIN ivf ON ivf.pid = bf.pid AND ivf.vec_id = bf.vec_id
+    GROUP BY bf.pid
+"""
+
+
+@register("b20_ann_recall", oracle=_B20_ANN_RECALL_ORACLE, tags=("B20",))
+def b20_ann_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    )
+    # ground truth: ONE corpus pass over the broadcast probe panel
+    sim = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("pv")).alias("cs"),
+        )
+    )
+    wp = Window.partitionBy("pid").orderBy(F.col("cs").desc(), "vec_id")
+    bf = (
+        sim.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= 10)
+        .select("pid", "vec_id")
+    )
+    # IVF side: corpus-wide cell assignment + per-probe top-2 cells
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("cvec"),
+    )
+    asim = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
+    assigned = (
+        asim.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    pcells = (
+        asim.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0)
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("vec_id").alias("pid"), "cell")
+    )
+    ivf = (
+        sim.join(assigned, "vec_id")
+        .join(F.broadcast(pcells), ["pid", "cell"])
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= 10)
+        .select("pid", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        bf.join(ivf, ["pid", "vec_id"], "left")
+        .groupBy("pid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias(
+                "n_overlap"
+            ),
+            (F.sum(F.coalesce("hit", F.lit(0))) * 1000)
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # B20cm — CLUSTER ASSIGNMENT-MARGIN AUDIT: per cluster, how close its
 # members sit to the SECOND-nearest centroid — margin = d²(second) −
 # d²(own) ≥ 0 (own is the argmin by construction). The stability/QA

@@ -2338,3 +2338,19 @@ def test_cluster_margin_consistency(spark):
         mine = scores[v][c]
         second = min(x for cl, x in scores[v].items() if cl != c)
         assert abs((second - mine) - r["min_margin"]) == 0.0
+
+
+def test_ann_recall_audit_consistency(spark):
+    """b20_ann_recall invariants: every probe row has exactly 10
+    ground-truth neighbors, overlap within [0, 10], recall_bp =
+    overlap*1000, and the probe panel is exactly the deterministic
+    id sample."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    rows = plans.all_queries()["b20_ann_recall"](spark, SF_DIR).collect()
+    pids = sorted(r["pid"] for r in rows)
+    assert pids == [i for i in range(500) if i % 111 == 0]
+    for r in rows:
+        assert r["n_truth"] == 10
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["recall_bp"] == r["n_overlap"] * 1000
