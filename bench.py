@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "b21_rake_keywords",  # stopword-island phrases, doc-local shuffles
     "b20_mmr_rerank",  # top-C pool + k-1 bounded greedy rounds
     "b19_minhash_calibration",  # sketch-vs-exact audit on LSH candidates
+    "b20_cluster_margin",  # k-means assignment-margin audit
+    "b20_ann_recall",  # batch-of-probes IVF recall vs ground truth
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -2512,6 +2512,112 @@ def b20_kmeans_exact_replay(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B20tp — CONTRASTIVE TRIPLET MINING (anchor / positive / hard
+# negative): build the training pairs a contrastive embedding run
+# consumes — for each anchor in a deterministic panel, the positive is
+# its nearest neighbor and the HARD negative is the most-similar
+# vector still below the negative ceiling (the "close but wrong"
+# example that actually moves a contrastive loss; a random negative is
+# trivially separable and teaches nothing). The pair-construction
+# stage of every embedding-training pipeline, expressed as a query
+# with exact rankings: cosines are the exact-decimal construction
+# (identical doubles both engines), argmaxes tie-break on vec_id, and
+# the ceiling comparison happens on the identical double — no
+# threshold can flip between engines.
+#
+# Scale shape: one broadcast panel x corpus pass scores ALL candidates
+# for every anchor (the b20_ann_recall amortization); two per-anchor
+# argmax windows pick positive and negative. At 100 TB the candidate
+# pass narrows through the usual LSH/IVF prefilter first — the mining
+# semantics (two argmaxes over scored candidates) are unchanged.
+# --------------------------------------------------------------------------
+_TRIPLET_NEG_CEIL = 0.5
+
+_B20_TRIPLET_ORACLE = f"""
+    WITH pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
+    anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM embeddings
+      WHERE vec_id % {_JL_SAMPLE_MOD} = 0
+    ),
+    terms AS (
+      SELECT a.aid, e.vec_id,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(a.av[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM embeddings e CROSS JOIN anchors a CROSS JOIN pos
+      WHERE e.vec_id <> a.aid
+    ),
+    sim AS (
+      SELECT aid, vec_id,
+        CAST(SUM(da * db) AS DOUBLE)
+          / SQRT(CAST(SUM(da * da) AS DOUBLE)
+                 * CAST(SUM(db * db) AS DOUBLE)) AS cs
+      FROM terms GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT aid, vec_id AS pos_id, cs AS pos_cos FROM (
+        SELECT aid, vec_id, cs,
+          ROW_NUMBER() OVER (PARTITION BY aid
+                             ORDER BY cs DESC, vec_id) AS rk
+        FROM sim) WHERE rk = 1
+    ),
+    n AS (
+      SELECT aid, vec_id AS neg_id, cs AS neg_cos FROM (
+        SELECT s.aid, s.vec_id, s.cs,
+          ROW_NUMBER() OVER (PARTITION BY s.aid
+                             ORDER BY s.cs DESC, s.vec_id) AS rk
+        FROM sim s JOIN p ON p.aid = s.aid
+        WHERE s.cs <= {_TRIPLET_NEG_CEIL}
+          AND s.vec_id <> p.pos_id) WHERE rk = 1
+    )
+    SELECT p.aid AS anchor, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+    FROM p JOIN n ON n.aid = p.aid
+"""
+
+
+@register("b20_triplet_mining", oracle=_B20_TRIPLET_ORACLE, tags=("B20",))
+def b20_triplet_mining(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = emb.filter(F.col("vec_id") % _JL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    sim = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("av")).alias("cs"),
+        )
+        .localCheckpoint()  # scored candidates feed BOTH argmaxes
+    )
+    wa = Window.partitionBy("aid").orderBy(F.col("cs").desc(), "vec_id")
+    p = (
+        sim.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("aid", F.col("vec_id").alias("pos_id"), F.col("cs").alias("pos_cos"))
+    )
+    # the negative excludes the chosen positive: a low-similarity
+    # corpus can otherwise hand the SAME vector both roles (observed
+    # on the sf corpus — anchor whose best neighbor sits under the
+    # ceiling), and a pos==neg triplet teaches a contrastive loss
+    # nothing
+    n = (
+        sim.join(p.select("aid", "pos_id"), "aid")
+        .filter(
+            (F.col("cs") <= _TRIPLET_NEG_CEIL)
+            & (F.col("vec_id") != F.col("pos_id"))
+        )
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("aid", F.col("vec_id").alias("neg_id"), F.col("cs").alias("neg_cos"))
+    )
+    return p.join(n, "aid").select(
+        F.col("aid").alias("anchor"), "pos_id", "pos_cos", "neg_id", "neg_cos"
+    )
+
+
+# --------------------------------------------------------------------------
 # B20ar — ANN RECALL@10 AUDIT (IVF vs exact ground truth, batch of
 # probes): for a deterministic probe panel, run the brute-force top-10
 # AND the IVF(2-of-8-cells) top-10 in ONE query and emit per-probe

@@ -2354,3 +2354,19 @@ def test_ann_recall_audit_consistency(spark):
         assert r["n_truth"] == 10
         assert 0 <= r["n_overlap"] <= 10
         assert r["recall_bp"] == r["n_overlap"] * 1000
+
+
+def test_triplet_mining_semantics(spark):
+    """b20_triplet_mining invariants: one triplet per panel anchor,
+    positive is strictly more similar than the negative, the negative
+    respects the 0.5 ceiling, and neither equals the anchor."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    rows = plans.all_queries()["b20_triplet_mining"](spark, SF_DIR).collect()
+    anchors = sorted(r["anchor"] for r in rows)
+    assert anchors == [i for i in range(500) if i % 37 == 0]
+    for r in rows:
+        assert r["pos_id"] != r["anchor"] and r["neg_id"] != r["anchor"]
+        assert r["pos_id"] != r["neg_id"]
+        assert r["neg_cos"] <= 0.5
+        assert r["pos_cos"] >= r["neg_cos"]
