@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "b19_minhash_calibration",  # sketch-vs-exact audit on LSH candidates
     "b20_cluster_margin",  # k-means assignment-margin audit
     "b20_ann_recall",  # batch-of-probes IVF recall vs ground truth
+    "b20_triplet_mining",  # anchor/positive/hard-negative construction
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -583,6 +583,68 @@ def b27_event_transitions(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B27sq — SEQUENTIAL 3-GRAM PATTERN MINING (user-support semantics):
+# the sequence-mining step past b27_event_transitions' Markov bigrams
+# — count each consecutive 3-event pattern by how many DISTINCT USERS
+# exhibit it (classic sequential-pattern support, not raw occurrence:
+# one bot looping a path a thousand times is ONE supporter), keep
+# patterns with support >= 3 users, and report support alongside raw
+# occurrences. The "what 3-step journeys actually recur across the
+# user base" question a funnel designer asks before hand-building
+# funnels. Two LAG taps on one per-user ordered window (same single
+# exchange as the bigram query), then one pattern aggregate with
+# count + count_distinct — exact integers throughout.
+# --------------------------------------------------------------------------
+_B27_SEQ3_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type AS e3,
+        LAG(event_type, 1) OVER w AS e2,
+        LAG(event_type, 2) OVER w AS e1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT e1, e2, e3,
+        COUNT(*) AS n_occurrences,
+        COUNT(DISTINCT user_id) AS support_users
+      FROM s WHERE e1 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT e1, e2, e3,
+      CAST(n_occurrences AS BIGINT) AS n_occurrences,
+      CAST(support_users AS BIGINT) AS support_users
+    FROM g WHERE support_users >= 3
+"""
+
+
+@register("b27_sequence_trigrams", oracle=_B27_SEQ3_ORACLE, tags=("B27",))
+def b27_sequence_trigrams(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("e3"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.lag("event_type", 2).over(w).alias("e1"),
+    )
+    return (
+        s.filter(F.col("e1").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("bigint").alias(
+                "support_users"
+            ),
+        )
+        .filter(F.col("support_users") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
 # B27p — sessionized top-paths: the navigation-analysis companion of
 # the session window (b27_session_window) and the transition matrix
 # (b27_event_transitions) — sessions cut at 30-min inactivity gaps,

@@ -635,3 +635,56 @@ def test_compaction_plan_packing_invariants(spark):
                 assert cum >= (i + 1) * _COMPACT_TARGET
             if i > 0:
                 assert b["first_hour"] >= bins[i - 1]["last_hour"]
+
+
+def test_sequence_trigrams_user_support_semantics(spark, tmp_path):
+    """b27_sequence_trigrams on a crafted log: a bot user looping one
+    path 20 times contributes support 1 (user-support, not occurrence
+    count), so the pattern only survives once >= 3 distinct users walk
+    it; a 2-user pattern is filtered."""
+    import datetime
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def walk(user, seq, start):
+        nonlocal eid
+        for k, et in enumerate(seq):
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=start + k), user,
+                 et, 1.0, "{}")
+            )
+            eid += 1
+
+    # bot: loops view->click->buy 20 times (one supporter)
+    for rep in range(20):
+        walk(1, ["view", "click", "buy"], rep * 10)
+    # two honest users walk it once each -> support 3 total
+    walk(2, ["view", "click", "buy"], 0)
+    walk(3, ["view", "click", "buy"], 0)
+    # a 2-user-only pattern: filtered
+    walk(4, ["a", "b", "c"], 0)
+    walk(5, ["a", "b", "c"], 0)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["e1"], r["e2"], r["e3"]): (r["n_occurrences"], r["support_users"])
+        for r in plans.all_queries()["b27_sequence_trigrams"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert ("view", "click", "buy") in got
+    n_occ, support = got[("view", "click", "buy")]
+    assert support == 3          # bot counts ONCE
+    assert n_occ == 22           # 20 bot + 2 honest
+    assert ("a", "b", "c") not in got
+    # the bot's loop seam patterns (buy,view,click)/(click,buy,view)
+    # have support 1 -> absent
+    assert ("buy", "view", "click") not in got
