@@ -191,6 +191,15 @@ QUERY_WORK_NOTES = {
                      "O(series) count (~0.1-0.3 s); r9 merged the guard "
                      "job with the rank-metadata computation and cut the "
                      "pair window to one pass",
+    "b19_kcore": "8 bounded peel rounds, each an eager localCheckpoint "
+                 "barrier — per-round fixed overhead dominates at sf0.1 "
+                 "and amortizes with data (10x probe: 1.3x)",
+    "b19_label_propagation": "4 sync LPA rounds, per-round checkpoint "
+                             "barrier (same shape as kcore)",
+    "b22_audio_vad": "200 synthetic WAVs with planted every-third-frame "
+                     "hiss (new in r9)",
+    "b20_mmr_rerank": "k-1=4 bounded 1-row driver actions by design "
+                      "(greedy selection on the top-C pool)",
 }
 
 

@@ -61,10 +61,16 @@ QUERIES = [
     "b23_xcorr",                # bucket-aligned lag joins over 10x events
     "b21_perplexity_bits",      # bigram model + probe over 10x tokens
     "b25_compaction_plan",      # metadata window over 10x (day,hour,type) files
-    # b20_jl_projection is NOT probed: the embeddings table is copied
-    # verbatim (not replicated), and its audit leg is deliberately
-    # sample-quadratic — the linear projection leg is plan-guarded
-    # map-only instead (tests/test_plans_physical.py)
+    "b19_label_propagation",    # 4 sync LPA rounds over a 10x-node graph
+    "b21_rake_keywords",        # doc-local islands/aggs over 10x docs
+    "b19_minhash_calibration",  # LSH candidates + signature compare, 10x docs
+    "b27_sequence_trigrams",    # per-user LAG window over 10x users
+    # b20_jl_projection / b20_radius_search / b20_ann_recall /
+    # b20_triplet_mining / b20_cluster_margin / b22_audio_vad are NOT
+    # probed: the embeddings table is copied verbatim (not replicated)
+    # and the VAD corpus is fixed at 200 docs, so a 10x row would
+    # measure nothing; the JL projection leg is plan-guarded map-only
+    # instead (tests/test_plans_physical.py)
 ]
 
 
