@@ -709,6 +709,74 @@ def b21_langid(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# B21lc — LANGUAGE-ID CONFUSION MATRIX: the classifier-evaluation
+# query for b21_langid_heuristic — the corpus carries ground truth
+# (the `lang` column), so the detector's quality is itself a query:
+# per (true_lang, predicted_lang) cell the doc count, the true-class
+# total, and the exact share in basis points (diagonal cells = per-
+# class recall). The audit-as-query pattern (minhash calibration, ANN
+# recall) applied to the text-classifier family: you read this table
+# before trusting the langid gate to route a 100 TB corpus. One
+# |langs|²-bounded aggregate with map-side partials + one tiny window.
+# --------------------------------------------------------------------------
+_B21_LANGID_CONF_ORACLE = (
+    _DOCS_CTE
+    + f"""
+    , pred AS (
+      SELECT lang AS true_lang,
+        CASE WHEN len(list_filter(w, x -> x IN ({_STOP_SQL}))) * 1.0
+                  / len(w) >= 0.05
+             THEN 'en' ELSE 'other' END AS predicted_lang
+      FROM d
+    ),
+    cells AS (
+      SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT true_lang, predicted_lang,
+      CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS BIGINT)
+        AS n_true_total,
+      CAST((2 * n_docs * 10000 + SUM(n_docs) OVER (PARTITION BY true_lang))
+           // (2 * SUM(n_docs) OVER (PARTITION BY true_lang)) AS BIGINT)
+        AS share_bp
+    FROM cells
+"""
+)
+
+
+@register(
+    "b21_langid_confusion", oracle=_B21_LANGID_CONF_ORACLE, tags=("B21",)
+)
+def b21_langid_confusion(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = F.col("_w")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"), tokens(F.col("text")).alias("_w")
+    ).select(
+        "true_lang",
+        F.when(stopword_hits(w) / F.size(w) >= 0.05, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("predicted_lang"),
+    )
+    cells = pred.groupBy("true_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    wt = Window.partitionBy("true_lang")
+    tot = F.sum("n_docs").over(wt)
+    num = 2 * F.col("n_docs") * 10000 + tot
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        tot.cast("bigint").alias("n_true_total"),
+        ((num - F.pmod(num, 2 * tot)) / (2 * tot))
+        .cast("bigint")
+        .alias("share_bp"),
+    )
+
+
 @register(
     "b21_fingerprint",
     oracle=_DOCS_CTE
