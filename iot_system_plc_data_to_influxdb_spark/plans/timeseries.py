@@ -1111,6 +1111,148 @@ _B24_HOLT_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# B24bt — FORECAST BACKTEST (evaluation as a query, the audit-as-query
+# pattern applied to the forecast family): fit Holt on each series'
+# first 80% of hourly buckets, forecast the held-out 20% h steps
+# ahead, and score against the NAIVE last-value baseline — the skill
+# check every forecast deployment runs before anyone trusts trend
+# numbers on a dashboard. Determinism without summing doubles: the
+# fold is the b24_holt_forecast expression tree (identical IEEE bits
+# both engines), per-bucket errors are |identical doubles|, and the
+# metrics are exclusively MAX / comparison-COUNT aggregations — both
+# order-independent — so no error SUM (whose accumulation order
+# engines won't agree on) ever happens. n_beats_naive vs n_ties
+# splits the skill signal exactly.
+# --------------------------------------------------------------------------
+_B24_BACKTEST_ORACLE = """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+        CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, y,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ),
+    tr AS (SELECT *, (4 * n) // 5 AS n_train FROM series),
+    rec AS (
+      SELECT event_type, rn, n_train, y AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM tr WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.n_train,
+        0.2 * s.y + 0.8 * (r.l + r.b),
+        0.1 * (0.2 * s.y + 0.8 * (r.l + r.b) - r.l) + 0.9 * r.b
+      FROM tr s JOIN rec r
+        ON s.event_type = r.event_type AND s.rn = r.rn + 1
+      WHERE s.rn <= s.n_train
+    ),
+    fitted AS (
+      SELECT event_type, n_train, l, b FROM rec WHERE rn = n_train
+    ),
+    naive AS (
+      SELECT event_type, y AS y_last FROM tr WHERE rn = n_train
+    ),
+    test AS (
+      SELECT event_type, rn - n_train AS hstep, y
+      FROM tr WHERE rn > n_train
+    ),
+    err AS (
+      SELECT t.event_type, f.n_train,
+        ABS(f.l + t.hstep * f.b - t.y) AS he,
+        ABS(nv.y_last - t.y) AS ne
+      FROM test t
+      JOIN fitted f USING (event_type)
+      JOIN naive nv USING (event_type)
+    )
+    SELECT event_type,
+      CAST(n_train AS BIGINT) AS n_train,
+      CAST(COUNT(*) AS BIGINT) AS n_test,
+      MAX(he) AS max_abs_err,
+      CAST(SUM(CASE WHEN he < ne THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_beats_naive,
+      CAST(SUM(CASE WHEN he = ne THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+    FROM err GROUP BY 1, 2
+"""
+
+
+@register("b24_backtest", oracle=_B24_BACKTEST_ORACLE, tags=("B24",))
+def b24_backtest(spark, sf_dir):
+    import pandas as pd
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count("*")
+            ).alias("y")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    series = hourly.select(
+        "event_type",
+        "y",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    ).withColumn("n_train", F.expr("4 * n div 5"))
+
+    def holt_fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        ys = pdf["y"].tolist()
+        lvl, trd = ys[0], 0.0
+        for y in ys[1:]:
+            # identical expression tree to b24_holt_forecast / the
+            # oracle's recursive CTE
+            l_new = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (lvl + trd)
+            trd = _HOLT_BETA * (l_new - lvl) + (1 - _HOLT_BETA) * trd
+            lvl = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"][0]],
+                "n_train": [len(ys)],
+                "l": [lvl],
+                "b": [trd],
+                "y_last": [ys[-1]],
+            }
+        )
+
+    fitted = (
+        series.filter(F.col("rn") <= F.col("n_train"))
+        .groupBy("event_type")
+        .applyInPandas(
+            holt_fit,
+            "event_type string, n_train bigint, l double, b double, "
+            "y_last double",
+        )
+    )
+    test = series.filter(F.col("rn") > F.col("n_train")).select(
+        "event_type", (F.col("rn") - F.col("n_train")).alias("hstep"), "y"
+    )
+    err = test.join(F.broadcast(fitted), "event_type").select(
+        "event_type",
+        "n_train",
+        F.abs(F.col("l") + F.col("hstep") * F.col("b") - F.col("y")).alias(
+            "he"
+        ),
+        F.abs(F.col("y_last") - F.col("y")).alias("ne"),
+    )
+    return err.groupBy("event_type", "n_train").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.max("he").alias("max_abs_err"),
+        F.sum((F.col("he") < F.col("ne")).cast("int"))
+        .cast("bigint")
+        .alias("n_beats_naive"),
+        F.sum((F.col("he") == F.col("ne")).cast("int"))
+        .cast("bigint")
+        .alias("n_ties"),
+    )
+
+
 @register("b24_holt_forecast", oracle=_B24_HOLT_ORACLE, tags=("B24", "B30"))
 def b24_holt_forecast(spark, sf_dir):
     import pandas as pd

@@ -491,3 +491,60 @@ def test_rake_matches_python_reference(spark, docs_idx):
         for rk, (sc, ph) in enumerate(scored[:5], start=1):
             expect[(i, rk)] = (ph, sc)
     assert got == expect
+
+
+def test_backtest_matches_python_holt_reference(spark):
+    """b24_backtest vs a pure-Python Holt fit + backtest over the
+    sf0.001 events table: n_train = floor(0.8n), fold over the train
+    prefix with the textbook recurrence, h-step forecasts against the
+    held-out tail, naive = last train value. Exact equality on counts
+    and bit-equality on max_abs_err (same IEEE expression tree)."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+    from iot_system_plc_data_to_influxdb_spark.catalog import t as t_
+    from pyspark.sql import functions as SF
+
+    sf = "/root/testdata/sf0.001"
+    hourly = (
+        t_(spark, sf, "events")
+        .groupBy("event_type", SF.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (
+                SF.sum(SF.col("value").cast("decimal(14,2)")).cast("double")
+                / SF.count("*")
+            ).alias("y")
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["h"], r["y"]))
+    expect = {}
+    for et, pts in series.items():
+        ys = [y for _h, y in sorted(pts)]
+        n = len(ys)
+        n_train = (4 * n) // 5
+        tr, te = ys[:n_train], ys[n_train:]
+        lvl, trd = tr[0], 0.0
+        for y in tr[1:]:
+            l_new = 0.2 * y + 0.8 * (lvl + trd)
+            trd = 0.1 * (l_new - lvl) + 0.9 * trd
+            lvl = l_new
+        y_last = tr[-1]
+        he = [abs(lvl + (i + 1) * trd - y) for i, y in enumerate(te)]
+        ne = [abs(y_last - y) for y in te]
+        expect[et] = (
+            n_train,
+            len(te),
+            max(he),
+            sum(1 for a, b in zip(he, ne) if a < b),
+            sum(1 for a, b in zip(he, ne) if a == b),
+        )
+
+    got = {
+        r["event_type"]: (
+            r["n_train"], r["n_test"], r["max_abs_err"],
+            r["n_beats_naive"], r["n_ties"],
+        )
+        for r in plans.all_queries()["b24_backtest"](spark, sf).collect()
+    }
+    assert got == expect
