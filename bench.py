@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "b20_cluster_margin",  # k-means assignment-margin audit
     "b20_ann_recall",  # batch-of-probes IVF recall vs ground truth
     "b20_triplet_mining",  # anchor/positive/hard-negative construction
+    "b27_sequence_trigrams",  # 3-gram sequence mining, user support
+    "b21_langid_confusion",  # classifier confusion matrix as a query
+    "b24_backtest",  # Holt backtest vs naive baseline
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw
