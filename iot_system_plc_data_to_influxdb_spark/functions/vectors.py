@@ -86,3 +86,41 @@ def hyperplane_sign_bits(vec: Column, n_planes: int = 8) -> Column:
         )
         bucket = bucket + (proj >= 0).cast("int") * F.lit(2**j)
     return bucket
+
+
+def quantize_int(vec: Column) -> Column:
+    """ARRAY<BIGINT> of the components in 1e-7 integer units — the
+    b20_embedding_quantization scaling as a reusable expression."""
+    return F.transform(
+        vec,
+        lambda x: (
+            F.round(x.cast("double"), 7).cast(_DEC) * 10_000_000
+        ).cast("bigint"),
+    )
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact int64 dot of two 1e-7-unit integer arrays. Per-term
+    magnitude ≤ (4e7)² = 1.6e15, 64-dim sum ≤ ~1e17 — inside int64
+    (ANSI mode faults, not wraps, if data ever violates the bound)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+def cosine_from_int(dot: Column, na: Column, nb: Column) -> Column:
+    """Cosine from integer dot + precomputed integer self-dots.
+
+    The panel×corpus fast path: cosine() runs THREE interpreted
+    decimal folds per pair (dot + both norms); precomputing each
+    side's norm ONCE leaves one int64 fold per pair, and the
+    int64→double casts round identically in any IEEE engine, so
+    rankings still bit-agree with a DuckDB twin using the same
+    integer formulation. NOTE the VALUE differs in ulps from
+    cosine()'s decimal-sum path — a query must use one formulation
+    consistently with its oracle, never mix them."""
+    return dot.cast("double") / F.sqrt(
+        na.cast("double") * nb.cast("double")
+    )

@@ -2601,26 +2601,38 @@ def b20_kmeans_exact_replay(spark, sf_dir):
 # --------------------------------------------------------------------------
 _TRIPLET_NEG_CEIL = 0.5
 
+# Integer-dot cosine formulation (functions/vectors.cosine_from_int):
+# per-side norms precomputed ONCE, one int64 dot per pair — both
+# engines cast the identical integers to double, so rankings
+# bit-agree. (The first cut recomputed three interpreted decimal
+# folds per pair and benched 28.9 s at sf0.1.)
 _B20_TRIPLET_ORACLE = f"""
     WITH pos AS (SELECT unnest(range(
         1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
+    q AS (
+      SELECT e.vec_id,
+        list(CAST(CAST(ROUND(CAST(e.embedding[pos.i] AS DOUBLE), 7)
+             AS DECIMAL(9,7)) * 10000000 AS BIGINT) ORDER BY pos.i) AS x
+      FROM embeddings e CROSS JOIN pos
+      WHERE pos.i <= len(e.embedding)
+      GROUP BY e.vec_id
+    ),
+    qn AS (
+      SELECT vec_id, x,
+        (SELECT SUM(u * u) FROM unnest(x) AS t(u)) AS n2
+      FROM q
+    ),
     anchors AS (
-      SELECT vec_id AS aid, embedding AS av FROM embeddings
+      SELECT vec_id AS aid, x AS ax, n2 AS an2 FROM qn
       WHERE vec_id % {_JL_SAMPLE_MOD} = 0
     ),
-    terms AS (
-      SELECT a.aid, e.vec_id,
-        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
-        CAST(ROUND(CAST(a.av[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
-      FROM embeddings e CROSS JOIN anchors a CROSS JOIN pos
-      WHERE e.vec_id <> a.aid
-    ),
     sim AS (
-      SELECT aid, vec_id,
-        CAST(SUM(da * db) AS DOUBLE)
-          / SQRT(CAST(SUM(da * da) AS DOUBLE)
-                 * CAST(SUM(db * db) AS DOUBLE)) AS cs
-      FROM terms GROUP BY 1, 2
+      SELECT a.aid, v.vec_id,
+        CAST((SELECT SUM(v.x[t.i] * a.ax[t.i])
+              FROM unnest(range(1, len(v.x) + 1)) AS t(i)) AS DOUBLE)
+          / SQRT(CAST(v.n2 AS DOUBLE) * CAST(a.an2 AS DOUBLE)) AS cs
+      FROM qn v CROSS JOIN anchors a
+      WHERE v.vec_id <> a.aid
     ),
     p AS (
       SELECT aid, vec_id AS pos_id, cs AS pos_cos FROM (
@@ -2645,17 +2657,28 @@ _B20_TRIPLET_ORACLE = f"""
 
 @register("b20_triplet_mining", oracle=_B20_TRIPLET_ORACLE, tags=("B20",))
 def b20_triplet_mining(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    anchors = emb.filter(F.col("vec_id") % _JL_SAMPLE_MOD == 0).select(
-        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    from ..functions.vectors import cosine_from_int, dot_int, quantize_int
+
+    qn = t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_int(F.col("embedding")).alias("x")
+    )
+    qn = qn.withColumn("n2", dot_int(F.col("x"), F.col("x")))
+    anchors = qn.filter(F.col("vec_id") % _JL_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("x").alias("ax"),
+        F.col("n2").alias("an2"),
     )
     sim = (
-        emb.crossJoin(F.broadcast(anchors))
+        qn.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("aid"))
         .select(
             "aid",
             "vec_id",
-            cosine(F.col("embedding"), F.col("av")).alias("cs"),
+            cosine_from_int(
+                dot_int(F.col("x"), F.col("ax")),
+                F.col("n2"),
+                F.col("an2"),
+            ).alias("cs"),
         )
         .localCheckpoint()  # scored candidates feed BOTH argmaxes
     )
@@ -2705,26 +2728,36 @@ def b20_triplet_mining(spark, sf_dir):
 # --------------------------------------------------------------------------
 _ANN_PROBE_MOD = 111
 
+# Integer-dot cosine formulation throughout (see _B20_TRIPLET_ORACLE
+# note): per-side norms once, one int64 dot per pair, identical
+# int→double casts both engines.
 _B20_ANN_RECALL_ORACLE = f"""
     WITH pos AS (SELECT unnest(range(
         1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
+    q AS (
+      SELECT e.vec_id,
+        list(CAST(CAST(ROUND(CAST(e.embedding[pos.i] AS DOUBLE), 7)
+             AS DECIMAL(9,7)) * 10000000 AS BIGINT) ORDER BY pos.i) AS x
+      FROM embeddings e CROSS JOIN pos
+      WHERE pos.i <= len(e.embedding)
+      GROUP BY e.vec_id
+    ),
+    qn AS (
+      SELECT vec_id, x,
+        (SELECT SUM(u * u) FROM unnest(x) AS t(u)) AS n2
+      FROM q
+    ),
     probes AS (
-      SELECT vec_id AS pid, embedding AS pv FROM embeddings
+      SELECT vec_id AS pid, x AS px, n2 AS pn2 FROM qn
       WHERE vec_id % {_ANN_PROBE_MOD} = 0
     ),
-    bf_terms AS (
-      SELECT p.pid, e.vec_id,
-        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
-        CAST(ROUND(CAST(p.pv[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
-      FROM embeddings e CROSS JOIN probes p CROSS JOIN pos
-      WHERE e.vec_id <> p.pid
-    ),
     sim AS (
-      SELECT pid, vec_id,
-        CAST(SUM(da * db) AS DOUBLE)
-          / SQRT(CAST(SUM(da * da) AS DOUBLE)
-                 * CAST(SUM(db * db) AS DOUBLE)) AS cs
-      FROM bf_terms GROUP BY 1, 2
+      SELECT p.pid, v.vec_id,
+        CAST((SELECT SUM(v.x[t.i] * p.px[t.i])
+              FROM unnest(range(1, len(v.x) + 1)) AS t(i)) AS DOUBLE)
+          / SQRT(CAST(v.n2 AS DOUBLE) * CAST(p.pn2 AS DOUBLE)) AS cs
+      FROM qn v CROSS JOIN probes p
+      WHERE v.vec_id <> p.pid
     ),
     bf AS (
       SELECT pid, vec_id FROM (
@@ -2734,21 +2767,15 @@ _B20_ANN_RECALL_ORACLE = f"""
         FROM sim) WHERE rk <= 10
     ),
     cents AS (
-      SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
-      FROM embeddings WHERE vec_id < 8
-    ),
-    aterms AS (
-      SELECT e.vec_id, c.cell,
-        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
-        CAST(ROUND(CAST(c.cvec[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
-      FROM embeddings e CROSS JOIN cents c CROSS JOIN pos
+      SELECT CAST(vec_id AS INT) AS cell, x AS cx, n2 AS cn2 FROM qn
+      WHERE vec_id < 8
     ),
     asim AS (
-      SELECT vec_id, cell,
-        CAST(SUM(da * db) AS DOUBLE)
-          / SQRT(CAST(SUM(da * da) AS DOUBLE)
-                 * CAST(SUM(db * db) AS DOUBLE)) AS sim
-      FROM aterms GROUP BY 1, 2
+      SELECT v.vec_id, c.cell,
+        CAST((SELECT SUM(v.x[t.i] * c.cx[t.i])
+              FROM unnest(range(1, len(v.x) + 1)) AS t(i)) AS DOUBLE)
+          / SQRT(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS sim
+      FROM qn v CROSS JOIN cents c
     ),
     assigned AS (
       SELECT vec_id, cell FROM (
@@ -2789,19 +2816,31 @@ _B20_ANN_RECALL_ORACLE = f"""
 
 @register("b20_ann_recall", oracle=_B20_ANN_RECALL_ORACLE, tags=("B20",))
 def b20_ann_recall(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    probes = emb.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
-        F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
+    from ..functions.vectors import cosine_from_int, dot_int, quantize_int
+
+    qn = t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_int(F.col("embedding")).alias("x")
     )
-    # ground truth: ONE corpus pass over the broadcast probe panel
+    qn = qn.withColumn("n2", dot_int(F.col("x"), F.col("x")))
+    probes = qn.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("x").alias("px"),
+        F.col("n2").alias("pn2"),
+    )
+    # ground truth: ONE corpus pass over the broadcast probe panel —
+    # materialized once, it feeds BOTH the truth ranking and the IVF
+    # candidate ranking below
     sim = (
-        emb.crossJoin(F.broadcast(probes))
+        qn.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("pid"))
         .select(
             "pid",
             "vec_id",
-            cosine(F.col("embedding"), F.col("pv")).alias("cs"),
+            cosine_from_int(
+                dot_int(F.col("x"), F.col("px")), F.col("n2"), F.col("pn2")
+            ).alias("cs"),
         )
+        .localCheckpoint()
     )
     wp = Window.partitionBy("pid").orderBy(F.col("cs").desc(), "vec_id")
     bf = (
@@ -2809,15 +2848,23 @@ def b20_ann_recall(spark, sf_dir):
         .filter(F.col("rk") <= 10)
         .select("pid", "vec_id")
     )
-    # IVF side: corpus-wide cell assignment + per-probe top-2 cells
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    # IVF side: corpus-wide cell assignment + per-probe top-2 cells —
+    # asim likewise feeds two consumers, materialize once
+    cents = qn.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("int").alias("cell"),
-        F.col("embedding").alias("cvec"),
+        F.col("x").alias("cx"),
+        F.col("n2").alias("cn2"),
     )
-    asim = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell",
-        cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
+    asim = (
+        qn.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell",
+            cosine_from_int(
+                dot_int(F.col("x"), F.col("cx")), F.col("n2"), F.col("cn2")
+            ).alias("sim"),
+        )
+        .localCheckpoint()
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
     assigned = (
