@@ -58,6 +58,14 @@ HEADLINE = [
     "b25_compaction_plan",       # file-metadata agg + one per-day window
     "b21_rake_keywords",         # doc-local islands/aggs, keyed exchanges only
     "b20_radius_search",         # broadcast centroids/kept-cells; corpus unshuffled
+    "b19_label_propagation",     # per-round join+agg+argmax, checkpointed state
+    "b20_ann_recall",            # one broadcast panel pass feeds truth + IVF
+    "b20_triplet_mining",        # integer-dot panel cosines, two argmax windows
+    "b19_minhash_calibration",   # banded candidates + signature compare
+    "b20_cluster_margin",        # kmeans scores reused, per-vec argmin margins
+    "b24_backtest",              # train-prefix fold + broadcast fitted join
+    "b27_sequence_trigrams",     # two LAG taps on one per-user exchange
+    "b22_audio_vad",             # Arrow map-only decode+segment chain
 ]
 
 
