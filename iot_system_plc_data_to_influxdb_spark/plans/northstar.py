@@ -3694,6 +3694,60 @@ def _exact_ntile(spark, scored, score_col, n, bucket_col, out_cols):
     return inside.select(*cols).unionByName(straddle.select(*cols))
 
 
+# --------------------------------------------------------------------------
+# B18rb — RANGE-PARTITION BOUNDARY PLANNING: the write-planning step
+# before `repartitionByRange` / sorted-shard layout — compute the
+# boundary table that splits the corpus into N contiguous ranges of a
+# sort key with balanced counts (|count_i − count_j| ≤ 1, the NTILE
+# guarantee). Spark's own RangePartitioner SAMPLES and gives only
+# approximate balance; this plan is EXACT and still avoids the global
+# sort: it reuses the _exact_ntile histogram machinery (one small
+# keyed agg over distinct key values + broadcast lookup + boundary-
+# straddler-only windows — the b21_lm_bigram_fit tercile path
+# generalized to N=8 and an ASC key via score = −key). Output: one
+# row per target partition with its key range, id range, and count.
+# Oracle is the plain NTILE window — the correctness baseline the
+# histogram formulation must match exactly.
+# --------------------------------------------------------------------------
+_B18_RANGE_BOUNDS_ORACLE = """
+    WITH nt AS (
+      SELECT doc_id, n_chars,
+        NTILE(8) OVER (ORDER BY n_chars, doc_id) AS part_id
+      FROM documents
+    )
+    SELECT CAST(part_id AS INT) AS part_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(n_chars) AS BIGINT) AS lo_chars,
+      CAST(MAX(n_chars) AS BIGINT) AS hi_chars,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM nt GROUP BY 1
+"""
+
+
+@register(
+    "b18_range_boundaries", oracle=_B18_RANGE_BOUNDS_ORACLE, tags=("B18",)
+)
+def b18_range_boundaries(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        # _exact_ntile ranks score DESC with doc_id tie-break; DESC on
+        # −n_chars == ASC on n_chars, matching the oracle's NTILE order
+        (-F.col("n_chars")).cast("double").alias("_score"),
+    )
+    labeled = _exact_ntile(
+        spark, docs, "_score", 8, "part_id", ["doc_id", "n_chars"]
+    )
+    return labeled.groupBy("part_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("lo_chars"),
+        F.max("n_chars").cast("bigint").alias("hi_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
 @register("b21_lm_bigram_fit", oracle=_B21_LM_ORACLE, tags=("B21",))
 def b21_lm_bigram_fit(spark, sf_dir):
     docs = (

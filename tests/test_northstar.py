@@ -2370,3 +2370,28 @@ def test_triplet_mining_semantics(spark):
         assert r["pos_id"] != r["neg_id"]
         assert r["neg_cos"] <= 0.5
         assert r["pos_cos"] >= r["neg_cos"]
+
+
+def test_range_boundaries_balance_and_contiguity(spark):
+    """b18_range_boundaries invariants: counts differ by at most 1
+    (the NTILE guarantee Spark's sampling RangePartitioner cannot
+    give), partitions tile the corpus, and key ranges are contiguous
+    and non-overlapping in (n_chars, doc_id) order."""
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    rows = sorted(
+        plans.all_queries()["b18_range_boundaries"](
+            spark, SF_DIR
+        ).collect(),
+        key=lambda r: r["part_id"],
+    )
+    assert [r["part_id"] for r in rows] == list(range(1, 9))
+    counts = [r["n_docs"] for r in rows]
+    assert sum(counts) == 500
+    assert max(counts) - min(counts) <= 1
+    for a, b in zip(rows, rows[1:]):
+        # ranges ordered; equal keys may straddle a boundary but then
+        # the doc-id tie-break keeps (key, id) order
+        assert a["hi_chars"] <= b["lo_chars"] or (
+            a["hi_chars"] == b["lo_chars"]
+        )
