@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "b27_sequence_trigrams",  # 3-gram sequence mining, user support
     "b21_langid_confusion",  # classifier confusion matrix as a query
     "b24_backtest",  # Holt backtest vs naive baseline
+    "b18_range_boundaries",  # exact NTILE split, no global sort
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw
