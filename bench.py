@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "b21_langid_confusion",  # classifier confusion matrix as a query
     "b24_backtest",  # Holt backtest vs naive baseline
     "b18_range_boundaries",  # exact NTILE split, no global sort
+    "b23_ewma_control",  # SPC EWMA chart: exact-int stats + fold
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

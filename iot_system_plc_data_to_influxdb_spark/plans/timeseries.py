@@ -1112,6 +1112,153 @@ _B24_HOLT_ORACLE = """
 
 
 # --------------------------------------------------------------------------
+# B23ec — EWMA CONTROL CHART (statistical process control): the
+# classic SPC monitor for a PLC process variable — EWMA(λ=0.2) of the
+# hourly bucket means against the asymptotic control limits
+# center ± 3σ·sqrt(λ/(2−λ)), reporting per series the violation count,
+# the FIRST out-of-control hour, and the worst deviation. This is the
+# chart a process engineer actually watches (EWMA detects small
+# sustained shifts Shewhart charts miss).
+#
+# Determinism: bucket means are half-up-rounded to INTEGER centi-cent
+# units (yq), so center/σ come from exact integer sums (the cross
+# products in DECIMAL(38)/HUGEINT), the EWMA fold consumes identical
+# integer-valued doubles through the b12_ewma expression tree, and
+# every violation decision compares identical doubles. Aggregations
+# are COUNT / MIN / MAX only — order-independent.
+#
+# Scale shape: events collapse ~3600:1 to hourly buckets first; the
+# fold runs per series over BUCKETS (the holt contract); stats are
+# one map-side-combined aggregate joined back by broadcast.
+# --------------------------------------------------------------------------
+_B23_EWMA_CC_ORACLE = """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+        COUNT(*) AS nb,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc
+      FROM events GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT event_type, h,
+        (2 * (100 * sc) + nb) // (2 * nb) AS yq
+      FROM hourly
+    ),
+    st AS (
+      SELECT event_type,
+        COUNT(*) AS b,
+        CAST(SUM(yq) AS DOUBLE) / COUNT(*) AS center,
+        SQRT(
+          CAST(COUNT(*) * CAST(SUM(CAST(yq AS HUGEINT) * yq) AS HUGEINT)
+               - CAST(SUM(yq) AS HUGEINT) * SUM(yq) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))
+          * (0.2 / 1.8)
+        ) AS sig_stat
+      FROM q GROUP BY 1
+    ),
+    seq AS (
+      SELECT event_type, h, yq,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM q
+    ),
+    rec AS (
+      SELECT event_type, h, rn, CAST(yq AS DOUBLE) AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.h, s.rn,
+        0.2 * CAST(s.yq AS DOUBLE) + 0.8 * r.ewma
+      FROM seq s JOIN rec r
+        ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ),
+    v AS (
+      SELECT r.event_type, st.b, r.h,
+        ABS(r.ewma - st.center) AS dev,
+        CASE WHEN ABS(r.ewma - st.center) > 3 * st.sig_stat
+             THEN 1 ELSE 0 END AS viol
+      FROM rec r JOIN st USING (event_type)
+    )
+    SELECT event_type,
+      CAST(b AS BIGINT) AS n_buckets,
+      CAST(SUM(viol) AS BIGINT) AS n_violations,
+      MIN(CASE WHEN viol = 1 THEN h END) AS first_violation_h,
+      MAX(dev) AS max_abs_dev
+    FROM v GROUP BY 1, 2
+"""
+
+
+@register("b23_ewma_control", oracle=_B23_EWMA_CC_ORACLE, tags=("B23",))
+def b23_ewma_control(spark, sf_dir):
+    import pandas as pd
+
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("nb"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sc"),
+        )
+    )
+    num = 2 * (100 * F.col("sc")) + F.col("nb")
+    q = hourly.select(
+        "event_type",
+        "h",
+        ((num - F.pmod(num, 2 * F.col("nb"))) / (2 * F.col("nb")))
+        .cast("bigint")
+        .alias("yq"),
+    )
+    dec = "decimal(38,0)"
+    st = q.groupBy("event_type").agg(
+        F.count("*").alias("b"),
+        (F.sum("yq").cast("double") / F.count("*")).alias("center"),
+        F.sqrt(
+            (
+                F.count("*").cast(dec)
+                * F.sum((F.col("yq").cast(dec) * F.col("yq")).cast(dec)).cast(
+                    dec
+                )
+                - F.sum("yq").cast(dec) * F.sum("yq").cast(dec)
+            ).cast("double")
+            / (F.count("*").cast("double") * (F.count("*") - 1))
+            * (0.2 / 1.8)
+        ).alias("sig_stat"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        # identical tree to the oracle's recursive CTE (the b12_ewma
+        # adjust=False contract, verified bit-equal in test_operators)
+        pdf["ewma"] = (
+            pdf["yq"].astype("float64").ewm(alpha=0.2, adjust=False).mean()
+        )
+        return pdf[["event_type", "h", "ewma"]]
+
+    ew = q.groupBy("event_type").applyInPandas(
+        fold, "event_type string, h timestamp, ewma double"
+    )
+    v = ew.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "b",
+        "h",
+        F.abs(F.col("ewma") - F.col("center")).alias("dev"),
+        (
+            F.abs(F.col("ewma") - F.col("center")) > 3 * F.col("sig_stat")
+        ).cast("int").alias("viol"),
+    )
+    return v.groupBy("event_type", F.col("b").alias("n_buckets")).agg(
+        F.sum("viol").cast("bigint").alias("n_violations"),
+        F.min(F.when(F.col("viol") == 1, F.col("h"))).alias(
+            "first_violation_h"
+        ),
+        F.max("dev").alias("max_abs_dev"),
+    ).select(
+        "event_type",
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        "n_violations",
+        "first_violation_h",
+        "max_abs_dev",
+    )
+
+
+# --------------------------------------------------------------------------
 # B24bt — FORECAST BACKTEST (evaluation as a query, the audit-as-query
 # pattern applied to the forecast family): fit Holt on each series'
 # first 80% of hourly buckets, forecast the held-out 20% h steps

@@ -548,3 +548,46 @@ def test_backtest_matches_python_holt_reference(spark):
         for r in plans.all_queries()["b24_backtest"](spark, sf).collect()
     }
     assert got == expect
+
+
+def test_ewma_control_detects_planted_shift(spark, tmp_path):
+    """b23_ewma_control on a crafted series: a stable process with a
+    sustained level shift in its final quarter must flag violations
+    starting IN the shifted region (EWMA catches sustained small
+    shifts), while a steady twin series stays fully in control."""
+    import datetime
+
+    import iot_system_plc_data_to_influxdb_spark.plans as plans
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 80 hourly points; 'shift' jumps +8 units at hour 60
+    for hr in range(80):
+        base = 100.0 + (hr % 5) * 0.5  # small stable wiggle
+        shift = base + (8.0 if hr >= 60 else 0.0)
+        for name, val in (("steady", base), ("shift", shift)):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=hr), 0, name, val, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r["event_type"]: r
+        for r in plans.all_queries()["b23_ewma_control"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["shift"]["n_violations"] > 0
+    assert got["shift"]["first_violation_h"] >= t0 + datetime.timedelta(
+        hours=60
+    )
+    # the steady series' violations, if any, are boundary noise — the
+    # shifted series must dominate decisively
+    assert got["shift"]["n_violations"] > got["steady"]["n_violations"]
+    assert got["shift"]["max_abs_dev"] > got["steady"]["max_abs_dev"]
