@@ -1636,12 +1636,15 @@ _B20_JL_ORACLE = f"""
 
 
 def _jl_quantize(df):
-    """(vec_id, q: array<bigint>) — components in 1e-7 integer units."""
-    xi = lambda x: (  # noqa: E731 — the shared 1e-7 integer scaling
-        F.round(x.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
-    ).cast("bigint")
+    """(vec_id, q: array<bigint>) — components in 1e-7 integer units.
+
+    Delegates to functions/vectors.quantize_int so the scaling lives in
+    ONE expression tree (the duplicated-bucket-math lesson cited in
+    functions/hll.py and cms.py; round-9 ADVICE, low)."""
+    from ..functions.vectors import quantize_int
+
     return df.select(
-        "vec_id", F.transform("embedding", lambda x: xi(x)).alias("q")
+        "vec_id", quantize_int(F.col("embedding")).alias("q")
     )
 
 
@@ -8834,9 +8837,18 @@ def b19_triangle_count(spark, sf_dir):
         )
         .filter(F.col("src") != F.col("dst"))
     )
-    e = raw.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).localCheckpoint()  # canonical undirected edges: reused 3x below;
+    e = (
+        raw.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()  # the generator DOES emit duplicate canonical edges
+        # (reciprocal gen1/gen3 pairs, e.g. (88,117) at n=500); without
+        # dedup they inflate degrees and multiply the closing join, so
+        # n_tri would diverge from the DISTINCT-ing oracle whenever a
+        # duplicated edge touches a triangle (round-9 ADVICE, high)
+        .localCheckpoint()
+    )  # canonical undirected edges: reused 3x below;
     # eager checkpoint (not cache) so the docs scan-fragment cache can
     # be released immediately — see _varied_link_graph's hygiene note
     docs.unpersist()
