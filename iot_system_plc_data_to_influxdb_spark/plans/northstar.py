@@ -9170,6 +9170,417 @@ def b19_label_propagation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B19h — DATA-DERIVED LINK GRAPH (the extraction half the closed-form
+# family deliberately skips): the four graph algorithms above run over
+# a doc_id-arithmetic graph so the ALGORITHM hash-checks in isolation;
+# these four twins run the SAME algorithms over an edge list EXTRACTED
+# from the events table the way a crawl-graph / interaction-graph
+# pipeline actually builds one. Extraction: order each (event_type,
+# hour) activity bucket by (ts, event_id) and emit a "handoff" edge
+# between each pair of CONSECUTIVE DISTINCT users — who acts right
+# after whom, per activity stream. One window pass; deterministic
+# because event_id is a unique total tie-break; DuckDB replays it with
+# the identical LAG.
+#
+# Three graph views, all from that ONE pass:
+#   - full graph  (every handoff pair, canonical u<v, distinct) —
+#     triangles + label propagation;
+#   - strong-tie graph (pairs seen >= 2 times — the weight threshold
+#     that turns a near-regular co-activity graph into one with real
+#     degree structure) — k-core, fixed K=3: measured survivors
+#     15->15/150/1489->1287 at sf0.001/0.01/0.1, i.e. the peel BITES
+#     without emptying (K=4 empties sf0.001; K=mean-degree empties
+#     everything — the near-regular graph's core transition is sharp);
+#   - directed distinct handoffs (prev -> next) — PageRank, where
+#     direction is the signal.
+#
+# Scale: the window partitions on (event_type, hour-bucket) — high
+# cardinality (types x hours), so no per-type global sort; at 100 TB
+# the sort is per-bucket and the one shuffle is the window's hash
+# exchange, then everything downstream is the bounded-round machinery
+# already audited on the closed-form family (same lineage-cut rules).
+# --------------------------------------------------------------------------
+_HANDOFF_STRONG_W = 2
+_HANDOFF_KCORE_K = 3
+_HANDOFF_KCORE_ROUNDS = 8
+_HANDOFF_LPA_ROUNDS = 4
+
+_HANDOFF_SEQ_SQL = """
+    WITH seq AS (
+      SELECT user_id,
+        LAG(user_id) OVER (
+          PARTITION BY event_type,
+            date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                      date_trunc('hour', ts))
+          ORDER BY ts, event_id) AS prev
+      FROM events
+    )"""
+
+
+def _handoff_sql_prefix(min_weight: int = 1) -> str:
+    """WITH-prefix building the extracted canonical edge set `e`."""
+    return (
+        _HANDOFF_SEQ_SQL
+        + f""",
+    e AS MATERIALIZED (
+      SELECT LEAST(prev, user_id) AS u, GREATEST(prev, user_id) AS v
+      FROM seq WHERE prev IS NOT NULL AND prev <> user_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}
+    )"""
+    )
+
+
+def _handoff_pairs(spark, sf_dir):
+    """(prev, user_id) consecutive-distinct-user handoffs — the ONE
+    extraction pass shared by all four b19_*_handoff twins."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+        ).cast("bigint").alias("hr"),
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", F.lag("user_id").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("user_id")))
+
+
+def _handoff_graph(spark, sf_dir, min_weight: int = 1):
+    """Canonical undirected extracted edges (u < v), materialized."""
+    g = (
+        _handoff_pairs(spark, sf_dir)
+        .select(
+            F.least("prev", "user_id").alias("u"),
+            F.greatest("prev", "user_id").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    if min_weight > 1:
+        g = g.filter(F.col("w") >= min_weight)
+    return (
+        g.select("u", "v").repartition(32, "u").localCheckpoint()
+    )  # eager: every consumer probes the edge list repeatedly
+
+
+_B19_PAGERANK_HANDOFF_ORACLE = (
+    _HANDOFF_SEQ_SQL
+    + """,
+    links AS MATERIALIZED (
+      SELECT DISTINCT prev AS src, user_id AS dst
+      FROM seq WHERE prev IS NOT NULL AND prev <> user_id
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    deg AS (SELECT src, COUNT(*) AS d FROM links GROUP BY src),
+    r0 AS (SELECT user_id, CAST(1000000 AS BIGINT) AS r FROM users),
+    c1 AS (
+      SELECT l.dst AS user_id, SUM(r0.r // deg.d) AS c
+      FROM links l JOIN deg USING (src) JOIN r0 ON r0.user_id = l.src
+      GROUP BY l.dst
+    ),
+    r1 AS (
+      SELECT u.user_id,
+        CAST(150000 + (85 * COALESCE(c1.c, 0)) // 100 AS BIGINT) AS r
+      FROM users u LEFT JOIN c1 USING (user_id)
+    ),
+    c2 AS (
+      SELECT l.dst AS user_id, SUM(r1.r // deg.d) AS c
+      FROM links l JOIN deg USING (src) JOIN r1 ON r1.user_id = l.src
+      GROUP BY l.dst
+    ),
+    r2 AS (
+      SELECT u.user_id,
+        CAST(150000 + (85 * COALESCE(c2.c, 0)) // 100 AS BIGINT) AS r
+      FROM users u LEFT JOIN c2 USING (user_id)
+    ),
+    c3 AS (
+      SELECT l.dst AS user_id, SUM(r2.r // deg.d) AS c
+      FROM links l JOIN deg USING (src) JOIN r2 ON r2.user_id = l.src
+      GROUP BY l.dst
+    ),
+    r3 AS (
+      SELECT u.user_id,
+        CAST(150000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
+      FROM users u LEFT JOIN c3 USING (user_id)
+    )
+    SELECT r3.user_id,
+      CAST(COALESCE(deg.d, 0) AS BIGINT) AS out_deg,
+      r3.r AS rank_fp
+    FROM r3 LEFT JOIN deg ON deg.src = r3.user_id
+"""
+)
+
+
+@register(
+    "b19_pagerank_handoff",
+    oracle=_B19_PAGERANK_HANDOFF_ORACLE,
+    tags=("B19", "B27"),
+)
+def b19_pagerank_handoff(spark, sf_dir):
+    """PageRank over the DIRECTED extracted handoff graph (who hands
+    activity to whom) — same fixed-point-millionths 3-round unroll as
+    b19_pagerank, but the links come out of the events window pass
+    instead of doc_id arithmetic. Isolated users (no handoff in or
+    out) take the bare teleport term, exactly like no-inlink docs."""
+    users = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .repartition(32, "user_id")
+        .cache()  # vertex set: reused every round
+    )
+    links = (
+        _handoff_pairs(spark, sf_dir)
+        .select(F.col("prev").alias("src"), F.col("user_id").alias("dst"))
+        .distinct()
+    )
+    deg = links.groupBy("src").agg(F.count("*").alias("deg"))
+    adj = (
+        links.join(deg, "src")
+        .select("src", "dst", "deg")
+        .repartition(32, "src")
+        .localCheckpoint()  # adjacency reused by all 3 rounds; eager so
+        # the window extraction runs exactly once
+    )
+    rank = users.select("user_id", F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(3):
+        contrib = (
+            adj.join(rank, adj["src"] == rank["user_id"])
+            .select("dst", F.expr("r div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        rank = users.join(
+            contrib, users["user_id"] == contrib["dst"], "left"
+        ).select(
+            "user_id",
+            (
+                F.lit(150_000) + F.expr("85 * coalesce(c, 0) div 100")
+            ).cast("bigint").alias("r"),
+        ).localCheckpoint()  # O(V) state, lineage cut per round
+    out = rank.join(
+        deg, rank["user_id"] == deg["src"], "left"
+    ).select(
+        "user_id",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("out_deg"),
+        F.col("r").alias("rank_fp"),
+    )
+    users.unpersist()
+    return out
+
+
+_B19_TRIANGLE_HANDOFF_ORACLE = (
+    _handoff_sql_prefix()
+    + """,
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    vx AS (
+      SELECT a AS user_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM vx GROUP BY 1
+"""
+)
+
+
+@register(
+    "b19_triangle_count_handoff",
+    oracle=_B19_TRIANGLE_HANDOFF_ORACLE,
+    tags=("B19", "B27"),
+)
+def b19_triangle_count_handoff(spark, sf_dir):
+    """Per-user triangle participation in the extracted handoff graph
+    — same degree-oriented wedge join as b19_triangle_count (out-
+    neighborhoods bounded O(sqrt m)), real extracted edges."""
+    e = _handoff_graph(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("dg"))
+    )
+    ed = e.join(
+        deg.select(F.col("x").alias("u"), F.col("dg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("x").alias("v"), F.col("dg").alias("dv")), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = oe.select(F.col("s"), F.col("t").alias("t1"))
+    o2 = oe.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = o1.join(o2, "s").filter(F.col("t1") < F.col("t2"))
+    tri = wedges.join(
+        e,
+        (F.col("u") == F.least("t1", "t2"))
+        & (F.col("v") == F.greatest("t1", "t2")),
+    ).select("s", "t1", "t2")
+    vx = (
+        tri.select(F.col("s").alias("user_id"))
+        .unionAll(tri.select(F.col("t1").alias("user_id")))
+        .unionAll(tri.select(F.col("t2").alias("user_id")))
+    )
+    return vx.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_tri")
+    )
+
+
+def _kcore_handoff_oracle() -> str:
+    parts = [
+        _handoff_sql_prefix(_HANDOFF_STRONG_W)
+        + """,
+    v0 AS MATERIALIZED (SELECT u AS x FROM e UNION SELECT v FROM e)"""
+    ]
+    for i in range(1, _HANDOFF_KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    s{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e
+      JOIN v{i - 1} a ON a.x = e.u JOIN v{i - 1} b ON b.x = e.v),
+    v{i} AS MATERIALIZED (
+      SELECT x FROM (SELECT u AS x FROM s{i} UNION ALL SELECT v FROM s{i})
+      GROUP BY x HAVING COUNT(*) >= {_HANDOFF_KCORE_K})"""
+        )
+    parts.append(
+        f""",
+    sfin AS (
+      SELECT e.u, e.v FROM e
+      JOIN v{_HANDOFF_KCORE_ROUNDS} a ON a.x = e.u
+      JOIN v{_HANDOFF_KCORE_ROUNDS} b ON b.x = e.v)
+    SELECT x AS user_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (SELECT u AS x FROM sfin UNION ALL SELECT v FROM sfin) GROUP BY x"""
+    )
+    return "".join(parts)
+
+
+@register("b19_kcore_handoff", oracle=_kcore_handoff_oracle(), tags=("B19", "B27"))
+def b19_kcore_handoff(spark, sf_dir):
+    """Bounded-round k-core peel (K=3) over the STRONG-TIE handoff
+    graph (pairs seen >= _HANDOFF_STRONG_W times) — the weight
+    threshold gives the near-regular co-activity graph real degree
+    structure, so the peel removes nodes without emptying (measured
+    across all three SFs; see the section header)."""
+    e = _handoff_graph(spark, sf_dir, min_weight=_HANDOFF_STRONG_W)
+
+    def _induced(alive):
+        return e.join(
+            alive.withColumnRenamed("x", "u"), "u", "semi"
+        ).join(alive.withColumnRenamed("x", "v"), "v", "semi")
+
+    def _degrees(sub):
+        return (
+            sub.select(F.col("u").alias("x"))
+            .unionAll(sub.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("dg"))
+        )
+
+    alive = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_HANDOFF_KCORE_ROUNDS):
+        alive = (
+            _degrees(_induced(alive))
+            .filter(F.col("dg") >= _HANDOFF_KCORE_K)
+            .select("x")
+            .localCheckpoint()  # O(V) state, lineage cut per round
+        )
+    return _degrees(_induced(alive)).select(
+        F.col("x").alias("user_id"),
+        F.col("dg").cast("bigint").alias("core_deg"),
+    )
+
+
+def _lpa_handoff_oracle() -> str:
+    parts = [
+        _handoff_sql_prefix()
+        + """,
+    nb AS MATERIALIZED (
+      SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT x, x AS lab FROM nb)"""
+    ]
+    for i in range(1, _HANDOFF_LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+    c{i} AS MATERIALIZED (
+      SELECT nb.x, l.lab, COUNT(*) AS c
+      FROM nb JOIN l{i - 1} l ON l.x = nb.y GROUP BY 1, 2),
+    l{i} AS MATERIALIZED (
+      SELECT x, lab FROM (
+        SELECT x, lab, ROW_NUMBER() OVER (
+          PARTITION BY x ORDER BY c DESC, lab) AS rk FROM c{i})
+      WHERE rk = 1)"""
+        )
+    parts.append(
+        f"""
+    SELECT x AS user_id, CAST(lab AS BIGINT) AS label,
+      CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+    FROM l{_HANDOFF_LPA_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "b19_label_propagation_handoff",
+    oracle=_lpa_handoff_oracle(),
+    tags=("B19", "B27"),
+)
+def b19_label_propagation_handoff(spark, sf_dir):
+    """Synchronous LPA (R=4, ties to the smallest label) over the
+    extracted handoff graph — community structure of who-acts-after-
+    whom, the sharding input for per-community processing."""
+    e = _handoff_graph(spark, sf_dir)
+    nb = (
+        e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .repartition(32, "y")
+        .localCheckpoint()
+    )
+    labels = (
+        nb.select(F.col("x")).distinct()
+        .select("x", F.col("x").alias("lab"))
+        .localCheckpoint()
+    )
+    rk = Window.partitionBy("x").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(_HANDOFF_LPA_ROUNDS):
+        votes = (
+            nb.join(
+                labels.select(F.col("x").alias("y"), "lab"), "y"
+            )
+            .groupBy("x", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+            .select("x", "lab")
+            .localCheckpoint()  # O(V) state, lineage cut per round
+        )
+    wsz = Window.partitionBy("lab")
+    return labels.select(
+        F.col("x").alias("user_id"),
+        F.col("lab").cast("bigint").alias("label"),
+        F.count("*").over(wsz).cast("bigint").alias("community_size"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B21u — UNICODE NORMALIZATION (NFC) + control-char strip + whitespace
 # collapse: the first cleaning pass of every crawl pipeline — web text
 # arrives with decomposed accents (e + U+0301 vs the precomposed
