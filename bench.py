@@ -196,11 +196,13 @@ QUERY_WORK_NOTES = {
                      "O(series) count (~0.1-0.3 s); r9 merged the guard "
                      "job with the rank-metadata computation and cut the "
                      "pair window to one pass",
-    "b19_kcore": "8 bounded peel rounds, each an eager localCheckpoint "
-                 "barrier — per-round fixed overhead dominates at sf0.1 "
-                 "and amortizes with data (10x probe: 1.3x)",
+    "b19_kcore": "r10: DELTA peel (degree state decremented by "
+                 "broadcast-dead neighbor counts, no per-round E-sized "
+                 "exchange), 3 levels lineage-stacked per checkpoint, "
+                 "fixpoint early-exit — 4.79 s (r9) -> ~3.0 s",
     "b19_label_propagation": "4 sync LPA rounds, per-round checkpoint "
-                             "barrier (same shape as kcore)",
+                             "barrier; r10 builds the directed relation "
+                             "in ONE materialization",
     "b22_audio_vad": "200 synthetic WAVs with planted every-third-frame "
                      "hiss (new in r9)",
     "b20_mmr_rerank": "k-1=4 bounded 1-row driver actions by design "
@@ -208,11 +210,15 @@ QUERY_WORK_NOTES = {
 }
 
 
-def _isolated_probe(name: str) -> int:
-    """Fresh-session re-run of ONE query (min-of-3 after warm-up) plus
-    a JVM calib probe — the regression gate's attribution leg. Runs in
-    a subprocess so the JVM/heap/Python-worker state is genuinely
-    fresh; prints one `ISOLATED_PROBE {...}` line for the parent."""
+def _isolated_probe(name: str, repeats: int = 3) -> int:
+    """Fresh-session re-run of ONE query (min-of-N after warm-up) plus
+    a JVM calib probe — the attribution leg shared by the regression
+    gate and the host-phase detector. Runs in a subprocess so the
+    JVM/heap/Python-worker state is genuinely fresh; prints one
+    `ISOLATED_PROBE {...}` line for the parent. `fresh_runs_ordered`
+    preserves OBSERVED repeat order so the host-phase pass can ask
+    "does the escalation reproduce on a fresh session?" (sorted runs
+    can't answer that)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from iot_system_plc_data_to_influxdb_spark import plans
     from iot_system_plc_data_to_influxdb_spark.session import get_spark
@@ -236,20 +242,42 @@ def _isolated_probe(name: str) -> int:
         return time.perf_counter() - t0
 
     run_once()  # warm-up, discarded (same protocol as the suite)
-    runs = sorted(run_once() for _ in range(3))
+    ordered = [run_once() for _ in range(repeats)]
+    runs = sorted(ordered)
     print("ISOLATED_PROBE " + json.dumps({
         "query": name,
         "fresh_isolated_s": round(runs[0], 3),
         "fresh_runs": [round(r, 3) for r in runs],
+        "fresh_runs_ordered": [round(r, 3) for r in ordered],
         "fresh_calib_jvm_s": round(calib, 3),
     }))
     return 0
 
 
+def _spawn_isolated(name: str, repeats: int = 3) -> dict:
+    """Run `--isolated-probe name` in a fresh subprocess and return the
+    parsed probe record. Raises on any failure — callers record the
+    exception string instead of dying."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--isolated-probe", name, "--probe-repeats", str(repeats)],
+        capture_output=True, text=True, timeout=600,
+    ).stdout
+    return json.loads(
+        [ln for ln in out.splitlines()
+         if ln.startswith("ISOLATED_PROBE ")][-1].split(" ", 1)[1]
+    )
+
+
 def main() -> int:
     if "--isolated-probe" in sys.argv:
+        n = 3
+        if "--probe-repeats" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--probe-repeats") + 1])
         return _isolated_probe(
-            sys.argv[sys.argv.index("--isolated-probe") + 1]
+            sys.argv[sys.argv.index("--isolated-probe") + 1], repeats=n
         )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Per query: one discarded warm-up, then best-of-N timed runs.
@@ -481,20 +509,9 @@ def main() -> int:
     #       is >1.3x slower than this suite's: the machine changed;
     #   code — still slow on a healthy fresh session: a real plan
     #       regression, fix it.
-    import subprocess
-
     for k in list(regressions)[:6]:  # bound the wall-clock cost
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--isolated-probe", k],
-                capture_output=True, text=True, timeout=600,
-            ).stdout
-            probe = json.loads(
-                [ln for ln in out.splitlines()
-                 if ln.startswith("ISOLATED_PROBE ")][-1]
-                .split(" ", 1)[1]
-            )
+            probe = _spawn_isolated(k)
         except Exception as exc:  # noqa: BLE001 — record, don't die
             regressions[k]["attribution"] = f"probe-failed: {exc}"
             continue
@@ -511,6 +528,44 @@ def main() -> int:
             regressions[k]["attribution"] = "host"
         else:
             regressions[k]["attribution"] = "code"
+
+    # HOST-PHASE ATTRIBUTION (round-9 verdict "what's wrong" #1: the
+    # host_phase_flag entries carried no fresh-session record the way
+    # normalized_regressions entries do, so min-of-N could hide a real
+    # per-repeat leak). For each query whose within-suite repeats
+    # escalated (max > 2*min + 0.25), re-run it in a FRESH subprocess
+    # with FIVE repeats kept in OBSERVED order and classify:
+    #   suite-context — the escalation does NOT reproduce fresh (the
+    #       ordered fresh repeats stay inside the same 2x + 0.25
+    #       envelope): the suite measured session aging around the
+    #       query, not the query;
+    #   host — it reproduces AND the fresh calib probe is >1.3x this
+    #       suite's: the machine is in a slow phase;
+    #   code — it reproduces on a healthy fresh session: the query
+    #       itself escalates across its own repeats (cache/state
+    #       growth) — a real leak, fix it.
+    host_attrib: dict[str, dict] = {}
+    flagged = [k for k, v in drift.items() if v == "host-phase"]
+    for k in flagged[:6]:  # same wall-clock bound as the gate
+        try:
+            probe = _spawn_isolated(k, repeats=5)
+        except Exception as exc:  # noqa: BLE001 — record, don't die
+            host_attrib[k] = {"attribution": f"probe-failed: {exc}"}
+            continue
+        ordered = probe.get("fresh_runs_ordered", probe["fresh_runs"])
+        esc = max(ordered) > 2 * min(ordered) + 0.25
+        if not esc:
+            att = "suite-context"
+        elif probe["fresh_calib_jvm_s"] > 1.3 * max(calib_eff, 0.001):
+            att = "host"
+        else:
+            att = "code"
+        host_attrib[k] = {
+            "in_suite_runs": all_runs[k],
+            "fresh_runs_ordered": ordered,
+            "fresh_calib_jvm_s": probe["fresh_calib_jvm_s"],
+            "attribution": att,
+        }
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {

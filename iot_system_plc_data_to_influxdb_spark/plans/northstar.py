@@ -8850,7 +8850,7 @@ def b19_triangle_count(spark, sf_dir):
         .localCheckpoint()
     )  # canonical undirected edges: reused 3x below;
     # eager checkpoint (not cache) so the docs scan-fragment cache can
-    # be released immediately — see _varied_link_graph's hygiene note
+    # be released immediately — see _varied_link_nb's hygiene note
     docs.unpersist()
     deg = (
         e.select(F.col("u").alias("x"))
@@ -8939,7 +8939,7 @@ _KCORE_PRIMES = (7, 13, 5, 11, 3, 17)
 
 def _varied_graph_sql_prefix() -> str:
     """The shared WITH-prefix building the degree-varied graph's
-    canonical edge set `e` (twin of _varied_link_graph)."""
+    canonical edge set `e` (twin of _varied_link_nb's generator)."""
     raws = "\n      UNION ALL\n".join(
         f"      SELECT doc_id AS src, (doc_id * {p} + {j}) % nn.n AS dst\n"
         f"      FROM documents, nn WHERE doc_id % 7 >= {j}"
@@ -8984,19 +8984,35 @@ def _kcore_oracle() -> str:
     return "".join(parts)
 
 
-def _varied_link_graph(spark, sf_dir):
-    """Canonical undirected edges (u < v) of the degree-varied
-    closed-form link graph (node i emits j = 1..6 edges gated on
-    i % 7 >= j) — shared by b19_kcore and b19_label_propagation.
-    Returned materialized (localCheckpoint): both consumers probe it
-    every round."""
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(32, "doc_id")
-        .cache()
+def _mirror_edge():
+    """explode((u→v, v→u)) — emit both directions of a canonical edge
+    row in ONE pass (a self-union would execute the upstream plan
+    twice when it isn't materialized)."""
+    return F.explode(
+        F.array(
+            F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+            F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+        )
     )
-    n = docs.count()
+
+
+def _varied_link_nb(spark, sf_dir):
+    """BOTH directions of the degree-varied closed-form link graph
+    (node i emits j = 1..6 edges gated on i % 7 >= j; canonical-
+    deduped, then mirrored) — shared by b19_kcore and
+    b19_label_propagation, whose per-round joins only ever scan the
+    DIRECTED relation. Materializing nb directly (instead of a
+    canonical-e checkpoint followed by a second nb checkpoint) saves
+    one materialization job per query: localCheckpoint erases Catalyst
+    partitioning info anyway, so the intermediate e materialization
+    bought nothing the consumers could reuse.
+
+    N arrives as a BROADCAST scalar subquery (the oracle's `nn` CTE
+    shape) instead of a driver-side docs.count() action — the whole
+    build is ONE job, and the cache/unpersist hygiene dance the
+    counted-literal version needed goes away with the cache."""
+    base = t(spark, sf_dir, "documents").select("doc_id")
+    nn = base.agg(F.count("*").alias("n"))
     d = F.col("doc_id")
     # ONE generator pass instead of a 6-way unionAll: explode the
     # (prime, j) table per row and gate on the out-degree rule — the
@@ -9009,11 +9025,12 @@ def _varied_link_graph(spark, sf_dir):
         ]
     )
     raw = (
-        docs.select(d, F.explode(gens).alias("g"))
+        base.select(d, F.explode(gens).alias("g"))
         .filter(d % 7 >= F.col("g.j"))
+        .join(F.broadcast(nn))
         .select(
             d.alias("src"),
-            ((d * F.col("g.p") + F.col("g.j")) % n).alias("dst"),
+            ((d * F.col("g.p") + F.col("g.j")) % F.col("n")).alias("dst"),
         )
     )
     e = (
@@ -9023,54 +9040,100 @@ def _varied_link_graph(spark, sf_dir):
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .repartition(32, "u")
-        .localCheckpoint()  # eager: edges are materialized past here
     )
-    # release the scan-fragment cache NOW: a cached
-    # `documents.select(doc_id).repartition(32)` lingering in the
-    # CacheManager gets substituted into ANY later plan over the same
-    # table and injects its exchange there (observed: b19_url_dedup's
-    # plan guard counting a third hashpartitioning when a graph query
-    # ran first in the same session)
-    docs.unpersist()
-    return e
+    return (
+        e.select(_mirror_edge().alias("p"))
+        .select("p.src", "p.dst")
+        .localCheckpoint()  # eager: the directed relation is the only
+        # thing the bounded-round consumers ever scan. Mirrored via
+        # explode, NOT a self-union — a union of two selects over the
+        # LAZY e would run the distinct shuffle twice in this one job.
+    )
+
+
+def _kcore_delta_peel(nb, k: int, rounds: int):
+    """DELTA peeling — the fused replacement for the round-8/9
+    induced-subgraph recompute (round-9 verdict item #4: per-round
+    cost was 2 E-sized semi-join exchanges + a degree agg, 3 jobs x R
+    rounds for a tiny vertex set).
+
+    State is the O(V) (vertex, current-induced-degree) relation. Each
+    round: dead = below-K vertices; decrement each dead vertex's
+    neighbors by joining the STATIC edge list against broadcast(dead)
+    — map-only over e's existing partitioning, no E-sized exchange
+    ever again. Each edge decrements each endpoint at most once
+    (exactly when the OTHER endpoint dies), so by induction deg_i is
+    precisely the induced degree on alive_i = the oracle's v_i — the
+    unrolled-CTE hash is unchanged by construction. Peeling is
+    monotone, so an empty dead round is the fixpoint and rounds
+    i+1..R are provably no-ops: early-exit (one tiny count() action
+    per round buys skipping whole rounds; both test graphs converge
+    before R=8). The final SELECT in the oracle derives degrees from
+    the induced EDGE list, so isolated survivors (possible only
+    pre-fixpoint) are filtered with dg >= 1 to match.
+
+    At 100 TB: the directed neighbor list stays hash-partitioned and
+    materialized once; dead is a shrinking fraction of V (drop the
+    broadcast hint past ~10M dead/round and AQE picks the join side);
+    per-round shuffles are O(decrements) + O(V-state join), never
+    O(E).
+
+    `nb` is the MATERIALIZED directed neighbor relation (src, dst) —
+    both directions of every canonical edge. One directed scan per
+    round instead of (e⋈dead-on-u) ∪ (e⋈dead-on-v)."""
+    deg = (
+        nb.groupBy(F.col("src").alias("x"))
+        .agg(F.count("*").alias("dg"))
+        .localCheckpoint()
+    )
+
+    def one_level(d):
+        dead = d.filter(F.col("dg") < k).select("x")
+        dec = (
+            nb.join(F.broadcast(dead.withColumnRenamed("x", "src")), "src")
+            .groupBy(F.col("dst").alias("x"))
+            .agg(F.count("*").alias("dc"))
+        )
+        return (
+            d.filter(F.col("dg") >= k)
+            .join(dec, "x", "left")
+            .select(
+                "x",
+                (
+                    F.col("dg") - F.coalesce(F.col("dc"), F.lit(0))
+                ).alias("dg"),
+            )
+        )
+
+    # TWO levels per materialization: the per-round wall at sf-scale is
+    # action scheduling (checkpoint + fixpoint probe), not data, so
+    # lineage-stack a pair of peel levels between checkpoints — the
+    # inner level's dead-broadcast subquery recomputes one un-
+    # materialized O(V) map/agg, a cheap trade for halving the action
+    # count. Fixpoint probe: state is monotone-shrinking, so equal
+    # cardinality across a batch proves BOTH levels were no-ops and
+    # every remaining round is too.
+    n_prev = deg.count()
+    r = 0
+    while r < rounds:
+        step = min(3, rounds - r)
+        nxt = deg
+        for _ in range(step):
+            nxt = one_level(nxt)
+        nxt = nxt.localCheckpoint()  # O(V) state, lineage cut per batch
+        n_now = nxt.count()
+        deg = nxt
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+        r += step
+    return deg.filter(F.col("dg") >= 1)
 
 
 @register("b19_kcore", oracle=_kcore_oracle(), tags=("B19",))
 def b19_kcore(spark, sf_dir):
-    e = _varied_link_graph(spark, sf_dir)
-
-    def _induced(alive):
-        """Edges with BOTH endpoints alive (two semi-joins)."""
-        return e.join(
-            alive.withColumnRenamed("x", "u"), "u", "semi"
-        ).join(alive.withColumnRenamed("x", "v"), "v", "semi")
-
-    def _degrees(sub):
-        return (
-            sub.select(F.col("u").alias("x"))
-            .unionAll(sub.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count("*").alias("dg"))
-        )
-
-    alive = (
-        e.select(F.col("u").alias("x"))
-        .union(e.select(F.col("v").alias("x")))
-        .distinct()
-        .localCheckpoint()
-    )
-    for _ in range(_KCORE_ROUNDS):
-        # eager localCheckpoint = materialize THIS round's O(V) state
-        # and sever the plan from rounds 1..k-1 (see header: cache()
-        # measured 4x-per-round replay under the double semi-join)
-        alive = (
-            _degrees(_induced(alive))
-            .filter(F.col("dg") >= _KCORE_K)
-            .select("x")
-            .localCheckpoint()
-        )
-    return _degrees(_induced(alive)).select(
+    nb = _varied_link_nb(spark, sf_dir)
+    return _kcore_delta_peel(nb, _KCORE_K, _KCORE_ROUNDS).select(
         F.col("x").alias("doc_id"),
         F.col("dg").cast("bigint").alias("core_deg"),
     )
@@ -9134,13 +9197,11 @@ def _lpa_oracle() -> str:
 
 @register("b19_label_propagation", oracle=_lpa_oracle(), tags=("B19",))
 def b19_label_propagation(spark, sf_dir):
-    e = _varied_link_graph(spark, sf_dir)
-    nb = (
-        e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-        .unionAll(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
-        .repartition(32, "y")  # joined on y against labels every round
-        .localCheckpoint()
-    )
+    nb = _varied_link_nb(spark, sf_dir).select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )  # already materialized; a checkpoint's partitioning is opaque to
+    # Catalyst anyway, so no extra repartition buys the round joins
+    # anything
     labels = (
         nb.select(F.col("x")).distinct()
         .select("x", F.col("x").alias("lab"))
@@ -9248,8 +9309,10 @@ def _handoff_pairs(spark, sf_dir):
     ).filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("user_id")))
 
 
-def _handoff_graph(spark, sf_dir, min_weight: int = 1):
-    """Canonical undirected extracted edges (u < v), materialized."""
+def _handoff_edges(spark, sf_dir, min_weight: int = 1):
+    """Canonical undirected extracted edges (u < v) — LAZY; callers
+    materialize whichever shape (canonical or directed-mirror) their
+    round joins actually scan."""
     g = (
         _handoff_pairs(spark, sf_dir)
         .select(
@@ -9261,9 +9324,29 @@ def _handoff_graph(spark, sf_dir, min_weight: int = 1):
     )
     if min_weight > 1:
         g = g.filter(F.col("w") >= min_weight)
+    return g.select("u", "v")
+
+
+def _handoff_graph(spark, sf_dir, min_weight: int = 1):
+    """Canonical undirected extracted edges (u < v), materialized."""
     return (
-        g.select("u", "v").repartition(32, "u").localCheckpoint()
+        _handoff_edges(spark, sf_dir, min_weight)
+        .repartition(32, "u")
+        .localCheckpoint()
     )  # eager: every consumer probes the edge list repeatedly
+
+
+def _handoff_nb(spark, sf_dir, min_weight: int = 1):
+    """Both directions of the extracted edges, materialized — the only
+    shape the bounded-round consumers (k-core, LPA) ever scan; one
+    checkpoint instead of e-then-nb two, mirrored via explode so the
+    extraction window pass runs exactly once inside that job."""
+    return (
+        _handoff_edges(spark, sf_dir, min_weight)
+        .select(_mirror_edge().alias("p"))
+        .select("p.src", "p.dst")
+        .localCheckpoint()
+    )
 
 
 _B19_PAGERANK_HANDOFF_ORACLE = (
@@ -9473,35 +9556,10 @@ def b19_kcore_handoff(spark, sf_dir):
     threshold gives the near-regular co-activity graph real degree
     structure, so the peel removes nodes without emptying (measured
     across all three SFs; see the section header)."""
-    e = _handoff_graph(spark, sf_dir, min_weight=_HANDOFF_STRONG_W)
-
-    def _induced(alive):
-        return e.join(
-            alive.withColumnRenamed("x", "u"), "u", "semi"
-        ).join(alive.withColumnRenamed("x", "v"), "v", "semi")
-
-    def _degrees(sub):
-        return (
-            sub.select(F.col("u").alias("x"))
-            .unionAll(sub.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count("*").alias("dg"))
-        )
-
-    alive = (
-        e.select(F.col("u").alias("x"))
-        .union(e.select(F.col("v").alias("x")))
-        .distinct()
-        .localCheckpoint()
-    )
-    for _ in range(_HANDOFF_KCORE_ROUNDS):
-        alive = (
-            _degrees(_induced(alive))
-            .filter(F.col("dg") >= _HANDOFF_KCORE_K)
-            .select("x")
-            .localCheckpoint()  # O(V) state, lineage cut per round
-        )
-    return _degrees(_induced(alive)).select(
+    nb = _handoff_nb(spark, sf_dir, min_weight=_HANDOFF_STRONG_W)
+    return _kcore_delta_peel(
+        nb, _HANDOFF_KCORE_K, _HANDOFF_KCORE_ROUNDS
+    ).select(
         F.col("x").alias("user_id"),
         F.col("dg").cast("bigint").alias("core_deg"),
     )
@@ -9545,12 +9603,8 @@ def b19_label_propagation_handoff(spark, sf_dir):
     """Synchronous LPA (R=4, ties to the smallest label) over the
     extracted handoff graph — community structure of who-acts-after-
     whom, the sharding input for per-community processing."""
-    e = _handoff_graph(spark, sf_dir)
-    nb = (
-        e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-        .unionAll(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
-        .repartition(32, "y")
-        .localCheckpoint()
+    nb = _handoff_nb(spark, sf_dir).select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
     )
     labels = (
         nb.select(F.col("x")).distinct()

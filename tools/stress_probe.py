@@ -65,6 +65,10 @@ QUERIES = [
     "b21_rake_keywords",        # doc-local islands/aggs over 10x docs
     "b19_minhash_calibration",  # LSH candidates + signature compare, 10x docs
     "b27_sequence_trigrams",    # per-user LAG window over 10x users
+    "b19_pagerank_handoff",     # extraction window + 3 PR rounds, 10x users
+    "b19_triangle_count_handoff",  # extraction + wedge join, 10x extracted edges
+    "b19_kcore_handoff",        # extraction + delta peel, 10x strong-tie graph
+    "b19_label_propagation_handoff",  # extraction + 4 LPA rounds, 10x users
     # b20_jl_projection / b20_radius_search / b20_ann_recall /
     # b20_triplet_mining / b20_cluster_margin / b22_audio_vad are NOT
     # probed: the embeddings table is copied verbatim (not replicated)
@@ -163,12 +167,21 @@ def main() -> int:
 
     qs = plans.all_queries()
     rows = []
-    for name in QUERIES:
+    # optional positional name filter: probe just those queries and
+    # print results WITHOUT rewriting STRESS.md (partial runs must not
+    # clobber the full table)
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    partial = bool(names)
+    for name in (names or QUERIES):
         t1 = _time_query(qs[name], spark, BASE)
         t10 = _time_query(qs[name], spark, STRESS)
         ratio = t10 / t1 if t1 > 0 else float("inf")
         rows.append((name, t1, t10, ratio))
         print(f"{name}: 1x {t1:.2f}s  10x {t10:.2f}s  ratio {ratio:.1f}")
+    if partial:
+        if "--keep" not in sys.argv:
+            shutil.rmtree(STRESS, ignore_errors=True)
+        return 0
 
     # BOUNDED section replace: everything at/after the manual-sections
     # marker is hand-curated evidence (streaming state rows, ratio
