@@ -179,6 +179,11 @@ BENCH_QUERIES = [
     "b24_backtest",  # Holt backtest vs naive baseline
     "b18_range_boundaries",  # exact NTILE split, no global sort
     "b23_ewma_control",  # SPC EWMA chart: exact-int stats + fold
+    "b19_pagerank_handoff",  # extracted user-handoff graph, 3 PR rounds
+    "b19_triangle_count_handoff",  # extracted graph, oriented wedge join
+    "b19_kcore_handoff",  # strong-tie extracted graph, delta peel K=3
+    "b19_label_propagation_handoff",  # extracted graph, 4 LPA rounds
+    "b21_sequence_pack_bpe",  # packing on REAL BPE token counts
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw
@@ -207,6 +212,17 @@ QUERY_WORK_NOTES = {
                      "hiss (new in r9)",
     "b20_mmr_rerank": "k-1=4 bounded 1-row driver actions by design "
                       "(greedy selection on the top-C pool)",
+    "b19_pagerank_handoff": "new in r10: the data-derived link-graph "
+                            "family — edges EXTRACTED from events "
+                            "(consecutive-distinct-user handoffs per "
+                            "(event_type, hour) bucket), not doc_id "
+                            "arithmetic",
+    "b21_sequence_pack_bpe": "new in r10: b21_sequence_pack's packing "
+                             "fill driven by the b21_bpe_encode "
+                             "tokenizer's REAL per-doc token counts "
+                             "instead of whitespace splits (includes "
+                             "the 6-round trainer, so wall is "
+                             "trainer-bound)",
 }
 
 

@@ -4441,8 +4441,12 @@ def b21_bpe_train(spark, sf_dir):
 _BPE_N_MERGES = 6
 
 
-def _bpe_encode_oracle(n: int) -> str:
-    rounds = ",".join(
+def _bpe_rounds_sql(n: int) -> str:
+    """The n unrolled training rounds (m{{i}} winning merge + wt{{i}}
+    post-merge word table) — ONE string builder shared by the
+    b21_bpe_encode and b21_sequence_pack_bpe oracles so the merge
+    semantics cannot drift between them."""
+    return ",".join(
         f"""
     m{i} AS MATERIALIZED (
       SELECT a, b FROM (
@@ -4461,6 +4465,10 @@ def _bpe_encode_oracle(n: int) -> str:
     )"""
         for i in range(1, n + 1)
     )
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    rounds = _bpe_rounds_sql(n)
     return rf"""
     WITH words AS MATERIALIZED (
       SELECT doc_id, w AS word
@@ -4520,6 +4528,109 @@ def b21_bpe_encode(spark, sf_dir):
                 F.array_max(F.transform("syms", F.length))
             ).cast("bigint").alias("max_token_len"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B21q'' — SEQUENCE PACKING ON REAL TOKENIZER COUNTS: b21_sequence_pack
+# bins documents by WHITESPACE token counts — a placeholder every real
+# pipeline replaces with the trained tokenizer's counts (context-window
+# budgets are measured in model tokens, not words). This query closes
+# that loop: the per-doc n_tokens come from the b21_bpe_encode dataflow
+# (6-round trainer + vocabulary-sized segmentation join), then the SAME
+# greedy per-lang next-fit fill as b21_sequence_pack packs on them. The
+# oracle chains the shared _bpe_rounds_sql CTEs into the shared
+# recursive-pack CTE, so both halves replay semantics already proven
+# separately.
+# --------------------------------------------------------------------------
+def _pack_bpe_oracle(n: int) -> str:
+    rounds = _bpe_rounds_sql(n)
+    return rf"""
+    WITH RECURSIVE words AS MATERIALIZED (
+      SELECT doc_id, lang, w AS word
+      FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents)
+      WHERE regexp_full_match(w, '[a-z0-9]+')
+    ),
+    wt0 AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS freq,
+             regexp_replace(word, '(.)', '<\1>', 'g') AS w
+      FROM words GROUP BY word
+    ),
+    {rounds},
+    final AS (
+      SELECT word, regexp_extract_all(w, '<([^>]*)>', 1) AS syms FROM wt{n}
+    ),
+    d AS MATERIALIZED (
+      SELECT doc_id, lang, n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM (
+        SELECT w.doc_id, w.lang, sum(len(f.syms))::BIGINT AS n_tokens
+        FROM words w JOIN final f USING (word) GROUP BY 1, 2
+      )
+    ),
+    pack AS (
+      SELECT doc_id, lang, n_tokens, rn,
+        CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+             THEN p.bin_id + 1 ELSE p.bin_id END,
+        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+             THEN d.n_tokens ELSE p.fill + d.n_tokens END
+      FROM d JOIN pack p ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, bin_id FROM pack
+"""
+
+
+@register(
+    "b21_sequence_pack_bpe",
+    oracle=_pack_bpe_oracle(_BPE_N_MERGES),
+    tags=("B21", "B30"),
+)
+def b21_sequence_pack_bpe(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.bpe import train_bpe_table
+
+    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    occurrences = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    wt0 = (
+        occurrences.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", chars.alias("syms"))
+    )
+    _, segmented, _base = train_bpe_table(wt0, _BPE_N_MERGES)
+    d = (
+        occurrences.join(segmented.select("word", "syms"), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.size("syms")).cast("bigint").alias("n_tokens"))
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill and fill + n > _PACK_CAPACITY:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf[["doc_id", "lang", "n_tokens", "bin_id"]]
+
+    return d.repartition("lang").groupBy("lang").applyInPandas(
+        pack, "doc_id bigint, lang string, n_tokens bigint, bin_id bigint"
     )
 
 
