@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "b19_kcore_handoff",  # strong-tie extracted graph, delta peel K=3
     "b19_label_propagation_handoff",  # extracted graph, 4 LPA rounds
     "b21_sequence_pack_bpe",  # packing on REAL BPE token counts
+    "pipeline_plc_e2e",  # config->sim->decode->points->InfluxQL, composed
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

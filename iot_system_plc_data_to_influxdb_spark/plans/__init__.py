@@ -10,6 +10,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     config_plane,
     flagship,
     northstar,
+    pipeline,
     relational,
     streaming_parity,
     timeseries,

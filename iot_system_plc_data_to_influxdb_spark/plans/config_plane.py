@@ -202,10 +202,11 @@ _VEC_VALUES = ", ".join(
     for n, dt, b0, b1, b2, b3, bit in DECODE_VECTORS
 )
 
-_A7_ORACLE = f"""
-WITH vec(name, data_type, b0, b1, b2, b3, bit_off) AS (VALUES {_VEC_VALUES}),
-decoded AS (
-  SELECT name, data_type,
+# The S7 type-decode dispatch as reusable SQL (expects columns
+# data_type, b0..b3, bit_off in scope) — shared by _A7_ORACLE and the
+# composed-pipeline oracle (plans/pipeline.py) so the decode algebra
+# lives in ONE string.
+DECODE_CASE_SQL = """
     CASE data_type
       WHEN 'S7WLReal' THEN (
         CASE WHEN ((b0 * 2 + b1 // 128) % 256) = 255 THEN NULL
@@ -226,7 +227,13 @@ decoded AS (
       WHEN 'S7WLByte' THEN CAST(b0 AS DOUBLE)
       WHEN 'S7WLBit' THEN CAST((b0 // CAST(POW(2, COALESCE(bit_off, 0)) AS INT)) % 2 AS DOUBLE)
       ELSE NULL
-    END AS value
+    END
+"""
+
+_A7_ORACLE = f"""
+WITH vec(name, data_type, b0, b1, b2, b3, bit_off) AS (VALUES {_VEC_VALUES}),
+decoded AS (
+  SELECT name, data_type, {DECODE_CASE_SQL} AS value
   FROM vec
 )
 SELECT name, data_type, value FROM decoded WHERE value IS NOT NULL
