@@ -389,3 +389,71 @@ def test_b20_jl_projection_leg_is_map_only(spark):
     # and the projection actually computes: 16 bigint outputs
     row = df.limit(1).collect()[0]
     assert len(row["p"]) == 16
+
+
+def test_handoff_extraction_is_one_window_exchange(spark):
+    """The round-10 data-derived link-graph extraction (events →
+    consecutive-distinct-user handoffs) must compile to exactly ONE
+    exchange — the window's (event_type, hour-bucket) hash
+    partitioning — with the per-bucket sort inside it. A per-type
+    global sort (low-cardinality partition spec) or a second shuffle
+    would be the 100 TB killer this shape exists to avoid."""
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _handoff_pairs,
+    )
+
+    df = _handoff_pairs(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert p.count("Exchange") == 1
+    assert "hashpartitioning(event_type" in p and "hr" in p
+    assert p.count("Window") == 1
+
+
+def test_kcore_delta_round_probes_with_broadcast(spark):
+    """One delta-peel round's decrement leg must be a broadcast-hash
+    probe of the materialized neighbor list with a partial+final
+    count — never a SortMergeJoin (that would re-shuffle the E-sized
+    relation every round, the exact cost the round-10 rewrite
+    removed)."""
+    from pyspark.sql import functions as F
+
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _handoff_nb,
+    )
+
+    nb = _handoff_nb(spark, SF_DIR)
+    deg = (
+        nb.groupBy(F.col("src").alias("x"))
+        .agg(F.count("*").alias("dg"))
+        .localCheckpoint()
+    )
+    dead = deg.filter(F.col("dg") < 3).select("x")
+    dec = (
+        nb.join(F.broadcast(dead.withColumnRenamed("x", "src")), "src")
+        .groupBy(F.col("dst").alias("x"))
+        .agg(F.count("*").alias("dc"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dec.explain("simple")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p  # map-side combine before the shuffle
+    # the only hash exchange is the O(decrements) aggregate
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_pipeline_e2e_is_synth_then_one_aggregate(spark):
+    """The composed pipeline (config → sim → decode → points →
+    compiled InfluxQL downsample) must stay map-only until one
+    partial+final aggregate: no join bigger than the 1-row dimension
+    broadcasts, no extra shuffle before the bucket aggregation."""
+    p = _plan(spark, "pipeline_plc_e2e", mode="simple")
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p and "partial_avg" in p
+    # one agg exchange + the compiler's output ordering (range) only
+    assert p.count("Exchange hashpartitioning") == 1
