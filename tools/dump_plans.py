@@ -14,6 +14,9 @@ sys.path.insert(0, "/root/repo")
 
 HEADLINE = [
     "flagship_signal_snapshot",
+    "pipeline_plc_e2e",
+    "b19_pagerank_handoff",
+    "b19_kcore_handoff",
     "b1_scan_pushdown",
     "b4_hash_aggregate",
     "b7_broadcast_star_join",

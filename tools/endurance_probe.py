@@ -188,8 +188,15 @@ def main() -> int:
 
     marks = [_pick(0.2), _pick(0.5), samples[-1]]
     warm = [s for s in samples if s["t_s"] >= SOAK_S * 0.2]
-    heap_first, heap_last = warm[0]["jvm_heap_mb"], warm[-1]["jvm_heap_mb"]
-    rss_first, rss_last = warm[0]["jvm_rss_mb"], warm[-1]["jvm_rss_mb"]
+    # FLOOR-based drift: instantaneous heap/RSS oscillate with the GC
+    # cycle (a sample can race a micro-batch's fresh allocations), so
+    # the honest leak signal is the MINIMUM over a window — the
+    # retained floor — early vs late.
+    third = max(1, len(warm) // 3)
+    heap_first = min(s["jvm_heap_mb"] for s in warm[:third])
+    heap_last = min(s["jvm_heap_mb"] for s in warm[-third:])
+    rss_first = min(s["jvm_rss_mb"] for s in warm[:third])
+    rss_last = min(s["jvm_rss_mb"] for s in warm[-third:])
     state_cols = [k for k in samples[-1] if k.endswith("_state_rows")]
     state_peak = {c: max(s.get(c, 0) for s in samples) for c in state_cols}
 
@@ -220,8 +227,10 @@ def main() -> int:
         )
     lines += [
         "",
-        f"Post-warmup (t≥{int(SOAK_S * 0.2)} s) drift: jvm heap "
-        f"{heap_first:.0f}→{heap_last:.0f} MB "
+        f"Post-warmup (t≥{int(SOAK_S * 0.2)} s) retained-FLOOR drift "
+        "(min over the first vs last third — instantaneous readings "
+        "race the GC cycle and fresh micro-batch allocations): jvm "
+        f"heap {heap_first:.0f}→{heap_last:.0f} MB "
         f"({(heap_last - heap_first):+.0f}), jvm RSS "
         f"{rss_first:.0f}→{rss_last:.0f} MB "
         f"({(rss_last - rss_first):+.0f}). Peak state rows: "

@@ -59,7 +59,11 @@ QUERIES = [
     "b18_stratified_sample",     # claim: window carries pruned 4-col projection
     "b21_winnow_fingerprints",   # claim: one per-doc window shuffle, map-only grams
     "b19_winnow_neardup",        # claim: pair join sized by rare shared fingerprints
-    "b19_kcore",                 # claim: per-round exchanges sized by the shrinking subgraph
+    "b19_kcore",                 # claim: delta peel — per-round shuffles O(decrements)+O(V), never O(E)
+    "b19_kcore_handoff",         # claim: same delta peel over the EXTRACTED strong-tie graph
+    "b19_pagerank_handoff",      # claim: one window exchange extracts edges; rounds join O(V) rank
+    "b21_sequence_pack_bpe",     # claim: encode joins vocabulary-sized table, pack is per-lang fold
+    "pipeline_plc_e2e",          # claim: map-only synth+decode, ONE partial->final bucket agg
     "b19_label_propagation",     # claim: per-round join+agg linear in edges, O(V) label state
     "b23_xcorr",                 # claim: events collapse ~3600:1 before any join
     "b21_perplexity_bits",       # claim: corpus collapses once to occurrence groups
