@@ -594,6 +594,10 @@ def main() -> int:
         "stddev": stddev,
         "trimmed_mean_drop_max": trimmed,
         "host_phase_flag": drift,
+        # each flag's fresh-session re-run + code|suite-context|host
+        # verdict (round-10: the same attribution treatment the
+        # normalized_regressions entries got in round 8)
+        "host_phase_attributions": host_attrib,
         "runs": all_runs,
         "warmup": warmups,
         "calib_jvm_s": calib_jvm,
