@@ -1951,3 +1951,86 @@ def test_streaming_cms_cells_merge_to_batch_sketch(spark, tmp_path):
         .collect()
     }
     assert dict(merged) == batch
+
+
+def test_streaming_handoff_edges_match_batch_lag(spark, tmp_path):
+    """B19h × B29: handoff_edge_stream fires the SAME directed handoff
+    edges as the batch LAG extraction (plans/northstar._handoff_pairs)
+    — including an edge whose two endpoints land in different
+    micro-batches, a same-user run that advances the chain without
+    emitting, an intra-batch out-of-order pair (sorted by (ts,
+    event_id) inside the batch), and a replayed row dropped by the
+    (ts, event_id) high-water mark."""
+    import datetime
+    import glob
+    import shutil
+
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _handoff_pairs,
+    )
+    from iot_system_plc_data_to_influxdb_spark.streaming.graph import (
+        handoff_edge_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def row(et, i, user, minute):
+        return (t0 + datetime.timedelta(minutes=minute), i, user, et)
+
+    sch = "ts timestamp, event_id bigint, user_id bigint, event_type string"
+    # bucket (click, hour 0): u1 -> u1 (no edge, chain advances) -> u2
+    # (edge), then the NEXT batch continues the chain u2 -> u3 (edge
+    # ACROSS the boundary). bucket (view, hour 1): arrives out of
+    # order inside batch 0 (event_id 11 before 10).
+    batch0 = [
+        row("click", 1, 1, 0),
+        row("click", 2, 1, 5),     # same user: no edge, advances chain
+        row("click", 3, 2, 10),    # edge 1->2
+        row("view", 11, 7, 70),    # out of order within the batch:
+        row("view", 10, 6, 65),    # sorted to 6 -> 7, one edge
+    ]
+    batch1 = [
+        row("click", 4, 3, 20),    # edge 2->3 across the batch split
+        row("click", 3, 2, 10),    # replay of event 3: dropped
+        row("view", 12, 7, 75),    # same user as chain head: no edge
+        row("view", 13, 6, 80),    # edge 7->6
+    ]
+    dst = os.path.join(str(tmp_path), "handoff")
+    os.makedirs(dst, exist_ok=True)
+    for i, rows in enumerate([batch0, batch1]):
+        stage = os.path.join(str(tmp_path), f"hstage{i}")
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(dst, f"{i:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dst)
+    )
+    got = []
+    q = (
+        handoff_edge_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = sorted((r["src"], r["dst"], int(r["event_id"])) for r in got)
+    assert streamed == [(1, 2, 3), (2, 3, 4), (6, 7, 11), (7, 6, 13)]
+
+    # batch reference: the SAME edges from the LAG extraction over the
+    # union minus the replayed row, written as a one-table sf_dir
+    all_rows = batch0 + [r for r in batch1 if r[1] != 3]
+    ref_dir = os.path.join(str(tmp_path), "refsf")
+    spark.createDataFrame(all_rows, sch).write.parquet(
+        os.path.join(ref_dir, "events.parquet")
+    )
+    batch_edges = sorted(
+        (r["prev"], r["user_id"])
+        for r in _handoff_pairs(spark, ref_dir).collect()
+    )
+    assert batch_edges == [(s, d) for s, d, _ in streamed]
