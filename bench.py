@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "b19_label_propagation_handoff",  # extracted graph, 4 LPA rounds
     "b21_sequence_pack_bpe",  # packing on REAL BPE token counts
     "pipeline_plc_e2e",  # config->sim->decode->points->InfluxQL, composed
+    "b21_bm25_retrieval",  # integer-exact BM25 top-k, TakeOrdered legs
+    "b20_rrf_hybrid",  # rank-only lexical+vector fusion, pure integers
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

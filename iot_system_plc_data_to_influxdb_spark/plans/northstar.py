@@ -602,6 +602,262 @@ def b21_tfidf(spark, sf_dir):
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
 
+# --------------------------------------------------------------------------
+# B21s — BM25 RANKED RETRIEVAL (Robertson/Spärck Jones, k1=1.2 b=0.75):
+# the lexical-retrieval baseline every curation pipeline runs — find
+# the corpus documents most relevant to a probe query (decontamination
+# lookups, eval-set leakage triage, RAG-gold mining) — as ONE exact-
+# integer dataflow. Two established in-repo tricks make classic BM25
+# hash-checkable:
+#   idf     — the b21_perplexity_bits bit-length bound: idf_bits =
+#             bits(N) − bits(df) = the shared functions/text.
+#             surprisal_bits expression, exact INTEGER within 1 bit of
+#             log2(N/df);
+#   tf-norm — tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) cleared of ALL
+#             fractions by multiplying through by 10·avgdl·N (k1=6/5,
+#             b=3/4, avgdl=sum_len/N):
+#             22·tf·sum_len / (10·tf·sum_len + 3·sum_len + 9·dl·N),
+#             exact integers; one fixed-point integer division per
+#             (doc, term) then an order-independent BIGINT sum.
+# Magnitude bound: idf_bits(≤~13)·22·tf·sum_len·1e6 ≈ 1e15 at sf0.1 —
+# inside int64 (ANSI faults, not wraps, if a corpus ever violates it;
+# at 100 TB move the numerator to DECIMAL(38) — one cast site).
+# Scale: terms filtered BEFORE the tf aggregate (only query terms
+# survive the explode), df/stats are broadcast 4-row/1-row sides, and
+# the top-k is a TakeOrdered — no global sort, no vocabulary shuffle.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "merge", "vector")
+_BM25_SCALE = 1_000_000
+_BM25_TOPK = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+# the CTE chain through per-doc BM25 scores `bm(doc_id, dl,
+# n_hit_terms, score_fp)` — ONE string shared by the b21_bm25_retrieval
+# and b20_rrf_hybrid oracles
+_BM25_CORE_SQL = rf"""
+    base AS (
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+          AS BIGINT) AS dl,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_len
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS term FROM base)
+      WHERE term IN ({_BM25_TERMS_SQL})
+      GROUP BY 1, 2, 3
+    ),
+    dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT tf.doc_id, tf.dl,
+        CAST(
+          (length(bin(s.n_docs)) - length(bin(dfq.df)))
+          * (22 * tf.tf * s.sum_len * {_BM25_SCALE})
+          // (10 * tf.tf * s.sum_len + 3 * s.sum_len + 9 * tf.dl * s.n_docs)
+        AS BIGINT) AS sterm
+      FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+    ),
+    bm AS (
+      SELECT doc_id, MAX(dl) AS dl,
+        COUNT(*)::BIGINT AS n_hit_terms,
+        SUM(sterm)::BIGINT AS score_fp
+      FROM per GROUP BY doc_id
+    )
+"""
+
+_B21_BM25_ORACLE = f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT doc_id, dl, n_hit_terms, score_fp
+    FROM bm ORDER BY score_fp DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+def _bm25_doc_scores(spark, sf_dir):
+    """Per-doc BM25 relation (doc_id, dl, n_hit_terms, score_fp) —
+    the Spark twin of _BM25_CORE_SQL's `bm` CTE, shared by
+    b21_bm25_retrieval and b20_rrf_hybrid."""
+    from ..functions.text import surprisal_bits
+
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("dl"),
+        tokens(F.col("text")).alias("w"),
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("sum_len"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    per = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            "tf",
+            "sum_len",
+            "n_docs",
+            surprisal_bits(F.col("n_docs"), F.col("df")).alias("idf_bits"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            # multiply idf BEFORE the one integer division — the
+            # truncation point must be identical to the oracle's
+            # (a*b) // c, not a * (b // c)
+            F.expr(
+                f"idf_bits * (22 * tf * sum_len * {_BM25_SCALE}) div "
+                "(10 * tf * sum_len + 3 * sum_len + 9 * dl * n_docs)"
+            ).cast("bigint").alias("sterm"),
+        )
+    )
+    return per.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        F.count("*").cast("bigint").alias("n_hit_terms"),
+        F.sum("sterm").cast("bigint").alias("score_fp"),
+    )
+
+
+@register("b21_bm25_retrieval", oracle=_B21_BM25_ORACLE, tags=("B21", "B20"))
+def b21_bm25_retrieval(spark, sf_dir):
+    return (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# B20r — RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack/Clarke/
+# Buettcher 2009): fuse the BM25 lexical leg with the brute-force
+# cosine vector leg — the standard hybrid-retrieval recipe (and the
+# standard way a curation pipeline triages "find everything related to
+# this eval item": lexical catches verbatim overlap, vectors catch
+# paraphrase). RRF needs only RANKS, which makes it EXACTLY hashable:
+# rrf = Σ_legs SCALE // (60 + rank) — pure integer arithmetic, no
+# score normalization across incomparable scales (the whole point of
+# RRF). vec_id is the documents table's embedding id (aligned ranges),
+# probe = vec 0, each leg contributes its top-20.
+#
+# Scale: each leg ends in a TakeOrdered top-K (no global sort); the
+# rank windows and the full-outer fusion join run over 2K ≤ 40 rows.
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_LEG_TOPK = 20
+
+_B20_RRF_ORACLE = f"""
+    WITH {_BM25_CORE_SQL},
+    lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score_fp DESC, doc_id) AS r FROM bm
+      ) WHERE r <= {_RRF_LEG_TOPK}
+    ),
+    probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+    pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
+    vterms AS (
+      SELECT e.vec_id,
+        CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(p.pe[i] AS DOUBLE), 7) AS DECIMAL(9,7)) AS db
+      FROM embeddings e CROSS JOIN probe p CROSS JOIN pos
+      WHERE e.vec_id <> 0
+    ),
+    vagg AS (
+      SELECT vec_id, SUM(da * db) AS dot,
+        SUM(da * da) AS na, SUM(db * db) AS nb
+      FROM vterms GROUP BY vec_id
+    ),
+    vec AS (
+      SELECT vec_id, r FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (
+          ORDER BY CAST(dot AS DOUBLE)
+            / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC,
+          vec_id) AS r
+        FROM vagg
+      ) WHERE r <= {_RRF_LEG_TOPK}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.vec_id) AS id,
+        COALESCE(l.r, 0)::BIGINT AS lex_rank,
+        COALESCE(v.r, 0)::BIGINT AS vec_rank,
+        (CASE WHEN l.r IS NULL THEN 0
+              ELSE {_BM25_SCALE} // ({_RRF_K} + l.r) END
+         + CASE WHEN v.r IS NULL THEN 0
+                ELSE {_BM25_SCALE} // ({_RRF_K} + v.r) END)::BIGINT
+          AS rrf_fp
+      FROM lex l FULL JOIN vec v ON v.vec_id = l.doc_id
+    )
+    SELECT id, lex_rank, vec_rank, rrf_fp
+    FROM fused ORDER BY rrf_fp DESC, id LIMIT {_BM25_TOPK}
+"""
+
+
+@register("b20_rrf_hybrid", oracle=_B20_RRF_ORACLE, tags=("B20", "B21"))
+def b20_rrf_hybrid(spark, sf_dir):
+    lex_w = Window.orderBy(F.col("score_fp").desc(), "doc_id")
+    lex = (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(_RRF_LEG_TOPK)  # TakeOrdered: the leg's only global op
+        .select(
+            "doc_id", F.row_number().over(lex_w).alias("r")
+        )  # rank window over <= 20 rows — bounded by construction
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    pr = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pe")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).repartition(32)
+    cos = cosine(F.col("embedding"), F.col("pe"))
+    vec_w = Window.orderBy(F.col("cos_raw").desc(), "vec_id")
+    vec = (
+        corpus.crossJoin(F.broadcast(pr))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_RRF_LEG_TOPK)
+        .select("vec_id", F.row_number().over(vec_w).alias("r"))
+    )
+    fused = lex.withColumnRenamed("r", "lr").join(
+        vec.withColumnRenamed("r", "vr"),
+        lex["doc_id"] == vec["vec_id"],
+        "full",
+    )
+    rrf = F.when(
+        F.col("lr").isNotNull(),
+        F.expr(f"{_BM25_SCALE} div ({_RRF_K} + lr)"),
+    ).otherwise(F.lit(0)) + F.when(
+        F.col("vr").isNotNull(),
+        F.expr(f"{_BM25_SCALE} div ({_RRF_K} + vr)"),
+    ).otherwise(F.lit(0))
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("id"),
+            F.coalesce(F.col("lr"), F.lit(0)).cast("bigint").alias(
+                "lex_rank"
+            ),
+            F.coalesce(F.col("vr"), F.lit(0)).cast("bigint").alias(
+                "vec_rank"
+            ),
+            rrf.cast("bigint").alias("rrf_fp"),
+        )
+        .orderBy(F.col("rrf_fp").desc(), "id")
+        .limit(_BM25_TOPK)
+    )
+
+
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 _B21_QUALITY_ORACLE = (
