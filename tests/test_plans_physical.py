@@ -457,3 +457,22 @@ def test_pipeline_e2e_is_synth_then_one_aggregate(spark):
     assert "partial_count" in p and "partial_avg" in p
     # one agg exchange + the compiler's output ordering (range) only
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_and_rrf_legs_are_take_ordered(spark):
+    """Both retrieval legs must end in TakeOrderedAndProject (top-K
+    without a global sort), and the BM25 side must broadcast the
+    4-row df / 1-row corpus-stats dimensions rather than shuffling
+    the term relation against them."""
+    p = _plan(spark, "b21_bm25_retrieval", mode="simple")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    p2 = _plan(spark, "b20_rrf_hybrid", mode="simple")
+    assert p2.count("TakeOrderedAndProject") >= 2  # each leg + fusion
+    # Spark cannot broadcast a FULL OUTER join side, so the fusion of
+    # the two TakeOrdered leg outputs compiles to exactly one SMJ —
+    # over <= 2*LEG_TOPK rows, bounded by construction. The corpus-
+    # sized legs themselves must never sort-merge.
+    assert p2.count("SortMergeJoin") == 1
+    assert "FullOuter" in p2
