@@ -564,7 +564,11 @@ def main() -> int:
     #       itself escalates across its own repeats (cache/state
     #       growth) — a real leak, fix it.
     host_attrib: dict[str, dict] = {}
-    flagged = [k for k, v in drift.items() if v == "host-phase"]
+    flagged = sorted(
+        (k for k, v in drift.items() if v == "host-phase"),
+        key=lambda k: -(all_runs[k][-1] / max(all_runs[k][0], 1e-9)),
+    )  # probe the WORST escalations first so the wall-clock bound
+    # never leaves the most suspicious flag unattributed
     for k in flagged[:6]:  # same wall-clock bound as the gate
         try:
             probe = _spawn_isolated(k, repeats=5)
