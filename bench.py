@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "pipeline_plc_e2e",  # config->sim->decode->points->InfluxQL, composed
     "b21_bm25_retrieval",  # integer-exact BM25 top-k, TakeOrdered legs
     "b20_rrf_hybrid",  # rank-only lexical+vector fusion, pure integers
+    "b20_rrf_recall",  # hybrid-vs-legs recall@10 eval over the probe panel
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw
@@ -225,7 +226,25 @@ QUERY_WORK_NOTES = {
                              "tokenizer's REAL per-doc token counts "
                              "instead of whitespace splits (includes "
                              "the 6-round trainer, so wall is "
-                             "trainer-bound)",
+                             "trainer-bound); r11: two-level pack — "
+                             "shard = doc_id div 256 bounds every "
+                             "applyInPandas group to <=256 rows "
+                             "regardless of docs-per-language",
+    "b20_rrf_recall": "new in r11: evaluated hybrid retrieval — "
+                      "per-probe recall@10 of BM25-lex / IVF / RRF "
+                      "fusion vs brute-cosine truth over the "
+                      "b20_ann_recall probe panel. Finding: the "
+                      "synthetic corpus has NO text<->embedding "
+                      "correlation, so lex recall ~0.01-0.02 and "
+                      "hybrid (0.33-0.40) sits between the legs "
+                      "(ivf 0.37-0.52) — the harness is the "
+                      "deliverable; on real corpora the legs "
+                      "correlate and fusion wins",
+    "b21_sequence_pack": "r11: two-level pack — shard = doc_id div "
+                         "256 (map-only, pure function of the key) "
+                         "bounds every applyInPandas group to <=256 "
+                         "rows; bins are shard-local, (shard, bin_id) "
+                         "is the global bin key",
 }
 
 
@@ -288,6 +307,31 @@ def _spawn_isolated(name: str, repeats: int = 3) -> dict:
         [ln for ln in out.splitlines()
          if ln.startswith("ISOLATED_PROBE ")][-1].split(" ", 1)[1]
     )
+
+
+def _spawn_validated(
+    name: str, calib_ref: float, repeats: int = 3, attempts: int = 3
+) -> tuple[dict, list[dict], bool]:
+    """Self-validating fresh probe (round-10 verdict #3): a probe whose
+    OWN calib_jvm lands >1.3x the suite's is itself degraded — its
+    query timings measure the contaminated session, not the query — so
+    classifying from it is a guess. Re-probe up to `attempts` fresh
+    subprocesses until one calibrates healthy; keep EVERY attempt's
+    record so the evidence trail survives. Returns (representative
+    probe, all attempt records, calib_healthy): on success the
+    representative is the first healthy session; after `attempts`
+    unhealthy sessions it is the best-calibrated one and
+    calib_healthy=False — at that point "the host is in a slow phase"
+    is a conclusion from repeated calib evidence, not one bad probe."""
+    records: list[dict] = []
+    bar = 1.3 * max(calib_ref, 0.001)
+    for _ in range(attempts):
+        probe = _spawn_isolated(name, repeats=repeats)
+        records.append(probe)
+        if probe["fresh_calib_jvm_s"] <= bar:
+            return probe, records, True
+    best = min(records, key=lambda p: p["fresh_calib_jvm_s"])
+    return best, records, False
 
 
 def main() -> int:
@@ -530,7 +574,7 @@ def main() -> int:
     #       regression, fix it.
     for k in list(regressions)[:6]:  # bound the wall-clock cost
         try:
-            probe = _spawn_isolated(k)
+            probe, recs, healthy = _spawn_validated(k, calib_eff)
         except Exception as exc:  # noqa: BLE001 — record, don't die
             regressions[k]["attribution"] = f"probe-failed: {exc}"
             continue
@@ -540,10 +584,16 @@ def main() -> int:
             fresh_isolated_s=fresh,
             fresh_calib_jvm_s=probe["fresh_calib_jvm_s"],
             fresh_ratio_vs_median=round(fresh_rn, 2),
+            probe_attempts=[
+                {"calib_jvm_s": r["fresh_calib_jvm_s"],
+                 "min_s": r["fresh_isolated_s"]} for r in recs
+            ],
         )
         if fresh_rn <= 1.25:
             regressions[k]["attribution"] = "suite-context"
-        elif probe["fresh_calib_jvm_s"] > 1.3 * max(calib_eff, 0.001):
+        elif not healthy:
+            # 3 fresh sessions in a row failed to calibrate — the host
+            # is demonstrably in a slow phase, not one unlucky probe
             regressions[k]["attribution"] = "host"
         else:
             regressions[k]["attribution"] = "code"
@@ -571,7 +621,9 @@ def main() -> int:
     # never leaves the most suspicious flag unattributed
     for k in flagged[:6]:  # same wall-clock bound as the gate
         try:
-            probe = _spawn_isolated(k, repeats=5)
+            probe, recs, healthy = _spawn_validated(
+                k, calib_eff, repeats=5
+            )
         except Exception as exc:  # noqa: BLE001 — record, don't die
             host_attrib[k] = {"attribution": f"probe-failed: {exc}"}
             continue
@@ -579,7 +631,7 @@ def main() -> int:
         esc = max(ordered) > 2 * min(ordered) + 0.25
         if not esc:
             att = "suite-context"
-        elif probe["fresh_calib_jvm_s"] > 1.3 * max(calib_eff, 0.001):
+        elif not healthy:
             att = "host"
         else:
             att = "code"
@@ -587,6 +639,10 @@ def main() -> int:
             "in_suite_runs": all_runs[k],
             "fresh_runs_ordered": ordered,
             "fresh_calib_jvm_s": probe["fresh_calib_jvm_s"],
+            "probe_attempts": [
+                {"calib_jvm_s": r["fresh_calib_jvm_s"],
+                 "min_s": r["fresh_isolated_s"]} for r in recs
+            ],
             "attribution": att,
         }
 
@@ -641,6 +697,12 @@ def main() -> int:
                      detail_name), "w"
     ) as f:
         json.dump(detail, f, indent=1)
+    if bench_set is BENCH_QUERIES:
+        # keep STRESS.md's host-phase paragraph in lockstep with the
+        # CLOSING full-suite record (round-10 verdict #3: the r10 prose
+        # described an earlier run's one flag while the final record
+        # held three)
+        _sync_stress_hostphase(detail)
     print("DETAIL " + json.dumps({"median": median, "stddev": stddev}))
     print(
         final_line(
@@ -651,6 +713,75 @@ def main() -> int:
         )
     )
     return 0
+
+
+_STRESS_HP_BEGIN = "<!-- HOST-PHASE AUTO SECTION (bench.py) BEGIN -->"
+_STRESS_HP_END = "<!-- HOST-PHASE AUTO SECTION (bench.py) END -->"
+
+
+def _sync_stress_hostphase(detail: dict) -> None:
+    """Regenerate STRESS.md's host-phase paragraph from THIS full-suite
+    record so the prose can never drift from BENCH_DETAIL.json again.
+    Rewrites only the text between the auto-section markers (appends
+    the block if the markers are missing); everything else in STRESS.md
+    stays hand-curated."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "STRESS.md"
+    )
+    try:
+        existing = open(path).read()
+    except OSError:
+        return
+    att = detail.get("host_phase_attributions", {})
+    lines = [
+        _STRESS_HP_BEGIN,
+        "",
+        "### Host-phase flags — closing full-suite record "
+        "(auto-generated by bench.py; source of truth: "
+        "BENCH_DETAIL.json `host_phase_attributions`)",
+        "",
+    ]
+    if not att:
+        lines.append(
+            "No in-suite repeat escalations (max > 2x min + 0.25) in "
+            "the closing run — zero flags, nothing probed."
+        )
+    else:
+        lines.append(
+            f"{len(att)} flag(s) in the closing run; each re-probed in "
+            "fresh subprocess session(s) (5 ordered repeats + own "
+            "calib; sessions whose calib lands >1.3x the suite's are "
+            "discarded and re-probed up to 3x — see probe_attempts):"
+        )
+        lines.append("")
+        for k, v in att.items():
+            if "fresh_runs_ordered" not in v:
+                lines.append(f"- `{k}` — {v.get('attribution', '?')}")
+                continue
+            attempts = v.get("probe_attempts", [])
+            extra = (
+                f"; {len(attempts)} probe attempt(s), calibs "
+                + "/".join(f"{a['calib_jvm_s']:.3f}s" for a in attempts)
+                if attempts else ""
+            )
+            lines.append(
+                f"- `{k}` — **{v['attribution']}**. In-suite runs "
+                f"{v['in_suite_runs']}; fresh ordered runs "
+                f"{v['fresh_runs_ordered']} with calib_jvm "
+                f"{v['fresh_calib_jvm_s']:.3f}s{extra}."
+            )
+    lines += ["", _STRESS_HP_END]
+    block = "\n".join(lines)
+    if _STRESS_HP_BEGIN in existing and _STRESS_HP_END in existing:
+        pre = existing[: existing.index(_STRESS_HP_BEGIN)]
+        post = existing[
+            existing.index(_STRESS_HP_END) + len(_STRESS_HP_END):
+        ]
+        out = pre + block + post
+    else:
+        out = existing.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(out)
 
 
 def final_line(

@@ -132,12 +132,28 @@ def write_training_shards(
     produces ``packed``). A trainer pulling one shard reads ONE
     partition directory — partition pruning, no corpus scan — and a
     whole-lang epoch reads only that lang's subtree. Same layout idea
-    as the (plc_ip, date) points archive above."""
+    as the (plc_ip, date) points archive above.
+
+    ``packed`` bins are shard-local (two-level packing, bounded pandas
+    groups); the partition key folds (shard, bin_id) into one globally
+    unique bin label — collision-free because a shard of width S holds
+    <= S docs and therefore < S local bins."""
     from pyspark.sql import functions as F
 
+    cols = set(packed.columns)
+    if "shard" in cols:
+        # lazy import: operators must not import plans at module load
+        from ..plans.northstar import _PACK_SHARD_SPAN
+
+        gbin = (
+            F.col("shard") * _PACK_SHARD_SPAN + F.col("bin_id")
+        ).alias("bin_id")
+        pk = packed.select("doc_id", "lang", gbin)
+    else:
+        pk = packed.select("doc_id", "lang", "bin_id")
     (
         docs.select("doc_id", "text")
-        .join(packed.select("doc_id", "lang", "bin_id"), "doc_id")
+        .join(pk, "doc_id")
         .repartition("lang", "bin_id")
         .sortWithinPartitions("bin_id", "doc_id")
         .write.mode("overwrite")

@@ -2104,53 +2104,45 @@ def b20_radius_search(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# B21j — sequence packing: concatenate documents (in deterministic
-# doc_id order, per language shard) into fixed-capacity context
-# windows, opening a new bin whenever the next document would overflow.
-# The standard "pack short docs into 2k-token training sequences" step.
+# B21j — TWO-LEVEL sequence packing: concatenate documents (in
+# deterministic doc_id order, per (lang, shard) stream) into
+# fixed-capacity context windows, opening a new bin whenever the next
+# document would overflow. The standard "pack short docs into 2k-token
+# training sequences" step.
 #
-# The greedy fill is inherently sequential PER SHARD (same shape as the
-# EWMA/Holt folds): a grouped-map fold over integer state, exact on
-# both engines — the oracle replays it as a recursive CTE. Parallelism
-# at 100 TB comes from sharding (real pipelines pack per (lang, shard),
-# thousands of independent groups), not from within a shard.
+# The greedy fill is inherently sequential PER STREAM (same shape as
+# the EWMA/Holt folds): a grouped-map fold over integer state, exact on
+# both engines — the oracle replays it as a recursive CTE partitioned
+# by (lang, shard). Parallelism at 100 TB comes from the shard level:
+# shard = floor(doc_id / _PACK_SHARD_SPAN) is a pure function of the
+# key, so (a) it is map-only (zero planning shuffle, no driver
+# materialization — the exact-ntile range planner would need O(N)
+# driver rows on a UNIQUE key, which is why it is NOT used here), and
+# (b) each (lang, shard) group holds AT MOST _PACK_SHARD_SPAN rows
+# (doc_ids are unique integers, so a width-S span contains <= S of
+# them) — a HARD bound on the pandas frame any executor materializes,
+# independent of corpus size or language skew. Bins are shard-local
+# (a bin never spans a shard boundary), which is what every real
+# packing pipeline does; (shard, bin_id) identifies a bin globally.
 # --------------------------------------------------------------------------
 _PACK_CAPACITY = 512
+# Hard per-group row bound for the applyInPandas pack fold. At 100 TB a
+# (lang, shard) group is <= 256 (doc_id, lang, n_tokens) rows — a few
+# KB of pandas frame — regardless of docs-per-language. 256 also keeps
+# shard boundaries exercised at every test SF (sf0.001 has 500 docs →
+# 2 shards); at production scale the constant would be tuned up, but
+# ANY fixed width keeps the bound hard.
+_PACK_SHARD_SPAN = 256
 
-@register(
-    "b21_sequence_pack",
-    oracle=rf"""
-    WITH RECURSIVE d AS (
-      SELECT doc_id, lang,
-        CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
-          AS n_tokens,
-        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-      FROM documents
-    ),
-    pack AS (
-      SELECT doc_id, lang, n_tokens, rn,
-        CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
-      FROM d WHERE rn = 1
-      UNION ALL
-      SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
-        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
-             THEN p.bin_id + 1 ELSE p.bin_id END,
-        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
-             THEN d.n_tokens ELSE p.fill + d.n_tokens END
-      FROM d JOIN pack p ON d.lang = p.lang AND d.rn = p.rn + 1
-    )
-    SELECT doc_id, lang, n_tokens, bin_id FROM pack
-    """,
-    tags=("B21",),
-)
-def b21_sequence_pack(spark, sf_dir):
+
+def _packed_bins(d):
+    """Two-level greedy next-fit packing over a (doc_id, lang,
+    n_tokens) frame: shard by fixed-width doc_id span (map-only,
+    <= _PACK_SHARD_SPAN rows per group by construction), then fold
+    within each (lang, shard) stream in doc_id order. Shared by
+    b21_sequence_pack (whitespace counts) and b21_sequence_pack_bpe
+    (trained-tokenizer counts) so the fill semantics cannot drift."""
     import pandas as pd
-
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
-    )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -2163,11 +2155,67 @@ def b21_sequence_pack(spark, sf_dir):
                 fill += n
             bins.append(b)
         pdf["bin_id"] = bins
-        return pdf[["doc_id", "lang", "n_tokens", "bin_id"]]
+        return pdf[["doc_id", "lang", "shard", "n_tokens", "bin_id"]]
 
-    return docs.repartition("lang").groupBy("lang").applyInPandas(
-        pack, "doc_id bigint, lang string, n_tokens bigint, bin_id bigint"
+    return (
+        d.withColumn(
+            "shard", F.floor(F.col("doc_id") / F.lit(_PACK_SHARD_SPAN))
+        )
+        .groupBy("lang", "shard")
+        .applyInPandas(
+            pack,
+            "doc_id bigint, lang string, shard bigint, "
+            "n_tokens bigint, bin_id bigint",
+        )
     )
+
+
+def _pack_oracle_tail() -> str:
+    """The recursive next-fit CTE over a `d` CTE exposing (doc_id,
+    lang, shard, n_tokens, rn) — rn numbered within (lang, shard) in
+    doc_id order. Shared by both pack oracles."""
+    return f"""
+    pack AS (
+      SELECT doc_id, lang, shard, n_tokens, rn,
+        CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.shard, d.n_tokens, d.rn,
+        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+             THEN p.bin_id + 1 ELSE p.bin_id END,
+        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+             THEN d.n_tokens ELSE p.fill + d.n_tokens END
+      FROM d JOIN pack p
+        ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, shard, n_tokens, bin_id FROM pack
+    """
+
+
+@register(
+    "b21_sequence_pack",
+    oracle=rf"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang,
+        doc_id // {_PACK_SHARD_SPAN} AS shard,
+        CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+          AS n_tokens,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang, doc_id // {_PACK_SHARD_SPAN}
+          ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    {_pack_oracle_tail()}
+    """,
+    tags=("B21",),
+)
+def b21_sequence_pack(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return _packed_bins(docs)
 
 
 @register("b20_pq_knn", oracle=None, tags=("B20",))
@@ -2989,9 +3037,13 @@ _ANN_PROBE_MOD = 111
 
 # Integer-dot cosine formulation throughout (see _B20_TRIPLET_ORACLE
 # note): per-side norms once, one int64 dot per pair, identical
-# int→double casts both engines.
-_B20_ANN_RECALL_ORACLE = f"""
-    WITH pos AS (SELECT unnest(range(
+# int→double casts both engines. The CTE chain through the brute-force
+# truth `bf` and the IVF candidates `ivf(pid, vec_id, rk)` is ONE
+# builder shared by the b20_ann_recall and b20_rrf_recall oracles —
+# the IVF leg cut parameterized because fusion consumes top-20 ranks
+# while the recall audit cuts at 10.
+def _ann_core_ctes(ivf_k: int) -> str:
+    return f"""pos AS (SELECT unnest(range(
         1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     q AS (
       SELECT e.vec_id,
@@ -3052,15 +3104,19 @@ _B20_ANN_RECALL_ORACLE = f"""
       WHERE a.rk <= 2
     ),
     ivf AS (
-      SELECT pid, vec_id FROM (
+      SELECT pid, vec_id, rk FROM (
         SELECT s.pid, s.vec_id,
           ROW_NUMBER() OVER (PARTITION BY s.pid
                              ORDER BY s.cs DESC, s.vec_id) AS rk
         FROM sim s
         JOIN assigned a ON a.vec_id = s.vec_id
         JOIN pcells pc ON pc.pid = s.pid AND pc.cell = a.cell
-      ) WHERE rk <= 10
-    )
+      ) WHERE rk <= {ivf_k}
+    )"""
+
+
+_B20_ANN_RECALL_ORACLE = f"""
+    WITH {_ann_core_ctes(10)}
     SELECT bf.pid AS pid,
       CAST(COUNT(*) AS BIGINT) AS n_truth,
       CAST(SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -3073,8 +3129,13 @@ _B20_ANN_RECALL_ORACLE = f"""
 """
 
 
-@register("b20_ann_recall", oracle=_B20_ANN_RECALL_ORACLE, tags=("B20",))
-def b20_ann_recall(spark, sf_dir):
+def _ann_sim_bf_ivf(spark, sf_dir, ivf_k: int = 10):
+    """The batch-of-probes ANN evaluation core shared by
+    b20_ann_recall and b20_rrf_recall: (sim, bf, ivf) where `sim` is
+    the materialized exact-cosine probe×corpus scores, `bf` the
+    brute-force top-10 ground truth per probe, and `ivf` the
+    IVF(2-of-8-cells) candidates ranked to `ivf_k` (rank column `rk`
+    kept — the RRF fusion consumes ranks)."""
     from ..functions.vectors import cosine_from_int, dot_int, quantize_int
 
     qn = t(spark, sf_dir, "embeddings").select(
@@ -3141,11 +3202,18 @@ def b20_ann_recall(spark, sf_dir):
         sim.join(assigned, "vec_id")
         .join(F.broadcast(pcells), ["pid", "cell"])
         .withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") <= 10)
-        .select("pid", "vec_id", F.lit(1).alias("hit"))
+        .filter(F.col("rk") <= ivf_k)
+        .select("pid", "vec_id", "rk")
     )
+    return sim, bf, ivf
+
+
+@register("b20_ann_recall", oracle=_B20_ANN_RECALL_ORACLE, tags=("B20",))
+def b20_ann_recall(spark, sf_dir):
+    _sim, bf, ivf = _ann_sim_bf_ivf(spark, sf_dir, ivf_k=10)
+    hit = ivf.select("pid", "vec_id", F.lit(1).alias("hit"))
     return (
-        bf.join(ivf, ["pid", "vec_id"], "left")
+        bf.join(hit, ["pid", "vec_id"], "left")
         .groupBy("pid")
         .agg(
             F.count("*").cast("bigint").alias("n_truth"),
@@ -3156,6 +3224,270 @@ def b20_ann_recall(spark, sf_dir):
             .cast("bigint")
             .alias("recall_bp"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B20rr — HYBRID-RETRIEVAL QUALITY LOOP (round-10 verdict #4): the
+# evaluated twin of b20_rrf_hybrid. Over the SAME deterministic probe
+# panel b20_ann_recall uses (vec_id % 111 == 0), run three retrieval
+# systems per probe and score each against brute-force-cosine top-10
+# ground truth:
+#   lex — per-probe BM25 "more-like-this" (query = the probe DOCUMENT's
+#         alphanumeric vocabulary, corpus = the embedded documents,
+#         same exact-integer sterm formula as b21_bm25_retrieval);
+#   ivf — IVF(2-of-8-cells) approximate vector leg (b20_ann_recall's);
+#   hyb — RRF fusion of the two legs' top-20 ranks (b20_rrf_hybrid's
+#         integer rrf = Σ SCALE // (60 + rank)).
+# Output: per-probe overlap@10 + recall basis points for all three —
+# the standard "is hybrid actually better than either leg before we
+# ship it" report, as one hash-checked relation.
+#
+# Scale shape: probe panel is O(corpus/111) docs; their vocabulary
+# broadcasts; the corpus term scan is ONE pass semi-joined to that
+# vocabulary (cost ∝ matching postings, not corpus × panel); both
+# vector legs reuse the single materialized probe×corpus sim pass; all
+# rank windows partition BY PROBE over <= top-K rows; the fusion
+# full-outer join is <= 40 rows per probe (the suite's bounded
+# sort-merge-join shape, same as b20_rrf_hybrid).
+# --------------------------------------------------------------------------
+_B20_RRF_RECALL_ORACLE = f"""
+    WITH {_ann_core_ctes(20)},
+    corp AS (
+      SELECT d.doc_id,
+        CAST(len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+          AS BIGINT) AS dl,
+        regexp_split_to_array(trim(lower(d.text)), '\\s+') AS w
+      FROM documents d
+      JOIN (SELECT DISTINCT vec_id FROM embeddings) ev
+        ON ev.vec_id = d.doc_id
+    ),
+    lstats AS (
+      SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_len
+      FROM corp
+    ),
+    qt AS (
+      SELECT DISTINCT c.doc_id AS pid, t.term
+      FROM corp c, unnest(c.w) AS t(term)
+      WHERE c.doc_id % {_ANN_PROBE_MOD} = 0
+        AND regexp_full_match(t.term, '[a-z0-9]+')
+    ),
+    ltf AS (
+      SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS term FROM corp)
+      WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY 1, 2, 3
+    ),
+    ldf AS (SELECT term, COUNT(*)::BIGINT AS df FROM ltf GROUP BY 1),
+    lper AS (
+      SELECT q.pid, f.doc_id,
+        CAST(
+          (length(bin(s.n_docs)) - length(bin(d.df)))
+          * (22 * f.tf * s.sum_len * {_BM25_SCALE})
+          // (10 * f.tf * s.sum_len + 3 * s.sum_len + 9 * f.dl * s.n_docs)
+        AS BIGINT) AS sterm
+      FROM ltf f
+      JOIN qt q ON q.term = f.term
+      JOIN ldf d ON d.term = f.term
+      CROSS JOIN lstats s
+      WHERE f.doc_id <> q.pid
+    ),
+    lscore AS (
+      SELECT pid, doc_id, SUM(sterm)::BIGINT AS score
+      FROM lper GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT pid, doc_id, rk FROM (
+        SELECT pid, doc_id, ROW_NUMBER() OVER (
+          PARTITION BY pid ORDER BY score DESC, doc_id) AS rk
+        FROM lscore) WHERE rk <= {_RRF_LEG_TOPK}
+    ),
+    fus AS (
+      SELECT COALESCE(l.pid, i.pid) AS pid,
+        COALESCE(l.doc_id, i.vec_id) AS id,
+        (CASE WHEN l.rk IS NULL THEN 0
+              ELSE {_BM25_SCALE} // ({_RRF_K} + l.rk) END
+         + CASE WHEN i.rk IS NULL THEN 0
+                ELSE {_BM25_SCALE} // ({_RRF_K} + i.rk) END)::BIGINT
+          AS rrf_fp
+      FROM lex l
+      FULL JOIN ivf i ON i.pid = l.pid AND i.vec_id = l.doc_id
+    ),
+    hyb AS (
+      SELECT pid, id FROM (
+        SELECT pid, id, ROW_NUMBER() OVER (
+          PARTITION BY pid ORDER BY rrf_fp DESC, id) AS rk
+        FROM fus) WHERE rk <= 10
+    )
+    SELECT bf.pid AS pid,
+      CAST(COUNT(*) AS BIGINT) AS n_truth,
+      CAST(SUM(CASE WHEN lx.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS lex_overlap,
+      CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS ivf_overlap,
+      CAST(SUM(CASE WHEN h.id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS hyb_overlap,
+      CAST(SUM(CASE WHEN lx.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           * 1000 AS BIGINT) AS lex_recall_bp,
+      CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           * 1000 AS BIGINT) AS ivf_recall_bp,
+      CAST(SUM(CASE WHEN h.id IS NOT NULL THEN 1 ELSE 0 END)
+           * 1000 AS BIGINT) AS hyb_recall_bp
+    FROM bf
+    LEFT JOIN (SELECT pid, doc_id FROM lex WHERE rk <= 10) lx
+      ON lx.pid = bf.pid AND lx.doc_id = bf.vec_id
+    LEFT JOIN (SELECT pid, vec_id FROM ivf WHERE rk <= 10) iv
+      ON iv.pid = bf.pid AND iv.vec_id = bf.vec_id
+    LEFT JOIN hyb h ON h.pid = bf.pid AND h.id = bf.vec_id
+    GROUP BY bf.pid
+"""
+
+
+@register(
+    "b20_rrf_recall", oracle=_B20_RRF_RECALL_ORACLE, tags=("B20", "B21")
+)
+def b20_rrf_recall(spark, sf_dir):
+    from ..functions.text import surprisal_bits
+
+    _sim, bf, ivf = _ann_sim_bf_ivf(spark, sf_dir, ivf_k=_RRF_LEG_TOPK)
+    # ----- lexical leg: per-probe BM25 over the embedded corpus -----
+    emb_ids = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    corp = (
+        t(spark, sf_dir, "documents")
+        .join(emb_ids, "doc_id", "semi")
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("dl"),
+            tokens(F.col("text")).alias("w"),
+        )
+    )
+    lstats = corp.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_len"),
+    )
+    qt = (
+        corp.filter(F.col("doc_id") % _ANN_PROBE_MOD == 0)
+        .select(
+            F.col("doc_id").alias("pid"), F.explode("w").alias("term")
+        )
+        .filter(F.col("term").rlike("^[a-z0-9]+$"))
+        .distinct()
+    )
+    ltf = (
+        corp.select("doc_id", "dl", F.explode("w").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    ldf = ltf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    lper = (
+        ltf.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("pid"))
+        .join(F.broadcast(ldf), "term")
+        .join(F.broadcast(lstats))
+        .select(
+            "pid",
+            "doc_id",
+            "dl",
+            "tf",
+            "sum_len",
+            "n_docs",
+            surprisal_bits(F.col("n_docs"), F.col("df")).alias(
+                "idf_bits"
+            ),
+        )
+        .select(
+            "pid",
+            "doc_id",
+            # same single-truncation-point discipline as
+            # _bm25_doc_scores: multiply idf BEFORE the one div
+            F.expr(
+                f"idf_bits * (22 * tf * sum_len * {_BM25_SCALE}) div "
+                "(10 * tf * sum_len + 3 * sum_len + 9 * dl * n_docs)"
+            ).cast("bigint").alias("sterm"),
+        )
+    )
+    lscore = lper.groupBy("pid", "doc_id").agg(
+        F.sum("sterm").cast("bigint").alias("score")
+    )
+    wl = Window.partitionBy("pid").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    lex = (
+        lscore.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= _RRF_LEG_TOPK)
+        .select("pid", "doc_id", "rk")
+    )
+    # ----- RRF fusion of the two legs' top-20 ranks -----
+    li = lex.select(
+        F.col("pid").alias("lpid"),
+        F.col("doc_id").alias("lid"),
+        F.col("rk").alias("lr"),
+    )
+    vi = ivf.select(
+        F.col("pid").alias("vpid"),
+        F.col("vec_id").alias("vid"),
+        F.col("rk").alias("vr"),
+    )
+    fused = li.join(
+        vi,
+        (li["lpid"] == vi["vpid"]) & (li["lid"] == vi["vid"]),
+        "full",
+    )
+    rrf = F.when(
+        F.col("lr").isNotNull(),
+        F.expr(f"{_BM25_SCALE} div ({_RRF_K} + lr)"),
+    ).otherwise(F.lit(0)) + F.when(
+        F.col("vr").isNotNull(),
+        F.expr(f"{_BM25_SCALE} div ({_RRF_K} + vr)"),
+    ).otherwise(F.lit(0))
+    fus = fused.select(
+        F.coalesce(F.col("lpid"), F.col("vpid")).alias("pid"),
+        F.coalesce(F.col("lid"), F.col("vid")).alias("id"),
+        rrf.cast("bigint").alias("rrf_fp"),
+    )
+    wh = Window.partitionBy("pid").orderBy(F.col("rrf_fp").desc(), "id")
+    hyb = (
+        fus.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= 10)
+        .select("pid", F.col("id").alias("vec_id"), F.lit(1).alias("h"))
+    )
+    # ----- score all three systems against the bf truth -----
+    lx10 = lex.filter(F.col("rk") <= 10).select(
+        "pid", "doc_id", F.lit(1).alias("l")
+    )
+    iv10 = ivf.filter(F.col("rk") <= 10).select(
+        "pid", "vec_id", F.lit(1).alias("v")
+    )
+    joined = (
+        bf.join(
+            lx10,
+            (bf["pid"] == lx10["pid"]) & (bf["vec_id"] == lx10["doc_id"]),
+            "left",
+        )
+        .drop(lx10["pid"])
+        .drop("doc_id")
+        .join(iv10, ["pid", "vec_id"], "left")
+        .join(hyb, ["pid", "vec_id"], "left")
+    )
+    ls, vs, hs = (
+        F.sum(F.coalesce(c, F.lit(0))) for c in ("l", "v", "h")
+    )
+    return joined.groupBy("pid").agg(
+        F.count("*").cast("bigint").alias("n_truth"),
+        ls.cast("bigint").alias("lex_overlap"),
+        vs.cast("bigint").alias("ivf_overlap"),
+        hs.cast("bigint").alias("hyb_overlap"),
+        (F.sum(F.coalesce("l", F.lit(0))) * 1000)
+        .cast("bigint").alias("lex_recall_bp"),
+        (F.sum(F.coalesce("v", F.lit(0))) * 1000)
+        .cast("bigint").alias("ivf_recall_bp"),
+        (F.sum(F.coalesce("h", F.lit(0))) * 1000)
+        .cast("bigint").alias("hyb_recall_bp"),
     )
 
 
@@ -4794,10 +5126,11 @@ def b21_bpe_encode(spark, sf_dir):
 # budgets are measured in model tokens, not words). This query closes
 # that loop: the per-doc n_tokens come from the b21_bpe_encode dataflow
 # (6-round trainer + vocabulary-sized segmentation join), then the SAME
-# greedy per-lang next-fit fill as b21_sequence_pack packs on them. The
-# oracle chains the shared _bpe_rounds_sql CTEs into the shared
-# recursive-pack CTE, so both halves replay semantics already proven
-# separately.
+# two-level (lang, shard)-bounded next-fit fill as b21_sequence_pack
+# (_packed_bins — hard <= _PACK_SHARD_SPAN rows per pandas group) packs
+# on them. The oracle chains the shared _bpe_rounds_sql CTEs into the
+# shared recursive-pack CTE, so both halves replay semantics already
+# proven separately.
 # --------------------------------------------------------------------------
 def _pack_bpe_oracle(n: int) -> str:
     rounds = _bpe_rounds_sql(n)
@@ -4819,26 +5152,16 @@ def _pack_bpe_oracle(n: int) -> str:
       SELECT word, regexp_extract_all(w, '<([^>]*)>', 1) AS syms FROM wt{n}
     ),
     d AS MATERIALIZED (
-      SELECT doc_id, lang, n_tokens,
-        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      SELECT doc_id, lang, doc_id // {_PACK_SHARD_SPAN} AS shard, n_tokens,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang, doc_id // {_PACK_SHARD_SPAN}
+          ORDER BY doc_id) AS rn
       FROM (
         SELECT w.doc_id, w.lang, sum(len(f.syms))::BIGINT AS n_tokens
         FROM words w JOIN final f USING (word) GROUP BY 1, 2
       )
     ),
-    pack AS (
-      SELECT doc_id, lang, n_tokens, rn,
-        CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
-      FROM d WHERE rn = 1
-      UNION ALL
-      SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
-        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
-             THEN p.bin_id + 1 ELSE p.bin_id END,
-        CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
-             THEN d.n_tokens ELSE p.fill + d.n_tokens END
-      FROM d JOIN pack p ON d.lang = p.lang AND d.rn = p.rn + 1
-    )
-    SELECT doc_id, lang, n_tokens, bin_id FROM pack
+    {_pack_oracle_tail()}
 """
 
 
@@ -4848,8 +5171,6 @@ def _pack_bpe_oracle(n: int) -> str:
     tags=("B21", "B30"),
 )
 def b21_sequence_pack_bpe(spark, sf_dir):
-    import pandas as pd
-
     from ..operators.bpe import train_bpe_table
 
     docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
@@ -4871,23 +5192,7 @@ def b21_sequence_pack_bpe(spark, sf_dir):
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.size("syms")).cast("bigint").alias("n_tokens"))
     )
-
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, fill, b = [], 0, 0
-        for n in pdf["n_tokens"]:
-            if fill and fill + n > _PACK_CAPACITY:
-                b += 1
-                fill = n
-            else:
-                fill += n
-            bins.append(b)
-        pdf["bin_id"] = bins
-        return pdf[["doc_id", "lang", "n_tokens", "bin_id"]]
-
-    return d.repartition("lang").groupBy("lang").applyInPandas(
-        pack, "doc_id bigint, lang string, n_tokens bigint, bin_id bigint"
-    )
+    return _packed_bins(d)
 
 
 # --------------------------------------------------------------------------
@@ -9472,14 +9777,14 @@ def _kcore_delta_peel(nb, k: int, rounds: int):
             )
         )
 
-    # TWO levels per materialization: the per-round wall at sf-scale is
-    # action scheduling (checkpoint + fixpoint probe), not data, so
-    # lineage-stack a pair of peel levels between checkpoints — the
+    # THREE levels per materialization: the per-round wall at sf-scale
+    # is action scheduling (checkpoint + fixpoint probe), not data, so
+    # lineage-stack up to three peel levels between checkpoints — each
     # inner level's dead-broadcast subquery recomputes one un-
-    # materialized O(V) map/agg, a cheap trade for halving the action
-    # count. Fixpoint probe: state is monotone-shrinking, so equal
-    # cardinality across a batch proves BOTH levels were no-ops and
-    # every remaining round is too.
+    # materialized O(V) map/agg, a cheap trade for cutting the action
+    # count to a third. Fixpoint probe: state is monotone-shrinking, so
+    # equal cardinality across a batch proves ALL stacked levels were
+    # no-ops and every remaining round is too.
     n_prev = deg.count()
     r = 0
     while r < rounds:
@@ -9811,8 +10116,12 @@ def b19_pagerank_handoff(spark, sf_dir):
                 F.lit(150_000) + F.expr("85 * coalesce(c, 0) div 100")
             ).cast("bigint").alias("r"),
         ).localCheckpoint()  # O(V) state, lineage cut per round
+    # out-degrees come off the CHECKPOINTED adj (one row per edge,
+    # deg repeated) — the lazy `deg` would re-run the extraction
+    # window + distinct a fourth time on collect
+    out_deg = adj.select("src", "deg").distinct()
     out = rank.join(
-        deg, rank["user_id"] == deg["src"], "left"
+        out_deg, rank["user_id"] == out_deg["src"], "left"
     ).select(
         "user_id",
         F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("out_deg"),

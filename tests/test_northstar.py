@@ -1191,23 +1191,35 @@ def test_kmeans_parallel_init_beats_pathological_seeding(spark):
 def test_sequence_pack_invariants(spark):
     from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
         _PACK_CAPACITY,
+        _PACK_SHARD_SPAN,
         b21_sequence_pack,
     )
 
     rows = b21_sequence_pack(spark, SF_DIR).collect()
     assert len(rows) > 0
+    # two-level packing: a bin lives inside ONE (lang, shard) stream
     by_bin = {}
     for r in rows:
-        by_bin.setdefault((r["lang"], r["bin_id"]), []).append(r)
-    for (_lang, _b), docs in by_bin.items():
+        assert r["shard"] == r["doc_id"] // _PACK_SHARD_SPAN
+        by_bin.setdefault((r["lang"], r["shard"], r["bin_id"]), []).append(r)
+    for (_lang, _sh, _b), docs in by_bin.items():
         fill = sum(r["n_tokens"] for r in docs)
         # a bin only overflows when a single doc exceeds capacity
         assert fill <= _PACK_CAPACITY or len(docs) == 1
-    # bins are dense per lang starting at 0
-    langs = {r["lang"] for r in rows}
-    for lang in langs:
-        bins = sorted({b for (l2, b) in by_bin if l2 == lang})
+    # bins are dense per (lang, shard) stream starting at 0, and the
+    # hard group bound holds: a stream never exceeds the shard span
+    streams = {(r["lang"], r["shard"]) for r in rows}
+    assert len(streams) > len({r["lang"] for r in rows}), (
+        "shard boundaries must be exercised at the test SF"
+    )
+    for lang, sh in streams:
+        bins = sorted({b for (l2, s2, b) in by_bin if (l2, s2) == (lang, sh)})
         assert bins == list(range(len(bins)))
+        n_docs = sum(
+            len(v) for (l2, s2, _b), v in by_bin.items()
+            if (l2, s2) == (lang, sh)
+        )
+        assert n_docs <= _PACK_SHARD_SPAN
 
 
 def test_product_quantization_roundtrip(spark):

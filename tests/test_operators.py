@@ -222,11 +222,18 @@ def test_training_shards_partition_pruning(spark, tmp_path):
         whole.select("lang", "bin_id").distinct().count()
     )
     assert n_dirs > 1
-    # shard content matches the packing assignment exactly
+    # shard content matches the packing assignment exactly — the
+    # written bin label is the global fold shard*SPAN + local bin, so
+    # bin_id=0 is exactly (shard 0, local bin 0)
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _PACK_SHARD_SPAN,
+    )
+
     want = {
         r["doc_id"]
         for r in packed.filter(
-            (F.col("lang") == "en") & (F.col("bin_id") == 0)
+            (F.col("lang") == "en")
+            & (F.col("shard") * _PACK_SHARD_SPAN + F.col("bin_id") == 0)
         ).collect()
     }
     got = {r["doc_id"] for r in one.collect()}

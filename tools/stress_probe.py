@@ -162,16 +162,24 @@ def main() -> int:
     from iot_system_plc_data_to_influxdb_spark.session import get_spark
 
     spark = get_spark("stress-probe")
-    print(f"building {REPS}x tables under {STRESS} ...")
-    build_stress_tables(spark)
-
     qs = plans.all_queries()
     rows = []
     # optional positional name filter: probe just those queries and
     # print results WITHOUT rewriting STRESS.md (partial runs must not
-    # clobber the full table)
+    # clobber the full table). Validate BEFORE the expensive 10x table
+    # build so a typo fails in seconds, not after minutes of replication
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unknown = sorted(set(names) - set(qs))
+    if unknown:
+        print(
+            "unknown query name(s): " + ", ".join(unknown),
+            file=sys.stderr,
+        )
+        return 2
     partial = bool(names)
+
+    print(f"building {REPS}x tables under {STRESS} ...")
+    build_stress_tables(spark)
     for name in (names or QUERIES):
         t1 = _time_query(qs[name], spark, BASE)
         t10 = _time_query(qs[name], spark, STRESS)
