@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "b21_bm25_retrieval",  # integer-exact BM25 top-k, TakeOrdered legs
     "b20_rrf_hybrid",  # rank-only lexical+vector fusion, pure integers
     "b20_rrf_recall",  # hybrid-vs-legs recall@10 eval over the probe panel
+    "pipeline_training_e2e",  # gate -> dedup -> bounded pack funnel report
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw
@@ -240,6 +241,11 @@ QUERY_WORK_NOTES = {
                       "(ivf 0.37-0.52) — the harness is the "
                       "deliverable; on real corpora the legs "
                       "correlate and fusion wins",
+    "pipeline_training_e2e": "new in r11: the training-data twin of "
+                             "pipeline_plc_e2e — Gopher gate -> exact "
+                             "content dedup -> two-level pack -> "
+                             "per-lang funnel + fill_bp report, one "
+                             "hash-checked relation",
     "b21_sequence_pack": "r11: two-level pack — shard = doc_id div "
                          "256 (map-only, pure function of the key) "
                          "bounds every applyInPandas group to <=256 "

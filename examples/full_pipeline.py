@@ -39,6 +39,10 @@ STAGES = [
     ("Curation: dedup → quality gate → chunking", "b21_curation_pipeline"),
     ("Near-dup candidates (MinHash LSH)", "b19_minhash_lsh_neardup"),
     ("Embedding audit (per-label QA)", "b20_embedding_audit"),
+    (
+        "Training funnel: gate → dedup → bounded pack (per-lang report)",
+        "pipeline_training_e2e",
+    ),
 ]
 
 

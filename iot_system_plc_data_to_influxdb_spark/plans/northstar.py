@@ -2170,12 +2170,13 @@ def _packed_bins(d):
     )
 
 
-def _pack_oracle_tail() -> str:
-    """The recursive next-fit CTE over a `d` CTE exposing (doc_id,
-    lang, shard, n_tokens, rn) — rn numbered within (lang, shard) in
-    doc_id order. Shared by both pack oracles."""
-    return f"""
-    pack AS (
+def _pack_oracle_cte() -> str:
+    """JUST the recursive next-fit `pack` CTE over a `d` CTE exposing
+    (doc_id, lang, shard, n_tokens, rn) — rn numbered within
+    (lang, shard) in doc_id order. Shared by both pack oracles and the
+    composed pipeline_training_e2e oracle (which aggregates `pack`
+    instead of selecting it)."""
+    return f"""pack AS (
       SELECT doc_id, lang, shard, n_tokens, rn,
         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
       FROM d WHERE rn = 1
@@ -2187,7 +2188,13 @@ def _pack_oracle_tail() -> str:
              THEN d.n_tokens ELSE p.fill + d.n_tokens END
       FROM d JOIN pack p
         ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
-    )
+    )"""
+
+
+def _pack_oracle_tail() -> str:
+    """Pack CTE + the row-per-doc SELECT (the two pack queries)."""
+    return f"""
+    {_pack_oracle_cte()}
     SELECT doc_id, lang, shard, n_tokens, bin_id FROM pack
     """
 
@@ -9921,9 +9928,12 @@ def b19_label_propagation(spark, sf_dir):
 #   - strong-tie graph (pairs seen >= 2 times — the weight threshold
 #     that turns a near-regular co-activity graph into one with real
 #     degree structure) — k-core, fixed K=3: measured survivors
-#     15->15/150/1489->1287 at sf0.001/0.01/0.1, i.e. the peel BITES
-#     without emptying (K=4 empties sf0.001; K=mean-degree empties
-#     everything — the near-regular graph's core transition is sharp);
+#     14/150/1287 at sf0.001/0.01/0.1, i.e. the peel BITES without
+#     emptying (K=4 empties sf0.001 at W=2; W=3,K=3 empties it too —
+#     the near-regular graph's core transition is sharp). The full
+#     K∈{2,3,4} × W∈{1,2,3} survivor sweep is recorded in STRESS.md
+#     ("Handoff k-core K x W sensitivity"), reproducible via
+#     tools/handoff_sensitivity.py;
 #   - directed distinct handoffs (prev -> next) — PageRank, where
 #     direction is the signal.
 #

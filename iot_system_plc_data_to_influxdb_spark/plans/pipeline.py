@@ -166,3 +166,194 @@ def pipeline_plc_e2e(spark, sf_dir):
         "GROUP BY time(15m), measurement, field_key",
         points,
     )
+
+
+# --------------------------------------------------------------------------
+# The TRAINING-DATA twin of pipeline_plc_e2e: the north-star curation
+# stages composed into ONE registered, hash-checked relation — the
+# funnel + packing-efficiency report a data engineer reads after every
+# nightly corpus build:
+#
+#   B21  Gopher table-A1 quality gate   (functions/text.gopher_stats —
+#        the SAME expression tree as b21_gopher_rules / the streaming
+#        ingest gate, so the stages cannot drift)
+#   B18  exact content dedup            (md5(text), keep lowest doc_id
+#        among GATED docs — gate-then-dedup order is part of the
+#        contract and the oracle replays it)
+#   B21  two-level sequence packing     (northstar._packed_bins — the
+#        hard <=256-row bounded fold, same helper as the pack queries)
+#   out  one row per lang: n_raw -> n_gated -> n_unique funnel counts,
+#        n_bins, sum_tokens, and fill_bp = sum_tokens·1e4 div
+#        (capacity·n_bins) — exact positive-integer division, the
+#        packing-efficiency number (can exceed 10000 only via
+#        single-doc-overflow bins, which next-fit permits).
+#
+# The value of the composition is the STAGE BOUNDARIES: each operator
+# is oracle-checked in isolation, but only the chained relation proves
+# the gate feeds the dedup feeds the packer with the exact column/
+# filter semantics a real pipeline wires together.
+#
+# Scale shape: gate is map-only; dedup is one content-hash window
+# (single shuffle, the dropDuplicates shape); packing adds one
+# (lang, shard) exchange into bounded pandas groups; n_bins per lang
+# derives from per-(lang, shard) MAX(bin_id) — bins are dense from 0
+# within a stream, so no DISTINCT over bin rows is needed; the report
+# joins are O(langs).
+# --------------------------------------------------------------------------
+def _training_oracle() -> str:
+    from .northstar import (
+        _PACK_CAPACITY,
+        _PACK_SHARD_SPAN,
+        _STOP_SQL,
+        _pack_oracle_cte,
+    )
+
+    return rf"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id, lang, text,
+        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, text,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+          AS BIGINT) AS total_len,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          AS BIGINT) AS alpha_words,
+        CAST(len(list_filter(w, x -> x IN ({_STOP_SQL})))
+          AS BIGINT) AS stop_hits,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        + CAST((length(text) - length(replace(text, '...', ''))) // 3
+          AS BIGINT) AS symbol_hits
+      FROM d0
+    ),
+    gated AS (
+      SELECT doc_id, lang, text, n_words FROM m
+      WHERE n_words BETWEEN 50 AND 100000
+        AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+        AND 10 * symbol_hits <= n_words
+        AND 10 * alpha_words >= 8 * n_words
+        AND stop_hits >= 2
+    ),
+    u AS (
+      SELECT doc_id, lang, n_words,
+        ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+          AS urn
+      FROM gated
+    ),
+    d AS (
+      SELECT doc_id, lang,
+        doc_id // {_PACK_SHARD_SPAN} AS shard,
+        n_words AS n_tokens,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang, doc_id // {_PACK_SHARD_SPAN}
+          ORDER BY doc_id) AS rn
+      FROM u WHERE urn = 1
+    ),
+    {_pack_oracle_cte()},
+    per_shard AS (
+      SELECT lang, shard,
+        MAX(bin_id) + 1 AS nb, SUM(n_tokens) AS st
+      FROM pack GROUP BY 1, 2
+    ),
+    pk AS (
+      SELECT lang, CAST(SUM(nb) AS BIGINT) AS n_bins,
+        CAST(SUM(st) AS BIGINT) AS sum_tokens
+      FROM per_shard GROUP BY 1
+    ),
+    raw_c AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_raw FROM documents GROUP BY 1
+    ),
+    gat_c AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_gated FROM gated GROUP BY 1
+    ),
+    uni_c AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_unique
+      FROM u WHERE urn = 1 GROUP BY 1
+    )
+    SELECT r.lang, r.n_raw,
+      COALESCE(g.n_gated, 0) AS n_gated,
+      COALESCE(x.n_unique, 0) AS n_unique,
+      COALESCE(p.n_bins, 0) AS n_bins,
+      COALESCE(p.sum_tokens, 0) AS sum_tokens,
+      CAST(CASE WHEN COALESCE(p.n_bins, 0) = 0 THEN 0
+           ELSE p.sum_tokens * 10000
+                // ({_PACK_CAPACITY} * p.n_bins) END AS BIGINT)
+        AS fill_bp
+    FROM raw_c r
+    LEFT JOIN gat_c g USING (lang)
+    LEFT JOIN uni_c x USING (lang)
+    LEFT JOIN pk p USING (lang)
+"""
+
+
+@register(
+    "pipeline_training_e2e",
+    oracle=_training_oracle(),
+    tags=("B21", "B18", "B19"),
+)
+def pipeline_training_e2e(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..catalog import t
+    from ..functions.text import gopher_stats, tokens
+    from .northstar import _PACK_CAPACITY, _packed_bins
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("w")
+    )
+    raw_c = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_raw")
+    )
+    g = gopher_stats(F.col("text"), F.col("w"))
+    gated = docs.select(
+        "doc_id", "lang", "text", g["n_words"].alias("n_words"),
+        g["passes"].alias("_p"),
+    ).filter(F.col("_p"))
+    gat_c = gated.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_gated")
+    )
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    unique = (
+        gated.withColumn("urn", F.row_number().over(wd))
+        .filter(F.col("urn") == 1)
+        .select("doc_id", "lang", F.col("n_words").alias("n_tokens"))
+    )
+    uni_c = unique.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_unique")
+    )
+    packed = _packed_bins(unique)
+    per_shard = packed.groupBy("lang", "shard").agg(
+        (F.max("bin_id") + 1).alias("nb"),
+        F.sum("n_tokens").alias("st"),
+    )
+    pk = per_shard.groupBy("lang").agg(
+        F.sum("nb").cast("bigint").alias("n_bins"),
+        F.sum("st").cast("bigint").alias("sum_tokens"),
+    )
+    fill = F.when(F.coalesce(F.col("n_bins"), F.lit(0)) == 0, F.lit(0)).otherwise(
+        F.expr(f"sum_tokens * 10000 div ({_PACK_CAPACITY} * n_bins)")
+    )
+    return (
+        raw_c.join(gat_c, "lang", "left")
+        .join(uni_c, "lang", "left")
+        .join(pk, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_gated", F.lit(0)).cast("bigint").alias(
+                "n_gated"
+            ),
+            F.coalesce("n_unique", F.lit(0)).cast("bigint").alias(
+                "n_unique"
+            ),
+            F.coalesce("n_bins", F.lit(0)).cast("bigint").alias(
+                "n_bins"
+            ),
+            F.coalesce("sum_tokens", F.lit(0)).cast("bigint").alias(
+                "sum_tokens"
+            ),
+            fill.cast("bigint").alias("fill_bp"),
+        )
+    )

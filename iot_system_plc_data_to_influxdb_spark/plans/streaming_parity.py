@@ -1002,3 +1002,166 @@ def b27_ltv_curve(spark, sf_dir):
             F.col("cum_cents"), 100 * F.col("n_cohort"), 4
         ).alias("ltv_per_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# B19h × B29 — STREAMING HANDOFF-EXTRACTION PARITY AS A QUERY (round-10
+# verdict #6): replay the events table through the stateful streaming
+# extractor (streaming/graph.handoff_edge_stream) in THREE time-ordered
+# micro-batches (availableNow, maxFilesPerTrigger=1) and assert, per
+# (event_type, hour) bucket, that the streamed edge set is IDENTICAL to
+# the batch LAG extraction — n_stream, n_batch and the 6-column-match
+# count n_match as one relation. The oracle computes the batch LAG
+# counts alone and claims all three columns equal it, so ANY stream
+# divergence (edge lost at a micro-batch boundary, replay not dropped,
+# mis-bucketed row) breaks the value hash. This keeps the streaming
+# extraction honest under real micro-batch boundaries on every sweep,
+# not just in the hand-crafted pytest scenario
+# (tests/test_streaming.py::test_streaming_handoff_edges_match_batch_lag).
+#
+# Scale notes: the three-way slice is ts-range (time-monotone per
+# bucket, so the stream's per-bucket high-water mark never mistakes a
+# later slice for a replay); the only driver actions are the 1-row
+# min/max bounds probe and the eager materialization of the final
+# per-bucket count relation (O(types × hours)); edges land as parquet
+# via foreachBatch, never collected.
+# --------------------------------------------------------------------------
+_B19_STREAM_PARITY_ORACLE = """
+    WITH seq AS (
+      SELECT event_type,
+        date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                  date_trunc('hour', ts)) AS hr,
+        user_id,
+        LAG(user_id) OVER (
+          PARTITION BY event_type,
+            date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                      date_trunc('hour', ts))
+          ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, hr, COUNT(*)::BIGINT AS n
+      FROM seq WHERE prev IS NOT NULL AND prev <> user_id
+      GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr,
+      n AS n_stream, n AS n_batch, n AS n_match
+    FROM b
+"""
+
+
+@register(
+    "b19_handoff_stream_parity",
+    oracle=_B19_STREAM_PARITY_ORACLE,
+    tags=("B19", "B29", "B26"),
+)
+def b19_handoff_stream_parity(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.graph import handoff_edge_stream
+
+    ev = t(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, (hi - lo + 1 + 2) // 3)
+    slice_col = F.least(
+        F.lit(2), F.floor((F.unix_timestamp("ts") - lo) / span)
+    ).cast("int")
+
+    tmp = tempfile.mkdtemp(prefix="handoff_parity_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        sliced = ev.withColumn("sl", slice_col)
+        for i in range(3):
+            stage = os.path.join(tmp, f"stage{i}")
+            sliced.filter(F.col("sl") == i).drop("sl").coalesce(
+                1
+            ).write.parquet(stage)
+            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+            if parts:
+                dst = os.path.join(src_dir, f"{i:04d}.parquet")
+                shutil.copy(parts[0], dst)
+                # monotone mtimes: the file source lists by
+                # (modification time, path) — pin both orderings
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        out_dir = os.path.join(tmp, "edges")
+        ckpt = os.path.join(tmp, "ckpt")
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, event_id bigint, user_id bigint, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            handoff_edge_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        streamed = spark.read.parquet(out_dir).select(
+            "event_type", "hr", "src", "dst", "ts", "event_id"
+        )
+        w = Window.partitionBy("event_type", "hr").orderBy(
+            "ts", "event_id"
+        )
+        batch = (
+            ev.withColumn(
+                "hr",
+                F.floor(
+                    F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                    / 3600
+                ).cast("bigint"),
+            )
+            .select(
+                "event_type",
+                "hr",
+                "ts",
+                "event_id",
+                F.lag("user_id").over(w).alias("src"),
+                F.col("user_id").alias("dst"),
+            )
+            .filter(
+                F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+            )
+        )
+        keys = ["event_type", "hr", "src", "dst", "ts", "event_id"]
+        j = streamed.withColumn("in_s", F.lit(1)).join(
+            batch.withColumn("in_b", F.lit(1)), keys, "full"
+        )
+        rel = (
+            j.groupBy("event_type", "hr")
+            .agg(
+                F.sum(F.coalesce("in_s", F.lit(0)))
+                .cast("bigint").alias("n_stream"),
+                F.sum(F.coalesce("in_b", F.lit(0)))
+                .cast("bigint").alias("n_batch"),
+                F.sum(
+                    F.coalesce("in_s", F.lit(0))
+                    * F.coalesce("in_b", F.lit(0))
+                )
+                .cast("bigint").alias("n_match"),
+            )
+            # eager: the relation must survive the temp-dir cleanup
+            .localCheckpoint()
+        )
+        return rel
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

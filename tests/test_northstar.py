@@ -2407,3 +2407,34 @@ def test_range_boundaries_balance_and_contiguity(spark):
         assert a["hi_chars"] <= b["lo_chars"] or (
             a["hi_chars"] == b["lo_chars"]
         )
+
+
+def test_pipeline_training_e2e_funnel_invariants(spark):
+    """The composed curation funnel must be monotone per lang
+    (raw >= gated >= unique), cover the whole corpus in n_raw, and
+    report a consistent packing stage: bins exist iff survivors do,
+    sum_tokens equals the survivors' token mass, and fill_bp matches
+    the exact integer definition."""
+    from iot_system_plc_data_to_influxdb_spark.catalog import t
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _PACK_CAPACITY,
+    )
+    from iot_system_plc_data_to_influxdb_spark.plans.pipeline import (
+        pipeline_training_e2e,
+    )
+
+    rows = pipeline_training_e2e(spark, SF_DIR).collect()
+    assert rows
+    total_raw = sum(r["n_raw"] for r in rows)
+    assert total_raw == t(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert r["n_raw"] >= r["n_gated"] >= r["n_unique"] >= 0
+        if r["n_unique"] == 0:
+            assert r["n_bins"] == 0 and r["sum_tokens"] == 0
+            assert r["fill_bp"] == 0
+        else:
+            assert r["n_bins"] >= 1
+            assert r["sum_tokens"] > 0
+            assert r["fill_bp"] == (
+                r["sum_tokens"] * 10000
+            ) // (_PACK_CAPACITY * r["n_bins"])

@@ -476,3 +476,32 @@ def test_bm25_and_rrf_legs_are_take_ordered(spark):
     # sized legs themselves must never sort-merge.
     assert p2.count("SortMergeJoin") == 1
     assert "FullOuter" in p2
+
+
+def test_rrf_recall_fusion_bounded_and_dims_broadcast(spark):
+    """b20_rrf_recall: exactly ONE full-outer join (the RRF fusion of
+    the two top-20 legs — Spark cannot broadcast a full-outer side, so
+    it compiles to a sort-merge over <= 40 rows per probe, bounded by
+    construction) and the BM25 dimensions (probe vocabulary, df,
+    corpus stats) must broadcast rather than shuffling the postings
+    against them. The truth-vs-systems comparison joins key on
+    (pid, vec_id) — per-probe-bounded relations where a shuffle join
+    is the correct shape at fleet-scale panel sizes."""
+    p = _plan(spark, "b20_rrf_recall", mode="simple")
+    assert p.count("FullOuter") == 1
+    assert "BroadcastHashJoin" in p
+    # the corpus postings pass must not cartesian against the panel
+    assert "CartesianProduct" not in p
+
+
+def test_pipeline_training_e2e_no_smj_and_bounded_pack(spark):
+    """The composed curation funnel: the gate is map-only expressions,
+    the dedup is one content-hash window, the pack fold runs as
+    grouped-in-pandas over the (lang, shard) exchange, and every
+    report join broadcasts (O(langs) sides) — no sort-merge join
+    anywhere in the static plan."""
+    p = _plan(spark, "pipeline_training_e2e", mode="simple")
+    assert "SortMergeJoin" not in p
+    assert "FlatMapGroupsInPandas" in p  # the bounded pack fold
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -69,6 +69,9 @@ HEADLINE = [
     "b24_backtest",              # train-prefix fold + broadcast fitted join
     "b27_sequence_trigrams",     # two LAG taps on one per-user exchange
     "b22_audio_vad",             # Arrow map-only decode+segment chain
+    "b21_sequence_pack",         # (lang, shard) exchange into bounded pandas fold
+    "b20_rrf_recall",            # broadcast vocab/dims; one bounded full-outer fusion
+    "pipeline_training_e2e",     # map-only gate; hash window; bounded pack; O(langs) report
 ]
 
 

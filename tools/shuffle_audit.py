@@ -70,6 +70,11 @@ QUERIES = [
     "b25_compaction_plan",       # claim: exchanges carry file METADATA only
     "b20_radius_search",         # claim: centroids/kept-cells broadcast; corpus never shuffles
     "b20_jl_projection",         # claim: projection map-only; only the pair audit exchanges
+    "b21_bm25_retrieval",        # claim: postings pruned to query terms; dims broadcast; TakeOrdered
+    "b20_rrf_hybrid",            # claim: both legs end in TakeOrdered; fusion joins <=40 rows
+    "b20_rrf_recall",            # claim: probe vocab broadcast; ONE postings pass; per-probe windows on <=top-K
+    "b21_sequence_pack",         # claim: ONE (lang, shard) exchange into <=256-row bounded pandas groups
+    "pipeline_training_e2e",     # claim: map-only gate; ONE content-hash window; bounded pack; O(langs) report
 ]
 
 UI_PORT = 4047
@@ -139,6 +144,13 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
+        # _totals sums ALL retained completed stages; the default
+        # retainedStages=1000 EVICTS early stages mid-suite, making
+        # late-query deltas negative (r11: pipeline_training_e2e read
+        # -14 MB because `after` had fewer retained stages than
+        # `before`). Retain enough for the whole ~70-query audit.
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "30000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .getOrCreate()
     )

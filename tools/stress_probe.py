@@ -69,12 +69,17 @@ QUERIES = [
     "b19_triangle_count_handoff",  # extraction + wedge join, 10x extracted edges
     "b19_kcore_handoff",        # extraction + delta peel, 10x strong-tie graph
     "b19_label_propagation_handoff",  # extraction + 4 LPA rounds, 10x users
+    "b21_bm25_retrieval",       # postings restricted to 4 query terms, TakeOrdered
+    "b20_rrf_hybrid",           # lexical leg sees 10x docs; vector leg fixed (embeddings verbatim)
+    "b21_sequence_pack",        # two-level pack: 10x docs -> 10x bounded shards
+    "b21_sequence_pack_bpe",    # BPE trainer + the same sharded pack over 10x docs
+    "pipeline_plc_e2e",         # config x spine explode + one partial+final agg
     # b20_jl_projection / b20_radius_search / b20_ann_recall /
-    # b20_triplet_mining / b20_cluster_margin / b22_audio_vad are NOT
-    # probed: the embeddings table is copied verbatim (not replicated)
-    # and the VAD corpus is fixed at 200 docs, so a 10x row would
-    # measure nothing; the JL projection leg is plan-guarded map-only
-    # instead (tests/test_plans_physical.py)
+    # b20_rrf_recall / b20_triplet_mining / b20_cluster_margin /
+    # b22_audio_vad are NOT probed: the embeddings table is copied
+    # verbatim (not replicated) and the VAD corpus is fixed at 200
+    # docs, so a 10x row would measure nothing; the JL projection leg
+    # is plan-guarded map-only instead (tests/test_plans_physical.py)
 ]
 
 
@@ -113,21 +118,31 @@ def build_stress_tables(spark):
     li.write.mode("overwrite").parquet(f"{STRESS}/lineitem.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet").select("*", rep)
-    # suffix every TOKEN with the replica id: each replica keeps the 1×
-    # corpus's internal near-dup structure but is token-disjoint from
-    # the others — total work grows ×REPS, not ×(REPS² cross-replica
-    # duplicate pairs)
+    # suffix every TOKEN of replicas 1..9 with an ALPHANUMERIC replica
+    # id ("x3"): each replica keeps the 1× corpus's internal near-dup
+    # structure but is token-disjoint from the others — total work
+    # grows ×REPS, not ×(REPS² cross-replica duplicate pairs). The
+    # suffix must stay inside [a-z0-9]+ and replica 0 must stay
+    # UNSUFFIXED: the BPE/BM25 family filters words on ^[a-z0-9]+$ and
+    # BM25 probes fixed query terms — the r11 finding was that the old
+    # "_<rep>" suffix emptied the entire 10× corpus for those queries
+    # (b21_sequence_pack_bpe "sped up" 7× because its trainer had zero
+    # words).
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     docs = (
         _shift(docs, "doc_id", F.col("rep"), 10_000_000)
         .withColumn(
             "text",
-            F.array_join(
-                F.transform(
-                    toks,
-                    lambda x: F.concat(x, F.lit("_"), F.col("rep").cast("string")),
-                ),
-                " ",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        toks,
+                        lambda x: F.concat(
+                            x, F.lit("x"), F.col("rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
             ),
         )
         .drop("rep")
