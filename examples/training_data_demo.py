@@ -111,7 +111,8 @@ def main() -> int:
         )
         print(
             f"shards: packed {packed.count()} docs into "
-            f"{packed.select('lang', 'bin_id').distinct().count()} bins; "
+            f"{packed.select('lang', 'shard', 'bin_id').distinct().count()}"
+            " bins (shard-local ids); "
             f"a (lang, bin) read prunes at the scan — "
             f"PartitionFilters: [{pf}]"
         )

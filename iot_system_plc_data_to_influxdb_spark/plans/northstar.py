@@ -3357,20 +3357,23 @@ def b20_rrf_recall(spark, sf_dir):
     from ..functions.text import surprisal_bits
 
     _sim, bf, ivf = _ann_sim_bf_ivf(spark, sf_dir, ivf_k=_RRF_LEG_TOPK)
+    # ivf feeds BOTH the fusion (top-20 ranks) and the iv10 truth
+    # comparison — materialize the <= panel×20-row relation once
+    # instead of re-running the candidate window per consumer
+    ivf = ivf.localCheckpoint()
     # ----- lexical leg: per-probe BM25 over the embedded corpus -----
     emb_ids = (
         t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("doc_id"))
         .distinct()
     )
+    # alias the token split ONCE — dl and the explode below would
+    # otherwise each re-evaluate the lower+trim+split over text
     corp = (
         t(spark, sf_dir, "documents")
         .join(emb_ids, "doc_id", "semi")
-        .select(
-            "doc_id",
-            F.size(tokens(F.col("text"))).cast("bigint").alias("dl"),
-            tokens(F.col("text")).alias("w"),
-        )
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
     )
     lstats = corp.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -3383,12 +3386,17 @@ def b20_rrf_recall(spark, sf_dir):
         )
         .filter(F.col("term").rlike("^[a-z0-9]+$"))
         .distinct()
+        .localCheckpoint()  # panel vocabulary: feeds two broadcasts
     )
     ltf = (
         corp.select("doc_id", "dl", F.explode("w").alias("term"))
         .join(F.broadcast(qt.select("term").distinct()), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        # postings restricted to the panel vocabulary — scanned by
+        # BOTH the df aggregate and the scoring join; one corpus
+        # explode instead of two
+        .localCheckpoint()
     )
     ldf = ltf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     lper = (
@@ -3428,6 +3436,7 @@ def b20_rrf_recall(spark, sf_dir):
         lscore.withColumn("rk", F.row_number().over(wl))
         .filter(F.col("rk") <= _RRF_LEG_TOPK)
         .select("pid", "doc_id", "rk")
+        .localCheckpoint()  # <= panel×20 rows, two consumers
     )
     # ----- RRF fusion of the two legs' top-20 ranks -----
     li = lex.select(

@@ -2438,3 +2438,46 @@ def test_pipeline_training_e2e_funnel_invariants(spark):
             assert r["fill_bp"] == (
                 r["sum_tokens"] * 10000
             ) // (_PACK_CAPACITY * r["n_bins"])
+
+
+def test_two_level_pack_is_append_stable(spark):
+    """The 100-TB incremental property the fixed-width shard buys: in
+    an append-only corpus (new doc_ids strictly above the old maximum),
+    re-packing the grown corpus NEVER changes the bins of any shard the
+    new docs don't touch — growth repacks at most the one boundary
+    shard per lang plus the new shards, so a nightly pack job is
+    incremental by construction (cost ∝ delta), never a full repack."""
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _PACK_SHARD_SPAN,
+        _packed_bins,
+    )
+
+    base = [(i, "en" if i % 2 == 0 else "de", 37 + (i * 13) % 100)
+            for i in range(600)]
+    delta = [(i, "en" if i % 2 == 0 else "de", 37 + (i * 13) % 100)
+             for i in range(600, 900)]
+    sch = "doc_id bigint, lang string, n_tokens bigint"
+    packed_base = {
+        (r["lang"], r["shard"], r["doc_id"]): r["bin_id"]
+        for r in _packed_bins(spark.createDataFrame(base, sch)).collect()
+    }
+    packed_grown = {
+        (r["lang"], r["shard"], r["doc_id"]): r["bin_id"]
+        for r in _packed_bins(
+            spark.createDataFrame(base + delta, sch)
+        ).collect()
+    }
+    # the boundary shard (the one containing max base doc_id) is the
+    # ONLY shard whose packing may see new rows; every other base
+    # assignment must be byte-identical in the grown corpus
+    boundary = max(d for d, _, _ in base) // _PACK_SHARD_SPAN
+    for (lang, shard, doc_id), b in packed_base.items():
+        if shard == boundary:
+            continue
+        assert packed_grown[(lang, shard, doc_id)] == b
+    # and in fact next-fit is prefix-stable WITHIN the boundary shard
+    # too (new docs sort after old ones), so the full base assignment
+    # survives — assert the stronger property while documenting the
+    # weaker guarantee above as the one the design promises
+    for key, b in packed_base.items():
+        assert packed_grown[key] == b
