@@ -268,7 +268,7 @@ def _isolated_probe(name: str, repeats: int = 3) -> int:
     from iot_system_plc_data_to_influxdb_spark.session import get_spark
 
     spark = get_spark(f"bench-isolated-{name}")
-    fn = plans.all_queries()[name]
+    fn = None if name == "__calib__" else plans.all_queries()[name]
 
     def jvm_once() -> float:
         t0 = time.perf_counter()
@@ -279,6 +279,17 @@ def _isolated_probe(name: str, repeats: int = 3) -> int:
 
     jvm_once()
     calib = min(jvm_once() for _ in range(3))
+
+    if name == "__calib__":
+        # calib-only reference session: what a HEALTHY fresh
+        # subprocess calibrates at under the current conditions
+        # (parent bench JVM resident, same cores) — the yardstick
+        # _spawn_validated compares real probes against
+        print("ISOLATED_PROBE " + json.dumps({
+            "query": "__calib__",
+            "fresh_calib_jvm_s": round(calib, 3),
+        }))
+        return 0
 
     def run_once() -> float:
         t0 = time.perf_counter()
@@ -315,20 +326,43 @@ def _spawn_isolated(name: str, repeats: int = 3) -> dict:
     )
 
 
+_FRESH_CALIB_REF: list[float] = []  # measured once per suite, lazily
+
+
+def _fresh_calib_ref(fallback: float) -> float:
+    """The 'healthy fresh session' calibration yardstick. A fresh
+    subprocess systematically calibrates 2-3x SLOWER than the suite's
+    in-session calib_eff (the parent bench JVM stays resident, page
+    cache is cold) — round-11 closing record: every fresh probe's
+    calib was 0.27-0.40 s against a 0.087 s suite calib_eff, so a bar
+    of 1.3x suite calib was UNREACHABLE and 'healthy' never fired.
+    Fix: measure what a fresh subprocess calibrates at RIGHT NOW with
+    one calib-only probe (no query), once per suite, and validate real
+    probes against THAT — like-for-like conditions."""
+    if not _FRESH_CALIB_REF:
+        try:
+            probe = _spawn_isolated("__calib__", repeats=0)
+            _FRESH_CALIB_REF.append(probe["fresh_calib_jvm_s"])
+        except Exception:  # noqa: BLE001 — degrade to the suite calib
+            _FRESH_CALIB_REF.append(fallback)
+    return _FRESH_CALIB_REF[0]
+
+
 def _spawn_validated(
     name: str, calib_ref: float, repeats: int = 3, attempts: int = 3
 ) -> tuple[dict, list[dict], bool]:
     """Self-validating fresh probe (round-10 verdict #3): a probe whose
-    OWN calib_jvm lands >1.3x the suite's is itself degraded — its
-    query timings measure the contaminated session, not the query — so
-    classifying from it is a guess. Re-probe up to `attempts` fresh
-    subprocesses until one calibrates healthy; keep EVERY attempt's
-    record so the evidence trail survives. Returns (representative
-    probe, all attempt records, calib_healthy): on success the
-    representative is the first healthy session; after `attempts`
-    unhealthy sessions it is the best-calibrated one and
-    calib_healthy=False — at that point "the host is in a slow phase"
-    is a conclusion from repeated calib evidence, not one bad probe."""
+    OWN calib_jvm lands >1.3x the fresh-session reference (see
+    _fresh_calib_ref) is itself degraded — its query timings measure
+    the contaminated session, not the query — so classifying from it
+    is a guess. Re-probe up to `attempts` fresh subprocesses until one
+    calibrates healthy; keep EVERY attempt's record so the evidence
+    trail survives. Returns (representative probe, all attempt
+    records, calib_healthy): on success the representative is the
+    first healthy session; after `attempts` unhealthy sessions it is
+    the best-calibrated one and calib_healthy=False — at that point
+    "the host is in a slow phase" is a conclusion from repeated calib
+    evidence, not one bad probe."""
     records: list[dict] = []
     bar = 1.3 * max(calib_ref, 0.001)
     for _ in range(attempts):
@@ -580,7 +614,9 @@ def main() -> int:
     #       regression, fix it.
     for k in list(regressions)[:6]:  # bound the wall-clock cost
         try:
-            probe, recs, healthy = _spawn_validated(k, calib_eff)
+            probe, recs, healthy = _spawn_validated(
+                k, _fresh_calib_ref(calib_eff)
+            )
         except Exception as exc:  # noqa: BLE001 — record, don't die
             regressions[k]["attribution"] = f"probe-failed: {exc}"
             continue
@@ -628,7 +664,7 @@ def main() -> int:
     for k in flagged[:6]:  # same wall-clock bound as the gate
         try:
             probe, recs, healthy = _spawn_validated(
-                k, calib_eff, repeats=5
+                k, _fresh_calib_ref(calib_eff), repeats=5
             )
         except Exception as exc:  # noqa: BLE001 — record, don't die
             host_attrib[k] = {"attribution": f"probe-failed: {exc}"}
@@ -666,6 +702,12 @@ def main() -> int:
         # verdict (round-10: the same attribution treatment the
         # normalized_regressions entries got in round 8)
         "host_phase_attributions": host_attrib,
+        # yardstick the probe-validation bar used (None = no probes
+        # fired this run): a fresh-subprocess calib-only measurement,
+        # NOT the in-session calib_eff — see _fresh_calib_ref
+        "fresh_calib_ref_s": (
+            _FRESH_CALIB_REF[0] if _FRESH_CALIB_REF else None
+        ),
         "runs": all_runs,
         "warmup": warmups,
         "calib_jvm_s": calib_jvm,

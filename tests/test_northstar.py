@@ -2481,3 +2481,47 @@ def test_two_level_pack_is_append_stable(spark):
     # weaker guarantee above as the one the design promises
     for key, b in packed_base.items():
         assert packed_grown[key] == b
+
+
+def test_rrf_recall_detects_correlated_legs(spark, tmp_path):
+    """The sf-corpus b20_rrf_recall numbers (lex ~0.01, hybrid between
+    the legs) are a property of THAT data — text and embeddings are
+    generated independently. This planted corpus makes the two
+    modalities agree (cluster-specific vocabulary AND cluster-aligned
+    embeddings): the harness must then report the lexical leg jumping
+    to ~perfect recall against semantic truth and fusion holding the
+    vector leg's quality — i.e. the evaluation detects correlation,
+    and the low production numbers are data, not harness."""
+    import os
+
+    clusters = ["alpha beta gamma", "delta epsilon zeta",
+                "eta theta iota"]
+    docs, embs = [], []
+    for i in range(120):
+        c = i % 3
+        docs.append((i, "en", f"{clusters[c]} doc{i}"))
+        vec = [0.0] * 8
+        vec[c] = 1.0
+        embs.append((i, vec))
+    spark.createDataFrame(
+        docs, "doc_id bigint, lang string, text string"
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    spark.createDataFrame(
+        embs, "vec_id bigint, embedding array<float>"
+    ).write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b20_rrf_recall,
+    )
+
+    rows = b20_rrf_recall(spark, str(tmp_path)).collect()
+    assert {r["pid"] for r in rows} == {0, 111}  # panel: % 111 of 120
+    for r in rows:
+        assert r["n_truth"] == 10
+        # every system finds the cluster: lexical recall is ~perfect
+        # once vocabulary correlates with the embedding space
+        assert r["lex_overlap"] == 10
+        assert r["ivf_overlap"] == 10
+        assert r["hyb_overlap"] == 10
+        assert r["lex_recall_bp"] == 10000
+        assert r["hyb_recall_bp"] >= r["ivf_recall_bp"]

@@ -695,3 +695,32 @@ def test_sequence_trigrams_user_support_semantics(spark, tmp_path):
     # the bot's loop seam patterns (buy,view,click)/(click,buy,view)
     # have support 1 -> absent
     assert ("buy", "view", "click") not in got
+
+
+def test_stress_replica_text_contract(spark):
+    """The 10x stress corpus's token mutation must (a) leave replica 0
+    byte-identical (fixed-term probes like BM25's query terms keep
+    matching), (b) keep every mutated token inside ^[a-z0-9]+$ (the
+    BPE/BM25 word filter — an earlier "_<rep>" suffix silently emptied
+    the whole 10x corpus for that family), and (c) keep replicas
+    token-disjoint (cross-replica duplicate pairs would square the
+    near-dup work instead of scaling it linearly)."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from stress_probe import replica_text_expr
+
+    rows = [(rep, "spark join vector test") for rep in range(3)]
+    df = spark.createDataFrame(rows, "rep int, text string").select(
+        "rep", replica_text_expr(F.col("rep")).alias("text")
+    )
+    out = {r["rep"]: r["text"] for r in df.collect()}
+    assert out[0] == "spark join vector test"          # (a) pristine
+    for rep in (1, 2):
+        toks = out[rep].split(" ")
+        assert all(
+            re.fullmatch(r"[a-z0-9]+", t) for t in toks
+        ), toks                                         # (b) alnum
+    assert not (set(out[1].split()) & set(out[2].split()))  # (c)
+    assert not (set(out[0].split()) & set(out[1].split()))

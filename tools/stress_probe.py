@@ -89,6 +89,34 @@ def _shift(df, col, rep, stride):
     )
 
 
+def replica_text_expr(rep_col):
+    """Stress-corpus text mutation: suffix every TOKEN of replicas
+    1..N with an ALPHANUMERIC replica id ("x3") so each replica keeps
+    the 1× corpus's internal near-dup structure but is token-disjoint
+    from the others — total work grows ×REPS, not ×(REPS²
+    cross-replica duplicate pairs). Two contracts, pinned by
+    tests/test_operators.py::test_stress_replica_text_contract:
+    - the suffix stays inside [a-z0-9]+ — the BPE/BM25 family filters
+      words on ^[a-z0-9]+$, and the r11 finding was that an earlier
+      "_<rep>" suffix emptied the entire 10× corpus for those queries
+      (b21_sequence_pack_bpe "sped up" 7× on a trainer with zero
+      words);
+    - replica 0 stays UNSUFFIXED so fixed-term probes (BM25's query
+      terms) keep matching real postings at 10×."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return F.when(rep_col == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                toks,
+                lambda x: F.concat(
+                    x, F.lit("x"), rep_col.cast("string")
+                ),
+            ),
+            " ",
+        )
+    )
+
+
 def build_stress_tables(spark):
     """Replicate events/orders/lineitem/documents ×REPS with shifted
     keys; copy the small dims verbatim."""
@@ -118,33 +146,9 @@ def build_stress_tables(spark):
     li.write.mode("overwrite").parquet(f"{STRESS}/lineitem.parquet")
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet").select("*", rep)
-    # suffix every TOKEN of replicas 1..9 with an ALPHANUMERIC replica
-    # id ("x3"): each replica keeps the 1× corpus's internal near-dup
-    # structure but is token-disjoint from the others — total work
-    # grows ×REPS, not ×(REPS² cross-replica duplicate pairs). The
-    # suffix must stay inside [a-z0-9]+ and replica 0 must stay
-    # UNSUFFIXED: the BPE/BM25 family filters words on ^[a-z0-9]+$ and
-    # BM25 probes fixed query terms — the r11 finding was that the old
-    # "_<rep>" suffix emptied the entire 10× corpus for those queries
-    # (b21_sequence_pack_bpe "sped up" 7× because its trainer had zero
-    # words).
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     docs = (
         _shift(docs, "doc_id", F.col("rep"), 10_000_000)
-        .withColumn(
-            "text",
-            F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.array_join(
-                    F.transform(
-                        toks,
-                        lambda x: F.concat(
-                            x, F.lit("x"), F.col("rep").cast("string")
-                        ),
-                    ),
-                    " ",
-                )
-            ),
-        )
+        .withColumn("text", replica_text_expr(F.col("rep")))
         .drop("rep")
     )
     docs.write.mode("overwrite").parquet(f"{STRESS}/documents.parquet")
