@@ -2158,8 +2158,12 @@ def _packed_bins(d):
         return pdf[["doc_id", "lang", "shard", "n_tokens", "bin_id"]]
 
     return (
+        # integer div, NOT floor(double /): a double round-trip loses
+        # exactness past 2^53 — hash-derived 64-bit doc_ids at corpus
+        # scale would mis-shard. doc_id >= 0, so div == floor-div and
+        # matches DuckDB's // exactly.
         d.withColumn(
-            "shard", F.floor(F.col("doc_id") / F.lit(_PACK_SHARD_SPAN))
+            "shard", F.expr(f"doc_id div {_PACK_SHARD_SPAN}")
         )
         .groupBy("lang", "shard")
         .applyInPandas(

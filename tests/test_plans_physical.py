@@ -489,7 +489,11 @@ def test_rrf_recall_fusion_bounded_and_dims_broadcast(spark):
     is the correct shape at fleet-scale panel sizes."""
     p = _plan(spark, "b20_rrf_recall", mode="simple")
     assert p.count("FullOuter") == 1
-    assert "BroadcastHashJoin" in p
+    # the legs are localCheckpoint'ed (each feeds two consumers), so
+    # the BM25 broadcasts live inside the checkpoint-materialization
+    # jobs and the returned plan consumes them as ExistingRDD scans —
+    # one materialization per leg instead of a re-run per consumer
+    assert "Scan ExistingRDD" in p
     # the corpus postings pass must not cartesian against the panel
     assert "CartesianProduct" not in p
 
