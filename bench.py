@@ -210,9 +210,14 @@ QUERY_WORK_NOTES = {
                  "broadcast-dead neighbor counts, no per-round E-sized "
                  "exchange), 3 levels lineage-stacked per checkpoint, "
                  "fixpoint early-exit — 4.79 s (r9) -> ~3.0 s",
-    "b19_label_propagation": "4 sync LPA rounds, per-round checkpoint "
-                             "barrier; r10 builds the directed relation "
-                             "in ONE materialization",
+    "b19_label_propagation": "4 sync LPA rounds; r10 builds the "
+                             "directed relation in ONE materialization; "
+                             "r11 stacks all rounds in one lineage "
+                             "(single consumer per round, fixed "
+                             "horizon) — controlled A/B 1.68 -> 1.28 s, "
+                             "labels identical; same change on the "
+                             "handoff LPA + pagerank_handoff twins "
+                             "(2.67 -> 2.22 s)",
     "b22_audio_vad": "200 synthetic WAVs with planted every-third-frame "
                      "hiss (new in r9)",
     "b20_mmr_rerank": "k-1=4 bounded 1-row driver actions by design "

@@ -9900,6 +9900,14 @@ def b19_label_propagation(spark, sf_dir):
         .localCheckpoint()
     )
     rk = Window.partitionBy("x").orderBy(F.col("c").desc(), F.col("lab"))
+    # all 4 rounds lineage-stacked, NO mid-round checkpoint: each
+    # round's labels feed exactly ONE consumer (the next round), so a
+    # single final action executes every round once — the per-round
+    # checkpoints were pure extra jobs (r11 A/B at sf0.1: 1.68 ->
+    # 1.28 s end-to-end, labels identical). The fixed R=4 horizon
+    # needs no per-round fixpoint action, and a depth-4 join+agg+
+    # window chain is far from the k-center ~10+-round re-analysis
+    # blow-up.
     for _ in range(_LPA_ROUNDS):
         votes = (
             nb.join(
@@ -9912,7 +9920,6 @@ def b19_label_propagation(spark, sf_dir):
             votes.withColumn("rk", F.row_number().over(rk))
             .filter(F.col("rk") == 1)
             .select("x", "lab")
-            .localCheckpoint()  # O(V) state, lineage cut per round
         )
     wsz = Window.partitionBy("lab")
     return labels.select(
@@ -10124,6 +10131,13 @@ def b19_pagerank_handoff(spark, sf_dir):
         # the window extraction runs exactly once
     )
     rank = users.select("user_id", F.lit(1_000_000).cast("bigint").alias("r"))
+    # all 3 rounds lineage-stacked, NO mid-round checkpoint: the
+    # horizon is fixed (no fixpoint probe needs a per-round action),
+    # adj is already materialized, and a depth-3 join+agg chain is
+    # well inside Catalyst's comfort zone — the per-round checkpoints
+    # were 3 extra jobs (r11 A/B at sf0.1: 2.67 -> 2.22 s end-to-end,
+    # results identical). The k-center quadratic-re-analysis lesson
+    # bites at ~10+ stacked rounds, not 3.
     for _ in range(3):
         contrib = (
             adj.join(rank, adj["src"] == rank["user_id"])
@@ -10138,7 +10152,7 @@ def b19_pagerank_handoff(spark, sf_dir):
             (
                 F.lit(150_000) + F.expr("85 * coalesce(c, 0) div 100")
             ).cast("bigint").alias("r"),
-        ).localCheckpoint()  # O(V) state, lineage cut per round
+        )
     # out-degrees come off the CHECKPOINTED adj (one row per edge,
     # deg repeated) — the lazy `deg` would re-run the extraction
     # window + distinct a fourth time on collect
@@ -10311,6 +10325,9 @@ def b19_label_propagation_handoff(spark, sf_dir):
         .localCheckpoint()
     )
     rk = Window.partitionBy("x").orderBy(F.col("c").desc(), F.col("lab"))
+    # rounds lineage-stacked, no mid-round checkpoint — same A/B-
+    # verified rationale as b19_label_propagation (single consumer per
+    # round, fixed horizon, checkpoints were pure extra jobs)
     for _ in range(_HANDOFF_LPA_ROUNDS):
         votes = (
             nb.join(
@@ -10323,7 +10340,6 @@ def b19_label_propagation_handoff(spark, sf_dir):
             votes.withColumn("rk", F.row_number().over(rk))
             .filter(F.col("rk") == 1)
             .select("x", "lab")
-            .localCheckpoint()  # O(V) state, lineage cut per round
         )
     wsz = Window.partitionBy("lab")
     return labels.select(
