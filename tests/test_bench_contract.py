@@ -51,3 +51,63 @@ def test_headline_set_is_registered():
 
     missing = set(bench.BENCH_QUERIES) - set(plans.all_queries())
     assert missing == set(), missing
+
+
+def test_spawn_validated_retries_until_healthy_calib(monkeypatch):
+    """The self-validating probe: sessions whose calib exceeds 1.3x the
+    fresh-session reference are discarded and re-probed (all attempts
+    kept); a healthy session short-circuits; three unhealthy sessions
+    return the best-calibrated one with calib_healthy=False."""
+    script = [
+        {"fresh_calib_jvm_s": 0.9, "fresh_isolated_s": 3.0},   # degraded
+        {"fresh_calib_jvm_s": 0.25, "fresh_isolated_s": 1.0},  # healthy
+        {"fresh_calib_jvm_s": 0.2, "fresh_isolated_s": 0.9},   # unused
+    ]
+    calls = []
+
+    def fake(name, repeats=3):
+        calls.append(name)
+        return script[len(calls) - 1]
+
+    monkeypatch.setattr(bench, "_spawn_isolated", fake)
+    probe, recs, healthy = bench._spawn_validated("q", calib_ref=0.25)
+    assert healthy and probe["fresh_calib_jvm_s"] == 0.25
+    assert len(recs) == 2 and len(calls) == 2  # stopped at first healthy
+
+    calls.clear()
+    script[:] = [
+        {"fresh_calib_jvm_s": 0.9, "fresh_isolated_s": 3.0},
+        {"fresh_calib_jvm_s": 0.5, "fresh_isolated_s": 2.0},
+        {"fresh_calib_jvm_s": 0.7, "fresh_isolated_s": 2.5},
+    ]
+    probe, recs, healthy = bench._spawn_validated("q", calib_ref=0.25)
+    assert not healthy
+    assert len(recs) == 3
+    # representative = best-calibrated attempt, evidence trail intact
+    assert probe["fresh_calib_jvm_s"] == 0.5
+
+
+def test_fresh_calib_ref_measured_once_and_cached(monkeypatch):
+    """The fresh-session yardstick is ONE calib-only subprocess per
+    suite; later calls reuse the cached value, and a probe failure
+    degrades to the caller's fallback."""
+    bench._FRESH_CALIB_REF.clear()
+    calls = []
+
+    def fake(name, repeats=3):
+        calls.append(name)
+        return {"fresh_calib_jvm_s": 0.3}
+
+    monkeypatch.setattr(bench, "_spawn_isolated", fake)
+    assert bench._fresh_calib_ref(0.1) == 0.3
+    assert bench._fresh_calib_ref(0.1) == 0.3
+    assert calls == ["__calib__"]  # cached after the first measure
+
+    bench._FRESH_CALIB_REF.clear()
+
+    def boom(name, repeats=3):
+        raise RuntimeError("no subprocess")
+
+    monkeypatch.setattr(bench, "_spawn_isolated", boom)
+    assert bench._fresh_calib_ref(0.123) == 0.123  # fallback
+    bench._FRESH_CALIB_REF.clear()
