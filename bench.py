@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "b21_sequence_pack_bpe",  # packing on REAL BPE token counts
     "pipeline_plc_e2e",  # config->sim->decode->points->InfluxQL, composed
     "b21_bm25_retrieval",  # integer-exact BM25 top-k, TakeOrdered legs
+    "b21_bm25_indexed",  # build partitioned postings index + pruned serve
     "b20_rrf_hybrid",  # rank-only lexical+vector fusion, pure integers
     "b20_rrf_recall",  # hybrid-vs-legs recall@10 eval over the probe panel
     "pipeline_training_e2e",  # gate -> dedup -> bounded pack funnel report
@@ -246,6 +247,12 @@ QUERY_WORK_NOTES = {
                       "(ivf 0.37-0.52) — the harness is the "
                       "deliverable; on real corpora the legs "
                       "correlate and fusion wins",
+    "b21_bm25_indexed": "new in r11: wall is the one-corpus-pass "
+                        "index BUILD (write postings/terms/stats "
+                        "parquet) — the layout job a deployment runs "
+                        "once; the serve half reads only the query "
+                        "terms' tb= buckets (pruning proven in "
+                        "tests/test_retrieval_index.py)",
     "pipeline_training_e2e": "new in r11: the training-data twin of "
                              "pipeline_plc_e2e — Gopher gate -> exact "
                              "content dedup -> two-level pack -> "

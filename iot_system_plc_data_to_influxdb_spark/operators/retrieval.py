@@ -1,0 +1,149 @@
+"""Partitioned inverted index for lexical retrieval (B21/B20).
+
+b21_bm25_retrieval scores by scanning the corpus — correct, and the
+right shape for ad-hoc one-off questions. A serving system at 100 TB
+never does that per query: it builds the inverted index ONCE (one
+corpus pass, the same cost as any other layout materialization in
+operators/retention.py) and answers every query by reading only the
+term-bucket partitions its query terms hash into. This module is that
+scale path:
+
+- ``write_postings_index``: postings (doc_id, dl, term, tf) laid out
+  ``tb=<bucket>/`` by ``pmod(xxhash64(term), n_buckets)``, sorted by
+  term within files (row-group min/max stats prune within a bucket);
+  per-term document frequencies in a ``terms/`` subtree with the SAME
+  bucketing; corpus stats (n_docs, sum_len) as a 1-row parquet.
+- ``bm25_from_index``: answers a term-set query by scanning ONLY the
+  matching ``tb=`` partitions (partition pruning + a pushed ``term
+  IN`` filter), then the exact-integer BM25 scoring shared with the
+  corpus-scan query (functions/text.surprisal_bits idf, the
+  fraction-cleared tf normalization, one truncation point) and a
+  TakeOrdered top-k.
+
+The registered twin ``b21_bm25_indexed`` (plans/northstar.py) builds
+the index from the sf_dir corpus and must hash-match the corpus-scan
+query's oracle exactly — the index path provably returns the same
+answer. Pruning is proven in tests/test_retrieval_index.py via
+``input_file_name()`` (only the query terms' buckets open).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import surprisal_bits, tokens
+
+#: default term-hash partition count — at 100 TB this rises with the
+#: vocabulary (buckets stay listing-friendly; pruning power is
+#: |query-term buckets| / n_buckets either way)
+N_BUCKETS = 64
+
+
+def _term_bucket(term):
+    return F.pmod(F.xxhash64(term), F.lit(N_BUCKETS)).cast("int")
+
+
+def write_postings_index(docs: DataFrame, path: str) -> None:
+    """One corpus pass → the three index relations. ``docs`` needs
+    (doc_id, text); terms are the same lowercase whitespace tokens
+    restricted to ``^[a-z0-9]+$`` as the BPE/BM25 family."""
+    base = docs.select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
+    tf = (
+        base.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").rlike("^[a-z0-9]+$"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    (
+        tf.withColumn("tb", _term_bucket(F.col("term")))
+        .repartition("tb")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(path, "postings"))
+    )
+    # df derived from the same tf relation the postings were written
+    # from: the index is self-consistent by construction
+    pdf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .withColumn("tb", _term_bucket(F.col("term")))
+        .repartition("tb")
+        .sortWithinPartitions("term")
+    )
+    pdf.write.mode("overwrite").partitionBy("tb").parquet(
+        os.path.join(path, "terms")
+    )
+    base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_len"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...],
+    topk: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Serve a BM25 (k1=1.2, b=0.75 — the fraction-cleared integer
+    formulation) top-k from the index: only the query terms' ``tb=``
+    partitions are read, never the corpus."""
+    buckets = sorted(
+        {hash_bucket for (hash_bucket,) in (
+            spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(_term_bucket(F.col("term")))
+            .collect()
+        )}
+    )
+    post = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("tb").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(*terms))  # pushed row-group filter
+    )
+    dfq = (
+        spark.read.parquet(os.path.join(path, "terms"))
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    per = (
+        post.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            "tf",
+            "sum_len",
+            "n_docs",
+            surprisal_bits(F.col("n_docs"), F.col("df")).alias(
+                "idf_bits"
+            ),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            # identical truncation point to _bm25_doc_scores
+            F.expr(
+                f"idf_bits * (22 * tf * sum_len * {scale}) div "
+                "(10 * tf * sum_len + 3 * sum_len + 9 * dl * n_docs)"
+            ).cast("bigint").alias("sterm"),
+        )
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.max("dl").alias("dl"),
+            F.count("*").cast("bigint").alias("n_hit_terms"),
+            F.sum("sterm").cast("bigint").alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(topk)
+    )

@@ -739,6 +739,34 @@ def b21_bm25_retrieval(spark, sf_dir):
     )
 
 
+@register("b21_bm25_indexed", oracle=_B21_BM25_ORACLE, tags=("B21", "B20"))
+def b21_bm25_indexed(spark, sf_dir):
+    """The INDEXED serving path for lexical retrieval, proven
+    answer-identical to the corpus scan: build the partitioned
+    inverted index (operators/retrieval.write_postings_index — the
+    one-corpus-pass layout job a 100 TB deployment runs once), then
+    answer the same 4-term query reading ONLY the query terms'
+    tb= partitions (partition pruning + pushed term filter) — SAME
+    oracle as b21_bm25_retrieval, so the hash check itself proves
+    index-vs-scan equality on every sweep. Pruning is proven in
+    tests/test_retrieval_index.py via input_file_name()."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import bm25_from_index, write_postings_index
+
+    tmp = tempfile.mkdtemp(prefix="bm25_index_")
+    try:
+        write_postings_index(
+            t(spark, sf_dir, "documents").select("doc_id", "text"), tmp
+        )
+        return bm25_from_index(
+            spark, tmp, _BM25_TERMS, topk=_BM25_TOPK, scale=_BM25_SCALE
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # B20r — RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack/Clarke/
 # Buettcher 2009): fuse the BM25 lexical leg with the brute-force
