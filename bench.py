@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "pipeline_plc_e2e",  # config->sim->decode->points->InfluxQL, composed
     "b21_bm25_retrieval",  # integer-exact BM25 top-k, TakeOrdered legs
     "b21_bm25_indexed",  # build partitioned postings index + pruned serve
+    "b20_knn_ivf_indexed",  # build cell-partitioned IVF layout + pruned serve
     "b20_rrf_hybrid",  # rank-only lexical+vector fusion, pure integers
     "b20_rrf_recall",  # hybrid-vs-legs recall@10 eval over the probe panel
     "pipeline_training_e2e",  # gate -> dedup -> bounded pack funnel report

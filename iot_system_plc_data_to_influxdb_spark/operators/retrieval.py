@@ -147,3 +147,82 @@ def bm25_from_index(
         .orderBy(F.col("score_fp").desc(), "doc_id")
         .limit(topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# The VECTOR modality's written index — the IVF twin of the postings
+# index above: cell assignments laid out ``cell=<c>/`` so a probe
+# reads ~n_probe/n_cells of the corpus via partition pruning (the
+# claim knn_ivf's docstring makes about production scale, here made
+# real and test-proven). Same coarse quantizer as the batch query and
+# the streaming router (operators/similarity.ivf_centroids), so the
+# registered twin b20_knn_ivf_indexed shares b20_knn_ivf's oracle.
+# ---------------------------------------------------------------------------
+def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
+    """One corpus pass → cell-partitioned vectors + centroid sidecar."""
+    from .similarity import ivf_cell_assignments, ivf_centroids
+
+    spark = emb.sparkSession
+    cents = ivf_centroids(emb, n_cells)
+    cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
+    (
+        ivf_cell_assignments(emb, cent_df)
+        .select("vec_id", "embedding", "cell")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
+    )
+    cent_df.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+
+
+def knn_ivf_from_index(
+    spark: SparkSession,
+    path: str,
+    probe: list[float],
+    probe_vec_id: int | None = None,
+    k: int = 10,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """Serve an IVF top-k from the written index: rank the probe
+    against the O(n_cells) centroid sidecar (broadcast — the only
+    driver action is the bounded n_probe_cells collect), then scan
+    ONLY those ``cell=`` partitions. ``probe`` is the query vector
+    itself — at serving time it arrives from outside the corpus;
+    ``probe_vec_id`` (optional) excludes the probe's own row when the
+    query is a corpus member."""
+    from ..functions.vectors import cosine
+
+    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    probe_df = spark.createDataFrame(
+        [(probe,)], "pe array<float>"
+    )
+    probe_cells = [
+        int(r["cell"])
+        for r in cent_df.crossJoin(F.broadcast(probe_df))
+        .select("cell", cosine(F.col("cvec"), F.col("pe")).alias("sim"))
+        .orderBy(F.col("sim").desc(), "cell")
+        .limit(n_probe_cells)
+        .collect()
+    ]
+    cells = (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("cell").isin(probe_cells))  # partition pruning
+    )
+    if probe_vec_id is not None:
+        cells = cells.filter(F.col("vec_id") != probe_vec_id)
+    return (
+        cells.crossJoin(F.broadcast(probe_df))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                cosine(F.col("embedding"), F.col("pe")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )

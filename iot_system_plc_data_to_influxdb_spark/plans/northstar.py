@@ -1192,6 +1192,34 @@ def b20_ivf(spark, sf_dir):
     return knn_ivf(t(spark, sf_dir, "embeddings"), probe_vec_id=0, k=10)
 
 
+@register("b20_knn_ivf_indexed", oracle=_B20_IVF_ORACLE, tags=("B20",))
+def b20_knn_ivf_indexed(spark, sf_dir):
+    """The WRITTEN-index serving path for vector retrieval, proven
+    answer-identical to b20_knn_ivf by sharing its oracle: build the
+    cell-partitioned IVF layout (operators/retrieval.write_ivf_index —
+    the one-pass materialization knn_ivf's docstring promises at
+    production scale), then serve the probe reading ONLY its 2 probe
+    cells' cell= partitions. Pruning proven in
+    tests/test_retrieval_index.py via input_file_name()."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import knn_ivf_from_index, write_ivf_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]  # 1-row bounded action: the query vector arrives from outside
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        write_ivf_index(emb, tmp)
+        return knn_ivf_from_index(
+            spark, tmp, list(probe), probe_vec_id=0, k=10
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # B19e — near-duplicate CLUSTERS: connected components over the
 # MinHash-LSH pair graph, yielding the artifact a dedup pipeline

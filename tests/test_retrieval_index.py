@@ -117,3 +117,56 @@ def test_index_df_and_stats_match_corpus(spark, tmp_path):
             .collect()
         )
         assert len(got) == 1 and got[0]["df"] == want_df
+
+
+def test_indexed_ivf_prunes_to_probe_cells(spark, tmp_path):
+    """The vector twin: knn_ivf_from_index must return exactly
+    b20_knn_ivf's answer while reading ONLY the probe's 2 cell=
+    partitions of the written layout."""
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        knn_ivf_from_index,
+        write_ivf_index,
+    )
+    from iot_system_plc_data_to_influxdb_spark.operators.similarity import (
+        knn_ivf,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+    probe = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    served = knn_ivf_from_index(
+        spark, path, list(probe), probe_vec_id=0, k=10
+    )
+    want = [
+        (r["vec_id"], r["cell"], r["cos_sim"])
+        for r in knn_ivf(emb, probe_vec_id=0, k=10).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cell"], r["cos_sim"]) for r in served.collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # pruning: the candidate scan opens <= 2 of the 8 cell= dirs
+    opened_cells = {
+        int(r["f"].split("cell=")[1].split("/")[0])
+        for r in spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("cell").isin([c for c in range(8)]))  # all cells
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert len(opened_cells) > 2  # the index genuinely spans cells
+    probe_cells = {r["cell"] for r in served.collect()}
+    scan = (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("cell").isin(sorted(probe_cells)))
+    )
+    opened = {
+        int(r["f"].split("cell=")[1].split("/")[0])
+        for r in scan.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert opened == probe_cells and len(opened) <= 2
