@@ -248,6 +248,14 @@ QUERY_WORK_NOTES = {
                       "(ivf 0.37-0.52) — the harness is the "
                       "deliverable; on real corpora the legs "
                       "correlate and fusion wins",
+    "b20_knn_ivf_indexed": "new in r11: wall is dominated by the "
+                           "index BUILD (cell assignment's "
+                           "exact-decimal HOF cosine + the "
+                           "cell-partitioned write) — the one-pass "
+                           "layout job a deployment amortizes over "
+                           "all queries; the serve half reads 2 of "
+                           "8 cells (pruning proven in "
+                           "tests/test_retrieval_index.py)",
     "b21_bm25_indexed": "new in r11: wall is the one-corpus-pass "
                         "index BUILD (write postings/terms/stats "
                         "parquet) — the layout job a deployment runs "
