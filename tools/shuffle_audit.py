@@ -75,6 +75,8 @@ QUERIES = [
     "b20_rrf_recall",            # claim: probe vocab broadcast; ONE postings pass; per-probe windows on <=top-K
     "b21_sequence_pack",         # claim: ONE (lang, shard) exchange into <=256-row bounded pandas groups
     "pipeline_training_e2e",     # claim: map-only gate; ONE content-hash window; bounded pack; O(langs) report
+    "b21_bm25_indexed",          # claim: one-pass index build; serve reads only query-term buckets
+    "b20_knn_ivf_indexed",       # claim: one-pass cell layout; serve reads only 2 probe cells
 ]
 
 UI_PORT = 4047
