@@ -166,7 +166,7 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
     cents = ivf_centroids(emb, n_cells)
     cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
     (
-        ivf_cell_assignments(emb, cent_df)
+        ivf_cell_assignments(emb, cents)
         .select("vec_id", "embedding", "cell")
         .repartition("cell")
         .sortWithinPartitions("vec_id")

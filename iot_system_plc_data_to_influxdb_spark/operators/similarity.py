@@ -142,23 +142,58 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 8) -> list:
     )
 
 
-def ivf_cell_assignments(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid (argmax cosine,
-    ties to the smallest cell): broadcast centroids × corpus, one
-    per-vector window — the batch leg the streaming router must match."""
-    scored = emb.crossJoin(F.broadcast(cent_df)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
-    )
-    from pyspark.sql import Window
+def ivf_best_cell(centroids: list) -> "F.Column":
+    """Map-side coarse quantizer shared by the batch assignment and
+    the streaming router: the [(cell, [floats])] centroid table (from
+    ``ivf_centroids`` — driver-side by construction, O(n_cells) rows)
+    is carried as an ARRAY-OF-STRUCT LITERAL in the plan and folded
+    over per row. Assignment is argmax cosine with ties to the
+    smallest cell — the fold iterates cells in ascending order with a
+    strict ``>``, which is exactly ``ORDER BY sim DESC, cell`` — and
+    the cosine is the same exact-decimal expression
+    (functions/vectors.cosine), so no engine or leg can drift.
 
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell")
+    Returns a STRUCT<cell:int, sim:double> column: zero explode, zero
+    exchange — at 100 TB the old broadcast-crossJoin + per-vec_id
+    window shuffled an 8×-exploded corpus just to take this argmax."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec])
+                .cast("array<float>")
+                .alias("cvec"),
+            )
+            for cell, vec in sorted(centroids)
+        ]
+    )
+
+    def step(acc, c):
+        sim = cosine(F.col("embedding"), c["cvec"])
+        return F.when(
+            sim > acc["sim"],
+            F.struct(c["cell"].alias("cell"), sim.alias("sim")),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        cents,
+        F.struct(
+            F.lit(-1).cast("int").alias("cell"),
+            F.lit(-2.0).alias("sim"),  # cosine ∈ [-1, 1]: first always wins
+        ),
+        step,
+    )
+
+
+def ivf_cell_assignments(emb: DataFrame, centroids: list) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmax cosine,
+    ties to the smallest cell) — a PURE PROJECTION over the corpus via
+    the shared ``ivf_best_cell`` fold. No crossJoin, no window, no
+    Exchange anywhere in the plan (guarded in
+    tests/test_plans_physical.py): the index-build path stays map-side
+    all the way to the ``repartition("cell")`` write clustering."""
+    return emb.select(
+        "vec_id", "embedding", ivf_best_cell(centroids)["cell"].alias("cell")
     )
 
 
@@ -181,10 +216,10 @@ def knn_ivf(
     spark = emb.sparkSession
     cents = ivf_centroids(emb, n_cells)
     cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
-    assigned = ivf_cell_assignments(emb, cent_df)
+    assigned = ivf_cell_assignments(emb, cents)
     # probe-cell ranking scores ONLY the probe vector against the
     # centroids (one row × n_cells), never the whole corpus — the
-    # corpus-wide centroid crossJoin runs exactly once, inside
+    # corpus-wide assignment fold runs exactly once, inside
     # ivf_cell_assignments (ADVICE r8: the refactor had duplicated it).
     probe_cells = [
         int(r["cell"])

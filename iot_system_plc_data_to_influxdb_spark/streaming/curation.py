@@ -415,46 +415,18 @@ def ivf_assign_stream(vectors: DataFrame, centroids: list) -> DataFrame:
 
     Same train-batch / serve-stream split as importance_filter_stream:
     ``centroids`` is the [(cell, [floats])] table the batch quantizer
-    produces (operators/similarity.ivf_centroids — n_cells entries),
-    carried as an ARRAY-OF-STRUCT LITERAL in the plan and folded over
-    per row. Assignment is argmax cosine with ties to the smallest
-    cell — the fold iterates cells in ascending order with a strict >,
-    which is exactly the batch leg's ORDER BY sim DESC, cell rule —
-    and the cosine is the same exact-decimal expression
-    (functions/vectors.cosine), so batch and stream can never drift.
+    produces (operators/similarity.ivf_centroids — n_cells entries).
+    Batch and stream now share ONE fold — operators/similarity.
+    ivf_best_cell (argmax exact-decimal cosine over an array-of-struct
+    centroid literal, ties to the smallest cell) — so the two legs are
+    structurally incapable of drifting, not merely tested equal.
 
     Stateless map-only projection: no watermark, no state store, no
     shuffle — a true append stream that scales with ingest rate only.
     """
-    from ..functions.vectors import cosine
+    from ..operators.similarity import ivf_best_cell
 
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(cell)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in vec])
-                .cast("array<float>")
-                .alias("cvec"),
-            )
-            for cell, vec in sorted(centroids)
-        ]
-    )
-
-    def step(acc, c):
-        sim = cosine(F.col("embedding"), c["cvec"])
-        return F.when(
-            sim > acc["sim"],
-            F.struct(c["cell"].alias("cell"), sim.alias("sim")),
-        ).otherwise(acc)
-
-    best = F.aggregate(
-        cents,
-        F.struct(
-            F.lit(-1).cast("int").alias("cell"),
-            F.lit(-2.0).alias("sim"),  # cosine ∈ [-1, 1]: first always wins
-        ),
-        step,
-    )
+    best = ivf_best_cell(centroids)
     return vectors.withColumns(
         {"cell": best["cell"], "cell_sim": best["sim"]}
     )

@@ -509,3 +509,38 @@ def test_pipeline_training_e2e_no_smj_and_bounded_pack(spark):
     assert "FlatMapGroupsInPandas" in p  # the bounded pack fold
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_ivf_cell_assignment_is_map_only(spark):
+    """The IVF index-BUILD assignment (every vector → nearest
+    centroid) must compile to scan → project: zero Exchange, zero
+    Generate, zero join. This is the round-11 weak item — the old
+    plan crossJoined the corpus against 8 broadcast centroids and
+    took the argmax with a per-vec_id window, a full hash exchange
+    of an 8×-exploded corpus (multi-PB at 100 TB) on the build path.
+    The fold (operators/similarity.ivf_best_cell) is now the ONLY
+    quantizer, shared with the streaming router, so the single
+    remaining exchange in write_ivf_index is the repartition("cell")
+    write clustering."""
+    import contextlib
+    import io
+
+    from iot_system_plc_data_to_influxdb_spark.catalog import t
+    from iot_system_plc_data_to_influxdb_spark.operators.similarity import (
+        ivf_cell_assignments,
+        ivf_centroids,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(emb, n_cells=8)
+    df = ivf_cell_assignments(emb, cents)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, p[:1500]
+    assert "Generate" not in p
+    assert "Join" not in p
+    assert "Window" not in p
+    # and it still assigns: more than one populated cell on the fixture
+    assert len({int(r["cell"]) for r in df.collect()}) > 1

@@ -1456,10 +1456,9 @@ def test_streaming_ivf_cell_assignment_matches_batch(spark, tmp_path):
         "vec_id", "embedding"
     )
     cents = ivf_centroids(emb, n_cells=8)
-    cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
     batch = {
         int(r["vec_id"]): int(r["cell"])
-        for r in ivf_cell_assignments(emb, cent_df).collect()
+        for r in ivf_cell_assignments(emb, cents).collect()
     }
     assert len(set(batch.values())) > 1  # fixture spreads over cells
 
