@@ -350,7 +350,7 @@ def _spawn_isolated(name: str, repeats: int = 3) -> dict:
 _FRESH_CALIB_REF: list[float] = []  # measured once per suite, lazily
 
 
-def _fresh_calib_ref(fallback: float) -> float:
+def _fresh_calib_ref() -> float | None:
     """The 'healthy fresh session' calibration yardstick. A fresh
     subprocess systematically calibrates 2-3x SLOWER than the suite's
     in-session calib_eff (the parent bench JVM stays resident, page
@@ -359,14 +359,105 @@ def _fresh_calib_ref(fallback: float) -> float:
     of 1.3x suite calib was UNREACHABLE and 'healthy' never fired.
     Fix: measure what a fresh subprocess calibrates at RIGHT NOW with
     one calib-only probe (no query), once per suite, and validate real
-    probes against THAT — like-for-like conditions."""
+    probes against THAT — like-for-like conditions.
+
+    Returns None when the calib-only probe itself fails (after one
+    retry): falling back to the suite calib would recreate the exact
+    unreachable 1.3x bar documented above and silently misattribute
+    every regression as 'host' (round-11 ADVICE) — callers must record
+    'calib-ref-unavailable' and skip host-vs-code discrimination."""
     if not _FRESH_CALIB_REF:
-        try:
-            probe = _spawn_isolated("__calib__", repeats=0)
-            _FRESH_CALIB_REF.append(probe["fresh_calib_jvm_s"])
-        except Exception:  # noqa: BLE001 — degrade to the suite calib
-            _FRESH_CALIB_REF.append(fallback)
+        for _ in range(2):  # the probe is cheap; retry once on failure
+            try:
+                probe = _spawn_isolated("__calib__", repeats=0)
+                _FRESH_CALIB_REF.append(probe["fresh_calib_jvm_s"])
+                break
+            except Exception:  # noqa: BLE001 — try again, then give up
+                continue
+        else:
+            _FRESH_CALIB_REF.append(None)
     return _FRESH_CALIB_REF[0]
+
+
+def _median(vals) -> float:
+    srt = sorted(vals)
+    return srt[len(srt) // 2] if srt else 0.0
+
+
+def _regression_gate(
+    timings: dict, queries_norm: dict, prev: dict
+) -> tuple[dict, float, float, str]:
+    """MEDIAN-RATIO REGRESSION GATE over CALIB-NORMALIZED values
+    (round-11 verdict #2). History: raw cross-round deltas conflate
+    host drift with plan changes; the round-8 revision normalized each
+    query's now/prev RAW ratio by the suite-median ratio, which kills
+    uniform drift but not drift BETWEEN the two compared runs' host
+    phases interacting with per-query variance — round 11 (a day whose
+    fresh-session calibs swung 5x) fired 4 'code' flags that STRESS.md
+    then hand-refuted one by one with calib-normalized arithmetic.
+    This gate does that arithmetic itself.
+
+    Note the median-relative test alone CANNOT be fixed by
+    normalization: ratio_norm_k = ratio_raw_k x (calib_prev/calib_now)
+    uniformly, so (ratio/median) is bit-identical in raw and
+    normalized space. The refutation arithmetic the flags actually
+    died by is the DIRECT normalized ratio now_norm/prev_norm (the
+    calib probes sample the host phase the flagged query ran in;
+    the suite median samples every phase of a volatile day). A flag
+    now requires BOTH measures to exceed the existing thresholds —
+    moved vs the suite AND moved vs the calibration — so a host
+    sub-phase can no longer fire alone, while a real plan regression
+    trips both (median ~1 when one query regresses; the calib does
+    not move with a plan change). Thresholds unchanged (calibrated to
+    the measured false-positive floor): > 2.0 at any size, or > 1.5
+    when both rounds spent >= 1 s RAW on the query; sub-0.3 s-raw
+    queries skipped. Falls back to the median-relative raw test alone
+    (mode='raw') against a pre-normalization prev record.
+
+    Returns (regressions, med_ratio_raw, med_ratio_gate, mode)."""
+    prev_q = prev.get("queries", {}) if prev else {}
+    prev_norm = prev.get("queries_norm", {}) if prev else {}
+    raw_ratios = {
+        k: timings[k] / prev_q[k] for k in timings if prev_q.get(k, 0) > 0
+    }
+    # need a population for the median to mean much
+    if len(raw_ratios) < 5:
+        return {}, 0.0, 0.0, "no-prev"
+    med_raw = _median(raw_ratios.values())
+    norm_ratios = {
+        k: queries_norm[k] / prev_norm[k]
+        for k in queries_norm
+        if prev_norm.get(k, 0) > 0
+    }
+    mode = "normalized" if len(norm_ratios) >= 5 else "raw"
+    med = _median(norm_ratios.values()) if mode == "normalized" else med_raw
+
+    def trips(r: float, big: bool) -> bool:
+        return r > 2.0 or (big and r > 1.5)
+
+    regressions: dict[str, dict] = {}
+    for k, r in raw_ratios.items():
+        if timings[k] < 0.3 and prev_q.get(k, 1.0) < 0.3:
+            continue
+        big = timings[k] >= 1.0 and prev_q.get(k, 0.0) >= 1.0
+        rn_med = r / med_raw
+        if not trips(rn_med, big):
+            continue
+        rn_norm = None
+        if mode == "normalized" and prev_norm.get(k, 0) > 0:
+            rn_norm = queries_norm[k] / prev_norm[k]
+            if not trips(rn_norm, big):
+                continue  # the calib explains the move — host, not code
+        regressions[k] = {
+            "ratio_vs_median": round(rn_med, 2),
+            "ratio_norm": round(rn_norm, 2) if rn_norm is not None else None,
+            "prev_s": prev_q.get(k),
+            "in_suite_s": timings[k],
+            "prev_norm": prev_norm.get(k),
+            "now_norm": queries_norm.get(k),
+            "gate_mode": mode,
+        }
+    return regressions, med_raw, med, mode
 
 
 def _spawn_validated(
@@ -576,49 +667,16 @@ def main() -> int:
 
     calib_end = _calibrate()  # bracket the suite: detect mid-run drift
 
-    # MEDIAN-RATIO REGRESSION GATE (round-7 verdict #1, method revised
-    # round 8): raw cross-round deltas conflate host drift with plan
-    # changes. The first cut divided by the calib probe, but the probe
-    # itself swings 0.07-0.58 s between brackets of one run — noisier
-    # than the queries it was meant to deflate (one run flagged 109/131
-    # "regressions" off a 2x calib asymmetry). The robust yardstick is
-    # the SUITE: host drift is uniform (the round-8 back-to-back
-    # experiment showed the r7 +20% shifted every query together), so
-    # normalize each query's now/prev ratio by the MEDIAN ratio across
-    # the suite — drift moves the median, real code regressions stick
-    # out above it. Thresholds are calibrated to the measured
-    # false-positive floor: two identical-code full runs back-to-back
-    # produced above-median ratios up to ~1.4 on sub-second queries
-    # (min-of-5 sampling does not fully tame them), so a flag needs
-    # >2x above median at any size, or >1.5x when both rounds spent
-    # >= 1 s on the query (where timings are stable). The calib probes
-    # stay in the record for manual attribution.
+    # CALIB-NORMALIZED MEDIAN-RATIO REGRESSION GATE — see
+    # _regression_gate for method + history (rounds 7, 8, 11).
     calib_eff = min(calib_jvm, calib_end[0])
     queries_norm = {
         k: round(v / calib_eff, 3) for k, v in timings.items()
     }
-    regressions: dict[str, dict] = {}
     prev_q = prev.get("queries", {}) if prev else {}
-    ratios = {
-        k: timings[k] / prev_q[k]
-        for k in timings
-        if prev_q.get(k, 0) > 0
-    }
-    med_ratio = 0.0
-    if len(ratios) >= 5:  # need a population for the median to mean much
-        srt = sorted(ratios.values())
-        med_ratio = srt[len(srt) // 2]
-        for k, r in ratios.items():
-            if timings[k] < 0.3 and prev_q[k] < 0.3:
-                continue
-            rn = r / med_ratio
-            big = timings[k] >= 1.0 and prev_q[k] >= 1.0
-            if rn > 2.0 or (big and rn > 1.5):
-                regressions[k] = {
-                    "ratio_vs_median": round(rn, 2),
-                    "prev_s": prev_q[k],
-                    "in_suite_s": timings[k],
-                }
+    regressions, med_ratio, med_gate, gate_mode = _regression_gate(
+        timings, queries_norm, prev
+    )
 
     # ATTRIBUTION PASS (round-8 verdict #1): a fired flag with
     # unchanged code is worthless until someone says WHY — round 8
@@ -634,15 +692,21 @@ def main() -> int:
     #   code — still slow on a healthy fresh session: a real plan
     #       regression, fix it.
     for k in list(regressions)[:6]:  # bound the wall-clock cost
+        calib_ref = _fresh_calib_ref()
+        if calib_ref is None:
+            # no healthy-fresh yardstick → host-vs-code cannot be
+            # discriminated; say so instead of guessing (round-11
+            # ADVICE: the old suite-calib fallback made 'healthy'
+            # unreachable and silently misattributed every flag 'host')
+            regressions[k]["attribution"] = "calib-ref-unavailable"
+            continue
         try:
-            probe, recs, healthy = _spawn_validated(
-                k, _fresh_calib_ref(calib_eff)
-            )
+            probe, recs, healthy = _spawn_validated(k, calib_ref)
         except Exception as exc:  # noqa: BLE001 — record, don't die
             regressions[k]["attribution"] = f"probe-failed: {exc}"
             continue
         fresh = probe["fresh_isolated_s"]
-        fresh_rn = (fresh / prev_q[k]) / med_ratio
+        fresh_rn = (fresh / prev_q[k]) / max(med_ratio, 1e-9)
         regressions[k].update(
             fresh_isolated_s=fresh,
             fresh_calib_jvm_s=probe["fresh_calib_jvm_s"],
@@ -683,10 +747,12 @@ def main() -> int:
     )  # probe the WORST escalations first so the wall-clock bound
     # never leaves the most suspicious flag unattributed
     for k in flagged[:6]:  # same wall-clock bound as the gate
+        calib_ref = _fresh_calib_ref()
+        if calib_ref is None:
+            host_attrib[k] = {"attribution": "calib-ref-unavailable"}
+            continue
         try:
-            probe, recs, healthy = _spawn_validated(
-                k, _fresh_calib_ref(calib_eff), repeats=5
-            )
+            probe, recs, healthy = _spawn_validated(k, calib_ref, repeats=5)
         except Exception as exc:  # noqa: BLE001 — record, don't die
             host_attrib[k] = {"attribution": f"probe-failed: {exc}"}
             continue
@@ -738,15 +804,20 @@ def main() -> int:
         "queries_norm": queries_norm,  # timing / calib_jvm_eff, unitless
         "calib_jvm_eff": calib_eff,
         "median_ratio_vs_prev": round(med_ratio, 3),
+        "median_ratio_vs_prev_norm": round(med_gate, 3),
+        "gate_mode": gate_mode,  # normalized | raw | no-prev
         # gate thresholds embedded so the record self-documents
         # (ADVICE r8: the old key name said ">1.25x", the code said
-        # otherwise): a query flags when its now/prev ratio divided by
-        # the suite-median ratio is >2.0x at any size, or >1.5x when
-        # both rounds spent >= 1 s on it. Each flag carries a
-        # fresh-session attribution: code | suite-context | host.
+        # otherwise): a query flags when its CALIB-NORMALIZED now/prev
+        # ratio (queries_norm, i.e. timing/calib_jvm_eff — round-11
+        # verdict #2: compare the host-independent values, not raw
+        # seconds) divided by the suite-median ratio is >2.0x at any
+        # size, or >1.5x when both rounds spent >= 1 s on it. Each
+        # flag carries a fresh-session attribution:
+        # code | suite-context | host | calib-ref-unavailable.
         "regression_gate": (
-            "flag if (now/prev)/median_ratio > 2.0, or > 1.5 when both "
-            "rounds >= 1 s; sub-0.3 s queries skipped"
+            "flag if (now_norm/prev_norm)/median_ratio > 2.0, or > 1.5 "
+            "when both rounds >= 1 s raw; sub-0.3 s-raw queries skipped"
         ),
         "normalized_regressions": regressions,
         "work_notes": QUERY_WORK_NOTES,
@@ -778,7 +849,7 @@ def main() -> int:
             timings,
             [calib_jvm, calib_py, calib_alloc],
             float(sf),
-            n_reg=len(regressions) if med_ratio > 0 else None,
+            n_reg=len(regressions) if med_gate > 0 else None,
         )
     )
     return 0

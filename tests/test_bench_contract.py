@@ -89,8 +89,10 @@ def test_spawn_validated_retries_until_healthy_calib(monkeypatch):
 
 def test_fresh_calib_ref_measured_once_and_cached(monkeypatch):
     """The fresh-session yardstick is ONE calib-only subprocess per
-    suite; later calls reuse the cached value, and a probe failure
-    degrades to the caller's fallback."""
+    suite; later calls reuse the cached value. A persistent probe
+    failure yields None — NOT the suite calib (round-11 ADVICE: that
+    fallback recreated the unreachable 1.3x bar and silently
+    misattributed every regression 'host') — after one retry."""
     bench._FRESH_CALIB_REF.clear()
     calls = []
 
@@ -99,15 +101,122 @@ def test_fresh_calib_ref_measured_once_and_cached(monkeypatch):
         return {"fresh_calib_jvm_s": 0.3}
 
     monkeypatch.setattr(bench, "_spawn_isolated", fake)
-    assert bench._fresh_calib_ref(0.1) == 0.3
-    assert bench._fresh_calib_ref(0.1) == 0.3
+    assert bench._fresh_calib_ref() == 0.3
+    assert bench._fresh_calib_ref() == 0.3
     assert calls == ["__calib__"]  # cached after the first measure
 
     bench._FRESH_CALIB_REF.clear()
+    boom_calls = []
 
     def boom(name, repeats=3):
+        boom_calls.append(name)
         raise RuntimeError("no subprocess")
 
     monkeypatch.setattr(bench, "_spawn_isolated", boom)
-    assert bench._fresh_calib_ref(0.123) == 0.123  # fallback
+    assert bench._fresh_calib_ref() is None  # unavailable, not a guess
+    assert boom_calls == ["__calib__", "__calib__"]  # one retry
     bench._FRESH_CALIB_REF.clear()
+
+    # flaky probe: first attempt fails, the retry lands
+    flaky_calls = []
+
+    def flaky(name, repeats=3):
+        flaky_calls.append(name)
+        if len(flaky_calls) == 1:
+            raise RuntimeError("transient")
+        return {"fresh_calib_jvm_s": 0.25}
+
+    monkeypatch.setattr(bench, "_spawn_isolated", flaky)
+    assert bench._fresh_calib_ref() == 0.25
+    bench._FRESH_CALIB_REF.clear()
+
+
+# ---------------------------------------------------------------------------
+# Calib-normalized regression gate (round-11 verdict #2): on a
+# volatile host — round 11's real calib trail swung 0.238→1.156 s
+# (5x) across one day — comparing RAW seconds fired 4 'code' flags
+# that STRESS.md hand-refuted with (timing / calib_jvm_eff)
+# arithmetic. The gate now does that arithmetic itself.
+# ---------------------------------------------------------------------------
+
+# a suite population so the median is meaningful (gate needs >= 5)
+_STEADY = {f"q{i}": 1.0 + 0.1 * i for i in range(8)}
+
+
+def _mk_prev(queries, calib_eff):
+    return {
+        "queries": queries,
+        "queries_norm": {k: round(v / calib_eff, 3) for k, v in queries.items()},
+        "calib_jvm_eff": calib_eff,
+    }
+
+
+def test_gate_volatile_host_fires_no_flags():
+    """Replay the round-11 failure shape: prev measured at a fast host
+    phase (calib_eff 0.19 — the r10 closing value), now at a slow one
+    (calib_eff 0.385, inside r11's real 0.238-1.156 fresh-calib trail),
+    every query ~2x slower in RAW seconds plus per-query jitter big
+    enough that the four r11-style mid-size queries (1-2.4 s raw, e.g.
+    b18_range_boundaries 1.09→2.357 s) would trip the old raw big-query
+    >1.5x rule against a median dragged down by sub-second noise.
+    Calib-normalized, everything is flat (+-15%) — zero flags."""
+    prev_q = dict(_STEADY, b18_range_boundaries=1.09, b23_ewma_control=0.92,
+                  b21_quality_score=1.05, b11_gapfill_previous=1.02)
+    prev = _mk_prev(prev_q, 0.19)
+    # most of the suite rides at ~1.25x (fast phase within the
+    # volatile day), the four mid-size ones at ~2.1-2.2x (slow phase)
+    now = {k: round(v * 1.25, 3) for k, v in _STEADY.items()}
+    now["b18_range_boundaries"] = 2.357  # the real r11 closing number
+    now["b23_ewma_control"] = 1.898
+    now["b21_quality_score"] = 2.30
+    now["b11_gapfill_previous"] = 2.15
+    calib_eff = 0.385
+    norm = {k: round(v / calib_eff, 3) for k, v in now.items()}
+
+    # the OLD raw gate would have flagged the mid-size queries:
+    raw_ratios = {k: now[k] / prev_q[k] for k in now}
+    med_raw = bench._median(raw_ratios.values())
+    old_flags = [
+        k for k, r in raw_ratios.items()
+        if now[k] >= 1.0 and prev_q[k] >= 1.0 and r / med_raw > 1.5
+    ]
+    assert old_flags, "fixture must reproduce the raw-gate false fire"
+
+    regs, _, med, mode = bench._regression_gate(now, norm, prev)
+    assert mode == "normalized"
+    assert regs == {}, regs  # the hand-refutation is now the gate
+
+
+def test_gate_still_catches_code_regressions_on_volatile_host():
+    """A real plan regression (one query 3x slower in NORMALIZED
+    space) must still flag on the same volatile host, and carry the
+    normalized evidence in the record."""
+    prev_q = dict(_STEADY, victim=1.2)
+    prev = _mk_prev(prev_q, 0.19)
+    host = 2.0
+    now = {k: round(v * host, 3) for k, v in prev_q.items()}
+    now["victim"] = round(1.2 * host * 3.0, 3)  # code made it 3x worse
+    calib_eff = 0.38
+    norm = {k: round(v / calib_eff, 3) for k, v in now.items()}
+    regs, _, med, mode = bench._regression_gate(now, norm, prev)
+    assert mode == "normalized"
+    assert list(regs) == ["victim"]
+    assert regs["victim"]["gate_mode"] == "normalized"
+    assert regs["victim"]["now_norm"] == norm["victim"]
+    assert regs["victim"]["ratio_vs_median"] > 2.0
+
+
+def test_gate_falls_back_to_raw_against_pre_norm_records():
+    """A prev record without queries_norm (pre-round-12 format) still
+    gates — on raw ratios, and says so in gate_mode."""
+    prev = {"queries": dict(_STEADY, victim=1.0)}
+    now = dict(_STEADY, victim=3.1)
+    norm = {k: round(v / 0.1, 3) for k, v in now.items()}
+    regs, med_raw, med, mode = bench._regression_gate(now, norm, prev)
+    assert mode == "raw"
+    assert list(regs) == ["victim"]
+    assert regs["victim"]["gate_mode"] == "raw"
+
+    # and no prev at all → no-prev, nothing fires
+    regs, _, med, mode = bench._regression_gate(now, norm, {})
+    assert (regs, med, mode) == ({}, 0.0, "no-prev")
