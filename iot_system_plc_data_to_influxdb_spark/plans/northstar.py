@@ -767,6 +767,40 @@ def b21_bm25_indexed(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register("b21_bm25_index_delta", oracle=_B21_BM25_ORACLE, tags=("B21", "B20"))
+def b21_bm25_index_delta(spark, sf_dir):
+    """INCREMENTAL maintenance of the postings index (round-11 verdict
+    #3 — day-two of a 100 TB serving deployment): build the index from
+    4/5 of the corpus, merge the remaining fifth as a delta
+    (operators/retrieval.merge_postings_delta — postings appended,
+    only the delta terms' tb= buckets re-aggregated, stats 1-row
+    rewrite; work O(delta), never O(base)), then serve the same 4-term
+    query. SAME oracle as the full rebuild, so the hash check itself
+    proves delta-merge ≡ rebuild on every sweep; untouched buckets'
+    files are proven byte-identical in tests/test_retrieval_index.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_from_index,
+        merge_postings_delta,
+        write_postings_index,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bm25_index_delta_")
+    try:
+        write_postings_index(docs.filter(F.expr("pmod(doc_id, 5) != 3")), tmp)
+        merge_postings_delta(
+            spark, tmp, docs.filter(F.expr("pmod(doc_id, 5) = 3"))
+        )
+        return bm25_from_index(
+            spark, tmp, _BM25_TERMS, topk=_BM25_TOPK, scale=_BM25_SCALE
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # B20r — RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack/Clarke/
 # Buettcher 2009): fuse the BM25 lexical leg with the brute-force
@@ -1213,6 +1247,47 @@ def b20_knn_ivf_indexed(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="ivf_index_")
     try:
         write_ivf_index(emb, tmp)
+        return knn_ivf_from_index(
+            spark, tmp, list(probe), probe_vec_id=0, k=10
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("b20_ivf_index_delta", oracle=_B20_IVF_ORACLE, tags=("B20",))
+def b20_ivf_index_delta(spark, sf_dir):
+    """INCREMENTAL maintenance of the written IVF index (round-11
+    verdict #3): build the cell layout from ~6/7 of the corpus (the
+    base keeps vec_id < 8, the quantizer's training vectors — a
+    re-train is a rebuild by definition), merge the rest as a delta
+    (operators/retrieval.merge_ivf_delta — assigned with the FROZEN
+    centroid sidecar via the same map-side fold, appended into the
+    landed cell= partitions only; work O(delta)), then serve the same
+    probe. SAME oracle as b20_knn_ivf / b20_knn_ivf_indexed, so the
+    hash check proves delta-merge ≡ rebuild ≡ scan; untouched cells'
+    files are proven byte-identical in tests/test_retrieval_index.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        knn_ivf_from_index,
+        merge_ivf_delta,
+        write_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    tmp = tempfile.mkdtemp(prefix="ivf_index_delta_")
+    try:
+        write_ivf_index(
+            emb.filter(F.expr("vec_id < 8 OR pmod(vec_id, 7) != 3")), tmp
+        )
+        merge_ivf_delta(
+            spark, tmp,
+            emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 3")),
+        )
         return knn_ivf_from_index(
             spark, tmp, list(probe), probe_vec_id=0, k=10
         ).localCheckpoint()  # must outlive the temp-dir cleanup

