@@ -3184,17 +3184,26 @@ _ANN_PROBE_MOD = 111
 # builder shared by the b20_ann_recall and b20_rrf_recall oracles —
 # the IVF leg cut parameterized because fusion consumes top-20 ranks
 # while the recall audit cuts at 10.
-def _ann_core_ctes(ivf_k: int) -> str:
-    return f"""pos AS (SELECT unnest(range(
-        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
-    q AS (
+def _ann_core_ctes(
+    ivf_k: int, q_sql: str | None = None, n_probe: int = 2,
+    n_cells: int = 8,
+) -> str:
+    """``q_sql`` overrides the integer-vector source CTE body (vec_id,
+    x ARRAY<BIGINT>) — default: the quantized embeddings table; the
+    correlated-recall twin passes a text-derived relation instead.
+    Everything downstream (norms, brute truth, IVF legs) is SHARED, so
+    the two recall harnesses cannot drift."""
+    q_body = q_sql or """
       SELECT e.vec_id,
         list(CAST(CAST(ROUND(CAST(e.embedding[pos.i] AS DOUBLE), 7)
              AS DECIMAL(9,7)) * 10000000 AS BIGINT) ORDER BY pos.i) AS x
       FROM embeddings e CROSS JOIN pos
       WHERE pos.i <= len(e.embedding)
       GROUP BY e.vec_id
-    ),
+    """
+    return f"""pos AS (SELECT unnest(range(
+        1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
+    q AS ({q_body}),
     qn AS (
       SELECT vec_id, x,
         (SELECT SUM(u * u) FROM unnest(x) AS t(u)) AS n2
@@ -3221,7 +3230,7 @@ def _ann_core_ctes(ivf_k: int) -> str:
     ),
     cents AS (
       SELECT CAST(vec_id AS INT) AS cell, x AS cx, n2 AS cn2 FROM qn
-      WHERE vec_id < 8
+      WHERE vec_id < {n_cells}
     ),
     asim AS (
       SELECT v.vec_id, c.cell,
@@ -3243,7 +3252,7 @@ def _ann_core_ctes(ivf_k: int) -> str:
           ROW_NUMBER() OVER (PARTITION BY vec_id
                              ORDER BY sim DESC, cell) AS rk
         FROM asim WHERE vec_id % {_ANN_PROBE_MOD} = 0) a
-      WHERE a.rk <= 2
+      WHERE a.rk <= {n_probe}
     ),
     ivf AS (
       SELECT pid, vec_id, rk FROM (
@@ -3271,18 +3280,24 @@ _B20_ANN_RECALL_ORACLE = f"""
 """
 
 
-def _ann_sim_bf_ivf(spark, sf_dir, ivf_k: int = 10):
+def _ann_sim_bf_ivf(
+    spark, sf_dir, ivf_k: int = 10, qn=None, n_probe=2, n_cells=8
+):
     """The batch-of-probes ANN evaluation core shared by
-    b20_ann_recall and b20_rrf_recall: (sim, bf, ivf) where `sim` is
-    the materialized exact-cosine probe×corpus scores, `bf` the
-    brute-force top-10 ground truth per probe, and `ivf` the
+    b20_ann_recall and the two rrf_recall harnesses: (sim, bf, ivf)
+    where `sim` is the materialized exact-cosine probe×corpus scores,
+    `bf` the brute-force top-10 ground truth per probe, and `ivf` the
     IVF(2-of-8-cells) candidates ranked to `ivf_k` (rank column `rk`
-    kept — the RRF fusion consumes ranks)."""
+    kept — the RRF fusion consumes ranks). ``qn`` overrides the
+    integer-vector source (vec_id, x ARRAY<BIGINT>) — default: the
+    quantized embeddings table (the _ann_core_ctes twin of the same
+    parameter)."""
     from ..functions.vectors import cosine_from_int, dot_int, quantize_int
 
-    qn = t(spark, sf_dir, "embeddings").select(
-        "vec_id", quantize_int(F.col("embedding")).alias("x")
-    )
+    if qn is None:
+        qn = t(spark, sf_dir, "embeddings").select(
+            "vec_id", quantize_int(F.col("embedding")).alias("x")
+        )
     qn = qn.withColumn("n2", dot_int(F.col("x"), F.col("x")))
     probes = qn.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("pid"),
@@ -3312,7 +3327,7 @@ def _ann_sim_bf_ivf(spark, sf_dir, ivf_k: int = 10):
     )
     # IVF side: corpus-wide cell assignment + per-probe top-2 cells —
     # asim likewise feeds two consumers, materialize once
-    cents = qn.filter(F.col("vec_id") < 8).select(
+    cents = qn.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cell"),
         F.col("x").alias("cx"),
         F.col("n2").alias("cn2"),
@@ -3337,7 +3352,7 @@ def _ann_sim_bf_ivf(spark, sf_dir, ivf_k: int = 10):
     pcells = (
         asim.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0)
         .withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") <= 2)
+        .filter(F.col("rk") <= n_probe)
         .select(F.col("vec_id").alias("pid"), "cell")
     )
     ivf = (
@@ -3393,15 +3408,30 @@ def b20_ann_recall(spark, sf_dir):
 # full-outer join is <= 40 rows per probe (the suite's bounded
 # sort-merge-join shape, same as b20_rrf_hybrid).
 # --------------------------------------------------------------------------
-_B20_RRF_RECALL_ORACLE = f"""
-    WITH {_ann_core_ctes(20)},
-    corp AS (
+def _rrf_recall_tail_sql(
+    ev_src: str, idf_smooth: int = 0, query_tf: bool = False
+) -> str:
+    """The lexical-leg + fusion + three-way scoring SQL shared by
+    b20_rrf_recall (ev_src='embeddings' — the uncorrelated panel) and
+    b20_rrf_recall_correlated (ev_src='q' — the text-derived vectors,
+    whose id set defines the embedded corpus). ``idf_smooth`` adds a
+    constant to the surprisal-bits idf (0 = the b20_rrf_recall
+    formulation, result-identical; 1 = smoothed idf for the
+    correlated twin — the synthetic corpus's 31-token near-universal
+    vocabulary makes the raw integer idf 0 for almost every term,
+    which zeroes every BM25 score). ``query_tf`` keeps query-term
+    MULTIPLICITY (the standard BM25 query-side tf component, qtf·sterm
+    via duplicate qt rows): on this corpus the probe's tf profile is
+    the only probe-specific lexical signal, so the set-semantics
+    default ranks probe-independently; the twin turns it on."""
+    qt_distinct = "" if query_tf else "DISTINCT "
+    return f"""corp AS (
       SELECT d.doc_id,
         CAST(len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
           AS BIGINT) AS dl,
         regexp_split_to_array(trim(lower(d.text)), '\\s+') AS w
       FROM documents d
-      JOIN (SELECT DISTINCT vec_id FROM embeddings) ev
+      JOIN (SELECT DISTINCT vec_id FROM {ev_src}) ev
         ON ev.vec_id = d.doc_id
     ),
     lstats AS (
@@ -3409,7 +3439,7 @@ _B20_RRF_RECALL_ORACLE = f"""
       FROM corp
     ),
     qt AS (
-      SELECT DISTINCT c.doc_id AS pid, t.term
+      SELECT {qt_distinct}c.doc_id AS pid, t.term
       FROM corp c, unnest(c.w) AS t(term)
       WHERE c.doc_id % {_ANN_PROBE_MOD} = 0
         AND regexp_full_match(t.term, '[a-z0-9]+')
@@ -3424,7 +3454,7 @@ _B20_RRF_RECALL_ORACLE = f"""
     lper AS (
       SELECT q.pid, f.doc_id,
         CAST(
-          (length(bin(s.n_docs)) - length(bin(d.df)))
+          (length(bin(s.n_docs)) - length(bin(d.df)) + {idf_smooth})
           * (22 * f.tf * s.sum_len * {_BM25_SCALE})
           // (10 * f.tf * s.sum_len + 3 * s.sum_len + 9 * f.dl * s.n_docs)
         AS BIGINT) AS sterm
@@ -3485,23 +3515,27 @@ _B20_RRF_RECALL_ORACLE = f"""
 """
 
 
-@register(
-    "b20_rrf_recall", oracle=_B20_RRF_RECALL_ORACLE, tags=("B20", "B21")
-)
-def b20_rrf_recall(spark, sf_dir):
+_B20_RRF_RECALL_ORACLE = f"""
+    WITH {_ann_core_ctes(20)},
+    {_rrf_recall_tail_sql('embeddings')}
+"""
+
+
+def _rrf_recall_report(
+    spark, sf_dir, bf, ivf, emb_ids, idf_smooth=0, query_tf=False
+):
+    """Lexical leg + RRF fusion + three-way truth scoring — the Spark
+    twin of _rrf_recall_tail_sql, shared by b20_rrf_recall and the
+    correlated twin (which differ only in where the vectors and the
+    embedded-id set come from, plus the twin's +1 idf smoothing —
+    see the tail SQL's docstring)."""
     from ..functions.text import surprisal_bits
 
-    _sim, bf, ivf = _ann_sim_bf_ivf(spark, sf_dir, ivf_k=_RRF_LEG_TOPK)
     # ivf feeds BOTH the fusion (top-20 ranks) and the iv10 truth
     # comparison — materialize the <= panel×20-row relation once
     # instead of re-running the candidate window per consumer
     ivf = ivf.localCheckpoint()
     # ----- lexical leg: per-probe BM25 over the embedded corpus -----
-    emb_ids = (
-        t(spark, sf_dir, "embeddings")
-        .select(F.col("vec_id").alias("doc_id"))
-        .distinct()
-    )
     # alias the token split ONCE — dl and the explode below would
     # otherwise each re-evaluate the lower+trim+split over text
     corp = (
@@ -3520,9 +3554,10 @@ def b20_rrf_recall(spark, sf_dir):
             F.col("doc_id").alias("pid"), F.explode("w").alias("term")
         )
         .filter(F.col("term").rlike("^[a-z0-9]+$"))
-        .distinct()
-        .localCheckpoint()  # panel vocabulary: feeds two broadcasts
     )
+    if not query_tf:  # set semantics (default); the twin keeps qtf
+        qt = qt.distinct()
+    qt = qt.localCheckpoint()  # panel vocabulary: feeds two broadcasts
     ltf = (
         corp.select("doc_id", "dl", F.explode("w").alias("term"))
         .join(F.broadcast(qt.select("term").distinct()), "term")
@@ -3546,9 +3581,10 @@ def b20_rrf_recall(spark, sf_dir):
             "tf",
             "sum_len",
             "n_docs",
-            surprisal_bits(F.col("n_docs"), F.col("df")).alias(
-                "idf_bits"
-            ),
+            (
+                surprisal_bits(F.col("n_docs"), F.col("df"))
+                + F.lit(int(idf_smooth))
+            ).alias("idf_bits"),
         )
         .select(
             "pid",
@@ -3639,6 +3675,187 @@ def b20_rrf_recall(spark, sf_dir):
         .cast("bigint").alias("ivf_recall_bp"),
         (F.sum(F.coalesce("h", F.lit(0))) * 1000)
         .cast("bigint").alias("hyb_recall_bp"),
+    )
+
+
+@register(
+    "b20_rrf_recall", oracle=_B20_RRF_RECALL_ORACLE, tags=("B20", "B21")
+)
+def b20_rrf_recall(spark, sf_dir):
+    _sim, bf, ivf = _ann_sim_bf_ivf(spark, sf_dir, ivf_k=_RRF_LEG_TOPK)
+    emb_ids = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    return _rrf_recall_report(spark, sf_dir, bf, ivf, emb_ids)
+
+
+# --------------------------------------------------------------------------
+# B20rrc — the CORRELATED twin of b20_rrf_recall (round-11 verdict
+# #4): the synthetic documents and embeddings tables are UNCORRELATED
+# (the r11 work note's honest finding — lex recall ~0.01-0.02 against
+# cosine truth there proves only that the harness runs). Here the
+# vectors are DERIVED FROM THE TEXT ITSELF — a 16-dim hashed
+# bag-of-words: dimension b of a document = Σ over its distinct
+# tokens of (±1 by bit b of token_hash16) — i.e. the SimHash bit-sum
+# relation (functions/text.simhash16's `sums`) kept as an INTEGER
+# vector instead of being thresholded to bits. All-integer, md5-based,
+# bit-identical in both engines, and text-correlated by construction:
+# shared vocabulary ⇒ correlated components ⇒ cosine neighbors are
+# lexical neighbors. On this corpus the hybrid MUST beat or match each
+# leg — asserted in tests/test_northstar.py and recorded in
+# EVIDENCE.md — turning the r11 caveat into a measurement.
+#
+# Scale shape: the vector derivation is one token explode + one
+# 16-column groupBy (map-side combine); everything downstream is the
+# SAME shared harness (_ann_sim_bf_ivf + _rrf_recall_report).
+# --------------------------------------------------------------------------
+_CORR_DIMS = 64
+
+_CORR_SUMS_SQL = ",\n            ".join(
+    f"SUM(((CAST(FLOOR(h{d // 16} / {2 ** (d % 16)}) "
+    f"AS BIGINT) % 2) * 2 - 1) * w) AS s{d}"
+    for d in range(_CORR_DIMS)
+)
+
+
+def _md5_hex16_sql(expr: str, start: int) -> str:
+    """16-bit integer from 4 hex chars of md5(expr) starting at
+    ``start`` (1-based) — the token_hash16 pattern, position-
+    parameterized so one digest yields two independent 16-bit
+    hashes."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {start + j}, 1))"
+        f" - 1) * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+
+
+_CORR_Q_SQL = f"""
+      SELECT doc_id AS vec_id,
+        [{", ".join(f"CAST(s{d} AS BIGINT)" for d in range(_CORR_DIMS))}] AS x
+      FROM (
+        SELECT doc_id,
+            {_CORR_SUMS_SQL}
+        FROM (
+          SELECT occ.doc_id,
+            {_md5_hex16_sql('occ.t', 1)} AS h0,
+            {_md5_hex16_sql('occ.t', 5)} AS h1,
+            {_md5_hex16_sql('occ.t', 9)} AS h2,
+            {_md5_hex16_sql('occ.t', 13)} AS h3,
+            (length(bin(nd.n_docs)) - length(bin(tdf.df)) + 1) AS w
+          FROM (
+            SELECT doc_id, unnest(
+              regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents
+          ) occ
+          JOIN (
+            SELECT t, COUNT(DISTINCT doc_id)::BIGINT AS df
+            FROM (
+              SELECT doc_id, unnest(
+                regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+              FROM documents
+            ) GROUP BY t
+          ) tdf ON tdf.t = occ.t
+          CROSS JOIN (
+            SELECT COUNT(*)::BIGINT AS n_docs FROM documents
+          ) nd
+        ) GROUP BY doc_id
+      )
+    """
+
+_B20_RRF_RECALL_CORR_ORACLE = f"""
+    WITH {_ann_core_ctes(20, q_sql=_CORR_Q_SQL, n_probe=1, n_cells=16)},
+    {_rrf_recall_tail_sql('q', idf_smooth=1, query_tf=True)}
+"""
+
+
+def _hashed_bow_qn(spark, sf_dir):
+    """(vec_id, x ARRAY<BIGINT>) — the Spark twin of _CORR_Q_SQL:
+    text-derived integer vectors. Per token OCCURRENCE (multiplicity
+    kept — the corpus's lexical signal lives in tf profiles, its
+    31-token vocabulary being near-universal), two 16-bit md5 hashes
+    give 32 ±1 signs, weighted by the same smoothed integer idf the
+    twin's lexical leg scores with (surprisal_bits + 1) — so cosine
+    over these vectors IS idf-weighted vocabulary-profile similarity.
+    One explode + one broadcast df join + one 32-column map-side-
+    combining groupBy: a single corpus pass at any scale."""
+    from ..functions.text import nibble, surprisal_bits
+
+    occ = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tdf = occ.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    nd = t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    h = F.md5(F.col("tok"))
+
+    def hex16(start: int):
+        return sum(
+            (
+                nibble(F.substring(h, start + j, 1)) * (16 ** (3 - j))
+                for j in range(1, 4)
+            ),
+            nibble(F.substring(h, start, 1)) * 4096,
+        )
+
+    base = (
+        occ.join(F.broadcast(tdf), "tok")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            hex16(1).alias("h0"),
+            hex16(5).alias("h1"),
+            hex16(9).alias("h2"),
+            hex16(13).alias("h3"),
+            (
+                surprisal_bits(F.col("n_docs"), F.col("df")) + 1
+            ).alias("w"),
+        )
+    )
+    sums = base.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (
+                    (
+                        F.floor(
+                            F.col(f"h{d // 16}") / F.lit(2 ** (d % 16))
+                        )
+                        % 2
+                    )
+                    * 2
+                    - 1
+                )
+                * F.col("w")
+            )
+            .cast("bigint")
+            .alias(f"s{d}")
+            for d in range(_CORR_DIMS)
+        ]
+    )
+    return sums.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[F.col(f"s{d}") for d in range(_CORR_DIMS)]).alias("x"),
+    )
+
+
+@register(
+    "b20_rrf_recall_correlated",
+    oracle=_B20_RRF_RECALL_CORR_ORACLE,
+    tags=("B20", "B21"),
+)
+def b20_rrf_recall_correlated(spark, sf_dir):
+    qn = _hashed_bow_qn(spark, sf_dir)
+    _sim, bf, ivf = _ann_sim_bf_ivf(
+        spark, sf_dir, ivf_k=_RRF_LEG_TOPK, qn=qn, n_probe=1, n_cells=16
+    )
+    emb_ids = qn.select(F.col("vec_id").alias("doc_id")).distinct()
+    return _rrf_recall_report(
+        spark, sf_dir, bf, ivf, emb_ids, idf_smooth=1, query_tf=True
     )
 
 
