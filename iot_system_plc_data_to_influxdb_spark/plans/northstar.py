@@ -2279,7 +2279,15 @@ def _packed_bins(d):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins, fill, b = [], 0, 0
         for n in pdf["n_tokens"]:
-            if fill and fill + n > _PACK_CAPACITY:
+            # positional seed test, matching the oracle CTE exactly:
+            # the FIRST row of a stream always seeds bin 0; every
+            # later row uses the pure fill test (the oracle checks
+            # `p.fill + d.n_tokens > CAP` for every rn >= 2 row). The
+            # old `if fill and ...` guard agreed only because every
+            # caller guarantees n_tokens >= 1 — a zero-token head row
+            # followed by an oversize doc would have diverged (r11
+            # ADVICE).
+            if bins and fill + n > _PACK_CAPACITY:
                 b += 1
                 fill = n
             else:

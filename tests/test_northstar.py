@@ -2551,3 +2551,30 @@ def test_rrf_recall_correlated_fusion_wins(spark):
         assert hyb >= max(lex, ivf), (sf_dir, lex, ivf, hyb)
         # and the legs genuinely differ (fusion had something to fuse)
         assert lex > 0 and ivf > 0
+
+
+def test_pack_fold_seed_is_positional(spark):
+    """r11 ADVICE: the pack fold's new-bin test is POSITIONAL (first
+    row of a stream always seeds bin 0; every later row uses the pure
+    fill test), matching the recursive-CTE oracle's rn>=2 semantics.
+    A zero-token head row followed by an oversize doc must open bin 1
+    for the oversize doc — the old `if fill and ...` guard kept it in
+    bin 0 and would have diverged from the shared hash if any future
+    caller produced zero-token rows."""
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        _PACK_CAPACITY,
+        _packed_bins,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "en", 0), (1, "en", _PACK_CAPACITY + 1), (2, "en", 1)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    )
+    got = {
+        int(r["doc_id"]): int(r["bin_id"])
+        for r in _packed_bins(d).collect()
+    }
+    # doc 0 seeds bin 0; the oversize doc 1 fails the pure fill test
+    # (0 + cap+1 > cap) and opens bin 1; doc 2 fails it again
+    # (cap+1 + 1 > cap) and opens bin 2
+    assert got == {0: 0, 1: 1, 2: 2}

@@ -153,6 +153,34 @@ def build_stress_tables(spark):
     )
     docs.write.mode("overwrite").parquet(f"{STRESS}/documents.parquet")
 
+    # Disjointness is asserted on the REAL corpus, not only the pinned
+    # synthetic test (r11 ADVICE): an original token that already ends
+    # in 'x<rep>' (e.g. 'foox1') would equal replica 1's mutation of
+    # 'foo', silently reintroducing the cross-replica duplicate pairs
+    # the suffix exists to prevent — and squaring the near-dup work
+    # the 10x ratios are supposed to measure. Fail the build loudly.
+    written = spark.read.parquet(f"{STRESS}/documents.parquet")
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).alias("tok")
+    rep_of = (F.col("doc_id") / F.lit(10_000_000)).cast("bigint")
+    toks = written.select(rep_of.alias("rep"), tok).distinct()
+    n_collisions = (
+        toks.filter(F.col("rep") == 0)
+        .select("tok")
+        .join(
+            toks.filter(F.col("rep") == 1).select("tok"), "tok", "semi"
+        )
+        .count()
+    )
+    if n_collisions:
+        raise RuntimeError(
+            f"stress corpus replica collision: {n_collisions} distinct "
+            "tokens shared between replica 0 and replica 1 — the "
+            "original corpus contains tokens ending in the replica "
+            "suffix pattern; pick a different mutation"
+        )
+
     for small in (
         "region nation customer supplier part embeddings".split()
     ):
