@@ -4,6 +4,7 @@ WITHOUT one. Keeps the judge-facing inventory honest mechanically."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import iot_system_plc_data_to_influxdb_spark.plans as plans
@@ -43,3 +44,19 @@ def test_every_registered_query_is_documented():
     # canonical set must appear verbatim
     missing_canonical = undocumented & set(plans.CANONICAL)
     assert not missing_canonical, f"canonical undocumented: {sorted(missing_canonical)}"
+
+
+def test_evidence_registry_counts_match():
+    """EVIDENCE.md's registry-count claim is GENERATED
+    (tools/evidence_counts.py) — r11 verdict #7 found it
+    hand-incremented and drifted. This pins it to the registry."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/evidence_counts.py", "--check"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
