@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "b20_rrf_hybrid",  # rank-only lexical+vector fusion, pure integers
     "b20_rrf_recall",  # hybrid-vs-legs recall@10 eval over the probe panel
     "pipeline_training_e2e",  # gate -> dedup -> bounded pack funnel report
+    "b21_bm25_index_delta",  # base build + O(delta) postings merge + serve
+    "b20_ivf_index_delta",  # base build + frozen-quantizer delta append + serve
+    "b20_rrf_recall_correlated",  # fusion-wins eval on text-derived vectors
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw
@@ -272,7 +275,92 @@ QUERY_WORK_NOTES = {
                          "bounds every applyInPandas group to <=256 "
                          "rows; bins are shard-local, (shard, bin_id) "
                          "is the global bin key",
+    "b21_bm25_index_delta": "new in r12: incremental postings "
+                            "maintenance — base build (4/5 corpus) + "
+                            "O(delta) merge (postings append, "
+                            "affected-bucket df re-agg via dynamic "
+                            "partition overwrite, 1-row stats) + "
+                            "serve; proves delta-merge == rebuild "
+                            "via the shared oracle",
+    "b20_ivf_index_delta": "new in r12: incremental IVF maintenance — "
+                           "base build + frozen-quantizer map-side "
+                           "delta assignment appended into landed "
+                           "cells only + pruned serve",
+    "b20_rrf_recall_correlated": "new in r12: the fusion-WINS twin of "
+                                 "b20_rrf_recall — 64-dim text-derived "
+                                 "integer vectors (idf-weighted hashed "
+                                 "BOW), balanced legs (1-of-16-cell "
+                                 "IVF, query-tf BM25); hyb >= "
+                                 "max(legs) at all three SFs, pinned "
+                                 "in pytest",
 }
+
+# Build-vs-serve split for the INDEXED serving paths (round-11 verdict
+# #5): the registered queries time build+serve as one oracle-checked
+# unit; this records the SERVE-ONLY wall against a pre-built index so
+# the "amortized layout job" claim carries a measured serving latency.
+# Measured once per full suite; lands in BENCH_DETAIL.json under
+# "index_build_serve".
+
+
+def _index_build_serve_split(spark, sf_dir: str) -> dict:
+    import shutil
+    import tempfile
+    import time as _time
+
+    from iot_system_plc_data_to_influxdb_spark.catalog import t as read_t
+    from iot_system_plc_data_to_influxdb_spark.operators import retrieval
+    from iot_system_plc_data_to_influxdb_spark.plans import northstar
+
+    def timed(fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        return out, round(_time.perf_counter() - t0, 3)
+
+    def serve_min(mk):
+        mk().write.format("noop").mode("overwrite").save()  # warm
+        walls = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            walls.append(_time.perf_counter() - t0)
+        return round(min(walls), 3)
+
+    out: dict = {}
+    docs = read_t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bench_bm25_idx_")
+    try:
+        _, build_s = timed(
+            lambda: retrieval.write_postings_index(docs, tmp)
+        )
+        serve_s = serve_min(
+            lambda: retrieval.bm25_from_index(
+                spark, tmp, northstar._BM25_TERMS,
+                topk=northstar._BM25_TOPK, scale=northstar._BM25_SCALE,
+            )
+        )
+        out["b21_bm25_indexed"] = {"build_s": build_s, "serve_s": serve_s}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    emb = read_t(spark, sf_dir, "embeddings")
+    probe = list(
+        emb.filter("vec_id = 0").select("embedding").first()["embedding"]
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_ivf_idx_")
+    try:
+        _, build_s = timed(lambda: retrieval.write_ivf_index(emb, tmp))
+        serve_s = serve_min(
+            lambda: retrieval.knn_ivf_from_index(
+                spark, tmp, probe, probe_vec_id=0, k=10
+            )
+        )
+        out["b20_knn_ivf_indexed"] = {
+            "build_s": build_s, "serve_s": serve_s
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def _isolated_probe(name: str, repeats: int = 3) -> int:
@@ -665,6 +753,15 @@ def main() -> int:
             "host-phase" if runs[-1] > 2 * runs[0] + 0.25 else "ok"
         )
 
+    # build-vs-serve split for the indexed serving paths (full suite
+    # only — a partial --only run should stay cheap)
+    index_split: dict = {}
+    if bench_set is BENCH_QUERIES:
+        try:
+            index_split = _index_build_serve_split(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — record, don't die
+            index_split = {"error": str(exc)}
+
     calib_end = _calibrate()  # bracket the suite: detect mid-run drift
 
     # CALIB-NORMALIZED MEDIAN-RATIO REGRESSION GATE — see
@@ -820,6 +917,10 @@ def main() -> int:
             "when both rounds >= 1 s raw; sub-0.3 s-raw queries skipped"
         ),
         "normalized_regressions": regressions,
+        # serve-only walls against a pre-built index (r11 verdict #5):
+        # the registered indexed queries measure build+serve as one
+        # oracle-checked unit; this is the amortized serving latency
+        "index_build_serve": index_split,
         "work_notes": QUERY_WORK_NOTES,
         "sf": float(sf),
     }
