@@ -74,12 +74,23 @@ QUERIES = [
     "b21_sequence_pack",        # two-level pack: 10x docs -> 10x bounded shards
     "b21_sequence_pack_bpe",    # BPE trainer + the same sharded pack over 10x docs
     "pipeline_plc_e2e",         # config x spine explode + one partial+final agg
+    "b21_bm25_indexed",         # one-pass postings build + pruned serve, 10x docs
+    "b21_bm25_index_delta",     # base build + O(delta) merge + serve, 10x docs
+    "b19_handoff_stream_parity",  # stream replay vs batch LAG over 10x events
+    "b24_backtest",             # rolling-origin Holt backtest over 10x event depth
     # b20_jl_projection / b20_radius_search / b20_ann_recall /
     # b20_rrf_recall / b20_triplet_mining / b20_cluster_margin /
     # b22_audio_vad are NOT probed: the embeddings table is copied
     # verbatim (not replicated) and the VAD corpus is fixed at 200
     # docs, so a 10x row would measure nothing; the JL projection leg
-    # is plan-guarded map-only instead (tests/test_plans_physical.py)
+    # is plan-guarded map-only instead (tests/test_plans_physical.py).
+    # b20_knn_ivf_indexed / b20_ivf_index_delta likewise ride the
+    # verbatim embeddings table (their 10x behavior is the bm25 index
+    # rows' — same layout-job shape). b20_rrf_recall_correlated is an
+    # EVAL harness whose brute-force TRUTH is panel x corpus by
+    # design (both grow with docs -> 100x pairs at 10x): the serving
+    # legs it evaluates are what scale, and they are probed via the
+    # bm25-index and knn-ivf rows; covered by SCALING.md instead.
 ]
 
 
