@@ -194,6 +194,10 @@ BENCH_QUERIES = [
     "b21_bm25_index_delta",  # base build + O(delta) postings merge + serve
     "b20_ivf_index_delta",  # base build + frozen-quantizer delta append + serve
     "b20_rrf_recall_correlated",  # fusion-wins eval on text-derived vectors
+    "b21_index_compaction",  # build + 2 deltas + fragmented-bucket compact
+    "b20_ivf_compaction",  # build + 2 deltas + fragmented-cell compact
+    "b21_bm25_index_stream",  # foreachBatch O(delta) merges, 2 micro-batches
+    "b20_rrf_indexed",  # hybrid fusion with BOTH legs off written indices
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -25,6 +25,16 @@ the index from the sf_dir corpus and must hash-match the corpus-scan
 query's oracle exactly — the index path provably returns the same
 answer. Pruning is proven in tests/test_retrieval_index.py via
 ``input_file_name()`` (only the query terms' buckets open).
+
+Round 12 completes the index LIFECYCLE for both modalities: delta
+merges (``merge_postings_delta`` / ``merge_ivf_delta`` — O(delta),
+append-only into landed partitions), streaming maintenance (the same
+merge applied per micro-batch from foreachBatch —
+``b21_bm25_index_stream``), and compaction
+(``compact_postings_index`` / ``compact_ivf_cells`` — selective
+rewrite of fragmented partitions only). Every stage shares the full
+rebuild's oracle, so each sweep proves the maintained index serves
+identically.
 """
 
 from __future__ import annotations
@@ -356,7 +366,10 @@ def merge_postings_delta(
         _doc_postings(delta_docs)[0]
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("dl").cast("bigint").alias("sum_len"),
+            # empty-delta safe (a streaming micro-batch can be empty)
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias(
+                "sum_len"
+            ),
         )
         .first()
     )
@@ -368,6 +381,125 @@ def merge_postings_delta(
         "n_docs bigint, sum_len bigint",
     ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     return affected
+
+
+def postings_bucket_files(spark: SparkSession, path: str) -> DataFrame:
+    """(tb, n_files) over the postings tree — the fragmentation
+    metadata relation the compaction planner consumes (the retrieval
+    twin of operators/retention's compaction planning: file counts
+    from ``input_file_name()``, never a driver-side directory walk)."""
+    return (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .select("tb", F.input_file_name().alias("f"))
+        .groupBy("tb")
+        .agg(F.count_distinct("f").cast("bigint").alias("n_files"))
+    )
+
+
+def compact_postings_index(
+    spark: SparkSession, path: str, max_files: int = 1
+) -> list[int]:
+    """Compact fragmented postings buckets after delta merges.
+
+    ``merge_postings_delta`` APPENDS postings files, so a bucket that
+    has absorbed K deltas holds K+1 files — each term-sorted
+    internally, but the bucket's row-group min/max pruning now pays K+1
+    overlapping term ranges per query, and at 100 TB the file-count
+    itself becomes a listing/open cost. This planner reads the
+    fragmentation metadata (``postings_bucket_files``), picks ONLY the
+    buckets whose file count exceeds ``max_files``, and rewrites each
+    as one term-sorted file via dynamic partition overwrite — buckets
+    under the threshold keep their files byte-identical (proven in
+    tests/test_retrieval_index.py), and serving answers are unchanged
+    by construction (same row set; BM25's per-doc SUM is
+    order-independent). ``terms/`` needs no compaction: delta merges
+    replace affected term buckets whole, so they stay one file each.
+    Work is O(fragmented buckets' rows). Returns the compacted bucket
+    ids (bounded by N_BUCKETS — the one tiny collect here)."""
+    frag = sorted(
+        int(r["tb"])
+        for r in postings_bucket_files(spark, path)
+        .filter(F.col("n_files") > max_files)
+        .collect()
+    )
+    if not frag:
+        return frag
+    merged = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("tb").isin(frag))  # partition pruning
+        .select("doc_id", "dl", "term", "tf", "tb")
+        .repartition("tb")
+        .sortWithinPartitions("term", "doc_id")
+        # cut lineage to the files the write below replaces
+        .localCheckpoint()
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # replaces ONLY the tb= partitions present in `merged` —
+        # exactly `frag`
+        merged.write.mode("overwrite").partitionBy("tb").parquet(
+            os.path.join(path, "postings")
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    return frag
+
+
+def ivf_cell_files(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, n_files) over the IVF cells tree — fragmentation
+    metadata for the vector modality's compaction planner."""
+    return (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .select("cell", F.input_file_name().alias("f"))
+        .groupBy("cell")
+        .agg(F.count_distinct("f").cast("bigint").alias("n_files"))
+    )
+
+
+def compact_ivf_cells(
+    spark: SparkSession, path: str, max_files: int = 1
+) -> list[int]:
+    """The IVF twin of ``compact_postings_index``: delta merges APPEND
+    into ``cell=`` partitions, so absorbed deltas fragment a cell into
+    many files. Rewrite only the cells over ``max_files`` as one
+    vec_id-sorted file each (dynamic partition overwrite); untouched
+    cells and the centroid sidecar keep their files byte-identical.
+    Serving is unchanged by construction (same row set; top-k ordering
+    is value-based). Returns the compacted cell ids."""
+    frag = sorted(
+        int(r["cell"])
+        for r in ivf_cell_files(spark, path)
+        .filter(F.col("n_files") > max_files)
+        .collect()
+    )
+    if not frag:
+        return frag
+    merged = (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("cell").isin(frag))  # partition pruning
+        .select("vec_id", "embedding", "cell")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .localCheckpoint()
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "cells")
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    return frag
 
 
 def merge_ivf_delta(

@@ -801,6 +801,128 @@ def b21_bm25_index_delta(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register(
+    "b21_index_compaction", oracle=_B21_BM25_ORACLE, tags=("B21", "B20")
+)
+def b21_index_compaction(spark, sf_dir):
+    """COMPACTION closes the index lifecycle (build → delta-merge →
+    compact): every delta merge APPENDS postings files, so a
+    long-running deployment's hot buckets accumulate small files with
+    overlapping term ranges — the classic LSM-ish read amplification.
+    Build the index from 3/5 of the corpus, absorb the remaining two
+    fifths as TWO separate delta merges (hot buckets now hold 3
+    files), compact only the buckets over the 2-file threshold back to
+    one term-sorted file each (operators/retrieval.
+    compact_postings_index — fragmentation metadata from
+    input_file_name(), dynamic partition overwrite of exactly the
+    fragmented buckets), then serve. SAME oracle as the full rebuild,
+    so the hash check proves build+2×delta+compact ≡ rebuild; buckets
+    under the threshold keep byte-identical files
+    (tests/test_retrieval_index.py)."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_from_index,
+        compact_postings_index,
+        merge_postings_delta,
+        write_postings_index,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bm25_index_compact_")
+    try:
+        write_postings_index(
+            docs.filter(F.expr("pmod(doc_id, 5) NOT IN (1, 3)")), tmp
+        )
+        merge_postings_delta(
+            spark, tmp, docs.filter(F.expr("pmod(doc_id, 5) = 1"))
+        )
+        merge_postings_delta(
+            spark, tmp, docs.filter(F.expr("pmod(doc_id, 5) = 3"))
+        )
+        compact_postings_index(spark, tmp, max_files=2)
+        return bm25_from_index(
+            spark, tmp, _BM25_TERMS, topk=_BM25_TOPK, scale=_BM25_SCALE
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "b21_bm25_index_stream", oracle=_B21_BM25_ORACLE, tags=("B21", "B26")
+)
+def b21_bm25_index_stream(spark, sf_dir):
+    """STREAMING maintenance of the postings index — the serving index
+    kept current from a live document feed, not a nightly batch:
+    build from 3/5 of the corpus, then replay the remaining two fifths
+    as a Structured Streaming file source in two micro-batches
+    (maxFilesPerTrigger=1, availableNow) whose foreachBatch applies
+    the SAME O(delta) merge as the batch path
+    (operators/retrieval.merge_postings_delta — one shared merge, so
+    stream and batch maintenance cannot drift), then serve. SAME
+    oracle as the full rebuild: the hash check proves
+    stream-maintained ≡ rebuild under real micro-batch boundaries on
+    every sweep. Mirrors the b19_handoff_stream_parity replay harness
+    (plans/streaming_parity.py)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_from_index,
+        merge_postings_delta,
+        write_postings_index,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bm25_index_stream_")
+    try:
+        idx = os.path.join(tmp, "index")
+        write_postings_index(
+            docs.filter(F.expr("pmod(doc_id, 5) NOT IN (2, 4)")), idx
+        )
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        for i, m in enumerate((2, 4)):
+            stage = os.path.join(tmp, f"stage{i}")
+            docs.filter(F.expr(f"pmod(doc_id, 5) = {m}")).coalesce(
+                1
+            ).write.parquet(stage)
+            parts = glob.glob(os.path.join(stage, "part-*.parquet"))
+            if parts:
+                dst = os.path.join(src_dir, f"{i:04d}.parquet")
+                shutil.copy(parts[0], dst)
+                # monotone mtimes: the file source lists by
+                # (modification time, path) — pin both orderings
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: merge_postings_delta(
+                    df.sparkSession, idx, df
+                )
+            )
+            .option(
+                "checkpointLocation", os.path.join(tmp, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return bm25_from_index(
+            spark, idx, _BM25_TERMS, topk=_BM25_TOPK, scale=_BM25_SCALE
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # B20r — RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack/Clarke/
 # Buettcher 2009): fuse the BM25 lexical leg with the brute-force
@@ -1159,9 +1281,11 @@ def b22_pipeline(spark, sf_dir):
 # DuckDB replay of operators/similarity.knn_ivf: centroids are the
 # first 8 vectors, assignment = argmax of the exact-decimal cosine
 # (identical doubles both engines → identical argmax), probe searches
-# its 2 nearest cells.
-_B20_IVF_ORACLE = """
-    WITH pos AS (SELECT unnest(range(
+# its 2 nearest cells. The CTE chain through the probed candidates'
+# cosine aggregates `agg(vec_id, cell, dot, na, nb)` is ONE string
+# shared by the b20_knn_ivf family and the indexed-RRF oracle.
+_IVF_CAND_SQL = """
+    pos AS (SELECT unnest(range(
         1, (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS i),
     cents AS (
       SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
@@ -1208,6 +1332,10 @@ _B20_IVF_ORACLE = """
         SUM(da * db) AS dot, SUM(da * da) AS na, SUM(db * db) AS nb
       FROM terms GROUP BY 1, 2
     )
+"""
+
+_B20_IVF_ORACLE = f"""
+    WITH {_IVF_CAND_SQL}
     SELECT vec_id, cell,
       ROUND(CAST(dot AS DOUBLE)
             / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cos_sim
@@ -1291,6 +1419,176 @@ def b20_ivf_index_delta(spark, sf_dir):
         return knn_ivf_from_index(
             spark, tmp, list(probe), probe_vec_id=0, k=10
         ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("b20_ivf_compaction", oracle=_B20_IVF_ORACLE, tags=("B20",))
+def b20_ivf_compaction(spark, sf_dir):
+    """COMPACTION for the vector modality's written index — the IVF
+    twin of b21_index_compaction: build the cell layout from ~5/7 of
+    the corpus (quantizer training vectors vec_id < 8 kept in the
+    base), absorb the rest as TWO delta merges (landed cells now hold
+    up to 3 files), compact only the cells over the 2-file threshold
+    back to one vec_id-sorted file each (operators/retrieval.
+    compact_ivf_cells — fragmentation metadata from input_file_name(),
+    dynamic partition overwrite of exactly the fragmented cells), then
+    serve. SAME oracle as b20_knn_ivf, so the hash check proves
+    build+2×delta+compact ≡ rebuild ≡ scan; cells under the threshold
+    and the centroid sidecar keep byte-identical files
+    (tests/test_retrieval_index.py)."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        compact_ivf_cells,
+        knn_ivf_from_index,
+        merge_ivf_delta,
+        write_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    tmp = tempfile.mkdtemp(prefix="ivf_index_compact_")
+    try:
+        write_ivf_index(
+            emb.filter(F.expr("vec_id < 8 OR pmod(vec_id, 7) NOT IN (1, 3)")),
+            tmp,
+        )
+        merge_ivf_delta(
+            spark, tmp,
+            emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 1")),
+        )
+        merge_ivf_delta(
+            spark, tmp,
+            emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 3")),
+        )
+        compact_ivf_cells(spark, tmp, max_files=2)
+        return knn_ivf_from_index(
+            spark, tmp, list(probe), probe_vec_id=0, k=10
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# B20ri — HYBRID RETRIEVAL SERVED ENTIRELY FROM THE WRITTEN INDICES:
+# b20_rrf_hybrid's recipe (RRF over a lexical and a vector leg) with
+# BOTH legs answered from their serving layouts — BM25 from the
+# partitioned postings index (only the query terms' tb= buckets open)
+# and kNN from the cell-partitioned IVF index (only the probe's 2
+# cells open). This is the query a 100 TB deployment actually runs:
+# no corpus scan anywhere on the serve path. The vector leg is
+# IVF-pruned (not brute force), so the oracle replays the SAME
+# pruning via the shared _IVF_CAND_SQL chain — rank-exact, hence
+# hash-exact: legs ranked on (rounded cosine / integer BM25), fused
+# with the pure-integer RRF fold.
+# --------------------------------------------------------------------------
+_B20_RRF_IDX_ORACLE = f"""
+    WITH {_BM25_CORE_SQL},
+    {_IVF_CAND_SQL},
+    lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score_fp DESC, doc_id) AS r FROM bm
+      ) WHERE r <= {_RRF_LEG_TOPK}
+    ),
+    vec AS (
+      SELECT vec_id, r FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (
+          ORDER BY ROUND(CAST(dot AS DOUBLE)
+            / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) DESC,
+          vec_id) AS r
+        FROM agg
+      ) WHERE r <= {_RRF_LEG_TOPK}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.vec_id) AS id,
+        COALESCE(l.r, 0)::BIGINT AS lex_rank,
+        COALESCE(v.r, 0)::BIGINT AS vec_rank,
+        (CASE WHEN l.r IS NULL THEN 0
+              ELSE {_BM25_SCALE} // ({_RRF_K} + l.r) END
+         + CASE WHEN v.r IS NULL THEN 0
+                ELSE {_BM25_SCALE} // ({_RRF_K} + v.r) END)::BIGINT
+          AS rrf_fp
+      FROM lex l FULL JOIN vec v ON v.vec_id = l.doc_id
+    )
+    SELECT id, lex_rank, vec_rank, rrf_fp
+    FROM fused ORDER BY rrf_fp DESC, id LIMIT {_BM25_TOPK}
+"""
+
+
+@register("b20_rrf_indexed", oracle=_B20_RRF_IDX_ORACLE, tags=("B20", "B21"))
+def b20_rrf_indexed(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_from_index,
+        knn_ivf_from_index,
+        write_ivf_index,
+        write_postings_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]  # 1-row bounded action: the query arrives from outside
+    tmp = tempfile.mkdtemp(prefix="rrf_indexed_")
+    try:
+        import os
+
+        lex_path = os.path.join(tmp, "lex")
+        ivf_path = os.path.join(tmp, "ivf")
+        write_postings_index(
+            t(spark, sf_dir, "documents").select("doc_id", "text"),
+            lex_path,
+        )
+        write_ivf_index(emb, ivf_path)
+        lex_w = Window.orderBy(F.col("score_fp").desc(), "doc_id")
+        lex = (
+            bm25_from_index(
+                spark, lex_path, _BM25_TERMS,
+                topk=_RRF_LEG_TOPK, scale=_BM25_SCALE,
+            )
+            # rank window over <= 20 rows — bounded by construction
+            .select("doc_id", F.row_number().over(lex_w).alias("lr"))
+        )
+        vec_w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+        vec = (
+            knn_ivf_from_index(
+                spark, ivf_path, list(probe),
+                probe_vec_id=0, k=_RRF_LEG_TOPK,
+            )
+            .select("vec_id", F.row_number().over(vec_w).alias("vr"))
+        )
+        fused = lex.join(
+            vec, lex["doc_id"] == vec["vec_id"], "full"
+        )
+        rrf = F.when(
+            F.col("lr").isNotNull(),
+            F.expr(f"{_BM25_SCALE} div ({_RRF_K} + lr)"),
+        ).otherwise(F.lit(0)) + F.when(
+            F.col("vr").isNotNull(),
+            F.expr(f"{_BM25_SCALE} div ({_RRF_K} + vr)"),
+        ).otherwise(F.lit(0))
+        return (
+            fused.select(
+                F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("id"),
+                F.coalesce(F.col("lr"), F.lit(0)).cast("bigint").alias(
+                    "lex_rank"
+                ),
+                F.coalesce(F.col("vr"), F.lit(0)).cast("bigint").alias(
+                    "vec_rank"
+                ),
+                rrf.cast("bigint").alias("rrf_fp"),
+            )
+            .orderBy(F.col("rrf_fp").desc(), "id")
+            .limit(_BM25_TOPK)
+            .localCheckpoint()  # must outlive the temp-dir cleanup
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

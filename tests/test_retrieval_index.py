@@ -303,3 +303,148 @@ def test_ivf_delta_touches_only_landed_cells(spark, tmp_path):
     b = {(int(r["vec_id"]), int(r["cell"]))
          for r in spark.read.parquet(os.path.join(full, "cells")).collect()}
     assert a == b
+
+
+def test_postings_compaction_rewrites_only_fragmented_buckets(
+    spark, tmp_path
+):
+    """Compaction contract (round-12): after a big delta (every bucket
+    at 2 files) and a TINY delta (a few buckets at 3), compacting at
+    max_files=2 must (a) pick exactly the 3-file buckets, (b) rewrite
+    each as ONE term-sorted file, (c) leave every other bucket's files
+    byte-identical, and (d) not change the postings row set."""
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        compact_postings_index,
+        merge_postings_delta,
+        postings_bucket_files,
+    )
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "cidx")
+    write_postings_index(docs.filter(F.expr("pmod(doc_id, 5) != 3")), idx)
+    merge_postings_delta(
+        spark, idx, docs.filter(F.expr("pmod(doc_id, 5) = 3"))
+    )
+    tiny = spark.createDataFrame(
+        [(10_000_001, "spark merge spark"), (10_000_002, "vector join")],
+        "doc_id bigint, text string",
+    )
+    merge_postings_delta(spark, idx, tiny)
+
+    frag_before = {
+        int(r["tb"]): int(r["n_files"])
+        for r in postings_bucket_files(spark, idx).collect()
+    }
+    want_compact = sorted(tb for tb, n in frag_before.items() if n > 2)
+    assert want_compact  # the tiny delta fragmented its term buckets
+    assert len(want_compact) < len(frag_before)  # ...but not all
+
+    rows_before = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(idx, "postings")).collect()
+    }
+    files_before = _files(os.path.join(idx, "postings"))
+
+    compacted = compact_postings_index(spark, idx, max_files=2)
+    assert compacted == want_compact
+
+    files_after = _files(os.path.join(idx, "postings"))
+    for d, files in files_before.items():
+        tb = int(d.split("=")[1])
+        if tb in compacted:
+            assert len(files_after[d]) == 1  # one file per bucket now
+            assert not (files & files_after[d])  # fully rewritten
+        else:
+            assert files_after.get(d) == files, d  # byte-identical
+    # restored term sort inside each compacted bucket's single file
+    for tb in compacted:
+        got = [
+            (r["term"], r["doc_id"])
+            for r in spark.read.parquet(
+                os.path.join(idx, "postings", f"tb={tb}")
+            ).collect()
+        ]
+        assert got == sorted(got)
+    # same row set — compaction is layout-only
+    rows_after = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(idx, "postings")).collect()
+    }
+    assert rows_after == rows_before
+    # idempotent: a second pass finds nothing over the threshold
+    assert compact_postings_index(spark, idx, max_files=2) == []
+
+
+def test_ivf_compaction_rewrites_only_fragmented_cells(spark, tmp_path):
+    """The vector twin: two deltas fragment their landed cells; only
+    cells over the threshold are rewritten (one vec_id-sorted file),
+    other cells and the centroid sidecar stay byte-identical, and the
+    cell row set is unchanged."""
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        compact_ivf_cells,
+        ivf_cell_files,
+        merge_ivf_delta,
+        write_ivf_index,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "civf")
+    write_ivf_index(
+        emb.filter(F.expr("vec_id < 8 OR pmod(vec_id, 7) NOT IN (1, 3)")),
+        idx,
+    )
+    merge_ivf_delta(
+        spark, idx, emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 1"))
+    )
+    # tiny second delta: one vector -> exactly one cell reaches 3 files
+    one = emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 3")).limit(1)
+    merge_ivf_delta(spark, idx, one)
+
+    frag_before = {
+        int(r["cell"]): int(r["n_files"])
+        for r in ivf_cell_files(spark, idx).collect()
+    }
+    want_compact = sorted(c for c, n in frag_before.items() if n > 2)
+    assert want_compact and len(want_compact) < len(frag_before)
+
+    rows_before = {
+        (int(r["vec_id"]), int(r["cell"]))
+        for r in spark.read.parquet(os.path.join(idx, "cells")).collect()
+    }
+    files_before = _files(os.path.join(idx, "cells"))
+    cent_stat = {
+        (f, os.stat(os.path.join(idx, "centroids", f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(idx, "centroids"))
+        if not f.startswith(("_", "."))
+    }
+
+    compacted = compact_ivf_cells(spark, idx, max_files=2)
+    assert compacted == want_compact
+
+    files_after = _files(os.path.join(idx, "cells"))
+    for d, files in files_before.items():
+        cell = int(d.split("=")[1])
+        if cell in compacted:
+            assert len(files_after[d]) == 1
+        else:
+            assert files_after.get(d) == files, d
+    for cell in compacted:
+        got = [
+            int(r["vec_id"])
+            for r in spark.read.parquet(
+                os.path.join(idx, "cells", f"cell={cell}")
+            ).collect()
+        ]
+        assert got == sorted(got)
+    rows_after = {
+        (int(r["vec_id"]), int(r["cell"]))
+        for r in spark.read.parquet(os.path.join(idx, "cells")).collect()
+    }
+    assert rows_after == rows_before
+    cent_stat_after = {
+        (f, os.stat(os.path.join(idx, "centroids", f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(idx, "centroids"))
+        if not f.startswith(("_", "."))
+    }
+    assert cent_stat_after == cent_stat  # sidecar untouched
+    assert compact_ivf_cells(spark, idx, max_files=2) == []

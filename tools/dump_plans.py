@@ -72,6 +72,7 @@ HEADLINE = [
     "b21_sequence_pack",         # (lang, shard) exchange into bounded pandas fold
     "b20_rrf_recall",            # broadcast vocab/dims; one bounded full-outer fusion
     "pipeline_training_e2e",     # map-only gate; hash window; bounded pack; O(langs) report
+    "b20_rrf_indexed",           # both legs off written indices; bounded fusion
 ]
 
 

@@ -76,6 +76,8 @@ QUERIES = [
     "pipeline_plc_e2e",         # config x spine explode + one partial+final agg
     "b21_bm25_indexed",         # one-pass postings build + pruned serve, 10x docs
     "b21_bm25_index_delta",     # base build + O(delta) merge + serve, 10x docs
+    "b21_index_compaction",     # 2 delta merges + selective bucket rewrite, 10x docs
+    "b21_bm25_index_stream",    # 2 foreachBatch O(delta) merges + serve, 10x docs
     "b19_handoff_stream_parity",  # stream replay vs batch LAG over 10x events
     "b24_backtest",             # rolling-origin Holt backtest over 10x event depth
     # b20_jl_projection / b20_radius_search / b20_ann_recall /
@@ -84,7 +86,8 @@ QUERIES = [
     # verbatim (not replicated) and the VAD corpus is fixed at 200
     # docs, so a 10x row would measure nothing; the JL projection leg
     # is plan-guarded map-only instead (tests/test_plans_physical.py).
-    # b20_knn_ivf_indexed / b20_ivf_index_delta likewise ride the
+    # b20_knn_ivf_indexed / b20_ivf_index_delta / b20_ivf_compaction /
+    # b20_rrf_indexed likewise ride the
     # verbatim embeddings table (their 10x behavior is the bm25 index
     # rows' — same layout-job shape). b20_rrf_recall_correlated is an
     # EVAL harness whose brute-force TRUTH is panel x corpus by
