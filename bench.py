@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "b20_ivf_compaction",  # build + 2 deltas + fragmented-cell compact
     "b21_bm25_index_stream",  # foreachBatch O(delta) merges, 2 micro-batches
     "b20_rrf_indexed",  # hybrid fusion with BOTH legs off written indices
+    "b20_knn_ivfpq_indexed",  # codes-not-vectors ADC serve off written layout
+    "b20_ivfpq_index_delta",  # frozen-codebook O(delta) merge + ADC serve
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

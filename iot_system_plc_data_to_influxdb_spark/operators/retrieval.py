@@ -383,6 +383,181 @@ def merge_postings_delta(
     return affected
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: the memory-bounded serving layout 100 TB vector search
+# actually deploys — the coarse IVF partitioner above PLUS product-
+# quantized codes INSTEAD of raw vectors inside each cell. A 64-dim
+# float32 vector is 256 bytes; its PQ code is 4 codebook ids (≤ 2
+# bytes) — the candidate scan that dominates serve cost shrinks ~64×,
+# and the codebook sidecar (M×K = 64 rows) plus the per-query lookup
+# table are O(1). This variant quantizes the vectors directly (no
+# residual encoding — the no-residual IVF-PQ layout; a residual
+# variant retrains per-cell and is a rebuild-time choice), with the
+# EXACT-replay PQ fold shared with b20_pq_exact_replay
+# (functions/pq.py), so the served ADC top-k is hash-checkable against
+# a DuckDB replay of the same integer arithmetic.
+# ---------------------------------------------------------------------------
+def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
+    """One layout job → three relations: ``codes/`` (vec_id + M
+    codebook ids, partitioned ``cell=`` — NO raw vectors), the
+    ``codebooks/`` sidecar (M×K exact (sum, count) centroids), and the
+    ``centroids/`` coarse-quantizer sidecar shared with the IVF-flat
+    layout. Shuffle budget: the two PQ aggregations (train + assign,
+    both keyed on vec_id/sub) plus the thin (vec_id, cell) join —
+    the map-side coarse assignment adds no exchange of its own."""
+    from ..functions.pq import M, pq_assign, pq_subvectors, pq_train
+    from .similarity import ivf_cell_assignments, ivf_centroids
+
+    spark = emb.sparkSession
+    cents = ivf_centroids(emb, n_cells)
+    v = pq_subvectors(emb)
+    cb = pq_train(v).localCheckpoint()  # reused: sidecar write + assign
+    codes_wide = (
+        pq_assign(v, cb)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == j, F.col("cluster")))
+                .cast("int")
+                .alias(f"c{j}")
+                for j in range(M)
+            ]
+        )
+    )
+    asg = ivf_cell_assignments(emb, cents).select("vec_id", "cell")
+    (
+        codes_wide.join(asg, "vec_id")
+        .repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    spark.createDataFrame(
+        cents, "cell int, cvec array<float>"
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def merge_ivfpq_delta(
+    spark: SparkSession, path: str, delta_emb: DataFrame
+) -> list[int]:
+    """Merge a delta vector set into a written IVF-PQ index with BOTH
+    quantizers frozen: the coarse centroid sidecar AND the PQ codebook
+    sidecar (re-training either is a rebuild by definition — the
+    standard serving posture). Delta vectors are coarse-assigned with
+    the same map-side fold, PQ-encoded against the stored codebooks
+    via the shared functions/pq fold, and APPENDED into the landed
+    ``cell=`` code partitions only. Work is O(delta). Returns the
+    landed cell ids."""
+    from ..functions.pq import M, pq_assign, pq_subvectors
+    from .similarity import ivf_cell_assignments
+
+    cents = sorted(
+        (int(r["cell"]), list(r["cvec"]))
+        for r in spark.read.parquet(
+            os.path.join(path, "centroids")
+        ).collect()
+    )
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    codes_wide = (
+        pq_assign(pq_subvectors(delta_emb), cb)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == j, F.col("cluster")))
+                .cast("int")
+                .alias(f"c{j}")
+                for j in range(M)
+            ]
+        )
+    )
+    asg = ivf_cell_assignments(delta_emb, cents).select("vec_id", "cell")
+    landed = codes_wide.join(asg, "vec_id").localCheckpoint()
+    (
+        landed.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    return sorted(
+        int(r["cell"]) for r in landed.select("cell").distinct().collect()
+    )
+
+
+def ivfpq_code_scan(
+    spark: SparkSession, path: str, probe_cells: list[int]
+) -> DataFrame:
+    """The pruned ``cell=`` code scan the IVF-PQ serve consumes —
+    exposed so the pruning test observes the exact relation."""
+    return (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("cell").isin(probe_cells))  # partition pruning
+    )
+
+
+def knn_ivfpq_from_index(
+    spark: SparkSession,
+    path: str,
+    probe: list[float],
+    probe_vec_id: int | None = None,
+    k: int = 10,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """Serve an ADC top-k from the written IVF-PQ layout: rank the
+    probe against the centroid sidecar (bounded collect), build the
+    O(M×K) asymmetric-distance lookup table from the codebook sidecar
+    (broadcast), scan ONLY the probe cells' ``codes/`` partitions —
+    bytes read are codes, never vectors — and TakeOrder by the
+    fixed-association ADC sum."""
+    from ..functions.pq import (
+        M,
+        pq_adc_topk,
+        pq_ratio_expr,
+        pq_subvectors,
+    )
+
+    probe_df = spark.createDataFrame(
+        [(0, list(probe))], "vec_id bigint, embedding array<float>"
+    )
+    pv = pq_subvectors(probe_df).select("sub", F.col("x").alias("px"))
+    lut = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .join(F.broadcast(pv), "sub")
+        .select(
+            "sub",
+            "cluster",
+            F.col("px").alias("x"),  # reuse the exact-numerator fold
+            "sx",
+            "n",
+        )
+        .select("sub", "cluster", pq_ratio_expr().alias("r"))
+    )
+    probe_cells = ivf_probe_cells(
+        spark, path, probe_df.select(F.col("embedding").alias("pe")),
+        n_probe_cells,
+    )
+    codes = ivfpq_code_scan(spark, path, probe_cells)
+    if probe_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != probe_vec_id)
+    codes_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.col(f"c{j}").cast("bigint").alias("cluster"),
+                    )
+                    for j in range(M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.sub", "e.cluster")
+    return pq_adc_topk(codes_long, lut, k)
+
+
 def postings_bucket_files(spark: SparkSession, path: str) -> DataFrame:
     """(tb, n_files) over the postings tree — the fragmentation
     metadata relation the compaction planner consumes (the retrieval

@@ -1474,6 +1474,192 @@ def b20_ivf_compaction(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B20pq — THE WRITTEN IVF-PQ INDEX: the memory-bounded layout 100 TB
+# vector serving actually deploys — coarse IVF cells (partition
+# pruning) holding PQ CODES instead of raw vectors (~64× fewer
+# candidate bytes), scored by asymmetric distance against an O(M×K)
+# per-query lookup table. The oracle replays BOTH halves exactly: the
+# coarse assignment/probe-cell choice via the shared _IVF_CAND_SQL
+# chain, and the codebook training / code assignment / ADC arithmetic
+# via the b20_pq_exact_replay integer recipe (1e-7-quantized
+# subvectors, HUGEINT numerators over one double division, fixed
+# ((t0+t1)+t2)+t3 association) — so the hash check proves the SERVED
+# approximate answer, not a lookalike.
+# --------------------------------------------------------------------------
+def _ivfpq_oracle_sql(train_where: str = "") -> str:
+    """The IVF-PQ replay, parameterized on the TRAINING membership
+    filter (s1's WHERE): empty = codebooks trained on the full corpus
+    (the full-rebuild query); a base filter = codebooks trained on the
+    base only while EVERYONE is encoded against them — exactly the
+    frozen-codebook delta-merge semantics."""
+    return f"""
+    WITH {_IVF_CAND_SQL},
+    p16 AS (SELECT unnest(range(1, 17)) AS i),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    qv AS (
+      SELECT e.vec_id, s.sub,
+        list_transform(list_slice(e.embedding, s.sub*16 + 1, s.sub*16 + 16),
+          v -> CAST(CAST(ROUND(CAST(v AS DOUBLE), 7) AS DECIMAL(9,7))
+                    * 10000000 AS BIGINT)) AS x
+      FROM embeddings e CROSS JOIN subs s
+    ),
+    seeds AS (
+      SELECT sub, vec_id AS cluster, x AS sx, CAST(1 AS BIGINT) AS n
+      FROM qv WHERE vec_id < 16
+    ),
+    s1 AS (
+      SELECT v.vec_id, v.sub, c.cluster,
+        CAST(SUM(CAST(c.n * v.x[p16.i] - c.sx[p16.i] AS HUGEINT)
+                 * (c.n * v.x[p16.i] - c.sx[p16.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM qv v JOIN seeds c ON c.sub = v.sub CROSS JOIN p16
+      {train_where}
+      GROUP BY v.vec_id, v.sub, c.cluster, c.n
+    ),
+    a1 AS (
+      SELECT vec_id, sub, cluster FROM (
+        SELECT vec_id, sub, cluster,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY r, cluster) AS rk
+        FROM s1) WHERE rk = 1
+    ),
+    c1d AS (
+      SELECT a1.sub, a1.cluster, p16.i, SUM(v.x[p16.i]) AS s, COUNT(*) AS cn
+      FROM a1 JOIN qv v ON v.vec_id = a1.vec_id AND v.sub = a1.sub
+      CROSS JOIN p16
+      GROUP BY 1, 2, 3
+    ),
+    c1 AS (
+      SELECT sub, cluster, list(s ORDER BY i) AS sx, MAX(cn) AS n
+      FROM c1d GROUP BY 1, 2
+    ),
+    s2pq AS (
+      SELECT v.vec_id, v.sub, c.cluster,
+        CAST(SUM(CAST(c.n * v.x[p16.i] - c.sx[p16.i] AS HUGEINT)
+                 * (c.n * v.x[p16.i] - c.sx[p16.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM qv v JOIN c1 c ON c.sub = v.sub CROSS JOIN p16
+      GROUP BY v.vec_id, v.sub, c.cluster, c.n
+    ),
+    codes AS (
+      SELECT vec_id, sub, cluster FROM (
+        SELECT vec_id, sub, cluster,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY r, cluster) AS rk
+        FROM s2pq) WHERE rk = 1
+    ),
+    pprobe AS (SELECT sub, x AS px FROM qv WHERE vec_id = 0),
+    lut AS (
+      SELECT c.sub, c.cluster,
+        CAST(SUM(CAST(c.n * p.px[p16.i] - c.sx[p16.i] AS HUGEINT)
+                 * (c.n * p.px[p16.i] - c.sx[p16.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM c1 c JOIN pprobe p ON p.sub = c.sub CROSS JOIN p16
+      GROUP BY c.sub, c.cluster, c.n
+    ),
+    pqcand AS (
+      SELECT cd.vec_id, cd.sub, cd.cluster
+      FROM codes cd
+      JOIN assigned a ON a.vec_id = cd.vec_id
+      WHERE a.cell IN (SELECT cell FROM probe_cells)
+        AND cd.vec_id <> 0
+    ),
+    pqt AS (
+      SELECT pc.vec_id,
+        MAX(CASE WHEN pc.sub = 0 THEN l.r END) AS t0,
+        MAX(CASE WHEN pc.sub = 1 THEN l.r END) AS t1,
+        MAX(CASE WHEN pc.sub = 2 THEN l.r END) AS t2,
+        MAX(CASE WHEN pc.sub = 3 THEN l.r END) AS t3
+      FROM pqcand pc JOIN lut l
+        ON l.sub = pc.sub AND l.cluster = pc.cluster
+      GROUP BY pc.vec_id
+    )
+    SELECT vec_id, ((t0 + t1) + t2) + t3 AS adc_dist
+    FROM pqt ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+_B20_IVFPQ_ORACLE = _ivfpq_oracle_sql()
+#: delta twin: PQ codebooks trained on the base corpus only (seeds
+#: vec_id < 16 are always base members), everyone encoded against them
+_B20_IVFPQ_DELTA_ORACLE = _ivfpq_oracle_sql(
+    "WHERE v.vec_id < 16 OR v.vec_id % 7 != 3"
+)
+
+
+@register("b20_knn_ivfpq_indexed", oracle=_B20_IVFPQ_ORACLE, tags=("B20",))
+def b20_knn_ivfpq_indexed(spark, sf_dir):
+    """Build the written IVF-PQ layout (operators/retrieval.
+    write_ivfpq_index — codes, codebook sidecar, centroid sidecar),
+    then serve the probe's ADC top-10 reading ONLY its 2 probe cells'
+    code partitions. The PQ fold is the SAME functions/pq.py
+    implementation b20_pq_exact_replay hash-proves, and this oracle
+    replays coarse pruning + ADC end-to-end — the served approximate
+    answer is exactly checkable."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        knn_ivfpq_from_index,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]  # 1-row bounded action: the query arrives from outside
+    tmp = tempfile.mkdtemp(prefix="ivfpq_index_")
+    try:
+        write_ivfpq_index(emb, tmp)
+        return knn_ivfpq_from_index(
+            spark, tmp, list(probe), probe_vec_id=0, k=10
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "b20_ivfpq_index_delta", oracle=_B20_IVFPQ_DELTA_ORACLE, tags=("B20",)
+)
+def b20_ivfpq_index_delta(spark, sf_dir):
+    """INCREMENTAL maintenance of the IVF-PQ layout with BOTH
+    quantizers frozen: build from ~6/7 of the corpus (coarse centroids
+    vec_id < 8 and PQ seeds vec_id < 16 stay in the base), merge the
+    rest as a delta (operators/retrieval.merge_ivfpq_delta — delta
+    vectors coarse-assigned map-side and PQ-encoded against the STORED
+    codebooks, appended into landed cells only; work O(delta)), then
+    serve. The oracle replays exactly these semantics — codebooks
+    trained on the base, EVERYONE encoded against them — so the hash
+    check proves frozen-codebook delta-merge ≡ the same-posture
+    rebuild."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import (
+        knn_ivfpq_from_index,
+        merge_ivfpq_delta,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    tmp = tempfile.mkdtemp(prefix="ivfpq_index_delta_")
+    try:
+        write_ivfpq_index(
+            emb.filter(F.expr("vec_id < 16 OR pmod(vec_id, 7) != 3")), tmp
+        )
+        merge_ivfpq_delta(
+            spark, tmp,
+            emb.filter(F.expr("vec_id >= 16 AND pmod(vec_id, 7) = 3")),
+        )
+        return knn_ivfpq_from_index(
+            spark, tmp, list(probe), probe_vec_id=0, k=10
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # B20ri — HYBRID RETRIEVAL SERVED ENTIRELY FROM THE WRITTEN INDICES:
 # b20_rrf_hybrid's recipe (RRF over a lexical and a vector leg) with
 # BOTH legs answered from their serving layouts — BM25 from the
@@ -4337,69 +4523,23 @@ _B20_PQ_EXACT_ORACLE = """
 
 @register("b20_pq_exact_replay", oracle=_B20_PQ_EXACT_ORACLE, tags=("B20",))
 def b20_pq_exact_replay(spark, sf_dir):
-    M, SUBD, K = 4, 16, 16
+    """One shared PQ implementation (functions/pq.py) feeds this
+    exact-replay query AND the written IVF-PQ index
+    (operators/retrieval.write_ivfpq_index) — the codebooks, codes,
+    and ADC fold cannot drift between the ad-hoc path and the serving
+    layout."""
+    from ..functions.pq import (
+        pq_adc_topk,
+        pq_assign,
+        pq_ratio_expr,
+        pq_subvectors,
+        pq_train,
+    )
+
     emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
-    qsub = lambda j: F.transform(  # noqa: E731
-        F.slice("embedding", j * SUBD + 1, SUBD),
-        lambda e: (
-            F.round(e.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
-        ).cast("bigint"),
-    )
-    v = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("sub"), qsub(j).alias("x"))
-                    for j in range(M)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", "e.sub", "e.x")
-
-    seeds = v.filter(F.col("vec_id") < K).select(
-        "sub",
-        F.col("vec_id").alias("cluster"),
-        F.col("x").alias("sx"),
-        F.lit(1).cast("bigint").alias("n"),
-    )
-
-    def ratio_expr():
-        num = F.aggregate(
-            F.zip_with(
-                F.col("x"),
-                F.col("sx"),
-                lambda a, b: (F.col("n") * a - b).cast("decimal(19,0)")
-                * (F.col("n") * a - b).cast("decimal(19,0)"),
-            ),
-            F.lit(0).cast("decimal(38,0)"),
-            lambda acc, term: acc + term,
-        )
-        return num.cast("double") / (F.col("n") * F.col("n")).cast("double")
-
-    def assign(cent):
-        return (
-            v.join(F.broadcast(cent), "sub")
-            .select("vec_id", "sub", "cluster", ratio_expr().alias("r"))
-            .groupBy("vec_id", "sub")
-            .agg(F.min_by("cluster", F.struct("r", "cluster")).alias("cluster"))
-        )
-
-    a1 = assign(seeds)
-    cent1 = (
-        a1.join(v, ["vec_id", "sub"])
-        .select("sub", "cluster", F.posexplode("x").alias("dim", "xv"))
-        .groupBy("sub", "cluster", "dim")
-        .agg(F.sum("xv").alias("s"), F.count("*").alias("cn"))
-        .groupBy("sub", "cluster")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"),
-            F.max("cn").alias("n"),
-        )
-        .select("sub", "cluster", F.col("ds.s").alias("sx"), "n")
-    )
-    codes = assign(cent1)
-
+    v = pq_subvectors(emb)
+    cent1 = pq_train(v)
+    codes = pq_assign(v, cent1)
     probe = v.filter(F.col("vec_id") == 0).select(
         "sub", F.col("x").alias("px")
     )
@@ -4412,25 +4552,9 @@ def b20_pq_exact_replay(spark, sf_dir):
             "sx",
             "n",
         )
-        .select("sub", "cluster", ratio_expr().alias("r"))
+        .select("sub", "cluster", pq_ratio_expr().alias("r"))
     )
-    terms = (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(lut), ["sub", "cluster"])
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == j, F.col("r"))).alias(f"t{j}")
-                for j in range(M)
-            ]
-        )
-    )
-    dist = ((F.col("t0") + F.col("t1")) + F.col("t2")) + F.col("t3")
-    return (
-        terms.select("vec_id", dist.alias("adc_dist"))
-        .orderBy("adc_dist", "vec_id")
-        .limit(10)
-    )
+    return pq_adc_topk(codes.filter(F.col("vec_id") != 0), lut, k=10)
 
 
 # --------------------------------------------------------------------------

@@ -186,6 +186,168 @@ def test_indexed_ivf_prunes_to_probe_cells(spark, tmp_path):
     assert len(populated) == 2  # the fixture populates both probe cells
 
 
+def test_ivfpq_index_serves_codes_not_vectors(spark, tmp_path):
+    """IVF-PQ contract (round-12): the written layout stores 4 small
+    codebook ids per vector — NO raw embedding anywhere under codes/
+    (the ~64× candidate-byte reduction IS the point) — the serve scan
+    opens only the probe cells' partitions, and the ADC top-k equals
+    an in-memory replay of the same shared fold."""
+    from iot_system_plc_data_to_influxdb_spark.functions.pq import (
+        pq_adc_topk,
+        pq_assign,
+        pq_ratio_expr,
+        pq_subvectors,
+        pq_train,
+    )
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        ivf_probe_cells,
+        ivfpq_code_scan,
+        knn_ivfpq_from_index,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path)
+
+    # (a) compression: the codes relation has no vector column
+    codes_schema = set(
+        spark.read.parquet(os.path.join(path, "codes")).columns
+    )
+    assert codes_schema == {"vec_id", "c0", "c1", "c2", "c3", "cell"}
+
+    probe = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    served = knn_ivfpq_from_index(
+        spark, path, list(probe), probe_vec_id=0, k=10
+    )
+    got = [(r["vec_id"], r["adc_dist"]) for r in served.collect()]
+    assert len(got) == 10
+
+    # (b) pruning: the code scan opens <= n_probe_cells cell= dirs,
+    # derived the way the serve derives them
+    probe_df = spark.createDataFrame([(list(probe),)], "pe array<float>")
+    expected_cells = ivf_probe_cells(spark, path, probe_df, n_probe_cells=2)
+    opened = {
+        int(r["f"].split("cell=")[1].split("/")[0])
+        for r in ivfpq_code_scan(spark, path, expected_cells)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert opened and opened <= set(expected_cells)
+    all_cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(path, "codes"))
+        if d.startswith("cell=")
+    }
+    assert len(all_cells) > len(set(expected_cells))
+
+    # (c) answer equals an in-memory replay of the same shared fold,
+    # restricted to the same probe cells
+    from iot_system_plc_data_to_influxdb_spark.operators.similarity import (
+        ivf_cell_assignments,
+        ivf_centroids,
+    )
+
+    v = pq_subvectors(emb)
+    cb = pq_train(v)
+    codes = pq_assign(v, cb)
+    cents = ivf_centroids(emb, 8)
+    asg = ivf_cell_assignments(emb, cents).select("vec_id", "cell")
+    member = asg.filter(
+        F.col("cell").isin(expected_cells) & (F.col("vec_id") != 0)
+    ).select("vec_id")
+    pv = v.filter(F.col("vec_id") == 0).select(
+        "sub", F.col("x").alias("px")
+    )
+    lut = (
+        cb.join(F.broadcast(pv), "sub")
+        .select("sub", "cluster", F.col("px").alias("x"), "sx", "n")
+        .select("sub", "cluster", pq_ratio_expr().alias("r"))
+    )
+    want = [
+        (r["vec_id"], r["adc_dist"])
+        for r in pq_adc_topk(
+            codes.join(member, "vec_id"), lut, k=10
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_delta_touches_only_landed_cells(spark, tmp_path):
+    """merge_ivfpq_delta freezes BOTH sidecars (centroids AND
+    codebooks), appends only into landed cells, and the merged codes
+    equal encode-everyone-against-base-codebooks."""
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        merge_ivfpq_delta,
+        write_ivfpq_index,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.expr("vec_id < 16 OR pmod(vec_id, 7) != 3"))
+    delta = emb.filter(F.expr("vec_id >= 16 AND pmod(vec_id, 7) = 3"))
+    assert delta.count() > 0
+
+    inc = str(tmp_path / "ivfpq_inc")
+    write_ivfpq_index(base, inc)
+    codes_before = _files(os.path.join(inc, "codes"))
+    side_stat = {
+        (sub, f, os.stat(os.path.join(inc, sub, f)).st_mtime_ns)
+        for sub in ("codebooks", "centroids")
+        for f in os.listdir(os.path.join(inc, sub))
+        if not f.startswith(("_", "."))
+    }
+
+    landed = merge_ivfpq_delta(spark, inc, delta)
+    assert landed and len(landed) <= 8
+
+    codes_after = _files(os.path.join(inc, "codes"))
+    for d, files in codes_before.items():
+        cell = int(d.split("=")[1])
+        if cell in landed:
+            assert files <= codes_after[d]  # pure append
+        else:
+            assert codes_after.get(d) == files, d
+    side_stat_after = {
+        (sub, f, os.stat(os.path.join(inc, sub, f)).st_mtime_ns)
+        for sub in ("codebooks", "centroids")
+        for f in os.listdir(os.path.join(inc, sub))
+        if not f.startswith(("_", "."))
+    }
+    assert side_stat_after == side_stat  # both quantizers frozen
+
+    # merged == encode-everyone-with-base-trained-codebooks: re-encode
+    # the delta against the STORED codebooks and compare its rows
+    from iot_system_plc_data_to_influxdb_spark.functions.pq import (
+        M,
+        pq_assign,
+        pq_subvectors,
+    )
+
+    cb = spark.read.parquet(os.path.join(inc, "codebooks"))
+    want_delta = {
+        tuple(int(r[f"c{j}"]) for j in range(M)) + (int(r["vec_id"]),)
+        for r in pq_assign(pq_subvectors(delta), cb)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == j, F.col("cluster")))
+                .cast("int")
+                .alias(f"c{j}")
+                for j in range(M)
+            ]
+        )
+        .collect()
+    }
+    delta_ids = {int(r["vec_id"]) for r in delta.select("vec_id").collect()}
+    got_delta = {
+        tuple(int(r[f"c{j}"]) for j in range(M)) + (int(r["vec_id"]),)
+        for r in spark.read.parquet(os.path.join(inc, "codes")).collect()
+        if int(r["vec_id"]) in delta_ids
+    }
+    assert got_delta == want_delta
+
+
 def _files(root: str) -> dict[str, set]:
     """partition-dir -> set of (filename, size, mtime_ns) under root."""
     out: dict[str, set] = {}

@@ -73,6 +73,7 @@ HEADLINE = [
     "b20_rrf_recall",            # broadcast vocab/dims; one bounded full-outer fusion
     "pipeline_training_e2e",     # map-only gate; hash window; bounded pack; O(langs) report
     "b20_rrf_indexed",           # both legs off written indices; bounded fusion
+    "b20_knn_ivfpq_indexed",     # broadcast LUT; pruned code scan, no vectors
 ]
 
 
