@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "b20_rrf_indexed",  # hybrid fusion with BOTH legs off written indices
     "b20_knn_ivfpq_indexed",  # codes-not-vectors ADC serve off written layout
     "b20_ivfpq_index_delta",  # frozen-codebook O(delta) merge + ADC serve
+    "b20_ivfpq_rerank",  # ADC shortlist -> exact rerank of 50 fetched ids
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw

@@ -558,6 +558,44 @@ def knn_ivfpq_from_index(
     return pq_adc_topk(codes_long, lut, k)
 
 
+def knn_ivfpq_rerank(
+    spark: SparkSession,
+    path: str,
+    emb_source: DataFrame,
+    probe: list[float],
+    probe_vec_id: int | None = None,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe_cells: int = 2,
+) -> DataFrame:
+    """Two-stage serving — the production IVF-PQ recipe: the written
+    codes produce a cheap ADC SHORTLIST (``shortlist`` ids,
+    deterministic (adc, vec_id) order), then ONLY those ids fetch
+    their raw vectors from original storage (``emb_source`` — a
+    broadcast id-semijoin, never a corpus scan) for an exact cosine
+    rerank. Compression does the candidate narrowing; full precision
+    does the final ranking."""
+    from ..functions.vectors import cosine
+
+    sl = knn_ivfpq_from_index(
+        spark, path, probe, probe_vec_id, k=shortlist,
+        n_probe_cells=n_probe_cells,
+    ).select("vec_id")
+    probe_df = spark.createDataFrame([(list(probe),)], "pe array<float>")
+    return (
+        emb_source.join(F.broadcast(sl), "vec_id")
+        .crossJoin(F.broadcast(probe_df))
+        .select(
+            "vec_id",
+            F.round(
+                cosine(F.col("embedding"), F.col("pe")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def postings_bucket_files(spark: SparkSession, path: str) -> DataFrame:
     """(tb, n_files) over the postings tree — the fragmentation
     metadata relation the compaction planner consumes (the retrieval

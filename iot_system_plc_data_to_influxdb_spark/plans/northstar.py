@@ -1486,14 +1486,15 @@ def b20_ivf_compaction(spark, sf_dir):
 # ((t0+t1)+t2)+t3 association) — so the hash check proves the SERVED
 # approximate answer, not a lookalike.
 # --------------------------------------------------------------------------
-def _ivfpq_oracle_sql(train_where: str = "") -> str:
-    """The IVF-PQ replay, parameterized on the TRAINING membership
+def _ivfpq_chain_sql(train_where: str = "") -> str:
+    """The IVF-PQ replay CTE chain through the per-candidate ADC terms
+    `pqt(vec_id, t0..t3)`, parameterized on the TRAINING membership
     filter (s1's WHERE): empty = codebooks trained on the full corpus
     (the full-rebuild query); a base filter = codebooks trained on the
     base only while EVERYONE is encoded against them — exactly the
-    frozen-codebook delta-merge semantics."""
-    return f"""
-    WITH {_IVF_CAND_SQL},
+    frozen-codebook delta-merge semantics. Shared by the ADC top-k
+    oracles and the shortlist+exact-rerank oracle."""
+    return f"""{_IVF_CAND_SQL},
     p16 AS (SELECT unnest(range(1, 17)) AS i),
     subs AS (SELECT unnest(range(0, 4)) AS sub),
     qv AS (
@@ -1572,17 +1573,56 @@ def _ivfpq_oracle_sql(train_where: str = "") -> str:
         ON l.sub = pc.sub AND l.cluster = pc.cluster
       GROUP BY pc.vec_id
     )
+"""
+
+
+_B20_IVFPQ_ORACLE = f"""
+    WITH {_ivfpq_chain_sql()}
+    SELECT vec_id, ((t0 + t1) + t2) + t3 AS adc_dist
+    FROM pqt ORDER BY adc_dist, vec_id LIMIT 10
+"""
+#: delta twin: PQ codebooks trained on the base corpus only (seeds
+#: vec_id < 16 are always base members), everyone encoded against them
+_B20_IVFPQ_DELTA_ORACLE = f"""
+    WITH {_ivfpq_chain_sql("WHERE v.vec_id < 16 OR v.vec_id % 7 != 3")}
     SELECT vec_id, ((t0 + t1) + t2) + t3 AS adc_dist
     FROM pqt ORDER BY adc_dist, vec_id LIMIT 10
 """
 
+# Two-stage serving — the production IVF-PQ recipe: the compressed
+# codes produce a cheap ADC SHORTLIST (top-50 here), then ONLY those
+# ids fetch their raw vectors from original storage for an exact
+# cosine rerank. The shortlist is deterministic ((adc, vec_id) order,
+# identical doubles both engines), so the reranked top-10 is
+# hash-exact too.
+_IVFPQ_SHORTLIST = 50
 
-_B20_IVFPQ_ORACLE = _ivfpq_oracle_sql()
-#: delta twin: PQ codebooks trained on the base corpus only (seeds
-#: vec_id < 16 are always base members), everyone encoded against them
-_B20_IVFPQ_DELTA_ORACLE = _ivfpq_oracle_sql(
-    "WHERE v.vec_id < 16 OR v.vec_id % 7 != 3"
-)
+_B20_IVFPQ_RERANK_ORACLE = f"""
+    WITH {_ivfpq_chain_sql()},
+    sl AS (
+      SELECT vec_id, ((t0 + t1) + t2) + t3 AS adc
+      FROM pqt ORDER BY adc, vec_id LIMIT {_IVFPQ_SHORTLIST}
+    ),
+    rrt AS (
+      SELECT s.vec_id,
+        CAST(ROUND(CAST(e.embedding[pos.i] AS DOUBLE), 7)
+          AS DECIMAL(9,7)) AS da,
+        CAST(ROUND(CAST(p.pv[pos.i] AS DOUBLE), 7)
+          AS DECIMAL(9,7)) AS db
+      FROM sl s JOIN embeddings e ON e.vec_id = s.vec_id
+      CROSS JOIN pe p CROSS JOIN pos
+    ),
+    rra AS (
+      SELECT vec_id, SUM(da * db) AS dot,
+        SUM(da * da) AS na, SUM(db * db) AS nb
+      FROM rrt GROUP BY vec_id
+    )
+    SELECT vec_id,
+      ROUND(CAST(dot AS DOUBLE)
+            / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        AS cos_sim
+    FROM rra ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 @register("b20_knn_ivfpq_indexed", oracle=_B20_IVFPQ_ORACLE, tags=("B20",))
@@ -1611,6 +1651,37 @@ def b20_knn_ivfpq_indexed(spark, sf_dir):
         write_ivfpq_index(emb, tmp)
         return knn_ivfpq_from_index(
             spark, tmp, list(probe), probe_vec_id=0, k=10
+        ).localCheckpoint()  # must outlive the temp-dir cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "b20_ivfpq_rerank", oracle=_B20_IVFPQ_RERANK_ORACLE, tags=("B20",)
+)
+def b20_ivfpq_rerank(spark, sf_dir):
+    """TWO-STAGE serving off the written IVF-PQ layout — the recipe
+    production vector search actually runs: the compressed codes
+    produce a cheap ADC shortlist (top-50), then only those 50 ids
+    fetch raw vectors from original storage (broadcast id-semijoin
+    against the embeddings table — never a corpus scan) for an exact
+    cosine rerank. The oracle replays shortlist AND rerank, so the
+    hash proves the whole two-stage answer."""
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import knn_ivfpq_rerank, write_ivfpq_index
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    tmp = tempfile.mkdtemp(prefix="ivfpq_rerank_")
+    try:
+        write_ivfpq_index(emb, tmp)
+        return knn_ivfpq_rerank(
+            spark, tmp, emb, list(probe), probe_vec_id=0,
+            k=10, shortlist=_IVFPQ_SHORTLIST,
         ).localCheckpoint()  # must outlive the temp-dir cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

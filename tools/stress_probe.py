@@ -87,8 +87,8 @@ QUERIES = [
     # docs, so a 10x row would measure nothing; the JL projection leg
     # is plan-guarded map-only instead (tests/test_plans_physical.py).
     # b20_knn_ivf_indexed / b20_ivf_index_delta / b20_ivf_compaction /
-    # b20_rrf_indexed / b20_knn_ivfpq_indexed / b20_ivfpq_index_delta
-    # likewise ride the
+    # b20_rrf_indexed / b20_knn_ivfpq_indexed / b20_ivfpq_index_delta /
+    # b20_ivfpq_rerank likewise ride the
     # verbatim embeddings table (their 10x behavior is the bm25 index
     # rows' — same layout-job shape). b20_rrf_recall_correlated is an
     # EVAL harness whose brute-force TRUTH is panel x corpus by
