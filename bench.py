@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "b20_knn_ivfpq_indexed",  # codes-not-vectors ADC serve off written layout
     "b20_ivfpq_index_delta",  # frozen-codebook O(delta) merge + ADC serve
     "b20_ivfpq_rerank",  # ADC shortlist -> exact rerank of 50 fetched ids
+    "b20_pq_recall",  # compression-cost / rerank-recovery recall eval
 ]
 
 # Work-size notes: when a query's corpus GROWS between rounds, its raw
@@ -300,6 +301,35 @@ QUERY_WORK_NOTES = {
                                  "IVF, query-tf BM25); hyb >= "
                                  "max(legs) at all three SFs, pinned "
                                  "in pytest",
+    "b21_index_compaction": "new in r12: full build + TWO delta merges "
+                            "+ selective compaction of >2-file buckets "
+                            "+ serve — wall is ~3 layout jobs, not a "
+                            "serve cost",
+    "b20_ivf_compaction": "new in r12: IVF build + two delta appends + "
+                          "fragmented-cell rewrite + serve — the "
+                          "vector twin of b21_index_compaction",
+    "b21_bm25_index_stream": "new in r12: base build + a real "
+                             "availableNow streaming query applying 2 "
+                             "foreachBatch delta merges + serve — "
+                             "includes streaming-engine startup per "
+                             "run",
+    "b20_rrf_indexed": "new in r12: builds BOTH written indices then "
+                       "fuses their served legs — wall is the two "
+                       "layout jobs; see index_build_serve for the "
+                       "serve-only latencies",
+    "b20_knn_ivfpq_indexed": "new in r12: PQ codebook training (2 "
+                             "Lloyd iterations over the full corpus) "
+                             "+ code write + ADC serve; serve-only "
+                             "wall in index_build_serve",
+    "b20_ivfpq_index_delta": "new in r12: base-trained codebooks, "
+                             "frozen-quantizer delta encode+append, "
+                             "ADC serve",
+    "b20_ivfpq_rerank": "new in r12: ADC top-50 shortlist off the "
+                        "codes + exact cosine rerank of the 50 "
+                        "fetched ids (broadcast id-semijoin)",
+    "b20_pq_recall": "new in r12: panel recall eval — codebook "
+                     "training + panel ADC + rerank + brute truth in "
+                     "one query; an EVAL harness, not a serve path",
 }
 
 # Build-vs-serve split for the INDEXED serving paths (round-11 verdict
@@ -364,6 +394,26 @@ def _index_build_serve_split(spark, sf_dir: str) -> dict:
         )
         out["b20_knn_ivf_indexed"] = {
             "build_s": build_s, "serve_s": serve_s
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = tempfile.mkdtemp(prefix="bench_ivfpq_idx_")
+    try:
+        _, build_s = timed(lambda: retrieval.write_ivfpq_index(emb, tmp))
+        serve_s = serve_min(
+            lambda: retrieval.knn_ivfpq_from_index(
+                spark, tmp, probe, probe_vec_id=0, k=10
+            )
+        )
+        rerank_s = serve_min(
+            lambda: retrieval.knn_ivfpq_rerank(
+                spark, tmp, emb, probe, probe_vec_id=0, k=10
+            )
+        )
+        out["b20_knn_ivfpq_indexed"] = {
+            "build_s": build_s, "serve_s": serve_s,
+            "serve_rerank_s": rerank_s,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1486,16 +1486,15 @@ def b20_ivf_compaction(spark, sf_dir):
 # ((t0+t1)+t2)+t3 association) — so the hash check proves the SERVED
 # approximate answer, not a lookalike.
 # --------------------------------------------------------------------------
-def _ivfpq_chain_sql(train_where: str = "") -> str:
-    """The IVF-PQ replay CTE chain through the per-candidate ADC terms
-    `pqt(vec_id, t0..t3)`, parameterized on the TRAINING membership
-    filter (s1's WHERE): empty = codebooks trained on the full corpus
-    (the full-rebuild query); a base filter = codebooks trained on the
-    base only while EVERYONE is encoded against them — exactly the
-    frozen-codebook delta-merge semantics. Shared by the ADC top-k
-    oracles and the shortlist+exact-rerank oracle."""
-    return f"""{_IVF_CAND_SQL},
-    p16 AS (SELECT unnest(range(1, 17)) AS i),
+def _pq_train_sql(train_where: str = "") -> str:
+    """The PQ codebook-training + code-assignment CTE chain through
+    `codes(vec_id, sub, cluster)`, parameterized on the TRAINING
+    membership filter (s1's WHERE): empty = codebooks trained on the
+    full corpus; a base filter = codebooks trained on the base only
+    while EVERYONE is encoded against them — exactly the
+    frozen-codebook delta-merge semantics. Shared by the IVF-PQ
+    serving oracles and the PQ recall-evaluation oracle."""
+    return f"""p16 AS (SELECT unnest(range(1, 17)) AS i),
     subs AS (SELECT unnest(range(0, 4)) AS sub),
     qv AS (
       SELECT e.vec_id, s.sub,
@@ -1546,7 +1545,16 @@ def _ivfpq_chain_sql(train_where: str = "") -> str:
         SELECT vec_id, sub, cluster,
           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY r, cluster) AS rk
         FROM s2pq) WHERE rk = 1
-    ),
+    )
+"""
+
+
+def _ivfpq_chain_sql(train_where: str = "") -> str:
+    """The single-probe IVF-PQ serving replay: coarse pruning
+    (_IVF_CAND_SQL) + PQ training/codes (_pq_train_sql) + the probe's
+    ADC lookup table and per-candidate terms `pqt(vec_id, t0..t3)`."""
+    return f"""{_IVF_CAND_SQL},
+    {_pq_train_sql(train_where)},
     pprobe AS (SELECT sub, x AS px FROM qv WHERE vec_id = 0),
     lut AS (
       SELECT c.sub, c.cluster,
@@ -3844,7 +3852,8 @@ _B20_ANN_RECALL_ORACLE = f"""
 
 
 def _ann_sim_bf_ivf(
-    spark, sf_dir, ivf_k: int = 10, qn=None, n_probe=2, n_cells=8
+    spark, sf_dir, ivf_k: int = 10, qn=None, n_probe=2, n_cells=8,
+    with_cells: bool = False,
 ):
     """The batch-of-probes ANN evaluation core shared by
     b20_ann_recall and the two rrf_recall harnesses: (sim, bf, ivf)
@@ -3925,7 +3934,165 @@ def _ann_sim_bf_ivf(
         .filter(F.col("rk") <= ivf_k)
         .select("pid", "vec_id", "rk")
     )
+    if with_cells:
+        # the PQ recall eval reuses the coarse relations directly
+        return sim, bf, ivf, assigned, pcells
     return sim, bf, ivf
+
+
+# --------------------------------------------------------------------------
+# B20pr — PQ RECALL EVALUATION: what does the ~64× code compression
+# COST in answer quality, and does the two-stage rerank recover it?
+# Per panel probe (the b20_ann_recall panel), three measurements
+# against the brute-cosine top-10 truth: recall of the raw ADC top-10
+# over the probe's 2 coarse cells, and recall of the rerank path (ADC
+# top-50 shortlist → exact-cosine top-10). rerank recall ≥ ADC recall
+# by construction pressure (full precision re-ranks the shortlist),
+# and both are ceilinged by the coarse pruning (the IVF recall row) —
+# the quantitative story behind shipping b20_ivfpq_rerank as the
+# serving default. Coarse quantizer here = the harness's integer-dot
+# formulation (shared with b20_ann_recall), applied identically on
+# both engines.
+# --------------------------------------------------------------------------
+_B20_PQ_RECALL_ORACLE = f"""
+    WITH {_ann_core_ctes(10)},
+    {_pq_train_sql()},
+    ppv AS (
+      SELECT vec_id AS pid, sub, x AS px FROM qv
+      WHERE vec_id % {_ANN_PROBE_MOD} = 0
+    ),
+    plut AS (
+      SELECT p.pid, c.sub, c.cluster,
+        CAST(SUM(CAST(c.n * p.px[p16.i] - c.sx[p16.i] AS HUGEINT)
+                 * (c.n * p.px[p16.i] - c.sx[p16.i])) AS DOUBLE)
+          / (CAST(c.n AS DOUBLE) * c.n) AS r
+      FROM c1 c JOIN ppv p ON p.sub = c.sub CROSS JOIN p16
+      GROUP BY p.pid, c.sub, c.cluster, c.n
+    ),
+    padc AS (
+      SELECT pc.pid, cd.vec_id,
+        ((MAX(CASE WHEN cd.sub = 0 THEN l.r END)
+          + MAX(CASE WHEN cd.sub = 1 THEN l.r END))
+          + MAX(CASE WHEN cd.sub = 2 THEN l.r END))
+          + MAX(CASE WHEN cd.sub = 3 THEN l.r END) AS adc
+      FROM codes cd
+      JOIN assigned a ON a.vec_id = cd.vec_id
+      JOIN pcells pc ON pc.cell = a.cell
+      JOIN plut l ON l.pid = pc.pid AND l.sub = cd.sub
+        AND l.cluster = cd.cluster
+      WHERE cd.vec_id <> pc.pid
+      GROUP BY pc.pid, cd.vec_id
+    ),
+    adcrk AS (
+      SELECT pid, vec_id,
+        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc, vec_id) AS rk
+      FROM padc
+    ),
+    adc10 AS (SELECT pid, vec_id FROM adcrk WHERE rk <= 10),
+    sl AS (SELECT pid, vec_id FROM adcrk WHERE rk <= {_IVFPQ_SHORTLIST}),
+    rr AS (
+      SELECT pid, vec_id FROM (
+        SELECT s.pid, s.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY s.pid
+                             ORDER BY s.cs DESC, s.vec_id) AS rk
+        FROM sim s JOIN sl ON sl.pid = s.pid AND sl.vec_id = s.vec_id
+      ) WHERE rk <= 10
+    )
+    SELECT bf.pid AS pid,
+      CAST(COUNT(*) AS BIGINT) AS n_truth,
+      CAST(SUM(CASE WHEN a10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           * 1000 AS BIGINT) AS adc_recall_bp,
+      CAST(SUM(CASE WHEN rr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           * 1000 AS BIGINT) AS rerank_recall_bp
+    FROM bf
+    LEFT JOIN adc10 a10 ON a10.pid = bf.pid AND a10.vec_id = bf.vec_id
+    LEFT JOIN rr ON rr.pid = bf.pid AND rr.vec_id = bf.vec_id
+    GROUP BY bf.pid
+"""
+
+
+@register("b20_pq_recall", oracle=_B20_PQ_RECALL_ORACLE, tags=("B20",))
+def b20_pq_recall(spark, sf_dir):
+    """Per-probe recall@10 of the raw ADC ranking and of the two-stage
+    rerank path vs brute-cosine truth — the measured cost of PQ
+    compression and the measured recovery from exact rerank. Shares
+    the b20_ann_recall panel/truth/coarse relations and the
+    functions/pq fold, so all four evaluations (bf truth, IVF, ADC,
+    rerank) are mutually comparable rows in EVIDENCE.md."""
+    from ..functions.pq import (
+        M,
+        pq_assign,
+        pq_ratio_expr,
+        pq_subvectors,
+        pq_train,
+    )
+
+    sim, bf, _ivf, assigned, pcells = _ann_sim_bf_ivf(
+        spark, sf_dir, ivf_k=10, with_cells=True
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    v = pq_subvectors(emb)
+    cb = pq_train(v).localCheckpoint()  # feeds panel LUT + codes
+    codes = pq_assign(v, cb)
+    ppv = v.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"), "sub", F.col("x").alias("px")
+    )
+    plut = (
+        cb.join(F.broadcast(ppv), "sub")
+        .select(
+            "pid", "sub", "cluster",
+            F.col("px").alias("x"),  # reuse the exact-numerator fold
+            "sx", "n",
+        )
+        .select("pid", "sub", "cluster", pq_ratio_expr().alias("r"))
+    )
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(pcells), "cell")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .join(F.broadcast(plut), ["pid", "sub", "cluster"])
+        .groupBy("pid", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == j, F.col("r"))).alias(f"t{j}")
+                for j in range(M)
+            ]
+        )
+    )
+    adc = ((F.col("t0") + F.col("t1")) + F.col("t2")) + F.col("t3")
+    wadc = Window.partitionBy("pid").orderBy("adc", "vec_id")
+    adcrk = (
+        cand.select("pid", "vec_id", adc.alias("adc"))
+        .withColumn("rk", F.row_number().over(wadc))
+        .localCheckpoint()  # feeds both the top-10 and top-50 cuts
+    )
+    adc10 = adcrk.filter(F.col("rk") <= 10).select(
+        "pid", "vec_id", F.lit(1).alias("ahit")
+    )
+    sl = adcrk.filter(F.col("rk") <= _IVFPQ_SHORTLIST).select(
+        "pid", "vec_id"
+    )
+    wp = Window.partitionBy("pid").orderBy(F.col("cs").desc(), "vec_id")
+    rr = (
+        sim.join(sl, ["pid", "vec_id"])
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= 10)
+        .select("pid", "vec_id", F.lit(1).alias("rhit"))
+    )
+    return (
+        bf.join(adc10, ["pid", "vec_id"], "left")
+        .join(rr, ["pid", "vec_id"], "left")
+        .groupBy("pid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            (F.sum(F.coalesce("ahit", F.lit(0))) * 1000)
+            .cast("bigint")
+            .alias("adc_recall_bp"),
+            (F.sum(F.coalesce("rhit", F.lit(0))) * 1000)
+            .cast("bigint")
+            .alias("rerank_recall_bp"),
+        )
+    )
 
 
 @register("b20_ann_recall", oracle=_B20_ANN_RECALL_ORACLE, tags=("B20",))

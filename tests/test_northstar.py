@@ -2553,6 +2553,31 @@ def test_rrf_recall_correlated_fusion_wins(spark):
         assert lex > 0 and ivf > 0
 
 
+def test_pq_recall_rerank_recovers_compression_loss(spark):
+    """b20_pq_recall (round-12): the measured quality story behind
+    shipping the two-stage IVF-PQ serve — raw ADC recall@10 pays for
+    the ~64× code compression, the exact rerank of the ADC top-50
+    recovers most of it, and both sit under the IVF full-precision
+    ceiling (same coarse pruning). Aggregate ordering pinned at two
+    SFs: rerank >= adc, ivf >= rerank, and rerank recovers a strict
+    improvement (the shortlist genuinely helps)."""
+    from iot_system_plc_data_to_influxdb_spark.plans.northstar import (
+        b20_ann_recall,
+        b20_pq_recall,
+    )
+
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        rows = b20_pq_recall(spark, sf_dir).collect()
+        assert rows
+        adc = sum(r["adc_recall_bp"] for r in rows)
+        rr = sum(r["rerank_recall_bp"] for r in rows)
+        ivf = sum(
+            r["recall_bp"] for r in b20_ann_recall(spark, sf_dir).collect()
+        )
+        assert rr > adc, (sf_dir, adc, rr)  # strict: rerank earns its keep
+        assert ivf >= rr, (sf_dir, rr, ivf)
+
+
 def test_pack_fold_seed_is_positional(spark):
     """r11 ADVICE: the pack fold's new-bin test is POSITIONAL (first
     row of a stream always seeds bin 0; every later row uses the pure
