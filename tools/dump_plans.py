@@ -72,8 +72,12 @@ HEADLINE = [
     "b21_sequence_pack",         # (lang, shard) exchange into bounded pandas fold
     "b20_rrf_recall",            # broadcast vocab/dims; one bounded full-outer fusion
     "pipeline_training_e2e",     # map-only gate; hash window; bounded pack; O(langs) report
-    "b20_rrf_indexed",           # both legs off written indices; bounded fusion
-    "b20_knn_ivfpq_indexed",     # broadcast LUT; pruned code scan, no vectors
+    # the indexed serving queries (b21_bm25_indexed, b20_rrf_indexed,
+    # b20_knn_ivfpq_indexed, ...) return localCheckpoint()ed results
+    # (they must outlive their temp index dirs), so their dumped plan
+    # would be a LogicalRDD stub — their plan evidence is the
+    # input_file_name() pruning proofs in tests/test_retrieval_index.py
+    "b20_pq_recall",             # panel LUT broadcast; coarse relations reused; bounded rank windows
 ]
 
 

@@ -77,6 +77,11 @@ QUERIES = [
     "pipeline_training_e2e",     # claim: map-only gate; ONE content-hash window; bounded pack; O(langs) report
     "b21_bm25_indexed",          # claim: one-pass index build; serve reads only query-term buckets
     "b20_knn_ivf_indexed",       # claim: one-pass cell layout; serve reads only 2 probe cells
+    "b21_index_compaction",      # claim: deltas + compaction exchange only fragmented buckets' rows
+    "b21_bm25_index_stream",     # claim: per-batch merges exchange O(delta), never the base
+    "b20_knn_ivfpq_indexed",     # claim: codes-not-vectors — serve shuffles ~nothing (LUT broadcast)
+    "b20_ivfpq_rerank",          # claim: shortlist broadcast id-semijoin; no corpus exchange on rerank
+    "b20_rrf_indexed",           # claim: two layout jobs; both served legs pruned + TakeOrdered
 ]
 
 UI_PORT = 4047
