@@ -108,6 +108,25 @@ def pq_train(v: DataFrame) -> DataFrame:
     )
 
 
+def pq_codes_wide(v: DataFrame, cb: DataFrame) -> DataFrame:
+    """Assign + pivot to the WRITTEN code layout (vec_id, c0..c{M-1}
+    int) — the one long-to-wide expression shared by the full index
+    build, the delta merge, and the tests, so the stored code format
+    cannot drift between paths."""
+    return (
+        pq_assign(v, cb)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == j, F.col("cluster")))
+                .cast("int")
+                .alias(f"c{j}")
+                for j in range(M)
+            ]
+        )
+    )
+
+
 def pq_adc_topk(
     codes_long: DataFrame, lut: DataFrame, k: int = 10
 ) -> DataFrame:

@@ -405,25 +405,16 @@ def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
     layout. Shuffle budget: the two PQ aggregations (train + assign,
     both keyed on vec_id/sub) plus the thin (vec_id, cell) join —
     the map-side coarse assignment adds no exchange of its own."""
-    from ..functions.pq import M, pq_assign, pq_subvectors, pq_train
+    from ..functions.pq import pq_codes_wide, pq_subvectors, pq_train
     from .similarity import ivf_cell_assignments, ivf_centroids
 
     spark = emb.sparkSession
     cents = ivf_centroids(emb, n_cells)
-    v = pq_subvectors(emb)
+    # v feeds pq_train twice (assign + recompute) and the code
+    # assignment below — materialize the scan+quantize+explode once
+    v = pq_subvectors(emb).localCheckpoint()
     cb = pq_train(v).localCheckpoint()  # reused: sidecar write + assign
-    codes_wide = (
-        pq_assign(v, cb)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == j, F.col("cluster")))
-                .cast("int")
-                .alias(f"c{j}")
-                for j in range(M)
-            ]
-        )
-    )
+    codes_wide = pq_codes_wide(v, cb)
     asg = ivf_cell_assignments(emb, cents).select("vec_id", "cell")
     (
         codes_wide.join(asg, "vec_id")
@@ -450,7 +441,7 @@ def merge_ivfpq_delta(
     via the shared functions/pq fold, and APPENDED into the landed
     ``cell=`` code partitions only. Work is O(delta). Returns the
     landed cell ids."""
-    from ..functions.pq import M, pq_assign, pq_subvectors
+    from ..functions.pq import pq_codes_wide, pq_subvectors
     from .similarity import ivf_cell_assignments
 
     cents = sorted(
@@ -460,18 +451,7 @@ def merge_ivfpq_delta(
         ).collect()
     )
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    codes_wide = (
-        pq_assign(pq_subvectors(delta_emb), cb)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == j, F.col("cluster")))
-                .cast("int")
-                .alias(f"c{j}")
-                for j in range(M)
-            ]
-        )
-    )
+    codes_wide = pq_codes_wide(pq_subvectors(delta_emb), cb)
     asg = ivf_cell_assignments(delta_emb, cents).select("vec_id", "cell")
     landed = codes_wide.join(asg, "vec_id").localCheckpoint()
     (
@@ -596,17 +576,70 @@ def knn_ivfpq_rerank(
     )
 
 
-def postings_bucket_files(spark: SparkSession, path: str) -> DataFrame:
-    """(tb, n_files) over the postings tree — the fragmentation
-    metadata relation the compaction planner consumes (the retrieval
-    twin of operators/retention's compaction planning: file counts
-    from ``input_file_name()``, never a driver-side directory walk)."""
+def _partition_files(
+    spark: SparkSession, root: str, part_col: str
+) -> DataFrame:
+    """(part_col, n_files) over a partitioned tree — fragmentation
+    metadata from ``input_file_name()`` (the retrieval twin of
+    operators/retention's compaction planning: never a driver-side
+    directory walk — at 100 TB the listing itself is the cost)."""
     return (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .select("tb", F.input_file_name().alias("f"))
-        .groupBy("tb")
+        spark.read.parquet(root)
+        .select(part_col, F.input_file_name().alias("f"))
+        .groupBy(part_col)
         .agg(F.count_distinct("f").cast("bigint").alias("n_files"))
     )
+
+
+def _compact_partitions(
+    spark: SparkSession,
+    root: str,
+    part_col: str,
+    cols: list[str],
+    sort_cols: list[str],
+    max_files: int,
+) -> list[int]:
+    """The one compaction body both modalities share: pick the
+    partitions whose file count exceeds ``max_files`` (bounded
+    collect), rewrite ONLY those as one ``sort_cols``-sorted file each
+    via dynamic partition overwrite; everything else keeps its files
+    byte-identical. Returns the compacted partition ids."""
+    frag = sorted(
+        int(r[part_col])
+        for r in _partition_files(spark, root, part_col)
+        .filter(F.col("n_files") > max_files)
+        .collect()
+    )
+    if not frag:
+        return frag
+    merged = (
+        spark.read.parquet(root)
+        .filter(F.col(part_col).isin(frag))  # partition pruning
+        .select(*cols, part_col)
+        .repartition(part_col)
+        .sortWithinPartitions(*sort_cols)
+        # cut lineage to the files the write below replaces
+        .localCheckpoint()
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # replaces ONLY the partitions present in `merged` — exactly
+        # `frag`
+        merged.write.mode("overwrite").partitionBy(part_col).parquet(root)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    return frag
+
+
+def postings_bucket_files(spark: SparkSession, path: str) -> DataFrame:
+    """(tb, n_files) over the postings tree — the fragmentation
+    metadata relation the compaction planner consumes."""
+    return _partition_files(spark, os.path.join(path, "postings"), "tb")
 
 
 def compact_postings_index(
@@ -629,49 +662,20 @@ def compact_postings_index(
     replace affected term buckets whole, so they stay one file each.
     Work is O(fragmented buckets' rows). Returns the compacted bucket
     ids (bounded by N_BUCKETS — the one tiny collect here)."""
-    frag = sorted(
-        int(r["tb"])
-        for r in postings_bucket_files(spark, path)
-        .filter(F.col("n_files") > max_files)
-        .collect()
+    return _compact_partitions(
+        spark,
+        os.path.join(path, "postings"),
+        "tb",
+        ["doc_id", "dl", "term", "tf"],
+        ["term", "doc_id"],
+        max_files,
     )
-    if not frag:
-        return frag
-    merged = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("tb").isin(frag))  # partition pruning
-        .select("doc_id", "dl", "term", "tf", "tb")
-        .repartition("tb")
-        .sortWithinPartitions("term", "doc_id")
-        # cut lineage to the files the write below replaces
-        .localCheckpoint()
-    )
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # replaces ONLY the tb= partitions present in `merged` —
-        # exactly `frag`
-        merged.write.mode("overwrite").partitionBy("tb").parquet(
-            os.path.join(path, "postings")
-        )
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_mode
-        )
-    return frag
 
 
 def ivf_cell_files(spark: SparkSession, path: str) -> DataFrame:
     """(cell, n_files) over the IVF cells tree — fragmentation
     metadata for the vector modality's compaction planner."""
-    return (
-        spark.read.parquet(os.path.join(path, "cells"))
-        .select("cell", F.input_file_name().alias("f"))
-        .groupBy("cell")
-        .agg(F.count_distinct("f").cast("bigint").alias("n_files"))
-    )
+    return _partition_files(spark, os.path.join(path, "cells"), "cell")
 
 
 def compact_ivf_cells(
@@ -684,35 +688,14 @@ def compact_ivf_cells(
     cells and the centroid sidecar keep their files byte-identical.
     Serving is unchanged by construction (same row set; top-k ordering
     is value-based). Returns the compacted cell ids."""
-    frag = sorted(
-        int(r["cell"])
-        for r in ivf_cell_files(spark, path)
-        .filter(F.col("n_files") > max_files)
-        .collect()
+    return _compact_partitions(
+        spark,
+        os.path.join(path, "cells"),
+        "cell",
+        ["vec_id", "embedding"],
+        ["vec_id"],
+        max_files,
     )
-    if not frag:
-        return frag
-    merged = (
-        spark.read.parquet(os.path.join(path, "cells"))
-        .filter(F.col("cell").isin(frag))  # partition pruning
-        .select("vec_id", "embedding", "cell")
-        .repartition("cell")
-        .sortWithinPartitions("vec_id")
-        .localCheckpoint()
-    )
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(path, "cells")
-        )
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_mode
-        )
-    return frag
 
 
 def merge_ivf_delta(

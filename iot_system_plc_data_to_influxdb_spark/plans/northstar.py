@@ -915,7 +915,14 @@ def b21_bm25_index_stream(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # never serve a partially-merged index or rmtree the
+            # source/checkpoint under a still-running query
+            q.stop()
+            raise RuntimeError(
+                "b21_bm25_index_stream: streaming merge did not "
+                "complete within 600s"
+            )
         return bm25_from_index(
             spark, idx, _BM25_TERMS, topk=_BM25_TOPK, scale=_BM25_SCALE
         ).localCheckpoint()  # must outlive the temp-dir cleanup
@@ -4031,7 +4038,9 @@ def b20_pq_recall(spark, sf_dir):
         spark, sf_dir, ivf_k=10, with_cells=True
     )
     emb = t(spark, sf_dir, "embeddings")
-    v = pq_subvectors(emb)
+    # v feeds pq_train (twice), the code assignment, and the panel
+    # subvectors — materialize the scan+quantize+explode once
+    v = pq_subvectors(emb).localCheckpoint()
     cb = pq_train(v).localCheckpoint()  # feeds panel LUT + codes
     codes = pq_assign(v, cb)
     ppv = v.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(

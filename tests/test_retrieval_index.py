@@ -317,27 +317,18 @@ def test_ivfpq_delta_touches_only_landed_cells(spark, tmp_path):
     assert side_stat_after == side_stat  # both quantizers frozen
 
     # merged == encode-everyone-with-base-trained-codebooks: re-encode
-    # the delta against the STORED codebooks and compare its rows
+    # the delta against the STORED codebooks (via the same shared
+    # pq_codes_wide the index paths use) and compare its rows
     from iot_system_plc_data_to_influxdb_spark.functions.pq import (
         M,
-        pq_assign,
+        pq_codes_wide,
         pq_subvectors,
     )
 
     cb = spark.read.parquet(os.path.join(inc, "codebooks"))
     want_delta = {
         tuple(int(r[f"c{j}"]) for j in range(M)) + (int(r["vec_id"]),)
-        for r in pq_assign(pq_subvectors(delta), cb)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == j, F.col("cluster")))
-                .cast("int")
-                .alias(f"c{j}")
-                for j in range(M)
-            ]
-        )
-        .collect()
+        for r in pq_codes_wide(pq_subvectors(delta), cb).collect()
     }
     delta_ids = {int(r["vec_id"]) for r in delta.select("vec_id").collect()}
     got_delta = {
