@@ -17,6 +17,20 @@ Two Lloyd iterations from the deterministic seeds vec_id < K; codes
 are the iteration-2 argmins. The ADC distance adds the four subspace
 terms in ONE fixed association order — ((t0+t1)+t2)+t3 — so the final
 double is engine-identical too.
+
+Round-12 optimization (guide §2.4 "remove shuffles outright"): the
+M×K ≤ 64-row centroid relation is COLLECTED and carried as literal
+arrays in the plan, so cluster argmin assignment is a map-side fold
+per row — no K× candidate blow-up, no groupBy exchange — and the
+wide code layout is a single projection of the wide embedding row
+(no subvector explode, no pivot aggregation). Every produced value
+is bit-identical: the per-candidate ratio r is the same exact-decimal
+numerator over the same double division, and a strict ``<`` fold over
+candidates in ascending cluster order IS ``min_by(cluster,
+struct(r, cluster))``. The Lloyd recompute aggregates element-wise
+sums directly (SUBD SUM columns re-assembled into the array) — one
+keyed exchange with map-side partial aggregation instead of the old
+posexplode → two-level groupBy chain.
 """
 
 from __future__ import annotations
@@ -31,21 +45,27 @@ SUBD = 16
 K = 16
 
 
+def _q7(e):
+    """The shared 1e-7-integer quantizer (see module docstring)."""
+    return (
+        F.round(e.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
+    ).cast("bigint")
+
+
+def _qsub(j: int):
+    """Quantized subvector j of an ``embedding`` column."""
+    return F.transform(F.slice("embedding", j * SUBD + 1, SUBD), _q7)
+
+
 def pq_subvectors(emb: DataFrame) -> DataFrame:
     """(vec_id, sub, x: array<bigint>) — the 1e-7-integer-quantized
     subvectors, one row per (vector, subspace)."""
-    qsub = lambda j: F.transform(  # noqa: E731
-        F.slice("embedding", j * SUBD + 1, SUBD),
-        lambda e: (
-            F.round(e.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
-        ).cast("bigint"),
-    )
     return emb.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(j).alias("sub"), qsub(j).alias("x"))
+                    F.struct(F.lit(j).alias("sub"), _qsub(j).alias("x"))
                     for j in range(M)
                 ]
             )
@@ -54,7 +74,7 @@ def pq_subvectors(emb: DataFrame) -> DataFrame:
 
 
 def pq_ratio_expr():
-    """The exact point-to-centroid score: HUGEINT-exact squared-error
+    """The exact point-to-centroid score: exact-decimal squared-error
     numerator Σ(n·x_i − sx_i)² over one double division by n² —
     expects columns x (point subvector), sx (centroid sum-vector),
     n (centroid count)."""
@@ -71,14 +91,104 @@ def pq_ratio_expr():
     return num.cast("double") / (F.col("n") * F.col("n")).cast("double")
 
 
+def _collect_codebook(cent: DataFrame) -> dict[int, list[tuple]]:
+    """Driver-side {sub: [(cluster, sx, n), …] ascending cluster} —
+    bounded by M×K ≤ 64 rows, the one intentionally tiny collect on
+    the PQ assignment path."""
+    by_sub: dict[int, list[tuple]] = {}
+    for r in cent.collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["cluster"]), [int(v) for v in r["sx"]], int(r["n"]))
+        )
+    for sub in by_sub:
+        by_sub[sub].sort()
+    return by_sub
+
+
+def _best_cluster(x_col, cands: list[tuple]):
+    """argmin cluster over ``cands`` (ascending cluster, strict ``<``
+    — exactly ``min_by(cluster, struct(r, cluster))``, r being the
+    same pq_ratio_expr arithmetic with the centroid carried as
+    literals) as a map-side fold over a literal candidate array:
+    zero candidate explode, zero exchange. The point subvector is
+    bound ONCE through a 1-element-array aggregate (x_col may be an
+    expression, e.g. the quantized slice), and each candidate's r is
+    computed EXACTLY once into a scores array before the cheap argmin
+    fold — interpreted HOFs do no common-subexpression elimination,
+    so an r inside a ``when(r < acc.r, struct(..r..))`` step would be
+    evaluated twice per candidate."""
+    if not cands:
+        return F.lit(None).cast("bigint")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cluster)).cast("bigint").alias("cluster"),
+                F.lit(sx).alias("sx"),
+                F.lit(int(n)).cast("bigint").alias("n"),
+            )
+            for cluster, sx, n in cands
+        ]
+    )
+    seed = F.struct(
+        F.lit(-1).cast("bigint").alias("cluster"),
+        F.lit(float("inf")).alias("r"),
+    )
+
+    def _scores(bx):
+        def _r(c):
+            num = F.aggregate(
+                F.zip_with(
+                    bx,
+                    c["sx"],
+                    lambda a, b: (c["n"] * a - b).cast("decimal(19,0)")
+                    * (c["n"] * a - b).cast("decimal(19,0)"),
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc2, term: acc2 + term,
+            )
+            return num.cast("double") / (c["n"] * c["n"]).cast("double")
+
+        return F.transform(
+            arr,
+            lambda c: F.struct(
+                c["cluster"].alias("cluster"), _r(c).alias("r")
+            ),
+        )
+
+    return F.aggregate(
+        F.array(x_col),
+        seed,
+        lambda acc, bx: F.aggregate(
+            _scores(bx),
+            acc,
+            lambda best, c: F.when(c["r"] < best["r"], c).otherwise(
+                best
+            ),
+        ),
+        lambda acc: acc["cluster"],
+    )
+
+
+def _assign_col(x_col, by_sub: dict[int, list[tuple]]):
+    """CASE over the row's ``sub``: each subspace argmins against its
+    own candidate list (one fold per subspace in the plan; only the
+    matching branch evaluates per row)."""
+    cluster = F.lit(None).cast("bigint")
+    for sub in sorted(by_sub):
+        cluster = F.when(
+            F.col("sub") == sub, _best_cluster(x_col, by_sub[sub])
+        ).otherwise(cluster)
+    return cluster
+
+
 def pq_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
-    """argmin cluster per (vec_id, sub) against broadcast centroids,
-    ties to the smallest cluster id."""
-    return (
-        v.join(F.broadcast(cent), "sub")
-        .select("vec_id", "sub", "cluster", pq_ratio_expr().alias("r"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min_by("cluster", F.struct("r", "cluster")).alias("cluster"))
+    """argmin cluster per (vec_id, sub) against the collected
+    codebook, ties to the smallest cluster id — a pure projection
+    (map-side fold), no candidate blow-up, no aggregation exchange."""
+    return v.select(
+        "vec_id",
+        "sub",
+        _assign_col(F.col("x"), _collect_codebook(cent)).alias("cluster"),
     )
 
 
@@ -87,44 +197,56 @@ def pq_train(v: DataFrame) -> DataFrame:
     subvectors of vec_id < K (count-1 centroids), one reassignment,
     one exact (sum, count) recompute. Returns the codebook relation
     (sub, cluster, sx: array<bigint>, n) — K rows per subspace."""
-    seeds = v.filter(F.col("vec_id") < K).select(
-        "sub",
-        F.col("vec_id").alias("cluster"),
-        F.col("x").alias("sx"),
-        F.lit(1).cast("bigint").alias("n"),
-    )
-    a1 = pq_assign(v, seeds)
-    return (
-        a1.join(v, ["vec_id", "sub"])
-        .select("sub", "cluster", F.posexplode("x").alias("dim", "xv"))
-        .groupBy("sub", "cluster", "dim")
-        .agg(F.sum("xv").alias("s"), F.count("*").alias("cn"))
-        .groupBy("sub", "cluster")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"),
-            F.max("cn").alias("n"),
+    seeds_by_sub: dict[int, list[tuple]] = {}
+    for r in v.filter(F.col("vec_id") < K).collect():
+        seeds_by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["vec_id"]), [int(x) for x in r["x"]], 1)
         )
-        .select("sub", "cluster", F.col("ds.s").alias("sx"), "n")
+    for sub in seeds_by_sub:
+        seeds_by_sub[sub].sort()
+    a1 = v.select(
+        "vec_id", "sub", "x",
+        _assign_col(F.col("x"), seeds_by_sub).alias("cluster"),
     )
-
-
-def pq_codes_wide(v: DataFrame, cb: DataFrame) -> DataFrame:
-    """Assign + pivot to the WRITTEN code layout (vec_id, c0..c{M-1}
-    int) — the one long-to-wide expression shared by the full index
-    build, the delta merge, and the tests, so the stored code format
-    cannot drift between paths."""
     return (
-        pq_assign(v, cb)
-        .groupBy("vec_id")
+        a1.groupBy("sub", "cluster")
         .agg(
             *[
-                F.max(F.when(F.col("sub") == j, F.col("cluster")))
-                .cast("int")
-                .alias(f"c{j}")
-                for j in range(M)
-            ]
+                F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
+                for i in range(SUBD)
+            ],
+            F.count("*").alias("n"),
+        )
+        .select(
+            "sub",
+            "cluster",
+            F.array(*[F.col(f"s{i}") for i in range(SUBD)]).alias("sx"),
+            "n",
         )
     )
+
+
+def pq_code_cols(cb: DataFrame) -> list:
+    """The M wide-code columns (c0..c{M-1} INT) for an ``embedding``
+    row, computed map-side against the collected codebook — the one
+    code expression shared by the full index build, the delta merge,
+    and the tests, so the stored code format cannot drift."""
+    by_sub = _collect_codebook(cb)
+    return [
+        _best_cluster(_qsub(j), by_sub.get(j, []))
+        .cast("int")
+        .alias(f"c{j}")
+        for j in range(M)
+    ]
+
+
+def pq_codes_wide(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """Assign + the WRITTEN code layout (vec_id, c0..c{M-1} int) in
+    one map-side projection of the wide embedding row — no subvector
+    explode, no pivot aggregation, no exchange. Takes the WIDE
+    (vec_id, embedding) relation (round 12: the long subvector form
+    only ever fed the pivot this projection replaces)."""
+    return emb.select("vec_id", *pq_code_cols(cb))
 
 
 def pq_adc_topk(

@@ -56,27 +56,72 @@ def _term_bucket(term):
     return F.pmod(F.xxhash64(term), F.lit(N_BUCKETS)).cast("int")
 
 
-def _doc_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(base, tf) for a document set — the ONE tokenization + term
-    frequency expression shared by the full build and the delta merge,
-    so the two paths cannot drift. ``docs`` needs (doc_id, text);
-    terms are the same lowercase whitespace tokens restricted to
+def _tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, w) for a document set — the ONE tokenization
+    expression shared by the full build and the delta merge, so the
+    two paths cannot drift. ``docs`` needs (doc_id, text); terms are
+    the same lowercase whitespace tokens restricted to
     ``^[a-z0-9]+$`` as the BPE/BM25 family."""
-    base = docs.select(
+    return docs.select(
         "doc_id", tokens(F.col("text")).alias("w")
     ).select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
-    tf = (
+
+
+def _term_freqs(base: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) from a tokenized base."""
+    return (
         base.select("doc_id", "dl", F.explode("w").alias("term"))
         .filter(F.col("term").rlike("^[a-z0-9]+$"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    return base, tf
+
+
+def _doc_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, tf) — the lazy pair, kept for consumers of either."""
+    base = _tokenized(docs)
+    return base, _term_freqs(base)
+
+
+def _observed_term_freqs(docs: DataFrame):
+    """(tf, observation): the term-frequency relation plus corpus
+    stats (n_docs, sum_len) collected DURING the same pass (guide
+    §1.2 step 1: the old build paid a separate full tokenize pass
+    just to count — an Observation on the pass that already flows
+    every document row makes stats free). The metrics fill on the
+    first action over ``tf``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    base = _tokenized(docs).observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        # empty-input safe (a streaming micro-batch can be empty)
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_len"),
+    )
+    return _term_freqs(base), obs
+
+
+def _write_stats(
+    spark: SparkSession, path: str, n_docs: int, sum_len: int
+) -> None:
+    spark.createDataFrame(
+        [(int(n_docs), int(sum_len))], "n_docs bigint, sum_len bigint"
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
 
 
 def write_postings_index(docs: DataFrame, path: str) -> None:
-    """One corpus pass → the three index relations."""
-    base, tf = _doc_postings(docs)
+    """ONE corpus pass → the three index relations.
+
+    Round 12: the build used to re-derive tf for the ``terms/``
+    relation (a second tokenize+explode+aggregate over the whole
+    corpus) and re-tokenize a third time for ``stats/``. Now the
+    single tf pass is localCheckpoint()ed — postings and per-term dfs
+    both read it — and the corpus stats ride that same pass as an
+    Observation. Written layout and values are unchanged (same
+    expressions, same repartition("tb") clustering)."""
+    tf, obs = _observed_term_freqs(docs)
+    tf = tf.localCheckpoint()  # the ONE corpus pass; fills `obs`
     (
         tf.withColumn("tb", _term_bucket(F.col("term")))
         .repartition("tb")
@@ -85,8 +130,8 @@ def write_postings_index(docs: DataFrame, path: str) -> None:
         .partitionBy("tb")
         .parquet(os.path.join(path, "postings"))
     )
-    # df derived from the same tf relation the postings were written
-    # from: the index is self-consistent by construction
+    # df derived from the same materialized tf the postings were
+    # written from: the index is self-consistent by construction
     pdf = (
         tf.groupBy("term")
         .agg(F.count("*").cast("bigint").alias("df"))
@@ -97,10 +142,10 @@ def write_postings_index(docs: DataFrame, path: str) -> None:
     pdf.write.mode("overwrite").partitionBy("tb").parquet(
         os.path.join(path, "terms")
     )
-    base.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_len"),
-    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    stats = obs.get
+    _write_stats(
+        docs.sparkSession, path, stats["n_docs"], stats["sum_len"]
+    )
 
 
 def bm25_query_buckets(spark: SparkSession, terms) -> list[int]:
@@ -310,10 +355,12 @@ def merge_postings_delta(
     Work is O(delta + affected-bucket terms), independent of the base
     corpus size. Returns the affected bucket ids (bounded by
     N_BUCKETS — the one intentionally tiny collect here)."""
-    _, dtf = _doc_postings(delta_docs)
+    dtf, obs = _observed_term_freqs(delta_docs)
     dtf = dtf.withColumn("tb", _term_bucket(F.col("term")))
-    # one delta pass feeds postings-append, df-merge, and stats:
-    # checkpoint so the tokenize/explode does not run three times
+    # ONE delta pass feeds postings-append, df-merge, AND (via the
+    # Observation riding it) the stats increment: checkpoint so the
+    # tokenize/explode runs once, not three times (round 12: the
+    # stats used to re-tokenize the delta in a second pass)
     dtf = dtf.localCheckpoint()
 
     (
@@ -362,24 +409,13 @@ def merge_postings_delta(
         )
 
     old = spark.read.parquet(os.path.join(path, "stats")).first()
-    dstats = (
-        _doc_postings(delta_docs)[0]
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            # empty-delta safe (a streaming micro-batch can be empty)
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias(
-                "sum_len"
-            ),
-        )
-        .first()
+    dstats = obs.get  # collected during the dtf checkpoint pass
+    _write_stats(
+        spark,
+        path,
+        int(old["n_docs"]) + int(dstats["n_docs"]),
+        int(old["sum_len"]) + int(dstats["sum_len"]),
     )
-    spark.createDataFrame(
-        [(
-            int(old["n_docs"]) + int(dstats["n_docs"]),
-            int(old["sum_len"]) + int(dstats["sum_len"]),
-        )],
-        "n_docs bigint, sum_len bigint",
-    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     return affected
 
 
@@ -402,22 +438,30 @@ def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
     codebook ids, partitioned ``cell=`` — NO raw vectors), the
     ``codebooks/`` sidecar (M×K exact (sum, count) centroids), and the
     ``centroids/`` coarse-quantizer sidecar shared with the IVF-flat
-    layout. Shuffle budget: the two PQ aggregations (train + assign,
-    both keyed on vec_id/sub) plus the thin (vec_id, cell) join —
-    the map-side coarse assignment adds no exchange of its own."""
-    from ..functions.pq import pq_codes_wide, pq_subvectors, pq_train
-    from .similarity import ivf_cell_assignments, ivf_centroids
+    layout.
+
+    Round 12 (guide §2.4): codes AND the coarse cell are computed in
+    ONE map-side projection of the wide embedding row (literal
+    codebooks + literal centroids — both bounded collects), so the
+    only exchange left on the codes path is the repartition("cell")
+    write clustering; the old assign-join-pivot chain (K× candidate
+    rows, two aggregations, one vec_id join) is gone. The train half
+    keeps its single keyed aggregation."""
+    from ..functions.pq import pq_code_cols, pq_subvectors, pq_train
+    from .similarity import ivf_best_cell, ivf_centroids
 
     spark = emb.sparkSession
     cents = ivf_centroids(emb, n_cells)
-    # v feeds pq_train twice (assign + recompute) and the code
-    # assignment below — materialize the scan+quantize+explode once
+    # v feeds pq_train twice (seed collect + recompute aggregation) —
+    # materialize the scan+quantize+explode once
     v = pq_subvectors(emb).localCheckpoint()
-    cb = pq_train(v).localCheckpoint()  # reused: sidecar write + assign
-    codes_wide = pq_codes_wide(v, cb)
-    asg = ivf_cell_assignments(emb, cents).select("vec_id", "cell")
+    cb = pq_train(v).localCheckpoint()  # reused: sidecar write + codes
     (
-        codes_wide.join(asg, "vec_id")
+        emb.select(
+            "vec_id",
+            *pq_code_cols(cb),
+            ivf_best_cell(cents)["cell"].alias("cell"),
+        )
         .repartition("cell")
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
@@ -439,10 +483,12 @@ def merge_ivfpq_delta(
     standard serving posture). Delta vectors are coarse-assigned with
     the same map-side fold, PQ-encoded against the stored codebooks
     via the shared functions/pq fold, and APPENDED into the landed
-    ``cell=`` code partitions only. Work is O(delta). Returns the
-    landed cell ids."""
-    from ..functions.pq import pq_codes_wide, pq_subvectors
-    from .similarity import ivf_cell_assignments
+    ``cell=`` code partitions only. Work is O(delta) — round 12:
+    codes + cell in ONE map-side projection of the wide delta row
+    (the write_ivfpq_index shape), no subvector explode, no pivot, no
+    vec_id join. Returns the landed cell ids."""
+    from ..functions.pq import pq_code_cols
+    from .similarity import ivf_best_cell
 
     cents = sorted(
         (int(r["cell"]), list(r["cvec"]))
@@ -451,9 +497,11 @@ def merge_ivfpq_delta(
         ).collect()
     )
     cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    codes_wide = pq_codes_wide(pq_subvectors(delta_emb), cb)
-    asg = ivf_cell_assignments(delta_emb, cents).select("vec_id", "cell")
-    landed = codes_wide.join(asg, "vec_id").localCheckpoint()
+    landed = delta_emb.select(
+        "vec_id",
+        *pq_code_cols(cb),
+        ivf_best_cell(cents)["cell"].alias("cell"),
+    ).localCheckpoint()
     (
         landed.repartition("cell")
         .sortWithinPartitions("vec_id")

@@ -142,6 +142,21 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 8) -> list:
     )
 
 
+def _q7_driver(x: float) -> int:
+    """Driver-side twin of the 1e-7 quantizer: HALF_UP at 7 decimals
+    on the shortest round-trip decimal representation — exactly the
+    ROUND(double, 7) → DECIMAL(9,7) chain the in-plan quantizer
+    applies (the JVM's BigDecimal.valueOf and Python's repr() produce
+    the same shortest decimal)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(float(x)))
+        .scaleb(7)
+        .to_integral_value(rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def ivf_best_cell(centroids: list) -> "F.Column":
     """Map-side coarse quantizer shared by the batch assignment and
     the streaming router: the [(cell, [floats])] centroid table (from
@@ -150,38 +165,92 @@ def ivf_best_cell(centroids: list) -> "F.Column":
     over per row. Assignment is argmax cosine with ties to the
     smallest cell — the fold iterates cells in ascending order with a
     strict ``>``, which is exactly ``ORDER BY sim DESC, cell`` — and
-    the cosine is the same exact-decimal expression
-    (functions/vectors.cosine), so no engine or leg can drift.
+    the cosine is the same exact formulation as
+    functions/vectors.cosine (int64 folds bridged through the exact
+    decimal), so no engine or leg can drift.
+
+    Round 12 (guide §1.2 step 2): centroids are pre-quantized
+    driver-side with their norms constant-folded, and the row's
+    quantized vector + norm are computed ONCE (bound through a
+    1-element-array aggregate — the interpreted-HOF equivalent of a
+    let-binding) — 8 int64 dot folds per row instead of 24
+    interpreted decimal folds; each cell's cosine is evaluated
+    EXACTLY once (scores land in an array via ``transform``, the
+    argmax folds over cheap struct-field reads — a score inside a
+    ``when(sim > acc.sim, struct(..sim..))`` step would be evaluated
+    twice per cell, interpreted HOFs do no common-subexpression
+    elimination). Winners and sims bit-identical to the r11
+    crossJoin+window formulation.
 
     Returns a STRUCT<cell:int, sim:double> column: zero explode, zero
     exchange — at 100 TB the old broadcast-crossJoin + per-vec_id
     window shuffled an 8×-exploded corpus just to take this argmax."""
-    cents = F.array(
+    import decimal as _d
+
+    from ..functions.vectors import _ACC, int_sum_to_acc, quantize_int
+
+    cents = []
+    for cell, vec in sorted(centroids):
+        qc = [_q7_driver(x) for x in vec]
+        cents.append((int(cell), qc, sum(q * q for q in qc)))
+    arr = F.array(
         *[
             F.struct(
-                F.lit(int(cell)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in vec])
-                .cast("array<float>")
-                .alias("cvec"),
+                F.lit(cell).cast("int").alias("cell"),
+                F.lit(qc).alias("qc"),
+                F.lit(_d.Decimal(nc).scaleb(-14))
+                .cast(_ACC)
+                .cast("double")
+                .alias("ncd"),
             )
-            for cell, vec in sorted(centroids)
+            for cell, qc, nc in cents
         ]
     )
+    q = quantize_int(F.col("embedding"))
+    nad = int_sum_to_acc(
+        F.aggregate(
+            F.transform(q, lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+    ).cast("double")
+    seed = F.struct(
+        F.lit(-1).cast("int").alias("cell"),
+        F.lit(-2.0).alias("sim"),  # cosine ∈ [-1, 1]: first always wins
+    )
 
-    def step(acc, c):
-        sim = cosine(F.col("embedding"), c["cvec"])
-        return F.when(
-            sim > acc["sim"],
-            F.struct(c["cell"].alias("cell"), sim.alias("sim")),
-        ).otherwise(acc)
+    def _scores(b):
+        # one struct<cell,sim> per centroid, each sim computed once
+        return F.transform(
+            arr,
+            lambda c: F.struct(
+                c["cell"].alias("cell"),
+                (
+                    int_sum_to_acc(
+                        F.aggregate(
+                            F.zip_with(
+                                b["q"], c["qc"], lambda x, y: x * y
+                            ),
+                            F.lit(0).cast("bigint"),
+                            lambda a, t: a + t,
+                        )
+                    ).cast("double")
+                    / F.sqrt(b["nad"] * c["ncd"])
+                ).alias("sim"),
+            ),
+        )
 
+    # ascending cells + strict ``>`` == ORDER BY sim DESC, cell
     return F.aggregate(
-        cents,
-        F.struct(
-            F.lit(-1).cast("int").alias("cell"),
-            F.lit(-2.0).alias("sim"),  # cosine ∈ [-1, 1]: first always wins
+        F.array(F.struct(q.alias("q"), nad.alias("nad"))),
+        seed,
+        lambda acc, b: F.aggregate(
+            _scores(b),
+            acc,
+            lambda best, c: F.when(c["sim"] > best["sim"], c).otherwise(
+                best
+            ),
         ),
-        step,
     )
 
 

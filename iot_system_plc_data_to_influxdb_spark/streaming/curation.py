@@ -426,9 +426,18 @@ def ivf_assign_stream(vectors: DataFrame, centroids: list) -> DataFrame:
     """
     from ..operators.similarity import ivf_best_cell
 
-    best = ivf_best_cell(centroids)
-    return vectors.withColumns(
-        {"cell": best["cell"], "cell_sim": best["sim"]}
+    # two-stage projection: the fold evaluates ONCE per row and the
+    # two outputs read its struct fields (a single withColumns would
+    # inline the fold into both columns)
+    return (
+        vectors.withColumn("_best", ivf_best_cell(centroids))
+        .withColumns(
+            {
+                "cell": F.col("_best.cell"),
+                "cell_sim": F.col("_best.sim"),
+            }
+        )
+        .drop("_best")
     )
 
 

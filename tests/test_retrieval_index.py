@@ -322,13 +322,12 @@ def test_ivfpq_delta_touches_only_landed_cells(spark, tmp_path):
     from iot_system_plc_data_to_influxdb_spark.functions.pq import (
         M,
         pq_codes_wide,
-        pq_subvectors,
     )
 
     cb = spark.read.parquet(os.path.join(inc, "codebooks"))
     want_delta = {
         tuple(int(r[f"c{j}"]) for j in range(M)) + (int(r["vec_id"]),)
-        for r in pq_codes_wide(pq_subvectors(delta), cb).collect()
+        for r in pq_codes_wide(delta, cb).collect()
     }
     delta_ids = {int(r["vec_id"]) for r in delta.select("vec_id").collect()}
     got_delta = {
