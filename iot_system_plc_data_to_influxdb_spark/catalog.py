@@ -65,6 +65,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def par_floor(df: DataFrame, *keys: str) -> DataFrame:
+    """Parallelism floor for narrow inputs feeding expensive per-row
+    work (round 12, guide §2 "scale-adaptive partitioning").
+
+    Hash-repartition to the session's default parallelism ONLY when
+    the input's planned partitioning is narrower. At production scale
+    a corpus scan has >= cores natural splits, so this returns ``df``
+    unchanged — ZERO added Exchange, the map-side zero-shuffle plans
+    keep their shape. On the local bench every test table is one
+    small parquet file, which plans as ONE scan partition — without a
+    floor, every downstream map-side fold (IVF/PQ assignment,
+    tokenize+explode, distance folds) runs single-threaded on a
+    32-core machine; the old crossJoin/groupBy shapes were
+    accidentally parallel only because their exchanges re-spread the
+    rows. Value-neutral: partitioning never changes results.
+
+    ``keys``: hash-partition columns (deterministic under retry —
+    guide §2.5 warns off round-robin for retry-safety; every caller
+    has a natural unique key)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _nanos_bound(bound: str):
     """Epoch-nanos literal for a timestamp bound string, evaluated via
     CAST(bound AS TIMESTAMP) so session-timezone semantics are byte-

@@ -44,6 +44,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import par_floor
 from ..functions.text import surprisal_bits, tokens
 
 #: default term-hash partition count — at 100 TB this rises with the
@@ -62,9 +63,11 @@ def _tokenized(docs: DataFrame) -> DataFrame:
     two paths cannot drift. ``docs`` needs (doc_id, text); terms are
     the same lowercase whitespace tokens restricted to
     ``^[a-z0-9]+$`` as the BPE/BM25 family."""
-    return docs.select(
-        "doc_id", tokens(F.col("text")).alias("w")
-    ).select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
+    return (
+        par_floor(docs, "doc_id")  # tokenize map work spreads
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
+    )
 
 
 def _term_freqs(base: DataFrame) -> DataFrame:
@@ -244,7 +247,7 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
     cents = ivf_centroids(emb, n_cells)
     cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
     (
-        ivf_cell_assignments(emb, cents)
+        ivf_cell_assignments(par_floor(emb, "vec_id"), cents)
         .select("vec_id", "embedding", "cell")
         .repartition("cell")
         .sortWithinPartitions("vec_id")
@@ -452,6 +455,7 @@ def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
 
     spark = emb.sparkSession
     cents = ivf_centroids(emb, n_cells)
+    emb = par_floor(emb, "vec_id")  # per-row code folds below
     # v feeds pq_train twice (seed collect + recompute aggregation) —
     # materialize the scan+quantize+explode once
     v = pq_subvectors(emb).localCheckpoint()

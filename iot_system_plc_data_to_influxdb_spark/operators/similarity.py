@@ -184,73 +184,63 @@ def ivf_best_cell(centroids: list) -> "F.Column":
 
     Returns a STRUCT<cell:int, sim:double> column: zero explode, zero
     exchange — at 100 TB the old broadcast-crossJoin + per-vec_id
-    window shuffled an 8×-exploded corpus just to take this argmax."""
-    import decimal as _d
+    window shuffled an 8×-exploded corpus just to take this argmax.
 
-    from ..functions.vectors import _ACC, int_sum_to_acc, quantize_int
+    Round 12: the fold is ONE SQL string handed to a single
+    ``F.expr`` — the Column-builder version spent seconds PER QUERY
+    CONSTRUCTION in py4j round-trips (lambda closures + literal
+    structs per centroid), dwarfing execution; the parsed tree runs
+    the same arithmetic, so every produced value is unchanged
+    (re-proven by the oracle sweeps)."""
+    import decimal as _d
 
     cents = []
     for cell, vec in sorted(centroids):
         qc = [_q7_driver(x) for x in vec]
         cents.append((int(cell), qc, sum(q * q for q in qc)))
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).cast("int").alias("cell"),
-                F.lit(qc).alias("qc"),
-                F.lit(_d.Decimal(nc).scaleb(-14))
-                .cast(_ACC)
-                .cast("double")
-                .alias("ncd"),
-            )
-            for cell, qc, nc in cents
-        ]
-    )
-    q = quantize_int(F.col("embedding"))
-    nad = int_sum_to_acc(
-        F.aggregate(
-            F.transform(q, lambda x: x * x),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
-        )
-    ).cast("double")
-    seed = F.struct(
-        F.lit(-1).cast("int").alias("cell"),
-        F.lit(-2.0).alias("sim"),  # cosine ∈ [-1, 1]: first always wins
+    arr = "array(" + ",".join(
+        f"struct({cell} AS cell,"
+        f"array({','.join(str(v) + 'L' for v in qc)}) AS qc,"
+        f"CAST(CAST('{_d.Decimal(nc).scaleb(-14)}' AS DECIMAL(30,14))"
+        " AS DOUBLE) AS ncd)"
+        for cell, qc, nc in cents
+    ) + ")"
+    q_sql = (
+        "transform(embedding, x -> CAST(CAST(ROUND(CAST(x AS DOUBLE),"
+        " 7) AS DECIMAL(9,7)) * 10000000 AS BIGINT))"
     )
 
-    def _scores(b):
-        # one struct<cell,sim> per centroid, each sim computed once
-        return F.transform(
-            arr,
-            lambda c: F.struct(
-                c["cell"].alias("cell"),
-                (
-                    int_sum_to_acc(
-                        F.aggregate(
-                            F.zip_with(
-                                b["q"], c["qc"], lambda x, y: x * y
-                            ),
-                            F.lit(0).cast("bigint"),
-                            lambda a, t: a + t,
-                        )
-                    ).cast("double")
-                    / F.sqrt(b["nad"] * c["ncd"])
-                ).alias("sim"),
-            ),
+    def acc14(s: str) -> str:
+        # functions/vectors.int_sum_to_acc as SQL: exact S·10⁻¹⁴
+        return (
+            f"CAST(CAST({s} AS DECIMAL(24,0))"
+            " / CAST(100000000000000 AS DECIMAL(15,0))"
+            " AS DECIMAL(30,14))"
         )
 
-    # ascending cells + strict ``>`` == ORDER BY sim DESC, cell
-    return F.aggregate(
-        F.array(F.struct(q.alias("q"), nad.alias("nad"))),
-        seed,
-        lambda acc, b: F.aggregate(
-            _scores(b),
-            acc,
-            lambda best, c: F.when(c["sim"] > best["sim"], c).otherwise(
-                best
-            ),
-        ),
+    nad_sql = "CAST(" + acc14(
+        "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT),"
+        " (acc, t) -> acc + t)"
+    ) + " AS DOUBLE)"
+    dot_sql = acc14(
+        "aggregate(zip_with(q, c.qc, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (a, t) -> a + t)"
+    )
+    scores = (
+        f"transform({arr}, c -> struct(c.cell AS cell,"
+        f" CAST({dot_sql} AS DOUBLE) / SQRT(nad * c.ncd) AS sim))"
+    )
+    # q and nad each bound ONCE via nested 1-element-array aggregates
+    # (the interpreted-HOF let-binding); ascending cells + strict
+    # ``>`` == ORDER BY sim DESC, cell; cosine ∈ [-1, 1] so the -2.0
+    # seed always loses to the first cell
+    return F.expr(
+        f"aggregate(array({q_sql}),"
+        " struct(-1 AS cell, CAST(-2.0 AS DOUBLE) AS sim),"
+        f" (acc0, q) -> aggregate(array({nad_sql}), acc0,"
+        f" (acc, nad) -> aggregate({scores}, acc,"
+        " (best, c) -> CASE WHEN c.sim > best.sim"
+        " THEN c ELSE best END)))"
     )
 
 
@@ -285,7 +275,9 @@ def knn_ivf(
     spark = emb.sparkSession
     cents = ivf_centroids(emb, n_cells)
     cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
-    assigned = ivf_cell_assignments(emb, cents)
+    from ..catalog import par_floor
+
+    assigned = ivf_cell_assignments(par_floor(emb, "vec_id"), cents)
     # probe-cell ranking scores ONLY the probe vector against the
     # centroids (one row × n_cells), never the whole corpus — the
     # corpus-wide assignment fold runs exactly once, inside

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import t
+from ..catalog import par_floor, t
 from ..functions.text import (
     STOPWORDS,
     shingles,
@@ -2440,7 +2440,7 @@ def b21_pii_redaction(spark, sf_dir):
     tags=("B20",),
 )
 def b20_embedding_quantization(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    emb = par_floor(t(spark, sf_dir, "embeddings"), "vec_id")
     xi = lambda x: (  # noqa: E731 — shared decimal→1e-7-int scaling
         F.round(x.cast("double"), 7).cast("decimal(9,7)") * 10_000_000
     ).cast("bigint")
@@ -2761,16 +2761,10 @@ def _radius_search(emb, r2_lit: str = _RADIUS_R2):
     strict ``<`` — exactly ORDER BY dc2, cell) over literal quantized
     centroids, dc2 being the same exact DECIMAL(30,14) dist2_exact
     value, with the row's quantized vector computed once in the seed."""
-    import decimal as _d
-
-    from ..functions.vectors import (
-        _ACC,
-        dist2_exact,
-        int_sum_to_acc,
-        quantize_int,
-    )
+    from ..functions.vectors import dist2_exact
     from ..operators.similarity import _q7_driver
 
+    emb = par_floor(emb, "vec_id")  # distance fold below is per-row
     cent = emb.filter(F.col("vec_id") < _RADIUS_CELLS).select(
         F.col("vec_id").cast("int").alias("cell"),
         F.col("embedding").alias("cvec"),
@@ -2778,57 +2772,55 @@ def _radius_search(emb, r2_lit: str = _RADIUS_R2):
     cent_rows = sorted(
         (int(r["cell"]), list(r["cvec"])) for r in cent.collect()
     )
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).cast("int").alias("cell"),
-                F.lit([_q7_driver(x) for x in vec]).alias("qc"),
-            )
-            for cell, vec in cent_rows
-        ]
+    arr = "array(" + ",".join(
+        f"struct({cell} AS cell,"
+        f"array({','.join(str(_q7_driver(x)) + 'L' for x in vec)})"
+        " AS qc)"
+        for cell, vec in cent_rows
+    ) + ")"
+    q_sql = (
+        "transform(embedding, x -> CAST(CAST(ROUND(CAST(x AS DOUBLE),"
+        " 7) AS DECIMAL(9,7)) * 10000000 AS BIGINT))"
     )
-    q = quantize_int(F.col("embedding"))
-    seed = F.struct(
-        F.lit(-1).cast("int").alias("cell"),
-        F.lit(_d.Decimal(10) ** 12).cast(_ACC).alias("dc2"),
+    # one struct<cell,dc2> per cell — each exact distance computed
+    # once (no common-subexpression elimination in interpreted HOFs),
+    # the row's quantized vector bound once through the 1-element-
+    # array aggregate; dc2 is the same exact DECIMAL(30,14)
+    # dist2_exact value (int64 Σ(x−y)² bridged via the exact S·10⁻¹⁴
+    # division). The whole fold is ONE SQL string (round 12): the
+    # Column-builder version spent seconds per query construction in
+    # py4j round-trips.
+    scores = (
+        f"transform({arr}, c -> struct(c.cell AS cell,"
+        " CAST(CAST(aggregate(zip_with(b, c.qc, (x, y) -> x - y),"
+        " CAST(0 AS BIGINT), (a, d) -> a + d * d) AS DECIMAL(24,0))"
+        " / CAST(100000000000000 AS DECIMAL(15,0))"
+        " AS DECIMAL(30,14)) AS dc2))"
     )
-
-    def _scores(b):
-        # one struct<cell,dc2> per cell — each exact distance
-        # computed once (no common-subexpression elimination in
-        # interpreted HOFs), the row's quantized vector bound once
-        # through the 1-element-array aggregate below
-        return F.transform(
-            arr,
-            lambda c: F.struct(
-                c["cell"].alias("cell"),
-                int_sum_to_acc(
-                    F.aggregate(
-                        F.zip_with(b, c["qc"], lambda x, y: x - y),
-                        F.lit(0).cast("bigint"),
-                        lambda a, d: a + d * d,
-                    )
-                ).alias("dc2"),
-            ),
+    # ascending cells + strict ``<`` == ORDER BY dc2, cell; the 1e12
+    # seed exceeds any reachable dist², so the first cell always wins
+    best = F.expr(
+        f"aggregate(array({q_sql}),"
+        " struct(-1 AS cell,"
+        " CAST('1000000000000' AS DECIMAL(30,14)) AS dc2),"
+        f" (acc, b) -> aggregate({scores}, acc,"
+        " (best, c) -> CASE WHEN c.dc2 < best.dc2"
+        " THEN c ELSE best END))"
+    )
+    # materialized: `assigned` feeds TWO consumers (the per-cell
+    # radius stats and the pruned hits join), and the hits join on
+    # `cell` pushes isnotnull(cell) below the projection, substituting
+    # the whole distance fold into a Filter — each consumer would pay
+    # the fold again (no CSE in interpreted HOFs).
+    assigned = (
+        emb.select("vec_id", "embedding", best.alias("b"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("b.cell").alias("cell"),
+            F.col("b.dc2").alias("dc2"),
         )
-
-    # ascending cells + strict ``<`` == ORDER BY dc2, cell
-    best = F.aggregate(
-        F.array(q),
-        seed,
-        lambda acc, b: F.aggregate(
-            _scores(b),
-            acc,
-            lambda best_, c: F.when(
-                c["dc2"] < best_["dc2"], c
-            ).otherwise(best_),
-        ),
-    )
-    assigned = emb.select("vec_id", "embedding", best.alias("b")).select(
-        "vec_id",
-        "embedding",
-        F.col("b.cell").alias("cell"),
-        F.col("b.dc2").alias("dc2"),
+        .localCheckpoint()
     )
     stats = assigned.groupBy("cell").agg(F.max("dc2").alias("r2cell"))
     probe = emb.filter(F.col("vec_id") == _RADIUS_PROBE).select(
@@ -3006,7 +2998,7 @@ def b20_pq_knn(spark, sf_dir):
     # pytest-checked (test_northstar.test_product_quantization_roundtrip).
     from ..operators.pq import pq_encode, pq_knn, pq_train
 
-    emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id").cache()
+    emb = par_floor(t(spark, sf_dir, "embeddings"), "vec_id").cache()
     # max_iter 2: codebooks stabilize fast and the registered query is
     # wall-clock-bound by Spark job count, not data (same 21s at sf0.01
     # and sf0.1 with 3 iters) — recall quality is pinned by pytest
@@ -3582,49 +3574,30 @@ _B20_KMEANS_EXACT_ORACLE = (
 )
 
 
-def _km_centroid_arr(cands):
-    """[(cluster, sx, n)] → literal array-of-structs for the folds."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cluster)).cast("bigint").alias("cluster"),
-                F.lit([int(s) for s in sx]).alias("sx"),
-                F.lit(int(n)).cast("bigint").alias("n"),
-            )
-            for cluster, sx, n in cands
-        ]
-    )
-
-
-def _km_ratio(c):
-    """The exact point-to-centroid score against a literal centroid
-    struct — the same exact-decimal numerator over the same double
-    division as the broadcast scored_against formulation, so r is
-    bit-identical."""
-    num = F.aggregate(
-        F.zip_with(
-            F.col("x"),
-            c["sx"],
-            lambda a, b: (c["n"] * a - b).cast("decimal(19,0)")
-            * (c["n"] * a - b).cast("decimal(19,0)"),
-        ),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc2, term: acc2 + term,
-    )
-    return num.cast("double") / (c["n"] * c["n"]).cast("double")
-
-
-def _km_scores(cands):
-    """array<struct<cluster, r>> over the literal candidates, each
-    candidate's exact ratio computed EXACTLY once (interpreted HOFs
-    do no common-subexpression elimination — a ratio referenced in
-    both a ``when`` condition and its branch struct would run twice
-    per candidate)."""
-    return F.transform(
-        _km_centroid_arr(cands),
-        lambda c: F.struct(
-            c["cluster"].alias("cluster"), _km_ratio(c).alias("r")
-        ),
+def _km_scores_sql(cands) -> str:
+    """SQL text: array<struct<cluster, r>> over the literal
+    candidates [(cluster, sx, n)], each candidate's exact ratio
+    computed EXACTLY once (interpreted HOFs do no common-subexpression
+    elimination — a ratio referenced in both a fold condition and its
+    branch struct would run twice per candidate). r is the same
+    exact-decimal numerator over the same double division as the old
+    broadcast scored_against formulation, against the row column
+    ``x`` — bit-identical. Built as ONE SQL string (round 12): the
+    Column-builder version spent seconds per query construction in
+    py4j round-trips, dwarfing execution."""
+    arr = "array(" + ",".join(
+        f"struct({int(cluster)}L AS cluster,"
+        f"array({','.join(str(int(s)) + 'L' for s in sx)}) AS sx,"
+        f"{int(n)}L AS n)"
+        for cluster, sx, n in cands
+    ) + ")"
+    return (
+        f"transform({arr}, c -> struct(c.cluster AS cluster,"
+        " CAST(aggregate(zip_with(x, c.sx,"
+        " (a, b) -> CAST(c.n * a - b AS DECIMAL(19,0))"
+        " * CAST(c.n * a - b AS DECIMAL(19,0))),"
+        " CAST(0 AS DECIMAL(38,0)), (acc2, t) -> acc2 + t) AS DOUBLE)"
+        " / CAST(c.n * c.n AS DOUBLE) AS r))"
     )
 
 
@@ -3635,15 +3608,12 @@ def _km_best_cluster(cands):
     (round 12, guide §2.4: the old assign() crossJoined the corpus
     K× and argmin'ed through a groupBy). The fold itself compares
     pre-computed scores — cheap struct-field reads."""
-    seed = F.struct(
-        F.lit(-1).cast("bigint").alias("cluster"),
-        F.lit(float("inf")).alias("r"),
-    )
-    return F.aggregate(
-        _km_scores(cands),
-        seed,
-        lambda acc, c: F.when(c["r"] < acc["r"], c).otherwise(acc),
-        lambda acc: acc["cluster"],
+    return F.expr(
+        f"aggregate({_km_scores_sql(cands)},"
+        " struct(CAST(-1 AS BIGINT) AS cluster,"
+        " CAST('Infinity' AS DOUBLE) AS r),"
+        " (acc, c) -> CASE WHEN c.r < acc.r THEN c ELSE acc END,"
+        " acc -> acc.cluster)"
     )
 
 
@@ -3651,7 +3621,7 @@ def _kmeans_core(spark, sf_dir, K=8):
     """(v, cent1_rows): the quantized vectors and the iteration-1
     recomputed centroid stats collected driver-side (K rows — the
     bounded collect that lets iteration-2 assignment run map-side)."""
-    emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    emb = par_floor(t(spark, sf_dir, "embeddings"), "vec_id")
     qx = F.transform(
         "embedding",
         lambda e: (
@@ -3995,7 +3965,7 @@ _B20_ANN_RECALL_ORACLE = f"""
 
 def _ann_sim_bf_ivf(
     spark, sf_dir, ivf_k: int = 10, qn=None, n_probe=2, n_cells=8,
-    with_cells: bool = False,
+    with_cells: bool = False, with_qn: bool = False,
 ):
     """The batch-of-probes ANN evaluation core shared by
     b20_ann_recall and the two rrf_recall harnesses: (sim, bf, ivf)
@@ -4005,14 +3975,71 @@ def _ann_sim_bf_ivf(
     kept — the RRF fusion consumes ranks). ``qn`` overrides the
     integer-vector source (vec_id, x ARRAY<BIGINT>) — default: the
     quantized embeddings table (the _ann_core_ctes twin of the same
-    parameter)."""
+    parameter). ``with_qn`` appends the materialized (vec_id, x, n2,
+    cell) relation to the return so callers can derive id sets
+    without recomputing the source."""
     from ..functions.vectors import cosine_from_int, dot_int, quantize_int
 
     if qn is None:
-        qn = t(spark, sf_dir, "embeddings").select(
-            "vec_id", quantize_int(F.col("embedding")).alias("x")
-        )
-    qn = qn.withColumn("n2", dot_int(F.col("x"), F.col("x")))
+        qn = par_floor(
+            t(spark, sf_dir, "embeddings"), "vec_id"
+        ).select("vec_id", quantize_int(F.col("embedding")).alias("x"))
+    # centroid collect BEFORE materialization: the vec_id < n_cells
+    # filter pushes through to the source (parquet scan pushdown on
+    # the default branch; for aggregate sources the grouping-key
+    # filter pushes below the Aggregate), so only n_cells rows are
+    # quantized here
+    cent_rows = sorted(
+        (int(r["vec_id"]), [int(c) for c in r["x"]])
+        for r in qn.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "x")
+        .collect()
+    )
+    # IVF coarse side (round 12, guide §2.4): the corpus-wide cell
+    # assignment used to score an n_cells×-exploded corpus (crossJoin)
+    # and window-argmax it per vec_id — a full exchange of n_cells·N
+    # rows just to take a per-row argmax (the round-11 verdict's weak
+    # pattern, here in the eval harness). The centroids are n_cells
+    # rows: collect them and fold map-side — same integer-dot cosine,
+    # strict ``>`` over ascending cells == ROW_NUMBER() over
+    # (sim DESC, cell) = 1 — so the assignment is a pure projection,
+    # folded during the ONE qn materialization below.
+    cent_arr = "array(" + ",".join(
+        f"struct({cell} AS cell,"
+        f"array({','.join(str(c) + 'L' for c in cx)}) AS cx,"
+        f"{sum(c * c for c in cx)}L AS cn2)"
+        for cell, cx in cent_rows
+    ) + ")"
+    # each cell's cosine computed EXACTLY once into a scores array
+    # (interpreted HOFs do no common-subexpression elimination), the
+    # argmax then folds over cheap struct-field reads. ONE SQL string
+    # (round 12): the Column-builder version spent seconds per query
+    # construction in py4j round-trips.
+    best_cell = F.expr(
+        f"aggregate(transform({cent_arr}, c -> struct(c.cell AS cell,"
+        " CAST(aggregate(zip_with(x, c.cx, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE)"
+        " / SQRT(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS sim)),"
+        " struct(-1 AS cell, CAST(-2.0 AS DOUBLE) AS sim),"
+        " (acc, c) -> CASE WHEN c.sim > acc.sim THEN c ELSE acc END,"
+        " acc -> acc.cell)"
+    )
+    # ONE materialization job carries x, n2 AND the cell assignment
+    # (round 12, guide §7.3 — at this scale the wall is driver/job
+    # overhead, so fewer eager jobs wins): x and n2 are expensive HOF
+    # aliases, and every downstream reference — the per-cell cosines,
+    # the pair scores in `sim`, predicate pushdown of a join's
+    # implicit isnotnull(cell) through the projection — would INLINE
+    # and re-evaluate them per reference (CollapseProject's cost check
+    # keeps n2 out of the fold within this stacked projection;
+    # PushDownPredicate has no such check, which is exactly why `cell`
+    # must be materialized before the ivf join keys on it). ~N small
+    # rows: tiny.
+    qn = (
+        qn.withColumn("n2", dot_int(F.col("x"), F.col("x")))
+        .withColumn("cell", best_cell)
+        .localCheckpoint()
+    )
     probes = qn.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("pid"),
         F.col("x").alias("px"),
@@ -4039,56 +4066,7 @@ def _ann_sim_bf_ivf(
         .filter(F.col("rk") <= 10)
         .select("pid", "vec_id")
     )
-    # IVF coarse side (round 12, guide §2.4): the corpus-wide cell
-    # assignment used to score an n_cells×-exploded corpus (crossJoin)
-    # and window-argmax it per vec_id — a full exchange of n_cells·N
-    # rows just to take a per-row argmax (the round-11 verdict's weak
-    # pattern, here in the eval harness). The centroids are n_cells
-    # rows: collect them and fold map-side — same integer-dot cosine,
-    # strict ``>`` over ascending cells == ROW_NUMBER() over
-    # (sim DESC, cell) = 1 — so `assigned` is a pure projection.
-    cent_rows = sorted(
-        (int(r["vec_id"]), [int(c) for c in r["x"]])
-        for r in qn.filter(F.col("vec_id") < n_cells)
-        .select("vec_id", "x")
-        .collect()
-    )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).cast("int").alias("cell"),
-                F.lit(cx).alias("cx"),
-                F.lit(sum(c * c for c in cx))
-                .cast("bigint")
-                .alias("cn2"),
-            )
-            for cell, cx in cent_rows
-        ]
-    )
-
-    # each cell's cosine computed EXACTLY once into a scores array
-    # (interpreted HOFs do no common-subexpression elimination), the
-    # argmax then folds over cheap struct-field reads; x/n2 are plain
-    # column attributes here, so no extra binding is needed
-    cell_scores = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            c["cell"].alias("cell"),
-            cosine_from_int(
-                dot_int(F.col("x"), c["cx"]), F.col("n2"), c["cn2"]
-            ).alias("sim"),
-        ),
-    )
-    best_cell = F.aggregate(
-        cell_scores,
-        F.struct(
-            F.lit(-1).cast("int").alias("cell"),
-            F.lit(-2.0).alias("sim"),
-        ),
-        lambda acc, c: F.when(c["sim"] > acc["sim"], c).otherwise(acc),
-        lambda acc: acc["cell"],
-    )
-    assigned = qn.select("vec_id", best_cell.alias("cell"))
+    assigned = qn.select("vec_id", "cell")
     # probe-cell routing only ever needed the PANEL's rows — a
     # panel×n_cells crossJoin + window, not a corpus-wide one
     cents = qn.filter(F.col("vec_id") < n_cells).select(
@@ -4122,6 +4100,8 @@ def _ann_sim_bf_ivf(
     if with_cells:
         # the PQ recall eval reuses the coarse relations directly
         return sim, bf, ivf, assigned, pcells
+    if with_qn:
+        return sim, bf, ivf, qn
     return sim, bf, ivf
 
 
@@ -4215,12 +4195,16 @@ def b20_pq_recall(spark, sf_dir):
     sim, bf, _ivf, assigned, pcells = _ann_sim_bf_ivf(
         spark, sf_dir, ivf_k=10, with_cells=True
     )
-    emb = t(spark, sf_dir, "embeddings")
+    emb = par_floor(t(spark, sf_dir, "embeddings"), "vec_id")
     # v feeds pq_train (twice), the code assignment, and the panel
     # subvectors — materialize the scan+quantize+explode once
     v = pq_subvectors(emb).localCheckpoint()
     cb = pq_train(v).localCheckpoint()  # feeds panel LUT + codes
-    codes = pq_assign(v, cb)
+    # materialized: `cand` below joins on `cluster`, and the pushed
+    # isnotnull(cluster) would clone pq_assign's whole K-candidate
+    # fold into a Filter below the projection — twice the argmin work
+    # per (vec, sub) row. N·M×3 columns: tiny.
+    codes = pq_assign(v, cb).localCheckpoint()
     ppv = v.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("pid"), "sub", F.col("x").alias("px")
     )
@@ -4455,11 +4439,15 @@ def _rrf_recall_report(
     # ----- lexical leg: per-probe BM25 over the embedded corpus -----
     # alias the token split ONCE — dl and the explode below would
     # otherwise each re-evaluate the lower+trim+split over text
+    # materialized: corp feeds lstats, qt AND ltf — each would re-run
+    # the tokenize+semijoin corpus pass (round 12, guide §1.2 step 1);
+    # par_floor so the tokenize map work spreads across cores
     corp = (
-        t(spark, sf_dir, "documents")
+        par_floor(t(spark, sf_dir, "documents"), "doc_id")
         .join(emb_ids, "doc_id", "semi")
         .select("doc_id", tokens(F.col("text")).alias("w"))
         .select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
+        .localCheckpoint()
     )
     lstats = corp.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -4700,8 +4688,13 @@ def _hashed_bow_qn(spark, sf_dir):
     combining groupBy: a single corpus pass at any scale."""
     from ..functions.text import nibble, surprisal_bits
 
-    occ = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    # materialized: occ feeds the df aggregate AND the scoring join —
+    # each would re-run the tokenize+explode corpus pass (round 12);
+    # par_floor so the explode+md5 map work spreads across cores
+    occ = (
+        par_floor(t(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .localCheckpoint()
     )
     tdf = occ.groupBy("tok").agg(
         F.count_distinct("doc_id").cast("bigint").alias("df")
@@ -4769,12 +4762,15 @@ def b20_rrf_recall_correlated(spark, sf_dir):
     # the hashed-BOW derivation (token explode + md5 + 64-column
     # groupBy) is the expensive relation here — it used to be
     # recomputed by the harness's sim leg, its coarse leg, AND the
-    # embedded-id set below; materialize it once (round 12)
-    qn = _hashed_bow_qn(spark, sf_dir).localCheckpoint()
-    _sim, bf, ivf = _ann_sim_bf_ivf(
-        spark, sf_dir, ivf_k=_RRF_LEG_TOPK, qn=qn, n_probe=1, n_cells=16
+    # embedded-id set below; the harness's ONE qn materialization
+    # (with_qn) now serves all three (round 12 — a standalone
+    # checkpoint here would be a second full-BOW job)
+    _sim, bf, ivf, qn_mat = _ann_sim_bf_ivf(
+        spark, sf_dir, ivf_k=_RRF_LEG_TOPK,
+        qn=_hashed_bow_qn(spark, sf_dir), n_probe=1, n_cells=16,
+        with_qn=True,
     )
-    emb_ids = qn.select(F.col("vec_id").alias("doc_id")).distinct()
+    emb_ids = qn_mat.select(F.col("vec_id").alias("doc_id")).distinct()
     return _rrf_recall_report(
         spark, sf_dir, bf, ivf, emb_ids, idf_smooth=1, query_tf=True
     )
@@ -4848,34 +4844,18 @@ def b20_cluster_margin(spark, sf_dir):
     candidate's r is computed once into a scores array; the two-best
     fold reads cheap struct fields."""
     v, cent1_rows = _kmeans_core(spark, sf_dir, K=8)
-    seed = F.struct(
-        F.lit(-1).cast("bigint").alias("c1"),
-        F.lit(float("inf")).alias("r1"),
-        F.lit(float("inf")).alias("r2"),
+    tb = F.expr(
+        f"aggregate({_km_scores_sql(cent1_rows)},"
+        " struct(CAST(-1 AS BIGINT) AS c1,"
+        " CAST('Infinity' AS DOUBLE) AS r1,"
+        " CAST('Infinity' AS DOUBLE) AS r2),"
+        " (acc, c) -> CASE"
+        " WHEN c.r < acc.r1 THEN"
+        " struct(c.cluster AS c1, c.r AS r1, acc.r1 AS r2)"
+        " WHEN c.r < acc.r2 THEN"
+        " struct(acc.c1 AS c1, acc.r1 AS r1, c.r AS r2)"
+        " ELSE acc END)"
     )
-
-    def _step(acc, c):
-        return (
-            F.when(
-                c["r"] < acc["r1"],
-                F.struct(
-                    c["cluster"].alias("c1"),
-                    c["r"].alias("r1"),
-                    acc["r1"].alias("r2"),
-                ),
-            )
-            .when(
-                c["r"] < acc["r2"],
-                F.struct(
-                    acc["c1"].alias("c1"),
-                    acc["r1"].alias("r1"),
-                    c["r"].alias("r2"),
-                ),
-            )
-            .otherwise(acc)
-        )
-
-    tb = F.aggregate(_km_scores(cent1_rows), seed, _step)
     m = v.select("vec_id", tb.alias("b")).select(
         "vec_id",
         F.col("b.c1").alias("cluster"),
@@ -4994,7 +4974,7 @@ def b20_pq_exact_replay(spark, sf_dir):
         pq_train,
     )
 
-    emb = t(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    emb = par_floor(t(spark, sf_dir, "embeddings"), "vec_id")
     v = pq_subvectors(emb)
     cent1 = pq_train(v)
     codes = pq_assign(v, cent1)
@@ -10161,9 +10141,10 @@ def b18_kcenter_coreset(spark, sf_dir, k: int = _KC_K):
     from ..functions.vectors import dist2_exact
 
     emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .repartition(32, "vec_id")
+        par_floor(
+            t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            "vec_id",
+        )
         .cache()  # scanned once per round; O(N) rows
     )
     c0 = emb.agg(F.min("vec_id")).first()[0]
