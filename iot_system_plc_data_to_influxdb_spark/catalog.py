@@ -90,6 +90,22 @@ def par_floor(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
+def spread(*keys: str):
+    """Chainable ``par_floor``: ``df.transform(spread("doc_id"))``.
+
+    Round 12 sweep (guide §2 "scale-adaptive partitioning"): the b19/
+    b21 plans carried ~70 hard-coded ``repartition(32, key)`` fan-outs
+    — the right spread for a one-file local scan, but a CONSTANT tuned
+    to the local core count, and at 100 TB an Exchange that *narrows*
+    a wide corpus scan to 32 partitions before per-row work. The floor
+    repartitions only when the planned partitioning is narrower than
+    the session's parallelism, so at scale these sites become
+    structural no-ops (zero Exchange) while local plans keep the same
+    32-way spread. Value-neutral: partitioning never changes results
+    (re-proven by the full-registry oracle sweep)."""
+    return lambda df: par_floor(df, *keys)
+
+
 def _nanos_bound(bound: str):
     """Epoch-nanos literal for a timestamp bound string, evaluated via
     CAST(bound AS TIMESTAMP) so session-timezone semantics are byte-

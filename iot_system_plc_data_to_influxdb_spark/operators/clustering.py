@@ -53,7 +53,11 @@ def kmeans_assign(
     start).
     """
     spark = emb.sparkSession
-    emb = emb.select("vec_id", "embedding").repartition(32, "vec_id").cache()
+    # scale-adaptive fan-out: repartitions only when the scan plans
+    # narrower than the session's cores (one-file local inputs)
+    from ..catalog import par_floor
+
+    emb = par_floor(emb.select("vec_id", "embedding"), "vec_id").cache()
 
     if init == "kmeans||":
         centroids = kmeans_pp_init(emb, k=k)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import spread
 from ..functions.vectors import cosine, hyperplane_sign_bits
 
 
@@ -25,7 +26,10 @@ def knn_bruteforce(emb: DataFrame, probe_vec_id: int, k: int = 10) -> DataFrame:
         F.col("embedding").alias("pe")
     )
     # fan out CPU-bound cosine work when the corpus arrives as one file
-    corpus = emb.filter(F.col("vec_id") != probe_vec_id).repartition(32)
+    # (scale-adaptive: a no-op once the scan has >= cores natural splits)
+    corpus = emb.filter(F.col("vec_id") != probe_vec_id).transform(
+        spread("vec_id")
+    )
     return (
         corpus.crossJoin(F.broadcast(probe))
         .select("vec_id", cosine(F.col("embedding"), F.col("pe")).alias("cos_sim"))
@@ -54,7 +58,7 @@ def knn_lsh(
     n_planes: int = 8,
     probe_radius: int = 1,
 ) -> DataFrame:
-    bucketed = emb.repartition(32).withColumn(
+    bucketed = emb.transform(spread("vec_id")).withColumn(
         "bucket", hyperplane_sign_bits(F.col("embedding"), n_planes)
     )
     probe_row = (
@@ -331,7 +335,7 @@ def knn_multi_probe(
     probes = emb.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
-    corpus = emb.repartition(32)
+    corpus = emb.transform(spread("vec_id"))
     scored = (
         corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select(

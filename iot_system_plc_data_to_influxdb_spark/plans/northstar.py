@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import par_floor, t
+from ..catalog import par_floor, spread, t
 from ..functions.text import (
     STOPWORDS,
     shingles,
@@ -92,7 +92,7 @@ def _exploded_grams(with_w, n: int = 3, out: str = "s"):
 def _doc_shingles(spark, sf_dir):
     # documents arrives as one small file = one input partition; fan out
     # before the (CPU-heavy) shingle/hash work so it parallelizes.
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     return _exploded_grams(
         docs.select("doc_id", tokens(F.col("text")).alias("w"))
     ).distinct()
@@ -163,7 +163,7 @@ def b19_minhash(spark, sf_dir):
     # pass; only candidate pairs pay the array_intersect verify.
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")  # single-file input → fan out the CPU work
+        .transform(spread("doc_id"))  # single-file input → fan out the CPU work
         # materialize the token array before shingling: each shingle
         # position reads n elements, and an un-aliased tokens() would be
         # inlined (and codegen'd) once per element access
@@ -339,7 +339,7 @@ _B19_SIMHASH_ORACLE = (
 
 @register("b19_simhash_neardup", oracle=_B19_SIMHASH_ORACLE, tags=("B19",))
 def b19_simhash(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     tk = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .distinct()
@@ -442,7 +442,7 @@ def b20_brute(spark, sf_dir):
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
     # single-file input: fan out the per-row O(d) dot products (at scale
     # the corpus arrives pre-partitioned and this repartition disappears)
-    corpus = emb.filter(F.col("vec_id") != 0).repartition(32)
+    corpus = emb.filter(F.col("vec_id") != 0).transform(spread("vec_id"))
     cos = cosine(F.col("embedding"), F.col("pe"))
     return (
         corpus.crossJoin(F.broadcast(probe))
@@ -1011,7 +1011,7 @@ def b20_rrf_hybrid(spark, sf_dir):
     pr = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("pe")
     )
-    corpus = emb.filter(F.col("vec_id") != 0).repartition(32)
+    corpus = emb.filter(F.col("vec_id") != 0).transform(spread("vec_id"))
     cos = cosine(F.col("embedding"), F.col("pe"))
     vec_w = Window.orderBy(F.col("cos_raw").desc(), "vec_id")
     vec = (
@@ -2237,7 +2237,7 @@ def b20_knn_multiprobe(spark, sf_dir):
     tags=("B21",),
 )
 def b21_decontaminate(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     # per-doc dedup inside the array (array_distinct) instead of a
     # corpus-wide DISTINCT — same rows, zero shuffle on the gram explode.
     # tokens() is aliased first so the 5 element reads per shingle don't
@@ -2311,7 +2311,7 @@ def b21_decontaminate(spark, sf_dir):
     tags=("B21",),
 )
 def b21_repetition_signals(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     grams = _exploded_grams(
         docs.select("doc_id", tokens(F.col("text")).alias("w")), 2, "g"
     )
@@ -2365,7 +2365,7 @@ def b21_repetition_signals(spark, sf_dir):
     tags=("B21",),
 )
 def b21_pii_redaction(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -3100,7 +3100,7 @@ def b18_train_val_test_split(spark, sf_dir):
     tags=("B21",),
 )
 def b21_boilerplate_ngrams(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     grams = docs.select("doc_id", tokens(F.col("text")).alias("w")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("w"), 5))).alias("g"),
@@ -3174,7 +3174,7 @@ def b21_boilerplate_ngrams(spark, sf_dir):
     tags=("B21",),
 )
 def b21_boilerplate_hashed(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     grams = docs.select("doc_id", tokens(F.col("text")).alias("w")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("w"), 5))).alias("g"),
@@ -3291,7 +3291,7 @@ def b19_incremental_dedup(spark, sf_dir):
     is_base = F.substring("source", 4, 10).cast("int") < 10
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select(
             "doc_id",
             "source",
@@ -5036,7 +5036,7 @@ def b20_pq_exact_replay(spark, sf_dir):
 def b22_audio_windows(spark, sf_dir):
     from ..operators.multimodal import window_stats, with_binary_payload
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     return window_stats(with_binary_payload(docs))
 
 
@@ -5076,7 +5076,7 @@ def b22_feature_histogram(spark, sf_dir):
 
     from ..operators.multimodal import with_binary_payload
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -5151,7 +5151,7 @@ def b22_feature_histogram(spark, sf_dir):
     tags=("B21",),
 )
 def b21_chunk_windows(spark, sf_dir, size: int = 50, stride: int = 40):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     w = F.col("w")
     # chunk starts: 0, stride, 2·stride, …; the last start is the
     # greatest multiple of stride with more than (size - stride) tokens
@@ -5243,7 +5243,7 @@ _B21_CURATION_ORACLE = rf"""
 def b21_curation_pipeline(spark, sf_dir, size: int = 50, stride: int = 40):
     from ..functions.text import stopword_hits
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     wd = Window.partitionBy("h").orderBy("doc_id")
     deduped = (
         docs.select("doc_id", "text", F.md5("text").alias("h"))
@@ -5380,7 +5380,7 @@ def b19_semdedup(spark, sf_dir):
         "cluster",
         "ms",
         F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("salt"),
-    ).repartition(32, "cluster", "salt")
+    ).repartition("cluster", "salt")
     ex = (
         salted.select(
             "cluster",
@@ -5579,7 +5579,7 @@ def b18_range_boundaries(spark, sf_dir):
 def b21_lm_bigram_fit(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", "lang", tokens(F.col("text")).alias("w"))
         .filter(F.size("w") >= 2)
     )
@@ -5635,7 +5635,7 @@ def b21_lm_bigram_fit_ntile(spark, sf_dir):
     funnels the scored table through one partition."""
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", "lang", tokens(F.col("text")).alias("w"))
         .filter(F.size("w") >= 2)
     )
@@ -5747,7 +5747,7 @@ _B21_PPL_ORACLE = r"""
 def b21_perplexity_bits(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("w"))
     )
     w = F.col("w")
@@ -5878,7 +5878,7 @@ _B21_RAKE_ORACLE = rf"""
 def b21_rake_keywords(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("w"))
     )
     pos = docs.select(
@@ -5987,7 +5987,7 @@ _B21_CLASSIFIER_ORACLE = (
 def b21_classifier_score(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", "lang", tokens(F.col("text")).alias("w"))
     )
     wts = F.transform(F.col("w"), lambda tok: token_hash16(tok) % 2001 - 1000)
@@ -6124,7 +6124,7 @@ def b19_span_dedup(spark, sf_dir):
     L = 5
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("w"))
         .filter(F.size("w") >= L)
     )
@@ -6202,7 +6202,7 @@ _B21_STATS_ORACLE = (
 
 @register("b21_corpus_stats", oracle=_B21_STATS_ORACLE, tags=("B21", "B6"))
 def b21_corpus_stats(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     pd_ = docs.select(
         "lang",
         "source",
@@ -6240,7 +6240,7 @@ def b21_corpus_stats(spark, sf_dir):
 def b21_bpe_train(spark, sf_dir):
     from ..operators.bpe import train_bpe
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     merges = train_bpe(docs, n_merges=8)
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
@@ -6328,7 +6328,7 @@ def _bpe_encode_oracle(n: int) -> str:
 def b21_bpe_encode(spark, sf_dir):
     from ..operators.bpe import train_bpe_table
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     occurrences = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word").rlike("^[a-z0-9]+$"))
@@ -6409,7 +6409,7 @@ def _pack_bpe_oracle(n: int) -> str:
 def b21_sequence_pack_bpe(spark, sf_dir):
     from ..operators.bpe import train_bpe_table
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     occurrences = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word").rlike("^[a-z0-9]+$"))
@@ -6481,7 +6481,7 @@ _B21_HTML_ORACLE = r"""
 
 @register("b21_html_extract", oracle=_B21_HTML_ORACLE, tags=("B21",))
 def b21_html_extract(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     w = tokens(F.col("text"))
     norm_text = F.lower(F.trim("text"))
     rendered = F.concat(
@@ -6577,7 +6577,7 @@ _B22_ENCODER_ORACLE = (
 def b22_text_encoder(spark, sf_dir):
     from ..operators.inference import encode_documents
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     return encode_documents(docs)
 
 
@@ -6658,7 +6658,7 @@ def b22_image_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(_media_payloads_image(docs))
 
@@ -6781,7 +6781,7 @@ def b22_resize_bilinear(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_resize_images(_media_payloads_even(docs), scale=2)
 
@@ -6956,7 +6956,7 @@ def b22_hist_equalize(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return equalize_images(
         _media_payloads_aug(docs).select("doc_id", "payload")
@@ -6971,7 +6971,7 @@ def b22_augmentations(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return augment_images(_media_payloads_aug(docs), crop=(8, 8))
 
@@ -7041,7 +7041,7 @@ def b19_phash_image_neardup(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     hashes = phash_images(_media_payloads_phash(docs))
     bands = hashes.select(
@@ -7091,7 +7091,7 @@ def b22_gif_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(_media_payloads_gif(docs))
 
@@ -7186,7 +7186,7 @@ def b22_jpeg_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(_media_payloads_jpeg(docs))
 
@@ -7205,7 +7205,7 @@ def b22_jpeg_420(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(_media_payloads_jpeg(docs, subsampling="420"))
 
@@ -7227,7 +7227,7 @@ def b22_jpeg_progressive(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(
         _media_payloads_jpeg(docs, subsampling="420", progressive=True)
@@ -7293,7 +7293,7 @@ def b22_audio_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_audio(_media_payloads_wav(docs))
 
@@ -7388,7 +7388,7 @@ def b22_audio_vad(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return vad_segments(_media_payloads_wav_vad(docs))
 
@@ -7521,7 +7521,7 @@ def b22_adpcm_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_audio(_media_payloads_adpcm(docs))
 
@@ -7679,7 +7679,7 @@ def b22_alaw_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_audio(_media_payloads_alaw(docs))
 
@@ -7692,7 +7692,7 @@ def b22_mulaw_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_audio(_media_payloads_mulaw(docs))
 
@@ -7751,7 +7751,7 @@ def b22_audio_resample(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return resample_audio(_media_payloads_wav(docs), sr_out=16000)
 
@@ -7816,7 +7816,7 @@ def b22_audio_spectrogram(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return audio_spectrograms(_media_payloads_square_wav(docs))
 
@@ -7835,7 +7835,7 @@ def b22_mel_features(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return mel_features(_media_payloads_square_wav(docs))
 
@@ -7911,7 +7911,7 @@ def b22_video_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_video_frames(_media_payloads_y4m(docs), every=2)
 
@@ -7992,7 +7992,7 @@ def b22_scene_changes(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return scene_changes(_media_payloads_y4m_shots(docs))
 
@@ -8237,7 +8237,7 @@ def b19_cdc_chunk_dedup(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 64)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     chunks = cdc_chunks(_media_payloads_blocks(docs))
     w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_ord")
@@ -8325,7 +8325,7 @@ _B21_IMPORTANCE_ORACLE = (
 def b21_importance_resample(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", "lang", tokens(F.col("text")).alias("w"))
     )
     bt = docs.select(
@@ -8610,7 +8610,7 @@ def b22_pcm24_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_audio(_media_payloads_pcm24(docs))
 
@@ -8690,7 +8690,7 @@ def b22_stereo_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_audio_channels(_media_payloads_stereo(docs))
 
@@ -8774,7 +8774,7 @@ def b22_video_retime(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return retime_video(_media_payloads_y4m_rates(docs), target_fps=4)
 
@@ -8851,7 +8851,7 @@ def b22_png_palette(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(_media_payloads_png_palette(docs))
 
@@ -8922,7 +8922,7 @@ def b22_png_gray(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(_media_payloads_png_gray(docs))
 
@@ -8991,7 +8991,7 @@ def b22_float32_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_audio(_media_payloads_float32(docs))
 
@@ -9066,7 +9066,7 @@ def b22_video_c444(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_video_frames(_media_payloads_y4m_c444(docs), every=1)
 
@@ -9284,7 +9284,7 @@ def _winnow_hashes(spark, sf_dir):
     codegen end-to-end."""
     w = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("i0", "wd"))
     )
     wo = Window.partitionBy("doc_id").orderBy("i0")
@@ -9531,7 +9531,7 @@ def b22_tiff_decode(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(_media_payloads_tiff(docs))
 
@@ -9592,7 +9592,7 @@ def b22_tiff_lzw(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
     )
     return decode_images(_media_payloads_tiff_compressed(docs))
 
@@ -9632,7 +9632,7 @@ _B21_VOCAB_OVERLAP_ORACLE = r"""
     "b21_vocab_overlap", oracle=_B21_VOCAB_OVERLAP_ORACLE, tags=("B21",)
 )
 def b21_vocab_overlap(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     v = (
         docs.select(
             "source", F.explode(tokens(F.col("text"))).alias("tok")
@@ -9712,7 +9712,7 @@ _B21_VOCAB_GROWTH_ORACLE = r"""
 def b21_vocab_growth(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    docs = t(spark, sf_dir, "documents").transform(spread("doc_id"))
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
     ).cache()  # feeds both the per-doc totals and the first-seen agg
@@ -9920,7 +9920,7 @@ def b19_url_dedup(spark, sf_dir):
     raw = (
         t(spark, sf_dir, "documents")
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .withColumn("url", url)
     )
     canon = raw.select(
@@ -10014,7 +10014,7 @@ def b19_pagerank(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .cache()  # vertex set: reused by the link build + every round
     )
     n = docs.count()  # one scalar action; N parameterizes the graph
@@ -10033,7 +10033,7 @@ def b19_pagerank(spark, sf_dir):
     adj = (
         links.join(deg, "src")
         .select("src", "dst", "deg")
-        .repartition(32, "src")
+        .repartition("src")
         .cache()  # adjacency with out-degree: reused by all 3 rounds
     )
     rank = docs.select("doc_id", F.lit(1_000_000).cast("bigint").alias("r"))
@@ -10282,7 +10282,7 @@ _B19_MH_CAL_ORACLE = (
 def b19_minhash_calibration(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("w"))
         .select(
             "doc_id",
@@ -10610,7 +10610,7 @@ def b19_substring_dedup(spark, sf_dir):
     L = _SUBSTR_L
     docs = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("w"))
         .filter(F.size("w") >= L)
     )
@@ -10731,7 +10731,7 @@ def b19_triangle_count(spark, sf_dir):
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .cache()
     )
     n = docs.count()
@@ -11250,7 +11250,7 @@ def _handoff_graph(spark, sf_dir, min_weight: int = 1):
     """Canonical undirected extracted edges (u < v), materialized."""
     return (
         _handoff_edges(spark, sf_dir, min_weight)
-        .repartition(32, "u")
+        .repartition("u")
         .localCheckpoint()
     )  # eager: every consumer probes the edge list repeatedly
 
@@ -11331,7 +11331,7 @@ def b19_pagerank_handoff(spark, sf_dir):
         t(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
-        .repartition(32, "user_id")
+        .repartition("user_id")
         .cache()  # vertex set: reused every round
     )
     links = (
@@ -11343,7 +11343,7 @@ def b19_pagerank_handoff(spark, sf_dir):
     adj = (
         links.join(deg, "src")
         .select("src", "dst", "deg")
-        .repartition(32, "src")
+        .repartition("src")
         .localCheckpoint()  # adjacency reused by all 3 rounds; eager so
         # the window extraction runs exactly once
     )
@@ -11633,7 +11633,7 @@ def b21_unicode_normalize(spark, sf_dir):
     )
     raw = (
         t(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")
+        .transform(spread("doc_id"))
         .select("doc_id", dirty.alias("dirty"))
     )
     out = raw.select(

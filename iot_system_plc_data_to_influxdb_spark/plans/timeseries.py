@@ -3590,13 +3590,16 @@ def _theil_sen_from_buckets(b, meta=None):
             F.expr("(nb * (nb - 1) div 2 + 1) div 2").alias("mrank"),
             F.expr("(nb + 1) div 2").alias("brank"),
         )
-    # left side fans out over 32 tasks so the O(B²) pair GENERATION is
-    # parallel (the cached bucket relation AQE-coalesces to ~1
-    # partition; without the repartition one task emits all ~6.5M
-    # pairs); the right side is a broadcast of the same tiny relation
+    # left side fans out over the session's cores so the O(B²) pair
+    # GENERATION is parallel (the cached bucket relation AQE-coalesces
+    # to ~1 partition; without the repartition one task emits all
+    # ~6.5M pairs); the right side is a broadcast of the same tiny
+    # relation. This is a task-fanout for a FIXED-size relation (B is
+    # caller-bounded), not a data-scaled constant — so it sizes from
+    # defaultParallelism, never a hard-coded core count.
     b1 = b.select(
         "event_type", F.col("hr").alias("hi"), F.col("cents").alias("ci")
-    ).repartition(32)
+    ).repartition(b.sparkSession.sparkContext.defaultParallelism)
     b2 = b.select(
         "event_type", F.col("hr").alias("hj"), F.col("cents").alias("cj")
     )

@@ -154,3 +154,26 @@ def test_par_floor_is_conditional_and_value_neutral(spark, n_parts):
     assert {int(r["vec_id"]) for r in out.select("vec_id").collect()} == set(
         range(50)
     )
+
+
+def test_no_hardcoded_core_count_repartitions():
+    """Round-12 sweep guard: no engine query path may hard-code the
+    local core count into a repartition — the fan-outs go through
+    catalog.par_floor/spread (structural no-ops at scale) or size
+    from defaultParallelism / shuffle.partitions. Tools/probes are
+    measurement scripts and exempt."""
+    import pathlib
+    import re
+
+    src_root = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "iot_system_plc_data_to_influxdb_spark"
+    )
+    pat = re.compile(r"\.repartition\(\s*\d+")
+    offenders = [
+        f"{p.relative_to(src_root)}:{i}"
+        for p in sorted(src_root.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if pat.search(line) and not line.lstrip().startswith("#")
+    ]
+    assert not offenders, offenders

@@ -136,6 +136,35 @@ def main() -> int:
         ivf,
     )
 
+    # --- radius search: the pruned-hits relation (BEFORE: cells×-
+    # exploded crossJoin + per-vec_id window argmin; AFTER: literal-
+    # centroid map-side fold, assignment materialized once)
+    try:
+        hits, _kept = ns._radius_search(
+            emb.select("vec_id", "embedding")
+        )
+        add(
+            "b20_radius_search",
+            "_radius_search hits — cell assignment + triangle-bound "
+            "pruned distance filter",
+            hits,
+        )
+    except Exception as exc:  # noqa: BLE001 — absent on old trees
+        print("radius section skipped:", exc)
+
+    # --- cluster margin: the registered relation itself (BEFORE:
+    # own ⋈ other ⋈ min join tree over the K×-exploded score relation;
+    # AFTER: one two-best fold over literal centroids)
+    try:
+        add(
+            "b20_cluster_margin",
+            "b20_cluster_margin registered relation — per-vector "
+            "(own, second-best) distance margin + per-cluster rollup",
+            ns.b20_cluster_margin(spark, sf_dir),
+        )
+    except Exception as exc:  # noqa: BLE001
+        print("margin section skipped:", exc)
+
     for query, parts in sections.items():
         path = os.path.join(out_dir, f"{query}_{tag}.txt")
         with open(path, "w") as f:
