@@ -106,6 +106,34 @@ def spread(*keys: str):
     return lambda df: par_floor(df, *keys)
 
 
+def run_jobs(*thunks):
+    """Run independent driver actions CONCURRENTLY (guide §2.6
+    "overlap independent jobs"): Spark's scheduler happily runs
+    several jobs at once inside one application — actions are only
+    sequential because driver code calls them sequentially. Used where
+    an operator issues 2-3 actions with no data dependency between
+    them (the postings and terms writes of an index build both read
+    the same checkpointed pass; a hybrid query builds its lexical and
+    vector indexes into different directories): the later job's tasks
+    back-fill executors freed by the earlier job's stage tails instead
+    of idling through them, locally AND on a cluster. FIFO scheduling
+    (the default) gives exactly that back-fill behaviour; 2-3 jobs in
+    flight is plenty (guide §2.6).
+
+    Callers must pass thunks whose actions are genuinely independent:
+    no shared session-conf mutation (writers set per-write options
+    instead), no thunk reading what another writes. Returns the
+    thunks' results in call order; the first failure propagates after
+    all submitted work settles (the pool joins before raising)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 3)) as pool:
+        futures = [pool.submit(th) for th in thunks]
+        return [f.result() for f in futures]
+
+
 def _nanos_bound(bound: str):
     """Epoch-nanos literal for a timestamp bound string, evaluated via
     CAST(bound AS TIMESTAMP) so session-timezone semantics are byte-

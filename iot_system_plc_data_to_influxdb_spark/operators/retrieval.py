@@ -44,7 +44,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import par_floor
+from ..catalog import par_floor, run_jobs
 from ..functions.text import surprisal_bits, tokens
 
 #: default term-hash partition count — at 100 TB this rises with the
@@ -122,33 +122,45 @@ def write_postings_index(docs: DataFrame, path: str) -> None:
     single tf pass is localCheckpoint()ed — postings and per-term dfs
     both read it — and the corpus stats ride that same pass as an
     Observation. Written layout and values are unchanged (same
-    expressions, same repartition("tb") clustering)."""
+    expressions, same repartition("tb") clustering). The three writes
+    all hang off the materialized tf with no dependency on each other
+    (different subtrees of ``path``), so they run as CONCURRENT jobs
+    (guide §2.6 via run_jobs): each write's stage tail is back-filled
+    by the next write's tasks instead of idling the executors."""
     tf, obs = _observed_term_freqs(docs)
     tf = tf.localCheckpoint()  # the ONE corpus pass; fills `obs`
-    (
-        tf.withColumn("tb", _term_bucket(F.col("term")))
-        .repartition("tb")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(os.path.join(path, "postings"))
-    )
-    # df derived from the same materialized tf the postings were
-    # written from: the index is self-consistent by construction
-    pdf = (
-        tf.groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("df"))
-        .withColumn("tb", _term_bucket(F.col("term")))
-        .repartition("tb")
-        .sortWithinPartitions("term")
-    )
-    pdf.write.mode("overwrite").partitionBy("tb").parquet(
-        os.path.join(path, "terms")
-    )
-    stats = obs.get
-    _write_stats(
-        docs.sparkSession, path, stats["n_docs"], stats["sum_len"]
-    )
+
+    def _postings_write():
+        (
+            tf.withColumn("tb", _term_bucket(F.col("term")))
+            .repartition("tb")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(path, "postings"))
+        )
+
+    def _terms_write():
+        # df derived from the same materialized tf the postings were
+        # written from: the index is self-consistent by construction
+        (
+            tf.groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("df"))
+            .withColumn("tb", _term_bucket(F.col("term")))
+            .repartition("tb")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(path, "terms"))
+        )
+
+    def _stats_write():
+        stats = obs.get  # filled by the tf checkpoint action above
+        _write_stats(
+            docs.sparkSession, path, stats["n_docs"], stats["sum_len"]
+        )
+
+    run_jobs(_postings_write, _terms_write, _stats_write)
 
 
 def bm25_query_buckets(spark: SparkSession, terms) -> list[int]:
@@ -246,17 +258,21 @@ def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
     spark = emb.sparkSession
     cents = ivf_centroids(emb, n_cells)
     cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
-    (
-        ivf_cell_assignments(par_floor(emb, "vec_id"), cents)
-        .select("vec_id", "embedding", "cell")
-        .repartition("cell")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "cells"))
-    )
-    cent_df.write.mode("overwrite").parquet(
-        os.path.join(path, "centroids")
+    # the cells layout and the centroid sidecar are independent writes
+    # into disjoint subtrees — concurrent jobs (guide §2.6)
+    run_jobs(
+        lambda: (
+            ivf_cell_assignments(par_floor(emb, "vec_id"), cents)
+            .select("vec_id", "embedding", "cell")
+            .repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "cells"))
+        ),
+        lambda: cent_df.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        ),
     )
 
 
@@ -366,59 +382,65 @@ def merge_postings_delta(
     # stats used to re-tokenize the delta in a second pass)
     dtf = dtf.localCheckpoint()
 
-    (
-        dtf.repartition("tb")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("append")
-        .partitionBy("tb")
-        .parquet(os.path.join(path, "postings"))
-    )
+    # the three merge branches (postings append, terms re-aggregate,
+    # stats increment) all hang off the checkpointed dtf and touch
+    # disjoint subtrees of ``path`` — concurrent jobs (guide §2.6).
+    # The terms rewrite sets partitionOverwriteMode on ITS writer
+    # (never on the shared session conf, which a concurrent job would
+    # also see).
+    def _postings_append():
+        (
+            dtf.repartition("tb")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("append")
+            .partitionBy("tb")
+            .parquet(os.path.join(path, "postings"))
+        )
 
-    ddf = dtf.groupBy("tb", "term").agg(
-        F.count("*").cast("bigint").alias("df")
-    )
-    affected = sorted(
-        int(r["tb"]) for r in ddf.select("tb").distinct().collect()
-    )
-    base_terms = (
-        spark.read.parquet(os.path.join(path, "terms"))
-        .filter(F.col("tb").isin(affected))  # partition pruning
-        .select("tb", "term", "df")
-    )
-    merged = (
-        base_terms.unionByName(ddf.select("tb", "term", "df"))
-        .groupBy("tb", "term")
-        .agg(F.sum("df").cast("bigint").alias("df"))
-        .select("term", "df", "tb")
-        .repartition("tb")
-        .sortWithinPartitions("term")
-        # cut lineage to the files the write below replaces
-        .localCheckpoint()
-    )
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    def _terms_merge() -> list[int]:
+        ddf = dtf.groupBy("tb", "term").agg(
+            F.count("*").cast("bigint").alias("df")
+        )
+        affected = sorted(
+            int(r["tb"]) for r in ddf.select("tb").distinct().collect()
+        )
+        base_terms = (
+            spark.read.parquet(os.path.join(path, "terms"))
+            .filter(F.col("tb").isin(affected))  # partition pruning
+            .select("tb", "term", "df")
+        )
+        merged = (
+            base_terms.unionByName(ddf.select("tb", "term", "df"))
+            .groupBy("tb", "term")
+            .agg(F.sum("df").cast("bigint").alias("df"))
+            .select("term", "df", "tb")
+            .repartition("tb")
+            .sortWithinPartitions("term")
+            # cut lineage to the files the write below replaces
+            .localCheckpoint()
+        )
         # replaces ONLY the tb= partitions present in `merged` — which
         # are exactly `affected`, because the union's rows all carry a
         # delta-term bucket id
-        merged.write.mode("overwrite").partitionBy("tb").parquet(
-            os.path.join(path, "terms")
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tb")
+            .parquet(os.path.join(path, "terms"))
         )
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        return affected
+
+    def _stats_merge():
+        old = spark.read.parquet(os.path.join(path, "stats")).first()
+        dstats = obs.get  # collected during the dtf checkpoint pass
+        _write_stats(
+            spark,
+            path,
+            int(old["n_docs"]) + int(dstats["n_docs"]),
+            int(old["sum_len"]) + int(dstats["sum_len"]),
         )
 
-    old = spark.read.parquet(os.path.join(path, "stats")).first()
-    dstats = obs.get  # collected during the dtf checkpoint pass
-    _write_stats(
-        spark,
-        path,
-        int(old["n_docs"]) + int(dstats["n_docs"]),
-        int(old["sum_len"]) + int(dstats["sum_len"]),
-    )
+    _, affected, _ = run_jobs(_postings_append, _terms_merge, _stats_merge)
     return affected
 
 
@@ -460,22 +482,29 @@ def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
     # materialize the scan+quantize+explode once
     v = pq_subvectors(emb).localCheckpoint()
     cb = pq_train(v).localCheckpoint()  # reused: sidecar write + codes
-    (
-        emb.select(
-            "vec_id",
-            *pq_code_cols(cb),
-            ivf_best_cell(cents)["cell"].alias("cell"),
-        )
-        .repartition("cell")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "codes"))
+    # codes / codebook sidecar / centroid sidecar are independent
+    # writes into disjoint subtrees — concurrent jobs (guide §2.6);
+    # everything they read (cb, cents) is materialized above
+    run_jobs(
+        lambda: (
+            emb.select(
+                "vec_id",
+                *pq_code_cols(cb),
+                ivf_best_cell(cents)["cell"].alias("cell"),
+            )
+            .repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "codes"))
+        ),
+        lambda: cb.write.mode("overwrite").parquet(
+            os.path.join(path, "codebooks")
+        ),
+        lambda: spark.createDataFrame(
+            cents, "cell int, cvec array<float>"
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids")),
     )
-    cb.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
-    spark.createDataFrame(
-        cents, "cell int, cvec array<float>"
-    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
 def merge_ivfpq_delta(
@@ -506,16 +535,22 @@ def merge_ivfpq_delta(
         *pq_code_cols(cb),
         ivf_best_cell(cents)["cell"].alias("cell"),
     ).localCheckpoint()
-    (
-        landed.repartition("cell")
-        .sortWithinPartitions("vec_id")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "codes"))
+    # the append write and the landed-cells collect both read the
+    # checkpointed delta and nothing of each other — concurrent jobs
+    _, cells = run_jobs(
+        lambda: (
+            landed.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "codes"))
+        ),
+        lambda: sorted(
+            int(r["cell"])
+            for r in landed.select("cell").distinct().collect()
+        ),
     )
-    return sorted(
-        int(r["cell"]) for r in landed.select("cell").distinct().collect()
-    )
+    return cells
 
 
 def ivfpq_code_scan(
@@ -673,18 +708,15 @@ def _compact_partitions(
         # cut lineage to the files the write below replaces
         .localCheckpoint()
     )
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # replaces ONLY the partitions present in `merged` — exactly
+    # `frag`; the overwrite mode rides the writer, not the shared
+    # session conf (thread-safe under concurrent jobs)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(root)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # replaces ONLY the partitions present in `merged` — exactly
-        # `frag`
-        merged.write.mode("overwrite").partitionBy(part_col).parquet(root)
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_mode
-        )
     return frag
 
 
@@ -770,14 +802,20 @@ def merge_ivf_delta(
         ).collect()
     )
     assigned = ivf_cell_assignments(delta_emb, cents).localCheckpoint()
-    (
-        assigned.select("vec_id", "embedding", "cell")
-        .repartition("cell")
-        .sortWithinPartitions("vec_id")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "cells"))
+    # append write and landed-cells collect share only the checkpointed
+    # delta — concurrent jobs (guide §2.6)
+    _, cells = run_jobs(
+        lambda: (
+            assigned.select("vec_id", "embedding", "cell")
+            .repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "cells"))
+        ),
+        lambda: sorted(
+            int(r["cell"])
+            for r in assigned.select("cell").distinct().collect()
+        ),
     )
-    return sorted(
-        int(r["cell"]) for r in assigned.select("cell").distinct().collect()
-    )
+    return cells

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import par_floor, spread, t
+from ..catalog import par_floor, run_jobs, spread, t
 from ..functions.text import (
     STOPWORDS,
     shingles,
@@ -1814,11 +1814,17 @@ def b20_rrf_indexed(spark, sf_dir):
 
         lex_path = os.path.join(tmp, "lex")
         ivf_path = os.path.join(tmp, "ivf")
-        write_postings_index(
-            t(spark, sf_dir, "documents").select("doc_id", "text"),
-            lex_path,
+        # the two modalities' layout jobs share nothing (different
+        # sources, different directories) — build them as concurrent
+        # jobs (guide §2.6 via run_jobs); each build overlaps its own
+        # sub-writes the same way internally
+        run_jobs(
+            lambda: write_postings_index(
+                t(spark, sf_dir, "documents").select("doc_id", "text"),
+                lex_path,
+            ),
+            lambda: write_ivf_index(emb, ivf_path),
         )
-        write_ivf_index(emb, ivf_path)
         lex_w = Window.orderBy(F.col("score_fp").desc(), "doc_id")
         lex = (
             bm25_from_index(
@@ -3963,22 +3969,14 @@ _B20_ANN_RECALL_ORACLE = f"""
 """
 
 
-def _ann_sim_bf_ivf(
-    spark, sf_dir, ivf_k: int = 10, qn=None, n_probe=2, n_cells=8,
-    with_cells: bool = False, with_qn: bool = False,
-):
-    """The batch-of-probes ANN evaluation core shared by
-    b20_ann_recall and the two rrf_recall harnesses: (sim, bf, ivf)
-    where `sim` is the materialized exact-cosine probe×corpus scores,
-    `bf` the brute-force top-10 ground truth per probe, and `ivf` the
-    IVF(2-of-8-cells) candidates ranked to `ivf_k` (rank column `rk`
-    kept — the RRF fusion consumes ranks). ``qn`` overrides the
-    integer-vector source (vec_id, x ARRAY<BIGINT>) — default: the
-    quantized embeddings table (the _ann_core_ctes twin of the same
-    parameter). ``with_qn`` appends the materialized (vec_id, x, n2,
-    cell) relation to the return so callers can derive id sets
-    without recomputing the source."""
-    from ..functions.vectors import cosine_from_int, dot_int, quantize_int
+def _ann_qn_mat(spark, sf_dir, qn=None, n_cells=8):
+    """The harness's ONE source materialization: (vec_id, x, n2, cell)
+    localCheckpoint'ed, with the coarse cell assignment folded into the
+    same job (see the inline notes). Factored out of _ann_sim_bf_ivf
+    (round 12) so callers can materialize the source FIRST and then
+    run the vector chain and an independent lexical chain as
+    concurrent jobs (guide §2.6)."""
+    from ..functions.vectors import dot_int, quantize_int
 
     if qn is None:
         qn = par_floor(
@@ -4035,10 +4033,34 @@ def _ann_sim_bf_ivf(
     # PushDownPredicate has no such check, which is exactly why `cell`
     # must be materialized before the ivf join keys on it). ~N small
     # rows: tiny.
-    qn = (
+    return (
         qn.withColumn("n2", dot_int(F.col("x"), F.col("x")))
         .withColumn("cell", best_cell)
         .localCheckpoint()
+    )
+
+
+def _ann_sim_bf_ivf(
+    spark, sf_dir, ivf_k: int = 10, qn=None, n_probe=2, n_cells=8,
+    with_cells: bool = False, with_qn: bool = False, qn_mat=None,
+):
+    """The batch-of-probes ANN evaluation core shared by
+    b20_ann_recall and the two rrf_recall harnesses: (sim, bf, ivf)
+    where `sim` is the materialized exact-cosine probe×corpus scores,
+    `bf` the brute-force top-10 ground truth per probe, and `ivf` the
+    IVF(2-of-8-cells) candidates ranked to `ivf_k` (rank column `rk`
+    kept — the RRF fusion consumes ranks). ``qn`` overrides the
+    integer-vector source (vec_id, x ARRAY<BIGINT>) — default: the
+    quantized embeddings table (the _ann_core_ctes twin of the same
+    parameter). ``with_qn`` appends the materialized (vec_id, x, n2,
+    cell) relation to the return so callers can derive id sets
+    without recomputing the source. ``qn_mat`` passes that relation in
+    pre-materialized (_ann_qn_mat) so the caller can overlap this
+    vector chain with independent work (guide §2.6)."""
+    from ..functions.vectors import cosine_from_int, dot_int
+
+    qn = qn_mat if qn_mat is not None else _ann_qn_mat(
+        spark, sf_dir, qn=qn, n_cells=n_cells
     )
     probes = qn.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("pid"),
@@ -4192,19 +4214,30 @@ def b20_pq_recall(spark, sf_dir):
         pq_train,
     )
 
-    sim, bf, _ivf, assigned, pcells = _ann_sim_bf_ivf(
-        spark, sf_dir, ivf_k=10, with_cells=True
-    )
-    emb = par_floor(t(spark, sf_dir, "embeddings"), "vec_id")
-    # v feeds pq_train (twice), the code assignment, and the panel
-    # subvectors — materialize the scan+quantize+explode once
-    v = pq_subvectors(emb).localCheckpoint()
-    cb = pq_train(v).localCheckpoint()  # feeds panel LUT + codes
-    # materialized: `cand` below joins on `cluster`, and the pushed
-    # isnotnull(cluster) would clone pq_assign's whole K-candidate
-    # fold into a Filter below the projection — twice the argmin work
-    # per (vec, sub) row. N·M×3 columns: tiny.
-    codes = pq_assign(v, cb).localCheckpoint()
+    # round 12 (guide §2.6): the ANN harness chain (qn → ground-truth
+    # pass) and the PQ chain (subvectors → train → codes) read only
+    # the embeddings table — no dependency between them until the ADC
+    # candidates join the harness's coarse relations. Concurrent jobs.
+    out = {}
+
+    def _harness_chain():
+        out["h"] = _ann_sim_bf_ivf(spark, sf_dir, ivf_k=10, with_cells=True)
+
+    def _pq_chain():
+        emb = par_floor(t(spark, sf_dir, "embeddings"), "vec_id")
+        # v feeds pq_train (twice), the code assignment, and the panel
+        # subvectors — materialize the scan+quantize+explode once
+        v = pq_subvectors(emb).localCheckpoint()
+        cb = pq_train(v).localCheckpoint()  # feeds panel LUT + codes
+        # materialized: `cand` below joins on `cluster`, and the pushed
+        # isnotnull(cluster) would clone pq_assign's whole K-candidate
+        # fold into a Filter below the projection — twice the argmin
+        # work per (vec, sub) row. N·M×3 columns: tiny.
+        out["pq"] = (v, cb, pq_assign(v, cb).localCheckpoint())
+
+    run_jobs(_harness_chain, _pq_chain)
+    sim, bf, _ivf, assigned, pcells = out["h"]
+    v, cb, codes = out["pq"]
     ppv = v.filter(F.col("vec_id") % _ANN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("pid"), "sub", F.col("x").alias("px")
     )
@@ -4422,20 +4455,16 @@ _B20_RRF_RECALL_ORACLE = f"""
 """
 
 
-def _rrf_recall_report(
-    spark, sf_dir, bf, ivf, emb_ids, idf_smooth=0, query_tf=False
-):
-    """Lexical leg + RRF fusion + three-way truth scoring — the Spark
-    twin of _rrf_recall_tail_sql, shared by b20_rrf_recall and the
-    correlated twin (which differ only in where the vectors and the
-    embedded-id set come from, plus the twin's +1 idf smoothing —
-    see the tail SQL's docstring)."""
+def _rrf_lex_leg(spark, sf_dir, emb_ids, idf_smooth=0, query_tf=False):
+    """The lexical (per-probe BM25) leg of the rrf_recall harness:
+    (pid, doc_id, rk <= _RRF_LEG_TOPK), localCheckpoint'ed — the Spark
+    twin of _rrf_recall_tail_sql's corp..lex CTEs. Split out of the
+    one-piece report (round 12) because it shares NOTHING with the
+    vector chain (sim/bf/ivf) until fusion: given the materialized
+    source ids, the two chains run as concurrent jobs from the
+    callers (guide §2.6), back-filling each other's stage tails."""
     from ..functions.text import surprisal_bits
 
-    # ivf feeds BOTH the fusion (top-20 ranks) and the iv10 truth
-    # comparison — materialize the <= panel×20-row relation once
-    # instead of re-running the candidate window per consumer
-    ivf = ivf.localCheckpoint()
     # ----- lexical leg: per-probe BM25 over the embedded corpus -----
     # alias the token split ONCE — dl and the explode below would
     # otherwise each re-evaluate the lower+trim+split over text
@@ -4508,12 +4537,18 @@ def _rrf_recall_report(
     wl = Window.partitionBy("pid").orderBy(
         F.col("score").desc(), "doc_id"
     )
-    lex = (
+    return (
         lscore.withColumn("rk", F.row_number().over(wl))
         .filter(F.col("rk") <= _RRF_LEG_TOPK)
         .select("pid", "doc_id", "rk")
         .localCheckpoint()  # <= panel×20 rows, two consumers
     )
+
+
+def _rrf_recall_fuse(bf, ivf, lex):
+    """RRF fusion of the two legs' top-20 ranks + three-way truth
+    scoring — the report tail consuming the (already materialized)
+    truth, vector-leg, and lexical-leg relations."""
     # ----- RRF fusion of the two legs' top-20 ranks -----
     li = lex.select(
         F.col("pid").alias("lpid"),
@@ -4587,13 +4622,31 @@ def _rrf_recall_report(
     "b20_rrf_recall", oracle=_B20_RRF_RECALL_ORACLE, tags=("B20", "B21")
 )
 def b20_rrf_recall(spark, sf_dir):
-    _sim, bf, ivf = _ann_sim_bf_ivf(spark, sf_dir, ivf_k=_RRF_LEG_TOPK)
+    # round 12 (guide §2.6): the vector chain (ground-truth pass →
+    # bf/ivf rankings) and the lexical chain (corpus tokenize → BM25 →
+    # per-probe top-20) share only the materialized source — run them
+    # as concurrent jobs and fuse
+    qn_mat = _ann_qn_mat(spark, sf_dir)
     emb_ids = (
         t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("doc_id"))
         .distinct()
     )
-    return _rrf_recall_report(spark, sf_dir, bf, ivf, emb_ids)
+    out = {}
+
+    def _vec_chain():
+        _sim, bf, ivf = _ann_sim_bf_ivf(
+            spark, sf_dir, ivf_k=_RRF_LEG_TOPK, qn_mat=qn_mat
+        )
+        # ivf feeds BOTH the fusion (top-20 ranks) and the iv10 truth
+        # comparison — materialize the <= panel×20-row relation once
+        out["bf"], out["ivf"] = bf, ivf.localCheckpoint()
+
+    def _lex_chain():
+        out["lex"] = _rrf_lex_leg(spark, sf_dir, emb_ids)
+
+    run_jobs(_vec_chain, _lex_chain)
+    return _rrf_recall_fuse(out["bf"], out["ivf"], out["lex"])
 
 
 # --------------------------------------------------------------------------
@@ -4614,7 +4667,7 @@ def b20_rrf_recall(spark, sf_dir):
 #
 # Scale shape: the vector derivation is one token explode + one
 # 16-column groupBy (map-side combine); everything downstream is the
-# SAME shared harness (_ann_sim_bf_ivf + _rrf_recall_report).
+# SAME shared harness (_ann_sim_bf_ivf + _rrf_lex_leg/_rrf_recall_fuse).
 # --------------------------------------------------------------------------
 _CORR_DIMS = 64
 
@@ -4763,17 +4816,30 @@ def b20_rrf_recall_correlated(spark, sf_dir):
     # groupBy) is the expensive relation here — it used to be
     # recomputed by the harness's sim leg, its coarse leg, AND the
     # embedded-id set below; the harness's ONE qn materialization
-    # (with_qn) now serves all three (round 12 — a standalone
-    # checkpoint here would be a second full-BOW job)
-    _sim, bf, ivf, qn_mat = _ann_sim_bf_ivf(
-        spark, sf_dir, ivf_k=_RRF_LEG_TOPK,
-        qn=_hashed_bow_qn(spark, sf_dir), n_probe=1, n_cells=16,
-        with_qn=True,
+    # now serves all three (round 12 — a standalone checkpoint here
+    # would be a second full-BOW job). Round 12 §2.6: given that
+    # materialization, the vector chain and the lexical chain share
+    # nothing until fusion — concurrent jobs.
+    qn_mat = _ann_qn_mat(
+        spark, sf_dir, qn=_hashed_bow_qn(spark, sf_dir), n_cells=16
     )
     emb_ids = qn_mat.select(F.col("vec_id").alias("doc_id")).distinct()
-    return _rrf_recall_report(
-        spark, sf_dir, bf, ivf, emb_ids, idf_smooth=1, query_tf=True
-    )
+    out = {}
+
+    def _vec_chain():
+        _sim, bf, ivf = _ann_sim_bf_ivf(
+            spark, sf_dir, ivf_k=_RRF_LEG_TOPK, qn_mat=qn_mat,
+            n_probe=1, n_cells=16,
+        )
+        out["bf"], out["ivf"] = bf, ivf.localCheckpoint()
+
+    def _lex_chain():
+        out["lex"] = _rrf_lex_leg(
+            spark, sf_dir, emb_ids, idf_smooth=1, query_tf=True
+        )
+
+    run_jobs(_vec_chain, _lex_chain)
+    return _rrf_recall_fuse(out["bf"], out["ivf"], out["lex"])
 
 
 # --------------------------------------------------------------------------

@@ -211,18 +211,14 @@ def resample_downsample(
             to_write = fresh.withColumn("date", F.to_date("bucket_start"))
         to_write = to_write.cache()
         n = to_write.count()
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                to_write.write.mode("overwrite")
-                .partitionBy("date")
-                .parquet(table_path)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
+        # overwrite mode rides the writer, not the shared session conf
+        # (round 12: thread-safe under guide-§2.6 concurrent jobs)
+        (
+            to_write.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(table_path)
+        )
         to_write.unpersist()
         return n
     finally:
