@@ -355,8 +355,27 @@ def knn_ivf_from_index(
 # py: untouched buckets' files are byte-identical after the merge),
 # mirroring the delta-probes-base posture of b19_incremental_dedup.
 # ---------------------------------------------------------------------------
+def prepare_postings_delta(delta_docs: DataFrame):
+    """The delta's ONE tokenize+tf pass, materialized, with the stats
+    Observation riding it — separable from the merge because it reads
+    ONLY the source corpus, never the index. Callers with an index
+    build in flight run this CONCURRENTLY with the build (guide §2.6:
+    the two read disjoint inputs) and hand the result to
+    ``merge_postings_delta(pre=...)`` once the build lands."""
+    dtf, obs = _observed_term_freqs(delta_docs)
+    dtf = dtf.withColumn("tb", _term_bucket(F.col("term")))
+    # ONE delta pass feeds postings-append, df-merge, AND (via the
+    # Observation riding it) the stats increment: checkpoint so the
+    # tokenize/explode runs once, not three times (round 12: the
+    # stats used to re-tokenize the delta in a second pass)
+    return dtf.localCheckpoint(), obs
+
+
 def merge_postings_delta(
-    spark: SparkSession, path: str, delta_docs: DataFrame
+    spark: SparkSession,
+    path: str,
+    delta_docs: DataFrame | None = None,
+    pre=None,
 ) -> list[int]:
     """Merge a delta document set into a written postings index.
 
@@ -373,14 +392,14 @@ def merge_postings_delta(
 
     Work is O(delta + affected-bucket terms), independent of the base
     corpus size. Returns the affected bucket ids (bounded by
-    N_BUCKETS — the one intentionally tiny collect here)."""
-    dtf, obs = _observed_term_freqs(delta_docs)
-    dtf = dtf.withColumn("tb", _term_bucket(F.col("term")))
-    # ONE delta pass feeds postings-append, df-merge, AND (via the
-    # Observation riding it) the stats increment: checkpoint so the
-    # tokenize/explode runs once, not three times (round 12: the
-    # stats used to re-tokenize the delta in a second pass)
-    dtf = dtf.localCheckpoint()
+    N_BUCKETS — the one intentionally tiny collect here).
+
+    ``pre`` takes a ``prepare_postings_delta`` result so the delta's
+    tokenize pass can have run concurrently with the index build it
+    merges into; with ``delta_docs`` the pass runs here."""
+    dtf, obs = pre if pre is not None else prepare_postings_delta(
+        delta_docs
+    )
 
     # the three merge branches (postings append, terms re-aggregate,
     # stats increment) all hang off the checkpointed dtf and touch

@@ -790,10 +790,19 @@ def b21_bm25_index_delta(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="bm25_index_delta_")
     try:
-        write_postings_index(docs.filter(F.expr("pmod(doc_id, 5) != 3")), tmp)
-        merge_postings_delta(
-            spark, tmp, docs.filter(F.expr("pmod(doc_id, 5) = 3"))
+        from ..operators.retrieval import prepare_postings_delta
+
+        # the delta's tokenize pass reads only the corpus, never the
+        # index — run it concurrently with the base build (guide §2.6)
+        _, pre = run_jobs(
+            lambda: write_postings_index(
+                docs.filter(F.expr("pmod(doc_id, 5) != 3")), tmp
+            ),
+            lambda: prepare_postings_delta(
+                docs.filter(F.expr("pmod(doc_id, 5) = 3"))
+            ),
         )
+        merge_postings_delta(spark, tmp, pre=pre)
         return bm25_from_index(
             spark, tmp, _BM25_TERMS, topk=_BM25_TOPK, scale=_BM25_SCALE
         ).localCheckpoint()  # must outlive the temp-dir cleanup
@@ -832,15 +841,25 @@ def b21_index_compaction(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="bm25_index_compact_")
     try:
-        write_postings_index(
-            docs.filter(F.expr("pmod(doc_id, 5) NOT IN (1, 3)")), tmp
+        from ..operators.retrieval import prepare_postings_delta
+
+        # both deltas' tokenize passes read only the corpus — run them
+        # concurrently with the base build (guide §2.6); the MERGES
+        # stay strictly sequential (each one read-modify-writes the
+        # terms/stats relations the next one reads)
+        _, pre1, pre2 = run_jobs(
+            lambda: write_postings_index(
+                docs.filter(F.expr("pmod(doc_id, 5) NOT IN (1, 3)")), tmp
+            ),
+            lambda: prepare_postings_delta(
+                docs.filter(F.expr("pmod(doc_id, 5) = 1"))
+            ),
+            lambda: prepare_postings_delta(
+                docs.filter(F.expr("pmod(doc_id, 5) = 3"))
+            ),
         )
-        merge_postings_delta(
-            spark, tmp, docs.filter(F.expr("pmod(doc_id, 5) = 1"))
-        )
-        merge_postings_delta(
-            spark, tmp, docs.filter(F.expr("pmod(doc_id, 5) = 3"))
-        )
+        merge_postings_delta(spark, tmp, pre=pre1)
+        merge_postings_delta(spark, tmp, pre=pre2)
         compact_postings_index(spark, tmp, max_files=2)
         return bm25_from_index(
             spark, tmp, _BM25_TERMS, topk=_BM25_TOPK, scale=_BM25_SCALE

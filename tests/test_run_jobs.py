@@ -68,6 +68,43 @@ def test_nested_run_jobs():
     assert run_jobs(inner, inner) == [["a", "b"], ["a", "b"]]
 
 
+def test_prepared_delta_merge_matches_inline_merge(spark, tmp_path):
+    """merge_postings_delta(pre=prepare_postings_delta(d)) — the form
+    that lets the delta tokenize overlap the base build — lands the
+    same buckets and the same served answer as the inline
+    merge_postings_delta(delta_docs=d)."""
+    from pyspark.sql import functions as F
+
+    from iot_system_plc_data_to_influxdb_spark.catalog import t
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        bm25_from_index,
+        merge_postings_delta,
+        prepare_postings_delta,
+        write_postings_index,
+    )
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.expr("pmod(doc_id, 5) != 3"))
+    delta = docs.filter(F.expr("pmod(doc_id, 5) = 3"))
+    terms = ("the", "sensor", "data", "stream")
+
+    p_inline = str(tmp_path / "inline")
+    write_postings_index(base, p_inline)
+    got_inline = merge_postings_delta(spark, p_inline, delta_docs=delta)
+
+    p_pre = str(tmp_path / "pre")
+    pre = prepare_postings_delta(delta)  # before the build, like the
+    write_postings_index(base, p_pre)  # overlapped callers do
+    got_pre = merge_postings_delta(spark, p_pre, pre=pre)
+
+    assert got_pre == got_inline
+    a = bm25_from_index(spark, p_inline, terms, topk=10).collect()
+    b = bm25_from_index(spark, p_pre, terms, topk=10).collect()
+    assert a == b
+
+
 def test_overlapped_postings_build_matches_sequential(spark, tmp_path):
     """write_postings_index (now 3 concurrent writes off one
     checkpointed pass) produces the same postings/terms/stats CONTENT
