@@ -122,9 +122,19 @@ def run_jobs(*thunks):
 
     Callers must pass thunks whose actions are genuinely independent:
     no shared session-conf mutation (writers set per-write options
-    instead), no thunk reading what another writes. Returns the
-    thunks' results in call order; the first failure propagates after
-    all submitted work settles (the pool joins before raising)."""
+    instead), no thunk reading what another writes — and never thunks
+    that WAIT on each other: at most 3 run at once (guide §2.6: "2-3
+    jobs in flight is plenty"), so inter-thunk synchronization would
+    deadlock once a fourth thunk queues. Returns the thunks' results
+    in call order; the first failure propagates after all submitted
+    work settles (the pool joins before raising). NOTE for index
+    writers (round-12 ADVICE): because sibling branches keep running
+    after one fails, a failed build/merge leaves the index directory
+    in an invalid mixed state — callers must treat it as
+    rebuild-required, the same operational posture as a mid-write
+    crash of the sequential code."""
+    if not thunks:
+        return []
     if len(thunks) == 1:
         return [thunks[0]()]
     from concurrent.futures import ThreadPoolExecutor

@@ -57,6 +57,50 @@ def _term_bucket(term):
     return F.pmod(F.xxhash64(term), F.lit(N_BUCKETS)).cast("int")
 
 
+# ---------------------------------------------------------------------------
+# Scale-dependent WRITE-LAYOUT knobs (round 13 — the r12 verdict's #6,
+# guide §2.5/§6). The repartition("cell"/"tb") write clustering
+# deliberately routes each partition VALUE to one task (pruning proofs
+# depend on the directory layout); at 100 TB a hot IVF cell or term
+# bucket then becomes one straggler task writing one giant file. Two
+# env-parameterised knobs fix both without touching the local bench's
+# layout (defaults reproduce it exactly):
+#   SPARK_GRAFT_INDEX_WRITE_SALT=S   (default 1) — spread each
+#     partition's rows over S tasks via a DETERMINISTIC within-
+#     partition salt (pmod(xxhash64(row key), S) — retry-safe per
+#     guide §2.5, never rand()); S files per hot partition, S× write
+#     parallelism, pruning unchanged (partitionBy sees only the
+#     partition column).
+#   SPARK_GRAFT_INDEX_MAX_RECORDS_PER_FILE=N (default 0 = unlimited) —
+#     bound rows per written file (§6 output sizing) so even a salted
+#     hot partition cannot emit multi-GB files.
+# Production posture (SCALE.md): S sized so hot-partition rows / S
+# lands near the target file size; N as the hard backstop. Row sets,
+# within-file sort and served answers are invariant — proven in
+# tests/test_retrieval_index.py::test_salted_write_layout.
+# ---------------------------------------------------------------------------
+def _write_salt() -> int:
+    return max(1, int(os.environ.get("SPARK_GRAFT_INDEX_WRITE_SALT", "1")))
+
+
+def _clustered(df: DataFrame, part_col: str, salt_key: str) -> DataFrame:
+    """Write clustering for a partitioned index relation: one task per
+    partition value by default; S tasks per value when the salt knob
+    is set (hot-partition straggler/file-size mitigation at scale)."""
+    s = _write_salt()
+    if s <= 1:
+        return df.repartition(part_col)
+    return df.repartition(
+        F.col(part_col), F.pmod(F.xxhash64(F.col(salt_key)), F.lit(s))
+    )
+
+
+def _sized(writer):
+    """Apply the max-records-per-file backstop when configured."""
+    n = int(os.environ.get("SPARK_GRAFT_INDEX_MAX_RECORDS_PER_FILE", "0"))
+    return writer.option("maxRecordsPerFile", n) if n > 0 else writer
+
+
 def _tokenized(docs: DataFrame) -> DataFrame:
     """(doc_id, dl, w) for a document set — the ONE tokenization
     expression shared by the full build and the delta merge, so the
@@ -116,51 +160,54 @@ def _write_stats(
 def write_postings_index(docs: DataFrame, path: str) -> None:
     """ONE corpus pass → the three index relations.
 
-    Round 12: the build used to re-derive tf for the ``terms/``
-    relation (a second tokenize+explode+aggregate over the whole
-    corpus) and re-tokenize a third time for ``stats/``. Now the
-    single tf pass is localCheckpoint()ed — postings and per-term dfs
-    both read it — and the corpus stats ride that same pass as an
-    Observation. Written layout and values are unchanged (same
-    expressions, same repartition("tb") clustering). The three writes
-    all hang off the materialized tf with no dependency on each other
-    (different subtrees of ``path``), so they run as CONCURRENT jobs
-    (guide §2.6 via run_jobs): each write's stage tail is back-filled
-    by the next write's tasks instead of idling the executors."""
+    Round 12 cut the build from three tokenize passes to one by
+    localCheckpoint()ing the tf relation. Round 13 (the r12 verdict's
+    "what's wrong" #2): that checkpoint materialized a CORPUS-SIZED
+    relation on executor-local disk with no replication — an executor
+    loss kills the build, and the bytes are paid twice (checkpoint +
+    the postings write of the same rows). The postings write IS the
+    materialization of tf: write it first (corpus stats ride that
+    same pass as an Observation — still one tokenize), then derive
+    ``terms/`` by reading the WRITTEN postings back — a column-pruned
+    (term only, per-bucket) scan of the replicated index store, never
+    a second corpus pass — while the 1-row stats write runs as a
+    concurrent job (guide §2.6). Written layout and values are
+    unchanged (same expressions, same repartition("tb") clustering);
+    self-consistency is by construction — terms/ is derived from the
+    exact rows postings/ holds."""
     tf, obs = _observed_term_freqs(docs)
-    tf = tf.localCheckpoint()  # the ONE corpus pass; fills `obs`
-
-    def _postings_write():
-        (
-            tf.withColumn("tb", _term_bucket(F.col("term")))
-            .repartition("tb")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(os.path.join(path, "postings"))
+    spark = docs.sparkSession
+    _sized(
+        _clustered(
+            tf.withColumn("tb", _term_bucket(F.col("term"))), "tb", "doc_id"
         )
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+    ).parquet(os.path.join(path, "postings"))  # the ONE corpus pass; fills `obs`
 
     def _terms_write():
-        # df derived from the same materialized tf the postings were
-        # written from: the index is self-consistent by construction
-        (
-            tf.groupBy("term")
-            .agg(F.count("*").cast("bigint").alias("df"))
-            .withColumn("tb", _term_bucket(F.col("term")))
-            .repartition("tb")
+        # df derived from the rows the postings write just landed:
+        # the index is self-consistent by construction, and the scan
+        # reads only (term, tb) columns of the written buckets
+        _sized(
+            _clustered(
+                spark.read.parquet(os.path.join(path, "postings"))
+                .groupBy("tb", "term")
+                .agg(F.count("*").cast("bigint").alias("df"))
+                .select("term", "df", "tb"),
+                "tb", "term",
+            )
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("tb")
-            .parquet(os.path.join(path, "terms"))
-        )
+        ).parquet(os.path.join(path, "terms"))
 
     def _stats_write():
-        stats = obs.get  # filled by the tf checkpoint action above
-        _write_stats(
-            docs.sparkSession, path, stats["n_docs"], stats["sum_len"]
-        )
+        stats = obs.get  # filled by the postings write above
+        _write_stats(spark, path, stats["n_docs"], stats["sum_len"])
 
-    run_jobs(_postings_write, _terms_write, _stats_write)
+    run_jobs(_terms_write, _stats_write)
 
 
 def bm25_query_buckets(spark: SparkSession, terms) -> list[int]:
@@ -251,25 +298,32 @@ def bm25_from_index(
 # the streaming router (operators/similarity.ivf_centroids), so the
 # registered twin b20_knn_ivf_indexed shares b20_knn_ivf's oracle.
 # ---------------------------------------------------------------------------
-def write_ivf_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
-    """One corpus pass → cell-partitioned vectors + centroid sidecar."""
+def write_ivf_index(
+    emb: DataFrame, path: str, n_cells: int = 8, cents=None
+) -> None:
+    """One corpus pass → cell-partitioned vectors + centroid sidecar.
+    ``cents`` takes a pre-collected ``ivf_centroids`` table so a
+    delta-merge caller can assign its delta against the SAME frozen
+    quantizer without re-reading the written sidecar (round 13)."""
     from .similarity import ivf_cell_assignments, ivf_centroids
 
     spark = emb.sparkSession
-    cents = ivf_centroids(emb, n_cells)
+    if cents is None:
+        cents = ivf_centroids(emb, n_cells)
     cent_df = spark.createDataFrame(cents, "cell int, cvec array<float>")
     # the cells layout and the centroid sidecar are independent writes
     # into disjoint subtrees — concurrent jobs (guide §2.6)
     run_jobs(
-        lambda: (
-            ivf_cell_assignments(par_floor(emb, "vec_id"), cents)
-            .select("vec_id", "embedding", "cell")
-            .repartition("cell")
+        lambda: _sized(
+            _clustered(
+                ivf_cell_assignments(par_floor(emb, "vec_id"), cents)
+                .select("vec_id", "embedding", "cell"),
+                "cell", "vec_id",
+            )
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(os.path.join(path, "cells"))
-        ),
+        ).parquet(os.path.join(path, "cells")),
         lambda: cent_df.write.mode("overwrite").parquet(
             os.path.join(path, "centroids")
         ),
@@ -377,47 +431,74 @@ def merge_postings_delta(
     delta_docs: DataFrame | None = None,
     pre=None,
 ) -> list[int]:
-    """Merge a delta document set into a written postings index.
-
-    - ``postings/``: delta rows are per-(doc_id, term) and the doc
-      sets are disjoint, so the merge is a pure APPEND into the
-      delta terms' ``tb=`` partitions — zero base rows read or
-      rewritten (new files land next to the old; serving unions them).
-    - ``terms/``: per-term df must be re-aggregated, but only for the
-      delta's term buckets — read those buckets, union the delta
-      counts, re-sum, and dynamic-partition-overwrite exactly those
-      ``tb=`` directories. Buckets the delta never touches keep their
-      files untouched.
-    - ``stats/``: n_docs/sum_len are additive — a 1-row rewrite.
-
-    Work is O(delta + affected-bucket terms), independent of the base
-    corpus size. Returns the affected bucket ids (bounded by
-    N_BUCKETS — the one intentionally tiny collect here).
-
-    ``pre`` takes a ``prepare_postings_delta`` result so the delta's
-    tokenize pass can have run concurrently with the index build it
-    merges into; with ``delta_docs`` the pass runs here."""
-    dtf, obs = pre if pre is not None else prepare_postings_delta(
-        delta_docs
+    """Merge ONE delta document set into a written postings index —
+    the single-delta front door of ``merge_postings_deltas`` (see
+    there for the merge contract). ``pre`` takes a
+    ``prepare_postings_delta`` result so the delta's tokenize pass can
+    have run concurrently with the index build it merges into; with
+    ``delta_docs`` the pass runs here. Exactly one of the two must be
+    given (round-12 ADVICE: neither used to die deep inside the
+    tokenizer with an opaque AttributeError)."""
+    if (delta_docs is None) == (pre is None):
+        raise ValueError(
+            "merge_postings_delta: pass exactly one of delta_docs or pre"
+        )
+    return merge_postings_deltas(
+        spark,
+        path,
+        [pre if pre is not None else prepare_postings_delta(delta_docs)],
     )
 
-    # the three merge branches (postings append, terms re-aggregate,
-    # stats increment) all hang off the checkpointed dtf and touch
-    # disjoint subtrees of ``path`` — concurrent jobs (guide §2.6).
-    # The terms rewrite sets partitionOverwriteMode on ITS writer
-    # (never on the shared session conf, which a concurrent job would
-    # also see).
-    def _postings_append():
-        (
-            dtf.repartition("tb")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("append")
-            .partitionBy("tb")
-            .parquet(os.path.join(path, "postings"))
-        )
+
+def merge_postings_deltas(spark: SparkSession, path: str, pres) -> list[int]:
+    """Merge one or more prepared deltas into a written postings index
+    in ONE maintenance pass.
+
+    - ``postings/``: delta rows are per-(doc_id, term) and the doc
+      sets are disjoint, so each delta is a pure APPEND into its
+      terms' ``tb=`` partitions — zero base rows read or rewritten
+      (new files land next to the old; serving unions them). Appends
+      stay one WRITE JOB per delta (the same per-delta file layout a
+      sequence of single merges produces — compaction fragmentation
+      semantics depend on it) but run back-to-back inside one branch.
+    - ``terms/``: per-term df re-aggregation is ASSOCIATIVE over
+      deltas (round-12 verdict #5), so the per-delta counts are
+      unioned and the affected buckets read-modified-written ONCE —
+      a K-delta batch pays one base read and one dynamic partition
+      overwrite instead of K.
+    - ``stats/``: n_docs/sum_len are additive across deltas — one
+      1-row rewrite of old + Σ deltas.
+
+    The three branches touch disjoint subtrees of ``path`` and all
+    hang off the checkpointed delta passes — concurrent jobs (guide
+    §2.6). The terms rewrite sets partitionOverwriteMode on ITS
+    writer (never on the shared session conf, which a concurrent job
+    would also see). Work is O(Σ deltas + affected-bucket terms),
+    independent of the base corpus size. Returns the union of
+    affected bucket ids (bounded by N_BUCKETS — the one intentionally
+    tiny collect here)."""
+    if not pres:
+        return []
+    dtfs = [p[0] for p in pres]
+
+    def _postings_appends():
+        # sequential WITHIN the branch: each append commits its own
+        # files into the shared postings/ tree (one job per delta, so
+        # a bucket absorbing K deltas holds K new files — exactly the
+        # fragmentation a sequence of single merges produces)
+        for dtf in dtfs:
+            _sized(
+                _clustered(dtf, "tb", "doc_id")
+                .sortWithinPartitions("term", "doc_id")
+                .write.mode("append")
+                .partitionBy("tb")
+            ).parquet(os.path.join(path, "postings"))
 
     def _terms_merge() -> list[int]:
-        ddf = dtf.groupBy("tb", "term").agg(
+        all_dtf = dtfs[0]
+        for dtf in dtfs[1:]:
+            all_dtf = all_dtf.unionByName(dtf)
+        ddf = all_dtf.groupBy("tb", "term").agg(
             F.count("*").cast("bigint").alias("df")
         )
         affected = sorted(
@@ -429,11 +510,13 @@ def merge_postings_delta(
             .select("tb", "term", "df")
         )
         merged = (
-            base_terms.unionByName(ddf.select("tb", "term", "df"))
-            .groupBy("tb", "term")
-            .agg(F.sum("df").cast("bigint").alias("df"))
-            .select("term", "df", "tb")
-            .repartition("tb")
+            _clustered(
+                base_terms.unionByName(ddf.select("tb", "term", "df"))
+                .groupBy("tb", "term")
+                .agg(F.sum("df").cast("bigint").alias("df"))
+                .select("term", "df", "tb"),
+                "tb", "term",
+            )
             .sortWithinPartitions("term")
             # cut lineage to the files the write below replaces
             .localCheckpoint()
@@ -441,25 +524,22 @@ def merge_postings_delta(
         # replaces ONLY the tb= partitions present in `merged` — which
         # are exactly `affected`, because the union's rows all carry a
         # delta-term bucket id
-        (
+        _sized(
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("tb")
-            .parquet(os.path.join(path, "terms"))
-        )
+        ).parquet(os.path.join(path, "terms"))
         return affected
 
     def _stats_merge():
         old = spark.read.parquet(os.path.join(path, "stats")).first()
-        dstats = obs.get  # collected during the dtf checkpoint pass
-        _write_stats(
-            spark,
-            path,
-            int(old["n_docs"]) + int(dstats["n_docs"]),
-            int(old["sum_len"]) + int(dstats["sum_len"]),
-        )
+        n_docs, sum_len = int(old["n_docs"]), int(old["sum_len"])
+        for _, obs in pres:  # filled during the delta checkpoint passes
+            n_docs += int(obs.get["n_docs"])
+            sum_len += int(obs.get["sum_len"])
+        _write_stats(spark, path, n_docs, sum_len)
 
-    _, affected, _ = run_jobs(_postings_append, _terms_merge, _stats_merge)
+    _, affected, _ = run_jobs(_postings_appends, _terms_merge, _stats_merge)
     return affected
 
 
@@ -477,7 +557,36 @@ def merge_postings_delta(
 # (functions/pq.py), so the served ADC top-k is hash-checkable against
 # a DuckDB replay of the same integer arithmetic.
 # ---------------------------------------------------------------------------
-def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
+def ivfpq_quantizers(emb: DataFrame, n_cells: int = 8):
+    """(cents, cb): the two frozen quantizers an IVF-PQ layout is
+    built around — the driver-side coarse centroid table (bounded
+    collect with parquet pushdown) and the trained PQ codebook
+    relation (one training aggregation over the corpus; the M×K ≤ 64
+    -row OUTPUT is localCheckpoint'ed — a provably small relation).
+    Factored out of ``write_ivfpq_index`` (round 13) so a caller with
+    a delta in hand can encode it against the SAME quantizers
+    CONCURRENTLY with the layout writes (guide §2.6) — the round-12
+    shape serialized delta encode behind the sidecar writes it never
+    needed to wait for.
+
+    Round 13 also drops the round-12 corpus-sized subvector
+    checkpoint: pq_train's seed collect is a vec_id < K filter that
+    pushes through the subvector explode to the parquet scan (a
+    bounded job), so the full subvector relation is only ever
+    consumed ONCE (the training aggregation) — nothing left to
+    re-use, nothing to materialize on executor-local disk."""
+    from ..functions.pq import pq_subvectors, pq_train
+    from .similarity import ivf_centroids
+
+    cents = ivf_centroids(emb, n_cells)
+    v = pq_subvectors(par_floor(emb, "vec_id"))
+    cb = pq_train(v).localCheckpoint()  # reused: sidecar write + codes
+    return cents, cb
+
+
+def write_ivfpq_index(
+    emb: DataFrame, path: str, n_cells: int = 8, quantizers=None
+) -> None:
     """One layout job → three relations: ``codes/`` (vec_id + M
     codebook ids, partitioned ``cell=`` — NO raw vectors), the
     ``codebooks/`` sidecar (M×K exact (sum, count) centroids), and the
@@ -490,33 +599,35 @@ def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
     only exchange left on the codes path is the repartition("cell")
     write clustering; the old assign-join-pivot chain (K× candidate
     rows, two aggregations, one vec_id join) is gone. The train half
-    keeps its single keyed aggregation."""
-    from ..functions.pq import pq_code_cols, pq_subvectors, pq_train
-    from .similarity import ivf_best_cell, ivf_centroids
+    keeps its single keyed aggregation. ``quantizers`` takes an
+    ``ivfpq_quantizers`` result so a delta-merge caller can overlap
+    its delta encode with these writes (round 13, guide §2.6)."""
+    from ..functions.pq import pq_code_cols
+    from .similarity import ivf_best_cell
 
     spark = emb.sparkSession
-    cents = ivf_centroids(emb, n_cells)
+    cents, cb = (
+        quantizers if quantizers is not None
+        else ivfpq_quantizers(emb, n_cells)
+    )
     emb = par_floor(emb, "vec_id")  # per-row code folds below
-    # v feeds pq_train twice (seed collect + recompute aggregation) —
-    # materialize the scan+quantize+explode once
-    v = pq_subvectors(emb).localCheckpoint()
-    cb = pq_train(v).localCheckpoint()  # reused: sidecar write + codes
     # codes / codebook sidecar / centroid sidecar are independent
     # writes into disjoint subtrees — concurrent jobs (guide §2.6);
     # everything they read (cb, cents) is materialized above
     run_jobs(
-        lambda: (
-            emb.select(
-                "vec_id",
-                *pq_code_cols(cb),
-                ivf_best_cell(cents)["cell"].alias("cell"),
+        lambda: _sized(
+            _clustered(
+                emb.select(
+                    "vec_id",
+                    *pq_code_cols(cb),
+                    ivf_best_cell(cents)["cell"].alias("cell"),
+                ),
+                "cell", "vec_id",
             )
-            .repartition("cell")
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(os.path.join(path, "codes"))
-        ),
+        ).parquet(os.path.join(path, "codes")),
         lambda: cb.write.mode("overwrite").parquet(
             os.path.join(path, "codebooks")
         ),
@@ -526,8 +637,38 @@ def write_ivfpq_index(emb: DataFrame, path: str, n_cells: int = 8) -> None:
     )
 
 
+def prepare_ivfpq_delta(delta_emb: DataFrame, cents, cb):
+    """The delta's ONE encode+assign pass against the FROZEN
+    quantizers, materialized (delta-sized — bounded by the ingest
+    batch, never the corpus), with the landed-cell set riding the
+    pass as an Observation (no separate distinct-collect job).
+    Separable from the merge because it reads ONLY the source
+    vectors and the in-memory quantizers — callers with the layout
+    writes in flight run this CONCURRENTLY with them (guide §2.6:
+    disjoint inputs) and hand the result to
+    ``merge_ivfpq_delta(pre=...)`` once the build lands. The
+    quantizers are the SAME relations the sidecars are written from,
+    so the encode is value-identical to one against the stored
+    sidecars (the shared oracle proves it on every sweep)."""
+    from pyspark.sql import Observation
+
+    from ..functions.pq import pq_code_cols
+    from .similarity import ivf_best_cell
+
+    obs = Observation()
+    landed = delta_emb.select(
+        "vec_id",
+        *pq_code_cols(cb),
+        ivf_best_cell(cents)["cell"].alias("cell"),
+    ).observe(obs, F.collect_set("cell").alias("cells"))
+    return landed.localCheckpoint(), obs
+
+
 def merge_ivfpq_delta(
-    spark: SparkSession, path: str, delta_emb: DataFrame
+    spark: SparkSession,
+    path: str,
+    delta_emb: DataFrame | None = None,
+    pre=None,
 ) -> list[int]:
     """Merge a delta vector set into a written IVF-PQ index with BOTH
     quantizers frozen: the coarse centroid sidecar AND the PQ codebook
@@ -538,38 +679,33 @@ def merge_ivfpq_delta(
     ``cell=`` code partitions only. Work is O(delta) — round 12:
     codes + cell in ONE map-side projection of the wide delta row
     (the write_ivfpq_index shape), no subvector explode, no pivot, no
-    vec_id join. Returns the landed cell ids."""
-    from ..functions.pq import pq_code_cols
-    from .similarity import ivf_best_cell
-
-    cents = sorted(
-        (int(r["cell"]), list(r["cvec"]))
-        for r in spark.read.parquet(
-            os.path.join(path, "centroids")
-        ).collect()
-    )
-    cb = spark.read.parquet(os.path.join(path, "codebooks"))
-    landed = delta_emb.select(
-        "vec_id",
-        *pq_code_cols(cb),
-        ivf_best_cell(cents)["cell"].alias("cell"),
-    ).localCheckpoint()
-    # the append write and the landed-cells collect both read the
-    # checkpointed delta and nothing of each other — concurrent jobs
-    _, cells = run_jobs(
-        lambda: (
-            landed.repartition("cell")
-            .sortWithinPartitions("vec_id")
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(os.path.join(path, "codes"))
-        ),
-        lambda: sorted(
-            int(r["cell"])
-            for r in landed.select("cell").distinct().collect()
-        ),
-    )
-    return cells
+    vec_id join; round 13: the landed-cell set rides the encode pass
+    as an Observation instead of a second distinct-collect job.
+    ``pre`` takes a ``prepare_ivfpq_delta`` result so the encode can
+    have run concurrently with the index build it merges into; with
+    ``delta_emb`` the quantizers are read from the written sidecars
+    here. Returns the landed cell ids."""
+    if (delta_emb is None) == (pre is None):
+        raise ValueError(
+            "merge_ivfpq_delta: pass exactly one of delta_emb or pre"
+        )
+    if pre is None:
+        cents = sorted(
+            (int(r["cell"]), list(r["cvec"]))
+            for r in spark.read.parquet(
+                os.path.join(path, "centroids")
+            ).collect()
+        )
+        cb = spark.read.parquet(os.path.join(path, "codebooks"))
+        pre = prepare_ivfpq_delta(delta_emb, cents, cb)
+    landed, obs = pre
+    _sized(
+        _clustered(landed, "cell", "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+    ).parquet(os.path.join(path, "codes"))
+    return sorted(int(c) for c in obs.get["cells"])
 
 
 def ivfpq_code_scan(
@@ -729,13 +865,15 @@ def _compact_partitions(
     )
     # replaces ONLY the partitions present in `merged` — exactly
     # `frag`; the overwrite mode rides the writer, not the shared
-    # session conf (thread-safe under concurrent jobs)
-    (
+    # session conf (thread-safe under concurrent jobs). The file-size
+    # backstop applies here too (a compacted hot partition must not
+    # become one giant file at scale; default = one file, the local
+    # contract the tests pin).
+    _sized(
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part_col)
-        .parquet(root)
-    )
+    ).parquet(root)
     return frag
 
 
@@ -802,39 +940,44 @@ def compact_ivf_cells(
 
 
 def merge_ivf_delta(
-    spark: SparkSession, path: str, delta_emb: DataFrame
+    spark: SparkSession, path: str, delta_emb: DataFrame, cents=None
 ) -> list[int]:
     """Merge a delta vector set into a written IVF index: assign the
-    delta with the FROZEN centroid sidecar (the coarse quantizer does
-    not move on append — standard IVF serving posture; a re-train is a
-    rebuild by definition) via the same map-side ivf_best_cell fold as
-    the full build, then APPEND into the assigned ``cell=`` partitions.
-    Cells the delta never lands in keep their files untouched; the
-    sidecar is unchanged. Work is O(delta). Returns the affected cell
-    ids (bounded by n_cells)."""
+    delta with the FROZEN centroid quantizer (the coarse quantizer
+    does not move on append — standard IVF serving posture; a re-train
+    is a rebuild by definition) via the same map-side ivf_best_cell
+    fold as the full build, then APPEND into the assigned ``cell=``
+    partitions. Cells the delta never lands in keep their files
+    untouched; the sidecar is unchanged. Work is O(delta). Returns the
+    affected cell ids (bounded by n_cells).
+
+    Round 13: the assignment fold is a pure projection, so it rides
+    the append write itself and the landed-cell set rides the same
+    pass as an Observation — ONE job where the round-12 shape paid a
+    delta checkpoint plus a distinct-collect. ``cents`` takes the
+    pre-collected centroid table the caller built the index from (the
+    exact rows the sidecar holds); without it the sidecar is read."""
+    from pyspark.sql import Observation
+
     from .similarity import ivf_cell_assignments
 
-    cents = sorted(
-        (int(r["cell"]), list(r["cvec"]))
-        for r in spark.read.parquet(
-            os.path.join(path, "centroids")
-        ).collect()
+    if cents is None:
+        cents = sorted(
+            (int(r["cell"]), list(r["cvec"]))
+            for r in spark.read.parquet(
+                os.path.join(path, "centroids")
+            ).collect()
+        )
+    obs = Observation()
+    assigned = ivf_cell_assignments(delta_emb, cents).observe(
+        obs, F.collect_set("cell").alias("cells")
     )
-    assigned = ivf_cell_assignments(delta_emb, cents).localCheckpoint()
-    # append write and landed-cells collect share only the checkpointed
-    # delta — concurrent jobs (guide §2.6)
-    _, cells = run_jobs(
-        lambda: (
-            assigned.select("vec_id", "embedding", "cell")
-            .repartition("cell")
-            .sortWithinPartitions("vec_id")
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(os.path.join(path, "cells"))
-        ),
-        lambda: sorted(
-            int(r["cell"])
-            for r in assigned.select("cell").distinct().collect()
-        ),
-    )
-    return cells
+    _sized(
+        _clustered(
+            assigned.select("vec_id", "embedding", "cell"), "cell", "vec_id"
+        )
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+    ).parquet(os.path.join(path, "cells"))
+    return sorted(int(c) for c in obs.get["cells"])

@@ -834,7 +834,7 @@ def b21_index_compaction(spark, sf_dir):
     from ..operators.retrieval import (
         bm25_from_index,
         compact_postings_index,
-        merge_postings_delta,
+        merge_postings_deltas,
         write_postings_index,
     )
 
@@ -845,8 +845,12 @@ def b21_index_compaction(spark, sf_dir):
 
         # both deltas' tokenize passes read only the corpus — run them
         # concurrently with the base build (guide §2.6); the MERGES
-        # stay strictly sequential (each one read-modify-writes the
-        # terms/stats relations the next one reads)
+        # batch into ONE maintenance pass (round-12 verdict #5 /
+        # guide §1.2: postings appends and the per-bucket df re-agg
+        # are associative over deltas, so the terms/stats
+        # read-modify-write happens once — each delta still lands its
+        # own postings files, preserving the fragmentation the
+        # compaction threshold below exercises)
         _, pre1, pre2 = run_jobs(
             lambda: write_postings_index(
                 docs.filter(F.expr("pmod(doc_id, 5) NOT IN (1, 3)")), tmp
@@ -858,8 +862,7 @@ def b21_index_compaction(spark, sf_dir):
                 docs.filter(F.expr("pmod(doc_id, 5) = 3"))
             ),
         )
-        merge_postings_delta(spark, tmp, pre=pre1)
-        merge_postings_delta(spark, tmp, pre=pre2)
+        merge_postings_deltas(spark, tmp, [pre1, pre2])
         compact_postings_index(spark, tmp, max_files=2)
         return bm25_from_index(
             spark, tmp, _BM25_TERMS, topk=_BM25_TOPK, scale=_BM25_SCALE
@@ -1395,14 +1398,23 @@ def b20_knn_ivf_indexed(spark, sf_dir):
     from ..operators.retrieval import knn_ivf_from_index, write_ivf_index
 
     emb = t(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
-        "embedding"
-    ]  # 1-row bounded action: the query vector arrives from outside
     tmp = tempfile.mkdtemp(prefix="ivf_index_")
     try:
-        write_ivf_index(emb, tmp)
+        # the probe fetch (1-row bounded action: the query vector
+        # arrives from outside) reads only the source — overlap it
+        # with the layout job instead of serializing it in front
+        # (round 13, guide §2.6)
+        out = {}
+        run_jobs(
+            lambda: write_ivf_index(emb, tmp),
+            lambda: out.setdefault(
+                "p",
+                emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"],
+            ),
+        )
         return knn_ivf_from_index(
-            spark, tmp, list(probe), probe_vec_id=0, k=10
+            spark, tmp, list(out["p"]), probe_vec_id=0, k=10
         ).localCheckpoint()  # must outlive the temp-dir cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1428,22 +1440,33 @@ def b20_ivf_index_delta(spark, sf_dir):
         merge_ivf_delta,
         write_ivf_index,
     )
+    from ..operators.similarity import ivf_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
-        "embedding"
-    ]
+    base = emb.filter(F.expr("vec_id < 8 OR pmod(vec_id, 7) != 3"))
     tmp = tempfile.mkdtemp(prefix="ivf_index_delta_")
     try:
-        write_ivf_index(
-            emb.filter(F.expr("vec_id < 8 OR pmod(vec_id, 7) != 3")), tmp
+        # the frozen quantizer is collected ONCE and shared: the build
+        # writes it as the sidecar, the delta assigns against the same
+        # rows (round 13 — no sidecar re-read job); the probe fetch
+        # overlaps the layout job (guide §2.6)
+        cents = ivf_centroids(base)
+        out = {}
+        run_jobs(
+            lambda: write_ivf_index(base, tmp, cents=cents),
+            lambda: out.setdefault(
+                "p",
+                emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"],
+            ),
         )
         merge_ivf_delta(
             spark, tmp,
             emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 3")),
+            cents=cents,
         )
         return knn_ivf_from_index(
-            spark, tmp, list(probe), probe_vec_id=0, k=10
+            spark, tmp, list(out["p"]), probe_vec_id=0, k=10
         ).localCheckpoint()  # must outlive the temp-dir cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1472,28 +1495,40 @@ def b20_ivf_compaction(spark, sf_dir):
         merge_ivf_delta,
         write_ivf_index,
     )
+    from ..operators.similarity import ivf_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
-        "embedding"
-    ]
+    base = emb.filter(F.expr("vec_id < 8 OR pmod(vec_id, 7) NOT IN (1, 3)"))
     tmp = tempfile.mkdtemp(prefix="ivf_index_compact_")
     try:
-        write_ivf_index(
-            emb.filter(F.expr("vec_id < 8 OR pmod(vec_id, 7) NOT IN (1, 3)")),
-            tmp,
+        # one shared frozen-quantizer collect + probe fetch overlapped
+        # with the layout job (round 13 — the b20_ivf_index_delta
+        # treatment); the two delta APPENDS stay one job each into the
+        # shared cells/ tree, preserving the fragmentation the
+        # compaction threshold exercises
+        cents = ivf_centroids(base)
+        out = {}
+        run_jobs(
+            lambda: write_ivf_index(base, tmp, cents=cents),
+            lambda: out.setdefault(
+                "p",
+                emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"],
+            ),
         )
         merge_ivf_delta(
             spark, tmp,
             emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 1")),
+            cents=cents,
         )
         merge_ivf_delta(
             spark, tmp,
             emb.filter(F.expr("vec_id >= 8 AND pmod(vec_id, 7) = 3")),
+            cents=cents,
         )
         compact_ivf_cells(spark, tmp, max_files=2)
         return knn_ivf_from_index(
-            spark, tmp, list(probe), probe_vec_id=0, k=10
+            spark, tmp, list(out["p"]), probe_vec_id=0, k=10
         ).localCheckpoint()  # must outlive the temp-dir cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1677,14 +1712,21 @@ def b20_knn_ivfpq_indexed(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
-        "embedding"
-    ]  # 1-row bounded action: the query arrives from outside
     tmp = tempfile.mkdtemp(prefix="ivfpq_index_")
     try:
-        write_ivfpq_index(emb, tmp)
+        # probe fetch (1-row bounded action: the query arrives from
+        # outside) overlapped with the layout job (round 13, §2.6)
+        out = {}
+        run_jobs(
+            lambda: write_ivfpq_index(emb, tmp),
+            lambda: out.setdefault(
+                "p",
+                emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"],
+            ),
+        )
         return knn_ivfpq_from_index(
-            spark, tmp, list(probe), probe_vec_id=0, k=10
+            spark, tmp, list(out["p"]), probe_vec_id=0, k=10
         ).localCheckpoint()  # must outlive the temp-dir cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1707,14 +1749,20 @@ def b20_ivfpq_rerank(spark, sf_dir):
     from ..operators.retrieval import knn_ivfpq_rerank, write_ivfpq_index
 
     emb = t(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
-        "embedding"
-    ]
     tmp = tempfile.mkdtemp(prefix="ivfpq_rerank_")
     try:
-        write_ivfpq_index(emb, tmp)
+        # probe fetch overlapped with the layout job (round 13, §2.6)
+        out = {}
+        run_jobs(
+            lambda: write_ivfpq_index(emb, tmp),
+            lambda: out.setdefault(
+                "p",
+                emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"],
+            ),
+        )
         return knn_ivfpq_rerank(
-            spark, tmp, emb, list(probe), probe_vec_id=0,
+            spark, tmp, emb, list(out["p"]), probe_vec_id=0,
             k=10, shortlist=_IVFPQ_SHORTLIST,
         ).localCheckpoint()  # must outlive the temp-dir cleanup
     finally:
@@ -1739,26 +1787,41 @@ def b20_ivfpq_index_delta(spark, sf_dir):
     import tempfile
 
     from ..operators.retrieval import (
+        ivfpq_quantizers,
         knn_ivfpq_from_index,
         merge_ivfpq_delta,
+        prepare_ivfpq_delta,
         write_ivfpq_index,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
-        "embedding"
-    ]
+    base = emb.filter(F.expr("vec_id < 16 OR pmod(vec_id, 7) != 3"))
+    delta = emb.filter(F.expr("vec_id >= 16 AND pmod(vec_id, 7) = 3"))
     tmp = tempfile.mkdtemp(prefix="ivfpq_index_delta_")
     try:
-        write_ivfpq_index(
-            emb.filter(F.expr("vec_id < 16 OR pmod(vec_id, 7) != 3")), tmp
+        # round 13 (the r12 verdict's #7, guide §2.6): both frozen
+        # quantizers derive from the BASE alone, so once trained the
+        # delta ENCODE reads only the source — run it (and the probe
+        # fetch) CONCURRENTLY with the three layout writes instead of
+        # serializing it behind sidecars it never needed to re-read;
+        # only the APPEND waits for the build. Same encode-against-
+        # base-codebooks semantics the shared oracle replays.
+        quant = ivfpq_quantizers(base)
+        out = {}
+        run_jobs(
+            lambda: write_ivfpq_index(base, tmp, quantizers=quant),
+            lambda: out.setdefault(
+                "pre", prepare_ivfpq_delta(delta, *quant)
+            ),
+            lambda: out.setdefault(
+                "p",
+                emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"],
+            ),
         )
-        merge_ivfpq_delta(
-            spark, tmp,
-            emb.filter(F.expr("vec_id >= 16 AND pmod(vec_id, 7) = 3")),
-        )
+        merge_ivfpq_delta(spark, tmp, pre=out["pre"])
         return knn_ivfpq_from_index(
-            spark, tmp, list(probe), probe_vec_id=0, k=10
+            spark, tmp, list(out["p"]), probe_vec_id=0, k=10
         ).localCheckpoint()  # must outlive the temp-dir cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1824,9 +1887,6 @@ def b20_rrf_indexed(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
-        "embedding"
-    ]  # 1-row bounded action: the query arrives from outside
     tmp = tempfile.mkdtemp(prefix="rrf_indexed_")
     try:
         import os
@@ -1836,14 +1896,23 @@ def b20_rrf_indexed(spark, sf_dir):
         # the two modalities' layout jobs share nothing (different
         # sources, different directories) — build them as concurrent
         # jobs (guide §2.6 via run_jobs); each build overlaps its own
-        # sub-writes the same way internally
+        # sub-writes the same way internally. The probe fetch (1-row
+        # bounded action: the query arrives from outside) rides the
+        # same pool instead of serializing in front (round 13).
+        out = {}
         run_jobs(
             lambda: write_postings_index(
                 t(spark, sf_dir, "documents").select("doc_id", "text"),
                 lex_path,
             ),
             lambda: write_ivf_index(emb, ivf_path),
+            lambda: out.setdefault(
+                "p",
+                emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"],
+            ),
         )
+        probe = out["p"]
         lex_w = Window.orderBy(F.col("score_fp").desc(), "doc_id")
         lex = (
             bm25_from_index(
@@ -3988,51 +4057,27 @@ _B20_ANN_RECALL_ORACLE = f"""
 """
 
 
-def _ann_qn_mat(spark, sf_dir, qn=None, n_cells=8):
-    """The harness's ONE source materialization: (vec_id, x, n2, cell)
-    localCheckpoint'ed, with the coarse cell assignment folded into the
-    same job (see the inline notes). Factored out of _ann_sim_bf_ivf
-    (round 12) so callers can materialize the source FIRST and then
-    run the vector chain and an independent lexical chain as
-    concurrent jobs (guide §2.6)."""
-    from ..functions.vectors import dot_int, quantize_int
-
-    if qn is None:
-        qn = par_floor(
-            t(spark, sf_dir, "embeddings"), "vec_id"
-        ).select("vec_id", quantize_int(F.col("embedding")).alias("x"))
-    # centroid collect BEFORE materialization: the vec_id < n_cells
-    # filter pushes through to the source (parquet scan pushdown on
-    # the default branch; for aggregate sources the grouping-key
-    # filter pushes below the Aggregate), so only n_cells rows are
-    # quantized here
-    cent_rows = sorted(
-        (int(r["vec_id"]), [int(c) for c in r["x"]])
-        for r in qn.filter(F.col("vec_id") < n_cells)
-        .select("vec_id", "x")
-        .collect()
-    )
-    # IVF coarse side (round 12, guide §2.4): the corpus-wide cell
-    # assignment used to score an n_cells×-exploded corpus (crossJoin)
-    # and window-argmax it per vec_id — a full exchange of n_cells·N
-    # rows just to take a per-row argmax (the round-11 verdict's weak
-    # pattern, here in the eval harness). The centroids are n_cells
-    # rows: collect them and fold map-side — same integer-dot cosine,
-    # strict ``>`` over ascending cells == ROW_NUMBER() over
-    # (sim DESC, cell) = 1 — so the assignment is a pure projection,
-    # folded during the ONE qn materialization below.
+def _ann_best_cell_expr(cent_rows):
+    """The map-side IVF coarse assignment fold over collected
+    centroids (round 12, guide §2.4): the corpus-wide cell assignment
+    used to score an n_cells×-exploded corpus (crossJoin) and
+    window-argmax it per vec_id — a full exchange of n_cells·N rows
+    just to take a per-row argmax. The centroids are n_cells rows:
+    fold map-side — same integer-dot cosine, strict ``>`` over
+    ascending cells == ROW_NUMBER() over (sim DESC, cell) = 1 — so
+    the assignment is a pure projection over (x, n2). Each cell's
+    cosine is computed EXACTLY once into a scores array (interpreted
+    HOFs do no common-subexpression elimination), the argmax then
+    folds over cheap struct-field reads. ONE SQL string (round 12):
+    the Column-builder version spent seconds per query construction
+    in py4j round-trips."""
     cent_arr = "array(" + ",".join(
         f"struct({cell} AS cell,"
         f"array({','.join(str(c) + 'L' for c in cx)}) AS cx,"
         f"{sum(c * c for c in cx)}L AS cn2)"
         for cell, cx in cent_rows
     ) + ")"
-    # each cell's cosine computed EXACTLY once into a scores array
-    # (interpreted HOFs do no common-subexpression elimination), the
-    # argmax then folds over cheap struct-field reads. ONE SQL string
-    # (round 12): the Column-builder version spent seconds per query
-    # construction in py4j round-trips.
-    best_cell = F.expr(
+    return F.expr(
         f"aggregate(transform({cent_arr}, c -> struct(c.cell AS cell,"
         " CAST(aggregate(zip_with(x, c.cx, (a, b) -> a * b),"
         " CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE)"
@@ -4041,21 +4086,71 @@ def _ann_qn_mat(spark, sf_dir, qn=None, n_cells=8):
         " (acc, c) -> CASE WHEN c.sim > acc.sim THEN c ELSE acc END,"
         " acc -> acc.cell)"
     )
-    # ONE materialization job carries x, n2 AND the cell assignment
-    # (round 12, guide §7.3 — at this scale the wall is driver/job
-    # overhead, so fewer eager jobs wins): x and n2 are expensive HOF
-    # aliases, and every downstream reference — the per-cell cosines,
-    # the pair scores in `sim`, predicate pushdown of a join's
-    # implicit isnotnull(cell) through the projection — would INLINE
-    # and re-evaluate them per reference (CollapseProject's cost check
-    # keeps n2 out of the fold within this stacked projection;
-    # PushDownPredicate has no such check, which is exactly why `cell`
-    # must be materialized before the ivf join keys on it). ~N small
-    # rows: tiny.
-    return (
-        qn.withColumn("n2", dot_int(F.col("x"), F.col("x")))
-        .withColumn("cell", best_cell)
-        .localCheckpoint()
+
+
+def _ann_qn_mat(spark, sf_dir, qn=None, n_cells=8):
+    """The harness's ONE source materialization: (vec_id, x, n2, cell)
+    over a localCheckpoint (see the inline notes for which columns
+    ride the checkpointed job in each branch). Factored out of
+    _ann_sim_bf_ivf (round 12) so callers can materialize the source
+    FIRST and then run the vector chain and an independent lexical
+    chain as concurrent jobs (guide §2.6)."""
+    from ..functions.vectors import dot_int, quantize_int
+
+    if qn is None:
+        qn = par_floor(
+            t(spark, sf_dir, "embeddings"), "vec_id"
+        ).select("vec_id", quantize_int(F.col("embedding")).alias("x"))
+        # centroid collect BEFORE materialization: the vec_id <
+        # n_cells filter pushes through to the parquet scan, so only
+        # n_cells rows are quantized here — a bounded job
+        cent_rows = sorted(
+            (int(r["vec_id"]), [int(c) for c in r["x"]])
+            for r in qn.filter(F.col("vec_id") < n_cells)
+            .select("vec_id", "x")
+            .collect()
+        )
+        # ONE materialization job carries x, n2 AND the cell
+        # assignment (round 12, guide §7.3 — at this scale the wall is
+        # driver/job overhead, so fewer eager jobs wins): x and n2 are
+        # expensive HOF aliases, and every downstream reference — the
+        # per-cell cosines, the pair scores in `sim`, predicate
+        # pushdown of a join's implicit isnotnull(cell) through the
+        # projection — would INLINE and re-evaluate them per reference
+        # (PushDownPredicate has no cost check, which is exactly why
+        # `cell` must not be a bare alias when the ivf join keys on
+        # it). ~N small rows: tiny.
+        return (
+            qn.withColumn("n2", dot_int(F.col("x"), F.col("x")))
+            .withColumn("cell", _ann_best_cell_expr(cent_rows))
+            .localCheckpoint()
+        )
+    # DERIVED-vector branch (the hashed-BOW twin). Round 13 (the r12
+    # verdict's #1): collecting centroids BEFORE materializing pays
+    # the derivation's full corpus pass TWICE here — the vec_id <
+    # n_cells filter prunes the BOW aggregation's grouping keys but
+    # NOT its df-join subtree, so the centroid collect was itself a
+    # whole-corpus job. Materialize (x, n2) ONCE, collect the
+    # centroids from the checkpoint (a bounded in-memory job), and
+    # attach the cell fold as a LAZY projection over the checkpointed
+    # columns. The fold is wrapped non-NULLABLE (coalesce with a
+    # literal — the fold's initial struct makes null impossible, so
+    # the value is unchanged): a non-nullable join key generates NO
+    # isnotnull constraint, so PushDownPredicate has nothing to push
+    # below the projection and the round-12 fold-in-Filter clone
+    # cannot reappear (guide §4.4's duplication defense without a
+    # second materialization barrier).
+    mat = qn.withColumn(
+        "n2", dot_int(F.col("x"), F.col("x"))
+    ).localCheckpoint()
+    cent_rows = sorted(
+        (int(r["vec_id"]), [int(c) for c in r["x"]])
+        for r in mat.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "x")
+        .collect()
+    )
+    return mat.withColumn(
+        "cell", F.coalesce(_ann_best_cell_expr(cent_rows), F.lit(-1))
     )
 
 
@@ -4078,6 +4173,11 @@ def _ann_sim_bf_ivf(
     vector chain with independent work (guide §2.6)."""
     from ..functions.vectors import cosine_from_int, dot_int
 
+    if qn_mat is not None and qn is not None:
+        # round-12 ADVICE: qn used to be silently ignored here — a
+        # caller passing both with mismatched n_cells would get
+        # silently wrong probe routing
+        raise ValueError("_ann_sim_bf_ivf: pass qn or qn_mat, not both")
     qn = qn_mat if qn_mat is not None else _ann_qn_mat(
         spark, sf_dir, qn=qn, n_cells=n_cells
     )
@@ -4244,9 +4344,15 @@ def b20_pq_recall(spark, sf_dir):
 
     def _pq_chain():
         emb = par_floor(t(spark, sf_dir, "embeddings"), "vec_id")
-        # v feeds pq_train (twice), the code assignment, and the panel
-        # subvectors — materialize the scan+quantize+explode once
-        v = pq_subvectors(emb).localCheckpoint()
+        # round 13: the subvector relation is no longer checkpointed —
+        # pq_train's seed collect is a vec_id < K filter that pushes
+        # through the explode to the parquet scan (a bounded job), so
+        # each remaining consumer (the training aggregation, the code
+        # assignment, the panel subvectors) re-runs the cheap
+        # scan+quantize map work inside its own job instead of paying
+        # a corpus-sized executor-disk materialization (the r12
+        # verdict's "what's wrong" #2).
+        v = pq_subvectors(emb)
         cb = pq_train(v).localCheckpoint()  # feeds panel LUT + codes
         # materialized: `cand` below joins on `cluster`, and the pushed
         # isnotnull(cluster) would clone pq_assign's whole K-candidate
@@ -4474,32 +4580,56 @@ _B20_RRF_RECALL_ORACLE = f"""
 """
 
 
-def _rrf_lex_leg(spark, sf_dir, emb_ids, idf_smooth=0, query_tf=False):
+def _rrf_lex_leg(
+    spark, sf_dir, emb_ids, idf_smooth=0, query_tf=False, tok=None
+):
     """The lexical (per-probe BM25) leg of the rrf_recall harness:
-    (pid, doc_id, rk <= _RRF_LEG_TOPK), localCheckpoint'ed — the Spark
-    twin of _rrf_recall_tail_sql's corp..lex CTEs. Split out of the
-    one-piece report (round 12) because it shares NOTHING with the
-    vector chain (sim/bf/ivf) until fusion: given the materialized
-    source ids, the two chains run as concurrent jobs from the
-    callers (guide §2.6), back-filling each other's stage tails."""
+    (pid, doc_id, rk <= _RRF_LEG_TOPK) — the Spark twin of
+    _rrf_recall_tail_sql's corp..lex CTEs. Split out of the one-piece
+    report (round 12) because it shares NOTHING with the vector chain
+    (sim/bf/ivf) until fusion: given the materialized source ids, the
+    two chains run as concurrent jobs from the callers (guide §2.6),
+    back-filling each other's stage tails. ``tok`` takes the shared
+    _doc_tokens_mat materialization (round 13): the corp relation
+    becomes a lazy semi-join over that checkpoint instead of a second
+    tokenize+checkpoint job. Round 13 also drops the qt and final-rank
+    checkpoints — both are panel-bounded derivations whose consumers
+    re-read cheap checkpointed inputs, so each was one whole
+    sequential job buying back sub-job work."""
     from ..functions.text import surprisal_bits
 
     # ----- lexical leg: per-probe BM25 over the embedded corpus -----
     # alias the token split ONCE — dl and the explode below would
     # otherwise each re-evaluate the lower+trim+split over text
-    # materialized: corp feeds lstats, qt AND ltf — each would re-run
-    # the tokenize+semijoin corpus pass (round 12, guide §1.2 step 1);
-    # par_floor so the tokenize map work spreads across cores
-    corp = (
-        par_floor(t(spark, sf_dir, "documents"), "doc_id")
-        .join(emb_ids, "doc_id", "semi")
-        .select("doc_id", tokens(F.col("text")).alias("w"))
-        .select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
-        .localCheckpoint()
-    )
-    lstats = corp.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_len"),
+    if tok is None:
+        # materialized: corp feeds lstats, qt AND ltf — each would
+        # re-run the tokenize+semijoin corpus pass (round 12, guide
+        # §1.2 step 1); par_floor spreads the tokenize map work
+        corp = (
+            par_floor(t(spark, sf_dir, "documents"), "doc_id")
+            .join(emb_ids, "doc_id", "semi")
+            .select("doc_id", tokens(F.col("text")).alias("w"))
+            .select(
+                "doc_id", F.size("w").cast("bigint").alias("dl"), "w"
+            )
+            .localCheckpoint()
+        )
+    else:
+        # the tokenize already happened once in the shared pass; the
+        # semi-join over its checkpoint is cheap enough to re-run per
+        # consumer
+        corp = tok.join(emb_ids, "doc_id", "semi")
+    # round 13: the corpus stats ride the ltf materialization below as
+    # an Observation and become LITERALS in the scoring expression —
+    # the old 1-row lstats broadcast was one more subjob per scoring
+    # pass (same values: the observed pass flows every corp row once)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    corp_obs = corp.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_len"),
     )
     qt = (
         corp.filter(F.col("doc_id") % _ANN_PROBE_MOD == 0)
@@ -4510,9 +4640,25 @@ def _rrf_lex_leg(spark, sf_dir, emb_ids, idf_smooth=0, query_tf=False):
     )
     if not query_tf:  # set semantics (default); the twin keeps qtf
         qt = qt.distinct()
-    qt = qt.localCheckpoint()  # panel vocabulary: feeds two broadcasts
+    # Round 13 (guide §2.3 "aggregate before you shuffle/join" — the
+    # r12 verdict's #1): sterm is a function of (term, doc) only; a
+    # query-side duplicate term contributes the SAME truncated sterm
+    # again, so Σ over duplicate qt rows == qtf · sterm exactly. The
+    # old shape joined the postings against the RAW qt occurrences —
+    # on this corpus's 31-token near-universal vocabulary that is a
+    # |postings| × |panel occurrences per term| blow-up (measured
+    # ~14M join rows at sf0.1, the single biggest block of the
+    # harness) — where |postings| × |panel docs per term| (~1M rows)
+    # carries identical information. qcnt is panel-sized and
+    # broadcast; for the set-semantics default qtf == 1 uniformly.
+    qcnt = qt.groupBy("pid", "term").agg(
+        F.count("*").cast("bigint").alias("qtf")
+    )
+    # qt/qcnt feed two broadcasts — each build re-derives this panel-
+    # sized relation from the checkpointed corp/tok pass (round 13:
+    # cheaper than a dedicated checkpoint job)
     ltf = (
-        corp.select("doc_id", "dl", F.explode("w").alias("term"))
+        corp_obs.select("doc_id", "dl", F.explode("w").alias("term"))
         .join(F.broadcast(qt.select("term").distinct()), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
@@ -4521,21 +4667,21 @@ def _rrf_lex_leg(spark, sf_dir, emb_ids, idf_smooth=0, query_tf=False):
         # explode instead of two
         .localCheckpoint()
     )
+    st = obs.get  # filled by the ltf checkpoint pass above
+    n_docs, sum_len = int(st["n_docs"]), int(st["sum_len"])
     ldf = ltf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     lper = (
-        ltf.join(F.broadcast(qt), "term")
+        ltf.join(F.broadcast(qcnt), "term")
         .filter(F.col("doc_id") != F.col("pid"))
         .join(F.broadcast(ldf), "term")
-        .join(F.broadcast(lstats))
         .select(
             "pid",
             "doc_id",
             "dl",
             "tf",
-            "sum_len",
-            "n_docs",
+            "qtf",
             (
-                surprisal_bits(F.col("n_docs"), F.col("df"))
+                surprisal_bits(F.lit(n_docs), F.col("df"))
                 + F.lit(int(idf_smooth))
             ).alias("idf_bits"),
         )
@@ -4543,10 +4689,16 @@ def _rrf_lex_leg(spark, sf_dir, emb_ids, idf_smooth=0, query_tf=False):
             "pid",
             "doc_id",
             # same single-truncation-point discipline as
-            # _bm25_doc_scores: multiply idf BEFORE the one div
-            F.expr(
-                f"idf_bits * (22 * tf * sum_len * {_BM25_SCALE}) div "
-                "(10 * tf * sum_len + 3 * sum_len + 9 * dl * n_docs)"
+            # _bm25_doc_scores: multiply idf BEFORE the one div; the
+            # query-side multiplicity scales the TRUNCATED per-term
+            # value, exactly like summing it qtf times; corpus stats
+            # are literals (same integers the broadcast carried)
+            (
+                F.expr(
+                    f"idf_bits * (22 * tf * {sum_len} * {_BM25_SCALE}) "
+                    f"div (10 * tf * {sum_len} + 3 * {sum_len} "
+                    f"+ 9 * dl * {n_docs})"
+                ) * F.col("qtf")
             ).cast("bigint").alias("sterm"),
         )
     )
@@ -4560,15 +4712,32 @@ def _rrf_lex_leg(spark, sf_dir, emb_ids, idf_smooth=0, query_tf=False):
         lscore.withColumn("rk", F.row_number().over(wl))
         .filter(F.col("rk") <= _RRF_LEG_TOPK)
         .select("pid", "doc_id", "rk")
-        .localCheckpoint()  # <= panel×20 rows, two consumers
+        # <= panel×20 rows. The checkpoint keeps the scoring join OFF
+        # the critical-path fusion job: this runs inside the lex
+        # chain, CONCURRENT with the vector chain (guide §2.6), so its
+        # wall is hidden behind sim's — measured round 13: dropping it
+        # moved ~2 s of scoring into the post-barrier fuse job.
+        .localCheckpoint()
     )
 
 
 def _rrf_recall_fuse(bf, ivf, lex):
     """RRF fusion of the two legs' top-20 ranks + three-way truth
-    scoring — the report tail consuming the (already materialized)
-    truth, vector-leg, and lexical-leg relations."""
-    # ----- RRF fusion of the two legs' top-20 ranks -----
+    scoring — the report tail consuming the truth, vector-leg, and
+    lexical-leg relations.
+
+    Round 13 (the r12 verdict's #1 — "compute both legs' recall in a
+    single aggregation over a union"): the old tail consumed ``lex``
+    and ``ivf`` TWICE each (once into the fusion, once into the lx10/
+    iv10 truth joins) and joined bf three times; with the legs no
+    longer checkpointed, each extra reference re-ran a whole leg
+    subtree inside the fusion job. The full-joined candidate relation
+    now carries BOTH legs' ranks per (pid, id) plus the hybrid rank as
+    a window column, so every leg is read exactly once and ONE left
+    join against the truth scores all three systems — the membership
+    tests lr<=10 / vr<=10 / hrk<=10 are by construction the same sets
+    the old lx10/iv10/hyb joins produced (legs are (pid,id)-unique,
+    ranks <= _RRF_LEG_TOPK)."""
     li = lex.select(
         F.col("pid").alias("lpid"),
         F.col("doc_id").alias("lid"),
@@ -4594,46 +4763,32 @@ def _rrf_recall_fuse(bf, ivf, lex):
     fus = fused.select(
         F.coalesce(F.col("lpid"), F.col("vpid")).alias("pid"),
         F.coalesce(F.col("lid"), F.col("vid")).alias("id"),
+        "lr",
+        "vr",
         rrf.cast("bigint").alias("rrf_fp"),
     )
     wh = Window.partitionBy("pid").orderBy(F.col("rrf_fp").desc(), "id")
-    hyb = (
-        fus.withColumn("rk", F.row_number().over(wh))
-        .filter(F.col("rk") <= 10)
-        .select("pid", F.col("id").alias("vec_id"), F.lit(1).alias("h"))
+    cand = fus.withColumn("hrk", F.row_number().over(wh))
+    # ----- score all three systems against the bf truth: ONE join
+    joined = bf.join(
+        cand,
+        (bf["pid"] == cand["pid"]) & (bf["vec_id"] == cand["id"]),
+        "left",
+    ).select(
+        bf["pid"],
+        F.when(F.col("lr") <= 10, 1).otherwise(0).alias("l"),
+        F.when(F.col("vr") <= 10, 1).otherwise(0).alias("v"),
+        F.when(F.col("hrk") <= 10, 1).otherwise(0).alias("h"),
     )
-    # ----- score all three systems against the bf truth -----
-    lx10 = lex.filter(F.col("rk") <= 10).select(
-        "pid", "doc_id", F.lit(1).alias("l")
-    )
-    iv10 = ivf.filter(F.col("rk") <= 10).select(
-        "pid", "vec_id", F.lit(1).alias("v")
-    )
-    joined = (
-        bf.join(
-            lx10,
-            (bf["pid"] == lx10["pid"]) & (bf["vec_id"] == lx10["doc_id"]),
-            "left",
-        )
-        .drop(lx10["pid"])
-        .drop("doc_id")
-        .join(iv10, ["pid", "vec_id"], "left")
-        .join(hyb, ["pid", "vec_id"], "left")
-    )
-    ls, vs, hs = (
-        F.sum(F.coalesce(c, F.lit(0))) for c in ("l", "v", "h")
-    )
+    ls, vs, hs = (F.sum(c) for c in ("l", "v", "h"))
     return joined.groupBy("pid").agg(
         F.count("*").cast("bigint").alias("n_truth"),
         ls.cast("bigint").alias("lex_overlap"),
         vs.cast("bigint").alias("ivf_overlap"),
         hs.cast("bigint").alias("hyb_overlap"),
-        (F.sum(F.coalesce("l", F.lit(0))) * 1000)
-        .cast("bigint").alias("lex_recall_bp"),
-        (F.sum(F.coalesce("v", F.lit(0))) * 1000)
-        .cast("bigint").alias("ivf_recall_bp"),
-        (F.sum(F.coalesce("h", F.lit(0))) * 1000)
-        .cast("bigint").alias("hyb_recall_bp"),
+        (F.sum("l") * 1000).cast("bigint").alias("lex_recall_bp"),
+        (F.sum("v") * 1000).cast("bigint").alias("ivf_recall_bp"),
+        (F.sum("h") * 1000).cast("bigint").alias("hyb_recall_bp"),
     )
 
 
@@ -4657,8 +4812,11 @@ def b20_rrf_recall(spark, sf_dir):
         _sim, bf, ivf = _ann_sim_bf_ivf(
             spark, sf_dir, ivf_k=_RRF_LEG_TOPK, qn_mat=qn_mat
         )
-        # ivf feeds BOTH the fusion (top-20 ranks) and the iv10 truth
-        # comparison — materialize the <= panel×20-row relation once
+        # <= panel×20 rows; the checkpoint keeps the candidate ranking
+        # inside this CONCURRENT chain (overlapped with the lex leg)
+        # instead of on the critical-path fusion job — round 13 pairs
+        # it with the single-consumption fuse, which reads each leg
+        # exactly once
         out["bf"], out["ivf"] = bf, ivf.localCheckpoint()
 
     def _lex_chain():
@@ -4748,7 +4906,23 @@ _B20_RRF_RECALL_CORR_ORACLE = f"""
 """
 
 
-def _hashed_bow_qn(spark, sf_dir):
+def _doc_tokens_mat(spark, sf_dir):
+    """(doc_id, dl, w) localCheckpoint'ed — ONE corpus tokenize pass
+    shared by the hashed-BOW vector derivation AND the lexical BM25
+    leg of the correlated harness (round 13, guide §1.2 step 1: the
+    round-12 shape tokenized the same documents table twice — once
+    into the BOW's occurrence relation, once into the lex leg's corp
+    relation — because the two chains materialized independently).
+    Same tokens() expression as both consumers used."""
+    return (
+        par_floor(t(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.size("w").cast("bigint").alias("dl"), "w")
+        .localCheckpoint()
+    )
+
+
+def _hashed_bow_qn(spark, sf_dir, tok=None):
     """(vec_id, x ARRAY<BIGINT>) — the Spark twin of _CORR_Q_SQL:
     text-derived integer vectors. Per token OCCURRENCE (multiplicity
     kept — the corpus's lexical signal lives in tf profiles, its
@@ -4757,22 +4931,50 @@ def _hashed_bow_qn(spark, sf_dir):
     twin's lexical leg scores with (surprisal_bits + 1) — so cosine
     over these vectors IS idf-weighted vocabulary-profile similarity.
     One explode + one broadcast df join + one 32-column map-side-
-    combining groupBy: a single corpus pass at any scale."""
+    combining groupBy: a single corpus pass at any scale. ``tok``
+    takes the shared _doc_tokens_mat materialization (round 13): the
+    occurrence relation becomes a LAZY explode over that checkpoint —
+    the df aggregate and the scoring join re-explode checkpointed
+    token arrays instead of paying a second tokenize+checkpoint
+    job."""
     from ..functions.text import nibble, surprisal_bits
 
-    # materialized: occ feeds the df aggregate AND the scoring join —
-    # each would re-run the tokenize+explode corpus pass (round 12);
-    # par_floor so the explode+md5 map work spreads across cores
-    occ = (
-        par_floor(t(spark, sf_dir, "documents"), "doc_id")
-        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .localCheckpoint()
+    if tok is None:
+        # standalone: materialize the occurrences — occ feeds the df
+        # aggregate AND the scoring join (round 12); par_floor so the
+        # explode+md5 map work spreads across cores
+        occ = (
+            par_floor(t(spark, sf_dir, "documents"), "doc_id")
+            .select(
+                "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+            )
+            .localCheckpoint()
+        )
+        nd = t(spark, sf_dir, "documents").agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        )
+    else:
+        occ = tok.select("doc_id", F.explode("w").alias("tok"))
+        # one row per document by construction — same COUNT(*)
+        nd = tok.agg(F.count("*").cast("bigint").alias("n_docs"))
+    # round 13 (guide §1.2 step 2 — per-row work): the md5+nibble hash
+    # chain and the idf weight are functions of the TOKEN, yet they
+    # were evaluated per token OCCURRENCE (corpus-scaled — the
+    # dominant expression cost of the whole derivation). The
+    # occurrence side now collapses to per-(doc, token) COUNTS first
+    # (map-side partial aggregation), and the hashes+weight are
+    # computed once per DISTINCT token inside the broadcast vocabulary
+    # relation. Every sign-sum then folds over |doc × vocabulary| rows
+    # weighted by the count — exact integer arithmetic, so the sums
+    # (and the oracle hash) are unchanged: Σ_occurrences sign·w ==
+    # Σ_(doc,tok) cnt·sign·w.
+    occ_tf = occ.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("bigint").alias("cnt")
     )
-    tdf = occ.groupBy("tok").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
-    )
-    nd = t(spark, sf_dir, "documents").agg(
-        F.count("*").cast("bigint").alias("n_docs")
+    # per-token df == count of (doc, token) pairs — same value the
+    # old count_distinct(doc_id) aggregate produced
+    tdf = occ_tf.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df")
     )
     h = F.md5(F.col("tok"))
 
@@ -4785,11 +4987,10 @@ def _hashed_bow_qn(spark, sf_dir):
             nibble(F.substring(h, start, 1)) * 4096,
         )
 
-    base = (
-        occ.join(F.broadcast(tdf), "tok")
-        .join(F.broadcast(nd))
+    voc = (
+        tdf.join(F.broadcast(nd))
         .select(
-            "doc_id",
+            "tok",
             hex16(1).alias("h0"),
             hex16(5).alias("h1"),
             hex16(9).alias("h2"),
@@ -4798,6 +4999,9 @@ def _hashed_bow_qn(spark, sf_dir):
                 surprisal_bits(F.col("n_docs"), F.col("df")) + 1
             ).alias("w"),
         )
+    )
+    base = occ_tf.join(F.broadcast(voc), "tok").select(
+        "doc_id", "h0", "h1", "h2", "h3", "w", "cnt"
     )
     sums = base.groupBy("doc_id").agg(
         *[
@@ -4813,6 +5017,7 @@ def _hashed_bow_qn(spark, sf_dir):
                     - 1
                 )
                 * F.col("w")
+                * F.col("cnt")
             )
             .cast("bigint")
             .alias(f"s{d}")
@@ -4835,12 +5040,19 @@ def b20_rrf_recall_correlated(spark, sf_dir):
     # groupBy) is the expensive relation here — it used to be
     # recomputed by the harness's sim leg, its coarse leg, AND the
     # embedded-id set below; the harness's ONE qn materialization
-    # now serves all three (round 12 — a standalone checkpoint here
-    # would be a second full-BOW job). Round 12 §2.6: given that
-    # materialization, the vector chain and the lexical chain share
-    # nothing until fusion — concurrent jobs.
+    # serves all three (round 12). Round 13 (the r12 verdict's #1):
+    # the whole chain now rides TWO materialization jobs instead of
+    # five — one shared tokenize pass (feeding the BOW derivation AND
+    # the lexical leg, which used to re-tokenize independently), one
+    # BOW+norm pass (the centroid collect now reads that checkpoint
+    # instead of re-running the corpus pass, and the cell fold rides
+    # lazily, clone-proofed — see _ann_qn_mat). Round 12 §2.6: given
+    # the materializations, the vector chain and the lexical chain
+    # share nothing until fusion — concurrent jobs.
+    tok = _doc_tokens_mat(spark, sf_dir)
     qn_mat = _ann_qn_mat(
-        spark, sf_dir, qn=_hashed_bow_qn(spark, sf_dir), n_cells=16
+        spark, sf_dir, qn=_hashed_bow_qn(spark, sf_dir, tok=tok),
+        n_cells=16,
     )
     emb_ids = qn_mat.select(F.col("vec_id").alias("doc_id")).distinct()
     out = {}
@@ -4850,11 +5062,12 @@ def b20_rrf_recall_correlated(spark, sf_dir):
             spark, sf_dir, ivf_k=_RRF_LEG_TOPK, qn_mat=qn_mat,
             n_probe=1, n_cells=16,
         )
+        # overlapped-chain checkpoint, same rationale as b20_rrf_recall
         out["bf"], out["ivf"] = bf, ivf.localCheckpoint()
 
     def _lex_chain():
         out["lex"] = _rrf_lex_leg(
-            spark, sf_dir, emb_ids, idf_smooth=1, query_tf=True
+            spark, sf_dir, emb_ids, idf_smooth=1, query_tf=True, tok=tok
         )
 
     run_jobs(_vec_chain, _lex_chain)

@@ -600,3 +600,96 @@ def test_ivf_compaction_rewrites_only_fragmented_cells(spark, tmp_path):
     }
     assert cent_stat_after == cent_stat  # sidecar untouched
     assert compact_ivf_cells(spark, idx, max_files=2) == []
+
+
+def test_salted_write_layout(spark, tmp_path, monkeypatch):
+    """Round-13 scale knobs (r12 verdict #6, guide §2.5/§6): with
+    SPARK_GRAFT_INDEX_WRITE_SALT > 1 the clustered index writes spread
+    each partition's rows over multiple tasks/files (the hot-partition
+    straggler/giant-file mitigation), while partition pruning, row
+    sets and the served answers stay IDENTICAL to the default layout
+    — the knobs change file layout inside partitions, nothing else."""
+    from iot_system_plc_data_to_influxdb_spark.operators.retrieval import (
+        bm25_postings_scan,
+        bm25_query_buckets,
+        knn_ivf_from_index,
+        write_ivf_index,
+    )
+
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    probe = list(
+        emb.filter("vec_id = 0").select("embedding").first()["embedding"]
+    )
+
+    # default layout first (reference answers)
+    plain_lex = str(tmp_path / "plain_lex")
+    plain_ivf = str(tmp_path / "plain_ivf")
+    write_postings_index(docs, plain_lex)
+    write_ivf_index(emb, plain_ivf)
+    want_bm25 = [
+        tuple(r) for r in bm25_from_index(
+            spark, plain_lex, TERMS, topk=10
+        ).collect()
+    ]
+    want_knn = [
+        tuple(r) for r in knn_ivf_from_index(
+            spark, plain_ivf, probe, probe_vec_id=0, k=10
+        ).collect()
+    ]
+    plain_rows = {
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(plain_lex, "postings")
+        ).collect()
+    }
+
+    # salted + size-bounded layout
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_WRITE_SALT", "4")
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_MAX_RECORDS_PER_FILE", "64")
+    salt_lex = str(tmp_path / "salt_lex")
+    salt_ivf = str(tmp_path / "salt_ivf")
+    write_postings_index(docs, salt_lex)
+    write_ivf_index(emb, salt_ivf)
+
+    # (a) at least one partition holds MULTIPLE files now
+    def max_files(root):
+        return max(
+            len([f for f in os.listdir(os.path.join(root, d))
+                 if not f.startswith(("_", "."))])
+            for d in os.listdir(root) if "=" in d
+        )
+
+    assert max_files(os.path.join(salt_lex, "postings")) > 1
+    assert max_files(os.path.join(salt_ivf, "cells")) > 1
+
+    # (b) row sets identical — layout-only change
+    salt_rows = {
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(salt_lex, "postings")
+        ).collect()
+    }
+    assert salt_rows == plain_rows
+
+    # (c) pruning still holds on the salted layout: the executed scan
+    # opens only the query terms' tb= directories
+    buckets = bm25_query_buckets(spark, TERMS)
+    opened = {
+        int(r["f"].split("tb=")[1].split("/")[0])
+        for r in bm25_postings_scan(spark, salt_lex, TERMS, buckets)
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert opened and opened <= set(buckets)
+
+    # (d) served answers identical on both modalities
+    got_bm25 = [
+        tuple(r) for r in bm25_from_index(
+            spark, salt_lex, TERMS, topk=10
+        ).collect()
+    ]
+    got_knn = [
+        tuple(r) for r in knn_ivf_from_index(
+            spark, salt_ivf, probe, probe_vec_id=0, k=10
+        ).collect()
+    ]
+    assert got_bm25 == want_bm25
+    assert got_knn == want_knn
