@@ -149,6 +149,8 @@ def _observed_term_freqs(docs: DataFrame):
     return _term_freqs(base), obs
 
 
+
+
 def _write_stats(
     spark: SparkSession, path: str, n_docs: int, sum_len: int
 ) -> None:
@@ -415,14 +417,25 @@ def prepare_postings_delta(delta_docs: DataFrame):
     ONLY the source corpus, never the index. Callers with an index
     build in flight run this CONCURRENTLY with the build (guide §2.6:
     the two read disjoint inputs) and hand the result to
-    ``merge_postings_delta(pre=...)`` once the build lands."""
+    ``merge_postings_delta(pre=...)`` once the build lands.
+
+    Round 13: a SECOND Observation (collect_set of the delta's term
+    buckets) rides the same pass, so the merge no longer pays a
+    distinct-collect job just to learn which ``tb=`` partitions it
+    touches — the set fills here, during the prepare checkpoint,
+    i.e. concurrently with the build. Returns (dtf, stats_obs,
+    buckets_obs); the 2-tuple form is still accepted by the merge."""
+    from pyspark.sql import Observation
+
     dtf, obs = _observed_term_freqs(delta_docs)
-    dtf = dtf.withColumn("tb", _term_bucket(F.col("term")))
-    # ONE delta pass feeds postings-append, df-merge, AND (via the
-    # Observation riding it) the stats increment: checkpoint so the
-    # tokenize/explode runs once, not three times (round 12: the
-    # stats used to re-tokenize the delta in a second pass)
-    return dtf.localCheckpoint(), obs
+    bobs = Observation()
+    dtf = dtf.withColumn("tb", _term_bucket(F.col("term"))).observe(
+        bobs, F.collect_set("tb").alias("buckets")
+    )
+    # ONE delta pass feeds postings-append, df-merge, the stats
+    # increment AND the affected-bucket set (via the two Observations
+    # riding it): checkpoint so the tokenize/explode runs once
+    return dtf.localCheckpoint(), obs, bobs
 
 
 def merge_postings_delta(
@@ -501,9 +514,23 @@ def merge_postings_deltas(spark: SparkSession, path: str, pres) -> list[int]:
         ddf = all_dtf.groupBy("tb", "term").agg(
             F.count("*").cast("bigint").alias("df")
         )
-        affected = sorted(
-            int(r["tb"]) for r in ddf.select("tb").distinct().collect()
-        )
+        # the affected-bucket set rode each prepare pass as an
+        # Observation (round 13) — filled during the delta checkpoints,
+        # so no collect job here; 2-tuple pres (older callers) fall
+        # back to the distinct-collect
+        affected: set[int] = set()
+        legacy = False
+        for p in pres:
+            if len(p) > 2:
+                affected.update(int(b) for b in p[2].get["buckets"])
+            else:
+                legacy = True
+        if legacy:
+            affected.update(
+                int(r["tb"])
+                for r in ddf.select("tb").distinct().collect()
+            )
+        affected = sorted(affected)
         base_terms = (
             spark.read.parquet(os.path.join(path, "terms"))
             .filter(F.col("tb").isin(affected))  # partition pruning
@@ -534,9 +561,9 @@ def merge_postings_deltas(spark: SparkSession, path: str, pres) -> list[int]:
     def _stats_merge():
         old = spark.read.parquet(os.path.join(path, "stats")).first()
         n_docs, sum_len = int(old["n_docs"]), int(old["sum_len"])
-        for _, obs in pres:  # filled during the delta checkpoint passes
-            n_docs += int(obs.get["n_docs"])
-            sum_len += int(obs.get["sum_len"])
+        for p in pres:  # filled during the delta checkpoint passes
+            n_docs += int(p[1].get["n_docs"])
+            sum_len += int(p[1].get["sum_len"])
         _write_stats(spark, path, n_docs, sum_len)
 
     _, affected, _ = run_jobs(_postings_appends, _terms_merge, _stats_merge)

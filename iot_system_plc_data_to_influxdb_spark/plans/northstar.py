@@ -5630,6 +5630,66 @@ _B19_SEMDEDUP_ORACLE = (
 )
 
 
+#: salt fan-out for the semdedup pair blocks (see b19_semdedup)
+_SEMDEDUP_SALT = 8
+
+
+def _semdedup_pair_blocks(batches):
+    """mapInPandas kernel for the within-cluster pair cosines (round
+    13, guide §4.2 — hand whole batches to vectorized native code):
+    each input row carries ONE cluster's member array plus a salt;
+    the row's block of pairs (a-side = members with vec_id ≡ salt) is
+    one int64 matrix product instead of |block| × 64 interpreted
+    zip_with folds — the measured ~32 M interpreted ops that were the
+    query's whole wall at sf0.1.
+
+    Exactness contract (the reason this is hash-safe): quantized
+    components are |x| ≤ 1e8 (1e-7 quantization of |comp| < 10), so a
+    64-dim dot is ≤ 6.4e17 — inside int64, and numpy would WRAP
+    silently where ANSI Spark faults, so the bound is asserted per
+    batch. The cosine is then the identical IEEE-754 sequence the old
+    JVM expression ran — int64→double conversions (round-to-nearest),
+    one multiply, one correctly-rounded sqrt, one divide — so every
+    produced double is bit-identical, and the ≥ 0.35 gate and the
+    downstream ROUND(max, 6) see the same values."""
+    import numpy as np
+
+    for pdf in batches:
+        v1s, v2s, cls, coss = [], [], [], []
+        for cluster, ms, salt in zip(
+            pdf["cluster"], pdf["ms"], pdf["salt"]
+        ):
+            ids = np.asarray([m["vec_id"] for m in ms], dtype=np.int64)
+            amask = (ids % _SEMDEDUP_SALT) == salt
+            if not amask.any() or len(ids) < 2:
+                continue
+            X = np.asarray([m["x"] for m in ms], dtype=np.int64)
+            n2 = np.asarray([m["n2"] for m in ms], dtype=np.int64)
+            assert int(np.abs(X).max(initial=0)) <= 10**8  # int64 dot bound
+            dots = X[amask] @ X.T  # exact int64 block product
+            cos = dots.astype(np.float64) / np.sqrt(
+                n2[amask].astype(np.float64)[:, None]
+                * n2.astype(np.float64)[None, :]
+            )
+            keep = (ids[amask][:, None] < ids[None, :]) & (cos >= 0.35)
+            ai, bi = np.nonzero(keep)
+            if len(ai) == 0:
+                continue
+            v1s.append(ids[amask][ai])
+            v2s.append(ids[bi])
+            cls.append(np.full(len(ai), cluster, dtype=np.int64))
+            coss.append(cos[ai, bi])
+        import pandas as pd
+
+        if v1s:
+            yield pd.DataFrame({
+                "v1": np.concatenate(v1s),
+                "v2": np.concatenate(v2s),
+                "cluster": np.concatenate(cls),
+                "cos_raw": np.concatenate(coss),
+            })
+
+
 @register("b19_semdedup", oracle=_B19_SEMDEDUP_ORACLE, tags=("B19", "B20"))
 def b19_semdedup(spark, sf_dir):
     v, a2, _s2 = _exact_kmeans_assignments(spark, sf_dir, K=8)
@@ -5638,9 +5698,7 @@ def b19_semdedup(spark, sf_dir):
         # exact int64 dot: |x| ≤ 1e8 for any embedding component under
         # 10 in magnitude (1e-7 quantization), so a term ≤ 1e16 and the
         # 64-dim sum ≤ 6.4e17 — well inside int64, and ANSI mode would
-        # error (not wrap) if data ever violated the bound. Pure bigint
-        # folds run several× faster than the decimal(38) algebra the
-        # k-means assignment uses for its (n·x − s)² worst case.
+        # error (not wrap) if data ever violated the bound.
         return F.aggregate(
             F.zip_with(a, b, lambda p, q: p * q),
             F.lit(0).cast("bigint"),
@@ -5648,15 +5706,13 @@ def b19_semdedup(spark, sf_dir):
         )
 
     # Within-cluster pair generation WITHOUT a self-join: gather each
-    # cluster's members into one row, then double-explode. A self-join
-    # on a2 would recompute the whole k-means lineage for both sides
-    # (Spark doesn't share un-cached subtrees); this computes it once
-    # and generates pairs in-partition. The SemDeDup sizing contract —
-    # k grows with N so clusters stay a few thousand members — is
-    # exactly what keeps one cluster's member array executor-sized.
-    # norms are per-member, not per-pair: compute each ‖x‖² once before
-    # the pair explosion (m dots instead of pair-count dots — a 3×
-    # arithmetic cut when clusters average hundreds of members)
+    # cluster's members into one row. A self-join on a2 would recompute
+    # the whole k-means lineage for both sides (Spark doesn't share
+    # un-cached subtrees); this computes it once and generates pairs
+    # in-partition. The SemDeDup sizing contract — k grows with N so
+    # clusters stay a few thousand members — is exactly what keeps one
+    # cluster's member array executor-sized. norms are per-member, not
+    # per-pair: compute each ‖x‖² once before the pair blocks.
     member = a2.select(
         "vec_id",
         "cluster",
@@ -5667,42 +5723,23 @@ def b19_semdedup(spark, sf_dir):
         F.collect_list(F.struct("vec_id", "x", "n2")).alias("ms")
     )
     # Pair-generation parallelism WITHOUT per-member array replication:
-    # exploding (member, ms) rows before the shuffle would ship each
-    # cluster's member array once PER MEMBER (measured 167 MB shuffle
-    # write at sf0.1 — cluster_size× amplification, the wrong slope at
-    # scale). Instead each cluster emits S salt copies of its array;
-    # copy s owns the 'a' members with vec_id ≡ s (mod S). Shuffle
-    # volume = S × cluster data (S=8, fixed), parallelism = k·S tasks.
-    S = 8
+    # each cluster emits S salt copies of its array; copy s owns the
+    # 'a' members with vec_id ≡ s (mod S). Shuffle volume = S × cluster
+    # data (S=8, fixed), parallelism = k·S tasks. Round 13: the pair
+    # cosines inside each (cluster, salt) block are ONE numpy int64
+    # matrix product via mapInPandas (guide §4.2) instead of the
+    # interpreted per-pair zip_with fold — bit-identical doubles, see
+    # _semdedup_pair_blocks.
     salted = grouped.select(
         "cluster",
         "ms",
-        F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("salt"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_SEMDEDUP_SALT - 1))
+        ).alias("salt"),
     ).repartition("cluster", "salt")
-    ex = (
-        salted.select(
-            "cluster",
-            "ms",
-            F.explode(
-                F.filter(
-                    "ms", lambda m: F.pmod(m["vec_id"], F.lit(S)) == F.col("salt")
-                )
-            ).alias("a"),
-        )
-        .select("cluster", "a", F.explode("ms").alias("b"))
-    )
-    cos = int_dot(F.col("a.x"), F.col("b.x")).cast("double") / F.sqrt(
-        F.col("a.n2").cast("double") * F.col("b.n2").cast("double")
-    )
-    pairs = (
-        ex.filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            "cluster",
-            cos.alias("cos_raw"),
-        )
-        .filter(F.col("cos_raw") >= 0.35)
+    pairs = salted.mapInPandas(
+        _semdedup_pair_blocks,
+        "v1 bigint, v2 bigint, cluster bigint, cos_raw double",
     )
     return pairs.groupBy(F.col("v2").alias("vec_id"), "cluster").agg(
         F.min("v1").alias("dup_of"),

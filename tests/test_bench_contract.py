@@ -24,7 +24,12 @@ def test_final_line_small_suite_keeps_every_query():
     assert out["value"] == round(sum(timings.values()), 2)
 
 
-def test_final_line_large_suite_elides_but_keeps_total_and_slowest():
+def test_final_line_large_suite_elides_with_fixed_membership():
+    """Round 13 (r12 verdict #2): when the suite no longer fits, the
+    kept subset is decided by the FIXED priority list — never by this
+    run's timings — so membership is identical across noisy runs and
+    the driver's round-over-round common set cannot churn or
+    self-select for regressions."""
     # 160 long-named queries cannot fit at any rounding
     timings = {
         f"b27_some_extremely_long_operator_name_{i:03d}": 0.1 + i / 50
@@ -32,17 +37,35 @@ def test_final_line_large_suite_elides_but_keeps_total_and_slowest():
     }
     line = bench.final_line(timings, [1.0, 1.0, 1.0], 0.1)
     out = json.loads(line)
-    assert len(line) < 1950
+    assert len(line) < 1990
     assert out["queries_elided"] == len(timings) - len(out["queries"])
     assert out["queries_elided"] > 0
     # the total is the FULL suite, not just the kept queries
     assert out["value"] == round(sum(timings.values()), 2)
-    # kept queries are the slowest ones
-    kept_min = min(out["queries"].values())
-    elided_max = max(
-        v for k, v in timings.items() if k not in out["queries"]
+    # membership is TIMING-INDEPENDENT: shuffle the values, same set
+    import random
+
+    rng = random.Random(7)
+    jittered = {
+        k: round(v * rng.uniform(0.2, 5.0), 3) for k, v in timings.items()
+    }
+    out2 = json.loads(bench.final_line(jittered, [1.0, 1.0, 1.0], 0.1))
+    assert set(out2["queries"]) == set(out["queries"])
+    # none of these synthetic names are in the priority list, so the
+    # kept set is the alphabetical fallback prefix — deterministic
+    assert sorted(out["queries"]) == sorted(timings)[: len(out["queries"])]
+
+
+def test_final_line_priority_set_always_fully_reported():
+    """Every query the round-12 line reported must keep appearing —
+    the driver's 'never remove existing entries' contract — even at
+    worst-case digit widths and with the norm_reg field present."""
+    timings = {q: 99.99 for q in bench.BENCH_QUERIES}
+    out = json.loads(
+        bench.final_line(timings, [0.999, 0.999, 0.999], 0.1, n_reg=99)
     )
-    assert kept_min >= round(elided_max, 2) - 0.01
+    assert set(bench.FINAL_LINE_PRIORITY) <= set(out["queries"])
+    assert set(bench.FINAL_LINE_PRIORITY) <= set(bench.BENCH_QUERIES)
 
 
 def test_headline_set_is_registered():
